@@ -1,0 +1,483 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** The relational operator surface of the reference engine
+  * (SURVEY.md §2.2-§2.8), re-expressed with the DataFrame API so
+  * Catalyst plans every one of them (pushdown, partial aggregation,
+  * broadcast joins, TakeOrderedAndProject for top-k).
+  *
+  * Reference semantics covered here:
+  *  - projections/filters/predicates  (ranger parser.go:4900-5204, 4329-4804)
+  *  - implicit multi-table join + WHERE equi-filter (parser.go:4824-4898)
+  *  - IN/EXISTS subqueries → semi/anti joins (ast.go:411-432)
+  *  - COUNT/SUM/AVG/MIN/MAX, GROUP BY, HAVING (parser.go:5801-5875)
+  *  - ORDER BY / LIMIT / OFFSET / top-k (parser.go:4176-4269)
+  *  - DISTINCT, UNION [ALL] (parser.go:4063-4067, 4155-4170)
+  *  - scalar functions UPPER/LOWER/LENGTH/TRIM/SUBSTRING/CONCAT/POSITION/
+  *    REVERSE/ROUND/CAST/COALESCE/CASE (ast.go:599-677)
+  *  - supersets the reference lacks: window functions, INTERSECT/EXCEPT,
+  *    COUNT(DISTINCT), per-key sort direction (SURVEY §2.5-§2.7)
+  *
+  * Conventions shared with the DuckDB oracle (driver's t2 gate):
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are round()ed so summation-order FP noise
+  *    cannot flip the hash compare;
+  *  - counts stay BIGINT (both engines), extracted date parts and
+  *    string lengths are cast to INT on the oracle side to match
+  *    Spark's native result types;
+  *  - LIMIT queries carry a total order (unique tie-break key).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- aggregation family ------------------------------------------------
+    "q1_pricing_summary" -> ((s, dir) => {
+      // TPC-H Q1 shape: scan-filter-partial agg-final agg. Only the 7
+      // needed columns reach the scan (column pruning) and the shipdate
+      // predicate is pushed to parquet row groups.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q2_agg_minmax" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(min("o_totalprice"), 2).as("min_price"),
+          round(max("o_totalprice"), 2).as("max_price"),
+          round(avg("o_totalprice"), 2).as("avg_price"))),
+
+    "q3_count_distinct" -> ((s, dir) =>
+      // superset: the reference cannot parse COUNT(DISTINCT …) (SURVEY §2.4)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))),
+
+    "q4_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("total_spent"))
+        .where(col("n_orders") >= 3)),
+
+    "q5_group_by_expr" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+                 month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("monthly_total"))),
+
+    // -- join family -------------------------------------------------------
+    "q6_join_implicit" -> ((s, dir) => {
+      // ranger's only join form: FROM a, b WHERE a.k = b.k
+      // (parser.go:4824-4898). Catalyst turns the equi-filtered cross
+      // join into a proper equi-join; at scale the orders side shuffles
+      // on the key while customer (smaller) broadcasts under AQE.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("segment_revenue"))
+    }),
+
+    "q7_join_multiway" -> ((s, dir) => {
+      // 5-way star join. Dims (region, nation) are broadcast explicitly:
+      // at 100 TB the fact table never shuffles for a dim join.
+      val r  = broadcast(t(s, dir, "region"))
+      val n  = broadcast(t(s, dir, "nation"))
+      val c  = t(s, dir, "customer")
+      val o  = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q8_semijoin_in" -> ((s, dir) => {
+      // IN (subquery) → left-semi join (ast.go:411-415)
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    "q9_antijoin_exists" -> ((s, dir) => {
+      // NOT EXISTS → left-anti join (ast.go:428-432)
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // -- predicate family --------------------------------------------------
+    "q10_filter_combo" -> ((s, dir) =>
+      // BETWEEN + IN (list) + NOT + AND/OR (ast.go:255-426)
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20)
+          && col("l_returnflag").isin("A", "R")
+          && !(col("l_discount") > 0.05))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_discount"))),
+
+    "q11_filter_like_null" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%old%") && col("p_size").isNotNull)
+        .select(col("p_partkey"), col("p_name"), col("p_size"))),
+
+    // -- scalar function family -------------------------------------------
+    "q12_scalar_string" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up_name"),
+          lower(col("c_mktsegment")).as("low_seg"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_pre"),
+          concat(col("c_name"), lit("_"), col("c_mktsegment")).as("tagged"),
+          reverse(col("c_name")).as("rev_name"),
+          trim(col("c_name")).as("trimmed"))),
+
+    "q13_scalar_numeric" -> ((s, dir) =>
+      // arithmetic + - * / %  (parser.go:5877-5968) + CAST + ROUND
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+          floor(col("l_quantity")).cast("bigint").as("qty_floor"),
+          (col("l_orderkey") % 7).as("key_mod"),
+          // no round(): per-row IEEE arithmetic is bit-identical across
+          // engines, while round() at half-cent boundaries is not
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+          (col("l_quantity") + col("l_tax") - col("l_discount")).as("mixed"))),
+
+    "q14_case_coalesce" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, lit("negative"))
+            .when(col("c_acctbal") < 5000, lit("mid"))
+            .otherwise(lit("high")).as("bal_band"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg_or_other"))),
+
+    "q15_position" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          expr("position('o' IN p_name)").cast("int").as("pos_o"),
+          expr("position('ECONOMY' IN p_type)").cast("int").as("pos_econ"))),
+
+    // -- sort / limit family ----------------------------------------------
+    "q16_topk" -> ((s, dir) =>
+      // ORDER BY … LIMIT → Catalyst TakeOrderedAndProject: each partition
+      // keeps only k rows, the driver merges k*p — no global sort at scale.
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    "q17_limit_offset" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(10).limit(20)),
+
+    "q18_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment")).distinct()),
+
+    // -- set operation family ---------------------------------------------
+    "q19_union" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("custkey"))
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      a.union(b).distinct()   // UNION implies dedup (SURVEY §2.7)
+    }),
+
+    "q20_union_all" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("custkey"), lit("rich_customer").as("src"))
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"), lit("big_order").as("src"))
+      a.union(b)
+    }),
+
+    "q21_intersect" -> ((s, dir) => {
+      // superset: reference has no INTERSECT/EXCEPT (SURVEY §2.7)
+      val a = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val b = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      a.intersect(b)
+    }),
+
+    "q22_except" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      a.except(b)
+    }),
+
+    // -- window family (superset; SURVEY §2.5) ----------------------------
+    "q23_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+                row_number().over(w).cast("bigint").as("rn"))
+        .where(col("rn") <= 3)
+    }),
+
+    "q24_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+                round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+    }),
+
+    // -- temporal family ---------------------------------------------------
+    "q25_events_daily" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+             round(sum("value"), 2).as("total_value"),
+             countDistinct(col("user_id")).as("n_users"))),
+
+    "q26_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30 min): the batch analog of what
+      // Structured Streaming's session windows do with state.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+               col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"),
+             count(lit(1)).as("n_events"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB-runnable SQL with identical semantics and column names. */
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_agg_minmax" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q3_count_distinct" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q4_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3""".stripMargin,
+
+    "q5_group_by_expr" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS monthly_total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q6_join_implicit" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS segment_revenue
+        |FROM customer, orders
+        |WHERE c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q7_join_multiway" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem, orders, customer, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q8_semijoin_in" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+
+    "q9_antijoin_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000)""".stripMargin,
+
+    "q10_filter_combo" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_returnflag IN ('A', 'R')
+        |  AND NOT (l_discount > 0.05)""".stripMargin,
+
+    "q11_filter_like_null" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_name LIKE '%old%' AND p_size IS NOT NULL""".stripMargin,
+
+    "q12_scalar_string" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up_name,
+        |  lower(c_mktsegment) AS low_seg,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  substring(c_name, 1, 8) AS name_pre,
+        |  c_name || '_' || c_mktsegment AS tagged,
+        |  reverse(c_name) AS rev_name,
+        |  trim(c_name) AS trimmed
+        |FROM customer""".stripMargin,
+
+    "q13_scalar_numeric" ->
+      """SELECT l_orderkey,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  l_orderkey % 7 AS key_mod,
+        |  l_extendedprice / l_quantity AS unit_price,
+        |  l_quantity + l_tax - l_discount AS mixed
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+
+    "q14_case_coalesce" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS bal_band,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other
+        |FROM customer""".stripMargin,
+
+    "q15_position" ->
+      """SELECT p_partkey,
+        |  CAST(position('o' IN p_name) AS INTEGER) AS pos_o,
+        |  CAST(position('ECONOMY' IN p_type) AS INTEGER) AS pos_econ
+        |FROM part""".stripMargin,
+
+    "q16_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q17_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
+
+    "q18_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+
+    "q19_union" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""".stripMargin,
+
+    "q20_union_all" ->
+      """SELECT c_custkey AS custkey, 'rich_customer' AS src FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT o_custkey AS custkey, 'big_order' AS src FROM orders WHERE o_totalprice > 400000""".stripMargin,
+
+    "q21_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+
+    "q22_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+
+    "q23_window_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal, rn FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) WHERE rn <= 3""".stripMargin,
+
+    "q24_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q25_events_daily" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q26_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sessions AS (
+        |  SELECT user_id, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id""".stripMargin
+  )
+}

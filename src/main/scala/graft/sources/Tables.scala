@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Loaders for the driver's deterministic parquet tables (TESTDATA.md).
+  *
+  * The reference (gear6io/ranger) exposes each Iceberg table to its
+  * embedded engine as a view (`server/query/duckdb/engine.go:444-547`).
+  * Here each parquet file becomes a DataFrame; Catalyst's DataSource V2
+  * scan gives predicate pushdown + column pruning for free, which is
+  * what keeps IO proportional to the query (not the dataset) at 100 TB.
+  *
+  * Scale note: at cluster scale these would be directories of many
+  * parquet files (or an Iceberg/Delta table); `spark.read.parquet(dir)`
+  * handles that transparently, including partition discovery. Nothing
+  * in this module assumes a single file.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables that should always be broadcast in joins. */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+      // natively; read the raw int64 nanos and convert to microseconds.
+      // `div` keeps the arithmetic in exact integer space (nanos since
+      // epoch exceed 2^53, so a double round-trip would corrupt them).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view named after the table, so the
+    * same SQL text runs on Spark and on the DuckDB oracle. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
