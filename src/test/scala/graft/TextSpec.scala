@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens and shingles") {
+    val df = Seq("a b c d", "x y", "z").toDF("text")
+      .select(Text.tokens(col("text")).as("t"))
+      .select(col("t"), Text.shingles(col("t"), 3).as("sh"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) == Seq("a", "b", "c", "d"))
+    assert(rows(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](1) == Seq()) // shorter than k
+    assert(rows(2).getSeq[String](1) == Seq())
+  }
+
+  test("minhash is deterministic and identical for identical shingle sets") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "totally different words here")
+      .toDF("text")
+      .select(Text.minhash(
+        array_distinct(Text.shingles(Text.tokens(col("text")), 2)), 16).as("mh"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1))
+    assert(rows(0) != rows(2))
+    assert(rows(0).length == 16)
+  }
+
+  test("simhash: identical texts agree, near-identical texts are close") {
+    val df = Seq(
+      ("a", "spark query engine for big data processing at scale"),
+      ("b", "spark query engine for big data processing at scale"),
+      ("c", "spark query engine for huge data processing at scale"),
+      ("d", "completely unrelated sentence about cooking pasta tonight"))
+      .toDF("id", "text")
+      .select(col("id"), Text.simhash64(Text.tokens(col("text"))).as("sh"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(m("a"), m("c")) < ham(m("a"), m("d")))
+  }
+
+  test("stopword count and lang guess") {
+    val df = Seq("the cat and the dog", "le chat et la mer", "qqq www eee")
+      .toDF("text")
+      .select(
+        Text.stopwordCount(Text.tokens(col("text"))).as("sc"),
+        Text.langGuess(Text.tokens(col("text"))).as("lang"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 3) // the, and, the
+    assert(rows(0).getString(1) == "en")
+    assert(rows(1).getString(1) == "fr")
+    assert(rows(2).getString(1) == "unknown")
+  }
+
+  test("rolling fingerprint: shared windows survive for near-dup docs") {
+    val df = Seq(
+      "one two three four five six seven eight",
+      "zero one two three four five six seven eight") // shifted by one
+      .toDF("text")
+      .select(Text.rollingFingerprint(Text.tokens(col("text")), 4, 3).as("fp"))
+    val rows = df.collect().map(_.getSeq[Long](0).toSet)
+    assert(rows(0).intersect(rows(1)).nonEmpty) // winnowing keeps overlap
+  }
+}
