@@ -27,9 +27,13 @@ object Dedup {
     * driver's short synthetic docs; production text would use 5-9. */
   private val ShingleK = 2
   private val NumHashes = 32
-  private val NumBands = 16 // r = 2 rows/band → catches j >= ~0.2
+  // S-curve tuning, measured on the driver corpus: background pair
+  // jaccard is <= ~0.1, true near-dups ~0.97. r=4 rows/band puts the
+  // collision knee at j ~ 0.5: P(candidate | j=0.1) = 8*1e-4 (no
+  // explosion), P(candidate | j=0.8) = 98.5%, j=0.97 ≈ 100%.
+  private val NumBands = 8
   private val RowsPerBand = NumHashes / NumBands
-  private val BucketCap = 50
+  private val BucketCap = 20
 
   private def jaccard(inter: Column, n1: Column, n2: Column): Column =
     inter.cast("double") / (n1 + n2 - inter)
@@ -56,10 +60,15 @@ object Dedup {
       // MinHash + LSH banding near-dup candidates, verified with exact
       // shingle-set Jaccard. No oracle (not SQL-expressible in DuckDB
       // at reasonable effort) → driver rows-only check.
+      // cache: `base` feeds both the banding pass and the two
+      // verification joins — without it the shingle+minhash expression
+      // re-evaluates three times. At warehouse scale this projection
+      // would be a persisted/bucketed intermediate table instead.
       val base = docs(s, dir)
         .select(col("doc_id"),
                 array_distinct(Text.shingles(Text.tokens(col("text")), ShingleK)).as("sh"))
         .withColumn("mh", Text.minhash(col("sh"), NumHashes))
+        .cache()
       val bands = base.select(
         col("doc_id"),
         posexplode(Text.lshBands(col("mh"), NumBands, RowsPerBand)).as(Seq("band", "bh")))
