@@ -1,0 +1,83 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+
+/** Query lifecycle registry, mirroring the reference's ExecutionManager
+  * (/root/reference/server/query/execution_manager.go:13-245): IDs,
+  * pending→running→completed/cancelled/failed status, cancellation,
+  * aggregate stats. Cancellation maps to Spark job groups — every query
+  * runs under its query ID as job group, and cancel() interrupts all
+  * its running stages cluster-wide. */
+final class ExecutionManager(spark: SparkSession) {
+
+  sealed trait Status
+  case object Pending extends Status
+  case object Running extends Status
+  case object Completed extends Status
+  case object Cancelled extends Status
+  case object Failed extends Status
+
+  final case class QueryInfo(
+      id: String,
+      sql: String,
+      var status: Status,
+      startNanos: Long,
+      var endNanos: Long = -1L,
+      var error: Option[String] = None) {
+    def elapsedSec: Double =
+      ((if (endNanos > 0) endNanos else System.nanoTime()) - startNanos) / 1e9
+  }
+
+  private val seq = new AtomicLong()
+  private val queries = new ConcurrentHashMap[String, QueryInfo]()
+
+  /** query_<nanos> scheme as in engine.go:89-105 (+ a counter so two
+    * queries in the same nanosecond cannot collide). */
+  def register(sql: String): QueryInfo = {
+    val id = s"query_${System.nanoTime()}_${seq.incrementAndGet()}"
+    val info = QueryInfo(id, sql, Pending, System.nanoTime())
+    queries.put(id, info)
+    info
+  }
+
+  /** Run `body` under the query's job group so cancel() can reach it. */
+  def run[T](info: QueryInfo)(body: => T): T = {
+    info.status = Running
+    spark.sparkContext.setJobGroup(info.id, info.sql.take(200),
+      interruptOnCancel = true)
+    try {
+      val r = body
+      info.status = Completed
+      r
+    } catch {
+      case e: Throwable =>
+        info.status = if (info.status == Cancelled) Cancelled else Failed
+        info.error = Some(e.getMessage)
+        throw e
+    } finally {
+      info.endNanos = System.nanoTime()
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  def cancel(id: String): Boolean = Option(queries.get(id)) match {
+    case Some(info) if info.status == Running || info.status == Pending =>
+      info.status = Cancelled
+      spark.sparkContext.cancelJobGroup(id)
+      true
+    case _ => false
+  }
+
+  def get(id: String): Option[QueryInfo] = Option(queries.get(id))
+
+  def list(): Seq[QueryInfo] =
+    queries.values.asScala.toSeq.sortBy(_.startNanos)
+
+  def stats(): Map[String, Long] =
+    list().groupBy(_.status.toString.toLowerCase)
+      .map { case (k, v) => k -> v.size.toLong }
+      .withDefaultValue(0L) + ("total" -> queries.size().toLong)
+}

@@ -1,0 +1,220 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{InsertValidator, QueryEngine, RangerDdl}
+import graft.types.IcebergTypes
+import org.apache.spark.sql.types._
+
+class IcebergTypesSpec extends AnyFunSuite {
+  test("primitive types parse to Spark types") {
+    assert(IcebergTypes.parse("int32") == IntegerType)
+    assert(IcebergTypes.parse("int64") == LongType)
+    assert(IcebergTypes.parse("float64") == DoubleType)
+    assert(IcebergTypes.parse("string") == StringType)
+    assert(IcebergTypes.parse("timestamp") == TimestampNTZType)
+    assert(IcebergTypes.parse("timestamptz") == TimestampType)
+    assert(IcebergTypes.parse("decimal(10,2)") == DecimalType(10, 2))
+    assert(IcebergTypes.parse("uuid") == StringType)
+  }
+
+  test("nested types parse recursively") {
+    assert(IcebergTypes.parse("list<string>") == ArrayType(StringType))
+    assert(IcebergTypes.parse("map<string, int32>") ==
+      MapType(StringType, IntegerType))
+    assert(IcebergTypes.parse("struct<name: string, age: int32>") ==
+      StructType(Seq(StructField("name", StringType), StructField("age", IntegerType))))
+    // from the reference's own test fixtures (iceberg_types_test.go)
+    assert(IcebergTypes.parse("list<struct<id:int64,name:string>>") ==
+      ArrayType(StructType(Seq(StructField("id", LongType), StructField("name", StringType)))))
+    assert(IcebergTypes.parse("map<string,list<int32>>") ==
+      MapType(StringType, ArrayType(IntegerType)))
+  }
+
+  test("legacy SQL types are rejected (ast.go:163-169 semantics)") {
+    for (bad <- Seq("int", "bigint", "varchar(50)", "text", "double", "REAL"))
+      assertThrows[IcebergTypes.TypeError](IcebergTypes.parse(bad))
+  }
+
+  test("invalid decimal and struct definitions are rejected") {
+    assertThrows[IcebergTypes.TypeError](IcebergTypes.parse("decimal(0,2)"))
+    assertThrows[IcebergTypes.TypeError](IcebergTypes.parse("decimal(5,9)"))
+    assertThrows[IcebergTypes.TypeError](IcebergTypes.parse("struct<a:int32,a:string>"))
+  }
+
+  test("format round-trips") {
+    for (t <- Seq("int32", "list<string>", "map<string, int32>",
+                  "struct<a: int32, b: list<string>>", "decimal(10,2)"))
+      assert(IcebergTypes.format(IcebergTypes.parse(t)) == t)
+  }
+}
+
+class RangerDdlSpec extends AnyFunSuite {
+  test("canonical fixture from reference integration tests parses") {
+    // create_table_integration_test.go:27-55
+    val ct = RangerDdl.parse(
+      """CREATE TABLE users (
+        |    id int64 NOT NULL,
+        |    name string NOT NULL,
+        |    email string,
+        |    age int32,
+        |    created_at timestamp NOT NULL
+        |) STORAGE FILESYSTEM;""".stripMargin)
+    assert(ct.table == "users" && ct.storage == "filesystem")
+    assert(ct.columns.map(_.name) == Seq("id", "name", "email", "age", "created_at"))
+    assert(ct.columns.head.notNull && !ct.columns(2).notNull)
+  }
+
+  test("complex types + clauses fixture parses") {
+    val ct = RangerDdl.parse(
+      """CREATE TABLE IF NOT EXISTS db2.complex_table (
+        |    id int64 NOT NULL,
+        |    tags list<string>,
+        |    metadata map<string, string>,
+        |    profile struct<name: string, age: int32>,
+        |    balance decimal(10,2) DEFAULT 0.0
+        |) STORAGE memory PARTITION BY (id) ORDER BY (id, balance)
+        |  SETTINGS cache_enabled=true, batch_size=50000""".stripMargin)
+    assert(ct.ifNotExists && ct.database.contains("db2"))
+    assert(ct.storage == "memory")
+    assert(ct.partitionBy == Seq("id") && ct.orderBy == Seq("id", "balance"))
+    assert(ct.settings == Map("cache_enabled" -> "true", "batch_size" -> "50000"))
+    assert(ct.columns(4).default.contains("0.0"))
+    val spark = ct.toSparkSql("default")
+    assert(spark.contains("USING parquet") && spark.contains("PARTITIONED BY (id)"))
+    assert(spark.contains("'graft.settings.batch_size'='50000'"))
+  }
+
+  test("legacy types rejected at CREATE TABLE") {
+    assertThrows[IcebergTypes.TypeError](RangerDdl.parse(
+      "CREATE TABLE t (user_id INT NOT NULL, event_type VARCHAR(50))"))
+  }
+
+  test("malformed statements rejected") {
+    assertThrows[RangerDdl.ParseError](RangerDdl.parse("CREATE TABLE t ()"))
+    assertThrows[RangerDdl.ParseError](RangerDdl.parse("SELECT 1"))
+    assertThrows[RangerDdl.ParseError](RangerDdl.parse(
+      "CREATE TABLE t (a int32, a string)"))
+    assertThrows[RangerDdl.ParseError](RangerDdl.parse(
+      "CREATE TABLE t (a int32) STORAGE floppy"))
+  }
+}
+
+class EngineSpec extends AnyFunSuite {
+  lazy val engine = new QueryEngine(TestSpark.spark)
+
+  test("end-to-end slice: create db, create table, insert, select, show, drop") {
+    // SURVEY §7.1 step 3: the minimum end-to-end slice
+    engine.execute("CREATE DATABASE IF NOT EXISTS d1")
+    engine.execute("USE d1")
+    val ct = engine.execute(
+      """CREATE TABLE users (
+        |  id int64 NOT NULL,
+        |  name string,
+        |  age int32,
+        |  created_at timestamp
+        |) STORAGE filesystem""".stripMargin)
+    assert(ct.message.contains("created"))
+
+    val ins = engine.execute(
+      "INSERT INTO users VALUES (1, 'ann', 34, TIMESTAMP '2024-01-01 10:00:00'), " +
+      "(2, 'bob', 19, TIMESTAMP '2024-01-02 11:00:00'), " +
+      "(3, 'cho', 45, TIMESTAMP '2024-01-03 12:00:00')")
+    assert(ins.message == "INSERT 3" && ins.rowCount == 3)
+
+    val sel = engine.execute(
+      "SELECT name, COUNT(*) AS n FROM users WHERE age > 21 GROUP BY name ORDER BY name LIMIT 10")
+    assert(sel.columns == Seq("name", "n"))
+    assert(sel.data.map(_.head) == Seq("ann", "cho"))
+
+    val st = engine.execute("SHOW TABLES")
+    assert(st.columns == Seq("Table"))
+    assert(st.message.contains("table(s) in database d1"))
+    assert(st.data.flatten.contains("users"))
+
+    val sd = engine.execute("SHOW DATABASES")
+    assert(sd.columns == Seq("database"))
+    assert(sd.data.flatten.contains("d1"))
+
+    val sc = engine.execute("SHOW COLUMNS FROM users")
+    assert(sc.columns == Seq("Field", "Type", "Null", "Key", "Unique", "Default", "Extra"))
+    assert(sc.data.map(r => (r(0), r(1))) == Seq(
+      ("id", "int64"), ("name", "string"), ("age", "int32"),
+      ("created_at", "timestamp")))
+    assert(sc.data.head(2) == "NO") // id NOT NULL
+
+    val scr = engine.execute("SHOW CREATE TABLE users")
+    assert(scr.columns == Seq("Table", "Create Table"))
+    val ddl = scr.data.head(1).toString
+    assert(ddl.contains("id int64 NOT NULL") && ddl.contains("STORAGE FILESYSTEM"))
+
+    engine.execute("DROP TABLE users")
+    assert(!engine.execute("SHOW TABLES").data.flatten.contains("users"))
+    engine.execute("USE default")
+  }
+
+  test("UPDATE and DELETE via copy-on-write rewrite") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d2")
+    engine.execute(
+      "CREATE TABLE d2.kv (k int64 NOT NULL, v string, n int32) STORAGE filesystem")
+    engine.execute(
+      "INSERT INTO d2.kv VALUES (1,'a',10),(2,'b',20),(3,'c',30),(4,'d',40)")
+    val up = engine.execute("UPDATE d2.kv SET v = 'z', n = n + 1 WHERE k >= 3")
+    assert(up.message == "UPDATE 2")
+    val r = engine.execute("SELECT k, v, n FROM d2.kv ORDER BY k")
+    assert(r.data.map(_.toList) == Seq(
+      List(1L, "a", 10), List(2L, "b", 20), List(3L, "z", 31), List(4L, "z", 41)))
+    val del = engine.execute("DELETE FROM d2.kv WHERE n > 25")
+    assert(del.message == "DELETE 2")
+    assert(engine.execute("SELECT count(*) AS c FROM d2.kv").data.head.head == 2L)
+    engine.execute("DROP TABLE d2.kv")
+  }
+
+  test("batch insertData validates with ranger-style addressed errors") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d3")
+    engine.execute(
+      "CREATE TABLE d3.v (id int64 NOT NULL, name string NOT NULL, opt string) STORAGE filesystem")
+    // happy path
+    val okr = engine.insertData("d3.v", Seq("id", "name", "opt"),
+      Seq(Seq(1L, "x", null), Seq(2L, "y", "z")))
+    assert(okr.message == "INSERT 2")
+    // type error addressed to row/column (must-fail fixture:
+    // 'not_a_number' into int64 — create_table_integration_test.go:90-93)
+    val e = intercept[InsertValidator.ValidationError](
+      engine.insertData("d3.v", Seq("id", "name", "opt"),
+        Seq(Seq(3L, "ok", null), Seq("not_a_number", "bad", null))))
+    assert(e.row == 1 && e.column == "id")
+    assert(e.getMessage.contains("expected int64"))
+    // null into NOT NULL
+    val e2 = intercept[InsertValidator.ValidationError](
+      engine.insertData("d3.v", Seq("id", "name", "opt"),
+        Seq(Seq(4L, null, null))))
+    assert(e2.column == "name")
+    // whole batch rejected: no partial write
+    assert(engine.execute("SELECT count(*) AS c FROM d3.v").data.head.head == 2L)
+    engine.execute("DROP TABLE d3.v")
+  }
+
+  test("blocklist and unsupported statements are refused") {
+    for (bad <- Seq("PRAGMA version", "ATTACH 'x.db'", "SET x=1",
+                    "VACUUM", "GRANT ALL ON t TO u", "BEGIN"))
+      assertThrows[IllegalArgumentException](engine.execute(bad))
+  }
+
+  test("execution manager tracks lifecycle and stats") {
+    engine.execute("SELECT 1 AS one")
+    val stats = engine.executions.stats()
+    assert(stats("total") > 0 && stats("completed") > 0)
+    val last = engine.executions.list().last
+    assert(last.elapsedSec >= 0)
+  }
+
+  test("partitioned table keeps declared column order in SHOW COLUMNS") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d4")
+    engine.execute(
+      "CREATE TABLE d4.p (id int64 NOT NULL, region string, val float64) " +
+      "STORAGE filesystem PARTITION BY (region)")
+    val sc = engine.execute("SHOW COLUMNS FROM d4.p")
+    assert(sc.data.map(_.head) == Seq("id", "region", "val"))
+    engine.execute("DROP TABLE d4.p")
+  }
+}
