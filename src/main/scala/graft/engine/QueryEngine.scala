@@ -44,8 +44,18 @@ final class QueryEngine(val spark: SparkSession) {
 
   def execute(sql: String): QueryResult = {
     val info = executions.register(sql)
-    executions.run(info)(route(sql.trim.stripSuffix(";").trim, info.id))
+    executions.run(info)(route(rewriteSysFuncs(
+      sql.trim.stripSuffix(";").trim), info.id))
   }
+
+  /** Ranger system functions (parser.go:101-104, cases :5741-5747) →
+    * Spark built-ins. SYS_TIME matches the reference's HH:mm:ss text. */
+  private def rewriteSysFuncs(sql: String): String = sql
+    .replaceAll("(?i)\\bSYS_DATE\\b(\\(\\))?", "current_date()")
+    .replaceAll("(?i)\\bSYS_TIMESTAMP\\b(\\(\\))?", "current_timestamp()")
+    .replaceAll("(?i)\\bSYS_TIME\\b(\\(\\))?",
+      "date_format(current_timestamp(), 'HH:mm:ss')")
+    .replaceAll("(?i)\\bGENERATE_UUID\\b(\\(\\))?", "uuid()")
 
   private def head(sql: String): String =
     sql.split("\\s+", 2).headOption.getOrElse("").toUpperCase

@@ -1,0 +1,138 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.engine.QueryEngine
+
+/** Minimum HTTP serving slice, mirroring the reference's HTTP protocol
+  * (/root/reference/server/protocols/http/server.go:55-64):
+  *
+  *   POST /query   {"query": "..."}  →  {"query_id", "columns",
+  *                  "data", "row_count", "message"}
+  *   GET  /health  → {"status":"ok"}
+  *   GET  /status  → execution-manager stats
+  *
+  * One shared SparkSession behind the handlers (the reference shares
+  * one engine across protocols the same way); Spark's scheduler
+  * multiplexes concurrent queries across its thread pools, so the
+  * handler threads just block on collect. Thrift Server / Spark
+  * Connect would provide the JDBC analog — out of scope (SURVEY §3.3).
+  */
+final class HttpApi(engine: QueryEngine, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  server.createContext("/query", handler { ex =>
+    if (ex.getRequestMethod != "POST") (405, """{"error":"POST required"}""")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      Json.strField(body, "query") match {
+        case None => (400, """{"error":"missing 'query' field"}""")
+        case Some(sql) =>
+          try {
+            val r = engine.execute(sql)
+            (200, Json.obj(
+              "query_id" -> Json.str(r.queryId),
+              "columns" -> Json.arr(r.columns.map(Json.str)),
+              "data" -> Json.arr(r.data.map(row => Json.arr(row.map(Json.value)))),
+              "row_count" -> r.rowCount.toString,
+              "message" -> Json.str(r.message)))
+          } catch {
+            case e: Throwable =>
+              (400, Json.obj("error" -> Json.str(
+                Option(e.getMessage).getOrElse(e.getClass.getName))))
+          }
+      }
+    }
+  })
+
+  server.createContext("/health", handler { _ => (200, """{"status":"ok"}""") })
+
+  server.createContext("/status", handler { _ =>
+    val stats = engine.executions.stats()
+    (200, Json.obj(stats.toSeq.sortBy(_._1).map {
+      case (k, v) => k -> v.toString }: _*))
+  })
+
+  private def handler(f: HttpExchange => (Int, String)): HttpHandler =
+    (ex: HttpExchange) => {
+      val (code, body) = try f(ex) catch {
+        case e: Throwable => (500, Json.obj("error" -> Json.str(String.valueOf(e.getMessage))))
+      }
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+  def start(): HttpApi = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}
+
+/** Dependency-free JSON helpers (strict escaping both directions). */
+private[graft] object Json {
+  def str(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def value(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float => if (n.isNaN || n.isInfinite) str(n.toString) else n.toString
+    case n: Double => if (n.isNaN || n.isInfinite) str(n.toString) else n.toString
+    case n: java.math.BigDecimal => n.toPlainString
+    case s: Seq[_] => arr(s.map(value))
+    case m: Map[_, _] =>
+      obj(m.toSeq.map { case (k, mv) => String.valueOf(k) -> value(mv) }: _*)
+    case r: org.apache.spark.sql.Row => arr(r.toSeq.map(value))
+    case other => str(other.toString)
+  }
+
+  def arr(items: Seq[String]): String = items.mkString("[", ",", "]")
+  def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => s"${str(k)}:$v" }.mkString("{", ",", "}")
+
+  /** Extract a top-level string field from a (small) JSON object —
+    * enough for the {"query": "..."} request shape, including escapes. */
+  def strField(json: String, name: String): Option[String] = {
+    val needle = "\"" + name + "\""
+    val i = json.indexOf(needle)
+    if (i < 0) return None
+    var j = json.indexOf(':', i + needle.length)
+    if (j < 0) return None
+    j += 1
+    while (j < json.length && json(j).isWhitespace) j += 1
+    if (j >= json.length || json(j) != '"') return None
+    j += 1
+    val sb = new StringBuilder
+    while (j < json.length && json(j) != '"') {
+      if (json(j) == '\\' && j + 1 < json.length) {
+        json(j + 1) match {
+          case 'n' => sb += '\n'; j += 2
+          case 't' => sb += '\t'; j += 2
+          case 'r' => sb += '\r'; j += 2
+          case 'u' if j + 5 < json.length =>
+            sb += Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar
+            j += 6
+          case c => sb += c; j += 2
+        }
+      } else { sb += json(j); j += 1 }
+    }
+    Some(sb.toString)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import graft.engine.QueryEngine
+import graft.server.{HttpApi, Json}
+
+class HttpApiSpec extends AnyFunSuite {
+  lazy val engine = new QueryEngine(TestSpark.spark)
+  lazy val api = new HttpApi(engine).start()
+  lazy val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def get(path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+      .GET().build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("health endpoint") {
+    assert(get("/health") == (200, """{"status":"ok"}"""))
+  }
+
+  test("POST /query runs SQL and returns the reference JSON shape") {
+    val (code, body) = post("/query",
+      """{"query": "SELECT 1 AS one, 'a' AS s UNION ALL SELECT 2, 'b' ORDER BY one"}""")
+    assert(code == 200)
+    assert(body.contains(""""columns":["one","s"]"""))
+    assert(body.contains(""""data":[[1,"a"],[2,"b"]]"""))
+    assert(body.contains(""""row_count":2"""))
+    assert(body.contains(""""query_id":"query_"""))
+  }
+
+  test("full DDL+DML lifecycle over HTTP") {
+    assert(post("/query", """{"query": "CREATE DATABASE IF NOT EXISTS hapi"}""")._1 == 200)
+    assert(post("/query",
+      """{"query": "CREATE TABLE hapi.t (id int64 NOT NULL, v string) STORAGE memory"}""")._1 == 200)
+    val ins = post("/query", """{"query": "INSERT INTO hapi.t VALUES (1,'x'),(2,'y')"}""")
+    assert(ins._1 == 200 && ins._2.contains(""""message":"INSERT 2""""))
+    val sel = post("/query", """{"query": "SELECT * FROM hapi.t ORDER BY id"}""")
+    assert(sel._2.contains("""[[1,"x"],[2,"y"]]"""))
+    val show = post("/query", """{"query": "SHOW COLUMNS FROM hapi.t"}""")
+    assert(show._2.contains(""""columns":["Field","Type","Null","Key","Unique","Default","Extra"]"""))
+    post("/query", """{"query": "DROP TABLE hapi.t"}""")
+  }
+
+  test("errors surface as JSON with HTTP 400") {
+    val (code, body) = post("/query", """{"query": "PRAGMA version"}""")
+    assert(code == 400 && body.contains("not allowed"))
+    val (c2, b2) = post("/query", """{"nope": 1}""")
+    assert(c2 == 400 && b2.contains("missing 'query'"))
+    val (c3, _) = get("/query") // wrong method — handler responds 405
+    assert(c3 == 405)
+  }
+
+  test("status endpoint reports execution stats") {
+    val (code, body) = get("/status")
+    assert(code == 200 && body.contains("\"total\":"))
+  }
+
+  test("Json helpers round-trip escapes") {
+    assert(Json.strField("""{"query": "SELECT '\n\"x\"' AS s"}""", "query")
+      .contains("SELECT '\n\"x\"' AS s"))
+    assert(Json.str("a\"b\nc") == "\"a\\\"b\\nc\"")
+  }
+}
