@@ -96,12 +96,13 @@ object Dedup {
     }),
 
     "q34_simhash" -> ((s, dir) =>
-      // 64-bit SimHash fingerprints + per-source near-dup counts via
-      // hamming distance on adjacent doc_ids (banded, not pairwise).
+      // 64-bit SimHash fingerprints via the native Catalyst expression
+      // (one O(N) codegen'd loop per row; see SimHash64Expr).
       // No oracle → rows-only check.
       docs(s, dir)
         .select(col("doc_id"), col("source"),
-                Text.simhash64(Text.tokens(col("text"))).as("simhash"))),
+                graft.functions.expressions.SimHash64Expr
+                  .simhash64(Text.tokens(col("text"))).as("simhash"))),
 
     "q35_ngram_jaccard" -> ((s, dir) => {
       // exact token-set Jaccard over a banded self-join (same source,

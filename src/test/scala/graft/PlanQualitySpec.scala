@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, Similarity}
+
+/** Pins the plan properties that decide whether a query survives a
+  * 100x scale-up: filter pushdown into the parquet scan, column
+  * pruning, broadcast joins for dimension tables, top-k without a
+  * global sort, whole-stage codegen coverage. A green hash-compare
+  * with a bad plan is a latent 100 TB outage — these specs make the
+  * plan itself a tested artifact. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  private def plan(q: String): String =
+    Relational.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: shipdate predicate is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$p")
+  }
+
+  test("q1: scan reads only the 7 needed columns of 11") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q7: dimension joins are broadcast, fact table never shuffles for dims") {
+    val p = plan("q7_join_multiway")
+    assert(p.contains("BroadcastHashJoin"))
+    // nation/region joins must not be sort-merge
+    assert("SortMergeJoin".r.findAllIn(p).size <= 2,
+      s"too many sort-merge joins (dims should broadcast):\n$p")
+  }
+
+  test("q10: range + IN predicates reach the scan") {
+    val p = plan("q10_filter_combo")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10"), p)
+    // (plan toString truncates the full filter list; the range filter
+    // appearing proves pushdown reached the parquet source)
+  }
+
+  test("q16: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q16_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort leaked into top-k plan:\n$p")
+  }
+
+  test("q8: IN-subquery form plans as a real join, not a per-row subquery") {
+    val p = plan("q8_semijoin_in")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("q6_join_implicit")
+    // two HashAggregates per groupBy = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    for (q <- Seq("q1_pricing_summary", "q6_join_implicit", "q13_scalar_numeric")) {
+      // AQE finalizes the plan (and codegen decisions) at execution;
+      // codegen'd operators then carry the "*(stageId)" prefix
+      val df = Relational.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q lost whole-stage codegen:\n$p")
+    }
+  }
+
+  test("knn: query side is broadcast (corpus side never shuffles)") {
+    val p = Similarity.queries("q36_knn_brute")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-side shuffle in knn plan:\n$p")
+  }
+}
