@@ -40,7 +40,7 @@ final class QueryEngine(val spark: SparkSession) {
   /** Parsed-but-never-routed statements (engine.go:142-143 behavior). */
   private val unsupportedHeads = Set(
     "GRANT", "REVOKE", "BEGIN", "COMMIT", "ROLLBACK", "DECLARE", "OPEN",
-    "FETCH", "CLOSE", "ALTER")
+    "FETCH", "CLOSE")
 
   def execute(sql: String): QueryResult = {
     val info = executions.register(sql)
@@ -85,6 +85,12 @@ final class QueryEngine(val spark: SparkSession) {
     case "DROP" =>
       spark.sql(sql)
       ok(id, "Dropped")
+    case "ALTER" =>
+      // ALTER TABLE … (parser.go:1998-2227): SET TBLPROPERTIES and
+      // ADD COLUMNS pass through to Spark; DROP COLUMN is rejected by
+      // the v1 parquet catalog, mirroring a schema-evolution boundary
+      spark.sql(sql)
+      ok(id, "Altered")
     case "INSERT" => runInsert(sql, id)
     case "UPDATE" => runUpdate(sql, id)
     case "DELETE" => runDelete(sql, id)
