@@ -87,7 +87,13 @@ object RangerDdl {
         }
       ).flatten ++
         columns.map(c => s"graft.type.${c.name}" -> c.icebergType) ++
-        settings.toSeq.sortBy(_._1).map { case (k, v) => s"graft.settings.$k" -> v }
+        settings.toSeq.sortBy(_._1).map { case (k, v) => s"graft.settings.$k" -> v } ++
+        // SETTINGS compression=<codec> becomes a real writer property
+        // (codec list: reference parquet/compression.go:21-107)
+        settings.get("compression").map { codec =>
+          val c = codec.toLowerCase
+          "parquet.compression" -> (if (c == "none") "uncompressed" else c)
+        }
       val propsSql = props
         .map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }
         .mkString(" TBLPROPERTIES (", ", ", ")")
@@ -135,6 +141,12 @@ object RangerDdl {
       throw ParseError(s"duplicate column name in: ${names.mkString(", ")}")
 
     val (storage, partitionBy, orderBy, settings) = parseTail(tail)
+    settings.get("compression").foreach { codec =>
+      // codec list: reference parquet/compression.go:21-107
+      if (!Set("none", "uncompressed", "snappy", "gzip", "brotli",
+               "lz4", "zstd").contains(codec.toLowerCase))
+        throw ParseError(s"unsupported compression codec: $codec")
+    }
     CreateTable(db, table, ifNotExists, columns, storage, partitionBy,
       orderBy, settings)
   }

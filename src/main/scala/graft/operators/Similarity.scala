@@ -94,6 +94,61 @@ object Similarity {
       topKPerQuery(scored)
     }),
 
+    "q41_knn_ivf" -> ((s, dir) => {
+      // IVF: k-means codebook (spark.ml, fixed seed), corpus bucketed
+      // by nearest centroid, queries probe `nprobe` nearest cells. At
+      // 100 TB: train on a sample, broadcast the (tiny) codebook,
+      // bucket once at ingest, and each query touches ~nprobe/k of the
+      // corpus. Deterministic given the seed; rows-only check.
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val k = 16
+      val nprobe = 4
+      val n = normed(emb(s, dir))
+      val vecs = n.withColumn("fv", array_to_vector(col("ve")))
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(vecs.select(col("fv")))
+      val corpus = model.transform(vecs).drop("fv")
+      // the codebook is tiny (k x dim doubles) — embed as a literal so
+      // every executor evaluates cell distances locally, no join
+      val centroidLit = typedlit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+      val sqDist = (c: Column) => aggregate(
+        zip_with(c, col("ve"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      val cellsByDist = array_sort(zip_with(
+        centroidLit, sequence(lit(0), lit(k - 1)),
+        (c, i) => struct(sqDist(c).as("d"), i.as("cell"))))
+      val probeCells = transform(slice(cellsByDist, 1, nprobe),
+        s => s.getField("cell"))
+      val q = broadcast(
+        corpus.where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("ve").as("qve"),
+                  col("nrm").as("qnrm"),
+                  explode(probeCells).as("cell")))
+      val scored = corpus.join(q, Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      topKPerQuery(scored)
+    }),
+
+    "q42_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-duplicate pairs: sign-bit LSH buckets the
+      // corpus (constant replication), exact cosine verifies within
+      // buckets — the vector analog of q33's MinHash pipeline.
+      val n = normed(emb(s, dir)).withColumn("bucket", bucketCode(col("ve")))
+      val a = n.select(col("bucket"), col("vec_id").as("id1"),
+                       col("ve").as("qve"), col("nrm").as("qnrm"))
+      val b = n.select(col("bucket"), col("vec_id").as("id2"),
+                       col("ve").as("ve"), col("nrm").as("nrm"))
+      a.join(b, Seq("bucket"))
+        .where(col("id2") > col("id1"))
+        .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+        .where(col("cosine") >= 0.8)
+        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+    }),
+
     "q38_embed_stats" -> ((s, dir) =>
       // per-label corpus stats: count + centroid norm proxy
       normed(emb(s, dir))

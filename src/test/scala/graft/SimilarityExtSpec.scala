@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.engine.{QueryEngine, RangerDdl}
+
+class SimilarityExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  test("IVF knn: valid shape and decent recall vs brute force") {
+    val brute = Similarity.queries("q36_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.queries("q41_knn_ivf")(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perQ = ivf.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQ.forall(_ <= 5))
+    // nprobe=4 of k=16 cells should recover a solid share of true top-5
+    val recall = ivfPairs.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@5: $recall%.2f")
+    assert(recall >= 0.3, s"recall too low: $recall")
+  }
+
+  test("embedding near-dup pairs are high-cosine and well-formed") {
+    val rows = Similarity.queries("q42_embed_neardup")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+
+  test("SETTINGS compression=zstd becomes a parquet writer property") {
+    val ct = RangerDdl.parse(
+      "CREATE TABLE t (id int64) STORAGE filesystem SETTINGS compression=zstd")
+    assert(ct.toSparkSql("default").contains("'parquet.compression'='zstd'"))
+    assertThrows[RangerDdl.ParseError](RangerDdl.parse(
+      "CREATE TABLE t (id int64) SETTINGS compression=rar"))
+    // end-to-end: rows survive a zstd write+read
+    val engine = new QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS dz")
+    engine.execute("DROP TABLE IF EXISTS dz.z")
+    engine.execute(
+      "CREATE TABLE dz.z (id int64, v string) STORAGE filesystem SETTINGS compression=zstd")
+    engine.execute("INSERT INTO dz.z VALUES (1,'a'),(2,'b')")
+    assert(engine.execute("SELECT count(*) AS c FROM dz.z").data.head.head == 2L)
+    engine.execute("DROP TABLE dz.z")
+  }
+}
