@@ -1,0 +1,192 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.{Column, GraftBridge}
+
+/** Native MinHash signature: replaces the nested-HOF formulation
+  * (32 interpreted `transform` passes per row) with one loop using
+  * Kirsch-Mitzenmacher double hashing — g_j(s) = h1(s) + j*h2(s) —
+  * so each shingle is hashed twice regardless of signature width.
+  * Same LSH collision guarantees; ~an order of magnitude less
+  * per-row overhead on wide signatures. */
+case class MinHashExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ArrayOpsImpl.minhash($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+}
+
+/** Native dot product over two array<double> columns: one fused loop,
+  * no per-element lambda dispatch, no intermediate zipped array.
+  * Summation is sequential left-to-right — bit-identical to
+  * `aggregate(zip_with(a, b, *), 0D, +)` and to DuckDB's loop, which
+  * the KNN oracle parity depends on. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOpsImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.expressions.ArrayOpsImpl.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sign-bit hyperplane LSH bucket code: bit i of the result is the
+  * sign of dot(v, planes(i)). Replaces an 8x64-node Column arithmetic
+  * tree (whose codegen compile time dominated the query) with one
+  * nested loop. */
+case class HyperplaneLSHExpr(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_lsh"
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.hyperplaneBucket(input.asInstanceOf[ArrayData], planeArr)
+
+  // interpreted eval only: the per-row work is already one tight JVM
+  // loop, and the plane matrix would otherwise need codegen references
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ArrayOpsImpl.hyperplaneBucket($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLSHExpr =
+    copy(child = newChild)
+}
+
+/** Distinct word k-shingles in one pass (native analog of the
+  * transform+slice+concat_ws HOF chain, which paid per-element
+  * interpreted-lambda dispatch). Output order = first occurrence. */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.shingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ArrayOpsImpl.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** Companion class => Java static forwarders for generated code. */
+class ArrayOpsImpl private ()
+
+object ArrayOpsImpl {
+  private val Seed1 = 42L
+  private val Seed2 = 1099511628211L
+
+  def minhash(elems: ArrayData, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      val s = elems.getUTF8String(i)
+      if (s != null) {
+        val h1 = XXH64.hashUTF8String(s, Seed1)
+        val h2 = XXH64.hashUTF8String(s, Seed2)
+        var j = 0
+        var g = h1
+        while (j < numHashes) {
+          if (g < mins(j)) mins(j) = g
+          g += h2 // g_j = h1 + j*h2, computed incrementally
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def shingles(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  def hyperplaneBucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var out = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(v.numElements(), plane.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += v.getDouble(i) * plane(i)
+        i += 1
+      }
+      if (acc >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+object ArrayOps {
+  def minhashSig(elems: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashExpr(GraftBridge.expression(elems), numHashes))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    GraftBridge.column(HyperplaneLSHExpr(GraftBridge.expression(v), planes))
+
+  def wordShingles(tokens: Column, k: Int): Column =
+    GraftBridge.column(ShinglesExpr(GraftBridge.expression(tokens), k))
+}

@@ -66,8 +66,10 @@ object Dedup {
       // would be a persisted/bucketed intermediate table instead.
       val base = docs(s, dir)
         .select(col("doc_id"),
-                array_distinct(Text.shingles(Text.tokens(col("text")), ShingleK)).as("sh"))
-        .withColumn("mh", Text.minhash(col("sh"), NumHashes))
+                graft.functions.expressions.ArrayOps
+                  .wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
+        .withColumn("mh", graft.functions.expressions.ArrayOps
+          .minhashSig(col("sh"), NumHashes))
         .cache()
       val bands = base.select(
         col("doc_id"),

@@ -36,15 +36,16 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** embedding cast to double + precomputed L2 norm. */
+  import graft.functions.expressions.ArrayOps.dotProduct
+
+  /** embedding cast to double + precomputed L2 norm (native dot:
+    * sequential sum, bit-identical to the HOF/DuckDB formulation). */
   private def normed(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ve"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(ve, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      .withColumn("nrm", sqrt(dotProduct(col("ve"), col("ve"))))
 
-  private val dotExpr =
-    expr("aggregate(zip_with(qve, ve, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  private val dotExpr = dotProduct(col("qve"), col("ve"))
 
   private def topKPerQuery(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -55,16 +56,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Sign-bit LSH bucket code for a double-array embedding column. */
-  private def bucketCode(ve: Column): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = p.zipWithIndex
-        .map { case (wgt, d) => ve.getItem(d) * lit(wgt) }
-        .reduce(_ + _)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-bit LSH bucket code for a double-array embedding column
+    * (native expression — a Column-arithmetic tree over 8x64 terms
+    * spent more time in codegen compilation than evaluation). */
+  private def bucketCode(ve: Column): Column =
+    graft.functions.expressions.ArrayOps.hyperplaneBucket(ve, planes)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_knn_brute" -> ((s, dir) => {

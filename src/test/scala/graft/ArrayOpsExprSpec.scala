@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.functions.expressions.ArrayOps
+
+class ArrayOpsExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native shingles match the HOF formulation as sets") {
+    val df = Seq("a b c d e", "x y", "p p p p").toDF("text")
+      .select(
+        array_sort(array_distinct(Text.shingles(Text.tokens(col("text")), 2))).as("hof"),
+        array_sort(ArrayOps.wordShingles(Text.tokens(col("text")), 2)).as("native"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("native minhash: identical sets agree, different sets differ, width respected") {
+    val df = Seq("a b c d e f g h", "a b c d e f g h", "q r s t u v w x")
+      .toDF("text")
+      .select(ArrayOps.minhashSig(
+        ArrayOps.wordShingles(Text.tokens(col("text")), 2), 32).as("mh"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1) && rows(0) != rows(2) && rows(0).length == 32)
+  }
+
+  test("native dot product matches HOF aggregate bit-for-bit") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, -1.0, 2.0))).toDF("a", "b")
+      .select(
+        ArrayOps.dotProduct(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
+    val r = df.collect().head
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getDouble(0) == 1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0)
+  }
+
+  test("hyperplane bucket: deterministic, opposite vectors land apart") {
+    val planes = Seq.fill(4)(Seq.fill(3)(1.0)) // all-ones planes
+    val df = Seq(Seq(1.0, 1.0, 1.0), Seq(-1.0, -1.0, -1.0)).toDF("v")
+      .select(ArrayOps.hyperplaneBucket(col("v"), planes).as("b"))
+    val bs = df.collect().map(_.getLong(0))
+    assert(bs(0) == 15L && bs(1) == 0L)
+  }
+}
