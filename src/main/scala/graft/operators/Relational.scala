@@ -274,6 +274,18 @@ object Relational {
              round(sum("value"), 2).as("total_value"),
              countDistinct(col("user_id")).as("n_users"))),
 
+    "q25b_props_json" -> ((s, dir) =>
+      // semi-structured column: JSON props extracted + aggregated
+      t(s, dir, "events")
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"),
+             max(col("k")).as("max_k"),
+             round(avg(col("k")), 4).as("avg_k"))),
+
     "q26_sessionize" -> ((s, dir) => {
       // gap-based sessionization (30 min): the batch analog of what
       // Structured Streaming's session windows do with state.
@@ -461,6 +473,17 @@ object Relational {
         |  round(sum(value), 2) AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q25b_props_json" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  round(avg(k), 4) AS avg_k
+        |FROM t GROUP BY event_type""".stripMargin,
 
     "q26_sessionize" ->
       """WITH flagged AS (
