@@ -266,6 +266,17 @@ object Relational {
                 round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
     }),
 
+    "q16b_topk_per_key" -> ((s, dir) =>
+      // per-key top-k via the custom TopKPerKey operator (plans/):
+      // bounded heap per key, no sort exchange — the window+row_number
+      // formulation this replaces sorts every group
+      graft.plans.TopKPerKey(
+        t(s, dir, "orders").select(col("o_orderpriority"), col("o_orderkey"),
+                                   col("o_totalprice")),
+        keys = Seq("o_orderpriority"),
+        orderBy = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+        k = 3)),
+
     // -- temporal family ---------------------------------------------------
     "q25_events_daily" -> ((s, dir) =>
       t(s, dir, "events")
@@ -473,6 +484,13 @@ object Relational {
         |  round(sum(value), 2) AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q16b_topk_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
 
     "q25b_props_json" ->
       """WITH t AS (
