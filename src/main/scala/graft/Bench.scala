@@ -26,6 +26,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
@@ -41,9 +42,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up: JVM + codegen + parquet footer caches (not measured)
+    // Warm-up (not measured): JVM + Janino + parquet footer caches.
+    // (A full-suite warmup at sf0.001 was tried and did NOT help:
+    // AQE's stage-dependent codegen defeats cross-SF class reuse, and
+    // the extra allocation slowed the measured run.)
     SparkEntry.queries.get("q16_topk").foreach(run1("warmup", _))
     SparkEntry.queries.get("q1_pricing_summary").foreach(run1("warmup", _))
+    spark.catalog.clearCache()
 
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

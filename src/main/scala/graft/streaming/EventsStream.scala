@@ -47,6 +47,64 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** Session summary row emitted by [[sessionizeStream]]. */
+  case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+                            n_events: Long, total_value: Double)
+
+  /** Open-session state held per user key (must be a top-level case
+    * class so an Encoder can be derived for the state store). */
+  case class Open(start: java.sql.Timestamp, last: java.sql.Timestamp,
+                  n: Long, total: Double)
+
+  /** Custom stateful sessionization with flatMapGroupsWithState: gap-
+    * closed sessions per user (the streaming analog of the batch
+    * q26_sessionize window query). State per key = the open session;
+    * event-time timeout closes it when the watermark passes the gap.
+    * This is the `KeyValueGroupedDataset` custom-state tier the brief
+    * calls for; Spark shards the state store by key across executors. */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[
+      (Long, java.sql.Timestamp, Double)],
+      gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    def update(userId: Long,
+               rows: Iterator[(Long, java.sql.Timestamp, Double)],
+               state: GroupState[Open]): Iterator[SessionSummary] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionSummary(userId, s.start, s.n, s.total))
+      }
+      val sorted = rows.toSeq.sortBy(_._2.getTime)
+      var closed = List.empty[SessionSummary]
+      var open = state.getOption
+      sorted.foreach { case (_, ts, v) =>
+        open match {
+          case Some(s) if ts.getTime - s.last.getTime <= gapSeconds * 1000 =>
+            open = Some(s.copy(last = ts, n = s.n + 1, total = s.total + v))
+          case Some(s) =>
+            closed ::= SessionSummary(userId, s.start, s.n, s.total)
+            open = Some(Open(ts, ts, 1, v))
+          case None =>
+            open = Some(Open(ts, ts, 1, v))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last.getTime + gapSeconds * 1000)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("_2", s"$gapSeconds seconds")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+      .toDF()
+  }
+
   /** Chunked-ingestion analog: stream parquet files appearing under
     * `srcDir` into `destTable` in micro-batches (the ranger ClientData
     * path re-expressed; each micro-batch commits atomically). */

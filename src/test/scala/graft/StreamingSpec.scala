@@ -74,3 +74,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 }
+
+class StatefulSessionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = graft.streaming.EventsStream.sessionizeStream(input.toDS(), 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:10:00"), 2.0),
+        (2L, ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 12:30:00"), 4.0)) // gap > 30min
+      q.processAllAvailable()
+      // the second batch starts a NEW session for user 1 and the first
+      // session is emitted as closed
+      val closed = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      assert(closed.contains((1L, 2L, 3.0)),
+        s"expected closed session (1,2,3.0) in ${closed.mkString(",")}")
+    } finally q.stop()
+  }
+}
