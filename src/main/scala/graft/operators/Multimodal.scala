@@ -27,6 +27,37 @@ object Multimodal {
 
   private val FeatureDim = 8
 
+  /** Typed asset row: opaque payload + metadata — the schema shape a
+    * real multimodal table would use. */
+  case class Asset(doc_id: Long, source: String, payload: Array[Byte])
+  case class AssetFeatures(doc_id: Long, source: String, byte_len: Int,
+                           features: Array[Float])
+
+  /** The batched decode path: mapPartitions so a real codec can
+    * amortize per-batch setup (model load, decoder init) exactly like
+    * `mapInPandas` would on the Python side. The featurizer here is the
+    * deterministic fake (hash-derived); swapping in [[decodeImage]] +
+    * a real embedder changes nothing about the plumbing, schema, or
+    * partitioning — each partition is processed independently, so the
+    * operator scales with executor count and shuffles nothing. */
+  def featurizePartitioned(assets: org.apache.spark.sql.Dataset[Asset])
+      : org.apache.spark.sql.Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      // per-partition setup happens HERE once (decoder/model init)
+      batch.map { a =>
+        val feats = Array.tabulate(FeatureDim) { i =>
+          // stand-in for decode+embed of a.payload
+          (math.abs(org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashUnsafeBytes(a.payload,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              a.payload.length, i)) % 1000) / 1000.0f
+        }
+        AssetFeatures(a.doc_id, a.source, a.payload.length, feats)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_multimodal_features" -> ((s, dir) =>
       // documents.text stands in for an opaque media payload

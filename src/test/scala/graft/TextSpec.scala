@@ -67,3 +67,40 @@ class TextSpec extends AnyFunSuite {
     assert(rows(0).intersect(rows(1)).nonEmpty) // winnowing keeps overlap
   }
 }
+
+class RegexTokensSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("BPE-ish regex tokenizer splits letter runs, digits, symbols") {
+    val rows = Seq("hello world42, x!").toDF("text")
+      .select(graft.functions.Text.regexTokens(col("text")).as("t"))
+      .collect()
+    assert(rows.head.getSeq[String](0) ==
+      Seq("hello", "world", "42", ",", "x", "!"))
+  }
+}
+
+class MultimodalTypedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.operators.Multimodal
+
+  test("mapPartitions featurize path: typed in/out, deterministic, no shuffle") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "s1", "hello".getBytes("UTF-8")),
+      Multimodal.Asset(2L, "s2", "world!".getBytes("UTF-8")))
+      .toDS().repartition(2)
+    val out = Multimodal.featurizePartitioned(assets)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"featurize must not shuffle:\n$plan")
+    val rows = out.collect().sortBy(_.doc_id)
+    assert(rows.length == 2)
+    assert(rows(0).byte_len == 5 && rows(1).byte_len == 6)
+    assert(rows(0).features.length == 8)
+    val again = Multimodal.featurizePartitioned(assets).collect()
+      .sortBy(_.doc_id)
+    assert(rows(0).features.sameElements(again(0).features))
+  }
+}
