@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.expressions.{MinHashExpr, SimHash64Expr, ShinglesExpr}
-import graft.plans.TopKStrategy
+import graft.plans.{RankToTopKRule, TopKStrategy}
 
 /** Spark extension entry point — the idiomatic way to ship this
   * library's native functions and custom operator:
@@ -39,5 +39,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         ShinglesExpr(exprs.head, intLit(exprs(1), "word_shingles k"))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => RankToTopKRule)
   }
 }

@@ -59,3 +59,48 @@ class TopKSpec extends AnyFunSuite {
     assert(got == Set((1, 1L), (1, 2L), (2, 4L)))
   }
 }
+
+class RankToTopKRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  private def windowTopK(pred: String) = {
+    graft.sources.Tables.load(spark, dir, "orders")
+      .createOrReplaceTempView("rtk_orders")
+    spark.sql(
+      s"""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+         |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         |  FROM rtk_orders) WHERE $pred""".stripMargin)
+  }
+
+  test("window row_number <= k rewrites to TopKPerKey and matches results") {
+    val df = windowTopK("rn <= 3")
+    assert(df.queryExecution.optimizedPlan.toString.contains("TopKPerKeyPlan"),
+      df.queryExecution.optimizedPlan.toString)
+    // results identical to the un-rewritten window (computed via rn kept)
+    val expected = spark.sql(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM rtk_orders) WHERE rn <= 3""".stripMargin)
+      .drop("rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("rn = 1 and rn < k variants rewrite; rank-in-output does not") {
+    assert(windowTopK("rn = 1").queryExecution.optimizedPlan
+      .toString.contains("TopKPerKeyPlan"))
+    assert(windowTopK("rn < 4").queryExecution.optimizedPlan
+      .toString.contains("TopKPerKeyPlan"))
+    // rank kept in output -> must NOT rewrite
+    val kept = spark.sql(
+      """SELECT o_orderkey, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC) AS rn
+        |  FROM rtk_orders) WHERE rn <= 3""".stripMargin)
+    assert(!kept.queryExecution.optimizedPlan.toString.contains("TopKPerKeyPlan"))
+    assert(kept.count() == 15)
+  }
+}
