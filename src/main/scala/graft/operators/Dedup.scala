@@ -106,6 +106,36 @@ object Dedup {
                 graft.functions.expressions.SimHash64Expr
                   .simhash64(Text.tokens(col("text"))).as("simhash"))),
 
+    "q34b_simhash_pairs" -> ((s, dir) => {
+      // SimHash near-dup pairs at scale: split the 64-bit fingerprint
+      // into 4 x 16-bit bands — two fingerprints within hamming
+      // distance 3 must agree on at least one band (pigeonhole), so a
+      // band-bucket join finds all candidates with 4x replication, no
+      // pairwise compare; exact hamming verifies. No oracle → rows-only.
+      val fp = docs(s, dir)
+        .select(col("doc_id"),
+                graft.functions.expressions.SimHash64Expr
+                  .simhash64(Text.tokens(col("text"))).as("simhash"))
+        .cache()
+      val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          """transform(sequence(0, 3),
+            |  b -> named_struct('band', b,
+            |    'bits', (simhash >> (b * 16)) & 65535L))""".stripMargin)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+                col("bb.band").as("band"), col("bb.bits").as("bits"))
+      val a = banded.select(col("band"), col("bits"),
+        col("doc_id").as("doc1"), col("simhash").as("sh1"))
+      val b = banded.select(col("band"), col("bits"),
+        col("doc_id").as("doc2"), col("simhash").as("sh2"))
+      a.join(b, Seq("band", "bits"))
+        .where(col("doc2") > col("doc1"))
+        .select(col("doc1"), col("doc2"),
+                Text.hamming64(col("sh1"), col("sh2")).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+    }),
+
     "q35_ngram_jaccard" -> ((s, dir) => {
       // exact token-set Jaccard over a banded self-join (same source,
       // doc_id within +5): linear pair count, oracle-checkable.

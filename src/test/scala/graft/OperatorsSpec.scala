@@ -112,3 +112,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(langs == Set("en", "fr", "es", "zh", "de"))
   }
 }
+
+class SimhashPairsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("simhash band join finds planted near-identical docs") {
+    import spark.implicits._
+    // hamming<=3 (the standard 4x16-band setting) catches content whose
+    // simhash barely moved — an exact copy has distance 0; a one-token
+    // edit in a short doc can flip ~6 vote-margin bits, so it is the
+    // negative here along with the unrelated doc
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "s", 10L),
+      (2L, base, "en", "s", 10L), // exact duplicate: hamming 0
+      (3L, (100 to 140).map(i => s"q$i").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = graft.operators.Dedup.queries("q34b_simhash_pairs")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
