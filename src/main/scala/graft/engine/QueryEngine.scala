@@ -68,7 +68,15 @@ final class QueryEngine(val spark: SparkSession) {
     case "SELECT" | "WITH" | "VALUES" | "TABLE" => runSelect(sql, id)
     case "EXPLAIN" => runExplain(sql, id)
     case "SHOW" => runShow(sql, id)
-    case "DESCRIBE" | "DESC" => runSelect(sql, id)
+    case "DESCRIBE" | "DESC" =>
+      // bare DESCRIBE <table> gets the reference's SHOW COLUMNS layout;
+      // anything else (DESCRIBE QUERY/EXTENDED) passes through
+      val m = """(?is)^DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.`]+)$""".r
+        .findFirstMatchIn(sql)
+      m match {
+        case Some(t) => showColumns(t.group(1).replace("`", ""), id)
+        case None => runSelect(sql, id)
+      }
     case "USE" =>
       spark.sql(sql)
       ok(id, s"Database changed")

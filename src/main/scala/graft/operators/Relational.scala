@@ -89,6 +89,40 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
              round(sum("o_totalprice"), 2).as("monthly_total"))),
 
+    "q44_percentiles" -> ((s, dir) =>
+      // exact interpolated percentiles (percentile == DuckDB
+      // quantile_cont); approx_percentile/HLL are the scale path but
+      // cannot hash-match a different engine's sketch
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+          count(lit(1)).as("n"))),
+
+    "q45_asof_lastpurchase" -> ((s, dir) => {
+      // as-of join, composed form: for every event, the value of that
+      // user's most recent 'purchase' at-or-before it. Running max over
+      // the event-time order gives the as-of lookup without a range
+      // join — one shuffle on user_id, no pairwise comparison.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("last_purchase_value",
+          last(when(col("event_type") === "purchase", col("value")), true).over(w))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                col("last_purchase_value"))
+    }),
+
+    "q46_rollup" -> ((s, dir) =>
+      // ROLLUP superset (reference has no grouping sets — SURVEY §2.4)
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("total"))),
+
     // -- join family -------------------------------------------------------
     "q6_join_implicit" -> ((s, dir) => {
       // ranger's only join form: FROM a, b WHERE a.k = b.k
@@ -361,6 +395,28 @@ object Relational {
         |  count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS monthly_total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q45_asof_lastpurchase" ->
+      """SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM events""".stripMargin,
+
+    "q46_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q6_join_implicit" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

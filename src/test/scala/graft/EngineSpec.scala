@@ -208,6 +208,17 @@ class EngineSpec extends AnyFunSuite {
     assert(last.elapsedSec >= 0)
   }
 
+  test("DESCRIBE table uses the reference SHOW COLUMNS layout") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d5")
+    engine.execute("CREATE TABLE d5.dt (id int64 NOT NULL, v string) STORAGE filesystem")
+    val d = engine.execute("DESCRIBE d5.dt")
+    assert(d.columns == Seq("Field", "Type", "Null", "Key", "Unique", "Default", "Extra"))
+    assert(d.data.map(_.head) == Seq("id", "v"))
+    val d2 = engine.execute("DESC d5.dt")
+    assert(d2.data == d.data)
+    engine.execute("DROP TABLE d5.dt")
+  }
+
   test("partitioned table keeps declared column order in SHOW COLUMNS") {
     engine.execute("CREATE DATABASE IF NOT EXISTS d4")
     engine.execute(
