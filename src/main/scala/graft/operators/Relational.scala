@@ -123,6 +123,37 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
              round(sum("o_totalprice"), 2).as("total"))),
 
+    "q47_array_ops" -> ((s, dir) =>
+      // array accessor/aggregate superset over the embedding column
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("first_dim"),
+          size(col("embedding")).as("dim"),
+          expr("CAST(array_max(transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)").as("max_dim"),
+          expr("CAST(array_min(transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)").as("min_dim"))),
+
+    "q48_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("date").as("od30"),
+          datediff(lit("2000-01-01").cast("date"),
+                   col("o_orderdate").cast("date")).as("days_to_y2k"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"))),
+
+    "q49_explode_tokens" -> ((s, dir) =>
+      // lateral explode / UNNEST: token-level rows from documents
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("doc_id")).as("n_docs"))),
+
     // -- join family -------------------------------------------------------
     "q6_join_implicit" -> ((s, dir) => {
       // ranger's only join form: FROM a, b WHERE a.k = b.k
@@ -395,6 +426,29 @@ object Relational {
         |  count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS monthly_total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q47_array_ops" ->
+      """SELECT vec_id,
+        |  CAST(embedding[1] AS DOUBLE) AS first_dim,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS max_dim,
+        |  CAST(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS min_dim
+        |FROM embeddings""".stripMargin,
+
+    "q48_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS od30,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+        |FROM orders WHERE o_orderkey < 500""".stripMargin,
+
+    "q49_explode_tokens" ->
+      """SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents WHERE doc_id < 50)
+        |GROUP BY tok""".stripMargin,
 
     "q44_percentiles" ->
       """SELECT o_orderstatus,
