@@ -50,7 +50,8 @@ final class ExecutionManager(spark: SparkSession) {
       interruptOnCancel = true)
     try {
       val r = body
-      info.status = Completed
+      // a cancel that raced with completion must not be overwritten
+      if (info.status != Cancelled) info.status = Completed
       r
     } catch {
       case e: Throwable =>
@@ -66,7 +67,10 @@ final class ExecutionManager(spark: SparkSession) {
   def cancel(id: String): Boolean = Option(queries.get(id)) match {
     case Some(info) if info.status == Running || info.status == Pending =>
       info.status = Cancelled
-      spark.sparkContext.cancelJobGroup(id)
+      // AndFutureJobs: a cancel issued while the query is still in
+      // driver-side planning must also kill the jobs it is about to
+      // submit, not just the currently active ones
+      spark.sparkContext.cancelJobGroupAndFutureJobs(id)
       true
     case _ => false
   }

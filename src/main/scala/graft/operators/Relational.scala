@@ -204,6 +204,23 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    "q50_shipping_priority" -> ((s, dir) => {
+      // TPC-H Q3 shape: selective date filters on both join sides reach
+      // the scans, 3-way join, aggregate, top-10 by revenue
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
     // -- predicate family --------------------------------------------------
     "q10_filter_combo" -> ((s, dir) =>
       // BETWEEN + IN (list) + NOT + AND/OR (ast.go:255-426)
@@ -449,6 +466,18 @@ object Relational {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |      FROM documents WHERE doc_id < 50)
         |GROUP BY tok""".stripMargin,
+
+    "q50_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
 
     "q44_percentiles" ->
       """SELECT o_orderstatus,
