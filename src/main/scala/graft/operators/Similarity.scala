@@ -76,17 +76,25 @@ object Similarity {
     }),
 
     "q37_knn_lsh" -> ((s, dir) => {
-      // ANN: only same-bucket candidates are scored. Approximate —
-      // recall < 1 by design. No oracle → rows-only check.
+      // ANN with multi-probe: each query probes its own bucket plus the
+      // 8 hamming-1 neighbors (one sign bit flipped) — the standard
+      // recall knob that costs query-side replication only; the corpus
+      // is bucketed once and never replicated. Approximate — recall < 1
+      // by design. No oracle → rows-only check.
       val n = normed(emb(s, dir)).withColumn("bucket", bucketCode(col("ve")))
+      val probes = expr(
+        s"""array_union(array(bucket),
+           |  transform(sequence(0, ${NumPlanes - 1}),
+           |            i -> CAST(bucket AS BIGINT) ^ shiftleft(1L, i)))""".stripMargin)
       val q = broadcast(
         n.where(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("ve").as("qve"),
-                  col("nrm").as("qnrm"), col("bucket")))
+                  col("nrm").as("qnrm"), explode(probes).as("bucket")))
       val scored = n.join(q, Seq("bucket"))
         .where(col("vec_id") =!= col("query_id"))
         .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .distinct()
       topKPerQuery(scored)
     }),
 
@@ -144,6 +152,20 @@ object Similarity {
         .where(col("cosine") >= 0.8)
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
     }),
+
+    "q51_approx_stats" -> ((s, dir) =>
+      // the sketch path for 100 TB: HLL distinct counts + quantile
+      // sketches are mergeable across partitions (one pass, tiny
+      // state). Approximate by design → no cross-engine oracle;
+      // ApproxSpec bounds the error vs exact on this corpus.
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+            .as("price_quantiles"),
+          count(lit(1)).as("n"))),
 
     "q38_embed_stats" -> ((s, dir) =>
       // per-label corpus stats: count + centroid norm proxy
