@@ -22,6 +22,16 @@ class SimilarityExtSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall too low: $recall")
   }
 
+  test("multi-probe LSH recall vs brute force") {
+    val brute = Similarity.queries("q36_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.queries("q37_knn_lsh")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(f"multi-probe LSH recall@5: $recall%.2f")
+    assert(recall >= 0.2, s"recall too low: $recall")
+  }
+
   test("embedding near-dup pairs are high-cosine and well-formed") {
     val rows = Similarity.queries("q42_embed_neardup")(spark, dir).collect()
     rows.foreach { r =>
