@@ -52,6 +52,29 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct-element intersection count of two string arrays in one
+  * hash-set pass — the verify kernel of the Jaccard dedup pipelines
+  * (array_intersect+size allocates the intersection array per pair;
+  * this only counts). Inputs are assumed element-distinct, which both
+  * shingle/token producers guarantee. */
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOpsImpl.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.expressions.ArrayOpsImpl.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sign-bit hyperplane LSH bucket code: bit i of the result is the
   * sign of dot(v, planes(i)). Replaces an 8x64-node Column arithmetic
   * tree (whose codegen compile time dominated the query) with one
@@ -131,6 +154,29 @@ object ArrayOpsImpl {
     new GenericArrayData(mins)
   }
 
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val (small, big) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      small.numElements() * 2)
+    var i = 0
+    val ns = small.numElements()
+    while (i < ns) {
+      val s = small.getUTF8String(i)
+      if (s != null) set.add(s)
+      i += 1
+    }
+    var count = 0
+    var j = 0
+    val nb = big.numElements()
+    while (j < nb) {
+      val s = big.getUTF8String(j)
+      if (s != null && set.contains(s)) count += 1
+      j += 1
+    }
+    count
+  }
+
   def shingles(tokens: ArrayData, k: Int): ArrayData = {
     val n = tokens.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
@@ -189,4 +235,8 @@ object ArrayOps {
 
   def wordShingles(tokens: Column, k: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(tokens), k))
+
+  def intersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(IntersectCountExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -90,7 +90,8 @@ object Dedup {
       cand
         .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"), col("n").as("n1")), "doc1")
         .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"), col("n").as("n2")), "doc2")
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("inter", graft.functions.expressions.ArrayOps
+          .intersectCount(col("sh1"), col("sh2")))
         .select(
           col("doc1"), col("doc2"),
           round(jaccard(col("inter"), col("n1"), col("n2")), 4).as("jaccard"))
@@ -151,7 +152,8 @@ object Dedup {
       // the band must span >= a few strides to produce any pairs
       a.join(b, Seq("source"))
         .where(col("doc2") > col("doc1") && col("doc2") <= col("doc1") + 100)
-        .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+        .withColumn("inter", graft.functions.expressions.ArrayOps
+          .intersectCount(col("t1"), col("t2")))
         .select(col("source"), col("doc1"), col("doc2"),
                 round(jaccard(col("inter"), col("n1"), col("n2")), 4).as("jaccard"))
     })

@@ -46,3 +46,20 @@ class ArrayOpsExprSpec extends AnyFunSuite {
     assert(bs(0) == 15L && bs(1) == 0L)
   }
 }
+
+class IntersectCountSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native intersect count matches array_intersect size") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("x"), Seq("y")),
+      (Seq[String](), Seq("a")))
+      .toDF("a", "b")
+      .select(
+        ArrayOps.intersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+    df.collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+}

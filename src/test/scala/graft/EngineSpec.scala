@@ -194,6 +194,15 @@ class EngineSpec extends AnyFunSuite {
     engine.execute("DROP TABLE d3.v")
   }
 
+  test("result cap truncates at 100k rows with a warning message") {
+    val r = engine.execute("SELECT id FROM range(150000)")
+    assert(r.rowCount == 100000)
+    assert(r.data.length == 100000)
+    assert(r.message.contains("truncated"))
+    val small = engine.execute("SELECT id FROM range(10)")
+    assert(small.rowCount == 10 && small.message.isEmpty)
+  }
+
   test("blocklist and unsupported statements are refused") {
     for (bad <- Seq("PRAGMA version", "ATTACH 'x.db'", "SET x=1",
                     "VACUUM", "GRANT ALL ON t TO u", "BEGIN"))
