@@ -279,6 +279,29 @@ object Relational {
           expr("position('o' IN p_name)").cast("int").as("pos_o"),
           expr("position('ECONOMY' IN p_type)").cast("int").as("pos_econ"))),
 
+    "q52_null_semantics" -> ((s, dir) =>
+      // NULL-safe equality + null-aware aggregates over the props-k
+      // extraction (which yields NULLs when the key is absent)
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.missing").cast("int"))
+        .select(
+          col("event_id"),
+          col("k").isNull.as("k_is_null"),
+          (col("k") <=> lit(null)).as("k_nullsafe_eq_null"),
+          coalesce(col("k"), lit(-1)).as("k_or_default"),
+          (col("k") === lit(1)).as("k_eq_one"))),
+
+    "q53_string_funcs2" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          lpad(col("c_mktsegment"), 12, "*").as("seg_lpad"),
+          rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lower_vowels"),
+          repeat(lit("-"), 3).as("dashes"),
+          split(col("c_name"), "#").getItem(0).as("name_head"))),
+
     // -- sort / limit family ----------------------------------------------
     "q16_topk" -> ((s, dir) =>
       // ORDER BY … LIMIT → Catalyst TakeOrderedAndProject: each partition
@@ -571,6 +594,25 @@ object Relational {
         |  CAST(position('o' IN p_name) AS INTEGER) AS pos_o,
         |  CAST(position('ECONOMY' IN p_type) AS INTEGER) AS pos_econ
         |FROM part""".stripMargin,
+
+    "q52_null_semantics" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.missing') AS INTEGER) IS NULL AS k_is_null,
+        |  CAST(json_extract_string(props, '$.missing') AS INTEGER)
+        |    IS NOT DISTINCT FROM NULL AS k_nullsafe_eq_null,
+        |  coalesce(CAST(json_extract_string(props, '$.missing') AS INTEGER), -1) AS k_or_default,
+        |  CAST(json_extract_string(props, '$.missing') AS INTEGER) = 1 AS k_eq_one
+        |FROM events""".stripMargin,
+
+    "q53_string_funcs2" ->
+      """SELECT c_custkey,
+        |  lpad(c_mktsegment, 12, '*') AS seg_lpad,
+        |  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+        |  repeat('-', 3) AS dashes,
+        |  string_split(c_name, '#')[1] AS name_head
+        |FROM customer""".stripMargin,
 
     "q16_topk" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
