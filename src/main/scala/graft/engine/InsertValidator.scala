@@ -77,6 +77,8 @@ object InsertValidator {
     case (MapType(kt, vt, _), m: Map[_, _]) =>
       m.forall { case (k, mv) =>
         compatible(kt, k) && (mv == null || compatible(vt, mv)) }
+    case (StructType(fs), r: org.apache.spark.sql.Row) if r.length == fs.length =>
+      r.toSeq.lazyZip(fs.toSeq).forall((e, f) => e == null || compatible(f.dataType, e))
     case (StructType(fs), r: Seq[_]) if r.length == fs.length =>
       r.lazyZip(fs.toSeq).forall((e, f) => e == null || compatible(f.dataType, e))
     case _ => false

@@ -123,6 +123,12 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
              round(sum("o_totalprice"), 2).as("total"))),
 
+    "q46b_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+             round(sum("l_quantity"), 2).as("total_qty"))),
+
     "q47_array_ops" -> ((s, dir) =>
       // array accessor/aggregate superset over the embedding column
       t(s, dir, "embeddings")
@@ -523,6 +529,12 @@ object Relational {
         |  count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q46b_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q6_join_implicit" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

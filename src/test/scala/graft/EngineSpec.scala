@@ -203,6 +203,27 @@ class EngineSpec extends AnyFunSuite {
     assert(small.rowCount == 10 && small.message.isEmpty)
   }
 
+  test("batch insert with nested struct/list columns validates and lands") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d6")
+    engine.execute(
+      "CREATE TABLE d6.nested (id int64 NOT NULL, tags list<string>, " +
+      "profile struct<name: string, age: int32>) STORAGE filesystem")
+    val r = engine.insertData("d6.nested", Seq("id", "tags", "profile"),
+      Seq(
+        Seq(1L, Seq("a", "b"), org.apache.spark.sql.Row("ann", 30)),
+        Seq(2L, null, org.apache.spark.sql.Row("bob", null))))
+    assert(r.message == "INSERT 2")
+    val sel = engine.execute(
+      "SELECT id, size(tags) AS nt, profile.name AS pn FROM d6.nested ORDER BY id")
+    assert(sel.data.map(_.toList) == Seq(List(1L, 2, "ann"), List(2L, null, "bob")))
+    // bad nested type still addressed to the row/column
+    val e = intercept[InsertValidator.ValidationError](
+      engine.insertData("d6.nested", Seq("id", "tags", "profile"),
+        Seq(Seq(3L, Seq(42), null))))
+    assert(e.row == 0 && e.column == "tags")
+    engine.execute("DROP TABLE d6.nested")
+  }
+
   test("blocklist and unsupported statements are refused") {
     for (bad <- Seq("PRAGMA version", "ATTACH 'x.db'", "SET x=1",
                     "VACUUM", "GRANT ALL ON t TO u", "BEGIN"))
