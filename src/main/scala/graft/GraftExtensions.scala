@@ -40,5 +40,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShinglesExpr(exprs.head, intLit(exprs(1), "word_shingles k"))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RankToTopKRule)
+    ext.injectParser((_, delegate) => new graft.engine.GraftSqlParser(delegate))
   }
 }

@@ -48,15 +48,20 @@ object RangerDdl {
       orderBy: Seq[String],
       settings: Map[String, String]) {
 
-    def qualified(defaultDb: String): String =
-      s"`${database.getOrElse(defaultDb)}`.`$table`"
+    def qualified(defaultDb: Option[String]): String =
+      database.orElse(defaultDb) match {
+        case Some(db) => s"`$db`.`$table`"
+        case None => s"`$table`" // session's current database applies
+      }
 
     def sparkSchema: StructType = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(
         c.name, IcebergTypes.parse(c.icebergType), nullable = !c.notNull)))
 
     /** Spark DDL equivalent. */
-    def toSparkSql(defaultDb: String): String = {
+    def toSparkSql(defaultDb: String): String = toSparkSql(Some(defaultDb))
+
+    def toSparkSql(defaultDb: Option[String]): String = {
       val colsSql = columns.map { c =>
         val t = IcebergTypes.parse(c.icebergType).sql
         val nn = if (c.notNull) " NOT NULL" else ""
