@@ -30,33 +30,56 @@ object Text {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array())
 
-  /** MinHash signature: `numHashes` independent hash family members via
-    * xxhash64(shingle, seed_j); one pass over the distinct shingle set.
-    * O(|shingles| * numHashes) per row, no shuffle. */
-  def minhash(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleSet, s => xxhash64(s, j))))
+  /** Cross-engine md5-derived hash-family members (see
+    * [[graft.functions.expressions.ArrayOpsImpl]] for the family
+    * definition shared with the DuckDB oracle): h1 = md5 hex chars
+    * 1-14, h2 = chars 17-30, both 56-bit so g_j = h1 + j*h2 never
+    * overflows int64 in either engine. */
+  private def mdHash(s: Column, from: Int, len: Int): Column =
+    conv(substring(md5(s.cast("binary")), from, len), 16, 10).cast("long")
 
-  /** LSH band keys: hash `rowsPerBand` consecutive minhash components
-    * per band. Two docs collide in a band iff that slice is identical —
-    * P(collide) = 1-(1-j^r)^b, the standard S-curve. */
-  def lshBands(mh: Column, numBands: Int, rowsPerBand: Int): Column =
+  /** MinHash signature over the md5-derived KM family
+    * g_j(s) = h1(s) + j*h2(s); one digest per shingle.
+    * O(|shingles| * numHashes) per row, no shuffle. */
+  def minhash(shingleSet: Column, numHashes: Int): Column = {
+    val pairs = transform(shingleSet,
+      s => struct(mdHash(s, 1, 14).as("h1"), mdHash(s, 17, 14).as("h2")))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(pairs,
+        p => p.getField("h1") + j * p.getField("h2"))))
+  }
+
+  /** LSH band keys: `rowsPerBand` consecutive minhash components per
+    * band, joined as a string (underscore-separated) so the exact key
+    * is reproducible in DuckDB's array_to_string. Two docs collide in
+    * a band iff that slice is identical — P(collide) = 1-(1-j^r)^b,
+    * the standard S-curve. */
+  def lshBandKeys(mh: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)),
-      b => xxhash64(slice(mh, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+      b => concat_ws("_",
+        transform(slice(mh, b * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string"))))
 
   /** 64-bit SimHash over a token array: per bit, sum +/-1 weighted by
-    * each token's hash bit, then pack the sign bits.
+    * each token's hash bit, then pack the sign bits. Vote bits come
+    * from the md5 family (lo = hex chars 1-8 for bits 0-31, hi =
+    * chars 9-16 for bits 32-63) — reproducible in DuckDB.
     *
-    * NOTE: O(64 * |tokens|) expression evaluation — correct and
-    * shuffle-free but a candidate for a custom Catalyst Expression
-    * with doGenCode (single pass over tokens) if it shows up hot. */
+    * NOTE: O(64 * |tokens|) expression evaluation — the native
+    * [[graft.functions.expressions.SimHash64Expr]] is the production
+    * path (single pass over tokens); this HOF form exists as the
+    * executable spec the native expression is tested against. */
   def simhash64(toks: Column): Column = {
     val t = toks.toString
     expr(
       s"""aggregate(
          |  transform(sequence(0, 63), i ->
          |    CASE WHEN aggregate($t, 0L,
-         |                 (acc, tok) -> acc + CASE WHEN ((xxhash64(tok) >> i) & 1L) = 1L
+         |                 (acc, tok) -> acc + CASE WHEN ((
+         |                     CASE WHEN i < 32
+         |                       THEN CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 8), 16, 10) AS BIGINT) >> i
+         |                       ELSE CAST(conv(substring(md5(CAST(tok AS BINARY)), 9, 8), 16, 10) AS BIGINT) >> (i - 32)
+         |                     END) & 1L) = 1L
          |                                     THEN 1L ELSE -1L END) > 0L
          |         THEN shiftleft(1L, i) ELSE 0L END),
          |  0L, (acc, b) -> acc | b)""".stripMargin)

@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
@@ -15,9 +15,11 @@ import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
   * static call — the custom-Expression tier of the build brief
   * ("(b) a custom Catalyst Expression" before mapPartitions).
   *
-  * Bit-compatible with the HOF version: token hash = xxhash64(token)
-  * (Spark default seed 42), bit i of the fingerprint = sign of the
-  * +/-1 vote sum of each token's hash bit i.
+  * Bit-compatible with the HOF version AND with DuckDB oracle SQL:
+  * the token hash comes from the cross-engine md5 family
+  * (see [[ArrayOpsImpl]]) — vote bits 0-31 from md5 hex chars 1-8,
+  * bits 32-63 from chars 9-16; fingerprint bit i = sign of the +/-1
+  * vote sum of each token's hash bit i.
   */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression {
@@ -41,19 +43,33 @@ case class SimHash64Expr(child: Expression)
 class SimHashImpl private ()
 
 object SimHashImpl {
-  private val Seed = 42L // xxhash64's default seed in Spark
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   def compute(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
+    val md = md5Local.get()
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       val s = tokens.getUTF8String(i)
-      val h = if (s == null) 0L else XXH64.hashUTF8String(s, Seed)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (s != null) {
+        md.reset()
+        val d = md.digest(s.getBytes)
+        // lo = md5 hex chars 1-8 (bytes 0..3 BE), hi = chars 9-16
+        val lo = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        val hi = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+        var b = 0
+        while (b < 32) {
+          if (((lo >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((hi >>> b) & 1L) == 1L) votes(b + 32) += 1 else votes(b + 32) -= 1
+          b += 1
+        }
       }
       i += 1
     }

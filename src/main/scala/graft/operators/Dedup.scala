@@ -58,8 +58,9 @@ object Dedup {
 
     "q33_minhash_pairs" -> ((s, dir) => {
       // MinHash + LSH banding near-dup candidates, verified with exact
-      // shingle-set Jaccard. No oracle (not SQL-expressible in DuckDB
-      // at reasonable effort) → driver rows-only check.
+      // shingle-set Jaccard. The md5-derived hash family (ArrayOpsImpl)
+      // makes the whole pipeline reproducible in DuckDB → full
+      // hash-match oracle below.
       // cache: `base` feeds both the banding pass and the two
       // verification joins — without it the shingle+minhash expression
       // re-evaluates three times. At warehouse scale this projection
@@ -68,12 +69,13 @@ object Dedup {
         .select(col("doc_id"),
                 graft.functions.expressions.ArrayOps
                   .wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
+        .where(size(col("sh")) >= 1) // degenerate (<k tokens) docs out
         .withColumn("mh", graft.functions.expressions.ArrayOps
           .minhashSig(col("sh"), NumHashes))
         .cache()
       val bands = base.select(
         col("doc_id"),
-        posexplode(Text.lshBands(col("mh"), NumBands, RowsPerBand)).as(Seq("band", "bh")))
+        posexplode(Text.lshBandKeys(col("mh"), NumBands, RowsPerBand)).as(Seq("band", "bh")))
       // bucket-local pair generation, capped: degenerate buckets are
       // dropped instead of exploding quadratically
       val buckets = bands.groupBy(col("band"), col("bh"))
@@ -100,8 +102,8 @@ object Dedup {
 
     "q34_simhash" -> ((s, dir) =>
       // 64-bit SimHash fingerprints via the native Catalyst expression
-      // (one O(N) codegen'd loop per row; see SimHash64Expr).
-      // No oracle → rows-only check.
+      // (one O(N) codegen'd loop per row; see SimHash64Expr). The md5
+      // vote-bit family is reproducible in DuckDB → hash-match oracle.
       docs(s, dir)
         .select(col("doc_id"), col("source"),
                 graft.functions.expressions.SimHash64Expr
@@ -112,7 +114,7 @@ object Dedup {
       // into 4 x 16-bit bands — two fingerprints within hamming
       // distance 3 must agree on at least one band (pigeonhole), so a
       // band-bucket join finds all candidates with 4x replication, no
-      // pairwise compare; exact hamming verifies. No oracle → rows-only.
+      // pairwise compare; exact hamming verifies. Oracle below.
       val fp = docs(s, dir)
         .select(col("doc_id"),
                 graft.functions.expressions.SimHash64Expr
@@ -132,9 +134,9 @@ object Dedup {
       a.join(b, Seq("band", "bits"))
         .where(col("doc2") > col("doc1"))
         .select(col("doc1"), col("doc2"),
-                Text.hamming64(col("sh1"), col("sh2")).as("hamming"))
+                Text.hamming64(col("sh1"), col("sh2")).cast("int").as("hamming"))
+        .where(col("hamming") <= 3) // filter BEFORE distinct: shrinks the shuffle
         .distinct()
-        .where(col("hamming") <= 3)
     }),
 
     "q35_ngram_jaccard" -> ((s, dir) => {
@@ -159,7 +161,87 @@ object Dedup {
     })
   )
 
+  /** DuckDB rendering of the md5 hash family (ArrayOpsImpl doc):
+    * h1 = hex chars 1-14, h2 = chars 17-30, g_j = h1 + j*h2. */
+  private val duckShingleCte =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 2
+      |         THEN list_distinct(list_transform(generate_series(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i + 1]))
+      |         ELSE []::VARCHAR[] END AS sh
+      |  FROM tok),
+      |hp AS (
+      |  SELECT doc_id, sh, len(sh) AS n,
+      |    list_transform(sh, s -> struct_pack(
+      |      h1 := ('0x' || substring(md5(s), 1, 14))::BIGINT,
+      |      h2 := ('0x' || substring(md5(s), 17, 14))::BIGINT)) AS hp
+      |  FROM sh WHERE len(sh) >= 1),
+      |mh AS (
+      |  SELECT doc_id, sh, n,
+      |    list_transform(range(0, 32), j ->
+      |      list_min(list_transform(hp, p -> p.h1 + j * p.h2))) AS mh
+      |  FROM hp)""".stripMargin
+
+  /** DuckDB rendering of the md5 SimHash (SimHashImpl doc): vote bits
+    * 0-31 from hex chars 1-8, 32-63 from chars 9-16; bit 63 packs as
+    * int64 min to avoid DuckDB's checked `1 << 63` overflow. */
+  private val duckSimhashCte =
+    """fp AS (
+      |  SELECT doc_id, source,
+      |    CAST(list_sum(list_transform(range(0, 64), b ->
+      |      CASE WHEN list_sum(list_transform(string_split(text, ' '), tok ->
+      |             CASE WHEN (CASE WHEN b < 32
+      |                   THEN ('0x' || substring(md5(tok), 1, 8))::BIGINT >> b
+      |                   ELSE ('0x' || substring(md5(tok), 9, 8))::BIGINT >> (b - 32)
+      |                 END) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |           THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
+      |                     ELSE 1::BIGINT << b END
+      |           ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM documents)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q33_minhash_pairs" ->
+      s"""WITH $duckShingleCte,
+         |bands AS (
+         |  SELECT doc_id, b.range AS band,
+         |    array_to_string(mh[b.range * 4 + 1 : b.range * 4 + 4], '_') AS bh
+         |  FROM mh, range(0, 8) b),
+         |buckets AS (
+         |  SELECT band, bh FROM bands GROUP BY band, bh
+         |  HAVING count(*) BETWEEN 2 AND 20),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bh = y.bh AND y.doc_id > x.doc_id
+         |  JOIN buckets k ON k.band = x.band AND k.bh = x.bh)
+         |SELECT c.doc1, c.doc2,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |FROM cand c
+         |JOIN hp a ON a.doc_id = c.doc1
+         |JOIN hp b ON b.doc_id = c.doc2
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.1""".stripMargin,
+
+    "q34_simhash" ->
+      s"WITH $duckSimhashCte\nSELECT doc_id, source, simhash FROM fp",
+
+    "q34b_simhash_pairs" ->
+      s"""WITH $duckSimhashCte,
+         |banded AS (
+         |  SELECT doc_id, simhash, b.range AS band,
+         |    (simhash >> (b.range * 16)) & 65535 AS bits
+         |  FROM fp, range(0, 4) b)
+         |SELECT DISTINCT a.doc_id AS doc1, b2.doc_id AS doc2,
+         |  CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+         |FROM banded a
+         |JOIN banded b2 ON a.band = b2.band AND a.bits = b2.bits
+         |  AND b2.doc_id > a.doc_id
+         |WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3""".stripMargin,
+
     "q31_dedup_exact" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_unique,

@@ -58,42 +58,53 @@ object Multimodal {
     }
   }
 
+  /** Deterministic fake featurizer (stands in for decode+embed):
+    * f_i = (md5-derived 32-bit int of `text#i` mod 1000) / 1000.0 —
+    * md5-based so the DuckDB oracle reproduces it exactly, and emitted
+    * as one scalar DOUBLE column per feature (the round-1 harness
+    * could not sort/hash an array column). */
+  private def feature(i: Int): org.apache.spark.sql.Column =
+    ((conv(substring(md5(concat(col("text"), lit(s"#$i"))), 1, 8), 16, 10)
+      .cast("long") % 1000).cast("double") / 1000.0).as(s"f$i")
+
+  private def duckFeature(i: Int): String =
+    s"(('0x' || substring(md5(text || '#$i'), 1, 8))::BIGINT % 1000) / 1000.0 AS f$i"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_multimodal_features" -> ((s, dir) =>
       // documents.text stands in for an opaque media payload
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-                encode(col("text"), "UTF-8").as("payload"),
-                col("source"))
-        .withColumn("meta", struct(
-          length(col("payload")).as("byte_len"),
-          md5(col("payload")).as("digest"),
-          lit("text/plain").as("mime")))
-        // deterministic fake featurizer (stands in for decode+embed):
-        // FeatureDim hash-derived floats in [0, 1)
-        .withColumn("features", expr(
-          s"""transform(sequence(0, ${FeatureDim - 1}),
-             |  i -> CAST(CAST(pmod(xxhash64(payload, i), 1000) AS DOUBLE) / 1000.0 AS FLOAT))""".stripMargin))
-        .select(col("doc_id"), col("source"),
-                col("meta.byte_len").as("byte_len"),
-                col("meta.digest").as("digest"),
-                col("features"))),
+        .select(Seq(
+          col("doc_id"), col("source"),
+          length(encode(col("text"), "UTF-8")).as("byte_len"),
+          md5(encode(col("text"), "UTF-8")).as("digest")) ++
+          (0 until FeatureDim).map(feature): _*)),
 
     "q40_multimodal_agg" -> ((s, dir) =>
       // per-source stats over extracted features: shows the feature
       // column flowing through a relational aggregate
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-                encode(col("text"), "UTF-8").as("payload"))
-        .withColumn("f0", expr(
-          "CAST(pmod(xxhash64(payload, 0), 1000) AS DOUBLE) / 1000.0"))
+                length(encode(col("text"), "UTF-8")).as("byte_len"),
+                feature(0))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_assets"),
-             sum(length(col("payload"))).as("total_bytes"),
+             sum(col("byte_len")).as("total_bytes"),
              round(avg(col("f0")), 4).as("avg_f0")))
   )
 
-  /** Fake-featurizer queries have no DuckDB equivalent (xxhash64 is
-    * Spark-specific) → rows-only checks. */
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "q39_multimodal_features" ->
+      s"""SELECT doc_id, source,
+         |  strlen(text)::INT AS byte_len,
+         |  md5(text) AS digest,
+         |  ${(0 until FeatureDim).map(duckFeature).mkString(",\n  ")}
+         |FROM documents""".stripMargin,
+
+    "q40_multimodal_agg" ->
+      s"""SELECT source, count(*) AS n_assets,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         |  round(avg((('0x' || substring(md5(text || '#0'), 1, 8))::BIGINT % 1000) / 1000.0), 4) AS avg_f0
+         |FROM documents GROUP BY source""".stripMargin
+  )
 }

@@ -100,10 +100,11 @@ class OperatorsSpec extends AnyFunSuite {
     val a = Multimodal.queries("q39_multimodal_features")(spark, dir).collect()
     val b = Multimodal.queries("q39_multimodal_features")(spark, dir).collect()
     assert(a.length == b.length)
-    val fa = a.head.getSeq[Float](a.head.fieldIndex("features"))
-    val fb = b.head.getSeq[Float](b.head.fieldIndex("features"))
+    val featCols = (0 until 8).map(i => s"f$i")
+    val fa = featCols.map(c => a.head.getDouble(a.head.fieldIndex(c)))
+    val fb = featCols.map(c => b.head.getDouble(b.head.fieldIndex(c)))
     assert(fa == fb && fa.length == 8)
-    assert(fa.forall(f => f >= 0f && f < 1f))
+    assert(fa.forall(f => f >= 0d && f < 1d))
   }
 
   test("langid confusion matrix covers all labeled languages") {
