@@ -15,24 +15,35 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * own pre-rewrite stays — this covers direct spark.sql users. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  /** A CREATE TABLE is "ours" when it carries a dialect marker the
-    * Spark parser would reject: a STORAGE/SETTINGS clause or an
-    * Iceberg-only type keyword. */
+  /** Used only to pick which error to surface when BOTH parsers
+    * reject a CREATE TABLE: a statement carrying a dialect marker gets
+    * the (more specific) dialect error, anything else gets Spark's. */
   private val dialectMarker =
     """(?is)\)\s*(STORAGE\s+\w+|SETTINGS\s+\w+\s*=)|\b(int32|int64|float32|float64|timestamptz)\b""".r
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val upper = sqlText.trim.toUpperCase
-    val isCreate = upper.startsWith("CREATE TABLE")
-    // already-translated Spark DDL (e.g. what the facade emits) must
-    // pass straight through — its TBLPROPERTIES carry the Iceberg type
-    // names and would re-trigger the marker
-    val isSparkDdl = upper.contains(" USING ") || upper.contains("TBLPROPERTIES")
-    if (isCreate && !isSparkDdl && dialectMarker.findFirstIn(sqlText).isDefined) {
-      val ct = RangerDdl.parse(sqlText)
-      delegate.parsePlan(ct.toSparkSql(None))
-    } else delegate.parsePlan(sqlText)
-  }
+  /** Spark-first, dialect-as-recovery: the delegate parses everything
+    * it can (so a legitimate Spark CREATE TABLE whose string literals
+    * or comments happen to contain `int32` is never misrouted); only
+    * when Spark *rejects* a CREATE TABLE do we attempt the ranger
+    * dialect. This is exactly the reference's gatekeeper order
+    * inverted — safe because the two grammars are disjoint where it
+    * matters (ranger requires lowercase Iceberg types and
+    * STORAGE/SETTINGS clauses that Spark's parser rejects). */
+  override def parsePlan(sqlText: String): LogicalPlan =
+    try delegate.parsePlan(sqlText)
+    catch {
+      case sparkErr: org.apache.spark.sql.catalyst.parser.ParseException
+          if sqlText.trim.toUpperCase.startsWith("CREATE TABLE") =>
+        val ct =
+          try RangerDdl.parse(sqlText)
+          catch {
+            case dialectErr: RangerDdl.ParseError
+                if dialectMarker.findFirstIn(sqlText).isDefined =>
+              throw dialectErr
+            case _: RangerDdl.ParseError => throw sparkErr
+          }
+        delegate.parsePlan(ct.toSparkSql(None))
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

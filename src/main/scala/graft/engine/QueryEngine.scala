@@ -49,13 +49,41 @@ final class QueryEngine(val spark: SparkSession) {
   }
 
   /** Ranger system functions (parser.go:101-104, cases :5741-5747) →
-    * Spark built-ins. SYS_TIME matches the reference's HH:mm:ss text. */
-  private def rewriteSysFuncs(sql: String): String = sql
-    .replaceAll("(?i)\\bSYS_DATE\\b(\\(\\))?", "current_date()")
-    .replaceAll("(?i)\\bSYS_TIMESTAMP\\b(\\(\\))?", "current_timestamp()")
-    .replaceAll("(?i)\\bSYS_TIME\\b(\\(\\))?",
-      "date_format(current_timestamp(), 'HH:mm:ss')")
-    .replaceAll("(?i)\\bGENERATE_UUID\\b(\\(\\))?", "uuid()")
+    * Spark built-ins. SYS_TIME matches the reference's HH:mm:ss text.
+    * The reference resolves these in its parser, so a SYS_DATE inside
+    * a string literal is data, not a function — the rewrite therefore
+    * skips single-quoted segments ('' is the escape) instead of
+    * regexing blindly over the whole text. */
+  private def rewriteSysFuncs(sql: String): String = {
+    def rewriteSegment(s: String): String = s
+      .replaceAll("(?i)\\bSYS_DATE\\b(\\(\\))?", "current_date()")
+      .replaceAll("(?i)\\bSYS_TIMESTAMP\\b(\\(\\))?", "current_timestamp()")
+      .replaceAll("(?i)\\bSYS_TIME\\b(\\(\\))?",
+        "date_format(current_timestamp(), 'HH:mm:ss')")
+      .replaceAll("(?i)\\bGENERATE_UUID\\b(\\(\\))?", "uuid()")
+    val out = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      if (sql.charAt(i) == '\'') {
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          if (sql.charAt(j) == '\'') {
+            if (j + 1 < n && sql.charAt(j + 1) == '\'') j += 2 // '' escape
+            else { j += 1; closed = true }
+          } else j += 1
+        }
+        out.append(sql.substring(i, j))
+        i = j
+      } else {
+        val j = sql.indexOf('\'', i) match { case -1 => n; case k => k }
+        out.append(rewriteSegment(sql.substring(i, j)))
+        i = j
+      }
+    }
+    out.toString
+  }
 
   private def head(sql: String): String =
     sql.split("\\s+", 2).headOption.getOrElse("").toUpperCase
@@ -130,21 +158,55 @@ final class QueryEngine(val spark: SparkSession) {
 
   // ------------------------------------------------------------- INSERT
 
+  /** Affected-row count comes from the write command's own
+    * `numOutputRows` metric (with a parsed-VALUES fallback) — the
+    * reference counts the client's rows (engine.go:635-684), never the
+    * table. The round-1 version diffed two full table counts per
+    * INSERT: O(table) scans per statement, wrong for OVERWRITE and
+    * under concurrent writers. */
   private def runInsert(sql: String, id: String): QueryResult = {
-    val before = insertTargetCount(sql)
-    spark.sql(sql)
-    val after = insertTargetCount(sql)
-    val n = after.flatMap(a => before.map(b => a - b)).getOrElse(-1L)
+    val df = spark.sql(withDeclaredColumns(sql))
+    val n = writtenRows(df).orElse(valuesRowCount(sql)).getOrElse(-1L)
     QueryResult(id, Seq.empty, Seq.empty, math.max(n, 0),
       if (n >= 0) s"INSERT $n" else "INSERT")
   }
 
-  private val insertTargetRe: Regex =
-    """(?is)^INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.`]+)""".r
+  private val insertHeadRe: Regex =
+    """(?is)^(INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.`]+))\s*(.*)$""".r
 
-  private def insertTargetCount(sql: String): Option[Long] =
-    insertTargetRe.findFirstMatchIn(sql)
-      .map(m => spark.table(m.group(1).replace("`", "")).count())
+  /** Ranger INSERT semantics bind positional VALUES to the DECLARED
+    * column order; Spark's catalog moves partition columns to the end
+    * of the schema, so an implicit-column insert into a partitioned
+    * table would bind by the reordered schema. Injecting the declared
+    * list (graft.columns) restores by-name binding. */
+  private def withDeclaredColumns(sql: String): String =
+    insertHeadRe.findFirstMatchIn(sql) match {
+      case Some(m) if !m.group(3).startsWith("(") =>
+        val declared =
+          try tableProps(m.group(2).replace("`", "")).get("graft.columns")
+          catch { case _: Exception => None }
+        declared match {
+          case Some(cols) => s"${m.group(1)} ($cols) ${m.group(3)}"
+          case None => sql
+        }
+      case _ => sql
+    }
+
+  /** numOutputRows of the executed write command, if exposed. */
+  private def writtenRows(df: DataFrame): Option[Long] =
+    (df.queryExecution.executedPlan match {
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        c.commandPhysicalPlan.metrics.get("numOutputRows")
+      case p => p.metrics.get("numOutputRows")
+    }).map(_.value)
+
+  private val insertValuesRe: Regex =
+    """(?is)^INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?[\w.`]+\s*(?:\([^)]*\))?\s*VALUES\s*(.*)$""".r
+
+  /** Parsed row-tuple count of an INSERT ... VALUES statement. */
+  private def valuesRowCount(sql: String): Option[Long] =
+    insertValuesRe.findFirstMatchIn(sql).map(m =>
+      IcebergTypes.splitTopLevel(m.group(1)).count(_.startsWith("(")).toLong)
 
   /** Programmatic batch-ingestion API (the native-protocol ClientData
     * path, engine.go:635-684): validate against the table schema with
@@ -155,10 +217,14 @@ final class QueryEngine(val spark: SparkSession) {
     executions.run(info) {
       val target = spark.table(table)
       InsertValidator.validate(declaredSchema(table), columns, rows)
-      val colIdx = columns.zipWithIndex.toMap
+      // keyed lowercase on BOTH sides: validation matches columns
+      // case-insensitively, so reordering must too — otherwise a caller
+      // passing 'ID' for field 'id' passes validation and then silently
+      // inserts null (round-1 ADVICE finding)
+      val colIdx = columns.map(_.toLowerCase).zipWithIndex.toMap
       val ordered = rows.map { r =>
         Row.fromSeq(target.schema.fieldNames.toSeq.map(f =>
-          colIdx.get(f).orElse(colIdx.get(f.toLowerCase)).map(r(_)).orNull))
+          colIdx.get(f.toLowerCase).map(r(_)).orNull))
       }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(ordered.toList), target.schema)
@@ -179,8 +245,28 @@ final class QueryEngine(val spark: SparkSession) {
     case deleteRe(table, cond) =>
       val t = table.replace("`", "")
       val src = spark.table(t)
-      val keep = Option(cond).map(c => src.where(not(expr(c)))).getOrElse(src.limit(0))
-      val n = src.count() - rewrite(t, keep)
+      val condExpr = Option(cond).map(expr).getOrElse(lit(true))
+      val n = src.where(condExpr).count()
+      if (n > 0) {
+        val parts = partitionColumns(t)
+        val affected = if (parts.nonEmpty) affectedPartitions(t, parts, condExpr) else Seq.empty
+        if (parts.nonEmpty && affected.nonEmpty && affected.length <= MaxPrunedPartitions) {
+          val inAffected = partitionPredicate(parts, affected)
+          // survivors of ONLY the affected partitions; dynamic overwrite
+          // touches exactly the partitions present in this output
+          val survivors = spark.table(t).where(inAffected && not(condExpr))
+          // partition set that still has rows — computed BEFORE the
+          // write (afterwards the table scan would see pre-delete data
+          // for partitions the empty overwrite never touched)
+          val survivedParts = survivors.select(parts.map(col): _*)
+            .distinct().collect().map(_.toSeq).toSet
+          withDynamicOverwrite(alignForInsert(t, survivors).write.mode("overwrite").insertInto(t))
+          dropEmptiedPartitions(t, parts,
+            affected.filterNot(r => survivedParts.contains(r.toSeq)))
+        } else {
+          stagedRewrite(t, spark.table(t).where(not(condExpr)))
+        }
+      }
       QueryResult(id, Seq.empty, Seq.empty, n, s"DELETE $n")
     case _ => throw new IllegalArgumentException("cannot parse DELETE statement")
   }
@@ -196,25 +282,134 @@ final class QueryEngine(val spark: SparkSession) {
         }
       }
       val condExpr = Option(cond).map(expr).getOrElse(lit(true))
-      val updated = assigns.foldLeft(src) { case (df, (c, v)) =>
-        df.withColumn(c, when(condExpr, expr(v).cast(src.schema(c).dataType))
-          .otherwise(col(c)))
-      }
+      def applySet(df: DataFrame): DataFrame =
+        assigns.foldLeft(df) { case (d, (c, v)) =>
+          d.withColumn(c, when(condExpr, expr(v).cast(src.schema(c).dataType))
+            .otherwise(col(c)))
+        }
       val n = src.where(condExpr).count()
-      rewrite(t, updated)
+      if (n > 0) {
+        val parts = partitionColumns(t)
+        // an UPDATE that rewrites a partition column can MOVE rows
+        // between partitions; dynamic overwrite would then replace the
+        // destination partition with only the moved rows — those
+        // statements take the whole-table path
+        val touchesPartCol = assigns.exists { case (c, _) => parts.contains(c) }
+        val affected = if (parts.nonEmpty) affectedPartitions(t, parts, condExpr) else Seq.empty
+        if (parts.nonEmpty && !touchesPartCol && affected.nonEmpty &&
+            affected.length <= MaxPrunedPartitions) {
+          val inAffected = partitionPredicate(parts, affected)
+          val updated = applySet(spark.table(t).where(inAffected))
+          withDynamicOverwrite(alignForInsert(t, updated).write.mode("overwrite").insertInto(t))
+        } else {
+          stagedRewrite(t, applySet(spark.table(t)))
+        }
+      }
       QueryResult(id, Seq.empty, Seq.empty, n, s"UPDATE $n")
     case _ => throw new IllegalArgumentException("cannot parse UPDATE statement")
   }
 
-  /** Copy-on-write: materialize the surviving rows (localCheckpoint cuts
-    * the lineage back to the table being overwritten), then overwrite.
-    * At warehouse scale this is what Iceberg/Delta do per-file; here it
-    * is per-table, which matches the reference's whole-table semantics. */
-  private def rewrite(table: String, df: DataFrame): Long = {
-    val materialized = df.localCheckpoint(true)
-    val n = materialized.count()
-    materialized.write.mode("overwrite").insertInto(table)
-    n
+  // -- partition-pruned copy-on-write machinery -------------------------
+  //
+  // Round 1 rewrote the ENTIRE table for every UPDATE/DELETE through a
+  // localCheckpoint (executor-local, non-reliable storage) — a
+  // full-table IO storm with a truncation window if the write job died
+  // mid-overwrite (round-1 verdict + ADVICE). Now:
+  //  - partitioned tables rewrite ONLY the partitions that can contain
+  //    matching rows (dynamic partition overwrite); a DELETE that
+  //    empties a partition drops it from the catalog;
+  //  - whole-table rewrites stage survivors to a durable temp directory
+  //    under the warehouse first, then overwrite from the staged copy —
+  //    the original data stays intact until the replacement is fully
+  //    materialized on disk.
+
+  /** Above this many affected partitions a pruned rewrite stops paying
+    * (predicate blow-up + per-partition commits) — fall back to the
+    * whole-table path. */
+  private val MaxPrunedPartitions = 256
+
+  private def tableIdent(t: String) =
+    spark.sessionState.sqlParser.parseTableIdentifier(t)
+
+  private def partitionColumns(t: String): Seq[String] =
+    try spark.sessionState.catalog.getTableMetadata(tableIdent(t))
+      .partitionColumnNames
+    catch { case _: Exception => Seq.empty }
+
+  /** insertInto resolves by POSITION with partition columns last —
+    * reorder explicitly so a catalog-ordered DataFrame can't land a
+    * string in an int slot. */
+  private def alignForInsert(t: String, df: DataFrame): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(tableIdent(t))
+    val parts = meta.partitionColumnNames
+    val cols = meta.schema.fieldNames.filterNot(parts.contains).toSeq ++ parts
+    df.select(cols.map(col): _*)
+  }
+
+  private def affectedPartitions(t: String, parts: Seq[String],
+                                 condExpr: org.apache.spark.sql.Column): Seq[Row] =
+    spark.table(t).where(condExpr)
+      .select(parts.map(col): _*).distinct()
+      .limit(MaxPrunedPartitions + 1).collect().toSeq
+
+  /** OR-of-AND partition membership predicate — statically prunable,
+    * so the rewrite scan reads only the affected partitions. */
+  private def partitionPredicate(parts: Seq[String], affected: Seq[Row]) =
+    affected.map(r =>
+      parts.zipWithIndex.map { case (p, i) => col(p) <=> lit(r.get(i)) }
+        .reduce(_ && _)).reduce(_ || _)
+
+  private def withDynamicOverwrite[A](body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Partitions whose rows were ALL deleted produce no output rows, so
+    * dynamic overwrite leaves them untouched — drop them explicitly. */
+  private def dropEmptiedPartitions(t: String, parts: Seq[String],
+                                    emptied: Seq[Row]): Unit =
+    emptied.foreach { r =>
+      val spec = parts.zipWithIndex.map { case (p, i) =>
+        s"`$p`=${sqlLiteral(r.get(i))}"
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION ($spec)")
+    }
+
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date => s"DATE'$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP'$t'"
+    case other => other.toString
+  }
+
+  /** Whole-table copy-on-write with durable staging: survivors land in
+    * a temp directory next to the warehouse first; only after that
+    * write completes does the table get overwritten (reading from the
+    * staged files, not from a lineage that includes the table being
+    * truncated). The staging dir is removed afterwards. */
+  private def stagedRewrite(t: String, df: DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val staging = new org.apache.hadoop.fs.Path(
+      warehouse, s".graft-staging-${java.util.UUID.randomUUID()}")
+    val fs = staging.getFileSystem(conf)
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      val staged = spark.read.schema(spark.table(t).schema)
+        .parquet(staging.toString)
+      alignForInsert(t, staged).write.mode("overwrite").insertInto(t)
+    } finally {
+      try fs.delete(staging, true)
+      catch { case _: Exception => () }
+    }
   }
 
   // ------------------------------------------------------------- SHOW

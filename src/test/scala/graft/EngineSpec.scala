@@ -258,4 +258,104 @@ class EngineSpec extends AnyFunSuite {
     assert(sc.data.map(_.head) == Seq("id", "region", "val"))
     engine.execute("DROP TABLE d4.p")
   }
+
+  test("SYS_ functions rewrite outside string literals only") {
+    // a literal 'SYS_DATE' is data, not a function (round-1 ADVICE:
+    // the old rewrite regexed blindly over the whole statement)
+    val r = engine.execute("SELECT 'SYS_DATE' AS lit, SYS_DATE AS today")
+    assert(r.data.head.head == "SYS_DATE")
+    assert(r.data.head(1).isInstanceOf[java.sql.Date])
+    // escaped-quote literal stays intact too
+    val r2 = engine.execute("SELECT 'it''s SYS_TIME' AS lit")
+    assert(r2.data.head.head == "it's SYS_TIME")
+  }
+
+  test("INSERT reports the written-row count without scanning the table") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d6")
+    engine.execute("DROP TABLE IF EXISTS d6.cnt")
+    engine.execute("CREATE TABLE d6.cnt (id int64, v string) STORAGE filesystem")
+    assert(engine.execute("INSERT INTO d6.cnt VALUES (1,'a'),(2,'b,с'),(3,'c')")
+      .message == "INSERT 3")
+    // INSERT ... SELECT: count comes from the write metric, not a diff
+    assert(engine.execute(
+      "INSERT INTO d6.cnt SELECT id, 'x' FROM range(5)").message == "INSERT 5")
+    // OVERWRITE shrinks the table; the old count-diff reported 0 here
+    assert(engine.execute(
+      "INSERT OVERWRITE d6.cnt SELECT id, 'y' FROM range(2)").message == "INSERT 2")
+    assert(engine.execute("SELECT count(*) AS c FROM d6.cnt").data.head.head == 2L)
+    engine.execute("DROP TABLE d6.cnt")
+  }
+
+  test("insertData matches columns case-insensitively in validation AND reorder") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d6")
+    engine.execute("DROP TABLE IF EXISTS d6.ci")
+    engine.execute(
+      "CREATE TABLE d6.ci (id int64 NOT NULL, name string NOT NULL) STORAGE filesystem")
+    // round-1 ADVICE: 'ID'/'NAME' passed validation but reordered to
+    // null — the values must actually land
+    val r = engine.insertData("d6.ci", Seq("ID", "NAME"), Seq(Seq(7L, "upper")))
+    assert(r.message == "INSERT 1")
+    val sel = engine.execute("SELECT id, name FROM d6.ci")
+    assert(sel.data.head == Seq(7L, "upper"))
+    engine.execute("DROP TABLE d6.ci")
+  }
+
+  test("UPDATE/DELETE on a partitioned table rewrites only affected partitions") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d7")
+    engine.execute("DROP TABLE IF EXISTS d7.pp")
+    engine.execute(
+      "CREATE TABLE d7.pp (id int64 NOT NULL, region string, val int32) " +
+      "STORAGE filesystem PARTITION BY (region)")
+    engine.execute(
+      "INSERT INTO d7.pp VALUES (1,'eu',10),(2,'eu',20),(3,'us',30),(4,'us',40),(5,'ap',50)")
+    val spark = TestSpark.spark
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier("d7.pp")).location.getPath
+    def partFiles(p: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$loc/region=$p")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val usBefore = partFiles("us")
+    val apBefore = partFiles("ap")
+    // UPDATE touching only region='eu' must leave us/ap files untouched
+    val up = engine.execute("UPDATE d7.pp SET val = val + 1 WHERE region = 'eu'")
+    assert(up.message == "UPDATE 2")
+    assert(partFiles("us") == usBefore, "us partition was rewritten")
+    assert(partFiles("ap") == apBefore, "ap partition was rewritten")
+    val r = engine.execute("SELECT id, val FROM d7.pp ORDER BY id")
+    assert(r.data.map(_.toList) == Seq(
+      List(1L, 11), List(2L, 21), List(3L, 30), List(4L, 40), List(5L, 50)))
+    // DELETE that empties a partition drops it; others untouched
+    val del = engine.execute("DELETE FROM d7.pp WHERE region = 'ap'")
+    assert(del.message == "DELETE 1")
+    assert(partFiles("us") == usBefore, "us partition was rewritten by delete")
+    assert(!new java.io.File(s"$loc/region=ap").exists()
+      || partFiles("ap").isEmpty, "emptied partition not cleaned")
+    assert(engine.execute("SELECT count(*) AS c FROM d7.pp").data.head.head == 4L)
+    // partial delete within one partition keeps the others untouched
+    val del2 = engine.execute("DELETE FROM d7.pp WHERE id = 1")
+    assert(del2.message == "DELETE 1")
+    assert(partFiles("us") == usBefore)
+    assert(engine.execute("SELECT count(*) AS c FROM d7.pp").data.head.head == 3L)
+    engine.execute("DROP TABLE d7.pp")
+  }
+
+  test("UPDATE that moves rows across partitions stays correct (whole-table path)") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d7")
+    engine.execute("DROP TABLE IF EXISTS d7.mv")
+    engine.execute(
+      "CREATE TABLE d7.mv (id int64 NOT NULL, region string) " +
+      "STORAGE filesystem PARTITION BY (region)")
+    engine.execute("INSERT INTO d7.mv VALUES (1,'eu'),(2,'us'),(3,'us')")
+    // SET on the partition column: a pruned dynamic overwrite would
+    // clobber the destination partition — must take the staged path
+    val up = engine.execute("UPDATE d7.mv SET region = 'us' WHERE id = 1")
+    assert(up.message == "UPDATE 1")
+    val r = engine.execute(
+      "SELECT region, count(*) AS n FROM d7.mv GROUP BY region ORDER BY region")
+    assert(r.data.map(_.toList) == Seq(List("us", 3L)))
+    engine.execute("DROP TABLE d7.mv")
+  }
 }
