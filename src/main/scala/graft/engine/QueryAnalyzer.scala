@@ -26,6 +26,22 @@ object QueryAnalyzer {
       complexity: String,
       hints: Seq[String])
 
+  /** Reference-style statement type, including the two-word DDL heads
+    * the CommandComplete tag generator distinguishes
+    * (sql_parser_middleware.go:377-418). */
+  def statementType(sql: String): String = {
+    val words = sql.trim.toUpperCase.split("\\s+")
+    words.headOption.getOrElse("") match {
+      case h @ ("CREATE" | "DROP" | "ALTER") if words.length > 1 =>
+        val second = words(1) match {
+          case "NAMESPACE" | "SCHEMA" => "DATABASE"
+          case w => w
+        }
+        s"$h $second"
+      case h => h
+    }
+  }
+
   def analyze(spark: SparkSession, sql: String): Analysis = {
     val head = sql.trim.split("\\s+", 2).headOption
       .getOrElse("").toUpperCase

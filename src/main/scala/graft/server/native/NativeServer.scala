@@ -1,0 +1,241 @@
+package graft.server.native
+
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.util.control.NonFatal
+
+import graft.engine.QueryEngine
+
+/** The reference's PRIMARY entry point re-expressed over the Spark
+  * engine: a TCP server speaking the ClickHouse-style signal protocol
+  * (reference: server/protocols/native/server.go, connection.go:
+  * 121-248 signal loop, :354-436 handlers; default port 2849).
+  *
+  * One thread per connection (the reference runs one goroutine per
+  * connection); all connections share the single SparkSession behind
+  * [[QueryEngine]], which is how Spark is meant to multiplex — each
+  * query becomes an independently scheduled job group, so concurrent
+  * clients interleave at the task level and ClientCancel can kill one
+  * client's jobs without touching the others.
+  */
+final class NativeServer(engine: QueryEngine, port: Int = 2849) {
+
+  @volatile private var server: ServerSocket = _
+  private val running = new AtomicBoolean(false)
+
+  /** Bound port (useful when constructed with port 0 in tests). */
+  def boundPort: Int = server.getLocalPort
+
+  def start(): Unit = {
+    server = new ServerSocket(port)
+    running.set(true)
+    val acceptor = new Thread(() => {
+      while (running.get()) {
+        try {
+          val sock = server.accept()
+          val t = new Thread(() => handle(sock), s"native-conn-${sock.getPort}")
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          case _: SocketException => () // closed during accept = shutdown
+          case NonFatal(_) => ()
+        }
+      }
+    }, "native-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    if (server != null) server.close()
+  }
+
+  /** The signal loop (connection.go:139-248): read a frame, dispatch
+    * by type, reply; exceptions become ServerException signals rather
+    * than connection teardown wherever the reference does the same. */
+  private def handle(sock: Socket): Unit = {
+    val in = sock.getInputStream
+    val out = sock.getOutputStream
+    try {
+      var open = true
+      while (open) {
+        Wire.readMessage(in) match {
+          case None => open = false // client disconnected
+          case Some((tpe, payload)) =>
+            tpe match {
+              case Signals.ClientHello =>
+                Signals.Hello.unpack(payload) // validates the frame
+                Wire.writeMessage(out, Signals.ServerHello,
+                  Signals.ServerHelloMsg("Graft Server", 1, 0,
+                    Signals.ProtocolVersion, "UTC",
+                    "Graft Analytics Server", 0).pack())
+
+              case Signals.ClientQuery =>
+                val q = Signals.Query.unpack(payload)
+                try {
+                  if (q.database.nonEmpty)
+                    engine.spark.catalog.setCurrentDatabase(q.database)
+                  val res = engine.execute(q.query)
+                  sendResult(out,
+                    if (res.columns.nonEmpty) res.columns
+                    else Seq("result"),
+                    if (res.columns.nonEmpty) res.data.map(_.map(render))
+                    else Seq(Seq(if (res.message.nonEmpty) res.message else "OK")))
+                } catch {
+                  case NonFatal(e) => sendException(out, e)
+                }
+
+              case Signals.ClientData =>
+                // ingestion block -> engine.insertData (connection.go:
+                // 402-417 routes to InsertData; no reply on success).
+                // Wire values are strings ("types are not sent — the
+                // server knows the schema", client_data.go:55): coerce
+                // by the table schema before validation.
+                val block = Signals.DataBlock.unpack(payload)
+                try engine.insertData(block.table, block.columns,
+                  coerce(block.table, block.columns, block.rows))
+                catch { case NonFatal(e) => sendException(out, e) }
+
+              case Signals.ClientCancel =>
+                val c = Signals.Cancel.unpack(payload)
+                val okCancel = engine.executions.cancel(c.queryId)
+                if (okCancel)
+                  sendResult(out, Seq("result"),
+                    Seq(Seq(s"Query ${c.queryId} cancelled successfully")))
+                else
+                  sendException(out, new IllegalArgumentException(
+                    s"Query ${c.queryId} cancellation failed: not found"))
+
+              case Signals.ClientPing =>
+                val b = new java.io.ByteArrayOutputStream()
+                Wire.writeU64(b, System.currentTimeMillis())
+                Wire.writeMessage(out, Signals.ServerPong, b.toByteArray)
+
+              case other =>
+                sendException(out,
+                  new IllegalArgumentException(s"Unknown message type: $other"))
+                open = false // reference tears the connection down here
+            }
+        }
+      }
+    } catch {
+      case NonFatal(_) => () // broken pipe etc.
+    } finally {
+      try sock.close() catch { case NonFatal(_) => () }
+    }
+  }
+
+  /** ServerData + ServerEndOfStream, the reference's result framing
+    * (connection.go:471-545). All values ship as strings with column
+    * type "String" — exactly what the reference does (:481). */
+  private def sendResult(out: java.io.OutputStream, columns: Seq[String],
+                         rows: Seq[Seq[String]]): Unit = {
+    Wire.writeMessage(out, Signals.ServerData,
+      Signals.Data(columns.map(_ -> "String"), rows).pack())
+    Wire.writeMessage(out, Signals.ServerEndOfStream, Array.emptyByteArray)
+  }
+
+  private def sendException(out: java.io.OutputStream, e: Throwable): Unit =
+    Wire.writeMessage(out, Signals.ServerException,
+      Signals.Exception(e.getClass.getSimpleName,
+        Option(e.getMessage).getOrElse("error"), "").pack())
+
+  private def render(v: Any): String = v match {
+    case null => "NULL"
+    case other => other.toString
+  }
+
+  /** Schema-driven string → JVM-value conversion for an ingestion
+    * block (the reference converts by the table's Arrow schema,
+    * storage/parquet/schema.go). Unparseable values pass through as
+    * strings so InsertValidator reports its row/column-addressed
+    * error instead of a bare NumberFormatException. */
+  private def coerce(table: String, columns: Seq[String],
+                     rows: Seq[Seq[String]]): Seq[Seq[Any]] = {
+    import org.apache.spark.sql.types._
+    val schema = engine.spark.table(table).schema
+    val types: Seq[Option[DataType]] =
+      columns.map(c => schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+    def conv(v: String, t: Option[DataType]): Any =
+      if (v == null || v == "NULL" || v == "<nil>") null
+      else t match {
+        case Some(dt) =>
+          try dt match {
+            case IntegerType => v.toInt
+            case LongType => v.toLong
+            case FloatType => v.toFloat
+            case DoubleType => v.toDouble
+            case BooleanType => v.toBoolean
+            case _: DecimalType => new java.math.BigDecimal(v)
+            case DateType => java.sql.Date.valueOf(v)
+            case TimestampType => java.sql.Timestamp.valueOf(v)
+            case TimestampNTZType => java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+            case _ => v
+          } catch { case NonFatal(_) => v }
+        case None => v // unknown column: validator reports it
+      }
+    rows.map(_.lazyZip(types).map(conv))
+  }
+}
+
+/** Minimal blocking client for the native protocol — the analog of the
+  * reference Go SDK's connection core (pkg/sdk/client.go), used by the
+  * protocol spec and the CLI. */
+final class NativeClient(host: String, port: Int) {
+  private val sock = new Socket(host, port)
+  private val in = sock.getInputStream
+  private val out = sock.getOutputStream
+
+  def hello(database: String = "default", user: String = "default")
+      : Signals.ServerHelloMsg = {
+    Wire.writeMessage(out, Signals.ClientHello,
+      Signals.Hello("graft-scala-client", 1, 0, Signals.ProtocolVersion,
+        database, user, "").pack())
+    expect(Signals.ServerHello, Signals.ServerHelloMsg.unpack)
+  }
+
+  /** Runs a query; returns (columns, rows) and consumes EndOfStream. */
+  def query(sql: String, queryId: String = "",
+            database: String = ""): (Seq[String], Seq[Seq[String]]) = {
+    Wire.writeMessage(out, Signals.ClientQuery,
+      Signals.Query(sql, queryId, database, "default", "").pack())
+    val data = expect(Signals.ServerData, Signals.Data.unpack)
+    expect(Signals.ServerEndOfStream, _ => ())
+    (data.columns.map(_._1), data.rows)
+  }
+
+  /** Batch-insert block; no server reply on success. */
+  def insert(table: String, columns: Seq[String],
+             rows: Seq[Seq[String]]): Unit =
+    Wire.writeMessage(out, Signals.ClientData,
+      Signals.DataBlock(table, columns, rows).pack())
+
+  def cancel(queryId: String): String = {
+    Wire.writeMessage(out, Signals.ClientCancel, Signals.Cancel(queryId).pack())
+    val data = expect(Signals.ServerData, Signals.Data.unpack)
+    expect(Signals.ServerEndOfStream, _ => ())
+    data.rows.head.head
+  }
+
+  def ping(): Long = {
+    val b = new java.io.ByteArrayOutputStream()
+    Wire.writeU64(b, System.currentTimeMillis())
+    Wire.writeMessage(out, Signals.ClientPing, b.toByteArray)
+    val p = expect(Signals.ServerPong, p => new Wire.Cursor(p).u64())
+    p
+  }
+
+  private def expect[A](tpe: Int, unpack: Array[Byte] => A): A =
+    Wire.readMessage(in) match {
+      case Some((`tpe`, payload)) => unpack(payload)
+      case Some((Signals.ServerException, payload)) =>
+        val e = Signals.Exception.unpack(payload)
+        throw new RuntimeException(s"${e.code}: ${e.message}")
+      case Some((other, _)) =>
+        throw new RuntimeException(s"unexpected signal $other (wanted $tpe)")
+      case None => throw new RuntimeException("connection closed")
+    }
+
+  def close(): Unit = sock.close()
+}

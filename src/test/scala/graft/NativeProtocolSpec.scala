@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.QueryEngine
+import graft.server.native.{NativeClient, NativeServer, Signals, Wire}
+
+/** Native binary protocol round-trips, mirroring the reference's SDK
+  * integration tests (pkg/sdk/integration_tests/native_test.go:16-263:
+  * connection, handshake, query execution, query-with-results, batch
+  * operations, error handling, multiple connections). */
+class NativeProtocolSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val engine = new QueryEngine(spark)
+  lazy val server: NativeServer = {
+    val s = new NativeServer(engine, port = 0) // ephemeral port for tests
+    s.start()
+    s
+  }
+  def connect(): NativeClient = new NativeClient("127.0.0.1", server.boundPort)
+
+  test("handshake: ClientHello -> ServerHello with protocol fields") {
+    val c = connect()
+    val hello = c.hello()
+    assert(hello.serverName == "Graft Server")
+    assert(hello.major == 1 && hello.minor == 0)
+    assert(hello.revision == Signals.ProtocolVersion)
+    assert(hello.timezone == "UTC")
+    c.close()
+  }
+
+  test("query execution: SELECT returns columns and rows, then EndOfStream") {
+    val c = connect()
+    c.hello()
+    val (cols, rows) = c.query("SELECT 1 AS one, 'x' AS s")
+    assert(cols == Seq("one", "s"))
+    assert(rows == Seq(Seq("1", "x")))
+    // the connection stays usable for the next query (stream fully drained)
+    val (cols2, rows2) = c.query("SELECT 41 + 1 AS answer")
+    assert(cols2 == Seq("answer") && rows2.head.head == "42")
+    c.close()
+  }
+
+  test("DDL + batch ClientData ingestion + readback (TestNativeServerBatchOperations)") {
+    val c = connect()
+    c.hello()
+    c.query("CREATE DATABASE IF NOT EXISTS np")
+    c.query("DROP TABLE IF EXISTS np.users")
+    val (_, created) = c.query(
+      "CREATE TABLE np.users (id int64 NOT NULL, name string, age int32) STORAGE filesystem")
+    assert(created.head.head.contains("created"))
+    // wire values are strings; the server coerces by schema
+    c.insert("np.users", Seq("id", "name", "age"),
+      Seq(Seq("1", "ann", "34"), Seq("2", "bob", "19"), Seq("3", "cho", "45")))
+    // ClientData has no success reply — confirm via a query on the same conn
+    val (_, rows) = c.query(
+      "SELECT count(*) AS n, sum(age) AS total FROM np.users")
+    assert(rows.head == Seq("3", "98"))
+    c.query("DROP TABLE np.users")
+    c.close()
+  }
+
+  test("errors surface as ServerException and the connection survives") {
+    val c = connect()
+    c.hello()
+    val e = intercept[RuntimeException](c.query("SELECT * FROM nonexistent_xyz"))
+    assert(e.getMessage.toLowerCase.contains("table"))
+    // blocked statement type (reference keyword blocklist)
+    val e2 = intercept[RuntimeException](c.query("PRAGMA version"))
+    assert(e2.getMessage.contains("not allowed"))
+    // still usable afterwards
+    assert(c.query("SELECT 7 AS x")._2.head.head == "7")
+    c.close()
+  }
+
+  test("cancel round-trip: registered query acknowledges, unknown errors") {
+    val c = connect()
+    c.hello()
+    val info = engine.executions.register("SELECT long_running")
+    val ack = c.cancel(info.id)
+    assert(ack == s"Query ${info.id} cancelled successfully")
+    val e = intercept[RuntimeException](c.cancel("query_nope"))
+    assert(e.getMessage.contains("cancellation failed"))
+    c.close()
+  }
+
+  test("ping/pong and multiple concurrent connections") {
+    val clients = (1 to 4).map(_ => connect())
+    clients.foreach(_.hello())
+    assert(clients.head.ping() > 0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence(clients.zipWithIndex.map { case (cl, i) =>
+        Future(cl.query(s"SELECT $i AS v")._2.head.head)
+      }), 60.seconds).toList
+    assert(results == List("0", "1", "2", "3"))
+    clients.foreach(_.close())
+  }
+
+  test("wire codec round-trips every signal") {
+    val h = Signals.Hello("cli", 1, 2, Signals.ProtocolVersion, "db", "u", "pw", 30, 60)
+    assert(Signals.Hello.unpack(h.pack()) == h)
+    val q = Signals.Query("SELECT 1", "qid-7", "default", "u", "")
+    assert(Signals.Query.unpack(q.pack()) == q)
+    val d = Signals.DataBlock("t", Seq("a", "b"), Seq(Seq("1", "x"), Seq("2", "y")))
+    assert(Signals.DataBlock.unpack(d.pack()) == d)
+    val sd = Signals.Data(Seq("a" -> "String"), Seq(Seq("1"), Seq("2")))
+    assert(Signals.Data.unpack(sd.pack()) == sd)
+    val ex = Signals.Exception("E1", "boom", "stack")
+    assert(Signals.Exception.unpack(ex.pack()) == ex)
+    val sh = Signals.ServerHelloMsg("s", 1, 0, 54460L, "UTC", "d", 0)
+    assert(Signals.ServerHelloMsg.unpack(sh.pack()) == sh)
+    // uvarint edge: multi-byte lengths
+    val big = Signals.Exception("E", "x" * 300, "")
+    assert(Signals.Exception.unpack(big.pack()).message.length == 300)
+    // frame roundtrip through a stream
+    val bos = new java.io.ByteArrayOutputStream()
+    Wire.writeMessage(bos, Signals.ClientQuery, q.pack())
+    val Some((tpe, payload)) =
+      Wire.readMessage(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(tpe == Signals.ClientQuery && Signals.Query.unpack(payload) == q)
+  }
+}

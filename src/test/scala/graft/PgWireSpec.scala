@@ -1,0 +1,180 @@
+package graft
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.QueryEngine
+import graft.server.pgwire.PgWireServer
+
+/** Drives the pg-wire slice with a hand-rolled v3-protocol client:
+  * SSLRequest refusal, startup handshake, simple-query results, and
+  * the reference's CommandComplete tags
+  * (protocol.go:11-44, sql_parser_middleware.go:377-418). */
+class PgWireSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val engine = new QueryEngine(spark)
+  lazy val server: PgWireServer = {
+    val s = new PgWireServer(engine, port = 0)
+    s.start()
+    s
+  }
+
+  /** Minimal psql-protocol client. */
+  final class Client(ssl: Boolean) {
+    private val sock = new Socket("127.0.0.1", server.boundPort)
+    private val in = new DataInputStream(sock.getInputStream)
+    private val out = new DataOutputStream(sock.getOutputStream)
+    val params = scala.collection.mutable.Map[String, String]()
+
+    // optional SSLRequest: server must answer 'N'
+    if (ssl) {
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      assert(in.readUnsignedByte() == 'N')
+    }
+    // StartupMessage: version 3.0 + params
+    locally {
+      val body = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(body)
+      d.writeInt(196608) // 3 << 16
+      for ((k, v) <- Seq("user" -> "tester", "database" -> "default")) {
+        d.write(k.getBytes(UTF_8)); d.writeByte(0)
+        d.write(v.getBytes(UTF_8)); d.writeByte(0)
+      }
+      d.writeByte(0)
+      out.writeInt(4 + body.size()); body.writeTo(out); out.flush()
+    }
+
+    /** Reads messages until ReadyForQuery; returns (typeByte, payload) list. */
+    def drain(): Seq[(Char, Array[Byte])] = {
+      val msgs = Seq.newBuilder[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val tpe = in.readUnsignedByte().toChar
+        val len = in.readInt()
+        val payload = new Array[Byte](len - 4)
+        in.readFully(payload)
+        msgs += ((tpe, payload))
+        if (tpe == 'Z') done = true
+      }
+      msgs.result()
+    }
+
+    val startupMsgs: Seq[(Char, Array[Byte])] = drain()
+
+    def query(sql: String): Seq[(Char, Array[Byte])] = {
+      val b = sql.getBytes(UTF_8)
+      out.writeByte('Q'); out.writeInt(4 + b.length + 1)
+      out.write(b); out.writeByte(0); out.flush()
+      drain()
+    }
+
+    def close(): Unit = {
+      out.writeByte('X'); out.writeInt(4); out.flush()
+      sock.close()
+    }
+  }
+
+  private def cstr(b: Array[Byte]): String = {
+    val end = b.indexOf(0.toByte)
+    new String(b, 0, if (end < 0) b.length else end, UTF_8)
+  }
+
+  private def tagOf(msgs: Seq[(Char, Array[Byte])]): String =
+    cstr(msgs.find(_._1 == 'C').get._2)
+
+  /** Text values of one DataRow payload. */
+  private def rowValues(payload: Array[Byte]): Seq[String] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(payload))
+    val n = in.readShort()
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      if (len < 0) null
+      else { val b = new Array[Byte](len); in.readFully(b); new String(b, UTF_8) }
+    }
+  }
+
+  test("startup handshake: SSL refusal, AuthenticationOk, params, ReadyForQuery") {
+    val c = new Client(ssl = true)
+    val types = c.startupMsgs.map(_._1)
+    assert(types.head == 'R') // AuthenticationOk first
+    assert(types.contains('S') && types.contains('K'))
+    assert(types.last == 'Z')
+    // AuthenticationOk body is int32 0
+    assert(java.nio.ByteBuffer.wrap(c.startupMsgs.head._2).getInt == 0)
+    c.close()
+  }
+
+  test("simple query: RowDescription + DataRows + SELECT tag") {
+    val c = new Client(ssl = false)
+    val msgs = c.query("SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, NULL ORDER BY a")
+    assert(msgs.map(_._1).startsWith(Seq('T', 'D', 'D', 'C')))
+    assert(rowValues(msgs(1)._2) == Seq("1", "x"))
+    assert(rowValues(msgs(2)._2) == Seq("2", null))
+    assert(tagOf(msgs) == "SELECT 2")
+    c.close()
+  }
+
+  test("DDL + DML produce the reference CommandComplete tags") {
+    val c = new Client(ssl = false)
+    assert(tagOf(c.query("CREATE DATABASE IF NOT EXISTS pgw")) == "CREATE DATABASE")
+    c.query("DROP TABLE IF EXISTS pgw.t")
+    assert(tagOf(c.query(
+      "CREATE TABLE pgw.t (id int64 NOT NULL, v string) STORAGE filesystem"))
+      == "CREATE TABLE")
+    assert(tagOf(c.query("INSERT INTO pgw.t VALUES (1,'a'),(2,'b')")) == "INSERT 0 2")
+    assert(tagOf(c.query("UPDATE pgw.t SET v = 'z' WHERE id = 1")) == "UPDATE 1")
+    assert(tagOf(c.query("DELETE FROM pgw.t WHERE id = 2")) == "DELETE 1")
+    assert(tagOf(c.query("SHOW TABLES")) == "SHOW")
+    assert(tagOf(c.query("DROP TABLE pgw.t")) == "DROP TABLE")
+    c.close()
+  }
+
+  test("errors arrive as ErrorResponse and the session continues") {
+    val c = new Client(ssl = false)
+    val msgs = c.query("SELECT * FROM no_such_table_pgw")
+    val err = msgs.find(_._1 == 'E')
+    assert(err.isDefined)
+    // severity/code/message fields, null-separated
+    val fields = new String(err.get._2, UTF_8)
+    assert(fields.contains("ERROR") && fields.contains("XX000"))
+    assert(msgs.last._1 == 'Z')
+    // connection still works
+    assert(tagOf(c.query("SELECT 5 AS v")) == "SELECT 1")
+    c.close()
+  }
+
+  test("extended-protocol messages are refused politely") {
+    val c = new Client(ssl = false)
+    // send a Parse ('P') message: should get ErrorResponse + ReadyForQuery
+    val cOut = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(cOut)
+    d.writeByte('P'); d.writeInt(4 + 1); d.writeByte(0)
+    // use reflection-free path: raw socket access through query plumbing
+    // (write directly via the client's socket fields is not exposed, so
+    // drive through a fresh socket)
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    val sin = new DataInputStream(sock.getInputStream)
+    val sout = new DataOutputStream(sock.getOutputStream)
+    val body = new java.io.ByteArrayOutputStream()
+    val bd = new DataOutputStream(body)
+    bd.writeInt(196608)
+    bd.write("user".getBytes(UTF_8)); bd.writeByte(0)
+    bd.write("t".getBytes(UTF_8)); bd.writeByte(0)
+    bd.writeByte(0)
+    sout.writeInt(4 + body.size()); body.writeTo(sout); sout.flush()
+    // drain startup
+    var done = false
+    while (!done) {
+      val tpe = sin.readUnsignedByte().toChar
+      val len = sin.readInt(); val p = new Array[Byte](len - 4); sin.readFully(p)
+      if (tpe == 'Z') done = true
+    }
+    sout.writeByte('P'); sout.writeInt(5); sout.writeByte(0); sout.flush()
+    val tpe = sin.readUnsignedByte().toChar
+    assert(tpe == 'E')
+    sock.close()
+    c.close()
+  }
+}
