@@ -1,0 +1,198 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.types.IcebergTypes
+
+/** ALTER TABLE column operations with real schema evolution over the
+  * v1 parquet catalog (reference grammar: parser.go:1998-2227 —
+  * DROP COLUMN / ALTER COLUMN <type> / SETTINGS(k=v); ADD COLUMN is
+  * the natural superset).
+  *
+  * ADD COLUMN maps to Spark's native ADD COLUMNS (metadata-only).
+  * DROP/ALTER COLUMN need a physical rewrite on parquet v1 (no
+  * Iceberg jar in this container): stage the transformed rows
+  * durably, recreate the table with the evolved schema and updated
+  * graft.* bookkeeping, reload from staging. At warehouse scale this
+  * is the copy-on-write schema migration every non-Iceberg lake runs;
+  * with the Iceberg runtime present the same statements become
+  * metadata-only operations.
+  */
+object AlterTable {
+
+  private val dropColRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+`?(\w+)`?$""".r
+  private val alterColRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.`]+)\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+(.+)$""".r
+  private val addColRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+`?(\w+)`?\s+(.+)$""".r
+  private val settingsRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.`]+)\s+SETTINGS\s*\(?\s*(.*?)\s*\)?$""".r
+
+  /** Returns Some(message) when the statement is one of the dialect's
+    * ALTER forms; None = caller should pass through to Spark. */
+  def execute(spark: SparkSession, sql: String): Option[String] = sql match {
+    case addColRe(table, column, typeSpec) =>
+      Some(addColumn(spark, clean(table), column, typeSpec.trim))
+    case dropColRe(table, column) =>
+      Some(dropColumn(spark, clean(table), column))
+    case alterColRe(table, column, typeSpec) =>
+      Some(alterColumn(spark, clean(table), column, typeSpec.trim))
+    case settingsRe(table, kvs) if kvs.nonEmpty =>
+      Some(settings(spark, clean(table), kvs))
+    case _ => None
+  }
+
+  private def clean(t: String): String = t.replace("`", "")
+
+  private def props(spark: SparkSession, t: String): Map[String, String] =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t)).properties
+
+  private def setProps(spark: SparkSession, t: String,
+                       kvs: Map[String, String]): Unit =
+    if (kvs.nonEmpty) {
+      val body = kvs.map { case (k, v) =>
+        s"'$k'='${v.replace("'", "''")}'"
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ($body)")
+    }
+
+  // ---------------------------------------------------------------- ADD
+
+  private def addColumn(spark: SparkSession, t: String,
+                        column: String, typeSpec: String): String = {
+    val (icebergType, notNull) = splitType(typeSpec)
+    val sparkType = IcebergTypes.parse(icebergType) // validates
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (`$column` ${sparkType.sql})")
+    val p = props(spark, t)
+    val updates = Map(
+      "graft.columns" -> (p.get("graft.columns").map(_ + ",").getOrElse("") + column),
+      s"graft.type.$column" -> icebergType) ++
+      (if (notNull)
+        Map("graft.notnull" ->
+          (p.get("graft.notnull").map(_ + ",").getOrElse("") + column))
+       else Map.empty)
+    setProps(spark, t, updates)
+    s"Column $column added"
+  }
+
+  // --------------------------------------------------------------- DROP
+
+  private def dropColumn(spark: SparkSession, t: String, column: String): String = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(column)),
+      s"column '$column' does not exist in $t")
+    require(!meta.partitionColumnNames.exists(_.equalsIgnoreCase(column)),
+      s"cannot drop partition column '$column'")
+    rebuild(spark, t, df => df.drop(column), remaining =>
+      remaining.filterNot { case (k, _) =>
+        k == s"graft.type.$column"
+      }.map { case (k, v) =>
+        if (Set("graft.columns", "graft.notnull", "graft.unique",
+                "graft.primarykey").contains(k))
+          k -> v.split(",").filterNot(_.equalsIgnoreCase(column)).mkString(",")
+        else k -> v
+      }.filterNot(_._2.isEmpty))
+    s"Column $column dropped"
+  }
+
+  // -------------------------------------------------------------- ALTER
+
+  private def alterColumn(spark: SparkSession, t: String,
+                          column: String, typeSpec: String): String = {
+    val (icebergType, _) = splitType(typeSpec)
+    val newType = IcebergTypes.parse(icebergType)
+    rebuild(spark, t,
+      df => df.withColumn(column, col(column).cast(newType)),
+      remaining => remaining.map {
+        case (k, _) if k == s"graft.type.$column" => k -> icebergType
+        case kv => kv
+      })
+    s"Column $column altered to $icebergType"
+  }
+
+  // ----------------------------------------------------------- SETTINGS
+
+  private def settings(spark: SparkSession, t: String, kvs: String): String = {
+    val parsed = kvs.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k.trim -> v.trim
+        case _ => throw new IllegalArgumentException(s"invalid SETTINGS entry: '$kv'")
+      }
+    }.toMap
+    parsed.get("compression").foreach { codec =>
+      if (!Set("none", "snappy", "gzip", "brotli", "lz4", "zstd")
+            .contains(codec.toLowerCase))
+        throw new IllegalArgumentException(s"unsupported compression codec: $codec")
+    }
+    setProps(spark, t,
+      parsed.map { case (k, v) => s"graft.settings.$k" -> v } ++
+        parsed.get("compression").map { c =>
+          "parquet.compression" ->
+            (if (c.toLowerCase == "none") "uncompressed" else c.toLowerCase)
+        })
+    "Settings updated"
+  }
+
+  // ---------------------------------------------------------- machinery
+
+  /** Stage → drop → recreate-with-evolved-schema → reload. The staged
+    * parquet copy is durable before the original table is dropped. */
+  private def rebuild(spark: SparkSession, t: String,
+                      transform: DataFrame => DataFrame,
+                      evolveProps: Map[String, String] => Map[String, String]): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val meta = catalog.getTableMetadata(ident)
+    val parts = meta.partitionColumnNames
+    val transformed = transform(spark.table(t))
+    val newSchema = transformed.schema
+    val newProps = evolveProps(meta.properties)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val staging = new org.apache.hadoop.fs.Path(
+      warehouse, s".graft-alter-${java.util.UUID.randomUUID()}")
+    val fs = staging.getFileSystem(conf)
+    try {
+      transformed.write.mode("overwrite").parquet(staging.toString)
+
+      // declared order (with dropped/added columns reflected) for the
+      // recreated table; partition columns keep their role
+      val declared = newProps.get("graft.columns").map(_.split(",").toSeq)
+        .getOrElse(newSchema.fieldNames.toSeq)
+        .filter(c => newSchema.fieldNames.contains(c))
+      val colsSql = declared.map { c =>
+        s"`$c` ${newSchema(c).dataType.sql}"
+      }.mkString(", ")
+      val partSql =
+        if (parts.isEmpty) ""
+        else parts.mkString(" PARTITIONED BY (", ", ", ")")
+      val propsSql =
+        if (newProps.isEmpty) ""
+        else newProps.map { case (k, v) =>
+          s"'$k'='${v.replace("'", "''")}'"
+        }.mkString(" TBLPROPERTIES (", ", ", ")")
+
+      spark.sql(s"DROP TABLE $t")
+      spark.sql(s"CREATE TABLE $t ($colsSql) USING parquet$partSql$propsSql")
+      val staged = spark.read.schema(newSchema).parquet(staging.toString)
+      val aligned = newSchema.fieldNames.filterNot(parts.contains).toSeq ++ parts
+      staged.select(aligned.map(col): _*)
+        .write.mode("overwrite").insertInto(t)
+    } finally {
+      try fs.delete(staging, true)
+      catch { case _: Exception => () }
+    }
+  }
+
+  /** "int32 NOT NULL" → ("int32", true). */
+  private def splitType(spec: String): (String, Boolean) = {
+    val notNull = "(?i)\\bNOT\\s+NULL\\b".r.findFirstIn(spec).isDefined
+    val t = spec.replaceAll("(?i)\\bNOT\\s+NULL\\b", "").trim
+    (t, notNull)
+  }
+}

@@ -122,11 +122,15 @@ final class QueryEngine(val spark: SparkSession) {
       spark.sql(sql)
       ok(id, "Dropped")
     case "ALTER" =>
-      // ALTER TABLE … (parser.go:1998-2227): SET TBLPROPERTIES and
-      // ADD COLUMNS pass through to Spark; DROP COLUMN is rejected by
-      // the v1 parquet catalog, mirroring a schema-evolution boundary
-      spark.sql(sql)
-      ok(id, "Altered")
+      // ALTER TABLE column ops (parser.go:1998-2227): ADD/DROP/ALTER
+      // COLUMN + SETTINGS run through the schema-evolution path;
+      // any other ALTER form passes through to Spark
+      AlterTable.execute(spark, sql) match {
+        case Some(msg) => ok(id, msg)
+        case None =>
+          spark.sql(sql)
+          ok(id, "Altered")
+      }
     case "INSERT" => runInsert(sql, id)
     case "UPDATE" => runUpdate(sql, id)
     case "DELETE" => runDelete(sql, id)
@@ -151,7 +155,14 @@ final class QueryEngine(val spark: SparkSession) {
   }
 
   private def runSelect(sql: String, id: String): QueryResult =
-    toResult(id, spark.sql(sql))
+    if (SystemTables.isSystemQuery(sql)) {
+      // system-db queries are served from the catalog, not table scans
+      // (engine.go:1024-1049 routes them to the registry)
+      SystemTables.register(spark)
+      val r = toResult(id, spark.sql(sql))
+      r.copy(message =
+        s"System query executed successfully, ${r.rowCount} rows returned")
+    } else toResult(id, spark.sql(sql))
 
   private def runExplain(sql: String, id: String): QueryResult =
     toResult(id, spark.sql(sql))

@@ -1,0 +1,162 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Queryable system tables, the analog of the reference's registry
+  * system views (server/metadata/registry/system/views/ SQL layouts,
+  * manager.go:75-120 query execution, engine.go:1024-1049 routing):
+  * `system_databases`, `system_tables`, `system_columns` as
+  * DataFrames over the Spark catalog, enriched with the dialect's
+  * graft.* table properties (Iceberg types, PK/UNIQUE, declared
+  * column order).
+  *
+  * The views are rebuilt on each system query — catalog enumeration
+  * is driver-side metadata (hundreds of rows, not data-scale), which
+  * is exactly how the reference serves them (SQLite registry, not
+  * DuckDB).
+  */
+object SystemTables {
+
+  /** The reference's detection heuristic (manager.go:302-308). */
+  def isSystemQuery(sql: String): Boolean = {
+    val u = sql.trim.toUpperCase
+    u.contains("SYSTEM.") || u.contains("FROM SYSTEM") || u.contains("JOIN SYSTEM")
+  }
+
+  /** (Re)register the three views as temp views. */
+  def register(spark: SparkSession): Unit = {
+    val cat = spark.sessionState.catalog
+    val dbs = cat.listDatabases()
+    val tables = dbs.flatMap { db =>
+      cat.listTables(db).flatMap { ti =>
+        try Some(cat.getTableMetadata(ti)) catch { case _: Exception => None }
+      }
+    }
+
+    databases(spark, dbs, tables).createOrReplaceTempView("system_databases")
+    tablesView(spark, tables).createOrReplaceTempView("system_tables")
+    columnsView(spark, tables).createOrReplaceTempView("system_columns")
+  }
+
+  // layout: views/databases.sql
+  private def databases(spark: SparkSession, dbs: Seq[String],
+                        tables: Seq[org.apache.spark.sql.catalyst.catalog.CatalogTable]): DataFrame = {
+    val byDb = tables.groupBy(_.identifier.database.getOrElse("default"))
+    val rows = dbs.map { db =>
+      val t = byDb.getOrElse(db, Seq.empty)
+      Row(db, db, null,
+        db == "system", false,
+        t.length.toLong,
+        t.flatMap(_.stats.map(_.sizeInBytes.toLong)).sum,
+        earliest(t), null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("database_name", StringType),
+        StructField("display_name", StringType),
+        StructField("description", StringType),
+        StructField("is_system", BooleanType),
+        StructField("is_read_only", BooleanType),
+        StructField("table_count", LongType),
+        StructField("total_size", LongType),
+        StructField("created_at", TimestampType),
+        StructField("updated_at", TimestampType))))
+  }
+
+  // layout: views/tables.sql
+  private def tablesView(spark: SparkSession,
+                         tables: Seq[org.apache.spark.sql.catalyst.catalog.CatalogTable]): DataFrame = {
+    val rows = tables.map { t =>
+      Row(
+        t.identifier.database.getOrElse("default"),
+        t.identifier.table,
+        t.identifier.table,
+        t.comment.orNull,
+        t.tableType.name,
+        false,
+        t.tableType.name == "EXTERNAL",
+        t.stats.flatMap(_.rowCount.map(_.toLong)).getOrElse(null),
+        null,
+        t.stats.map(_.sizeInBytes.toLong).getOrElse(null),
+        ts(t.createTime), null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("database_name", StringType),
+        StructField("table_name", StringType),
+        StructField("display_name", StringType),
+        StructField("description", StringType),
+        StructField("table_type", StringType),
+        StructField("is_temporary", BooleanType),
+        StructField("is_external", BooleanType),
+        StructField("row_count", LongType),
+        StructField("file_count", LongType),
+        StructField("total_size", LongType),
+        StructField("created_at", TimestampType),
+        StructField("updated_at", TimestampType))))
+  }
+
+  // layout: views/columns.sql
+  private def columnsView(spark: SparkSession,
+                          tables: Seq[org.apache.spark.sql.catalyst.catalog.CatalogTable]): DataFrame = {
+    val rows = tables.flatMap { t =>
+      val props = t.properties
+      val pks = props.get("graft.primarykey").map(_.split(",").toSet).getOrElse(Set.empty)
+      val uniques = props.get("graft.unique").map(_.split(",").toSet).getOrElse(Set.empty)
+      val notNull = props.get("graft.notnull").map(_.split(",").toSet).getOrElse(Set.empty)
+      val declared = props.get("graft.columns").map(_.split(",").toSeq)
+        .getOrElse(t.schema.fieldNames.toSeq)
+      declared.zipWithIndex.flatMap { case (name, ord) =>
+        t.schema.fields.find(_.name == name).map { f =>
+          val icebergType = props.getOrElse(s"graft.type.${f.name}",
+            graft.types.IcebergTypes.format(f.dataType))
+          val (prec, scale) = f.dataType match {
+            case d: DecimalType => (d.precision.toLong, d.scale.toLong)
+            case _ => (null, null)
+          }
+          Row(
+            t.identifier.database.getOrElse("default"),
+            t.identifier.table,
+            f.name, f.name,
+            icebergType,
+            f.nullable && !notNull.contains(f.name),
+            pks.contains(f.name),
+            uniques.contains(f.name),
+            f.getCurrentDefaultValue().orNull,
+            null,
+            (ord + 1).toLong,
+            null, prec, scale,
+            ts(t.createTime), null)
+        }
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("database_name", StringType),
+        StructField("table_name", StringType),
+        StructField("column_name", StringType),
+        StructField("display_name", StringType),
+        StructField("data_type", StringType),
+        StructField("is_nullable", BooleanType),
+        StructField("is_primary", BooleanType),
+        StructField("is_unique", BooleanType),
+        StructField("default_value", StringType),
+        StructField("description", StringType),
+        StructField("ordinal_position", LongType),
+        StructField("max_length", LongType),
+        StructField("precision", LongType),
+        StructField("scale", LongType),
+        StructField("created_at", TimestampType),
+        StructField("updated_at", TimestampType))))
+  }
+
+  private def ts(millis: Long): java.sql.Timestamp =
+    if (millis > 0) new java.sql.Timestamp(millis) else null
+
+  private def earliest(tables: Seq[org.apache.spark.sql.catalyst.catalog.CatalogTable]): java.sql.Timestamp =
+    tables.map(_.createTime).filter(_ > 0).sorted.headOption.map(new java.sql.Timestamp(_)).orNull
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.QueryEngine
+
+/** SELECTs against the system database are served from the catalog
+  * with the reference's view layouts
+  * (server/metadata/registry/system/views/ SQL) and compose as real
+  * SQL (filters, joins, aggregates). */
+class SystemTablesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val engine = new QueryEngine(spark)
+
+  test("system_tables / system_columns / system_databases layouts and content") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS sysx")
+    engine.execute("DROP TABLE IF EXISTS sysx.orders")
+    engine.execute(
+      """CREATE TABLE sysx.orders (
+        |  id int64 PRIMARY KEY,
+        |  sku string UNIQUE,
+        |  qty int32,
+        |  price decimal(10,2)
+        |) STORAGE filesystem""".stripMargin)
+
+    val t = engine.execute(
+      "SELECT table_name, table_type FROM system_tables WHERE database_name = 'sysx'")
+    assert(t.columns == Seq("table_name", "table_type"))
+    assert(t.data.map(_.head).contains("orders"))
+    assert(t.message.startsWith("System query executed successfully"))
+
+    val c = engine.execute(
+      """SELECT column_name, data_type, is_nullable, is_primary, is_unique,
+        |       ordinal_position, precision, scale
+        |FROM system_columns
+        |WHERE database_name = 'sysx' AND table_name = 'orders'
+        |ORDER BY ordinal_position""".stripMargin)
+    assert(c.data.map(r => (r(0), r(1), r(3), r(4))) == Seq(
+      ("id", "int64", true, false),
+      ("sku", "string", false, true),
+      ("qty", "int32", false, false),
+      ("price", "decimal(10,2)", false, false)))
+    // PRIMARY KEY implies NOT NULL; decimal carries precision/scale
+    assert(c.data.head(2) == false) // id not nullable
+    assert(c.data(3)(6) == 10L && c.data(3)(7) == 2L)
+
+    val d = engine.execute(
+      "SELECT database_name, table_count FROM system_databases WHERE database_name = 'sysx'")
+    assert(d.data.head.head == "sysx" && d.data.head(1).asInstanceOf[Long] >= 1L)
+
+    // system views join against each other like any SQL relation
+    val j = engine.execute(
+      """SELECT c.column_name
+        |FROM system_columns c JOIN system_tables t
+        |  ON c.database_name = t.database_name AND c.table_name = t.table_name
+        |WHERE t.database_name = 'sysx' AND c.is_primary""".stripMargin)
+    assert(j.data.map(_.head) == Seq("id"))
+
+    engine.execute("DROP TABLE sysx.orders")
+  }
+}
