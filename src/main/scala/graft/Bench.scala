@@ -6,17 +6,26 @@ import scala.concurrent.{Await, ExecutionContext, Future}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Methodology:
-  *  - each query materializes fully through the `noop` sink (count()
+  * Methodology (round-2 verdict asked for attributable numbers):
+  *  - every query materializes fully through the `noop` sink (count()
   *    would let Catalyst prune computed columns away);
-  *  - one warm-up query first so JVM/codegen JIT cost is not billed to
-  *    the first measured query;
-  *  - queries run 8-way concurrent: Spark's scheduler multiplexes jobs
-  *    across the 32 local cores exactly as a shared engine would, so
-  *    `value` reports suite wall-clock (throughput), while `queries`
-  *    reports each query's own latency under that load.
+  *  - pass 1 (unmeasured): full-suite warm-up — JVM/Janino JIT,
+  *    codegen cache, parquet footers;
+  *  - pass 2 (measured, `queries` + `sequential_total`): each query
+  *    SEQUENTIALLY on the idle engine — true warm latency,
+  *    regressions attributable to a single query;
+  *  - pass 3 (measured, `value` = `concurrent_wall`): 8-way
+  *    concurrent — suite throughput, how a shared engine actually
+  *    runs; per-query latencies under load go to
+  *    `queries_concurrent`;
+  *  - `sched_floor_sec`: median latency of an empty one-task job —
+  *    the per-query cost floor Spark charges regardless of data
+  *    volume. sequential_total ≈ Σ(data work) + N * floor; the floor
+  *    is flat in data size (it is the number to divide out when
+  *    comparing against an embedded single-process engine at small
+  *    scale factors).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,27 +52,41 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm-up (not measured): JVM + Janino + parquet footer caches.
-    // (A full-suite warmup at sf0.001 was tried and did NOT help:
-    // AQE's stage-dependent codegen defeats cross-SF class reuse, and
-    // the extra allocation slowed the measured run.)
-    SparkEntry.queries.get("q16_topk").foreach(run1("warmup", _))
-    SparkEntry.queries.get("q1_pricing_summary").foreach(run1("warmup", _))
-    spark.catalog.clearCache()
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // pass 1: full-suite warm-up (unmeasured) — warms the codegen
+    // cache for every query shape, not just two representatives
+    suite.foreach { case (n, f) => run1(s"warmup-$n", f) }
+
+    // scheduling floor: empty one-task job, median of 5
+    val floors = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val floor = floors(2)
+
+    // pass 2: sequential warm latencies
+    val seqT0 = System.nanoTime()
+    val sequential = suite.map { case (name, fn) => name -> run1(name, fn) }
+    val seqTotal = (System.nanoTime() - seqT0) / 1e9
+
+    // pass 3: 8-way concurrent throughput
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      Future(name -> run1(name, fn))
-    }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
+    val futures = suite.map { case (name, fn) => Future(name -> run1(name, fn)) }
+    val concurrent = Await.result(Future.sequence(futures), Duration.Inf)
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec",""" +
+      s""""queries":${jmap(sequential)},""" +
+      s""""sequential_total":$seqTotal,"concurrent_wall":$wall,""" +
+      s""""sched_floor_sec":$floor,"n_queries":${suite.length},""" +
+      s""""queries_concurrent":${jmap(concurrent)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

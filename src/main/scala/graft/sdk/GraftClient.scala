@@ -1,0 +1,188 @@
+package graft.sdk
+
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.util.control.NonFatal
+
+import graft.server.native.NativeClient
+
+/** Client library over the native protocol — the analog of the
+  * reference's Go SDK (pkg/sdk/client.go:245-829): Query / QueryRow /
+  * Exec, PrepareBatch → Append → Send, AsyncInsert, and a connection
+  * pool with max-open/max-idle caps and idle reaping (reference
+  * defaults: 10 open / 5 idle / 1 h lifetime, client.go pool fields
+  * at :182-186).
+  */
+object GraftClient {
+  final case class Options(
+      host: String = "127.0.0.1",
+      port: Int = 2849,
+      database: String = "default",
+      user: String = "default",
+      maxOpenConns: Int = 10,
+      maxIdleConns: Int = 5,
+      connMaxLifetimeMs: Long = 60L * 60 * 1000,
+      idleReapIntervalMs: Long = 30_000)
+
+  def open(opt: Options = Options()): GraftClient = new GraftClient(opt)
+
+  final case class Row(values: Seq[String]) {
+    def getString(i: Int): String = values(i)
+    def getLong(i: Int): Long = values(i).toLong
+    def getDouble(i: Int): Double = values(i).toDouble
+  }
+  final case class Rows(columns: Seq[String], rows: Seq[Row]) {
+    def isEmpty: Boolean = rows.isEmpty
+    def head: Row = rows.head
+  }
+  final case class Stats(open: Int, idle: Int)
+}
+
+final class GraftClient private[sdk] (opt: GraftClient.Options) {
+  import GraftClient._
+
+  private final case class Pooled(conn: NativeClient, createdAt: Long) {
+    @volatile var lastUsed: Long = System.currentTimeMillis()
+  }
+
+  private val idle = new ConcurrentLinkedQueue[Pooled]()
+  private val openCount = new AtomicInteger(0)
+  @volatile private var closed = false
+
+  private val reaper = Executors.newSingleThreadScheduledExecutor { r =>
+    val t = new Thread(r, "graft-sdk-reaper"); t.setDaemon(true); t
+  }
+  reaper.scheduleAtFixedRate(() => reapIdle(),
+    opt.idleReapIntervalMs, opt.idleReapIntervalMs, TimeUnit.MILLISECONDS)
+
+  private val asyncPool = Executors.newFixedThreadPool(2, r => {
+    val t = new Thread(r, "graft-sdk-async"); t.setDaemon(true); t
+  })
+
+  // ------------------------------------------------------------ pool
+
+  private def acquire(): Pooled = {
+    if (closed) throw new IllegalStateException("client is closed")
+    val now = System.currentTimeMillis()
+    var p = idle.poll()
+    while (p != null && now - p.createdAt > opt.connMaxLifetimeMs) {
+      discard(p); p = idle.poll()
+    }
+    if (p != null) p
+    else if (openCount.incrementAndGet() <= opt.maxOpenConns) {
+      try {
+        val c = new NativeClient(opt.host, opt.port)
+        c.hello(opt.database, opt.user)
+        Pooled(c, now)
+      } catch { case NonFatal(e) => openCount.decrementAndGet(); throw e }
+    } else {
+      openCount.decrementAndGet()
+      // pool exhausted: brief wait-and-retry (the Go SDK blocks on a
+      // channel; a bounded spin keeps this dependency-free)
+      Thread.sleep(10)
+      acquire()
+    }
+  }
+
+  private def release(p: Pooled, failed: Boolean): Unit = {
+    if (failed || closed || idle.size() >= opt.maxIdleConns) discard(p)
+    else { p.lastUsed = System.currentTimeMillis(); idle.offer(p) }
+  }
+
+  private def discard(p: Pooled): Unit = {
+    openCount.decrementAndGet()
+    try p.conn.close() catch { case NonFatal(_) => () }
+  }
+
+  private def reapIdle(): Unit = {
+    val cutoff = System.currentTimeMillis() - opt.connMaxLifetimeMs
+    val it = idle.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.createdAt < cutoff) { it.remove(); discard(p) }
+    }
+  }
+
+  private def withConn[A](body: NativeClient => A): A = {
+    val p = acquire()
+    try { val r = body(p.conn); release(p, failed = false); r }
+    catch { case NonFatal(e) => release(p, failed = true); throw e }
+  }
+
+  // ------------------------------------------------------------ API
+
+  def ping(): Boolean = withConn { c => c.ping(); true }
+
+  def query(sql: String): Rows = withConn { c =>
+    val (cols, rows) = c.query(sql)
+    Rows(cols, rows.map(Row))
+  }
+
+  /** First row of the result (reference QueryRow, client.go:489). */
+  def queryRow(sql: String): Option[Row] = {
+    val r = query(sql)
+    r.rows.headOption
+  }
+
+  /** Statement executed for effect; result discarded (client.go:504). */
+  def exec(sql: String): Unit = { query(sql); () }
+
+  /** Batch insert builder (client.go:515-533; Append/Send as in the
+    * reference's ClickHouse-style API). */
+  def prepareBatch(table: String, columns: Seq[String]): Batch =
+    new Batch(this, table, columns)
+
+  /** Fire-and-forget (wait=false) or synchronous (wait=true) insert of
+    * one VALUES statement (client.go:536-545). */
+  def asyncInsert(sql: String, wait: Boolean): Unit =
+    if (wait) exec(sql)
+    else { asyncPool.submit(new Runnable { def run(): Unit = exec(sql) }); () }
+
+  def stats: Stats = Stats(openCount.get(), idle.size())
+
+  def close(): Unit = {
+    closed = true
+    reaper.shutdownNow()
+    asyncPool.shutdown()
+    asyncPool.awaitTermination(30, TimeUnit.SECONDS)
+    var p = idle.poll()
+    while (p != null) { discard(p); p = idle.poll() }
+  }
+
+  private[sdk] def sendBlock(table: String, columns: Seq[String],
+                             rows: Seq[Seq[String]]): Unit =
+    withConn { c =>
+      c.insert(table, columns, rows)
+      // ClientData has no success reply; a follow-up ping on the same
+      // connection serializes behind the insert, so errors surface and
+      // Send() returning means the server consumed the block
+      c.ping()
+    }
+}
+
+/** Accumulates rows client-side, ships one ClientData block on Send —
+  * the reference's PrepareBatch/Append/Send lifecycle. */
+final class Batch private[sdk] (client: GraftClient, table: String,
+                                columns: Seq[String]) {
+  private val buf = Seq.newBuilder[Seq[String]]
+  private var count = 0
+
+  def append(values: Any*): Batch = {
+    require(values.length == columns.length,
+      s"expected ${columns.length} values, got ${values.length}")
+    buf += values.map(v => if (v == null) "NULL" else v.toString)
+    count += 1
+    this
+  }
+
+  def rows: Int = count
+
+  def send(): Int = {
+    val data = buf.result()
+    if (data.nonEmpty) client.sendBlock(table, columns, data)
+    buf.clear()
+    val n = count
+    count = 0
+    n
+  }
+}
