@@ -115,7 +115,15 @@ final class QueryEngine(val spark: SparkSession) {
         ok(id, "Database created")
       } else if (upper.matches("(?s)^CREATE\\s+TABLE.*")) {
         val ct = RangerDdl.parse(sql)
-        spark.sql(ct.toSparkSql(spark.catalog.currentDatabase))
+        spark.sql(ct.toSparkSql(Some(spark.catalog.currentDatabase),
+          spark.conf.getOption("spark.graft.s3.bucket")))
+        // STORAGE memory: the reference's in-memory engine
+        // (server/storage/memory/fs.go) — here the table is pinned in
+        // Spark's columnar block cache; reads never return to disk
+        // after first touch
+        if (ct.storage == "memory")
+          spark.catalog.cacheTable(ct.qualified(
+            Some(spark.catalog.currentDatabase)).replace("`", ""))
         ok(id, s"Table ${ct.table} created")
       } else throw new IllegalArgumentException("unsupported statement type")
     case "DROP" =>

@@ -61,7 +61,15 @@ object RangerDdl {
     /** Spark DDL equivalent. */
     def toSparkSql(defaultDb: String): String = toSparkSql(Some(defaultDb))
 
-    def toSparkSql(defaultDb: Option[String]): String = {
+    def toSparkSql(defaultDb: Option[String]): String =
+      toSparkSql(defaultDb, s3Base = None)
+
+    /** `s3Base` (e.g. `s3a://bucket/warehouse`) supplies the external
+      * location for STORAGE s3 tables — the Spark mapping of the
+      * reference's S3 engine (server/storage/s3/fs.go): same DDL, the
+      * table's files live under the object store via the s3a Hadoop
+      * connector instead of a bespoke S3 filesystem layer. */
+    def toSparkSql(defaultDb: Option[String], s3Base: Option[String]): String = {
       val colsSql = columns.map { c =>
         val t = IcebergTypes.parse(c.icebergType).sql
         val nn = if (c.notNull) " NOT NULL" else ""
@@ -102,7 +110,17 @@ object RangerDdl {
       val propsSql = props
         .map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }
         .mkString(" TBLPROPERTIES (", ", ", ")")
-      s"CREATE TABLE $ine${qualified(defaultDb)} ($colsSql) USING parquet$part$propsSql"
+      val location = (storage, s3Base) match {
+        case ("s3", Some(base)) =>
+          val db = database.orElse(defaultDb).getOrElse("default")
+          s" LOCATION '${base.stripSuffix("/")}/$db/$table'"
+        case ("s3", None) =>
+          throw ParseError(
+            "STORAGE s3 requires spark.graft.s3.bucket (s3a:// base URI) " +
+            "and the hadoop-aws connector on the classpath")
+        case _ => ""
+      }
+      s"CREATE TABLE $ine${qualified(defaultDb)} ($colsSql) USING parquet$part$location$propsSql"
     }
   }
 

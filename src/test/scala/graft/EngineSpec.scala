@@ -342,6 +342,24 @@ class EngineSpec extends AnyFunSuite {
     engine.execute("DROP TABLE d7.pp")
   }
 
+  test("STORAGE engines: memory pins the cache, s3 maps to s3a location") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d8")
+    engine.execute("DROP TABLE IF EXISTS d8.mem")
+    engine.execute("CREATE TABLE d8.mem (id int64, v string) STORAGE memory")
+    assert(TestSpark.spark.catalog.isCached("d8.mem"))
+    engine.execute("INSERT INTO d8.mem VALUES (1,'a')")
+    assert(engine.execute("SELECT count(*) AS c FROM d8.mem").data.head.head == 1L)
+    engine.execute("DROP TABLE d8.mem")
+    // s3: location generated from the configured base URI
+    val ct = graft.engine.RangerDdl.parse(
+      "CREATE TABLE logs (id int64) STORAGE s3")
+    val ddl = ct.toSparkSql(Some("d8"), Some("s3a://warehouse-bucket/wh"))
+    assert(ddl.contains("LOCATION 's3a://warehouse-bucket/wh/d8/logs'"))
+    // without a bucket the engine refuses with an actionable error
+    assertThrows[graft.engine.RangerDdl.ParseError](
+      ct.toSparkSql(Some("d8"), None))
+  }
+
   test("UPDATE that moves rows across partitions stays correct (whole-table path)") {
     engine.execute("CREATE DATABASE IF NOT EXISTS d7")
     engine.execute("DROP TABLE IF EXISTS d7.mv")
