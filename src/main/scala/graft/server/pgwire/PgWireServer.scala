@@ -63,6 +63,13 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
+    // extended-protocol state (the reference stubs these handlers with
+    // bare acks, handler.go:163-201; here Parse/Bind/Execute actually
+    // run — prepared statements work from a stock JDBC driver)
+    val statements = scala.collection.mutable.Map[String, String]()
+    val portals = scala.collection.mutable.Map[String, String]()
+    val portalResults =
+      scala.collection.mutable.Map[String, QueryEngine#QueryResult]()
     try {
       if (!startup(in, out)) return
       var open = true
@@ -77,12 +84,51 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
           case 'Q' =>
             val sql = cString(payload, 0)._1.trim
             runQuery(out, sql)
+          case 'P' => // Parse: store named statement
+            val (name, p1) = cString(payload, 0)
+            val (sql, _) = cString(payload, p1)
+            statements(name) = sql
+            message(out, '1', _ => ()) // ParseComplete
+          case 'B' => // Bind: substitute $n parameters into a portal
+            try {
+              val bound = bind(payload, statements)
+              portals(bound._1) = bound._2
+              portalResults.remove(bound._1)
+              message(out, '2', _ => ()) // BindComplete
+            } catch {
+              case NonFatal(e) =>
+                errorResponse(out, "XX000", s"bind failed: ${e.getMessage}")
+            }
+          case 'D' => // Describe statement ('S') or portal ('P')
+            val kind = payload(0).toChar
+            val (name, _) = cString(payload, 1)
+            if (kind == 'S') {
+              val sql = statements.getOrElse(name, "")
+              message(out, 't', b => { // ParameterDescription: all text
+                val n = paramCount(sql)
+                b.writeShort(n)
+                (0 until n).foreach(_ => b.writeInt(25))
+              })
+              message(out, 'n', _ => ()) // NoData until bound
+            } else {
+              // execute now so the portal can be described accurately;
+              // Execute streams the cached result
+              describePortal(out, name, portals, portalResults)
+            }
+          case 'E' => // Execute portal
+            val (name, _) = cString(payload, 0)
+            executePortal(out, name, portals, portalResults)
+          case 'C' => // Close statement/portal
+            val kind = payload(0).toChar
+            val (name, _) = cString(payload, 1)
+            if (kind == 'S') statements.remove(name)
+            else { portals.remove(name); portalResults.remove(name) }
+            message(out, '3', _ => ()) // CloseComplete
           case 'X' => open = false // Terminate
           case 'S' => readyForQuery(out) // Sync
           case other =>
-            // Parse/Bind/Execute/Describe/Close: not in the slice
             errorResponse(out, "0A000",
-              s"message type '${other.toChar}' not supported (simple query protocol only)")
+              s"message type '${other.toChar}' not supported")
             readyForQuery(out)
         }
       }
@@ -92,6 +138,82 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
       try sock.close() catch { case NonFatal(_) => () }
     }
   }
+
+  /** Bind payload → (portalName, sql-with-substituted-params).
+    * Text-format values only; numeric-looking values inline bare,
+    * everything else as a quoted literal. */
+  private def bind(payload: Array[Byte],
+                   statements: scala.collection.Map[String, String]): (String, String) = {
+    val c = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+    def cstr(): String = {
+      val b = new java.io.ByteArrayOutputStream()
+      var ch = c.read()
+      while (ch > 0) { b.write(ch); ch = c.read() }
+      new String(b.toByteArray, UTF_8)
+    }
+    val portal = cstr()
+    val stmt = cstr()
+    val sql = statements.getOrElse(stmt,
+      throw new IllegalArgumentException(s"unknown statement '$stmt'"))
+    val nFormats = c.readShort()
+    (0 until nFormats).foreach(_ => c.readShort())
+    val nParams = c.readShort()
+    val values = (0 until nParams).map { _ =>
+      val len = c.readInt()
+      if (len < 0) null
+      else {
+        val b = new Array[Byte](len); c.readFully(b); new String(b, UTF_8)
+      }
+    }
+    val substituted = values.zipWithIndex.foldRight(sql) { case ((v, i), acc) =>
+      // fold RIGHT so $12 is replaced before $1
+      acc.replace(s"$$${i + 1}", literal(v))
+    }
+    (portal, substituted)
+  }
+
+  private def literal(v: String): String =
+    if (v == null) "NULL"
+    else if (v.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) v
+    else "'" + v.replace("'", "''") + "'"
+
+  private def paramCount(sql: String): Int =
+    "\\$(\\d+)".r.findAllMatchIn(sql).map(_.group(1).toInt).maxOption.getOrElse(0)
+
+  private def describePortal(out: DataOutputStream, name: String,
+      portals: scala.collection.Map[String, String],
+      cache: scala.collection.mutable.Map[String, QueryEngine#QueryResult]): Unit =
+    portals.get(name) match {
+      case None => errorResponse(out, "34000", s"unknown portal '$name'")
+      case Some(sql) =>
+        try {
+          val res = cache.getOrElseUpdate(name, engine.execute(sql))
+          if (res.columns.nonEmpty) rowDescription(out, res.columns)
+          else message(out, 'n', _ => ())
+        } catch {
+          case NonFatal(e) =>
+            errorResponse(out, "XX000",
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+        }
+    }
+
+  private def executePortal(out: DataOutputStream, name: String,
+      portals: scala.collection.Map[String, String],
+      cache: scala.collection.mutable.Map[String, QueryEngine#QueryResult]): Unit =
+    portals.get(name) match {
+      case None => errorResponse(out, "34000", s"unknown portal '$name'")
+      case Some(sql) =>
+        try {
+          val res = cache.getOrElseUpdate(name, engine.execute(sql))
+          cache.remove(name) // portal is consumed by execution
+          res.data.foreach(dataRow(out, _))
+          commandComplete(out, tag(sql, res.rowCount))
+        } catch {
+          case NonFatal(e) =>
+            errorResponse(out, "XX000",
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+        }
+    }
 
   /** Startup: optional SSLRequest ('N' refusal) then the real startup
     * packet; replies AuthenticationOk, ParameterStatus set,

@@ -145,15 +145,81 @@ class PgWireSpec extends AnyFunSuite {
     c.close()
   }
 
-  test("extended-protocol messages are refused politely") {
+  test("extended protocol: Parse/Bind/Execute with parameters") {
     val c = new Client(ssl = false)
-    // send a Parse ('P') message: should get ErrorResponse + ReadyForQuery
-    val cOut = new java.io.ByteArrayOutputStream()
-    val d = new DataOutputStream(cOut)
-    d.writeByte('P'); d.writeInt(4 + 1); d.writeByte(0)
-    // use reflection-free path: raw socket access through query plumbing
-    // (write directly via the client's socket fields is not exposed, so
-    // drive through a fresh socket)
+    // raw access to the socket streams via a second client is clunky;
+    // reuse the Client's underlying connection through reflection-free
+    // helpers added below
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    val sin = new DataInputStream(sock.getInputStream)
+    val sout = new DataOutputStream(sock.getOutputStream)
+    // startup
+    val body = new java.io.ByteArrayOutputStream()
+    val bd = new DataOutputStream(body)
+    bd.writeInt(196608)
+    bd.write("user".getBytes(UTF_8)); bd.writeByte(0)
+    bd.write("t".getBytes(UTF_8)); bd.writeByte(0)
+    bd.writeByte(0)
+    sout.writeInt(4 + body.size()); body.writeTo(sout); sout.flush()
+    def drain(): Seq[(Char, Array[Byte])] = {
+      val out = Seq.newBuilder[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val tpe = sin.readUnsignedByte().toChar
+        val len = sin.readInt()
+        val p = new Array[Byte](len - 4); sin.readFully(p)
+        out += ((tpe, p))
+        if (tpe == 'Z') done = true
+      }
+      out.result()
+    }
+    drain() // startup messages
+    def msg(tpe: Char, bodyFn: DataOutputStream => Unit): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      bodyFn(new DataOutputStream(buf))
+      sout.writeByte(tpe); sout.writeInt(4 + buf.size()); buf.writeTo(sout)
+      sout.flush()
+    }
+    def cz(d: DataOutputStream, s: String): Unit = {
+      d.write(s.getBytes(UTF_8)); d.writeByte(0)
+    }
+    // Parse named statement with two parameters
+    msg('P', d => { cz(d, "s1"); cz(d, "SELECT $1 + $2 AS total, 'p' AS tag"); d.writeShort(0) })
+    // Bind portal with text params 40 and 2
+    msg('B', d => {
+      cz(d, "p1"); cz(d, "s1")
+      d.writeShort(0) // no format codes
+      d.writeShort(2)
+      d.writeInt(2); d.write("40".getBytes(UTF_8))
+      d.writeInt(1); d.write("2".getBytes(UTF_8))
+      d.writeShort(0) // no result formats
+    })
+    // Describe portal, Execute, Sync
+    msg('D', d => { d.writeByte('P'); cz(d, "p1") })
+    msg('E', d => { cz(d, "p1"); d.writeInt(0) })
+    msg('S', _ => ())
+    val flow = drain()
+    val types = flow.map(_._1)
+    assert(types.startsWith(Seq('1', '2', 'T', 'D', 'C')), s"got $types")
+    assert(rowValues(flow(3)._2) == Seq("42", "p"))
+    assert(cstr(flow(4)._2) == "SELECT 1")
+    // null parameter binds as NULL
+    msg('B', d => {
+      cz(d, "p2"); cz(d, "s1")
+      d.writeShort(0); d.writeShort(2)
+      d.writeInt(-1) // null
+      d.writeInt(1); d.write("5".getBytes(UTF_8))
+      d.writeShort(0)
+    })
+    msg('E', d => { cz(d, "p2"); d.writeInt(0) })
+    msg('S', _ => ())
+    val flow2 = drain()
+    assert(rowValues(flow2.find(_._1 == 'D').get._2).head == null)
+    sock.close()
+    c.close()
+  }
+
+  test("unknown message types are refused politely") {
     val sock = new Socket("127.0.0.1", server.boundPort)
     val sin = new DataInputStream(sock.getInputStream)
     val sout = new DataOutputStream(sock.getOutputStream)
@@ -171,10 +237,10 @@ class PgWireSpec extends AnyFunSuite {
       val len = sin.readInt(); val p = new Array[Byte](len - 4); sin.readFully(p)
       if (tpe == 'Z') done = true
     }
-    sout.writeByte('P'); sout.writeInt(5); sout.writeByte(0); sout.flush()
+    // 'F' (FunctionCall) is outside the slice
+    sout.writeByte('F'); sout.writeInt(5); sout.writeByte(0); sout.flush()
     val tpe = sin.readUnsignedByte().toChar
     assert(tpe == 'E')
     sock.close()
-    c.close()
   }
 }
