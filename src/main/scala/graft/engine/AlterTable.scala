@@ -143,6 +143,7 @@ object AlterTable {
   private def rebuild(spark: SparkSession, t: String,
                       transform: DataFrame => DataFrame,
                       evolveProps: Map[String, String] => Map[String, String]): Unit = {
+    if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "ALTER")
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
     val meta = catalog.getTableMetadata(ident)

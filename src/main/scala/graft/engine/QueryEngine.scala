@@ -162,7 +162,22 @@ final class QueryEngine(val spark: SparkSession) {
       data.length, message)
   }
 
-  private def runSelect(sql: String, id: String): QueryResult =
+  private val versionAsOfRe: Regex =
+    """(?is)\bFROM\s+([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** `FROM t VERSION AS OF n` reads the archived snapshot (the
+    * Iceberg time-travel surface over the no-jar snapshot store). */
+  private def rewriteTimeTravel(sql: String): String =
+    versionAsOfRe.replaceAllIn(sql, m => {
+      val t = m.group(1).replace("`", "")
+      val snapId = m.group(2).toLong
+      val view = s"${t.replace('.', '_')}__v$snapId"
+      Snapshots.read(spark, t, snapId).createOrReplaceTempView(view)
+      Regex.quoteReplacement(s"FROM $view")
+    })
+
+  private def runSelect(sql0: String, id: String): QueryResult = {
+    val sql = rewriteTimeTravel(sql0)
     if (SystemTables.isSystemQuery(sql)) {
       // system-db queries are served from the catalog, not table scans
       // (engine.go:1024-1049 routes them to the registry)
@@ -171,6 +186,7 @@ final class QueryEngine(val spark: SparkSession) {
       r.copy(message =
         s"System query executed successfully, ${r.rowCount} rows returned")
     } else toResult(id, spark.sql(sql))
+  }
 
   private def runExplain(sql: String, id: String): QueryResult =
     toResult(id, spark.sql(sql))
@@ -267,6 +283,7 @@ final class QueryEngine(val spark: SparkSession) {
       val condExpr = Option(cond).map(expr).getOrElse(lit(true))
       val n = src.where(condExpr).count()
       if (n > 0) {
+        if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "DELETE")
         val parts = partitionColumns(t)
         val affected = if (parts.nonEmpty) affectedPartitions(t, parts, condExpr) else Seq.empty
         if (parts.nonEmpty && affected.nonEmpty && affected.length <= MaxPrunedPartitions) {
@@ -308,6 +325,7 @@ final class QueryEngine(val spark: SparkSession) {
         }
       val n = src.where(condExpr).count()
       if (n > 0) {
+        if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "UPDATE")
         val parts = partitionColumns(t)
         // an UPDATE that rewrites a partition column can MOVE rows
         // between partitions; dynamic overwrite would then replace the
@@ -439,8 +457,16 @@ final class QueryEngine(val spark: SparkSession) {
     """(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.`]+)$""".r
   private val showTablesRe: Regex =
     """(?is)^SHOW\s+TABLES(?:\s+FROM\s+([\w`]+))?$""".r
+  private val showSnapshotsRe: Regex =
+    """(?is)^SHOW\s+SNAPSHOTS\s+FROM\s+([\w.`]+)$""".r
 
   private def runShow(sql: String, id: String): QueryResult = sql match {
+    case showSnapshotsRe(table) =>
+      val snaps = Snapshots.list(spark, table.replace("`", ""))
+      QueryResult(id, Seq("Snapshot", "Operation", "Created"),
+        snaps.map(s => Seq[Any](s.id, s.operation,
+          new java.sql.Timestamp(s.createdAtMs).toString)),
+        snaps.length, s"Found ${snaps.length} snapshot(s)")
     case showColumnsRe(table) => showColumns(table.replace("`", ""), id)
     case showCreateRe(table)  => showCreateTable(table.replace("`", ""), id)
     case showTablesRe(db) =>

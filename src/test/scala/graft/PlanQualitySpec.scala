@@ -82,4 +82,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"corpus-side shuffle in knn plan:\n$p")
   }
+
+  test("q41 IVF: no training stage, probes broadcast, cells join hash") {
+    // round 1 ran KMeans.fit inside the query (a multi-pass driver-
+    // coordinated job per invocation); the codebook is now a literal,
+    // so the plan must be scan -> per-row cell assignment -> one
+    // broadcast join -> window top-k, nothing else
+    val df = Similarity.queries("q41_knn_ivf")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // cell assignment is expression work on the scan, not an ML stage:
+    // the plan has exactly the corpus scans, no iterative subplans
+    assert(!p.toLowerCase.contains("kmeans"), p)
+  }
+
+  test("q51 sketches: no Expand (multi-countDistinct x3 row blowup)") {
+    // the first round-2 formulation planned countDistinct x2 + exact
+    // percentile through Expand (x3 rows) and benched 41 s at sf0.1;
+    // the two-stage form must keep Expand out of the plan
+    val p = Similarity.queries("q51_approx_stats")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), s"Expand reappeared in q51 plan:\n$p")
+    // exact distincts are two-stage hash aggregations
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("partition-pruned UPDATE reads only affected partitions") {
+    // the rewrite scan must carry the partition predicate so partition
+    // pruning bounds the IO (EngineSpec proves the file-level effect;
+    // this pins the plan-level cause)
+    val e = new graft.engine.QueryEngine(spark)
+    e.execute("CREATE DATABASE IF NOT EXISTS pq")
+    e.execute("DROP TABLE IF EXISTS pq.t")
+    e.execute("CREATE TABLE pq.t (id int64, region string) STORAGE filesystem PARTITION BY (region)")
+    e.execute("INSERT INTO pq.t VALUES (1,'eu'),(2,'us')")
+    val scan = spark.table("pq.t")
+      .where(org.apache.spark.sql.functions.col("region") <=> "eu")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("region"), s"partition filter missing:\n$scan")
+    e.execute("DROP TABLE pq.t")
+  }
 }
