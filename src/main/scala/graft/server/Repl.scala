@@ -6,12 +6,44 @@ import graft.engine.QueryEngine
 
 /** Thin interactive client, the analog of the reference's CLI REPL
   * (/root/reference/cmd/client/main.go): reads statements from stdin,
-  * executes them through the engine facade, prints aligned tables and
-  * the reference-style status messages. Non-interactive use:
-  * `echo "SELECT 1;" | sbt "runMain graft.server.Repl"`. */
+  * executes them, prints aligned tables and the reference-style
+  * status messages. Two modes, like the reference's client:
+  *  - embedded (default): a local SparkSession + engine facade;
+  *  - remote: `runMain graft.server.Repl --connect host:port` talks
+  *    the native binary protocol to a running GraftServer via the
+  *    SDK client — no Spark in the client process.
+  * Non-interactive use: `echo "SELECT 1;" | sbt "runMain ..."`. */
 object Repl {
 
   def main(args: Array[String]): Unit = {
+    args match {
+      case Array("--connect", hostPort) =>
+        val Array(host, port) = hostPort.split(":", 2)
+        remoteLoop(host, port.toInt)
+      case _ => embeddedLoop()
+    }
+  }
+
+  private def remoteLoop(host: String, port: Int): Unit = {
+    val client = graft.sdk.GraftClient.open(
+      graft.sdk.GraftClient.Options(host = host, port = port))
+    println(s"connected to graft-server at $host:$port - SQL terminated by ';', \\q to quit")
+    eachStatement { sql =>
+      try {
+        val t0 = System.nanoTime()
+        val r = client.query(sql)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (r.columns.nonEmpty)
+          print(renderTable(r.columns, r.rows.map(_.values)))
+        println(f"${r.rows.length} row(s) in $sec%.3f s")
+      } catch {
+        case e: Throwable => println(s"ERROR: ${e.getMessage}")
+      }
+    }
+    client.close()
+  }
+
+  private def embeddedLoop(): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,21 +55,29 @@ object Repl {
     spark.sparkContext.setLogLevel("ERROR")
     val engine = new QueryEngine(spark)
     println("graft engine - type SQL terminated by ';', \\q to quit")
+    eachStatement(sql => runOne(engine, sql))
+    spark.stop()
+  }
+
+  /** Shared statement reader: accumulates lines until ';'. */
+  private def eachStatement(run: String => Unit): Unit = {
     val buf = new StringBuilder
     var line: String = null
-    while ({ line = StdIn.readLine(if (buf.isEmpty) "graft> " else "    -> "); line != null }) {
+    var quit = false
+    while (!quit &&
+           { line = StdIn.readLine(if (buf.isEmpty) "graft> " else "    -> ")
+             line != null }) {
       val trimmed = line.trim
-      if (trimmed == "\\q" || trimmed.equalsIgnoreCase("exit")) {
-        spark.stop(); return
-      }
-      buf.append(line).append('\n')
-      if (trimmed.endsWith(";")) {
-        val sql = buf.toString.trim.stripSuffix(";")
-        buf.clear()
-        if (sql.nonEmpty) runOne(engine, sql)
+      if (trimmed == "\\q" || trimmed.equalsIgnoreCase("exit")) quit = true
+      else {
+        buf.append(line).append('\n')
+        if (trimmed.endsWith(";")) {
+          val sql = buf.toString.trim.stripSuffix(";")
+          buf.clear()
+          if (sql.nonEmpty) run(sql)
+        }
       }
     }
-    spark.stop()
   }
 
   private def runOne(engine: QueryEngine, sql: String): Unit =
