@@ -120,4 +120,21 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .toTable(destTable)
   }
+
+  /** Append change-feed over a catalog table — the CDC analog of the
+    * reference's Astha bus (server/astha: SQLite triggers →
+    * __cdc_log → polling consumer → subscribers reacting to new
+    * table_files). Here the "trigger" is the filesystem itself: every
+    * committed INSERT adds parquet files under the table location,
+    * and a file-source stream tails them exactly once per checkpoint.
+    * Subscribers consume a DataFrame instead of registry events —
+    * at 100 TB this is how downstream pipelines (index maintenance,
+    * aggregate refresh) follow a hot table without rescanning it. */
+  def tableChanges(spark: SparkSession, table: String): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    spark.readStream
+      .schema(spark.table(table).schema)
+      .parquet(meta.location.toString)
+  }
 }

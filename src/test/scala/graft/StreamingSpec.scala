@@ -103,4 +103,25 @@ class StatefulSessionSpec extends AnyFunSuite {
         s"expected closed session (1,2,3.0) in ${closed.mkString(",")}")
     } finally q.stop()
   }
+
+  test("tableChanges streams committed INSERTs as an append change feed") {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.t")
+    engine.execute("CREATE TABLE cdc.t (id int64, v string) STORAGE filesystem")
+    engine.execute("INSERT INTO cdc.t VALUES (1,'a')")
+    val q = graft.streaming.EventsStream.tableChanges(spark, "cdc.t")
+      .writeStream.format("memory").queryName("cdc_feed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_feed").count() == 1)
+      // a second commit flows through the SAME running stream
+      engine.execute("INSERT INTO cdc.t VALUES (2,'b'),(3,'c')")
+      q.processAllAvailable()
+      val seen = spark.table("cdc_feed").collect().map(_.getLong(0)).sorted
+      assert(seen.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+    engine.execute("DROP TABLE cdc.t")
+  }
 }
