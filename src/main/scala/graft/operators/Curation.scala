@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Text
+
+/** Dataset-curation operators — the end of the training-data pipeline
+  * where documents become splits: deterministic train/val/test
+  * assignment, benchmark decontamination, and the composed
+  * filter → dedup → split pipeline.
+  *
+  * Scale design:
+  *  - split assignment is CONTENT-addressed (md5 of the text, not of
+  *    an id or row position) so it is stable under re-sharding,
+  *    re-ingestion, and dedup order — the property a reproducible
+  *    100 TB dataset build actually needs; per-row codegen, zero
+  *    shuffle until the final count;
+  *  - decontamination broadcasts the benchmark's (small) shingle set
+  *    and aggregates matches per training doc — shuffle is O(matching
+  *    shingle pairs), never all-pairs, and the benchmark side never
+  *    replicates the corpus;
+  *  - the composed pipeline keeps every stage lazy in one plan, so
+  *    Catalyst pushes the cheap gates (length) below the expensive
+  *    ones (dedup shuffle) and the corpus is read once.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Content-addressed split bucket in [0,100): md5 hex chars 1-8 of
+    * the text, mod 100 (cross-engine md5 family — see ArrayOpsImpl). */
+  private def splitBucket: Column =
+    conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  private def splitName(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** Shared quality gate (q28's keep rule). */
+  private def qualityKeep: Column = {
+    val toks = Text.tokens(col("text"))
+    val stopRatio = Text.stopwordCount(toks).cast("double") / size(toks)
+    size(toks).between(20, 2000) && stopRatio.between(0.01, 0.6)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_hash_split" -> ((s, dir) =>
+      // deterministic train/val/test assignment: 80/10/10 by content
+      // hash; per-split doc and token counts
+      docs(s, dir)
+        .withColumn("split", splitName(splitBucket))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(Text.tokens(col("text")))).as("n_tokens"),
+             sum(col("n_chars")).as("n_chars"))),
+
+    "q55_decontam" -> ((s, dir) => {
+      // benchmark decontamination: training docs sharing >= 3 distinct
+      // word 3-grams with the benchmark set (doc_id < 10 stands in for
+      // the eval benchmark) are flagged. The benchmark shingle set is
+      // tiny -> broadcast; matches aggregate per training doc.
+      val sh = graft.functions.expressions.ArrayOps
+      val shingled = docs(s, dir)
+        .select(col("doc_id"),
+                sh.wordShingles(Text.tokens(col("text")), 3).as("sh"))
+      val bench = broadcast(
+        shingled.where(col("doc_id") < 10)
+          .select(explode(col("sh")).as("shingle")).distinct())
+      val train = shingled.where(col("doc_id") >= 10)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      train.join(bench, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("shared_ngrams"))
+        .where(col("shared_ngrams") >= 3)
+    }),
+
+    "q56_curation_pipeline" -> ((s, dir) => {
+      // the composed build: quality gate -> exact dedup (keep lowest
+      // doc_id per content digest) -> content-hash split -> summary
+      val kept = docs(s, dir).where(qualityKeep)
+      val deduped = kept
+        .withColumn("fp", md5(col("text")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .where(col("rk") === 1)
+      deduped
+        .withColumn("split", splitName(splitBucket))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(col("n_chars")), 4).as("avg_chars"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q54_hash_split" ->
+      """WITH t AS (
+        |  SELECT n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q55_decontam" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+        |         ELSE []::VARCHAR[] END AS sh
+        |  FROM tok),
+        |bench AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 10),
+        |train AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 10)
+        |SELECT tr.doc_id, count(DISTINCT tr.shingle) AS shared_ngrams
+        |FROM train tr JOIN bench b ON tr.shingle = b.shingle
+        |GROUP BY tr.doc_id
+        |HAVING count(DISTINCT tr.shingle) >= 3""".stripMargin,
+
+    "q56_curation_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in'], x))) AS stop_ct
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text, n_chars FROM q
+        |  WHERE n_tokens BETWEEN 20 AND 2000
+        |    AND CAST(stop_ct AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6),
+        |deduped AS (
+        |  SELECT doc_id, text, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        |  FROM kept),
+        |split AS (
+        |  SELECT n_chars,
+        |    ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM deduped WHERE rk = 1)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM split GROUP BY 1""".stripMargin
+  )
+}
