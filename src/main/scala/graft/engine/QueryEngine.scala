@@ -142,8 +142,56 @@ final class QueryEngine(val spark: SparkSession) {
     case "INSERT" => runInsert(sql, id)
     case "UPDATE" => runUpdate(sql, id)
     case "DELETE" => runDelete(sql, id)
+    case "OPTIMIZE" => runOptimize(sql, id)
     case _ =>
       throw new IllegalArgumentException("unsupported statement type")
+  }
+
+  private val optimizeRe: Regex =
+    """(?is)^OPTIMIZE\s+([\w.`]+)$""".r
+
+  /** Small-file compaction — the maintenance op every streaming/
+    * micro-batched ingest needs (Iceberg's rewrite_data_files, the
+    * reference's parquet rotation thresholds:
+    * filesystem/parquet_manager.go:202-262). Rewrites the table's
+    * files so each partition holds ~targetFileBytes files; data and
+    * schema unchanged, so no snapshot is taken. */
+  private def runOptimize(sql: String, id: String): QueryResult = sql match {
+    case optimizeRe(table) =>
+      val t = table.replace("`", "")
+      val meta = spark.sessionState.catalog.getTableMetadata(tableIdent(t))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      def dataFiles = {
+        val it = fs.listFiles(loc, true)
+        var n = 0; var bytes = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+        }
+        (n, bytes)
+      }
+      val (before, bytes) = dataFiles
+      val targetFileBytes = 128L * 1024 * 1024 // reference rotation size
+      val targetFiles = math.max(1, (bytes / targetFileBytes).toInt)
+      if (before > targetFiles) {
+        val parts = partitionColumns(t)
+        val compacted = spark.table(t).repartition(targetFiles)
+        // compaction is content-preserving: reuse the durable staged
+        // rewrite (no snapshot — nothing is destroyed)
+        val snapConf = "spark.graft.snapshots.enabled"
+        val prev = spark.conf.getOption(snapConf)
+        spark.conf.set(snapConf, "false")
+        try stagedRewrite(t, if (parts.isEmpty) compacted else spark.table(t))
+        finally prev match {
+          case Some(v) => spark.conf.set(snapConf, v)
+          case None => spark.conf.unset(snapConf)
+        }
+      }
+      val (after, _) = dataFiles
+      QueryResult(id, Seq.empty, Seq.empty, 0,
+        s"OPTIMIZE: $before file(s) -> $after file(s)")
+    case _ => throw new IllegalArgumentException("cannot parse OPTIMIZE statement")
   }
 
   private def ok(id: String, msg: String): QueryResult =

@@ -360,6 +360,28 @@ class EngineSpec extends AnyFunSuite {
       ct.toSparkSql(Some("d8"), None))
   }
 
+  test("OPTIMIZE compacts many small files into few") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d9")
+    engine.execute("DROP TABLE IF EXISTS d9.frag")
+    engine.execute("CREATE TABLE d9.frag (id int64, v string) STORAGE filesystem")
+    // 12 separate INSERTs -> >= 12 small files
+    (1 to 12).foreach(i =>
+      engine.execute(s"INSERT INTO d9.frag VALUES ($i, 'v$i')"))
+    val loc = TestSpark.spark.sessionState.catalog
+      .getTableMetadata(TestSpark.spark.sessionState.sqlParser
+        .parseTableIdentifier("d9.frag")).location.getPath
+    def files() = new java.io.File(loc).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() >= 12)
+    val r = engine.execute("OPTIMIZE d9.frag")
+    assert(r.message.startsWith("OPTIMIZE: "))
+    assert(files() <= 2, s"still ${files()} files after compaction")
+    // content unchanged
+    val sel = engine.execute("SELECT count(*) AS n, sum(id) AS s FROM d9.frag")
+    assert(sel.data.head == Seq(12L, 78L))
+    engine.execute("DROP TABLE d9.frag")
+  }
+
   test("UPDATE that moves rows across partitions stays correct (whole-table path)") {
     engine.execute("CREATE DATABASE IF NOT EXISTS d7")
     engine.execute("DROP TABLE IF EXISTS d7.mv")
