@@ -18,9 +18,22 @@ import graft.types.IcebergTypes
   * reference delegates row-level ops to DuckDB; Iceberg v2 would give
   * them natively — parquet tables get the same semantics by rewrite).
   */
-final class QueryEngine(val spark: SparkSession) {
+final class QueryEngine(val spark: SparkSession,
+                        sharedExecutions: Option[ExecutionManager] = None) {
 
-  val executions = new ExecutionManager(spark)
+  /** Query registry; pass a shared one so multiple per-connection
+    * engines (isolated `spark.newSession()` each) expose one
+    * lifecycle view and cross-connection cancellation, like the
+    * reference's single ExecutionManager behind all protocols. */
+  val executions: ExecutionManager =
+    sharedExecutions.getOrElse(new ExecutionManager(spark))
+
+  /** Same engine semantics over an isolated session (own current
+    * database, own conf) sharing this engine's catalog, cache, and
+    * execution registry — one per protocol connection, so a client's
+    * USE cannot leak into another client's name resolution. */
+  def newConnectionEngine(): QueryEngine =
+    new QueryEngine(spark.newSession(), Some(executions))
 
   /** Result cap: duckdb/engine.go:395-400 (truncate + warn). */
   val maxResultRows: Int = 100000

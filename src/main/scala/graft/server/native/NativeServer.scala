@@ -57,6 +57,11 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849) {
   private def handle(sock: Socket): Unit = {
     val in = sock.getInputStream
     val out = sock.getOutputStream
+    // isolated session per connection: USE/conf changes stay
+    // client-local while the catalog, cache, and execution registry
+    // stay shared (the reference keeps Database in its per-connection
+    // QueryContext, types/query.go:4-9)
+    val engine = this.engine.newConnectionEngine()
     try {
       var open = true
       while (open) {
@@ -94,7 +99,7 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849) {
                 // by the table schema before validation.
                 val block = Signals.DataBlock.unpack(payload)
                 try engine.insertData(block.table, block.columns,
-                  coerce(block.table, block.columns, block.rows))
+                  coerce(engine, block.table, block.columns, block.rows))
                 catch { case NonFatal(e) => sendException(out, e) }
 
               case Signals.ClientCancel =>
@@ -151,7 +156,7 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849) {
     * storage/parquet/schema.go). Unparseable values pass through as
     * strings so InsertValidator reports its row/column-addressed
     * error instead of a bare NumberFormatException. */
-  private def coerce(table: String, columns: Seq[String],
+  private def coerce(engine: QueryEngine, table: String, columns: Seq[String],
                      rows: Seq[Seq[String]]): Seq[Seq[Any]] = {
     import org.apache.spark.sql.types._
     val schema = engine.spark.table(table).schema

@@ -63,6 +63,8 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
+    // per-connection isolated session (see NativeServer.handle)
+    val engine = this.engine.newConnectionEngine()
     // extended-protocol state (the reference stubs these handlers with
     // bare acks, handler.go:163-201; here Parse/Bind/Execute actually
     // run — prepared statements work from a stock JDBC driver)
@@ -71,7 +73,7 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
     val portalResults =
       scala.collection.mutable.Map[String, QueryEngine#QueryResult]()
     try {
-      if (!startup(in, out)) return
+      if (!startup(engine, in, out)) return
       var open = true
       while (open) {
         val tpe =
@@ -83,7 +85,7 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
         (tpe: @unchecked) match {
           case 'Q' =>
             val sql = cString(payload, 0)._1.trim
-            runQuery(out, sql)
+            runQuery(engine, out, sql)
           case 'P' => // Parse: store named statement
             val (name, p1) = cString(payload, 0)
             val (sql, _) = cString(payload, p1)
@@ -113,11 +115,11 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
             } else {
               // execute now so the portal can be described accurately;
               // Execute streams the cached result
-              describePortal(out, name, portals, portalResults)
+              describePortal(engine, out, name, portals, portalResults)
             }
           case 'E' => // Execute portal
             val (name, _) = cString(payload, 0)
-            executePortal(out, name, portals, portalResults)
+            executePortal(engine, out, name, portals, portalResults)
           case 'C' => // Close statement/portal
             val kind = payload(0).toChar
             val (name, _) = cString(payload, 1)
@@ -180,7 +182,7 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
   private def paramCount(sql: String): Int =
     "\\$(\\d+)".r.findAllMatchIn(sql).map(_.group(1).toInt).maxOption.getOrElse(0)
 
-  private def describePortal(out: DataOutputStream, name: String,
+  private def describePortal(engine: QueryEngine, out: DataOutputStream, name: String,
       portals: scala.collection.Map[String, String],
       cache: scala.collection.mutable.Map[String, QueryEngine#QueryResult]): Unit =
     portals.get(name) match {
@@ -197,7 +199,7 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
         }
     }
 
-  private def executePortal(out: DataOutputStream, name: String,
+  private def executePortal(engine: QueryEngine, out: DataOutputStream, name: String,
       portals: scala.collection.Map[String, String],
       cache: scala.collection.mutable.Map[String, QueryEngine#QueryResult]): Unit =
     portals.get(name) match {
@@ -218,7 +220,8 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
   /** Startup: optional SSLRequest ('N' refusal) then the real startup
     * packet; replies AuthenticationOk, ParameterStatus set,
     * BackendKeyData, ReadyForQuery (protocol.go:293-330). */
-  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+  private def startup(engine: QueryEngine, in: DataInputStream,
+                      out: DataOutputStream): Boolean = {
     var len = in.readInt()
     var code = in.readInt()
     if (code == SslRequestCode || code == GssEncRequestCode) {
@@ -256,7 +259,8 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
 
   // ---------------------------------------------------------- queries
 
-  private def runQuery(out: DataOutputStream, sql: String): Unit = {
+  private def runQuery(engine: QueryEngine, out: DataOutputStream,
+                       sql: String): Unit = {
     if (sql.isEmpty || sql == ";") {
       message(out, 'I', _ => ()) // EmptyQueryResponse
       readyForQuery(out)

@@ -98,6 +98,25 @@ class NativeProtocolSpec extends AnyFunSuite {
     clients.foreach(_.close())
   }
 
+  test("USE in one connection does not leak into another (session isolation)") {
+    val a = connect(); val b = connect()
+    a.hello(); b.hello()
+    a.query("CREATE DATABASE IF NOT EXISTS iso_a")
+    a.query("DROP TABLE IF EXISTS iso_a.only_here")
+    a.query("CREATE TABLE iso_a.only_here (id int64) STORAGE filesystem")
+    a.query("USE iso_a")
+    // unqualified name resolves for A...
+    assert(a.query("SELECT count(*) AS n FROM only_here")._2.head.head == "0")
+    // ...but B's current database is untouched (default): same
+    // unqualified name must fail there
+    val e = intercept[RuntimeException](b.query("SELECT count(*) AS n FROM only_here"))
+    assert(e.getMessage.toLowerCase.contains("table"))
+    // catalog stays shared: B sees the table with qualification
+    assert(b.query("SELECT count(*) AS n FROM iso_a.only_here")._2.head.head == "0")
+    a.query("DROP TABLE iso_a.only_here")
+    a.close(); b.close()
+  }
+
   test("wire codec round-trips every signal") {
     val h = Signals.Hello("cli", 1, 2, Signals.ProtocolVersion, "db", "u", "pw", 30, 60)
     assert(Signals.Hello.unpack(h.pack()) == h)
