@@ -76,6 +76,19 @@ object Curation {
         .where(col("shared_ngrams") >= 3)
     }),
 
+    "q57_vocab_topk" -> ((s, dir) =>
+      // corpus vocabulary heavy hitters: document frequency of each
+      // token, top 20. Partial aggregation bounds the shuffle at
+      // O(vocab); the top-k collapses to TakeOrderedAndProject — at
+      // 100 TB this is the plan you want for vocab/hot-key stats.
+      docs(s, dir)
+        .select(col("doc_id"),
+                explode(array_distinct(Text.tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("token").asc)
+        .limit(20)),
+
     "q56_curation_pipeline" -> ((s, dir) => {
       // the composed build: quality gate -> exact dedup (keep lowest
       // doc_id per content digest) -> content-hash split -> summary
@@ -126,6 +139,14 @@ object Curation {
         |FROM train tr JOIN bench b ON tr.shingle = b.shingle
         |GROUP BY tr.doc_id
         |HAVING count(DISTINCT tr.shingle) >= 3""".stripMargin,
+
+    "q57_vocab_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS doc_freq
+        |FROM t GROUP BY token
+        |ORDER BY doc_freq DESC, token ASC LIMIT 20""".stripMargin,
 
     "q56_curation_pipeline" ->
       """WITH q AS (
