@@ -52,6 +52,28 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
 
   server.createContext("/health", handler { _ => (200, """{"status":"ok"}""") })
 
+  server.createContext("/info", handler { _ =>
+    (200, Json.obj(
+      "server" -> Json.str("Graft Analytics Server"),
+      "version" -> Json.str("1.0"),
+      "engine" -> Json.str(s"spark-${engine.spark.version}"),
+      "protocols" -> Json.arr(Seq("http", "pgwire", "native").map(Json.str))))
+  })
+
+  server.createContext("/cancel", handler { ex =>
+    if (ex.getRequestMethod != "POST") (405, """{"error":"POST required"}""")
+    else {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      Json.strField(body, "query_id") match {
+        case None => (400, """{"error":"missing 'query_id' field"}""")
+        case Some(qid) =>
+          if (engine.executions.cancel(qid))
+            (200, Json.obj("cancelled" -> Json.str(qid)))
+          else (404, Json.obj("error" -> Json.str(s"query $qid not found")))
+      }
+    }
+  })
+
   server.createContext("/status", handler { _ =>
     val stats = engine.executions.stats()
     (200, Json.obj(stats.toSeq.sortBy(_._1).map {

@@ -66,6 +66,17 @@ class HttpApiSpec extends AnyFunSuite {
     assert(code == 200 && body.contains("\"total\":"))
   }
 
+  test("info endpoint and HTTP cancel round-trip") {
+    val (code, body) = get("/info")
+    assert(code == 200 && body.contains("Graft Analytics Server")
+      && body.contains("pgwire"))
+    val info = engine.executions.register("SELECT slow")
+    val (c2, b2) = post("/cancel", s"""{"query_id": "${info.id}"}""")
+    assert(c2 == 200 && b2.contains(info.id))
+    val (c3, _) = post("/cancel", """{"query_id": "query_nope"}""")
+    assert(c3 == 404)
+  }
+
   test("Json helpers round-trip escapes") {
     assert(Json.strField("""{"query": "SELECT '\n\"x\"' AS s"}""", "query")
       .contains("SELECT '\n\"x\"' AS s"))
