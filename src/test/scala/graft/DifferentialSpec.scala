@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based differential testing, beyond the fixed query corpus:
+  * random predicate trees run as Spark SQL over lineitem and are
+  * re-evaluated row-by-row in plain Scala over the collected data —
+  * two independent implementations of the same semantics. Catches
+  * operator-translation bugs (precedence, null handling, type
+  * coercion) that a fixed corpus misses. The reference has no
+  * equivalent (its parser tests assert ASTs, not results). */
+class DifferentialSpec extends AnyFunSuite {
+
+  /** Deterministic generator sampling (no scalatestplus bridge in the
+    * offline cache): one sample per seed 1..n. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+  lazy val spark = TestSpark.spark
+
+  // typed row mirror of the columns under test
+  private case class Li(orderkey: Long, quantity: Double, price: Double,
+                        flag: String, ship: java.time.LocalDateTime)
+  private lazy val rows: Seq[Li] = {
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+    df.collect().map(r => Li(r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getString(3), r.getAs[java.time.LocalDateTime](4))).toSeq
+  }
+  private lazy val view: Unit = {
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .createOrReplaceTempView("li_diff")
+  }
+
+  // -- predicate AST ---------------------------------------------------
+
+  private sealed trait Pred {
+    def sql: String
+    def eval(r: Li): Boolean
+  }
+  private case class Cmp(col: String, op: String, lit: String) extends Pred {
+    def sql = s"$col $op $lit"
+    def eval(r: Li): Boolean = {
+      val c = op match {
+        case _ if col == "l_quantity" => r.quantity.compareTo(lit.toDouble)
+        case _ if col == "l_extendedprice" => r.price.compareTo(lit.toDouble)
+        case _ if col == "l_orderkey" => r.orderkey.compareTo(lit.toLong)
+        case _ if col == "l_returnflag" =>
+          r.flag.compareTo(lit.stripPrefix("'").stripSuffix("'"))
+        case _ =>
+          // DATE literal vs TIMESTAMP_NTZ column: Spark widens the
+          // date to midnight — mirror that exactly
+          r.ship.compareTo(java.time.LocalDate.parse(
+            lit.stripPrefix("DATE '").stripSuffix("'")).atStartOfDay())
+      }
+      op match {
+        case "="  => c == 0
+        case "<>" => c != 0
+        case "<"  => c < 0
+        case "<=" => c <= 0
+        case ">"  => c > 0
+        case ">=" => c >= 0
+      }
+    }
+  }
+  private case class AndP(a: Pred, b: Pred) extends Pred {
+    def sql = s"(${a.sql} AND ${b.sql})"
+    def eval(r: Li): Boolean = a.eval(r) && b.eval(r)
+  }
+  private case class OrP(a: Pred, b: Pred) extends Pred {
+    def sql = s"(${a.sql} OR ${b.sql})"
+    def eval(r: Li): Boolean = a.eval(r) || b.eval(r)
+  }
+  private case class NotP(a: Pred) extends Pred {
+    def sql = s"(NOT ${a.sql})"
+    def eval(r: Li): Boolean = !a.eval(r)
+  }
+
+  private val ops = Gen.oneOf("=", "<>", "<", "<=", ">", ">=")
+  private val leaf: Gen[Pred] = Gen.oneOf(
+    for { op <- ops; v <- Gen.choose(1, 50) }
+      yield Cmp("l_quantity", op, v.toString),
+    for { op <- ops; v <- Gen.choose(1000, 90000) }
+      yield Cmp("l_extendedprice", op, s"$v.5"),
+    for { op <- ops; v <- Gen.choose(1L, 6000L) }
+      yield Cmp("l_orderkey", op, v.toString),
+    for { op <- ops; v <- Gen.oneOf("A", "N", "R") }
+      yield Cmp("l_returnflag", op, s"'$v'"),
+    for { op <- ops; m <- Gen.choose(1, 12); d <- Gen.choose(1, 28);
+          y <- Gen.choose(1992, 1998) }
+      yield Cmp("l_shipdate", op, f"DATE '$y%04d-$m%02d-$d%02d'"))
+
+  private def pred(depth: Int): Gen[Pred] =
+    if (depth == 0) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      2 -> (for { a <- pred(depth - 1); b <- pred(depth - 1) } yield AndP(a, b)),
+      2 -> (for { a <- pred(depth - 1); b <- pred(depth - 1) } yield OrP(a, b)),
+      1 -> pred(depth - 1).map(NotP))
+
+  test("random predicate trees: Spark SQL == direct Scala evaluation") {
+    view
+    samples(pred(3), 60).foreach { p =>
+      val sparkCount = spark.sql(
+        s"SELECT count(*) AS n, coalesce(sum(l_orderkey), 0) AS s " +
+        s"FROM li_diff WHERE ${p.sql}").collect().head
+      val matches = rows.filter(p.eval)
+      assert(sparkCount.getLong(0) == matches.length.toLong,
+        s"count mismatch for: ${p.sql}")
+      assert(sparkCount.getLong(1) == matches.map(_.orderkey).sum,
+        s"checksum mismatch for: ${p.sql}")
+    }
+  }
+
+  test("random DDL round-trips through the dialect and SHOW COLUMNS") {
+    val e = new graft.engine.QueryEngine(spark)
+    e.execute("CREATE DATABASE IF NOT EXISTS fuzz")
+    val types = Gen.oneOf("int32", "int64", "float64", "string", "boolean",
+      "date", "decimal(10,2)", "list<string>", "map<string, int32>",
+      "struct<a: int64, b: string>")
+    val colGen = for {
+      n <- Gen.choose(1, 6)
+      ts <- Gen.listOfN(n, types)
+      nn <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield ts.zip(nn).zipWithIndex.map { case ((t, notNull), i) =>
+      (s"c$i", t, notNull)
+    }
+    samples(colGen, 15).foreach { cols =>
+      e.execute("DROP TABLE IF EXISTS fuzz.t")
+      val ddl = cols.map { case (n, t, nn) =>
+        s"$n $t${if (nn) " NOT NULL" else ""}"
+      }.mkString("CREATE TABLE fuzz.t (", ", ", ") STORAGE filesystem")
+      e.execute(ddl)
+      val shown = e.execute("SHOW COLUMNS FROM fuzz.t").data
+        .map(r => (r(0).toString, r(1).toString, r(2).toString))
+      assert(shown == cols.map { case (n, t, nn) =>
+        (n, t, if (nn) "NO" else "YES")
+      }, s"round-trip mismatch for: $ddl")
+    }
+    e.execute("DROP TABLE IF EXISTS fuzz.t")
+  }
+}
