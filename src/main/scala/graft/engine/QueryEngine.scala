@@ -223,6 +223,24 @@ final class QueryEngine(val spark: SparkSession,
       data.length, message)
   }
 
+  /** `system_queries`: the execution registry as a relation — the
+    * query-lifecycle list/stats API (execution_manager.go:13-245)
+    * exposed the same way the other system views are. */
+  private def registerSystemQueries(): Unit = {
+    import org.apache.spark.sql.types._
+    val rows = executions.list().map(q =>
+      Row(q.id, q.sql, q.status.toString, q.elapsedSec, q.error.orNull))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("query_id", StringType),
+        StructField("sql", StringType),
+        StructField("status", StringType),
+        StructField("elapsed_sec", DoubleType),
+        StructField("error", StringType))))
+      .createOrReplaceTempView("system_queries")
+  }
+
   private val versionAsOfRe: Regex =
     """(?is)\bFROM\s+([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
 
@@ -243,6 +261,7 @@ final class QueryEngine(val spark: SparkSession,
       // system-db queries are served from the catalog, not table scans
       // (engine.go:1024-1049 routes them to the registry)
       SystemTables.register(spark)
+      registerSystemQueries()
       val r = toResult(id, spark.sql(sql))
       r.copy(message =
         s"System query executed successfully, ${r.rowCount} rows returned")

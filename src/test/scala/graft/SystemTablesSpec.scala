@@ -57,4 +57,16 @@ class SystemTablesSpec extends AnyFunSuite {
 
     engine.execute("DROP TABLE sysx.orders")
   }
+
+  test("system_queries exposes the execution registry as a relation") {
+    engine.execute("SELECT 1 AS warm")
+    val r = engine.execute(
+      """SELECT count(*) AS n FROM system_queries
+        |WHERE status = 'Completed' AND sql LIKE 'SELECT 1 AS warm%'""".stripMargin)
+    assert(r.data.head.head.asInstanceOf[Long] >= 1L)
+    // the system query itself appears as Running while executing
+    val self = engine.execute(
+      "SELECT status FROM system_queries WHERE sql LIKE '%system_queries WHERE sql LIKE%' AND status = 'Running'")
+    assert(self.rowCount >= 1)
+  }
 }
