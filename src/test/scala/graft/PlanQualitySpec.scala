@@ -108,6 +108,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("curation plans: broadcast decontam, top-k vocab, no Expand") {
+    import graft.operators.Curation
+    val p55 = Curation.queries("q55_decontam")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p55.contains("BroadcastHashJoin") && !p55.contains("SortMergeJoin"),
+      s"benchmark side not broadcast:\n$p55")
+    val p57 = Curation.queries("q57_vocab_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p57.contains("TakeOrderedAndProject"), p57)
+    assert(!p57.contains("Expand") && !p55.contains("Expand"))
+  }
+
   test("partition-pruned UPDATE reads only affected partitions") {
     // the rewrite scan must carry the partition predicate so partition
     // pruning bounds the IO (EngineSpec proves the file-level effect;
