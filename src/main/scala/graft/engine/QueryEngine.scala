@@ -156,8 +156,32 @@ final class QueryEngine(val spark: SparkSession,
     case "UPDATE" => runUpdate(sql, id)
     case "DELETE" => runDelete(sql, id)
     case "OPTIMIZE" => runOptimize(sql, id)
+    case "RESTORE" => runRestore(sql, id)
     case _ =>
       throw new IllegalArgumentException("unsupported statement type")
+  }
+
+  private val restoreRe: Regex =
+    """(?is)^RESTORE\s+TABLE\s+([\w.`]+)\s+VERSION\s+AS\s+OF\s+(\d+)$""".r
+
+  /** Roll a table's data back to an archived snapshot (the Iceberg
+    * rollback-procedure analog). The current state is snapshotted
+    * first, so a restore is itself reversible. Restores across a
+    * schema change are refused — the archived schema would no longer
+    * fit the catalog's. */
+  private def runRestore(sql: String, id: String): QueryResult = sql match {
+    case restoreRe(table, version) =>
+      val t = table.replace("`", "")
+      val snap = Snapshots.read(spark, t, version.toLong)
+      val current = spark.table(t).schema
+      require(snap.schema == current,
+        s"snapshot $version has a different schema than $t " +
+        "(restore across ALTER is not supported; recreate the table instead)")
+      if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "RESTORE")
+      stagedRewrite(t, snap)
+      QueryResult(id, Seq.empty, Seq.empty, 0,
+        s"Table $t restored to version $version")
+    case _ => throw new IllegalArgumentException("cannot parse RESTORE statement")
   }
 
   private val optimizeRe: Regex =

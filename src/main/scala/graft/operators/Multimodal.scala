@@ -20,10 +20,60 @@ import graft.sources.Tables
   */
 object Multimodal {
 
-  /** REAL-DECODER BOUNDARY (stub per brief): a production build wires
-    * a codec here, e.g. JPEG bytes → HxWx3 pixels. Deliberately
-    * unimplemented in this container. */
-  def decodeImage(bytes: Array[Byte]): Array[Array[Float]] = ???
+  /** REAL-DECODER BOUNDARY. Formats with in-container codecs decode
+    * for real: binary PPM (P6) is parsed right here in pure JVM code —
+    * no image library needed — to an HxW grayscale matrix in [0,1].
+    * Compressed formats (JPEG/PNG/...) need codec libraries this
+    * container does not ship; they fail with an addressed error, and a
+    * production build plugs a codec into this same function without
+    * touching any of the Spark plumbing around it. */
+  def decodeImage(bytes: Array[Byte]): Array[Array[Float]] = {
+    require(bytes.length >= 2, "empty image payload")
+    if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else throw new IllegalArgumentException(
+      s"unsupported image format (magic ${bytes(0).toChar}${bytes(1).toChar}); " +
+      "this build decodes binary PPM (P6); compressed formats need a codec library")
+  }
+
+  /** Binary PPM (P6): "P6 <w> <h> <maxval>" header (whitespace/comment
+    * separated) followed by w*h RGB triplets. Returns grayscale
+    * (ITU-R 601 luma) rows in [0,1]. */
+  private[operators] def decodePpm(bytes: Array[Byte]): Array[Array[Float]] = {
+    var pos = 2
+    def token(): String = {
+      // skip whitespace and '#'-to-end-of-line comments
+      var scanning = true
+      while (scanning && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else scanning = false
+      }
+      val sb = new StringBuilder
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) {
+        sb += bytes(pos).toChar; pos += 1
+      }
+      sb.toString
+    }
+    val w = token().toInt; val h = token().toInt; val maxV = token().toInt
+    pos += 1 // exactly one whitespace separates the header from pixels
+    require(w > 0 && h > 0 && maxV > 0 && maxV <= 255, s"bad PPM header ${w}x$h/$maxV")
+    require(bytes.length - pos >= w * h * 3, "truncated PPM payload")
+    Array.tabulate(h, w) { (y, x) =>
+      val i = pos + (y * w + x) * 3
+      val r = bytes(i) & 0xFF; val g = bytes(i + 1) & 0xFF; val b = bytes(i + 2) & 0xFF
+      ((0.299f * r + 0.587f * g + 0.114f * b) / maxV)
+    }
+  }
+
+  /** Nearest-neighbor resize — the downsample step every image
+    * featurizer runs before embedding. Pure math, no codec. */
+  def resize(img: Array[Array[Float]], outH: Int, outW: Int): Array[Array[Float]] = {
+    val h = img.length; val w = img.head.length
+    Array.tabulate(outH, outW) { (y, x) =>
+      img(math.min(h - 1, y * h / outH))(math.min(w - 1, x * w / outW))
+    }
+  }
 
   private val FeatureDim = 8
 
@@ -35,24 +85,29 @@ object Multimodal {
 
   /** The batched decode path: mapPartitions so a real codec can
     * amortize per-batch setup (model load, decoder init) exactly like
-    * `mapInPandas` would on the Python side. The featurizer here is the
-    * deterministic fake (hash-derived); swapping in [[decodeImage]] +
-    * a real embedder changes nothing about the plumbing, schema, or
-    * partitioning — each partition is processed independently, so the
-    * operator scales with executor count and shuffles nothing. */
+    * `mapInPandas` would on the Python side. Decodable payloads (PPM)
+    * go through the REAL pipeline — decode → resize 2x4 → 8 pixel
+    * features; payloads in formats without an in-container codec fall
+    * back to deterministic hash features, so the operator is total.
+    * Each partition is processed independently: the operator scales
+    * with executor count and shuffles nothing. */
   def featurizePartitioned(assets: org.apache.spark.sql.Dataset[Asset])
       : org.apache.spark.sql.Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       // per-partition setup happens HERE once (decoder/model init)
       batch.map { a =>
-        val feats = Array.tabulate(FeatureDim) { i =>
-          // stand-in for decode+embed of a.payload
-          (math.abs(org.apache.spark.unsafe.hash.Murmur3_x86_32
-            .hashUnsafeBytes(a.payload,
-              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-              a.payload.length, i)) % 1000) / 1000.0f
-        }
+        val feats =
+          try resize(decodeImage(a.payload), 2, FeatureDim / 2).flatten
+          catch {
+            case _: IllegalArgumentException =>
+              Array.tabulate(FeatureDim) { i =>
+                (math.abs(org.apache.spark.unsafe.hash.Murmur3_x86_32
+                  .hashUnsafeBytes(a.payload,
+                    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                    a.payload.length, i)) % 1000) / 1000.0f
+              }
+          }
         AssetFeatures(a.doc_id, a.source, a.payload.length, feats)
       }
     }

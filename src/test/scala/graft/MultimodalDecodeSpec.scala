@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** The real decode path: binary PPM payloads decode to pixels inside
+  * the distributed featurizer; unsupported formats fail addressed (or
+  * fall back to hash features in the total pipeline). */
+class MultimodalDecodeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Build a P6 PPM: w x h, all pixels (r,g,b). */
+  private def ppm(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val body = Array.fill(w * h)(Array(r.toByte, g.toByte, b.toByte)).flatten
+    header ++ body
+  }
+
+  test("PPM decodes to the expected grayscale matrix") {
+    val img = Multimodal.decodeImage(ppm(4, 2, 255, 255, 255))
+    assert(img.length == 2 && img.head.length == 4)
+    assert(img.flatten.forall(v => math.abs(v - 1.0f) < 1e-3))
+    val dark = Multimodal.decodeImage(ppm(3, 3, 0, 0, 0))
+    assert(dark.flatten.forall(_ == 0.0f))
+    // luma weighting: pure red is darker than pure green
+    val red = Multimodal.decodeImage(ppm(1, 1, 255, 0, 0)).head.head
+    val green = Multimodal.decodeImage(ppm(1, 1, 0, 255, 0)).head.head
+    assert(red < green && math.abs(red - 0.299f) < 1e-3)
+  }
+
+  test("comments and odd whitespace in the header parse") {
+    val bytes = "P6\n# a comment\n 2 1 # trailing\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val img = Multimodal.decodeImage(bytes)
+    assert(img.length == 1 && img.head.length == 2)
+  }
+
+  test("unsupported formats fail with an addressed error") {
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeImage(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    assert(e.getMessage.contains("unsupported image format"))
+  }
+
+  test("resize downsamples deterministically") {
+    val img = Array.tabulate(8, 8)((y, _) => y.toFloat)
+    val small = Multimodal.resize(img, 2, 4)
+    assert(small.length == 2 && small.head.length == 4)
+    assert(small(0).forall(_ == 0f) && small(1).forall(_ == 4f))
+  }
+
+  test("featurizePartitioned runs the REAL decode for PPM payloads") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "cam", ppm(8, 8, 255, 255, 255)), // white image
+      Multimodal.Asset(2L, "cam", ppm(8, 8, 0, 0, 0)),       // black image
+      Multimodal.Asset(3L, "txt", "not an image".getBytes))   // fallback path
+      .toDS()
+    val out = Multimodal.featurizePartitioned(assets).collect()
+      .map(f => f.doc_id -> f).toMap
+    // real pixels: white -> all ~1, black -> all 0
+    assert(out(1L).features.forall(v => math.abs(v - 1.0f) < 1e-3))
+    assert(out(2L).features.forall(_ == 0.0f))
+    assert(out(1L).features.length == 8)
+    // non-image payload flows through the hash fallback, stays bounded
+    assert(out(3L).features.forall(v => v >= 0f && v < 1f))
+    assert(out(3L).byte_len == "not an image".length)
+  }
+}

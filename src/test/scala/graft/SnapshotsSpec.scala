@@ -58,6 +58,23 @@ class SnapshotsSpec extends AnyFunSuite {
     engine.execute("DROP TABLE snap.e")
   }
 
+  test("RESTORE rolls data back and is itself reversible") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS snap")
+    engine.execute("DROP TABLE IF EXISTS snap.r")
+    engine.execute("CREATE TABLE snap.r (id int64, v string) STORAGE filesystem")
+    engine.execute("INSERT INTO snap.r VALUES (1,'a'),(2,'b')")
+    engine.execute("DELETE FROM snap.r WHERE id = 2") // snapshot 1
+    assert(engine.execute("SELECT count(*) AS n FROM snap.r").data.head.head == 1L)
+    val r = engine.execute("RESTORE TABLE snap.r VERSION AS OF 1")
+    assert(r.message.contains("restored to version 1"))
+    val rows = engine.execute("SELECT id, v FROM snap.r ORDER BY id")
+    assert(rows.data.map(_.toList) == Seq(List(1L, "a"), List(2L, "b")))
+    // the restore snapshotted the pre-restore state (id=1 only)
+    val snaps = engine.execute("SHOW SNAPSHOTS FROM snap.r")
+    assert(snaps.data.map(_(1)).contains("RESTORE"))
+    engine.execute("DROP TABLE snap.r")
+  }
+
   test("snapshots can be disabled per session") {
     spark.conf.set("spark.graft.snapshots.enabled", "false")
     try {
