@@ -38,10 +38,107 @@ object Multimodal {
   /** Binary PPM (P6): "P6 <w> <h> <maxval>" header (whitespace/comment
     * separated) followed by w*h RGB triplets. Returns grayscale
     * (ITU-R 601 luma) rows in [0,1]. */
-  private[operators] def decodePpm(bytes: Array[Byte]): Array[Array[Float]] = {
-    var pos = 2
+  private[operators] def decodePpm(bytes: Array[Byte]): Array[Array[Float]] =
+    decodePpmAt(bytes, 0)._1
+
+  /** Nearest-neighbor resize — the downsample step every image
+    * featurizer runs before embedding. Pure math, no codec. */
+  def resize(img: Array[Array[Float]], outH: Int, outW: Int): Array[Array[Float]] = {
+    val h = img.length; val w = img.head.length
+    Array.tabulate(outH, outW) { (y, x) =>
+      img(math.min(h - 1, y * h / outH))(math.min(w - 1, x * w / outW))
+    }
+  }
+
+  /** RIFF/WAVE PCM16 decode: mono-ized samples in [-1,1]. Pure JVM —
+    * the audio analog of [[decodePpm]]. Rejects compressed encodings
+    * (format tag != 1) with an addressed error. */
+  def decodeWav(bytes: Array[Byte]): Array[Float] = {
+    def u16(i: Int) = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    def u32(i: Int) = (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+      ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+    require(bytes.length > 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+    // walk chunks to fmt and data (canonical files have them in order)
+    var pos = 12
+    var channels = 0; var bits = 0; var dataAt = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length && (channels == 0 || dataAt < 0)) {
+      val cid = new String(bytes, pos, 4, "US-ASCII")
+      val clen = u32(pos + 4).toInt
+      if (cid == "fmt ") {
+        val tag = u16(pos + 8)
+        require(tag == 1, s"unsupported WAV encoding (format tag $tag); " +
+          "this build decodes PCM; compressed audio needs a codec library")
+        channels = u16(pos + 10)
+        bits = u16(pos + 22)
+      } else if (cid == "data") { dataAt = pos + 8; dataLen = clen }
+      pos += 8 + clen + (clen & 1)
+    }
+    require(channels > 0 && dataAt >= 0, "missing fmt/data chunk")
+    require(bits == 16, s"unsupported bit depth $bits (PCM16 only)")
+    val frames = dataLen / (2 * channels)
+    Array.tabulate(frames) { f =>
+      var acc = 0.0f
+      var c = 0
+      while (c < channels) {
+        val i = dataAt + (f * channels + c) * 2
+        acc += u16(i).toShort / 32768.0f
+        c += 1
+      }
+      acc / channels
+    }
+  }
+
+  /** Windowed audio features: per window, RMS energy and zero-crossing
+    * rate — the classic cheap acoustic descriptor pair. */
+  def audioFeatures(samples: Array[Float], windows: Int): Array[Float] = {
+    require(samples.nonEmpty, "empty audio")
+    val per = math.max(1, samples.length / windows)
+    Array.tabulate(windows * 2) { k =>
+      val w = k / 2
+      val from = w * per
+      val until = math.min(samples.length, from + per)
+      if (from >= samples.length) 0f
+      else if (k % 2 == 0) { // RMS
+        var s = 0.0
+        var i = from
+        while (i < until) { s += samples(i) * samples(i); i += 1 }
+        math.sqrt(s / (until - from)).toFloat
+      } else { // zero-crossing rate
+        var z = 0
+        var i = from + 1
+        while (i < until) {
+          if ((samples(i) >= 0) != (samples(i - 1) >= 0)) z += 1
+          i += 1
+        }
+        z.toFloat / math.max(1, until - from)
+      }
+    }
+  }
+
+  /** Frame sampling over a concatenated-PPM "video" payload (P6 frames
+    * back to back): decode every `stride`-th frame only — the IO/CPU
+    * shape of real video frame sampling, where the decoder seeks
+    * keyframes instead of decoding the full stream. */
+  def frameSample(bytes: Array[Byte], stride: Int): Seq[Array[Array[Float]]] = {
+    require(stride >= 1, "stride must be >= 1")
+    val out = Seq.newBuilder[Array[Array[Float]]]
+    var pos = 0
+    var frameIdx = 0
+    while (pos + 2 <= bytes.length && bytes(pos) == 'P' && bytes(pos + 1) == '6') {
+      val (frame, next) = decodePpmAt(bytes, pos)
+      if (frameIdx % stride == 0) out += frame
+      frameIdx += 1
+      pos = next
+    }
+    out.result()
+  }
+
+  /** decodePpm generalized to a start offset; returns (frame, endPos). */
+  private def decodePpmAt(bytes: Array[Byte], start: Int): (Array[Array[Float]], Int) = {
+    var pos = start + 2
     def token(): String = {
-      // skip whitespace and '#'-to-end-of-line comments
       var scanning = true
       while (scanning && pos < bytes.length) {
         val c = bytes(pos).toChar
@@ -56,23 +153,16 @@ object Multimodal {
       sb.toString
     }
     val w = token().toInt; val h = token().toInt; val maxV = token().toInt
-    pos += 1 // exactly one whitespace separates the header from pixels
+    pos += 1
     require(w > 0 && h > 0 && maxV > 0 && maxV <= 255, s"bad PPM header ${w}x$h/$maxV")
     require(bytes.length - pos >= w * h * 3, "truncated PPM payload")
-    Array.tabulate(h, w) { (y, x) =>
-      val i = pos + (y * w + x) * 3
+    val base = pos
+    val img = Array.tabulate(h, w) { (y, x) =>
+      val i = base + (y * w + x) * 3
       val r = bytes(i) & 0xFF; val g = bytes(i + 1) & 0xFF; val b = bytes(i + 2) & 0xFF
       ((0.299f * r + 0.587f * g + 0.114f * b) / maxV)
     }
-  }
-
-  /** Nearest-neighbor resize — the downsample step every image
-    * featurizer runs before embedding. Pure math, no codec. */
-  def resize(img: Array[Array[Float]], outH: Int, outW: Int): Array[Array[Float]] = {
-    val h = img.length; val w = img.head.length
-    Array.tabulate(outH, outW) { (y, x) =>
-      img(math.min(h - 1, y * h / outH))(math.min(w - 1, x * w / outW))
-    }
+    (img, base + w * h * 3)
   }
 
   private val FeatureDim = 8

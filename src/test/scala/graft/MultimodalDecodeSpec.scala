@@ -48,6 +48,55 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(small(0).forall(_ == 0f) && small(1).forall(_ == 4f))
   }
 
+  /** Build a PCM16 RIFF/WAVE payload from float samples in [-1,1]. */
+  private def wav(samples: Seq[Float], channels: Int = 1): Array[Byte] = {
+    val data = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { data.write(v & 0xFF); data.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    val dataLen = samples.length * channels * 2
+    data.write("RIFF".getBytes); w32(36 + dataLen); data.write("WAVE".getBytes)
+    data.write("fmt ".getBytes); w32(16)
+    w16(1); w16(channels); w32(8000); w32(8000 * channels * 2); w16(channels * 2); w16(16)
+    data.write("data".getBytes); w32(dataLen)
+    samples.foreach { s =>
+      val v = math.max(-32768, math.min(32767, (s * 32768).toInt))
+      (1 to channels).foreach(_ => w16(v))
+    }
+    data.toByteArray
+  }
+
+  test("WAV PCM16 decodes; features capture energy and zero crossings") {
+    // a square wave alternating +0.5/-0.5
+    val square = (0 until 800).map(i => if ((i / 10) % 2 == 0) 0.5f else -0.5f)
+    val samples = Multimodal.decodeWav(wav(square))
+    assert(samples.length == 800)
+    assert(math.abs(samples.head - 0.5f) < 1e-3)
+    val feats = Multimodal.audioFeatures(samples, 4)
+    assert(feats.length == 8)
+    // RMS of a +/-0.5 square is 0.5; ZCR of the 10-sample period is ~0.1
+    assert(math.abs(feats(0) - 0.5f) < 1e-2)
+    assert(feats(1) > 0.05f && feats(1) < 0.15f)
+    // stereo payload mono-izes to the same values
+    val stereo = Multimodal.decodeWav(wav(square, channels = 2))
+    assert(stereo.length == 800 && math.abs(stereo.head - 0.5f) < 1e-3)
+    // compressed encodings are refused with an addressed error
+    val bad = wav(square).clone()
+    bad(20) = 2 // format tag: ADPCM
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    assert(e.getMessage.contains("unsupported WAV encoding"))
+  }
+
+  test("frame sampling decodes every Nth PPM frame of a concatenated stream") {
+    // 6 frames with increasing brightness
+    val stream = (0 until 6).flatMap(i => ppm(2, 2, i * 40, i * 40, i * 40)).toArray
+    val all = Multimodal.frameSample(stream, 1)
+    assert(all.length == 6)
+    val sampled = Multimodal.frameSample(stream, 3)
+    assert(sampled.length == 2) // frames 0 and 3
+    assert(math.abs(sampled(1).head.head - all(3).head.head) < 1e-6)
+    assert(sampled.head.head.head == 0f)
+  }
+
   test("featurizePartitioned runs the REAL decode for PPM payloads") {
     import spark.implicits._
     val assets = Seq(
