@@ -35,15 +35,26 @@ object AlterTable {
     case addColRe(table, column, typeSpec) =>
       Some(addColumn(spark, clean(table), column, typeSpec.trim))
     case dropColRe(table, column) =>
-      Some(dropColumn(spark, clean(table), column))
+      Some(dropColumn(spark, clean(table), canonical(spark, clean(table), column)))
     case alterColRe(table, column, typeSpec) =>
-      Some(alterColumn(spark, clean(table), column, typeSpec.trim))
+      Some(alterColumn(spark, clean(table), canonical(spark, clean(table), column),
+        typeSpec.trim))
     case settingsRe(table, kvs) if kvs.nonEmpty =>
       Some(settings(spark, clean(table), kvs))
     case _ => None
   }
 
   private def clean(t: String): String = t.replace("`", "")
+
+  /** The schema's own spelling of `column` — DDL matches names
+    * case-insensitively, but the rebuild bookkeeping (graft.columns,
+    * graft.type.<col>, recreated DDL) must use the canonical case or
+    * the column silently vanishes from the recreated table. */
+  private def canonical(spark: SparkSession, t: String, column: String): String =
+    spark.table(t).schema.fieldNames
+      .find(_.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column '$column' does not exist in $t"))
 
   private def props(spark: SparkSession, t: String): Map[String, String] =
     spark.sessionState.catalog.getTableMetadata(
@@ -158,6 +169,7 @@ object AlterTable {
     val staging = new org.apache.hadoop.fs.Path(
       warehouse, s".graft-alter-${java.util.UUID.randomUUID()}")
     val fs = staging.getFileSystem(conf)
+    var committed = false
     try {
       transformed.write.mode("overwrite").parquet(staging.toString)
 
@@ -184,9 +196,17 @@ object AlterTable {
       val aligned = newSchema.fieldNames.filterNot(parts.contains).toSeq ++ parts
       staged.select(aligned.map(col): _*)
         .write.mode("overwrite").insertInto(t)
+      committed = true
     } finally {
-      try fs.delete(staging, true)
-      catch { case _: Exception => () }
+      // staging is the only durable copy once the original table is
+      // dropped — keep it if anything failed
+      if (committed) {
+        try fs.delete(staging, true)
+        catch { case _: Exception => () }
+      } else {
+        System.err.println(
+          s"[graft] ALTER of $t did not commit; staged data kept at $staging")
+      }
     }
   }
 

@@ -213,17 +213,14 @@ final class QueryEngine(val spark: SparkSession,
       val targetFiles = math.max(1, (bytes / targetFileBytes).toInt)
       if (before > targetFiles) {
         val parts = partitionColumns(t)
-        val compacted = spark.table(t).repartition(targetFiles)
-        // compaction is content-preserving: reuse the durable staged
-        // rewrite (no snapshot — nothing is destroyed)
-        val snapConf = "spark.graft.snapshots.enabled"
-        val prev = spark.conf.getOption(snapConf)
-        spark.conf.set(snapConf, "false")
-        try stagedRewrite(t, if (parts.isEmpty) compacted else spark.table(t))
-        finally prev match {
-          case Some(v) => spark.conf.set(snapConf, v)
-          case None => spark.conf.unset(snapConf)
-        }
+        // content-preserving staged rewrite; the final write is
+        // repartitioned so the compaction actually lands — hashed by
+        // partition columns (one task per partition value) for
+        // partitioned tables, to targetFiles otherwise
+        val finalShape: DataFrame => DataFrame =
+          if (parts.isEmpty) _.repartition(targetFiles)
+          else _.repartition(parts.map(col): _*)
+        stagedRewrite(t, spark.table(t), finalShape)
       }
       val (after, _) = dataFiles
       QueryResult(id, Seq.empty, Seq.empty, 0,
@@ -390,11 +387,18 @@ final class QueryEngine(val spark: SparkSession,
         if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "DELETE")
         val parts = partitionColumns(t)
         val affected = if (parts.nonEmpty) affectedPartitions(t, parts, condExpr) else Seq.empty
-        if (parts.nonEmpty && affected.nonEmpty && affected.length <= MaxPrunedPartitions) {
+        // a NULL partition value (__HIVE_DEFAULT_PARTITION__) cannot be
+        // addressed by DROP PARTITION — route those to the whole-table path
+        val nullParts = affected.exists(r => (0 until r.length).exists(r.isNullAt))
+        if (parts.nonEmpty && affected.nonEmpty && !nullParts &&
+            affected.length <= MaxPrunedPartitions) {
           val inAffected = partitionPredicate(parts, affected)
           // survivors of ONLY the affected partitions; dynamic overwrite
-          // touches exactly the partitions present in this output
-          val survivors = spark.table(t).where(inAffected && not(condExpr))
+          // touches exactly the partitions present in this output.
+          // NULL-predicate rows survive a DELETE (SQL removes only
+          // WHERE-is-TRUE rows), hence the coalesce
+          val survivors = spark.table(t)
+            .where(inAffected && not(coalesce(condExpr, lit(false))))
           // partition set that still has rows — computed BEFORE the
           // write (afterwards the table scan would see pre-delete data
           // for partitions the empty overwrite never touched)
@@ -404,7 +408,8 @@ final class QueryEngine(val spark: SparkSession,
           dropEmptiedPartitions(t, parts,
             affected.filterNot(r => survivedParts.contains(r.toSeq)))
         } else {
-          stagedRewrite(t, spark.table(t).where(not(condExpr)))
+          stagedRewrite(t,
+            spark.table(t).where(not(coalesce(condExpr, lit(false)))))
         }
       }
       QueryResult(id, Seq.empty, Seq.empty, n, s"DELETE $n")
@@ -535,21 +540,33 @@ final class QueryEngine(val spark: SparkSession,
     * write completes does the table get overwritten (reading from the
     * staged files, not from a lineage that includes the table being
     * truncated). The staging dir is removed afterwards. */
-  private def stagedRewrite(t: String, df: DataFrame): Unit = {
+  private def stagedRewrite(t: String, df: DataFrame,
+                            finalTransform: DataFrame => DataFrame = identity): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val warehouse = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
     val staging = new org.apache.hadoop.fs.Path(
       warehouse, s".graft-staging-${java.util.UUID.randomUUID()}")
     val fs = staging.getFileSystem(conf)
+    var committed = false
     try {
       df.write.mode("overwrite").parquet(staging.toString)
       val staged = spark.read.schema(spark.table(t).schema)
         .parquet(staging.toString)
-      alignForInsert(t, staged).write.mode("overwrite").insertInto(t)
+      alignForInsert(t, finalTransform(staged))
+        .write.mode("overwrite").insertInto(t)
+      committed = true
     } finally {
-      try fs.delete(staging, true)
-      catch { case _: Exception => () }
+      // the staging copy is the ONLY durable copy while the overwrite
+      // is in flight — keep it when anything failed so the table can
+      // be repaired from it, delete it only after a clean commit
+      if (committed) {
+        try fs.delete(staging, true)
+        catch { case _: Exception => () }
+      } else {
+        System.err.println(
+          s"[graft] rewrite of $t did not commit; staged survivors kept at $staging")
+      }
     }
   }
 

@@ -95,12 +95,16 @@ final class GraftClient private[sdk] (opt: GraftClient.Options) {
   }
 
   private def reapIdle(): Unit = {
+    // drain via poll (atomic hand-off — an iterator's remove would
+    // race acquire() and double-discard a connection), keep the young
     val cutoff = System.currentTimeMillis() - opt.connMaxLifetimeMs
-    val it = idle.iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      if (p.createdAt < cutoff) { it.remove(); discard(p) }
+    val keep = scala.collection.mutable.ArrayBuffer[Pooled]()
+    var p = idle.poll()
+    while (p != null) {
+      if (p.createdAt < cutoff) discard(p) else keep += p
+      p = idle.poll()
     }
+    keep.foreach(idle.offer)
   }
 
   private def withConn[A](body: NativeClient => A): A = {

@@ -70,7 +70,12 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849) {
           case Some((tpe, payload)) =>
             tpe match {
               case Signals.ClientHello =>
-                Signals.Hello.unpack(payload) // validates the frame
+                val hello = Signals.Hello.unpack(payload)
+                // the hello's database is the connection's default
+                // (connection.go:354-373 keeps it in QueryContext)
+                if (hello.database.nonEmpty)
+                  try engine.spark.catalog.setCurrentDatabase(hello.database)
+                  catch { case NonFatal(e) => sendException(out, e) }
                 Wire.writeMessage(out, Signals.ServerHello,
                   Signals.ServerHelloMsg("Graft Server", 1, 0,
                     Signals.ProtocolVersion, "UTC",
@@ -133,11 +138,18 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849) {
 
   /** ServerData + ServerEndOfStream, the reference's result framing
     * (connection.go:471-545). All values ship as strings with column
-    * type "String" — exactly what the reference does (:481). */
+    * type "String" — exactly what the reference does (:481). Large
+    * result sets stream as MULTIPLE ServerData blocks (ClickHouse
+    * semantics; the codec's 64 MiB frame bound would otherwise desync
+    * the connection on a wide 100k-row result). */
+  private val RowsPerBlock = 10000
   private def sendResult(out: java.io.OutputStream, columns: Seq[String],
                          rows: Seq[Seq[String]]): Unit = {
-    Wire.writeMessage(out, Signals.ServerData,
-      Signals.Data(columns.map(_ -> "String"), rows).pack())
+    val blocks = if (rows.isEmpty) Seq(rows) else rows.grouped(RowsPerBlock).toSeq
+    blocks.foreach { block =>
+      Wire.writeMessage(out, Signals.ServerData,
+        Signals.Data(columns.map(_ -> "String"), block).pack())
+    }
     Wire.writeMessage(out, Signals.ServerEndOfStream, Array.emptyByteArray)
   }
 
@@ -200,14 +212,31 @@ final class NativeClient(host: String, port: Int) {
     expect(Signals.ServerHello, Signals.ServerHelloMsg.unpack)
   }
 
-  /** Runs a query; returns (columns, rows) and consumes EndOfStream. */
+  /** Runs a query; returns (columns, rows), accumulating every
+    * ServerData block until EndOfStream (results stream in chunks). */
   def query(sql: String, queryId: String = "",
             database: String = ""): (Seq[String], Seq[Seq[String]]) = {
     Wire.writeMessage(out, Signals.ClientQuery,
       Signals.Query(sql, queryId, database, "default", "").pack())
-    val data = expect(Signals.ServerData, Signals.Data.unpack)
-    expect(Signals.ServerEndOfStream, _ => ())
-    (data.columns.map(_._1), data.rows)
+    var columns: Seq[String] = Seq.empty
+    val rows = Seq.newBuilder[Seq[String]]
+    var streaming = true
+    while (streaming) {
+      Wire.readMessage(in) match {
+        case Some((Signals.ServerData, payload)) =>
+          val d = Signals.Data.unpack(payload)
+          columns = d.columns.map(_._1)
+          rows ++= d.rows
+        case Some((Signals.ServerEndOfStream, _)) => streaming = false
+        case Some((Signals.ServerException, payload)) =>
+          val e = Signals.Exception.unpack(payload)
+          throw new RuntimeException(s"${e.code}: ${e.message}")
+        case Some((other, _)) =>
+          throw new RuntimeException(s"unexpected signal $other in result stream")
+        case None => throw new RuntimeException("connection closed")
+      }
+    }
+    (columns, rows.result())
   }
 
   /** Batch-insert block; no server reply on success. */

@@ -167,11 +167,33 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
         val b = new Array[Byte](len); c.readFully(b); new String(b, UTF_8)
       }
     }
-    val substituted = values.zipWithIndex.foldRight(sql) { case ((v, i), acc) =>
-      // fold RIGHT so $12 is replaced before $1
-      acc.replace(s"$$${i + 1}", literal(v))
+    // single pass over the text, skipping single-quoted literals:
+    // injected values are never re-scanned, $n inside a string stays
+    // data, and $12 can never be half-matched as $1
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        var closed = false
+        while (j < sql.length && !closed) {
+          if (sql.charAt(j) == '\'') {
+            if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 2
+            else { j += 1; closed = true }
+          } else j += 1
+        }
+        out.append(sql.substring(i, j)); i = j
+      } else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        val idx = sql.substring(i + 1, j).toInt
+        if (idx >= 1 && idx <= values.length) {
+          out.append(literal(values(idx - 1))); i = j
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
     }
-    (portal, substituted)
+    (portal, out.toString)
   }
 
   private def literal(v: String): String =

@@ -129,7 +129,14 @@ object EventsStream {
     * and a file-source stream tails them exactly once per checkpoint.
     * Subscribers consume a DataFrame instead of registry events —
     * at 100 TB this is how downstream pipelines (index maintenance,
-    * aggregate refresh) follow a hot table without rescanning it. */
+    * aggregate refresh) follow a hot table without rescanning it.
+    *
+    * APPEND-ONLY boundary, stated plainly: like any file-source
+    * stream, this feed is only valid while the table grows by new
+    * files. A copy-on-write rewrite (UPDATE/DELETE/OPTIMIZE/ALTER)
+    * replaces files under the stream and breaks or replays it — the
+    * same restriction Iceberg's append-scan incremental reads have.
+    * Follow a mutating table by streaming its snapshot feed instead. */
   def tableChanges(spark: SparkSession, table: String): DataFrame = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))

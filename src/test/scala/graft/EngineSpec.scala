@@ -342,6 +342,31 @@ class EngineSpec extends AnyFunSuite {
     engine.execute("DROP TABLE d7.pp")
   }
 
+  test("DELETE keeps NULL-predicate rows (SQL semantics)") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d10")
+    engine.execute("DROP TABLE IF EXISTS d10.nn")
+    engine.execute("CREATE TABLE d10.nn (id int64, v int32) STORAGE filesystem")
+    engine.execute("INSERT INTO d10.nn VALUES (1, 10), (2, NULL), (3, 3)")
+    // v > 5 is NULL for row 2 -> row 2 must SURVIVE the delete
+    val del = engine.execute("DELETE FROM d10.nn WHERE v > 5")
+    assert(del.message == "DELETE 1")
+    val rows = engine.execute("SELECT id FROM d10.nn ORDER BY id")
+    assert(rows.data.map(_.head) == Seq(2L, 3L))
+    engine.execute("DROP TABLE d10.nn")
+  }
+
+  test("ALTER COLUMN matches case-insensitively without losing the column") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d10")
+    engine.execute("DROP TABLE IF EXISTS d10.cc")
+    engine.execute("CREATE TABLE d10.cc (id int64, qty int32) STORAGE filesystem")
+    engine.execute("INSERT INTO d10.cc VALUES (1, 5)")
+    engine.execute("ALTER TABLE d10.cc ALTER COLUMN QTY int64")
+    val sc = engine.execute("SHOW COLUMNS FROM d10.cc")
+    assert(sc.data.map(r => (r(0), r(1))) == Seq("id" -> "int64", "qty" -> "int64"))
+    assert(engine.execute("SELECT qty FROM d10.cc").data.head.head == 5L)
+    engine.execute("DROP TABLE d10.cc")
+  }
+
   test("STORAGE engines: memory pins the cache, s3 maps to s3a location") {
     engine.execute("CREATE DATABASE IF NOT EXISTS d8")
     engine.execute("DROP TABLE IF EXISTS d8.mem")

@@ -117,6 +117,27 @@ class NativeProtocolSpec extends AnyFunSuite {
     a.close(); b.close()
   }
 
+  test("hello database is honored; large results stream in blocks") {
+    val c = connect()
+    c.hello()
+    c.query("CREATE DATABASE IF NOT EXISTS hellodb")
+    c.query("DROP TABLE IF EXISTS hellodb.hd")
+    c.query("CREATE TABLE hellodb.hd (id int64) STORAGE filesystem")
+    c.query("INSERT INTO hellodb.hd VALUES (7)")
+    c.close()
+    // a fresh connection whose HELLO names the database resolves
+    // unqualified tables there (round-2 review: the field was dropped)
+    val d = connect()
+    d.hello(database = "hellodb")
+    assert(d.query("SELECT id FROM hd")._2.head.head == "7")
+    // > RowsPerBlock rows arrive across multiple ServerData frames
+    val (cols, rows) = d.query("SELECT id FROM range(25000)")
+    assert(cols == Seq("id") && rows.length == 25000)
+    assert(rows.head.head == "0" && rows.last.head == "24999")
+    d.query("DROP TABLE hellodb.hd")
+    d.close()
+  }
+
   test("wire codec round-trips every signal") {
     val h = Signals.Hello("cli", 1, 2, Signals.ProtocolVersion, "db", "u", "pw", 30, 60)
     assert(Signals.Hello.unpack(h.pack()) == h)

@@ -203,6 +203,19 @@ class PgWireSpec extends AnyFunSuite {
     assert(types.startsWith(Seq('1', '2', 'T', 'D', 'C')), s"got $types")
     assert(rowValues(flow(3)._2) == Seq("42", "p"))
     assert(cstr(flow(4)._2) == "SELECT 1")
+    // a parameter VALUE containing a $1 token must stay data
+    msg('P', d => { cz(d, "s2"); cz(d, "SELECT $1 AS a, $2 AS b"); d.writeShort(0) })
+    msg('B', d => {
+      cz(d, "p3"); cz(d, "s2")
+      d.writeShort(0); d.writeShort(2)
+      d.writeInt(1); d.write("x".getBytes(UTF_8))
+      d.writeInt(6); d.write("see $1".getBytes(UTF_8))
+      d.writeShort(0)
+    })
+    msg('E', d => { cz(d, "p3"); d.writeInt(0) })
+    msg('S', _ => ())
+    val flow3 = drain()
+    assert(rowValues(flow3.find(_._1 == 'D').get._2) == Seq("x", "see $1"))
     // null parameter binds as NULL
     msg('B', d => {
       cz(d, "p2"); cz(d, "s1")
