@@ -113,6 +113,37 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("random filtered aggregations: Spark SQL == direct Scala evaluation") {
+    view
+    // GROUP BY l_returnflag with a random predicate + random aggregate
+    val aggGen = for {
+      p <- pred(2)
+      agg <- Gen.oneOf("count", "sum_qty", "min_price", "max_price")
+    } yield (p, agg)
+    samples(aggGen, 30).foreach { case (p, agg) =>
+      val (aggSql, aggScala): (String, Seq[Li] => Any) = agg match {
+        case "count" => ("count(*)", g => g.length.toLong)
+        case "sum_qty" =>
+          // integral quantities sum exactly in double — no FP-order issues
+          ("sum(l_quantity)", g => g.map(_.quantity).sum)
+        case "min_price" => ("min(l_extendedprice)", g => g.map(_.price).min)
+        case "max_price" => ("max(l_extendedprice)", g => g.map(_.price).max)
+      }
+      val got = spark.sql(
+        s"SELECT l_returnflag, $aggSql AS v FROM li_diff " +
+        s"WHERE ${p.sql} GROUP BY l_returnflag").collect()
+        .map(r => r.getString(0) -> r.get(1)).toMap
+      val want = rows.filter(p.eval).groupBy(_.flag).map {
+        case (k, g) => k -> aggScala(g)
+      }
+      assert(got.keySet == want.keySet, s"groups differ for ${p.sql} / $agg")
+      want.foreach { case (k, v) =>
+        assert(got(k) == v, s"$agg mismatch for group $k under ${p.sql}: " +
+          s"spark=${got(k)} scala=$v")
+      }
+    }
+  }
+
   test("random DDL round-trips through the dialect and SHOW COLUMNS") {
     val e = new graft.engine.QueryEngine(spark)
     e.execute("CREATE DATABASE IF NOT EXISTS fuzz")
