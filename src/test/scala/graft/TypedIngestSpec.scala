@@ -15,7 +15,7 @@ class TypedIngestSpec extends AnyFunSuite {
   val dir = TestSpark.sfDir
 
   test("typed-at-ingest props: same results, no per-query JSON parse") {
-    val tmp = java.nio.file.Files.createTempDirectory("typedprops").toString
+    val tmp = java.nio.file.Files.createTempDirectory("typedcols").toString
     val events = graft.sources.Tables.load(spark, dir, "events")
     // ingest-time extraction: one JSON parse per row, ever
     events
@@ -39,7 +39,9 @@ class TypedIngestSpec extends AnyFunSuite {
     val plan = typed.groupBy(col("event_type")).agg(sum(col("k")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("get_json_object"), s"JSON parse survived:\n$plan")
-    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .flatMap(l => "ReadSchema: (.*)$".r.findFirstMatchIn(l).map(_.group(1)))
+      .getOrElse("")
     assert(!readSchema.contains("props"), s"props column still read: $readSchema")
   }
 }
