@@ -18,10 +18,15 @@ import graft.engine.QueryEngine
   * clients interleave at the task level and ClientCancel can kill one
   * client's jobs without touching the others.
   */
-final class NativeServer(engine: QueryEngine, port: Int = 2849) {
+final class NativeServer(engine: QueryEngine, port: Int = 2849,
+                         maxConnections: Int = 100) {
 
   @volatile private var server: ServerSocket = _
   private val running = new AtomicBoolean(false)
+  private val active = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Live connection count (gateway.go:236-262 caps). */
+  def activeConnections: Int = active.get()
 
   /** Bound port (useful when constructed with port 0 in tests). */
   def boundPort: Int = server.getLocalPort
@@ -33,9 +38,22 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849) {
       while (running.get()) {
         try {
           val sock = server.accept()
-          val t = new Thread(() => handle(sock), s"native-conn-${sock.getPort}")
-          t.setDaemon(true)
-          t.start()
+          if (active.incrementAndGet() > maxConnections) {
+            // connection-cap refusal, the gateway's behavior: send an
+            // exception frame and close rather than hanging the client
+            active.decrementAndGet()
+            try {
+              sendException(sock.getOutputStream,
+                new IllegalStateException(s"too many connections (max $maxConnections)"))
+              sock.close()
+            } catch { case NonFatal(_) => () }
+          } else {
+            val t = new Thread(() => {
+              try handle(sock) finally active.decrementAndGet()
+            }, s"native-conn-${sock.getPort}")
+            t.setDaemon(true)
+            t.start()
+          }
         } catch {
           case _: SocketException => () // closed during accept = shutdown
           case NonFatal(_) => ()

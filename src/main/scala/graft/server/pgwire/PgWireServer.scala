@@ -21,7 +21,13 @@ import graft.engine.{QueryAnalyzer, QueryEngine}
   * messages (Parse/Bind/Execute) get a polite ErrorResponse, exactly
   * like the reference's unimplemented handlers.
   */
-final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
+final class PgWireServer(engine: QueryEngine, port: Int = 2848,
+                         maxConnections: Int = 100) {
+
+  private val active = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Live connection count (gateway.go:236-262 caps). */
+  def activeConnections: Int = active.get()
 
   // message type bytes (protocol.go:11-44)
   private val SslRequestCode = 80877103
@@ -40,9 +46,23 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848) {
       while (running.get()) {
         try {
           val sock = server.accept()
-          val ct = new Thread(() => handle(sock), s"pgwire-conn-${sock.getPort}")
-          ct.setDaemon(true)
-          ct.start()
+          if (active.incrementAndGet() > maxConnections) {
+            active.decrementAndGet()
+            try {
+              // pre-startup ErrorResponse then close (the v3 protocol's
+              // refusal path: 53300 too_many_connections)
+              val out = new DataOutputStream(sock.getOutputStream)
+              errorResponse(out, "53300",
+                s"too many connections (max $maxConnections)")
+              sock.close()
+            } catch { case NonFatal(_) => () }
+          } else {
+            val ct = new Thread(() => {
+              try handle(sock) finally active.decrementAndGet()
+            }, s"pgwire-conn-${sock.getPort}")
+            ct.setDaemon(true)
+            ct.start()
+          }
         } catch {
           case _: SocketException => ()
           case NonFatal(_) => ()

@@ -138,6 +138,31 @@ class NativeProtocolSpec extends AnyFunSuite {
     d.close()
   }
 
+  test("connection cap refuses the N+1th client with an exception frame") {
+    val small = new NativeServer(engine, port = 0, maxConnections = 2)
+    small.start()
+    try {
+      val a = new NativeClient("127.0.0.1", small.boundPort)
+      val b = new NativeClient("127.0.0.1", small.boundPort)
+      a.hello(); b.hello()
+      assert(small.activeConnections == 2)
+      val c = new NativeClient("127.0.0.1", small.boundPort)
+      // the refusal is an exception frame followed by an immediate
+      // close; depending on timing the client sees either
+      val e = intercept[Exception](c.hello())
+      assert(e.getMessage.contains("too many connections")
+        || e.isInstanceOf[java.io.IOException], s"unexpected: $e")
+      a.close(); b.close(); c.close()
+      // capacity frees up after close
+      val deadline = System.currentTimeMillis() + 10000
+      while (small.activeConnections > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val d = new NativeClient("127.0.0.1", small.boundPort)
+      assert(d.hello().serverName == "Graft Server")
+      d.close()
+    } finally small.stop()
+  }
+
   test("wire codec round-trips every signal") {
     val h = Signals.Hello("cli", 1, 2, Signals.ProtocolVersion, "db", "u", "pw", 30, 60)
     assert(Signals.Hello.unpack(h.pack()) == h)
