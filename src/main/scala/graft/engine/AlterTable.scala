@@ -93,8 +93,7 @@ object AlterTable {
   private def dropColumn(spark: SparkSession, t: String, column: String): String = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(t))
-    require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(column)),
-      s"column '$column' does not exist in $t")
+    // existence is guaranteed by canonical() at dispatch
     require(!meta.partitionColumnNames.exists(_.equalsIgnoreCase(column)),
       s"cannot drop partition column '$column'")
     rebuild(spark, t, df => df.drop(column), remaining =>

@@ -214,12 +214,25 @@ final class QueryEngine(val spark: SparkSession,
       if (before > targetFiles) {
         val parts = partitionColumns(t)
         // content-preserving staged rewrite; the final write is
-        // repartitioned so the compaction actually lands — hashed by
-        // partition columns (one task per partition value) for
-        // partitioned tables, to targetFiles otherwise
+        // repartitioned so the compaction actually lands. Partitioned
+        // tables hash by (partition cols + a bounded salt): compacted
+        // partitions collapse toward one file while a single huge
+        // partition still spreads over ~targetFiles/numParts tasks —
+        // no one-task straggler, files stay near the 128 MB target
         val finalShape: DataFrame => DataFrame =
           if (parts.isEmpty) _.repartition(targetFiles)
-          else _.repartition(parts.map(col): _*)
+          else {
+            val numParts = math.max(1,
+              try spark.sessionState.catalog
+                .listPartitionNames(tableIdent(t), None).length
+              catch { case _: Exception => 1 })
+            val saltBuckets = math.max(1, targetFiles / numParts)
+            df => df
+              .withColumn("_graft_salt",
+                pmod(monotonically_increasing_id(), lit(saltBuckets)))
+              .repartition((parts.map(col) :+ col("_graft_salt")): _*)
+              .drop("_graft_salt")
+          }
         stagedRewrite(t, spark.table(t), finalShape)
       }
       val (after, _) = dataFiles

@@ -70,11 +70,17 @@ final class GraftClient private[sdk] (opt: GraftClient.Options) {
     }
     if (p != null) p
     else if (openCount.incrementAndGet() <= opt.maxOpenConns) {
+      var c: NativeClient = null
       try {
-        val c = new NativeClient(opt.host, opt.port)
+        c = new NativeClient(opt.host, opt.port)
         c.hello(opt.database, opt.user)
         Pooled(c, now)
-      } catch { case NonFatal(e) => openCount.decrementAndGet(); throw e }
+      } catch {
+        case NonFatal(e) =>
+          openCount.decrementAndGet()
+          if (c != null) { try c.close() catch { case NonFatal(_) => () } }
+          throw e
+      }
     } else {
       openCount.decrementAndGet()
       // pool exhausted: brief wait-and-retry (the Go SDK blocks on a
@@ -104,7 +110,10 @@ final class GraftClient private[sdk] (opt: GraftClient.Options) {
       if (p.createdAt < cutoff) discard(p) else keep += p
       p = idle.poll()
     }
-    keep.foreach(idle.offer)
+    // a close() racing this drain must not have connections re-offered
+    // behind its back — discard instead
+    if (closed) keep.foreach(discard)
+    else keep.foreach(idle.offer)
   }
 
   private def withConn[A](body: NativeClient => A): A = {

@@ -42,11 +42,10 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849,
             // connection-cap refusal, the gateway's behavior: send an
             // exception frame and close rather than hanging the client
             active.decrementAndGet()
-            try {
-              sendException(sock.getOutputStream,
-                new IllegalStateException(s"too many connections (max $maxConnections)"))
-              sock.close()
-            } catch { case NonFatal(_) => () }
+            try sendException(sock.getOutputStream,
+              new IllegalStateException(s"too many connections (max $maxConnections)"))
+            catch { case NonFatal(_) => () }
+            finally { try sock.close() catch { case NonFatal(_) => () } }
           } else {
             val t = new Thread(() => {
               try handle(sock) finally active.decrementAndGet()
@@ -90,14 +89,22 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849,
               case Signals.ClientHello =>
                 val hello = Signals.Hello.unpack(payload)
                 // the hello's database is the connection's default
-                // (connection.go:354-373 keeps it in QueryContext)
-                if (hello.database.nonEmpty)
-                  try engine.spark.catalog.setCurrentDatabase(hello.database)
-                  catch { case NonFatal(e) => sendException(out, e) }
-                Wire.writeMessage(out, Signals.ServerHello,
-                  Signals.ServerHelloMsg("Graft Server", 1, 0,
-                    Signals.ProtocolVersion, "UTC",
-                    "Graft Analytics Server", 0).pack())
+                // (connection.go:354-373 keeps it in QueryContext); a
+                // bad database FAILS the handshake — exception only,
+                // never a trailing ServerHello the client would desync on
+                val dbOk =
+                  try {
+                    if (hello.database.nonEmpty)
+                      engine.spark.catalog.setCurrentDatabase(hello.database)
+                    true
+                  } catch {
+                    case NonFatal(e) => sendException(out, e); false
+                  }
+                if (dbOk)
+                  Wire.writeMessage(out, Signals.ServerHello,
+                    Signals.ServerHelloMsg("Graft Server", 1, 0,
+                      Signals.ProtocolVersion, "UTC",
+                      "Graft Analytics Server", 0).pack())
 
               case Signals.ClientQuery =>
                 val q = Signals.Query.unpack(payload)
@@ -161,10 +168,24 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849,
     * semantics; the codec's 64 MiB frame bound would otherwise desync
     * the connection on a wide 100k-row result). */
   private val RowsPerBlock = 10000
+  private val BytesPerBlock = 32L * 1024 * 1024 // half the 64 MiB frame bound
   private def sendResult(out: java.io.OutputStream, columns: Seq[String],
                          rows: Seq[Seq[String]]): Unit = {
-    val blocks = if (rows.isEmpty) Seq(rows) else rows.grouped(RowsPerBlock).toSeq
-    blocks.foreach { block =>
+    // blocks bounded by BOTH row count and serialized bytes — a block
+    // of wide rows must stay under the codec's 64 MiB frame bound
+    val blocks = Seq.newBuilder[Seq[Seq[String]]]
+    var cur = Seq.newBuilder[Seq[String]]
+    var nRows = 0
+    var nBytes = 0L
+    rows.foreach { r =>
+      val rBytes = r.iterator.map(v => v.length + 1L).sum
+      if (nRows > 0 && (nRows >= RowsPerBlock || nBytes + rBytes > BytesPerBlock)) {
+        blocks += cur.result(); cur = Seq.newBuilder; nRows = 0; nBytes = 0
+      }
+      cur += r; nRows += 1; nBytes += rBytes
+    }
+    blocks += cur.result() // final (possibly empty: the header block)
+    blocks.result().foreach { block =>
       Wire.writeMessage(out, Signals.ServerData,
         Signals.Data(columns.map(_ -> "String"), block).pack())
     }

@@ -54,8 +54,8 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
               val out = new DataOutputStream(sock.getOutputStream)
               errorResponse(out, "53300",
                 s"too many connections (max $maxConnections)")
-              sock.close()
             } catch { case NonFatal(_) => () }
+            finally { try sock.close() catch { case NonFatal(_) => () } }
           } else {
             val ct = new Thread(() => {
               try handle(sock) finally active.decrementAndGet()
@@ -187,14 +187,26 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
         val b = new Array[Byte](len); c.readFully(b); new String(b, UTF_8)
       }
     }
-    // single pass over the text, skipping single-quoted literals:
-    // injected values are never re-scanned, $n inside a string stays
-    // data, and $12 can never be half-matched as $1
+    // single pass over the text, skipping single-quoted literals AND
+    // double-quoted identifiers: injected values are never re-scanned,
+    // $n inside quotes stays data, and $12 can never half-match $1
     val out = new StringBuilder
     var i = 0
+    def skipQuoted(q: Char): Unit = {
+      var j = i + 1
+      var closed = false
+      while (j < sql.length && !closed) {
+        if (sql.charAt(j) == q) {
+          if (j + 1 < sql.length && sql.charAt(j + 1) == q) j += 2
+          else { j += 1; closed = true }
+        } else j += 1
+      }
+      out.append(sql.substring(i, j)); i = j
+    }
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\'') {
+      if (c == '"') skipQuoted('"')
+      else if (c == '\'') {
         var j = i + 1
         var closed = false
         while (j < sql.length && !closed) {
@@ -207,7 +219,8 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
       } else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
         var j = i + 1
         while (j < sql.length && sql.charAt(j).isDigit) j += 1
-        val idx = sql.substring(i + 1, j).toInt
+        // digit runs beyond 9 chars are literal text, not a parameter
+        val idx = if (j - i - 1 <= 9) sql.substring(i + 1, j).toInt else -1
         if (idx >= 1 && idx <= values.length) {
           out.append(literal(values(idx - 1))); i = j
         } else { out.append(c); i += 1 }
