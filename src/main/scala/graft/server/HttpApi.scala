@@ -34,7 +34,10 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
         case None => (400, """{"error":"missing 'query' field"}""")
         case Some(sql) =>
           try {
-            val r = engine.execute(sql)
+            // per-request isolated session: HTTP is stateless, and the
+            // 8 handler threads must not race each other's session conf
+            // (dynamic-overwrite toggles) or current database
+            val r = engine.newConnectionEngine().execute(sql)
             (200, Json.obj(
               "query_id" -> Json.str(r.queryId),
               "columns" -> Json.arr(r.columns.map(Json.str)),
