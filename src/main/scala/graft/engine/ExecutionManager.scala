@@ -34,6 +34,18 @@ final class ExecutionManager(spark: SparkSession) {
   private val seq = new AtomicLong()
   private val queries = new ConcurrentHashMap[String, QueryInfo]()
 
+  /** Watchdog for the per-query timeout (reference default 300 s,
+    * duckdb/engine.go:355-360; override with
+    * spark.graft.query.timeout.sec, <= 0 disables). */
+  private val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-query-timeout"); t.setDaemon(true); t
+    }
+
+  private def timeoutSec: Long =
+    spark.conf.getOption("spark.graft.query.timeout.sec")
+      .map(_.toLong).getOrElse(300L)
+
   /** query_<nanos> scheme as in engine.go:89-105 (+ a counter so two
     * queries in the same nanosecond cannot collide). */
   def register(sql: String): QueryInfo = {
@@ -43,11 +55,21 @@ final class ExecutionManager(spark: SparkSession) {
     info
   }
 
-  /** Run `body` under the query's job group so cancel() can reach it. */
+  /** Run `body` under the query's job group so cancel() can reach it;
+    * a watchdog cancels the group when the timeout elapses. */
   def run[T](info: QueryInfo)(body: => T): T = {
     info.status = Running
     spark.sparkContext.setJobGroup(info.id, info.sql.take(200),
       interruptOnCancel = true)
+    val tmo = timeoutSec
+    val timer =
+      if (tmo > 0)
+        Some(watchdog.schedule(new Runnable {
+          def run(): Unit =
+            if (cancel(info.id))
+              info.error = Some(s"query timed out after ${tmo}s")
+        }, tmo, java.util.concurrent.TimeUnit.SECONDS))
+      else None
     try {
       val r = body
       // a cancel that raced with completion must not be overwritten
@@ -56,9 +78,10 @@ final class ExecutionManager(spark: SparkSession) {
     } catch {
       case e: Throwable =>
         info.status = if (info.status == Cancelled) Cancelled else Failed
-        info.error = Some(e.getMessage)
+        if (info.error.isEmpty) info.error = Some(e.getMessage)
         throw e
     } finally {
+      timer.foreach(_.cancel(false))
       info.endNanos = System.nanoTime()
       spark.sparkContext.clearJobGroup()
     }

@@ -58,4 +58,21 @@ class LifecycleSpec extends AnyFunSuite {
       }
     } finally api.stop()
   }
+
+  test("query timeout cancels a runaway query (reference 300s default, tunable)") {
+    val spark = TestSpark.spark
+    val engine = new graft.engine.QueryEngine(spark.newSession())
+    engine.spark.conf.set("spark.graft.query.timeout.sec", "2")
+    try {
+      val t0 = System.nanoTime()
+      // a ~9e10-pair cross join: minutes of work unless cancelled
+      val e = intercept[Exception](engine.execute(
+        "SELECT count(*) FROM range(300000) a, range(300000) b WHERE a.id + b.id > 0"))
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(elapsed < 30, s"timeout did not fire, took $elapsed s")
+      val info = engine.executions.list().last
+      assert(info.status.toString == "Cancelled")
+      assert(info.error.exists(_.contains("timed out")))
+    } finally engine.spark.conf.unset("spark.graft.query.timeout.sec")
+  }
 }
