@@ -31,9 +31,13 @@ final class QueryEngine(val spark: SparkSession,
   /** Same engine semantics over an isolated session (own current
     * database, own conf) sharing this engine's catalog, cache, and
     * execution registry — one per protocol connection, so a client's
-    * USE cannot leak into another client's name resolution. */
+    * USE cannot leak into another client's name resolution. The clone
+    * INHERITS the parent's temp views and conf (a server that
+    * registered data views must expose them to connections), then
+    * diverges. */
   def newConnectionEngine(): QueryEngine =
-    new QueryEngine(spark.newSession(), Some(executions))
+    new QueryEngine(org.apache.spark.sql.GraftBridge.cloneSession(spark),
+      Some(executions))
 
   /** Result cap: duckdb/engine.go:395-400 (truncate + warn). */
   val maxResultRows: Int = 100000

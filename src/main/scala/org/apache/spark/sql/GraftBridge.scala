@@ -19,4 +19,12 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** An isolated copy of the session that INHERITS its current state
+    * (temp views, conf, current database) and diverges from there —
+    * `newSession()` starts empty, which would hide server-registered
+    * temp views from per-connection sessions. cloneSession is
+    * `private[sql]`, hence the bridge. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }
