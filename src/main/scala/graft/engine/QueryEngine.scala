@@ -144,6 +144,11 @@ final class QueryEngine(val spark: SparkSession,
         ok(id, s"Table ${ct.table} created")
       } else throw new IllegalArgumentException("unsupported statement type")
     case "DROP" =>
+      // DROP INDEX/USER parse in the reference but have no engine
+      // route (engine.go:142-143) — reject politely, not with a
+      // Spark parse error
+      if (sql.toUpperCase.matches("""(?s)^DROP\s+(INDEX|USER)\b.*"""))
+        throw new IllegalArgumentException("unsupported statement type")
       spark.sql(sql)
       ok(id, "Dropped")
     case "ALTER" =>

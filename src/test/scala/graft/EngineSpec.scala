@@ -226,7 +226,9 @@ class EngineSpec extends AnyFunSuite {
 
   test("blocklist and unsupported statements are refused") {
     for (bad <- Seq("PRAGMA version", "ATTACH 'x.db'", "SET x=1",
-                    "VACUUM", "GRANT ALL ON t TO u", "BEGIN"))
+                    "VACUUM", "GRANT ALL ON t TO u", "BEGIN",
+                    "DROP INDEX idx ON t", "DROP USER bob",
+                    "CREATE INDEX idx ON t (c)", "CREATE USER bob"))
       assertThrows[IllegalArgumentException](engine.execute(bad))
   }
 
