@@ -710,6 +710,8 @@ final class QueryEngine(val spark: SparkSession,
     val ddl = new StringBuilder(s"CREATE TABLE $bare (\n")
     ddl ++= cols.mkString(",\n")
     ddl ++= s"\n) STORAGE ${storage.toUpperCase}"
+    val partCols = partitionColumns(table)
+    if (partCols.nonEmpty) ddl ++= s" PARTITION BY (${partCols.mkString(", ")})"
     props.get("graft.orderby").foreach(o => ddl ++= s" ORDER BY (${o})")
     if (settings.nonEmpty) ddl ++= s" SETTINGS ${settings.mkString(", ")}"
     QueryResult(id, Seq("Table", "Create Table"),

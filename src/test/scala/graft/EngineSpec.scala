@@ -258,6 +258,9 @@ class EngineSpec extends AnyFunSuite {
       "STORAGE filesystem PARTITION BY (region)")
     val sc = engine.execute("SHOW COLUMNS FROM d4.p")
     assert(sc.data.map(_.head) == Seq("id", "region", "val"))
+    // DDL regeneration includes the partitioning clause
+    val ddl = engine.execute("SHOW CREATE TABLE d4.p").data.head(1).toString
+    assert(ddl.contains("PARTITION BY (region)"), ddl)
     engine.execute("DROP TABLE d4.p")
   }
 
