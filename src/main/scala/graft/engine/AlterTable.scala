@@ -125,10 +125,19 @@ object AlterTable {
 
   // ----------------------------------------------------------- SETTINGS
 
+  /** `'zstd'` / `"zstd"` → `zstd`: the reference parser accepts quoted
+    * literal values in SETTINGS (parser.go SETTINGS branch), so the
+    * stored value must be the literal, not the quoted spelling. */
+  private def stripQuotes(v: String): String =
+    if (v.length >= 2 &&
+        ((v.head == '\'' && v.last == '\'') ||
+         (v.head == '"' && v.last == '"'))) v.substring(1, v.length - 1)
+    else v
+
   private def settings(spark: SparkSession, t: String, kvs: String): String = {
     val parsed = kvs.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) => k.trim -> v.trim
+        case Array(k, v) => k.trim -> stripQuotes(v.trim)
         case _ => throw new IllegalArgumentException(s"invalid SETTINGS entry: '$kv'")
       }
     }.toMap
@@ -148,8 +157,12 @@ object AlterTable {
 
   // ---------------------------------------------------------- machinery
 
-  /** Stage → drop → recreate-with-evolved-schema → reload. The staged
-    * parquet copy is durable before the original table is dropped. */
+  /** Stage → build the replacement under a TEMP name → swap via
+    * rename. The staged parquet copy is durable before anything is
+    * dropped, and the catalog is without `t` only between two
+    * metadata-only operations (DROP old, RENAME tmp) — a crash at any
+    * other point leaves either the original or a fully-loaded
+    * replacement queryable (the round-2 non-atomic-rebuild finding). */
   private def rebuild(spark: SparkSession, t: String,
                       transform: DataFrame => DataFrame,
                       evolveProps: Map[String, String] => Map[String, String]): Unit = {
@@ -171,6 +184,10 @@ object AlterTable {
     var committed = false
     try {
       transformed.write.mode("overwrite").parquet(staging.toString)
+      // replacement data is durable — files a snapshot references move
+      // (rename, zero-copy) to the archive before the old table's
+      // directory is deleted by DROP below
+      Snapshots.preserveAll(spark, t)
 
       // declared order (with dropped/added columns reflected) for the
       // recreated table; partition columns keep their role
@@ -189,12 +206,17 @@ object AlterTable {
           s"'$k'='${v.replace("'", "''")}'"
         }.mkString(" TBLPROPERTIES (", ", ", ")")
 
-      spark.sql(s"DROP TABLE $t")
-      spark.sql(s"CREATE TABLE $t ($colsSql) USING parquet$partSql$propsSql")
+      val bare = ident.table
+      val tmp = ident.database.map(d => s"$d.`${bare}__graft_alter`")
+        .getOrElse(s"`${bare}__graft_alter`")
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      spark.sql(s"CREATE TABLE $tmp ($colsSql) USING parquet$partSql$propsSql")
       val staged = spark.read.schema(newSchema).parquet(staging.toString)
       val aligned = newSchema.fieldNames.filterNot(parts.contains).toSeq ++ parts
       staged.select(aligned.map(col): _*)
-        .write.mode("overwrite").insertInto(t)
+        .write.mode("overwrite").insertInto(tmp)
+      spark.sql(s"DROP TABLE $t")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO `$bare`")
       committed = true
     } finally {
       // staging is the only durable copy once the original table is
@@ -204,7 +226,8 @@ object AlterTable {
         catch { case _: Exception => () }
       } else {
         System.err.println(
-          s"[graft] ALTER of $t did not commit; staged data kept at $staging")
+          s"[graft] ALTER of $t did not commit; staged data kept at $staging" +
+            s" (a fully-loaded replacement may exist as ${t}__graft_alter)")
       }
     }
   }

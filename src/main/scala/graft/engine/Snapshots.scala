@@ -1,7 +1,8 @@
 package graft.engine
 
-import org.apache.hadoop.fs.{FileUtil, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Table snapshots + time travel without the Iceberg runtime — the
@@ -9,19 +10,29 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (Iceberg v2 snapshots/metadata: server/storage/storage.go:749-787,
   * server/metadata/iceberg/manager.go:120-234).
   *
-  * Semantics: before every DESTRUCTIVE rewrite (UPDATE / DELETE /
-  * ALTER COLUMN / DROP COLUMN) the engine archives the table's
-  * current files plus its schema under
-  * `<warehouse>/.graft-snapshots/<db>.<table>/<id>/`. Old versions
-  * stay queryable via `SELECT ... FROM t VERSION AS OF <id>` and
-  * enumerable via `SHOW SNAPSHOTS FROM t`.
+  * Design (Iceberg's manifest model re-expressed): parquet data files
+  * are immutable once written, so a snapshot is a MANIFEST that lists
+  * the table's current files — O(file metadata), no data copied at
+  * snapshot time. When a rewrite is about to delete files that a live
+  * manifest references, exactly those files are preserved into
+  * `<root>/archive/` first — renamed when the rewrite reads from its
+  * staging copy (zero data movement), copied when the rewrite still
+  * reads them in-flight (the partition-pruned DML path). A snapshot
+  * therefore costs O(changed files), never O(table).
   *
-  * Scale note, stated plainly: this copies the affected table's files
-  * per destructive op (the no-metadata-format CoW tax). Iceberg gets
-  * the same semantics for free from immutable files + manifests; when
-  * the runtime jar is present the dialect's tables swap to
-  * `USING iceberg` and this module retires. Appends (INSERT) do not
-  * snapshot — they do not destroy state.
+  * Layout under `<warehouse>/.graft-snapshots/<db>.<table>/`:
+  *   - `<id>/MANIFEST.json` — id, operation, timestamp, schema at
+  *     snapshot time, and the file list (paths relative to the table
+  *     location).
+  *   - `archive/<relpath>` — files preserved from deletion; a
+  *     manifest entry resolves to the archive copy when present, else
+  *     to the live table file.
+  *
+  * Retention: `spark.graft.snapshots.retain` (default 10) newest
+  * snapshots are kept; `EXPIRE SNAPSHOTS` prunes manually. Expiry
+  * garbage-collects archived files no remaining manifest references.
+  * Appends (INSERT) do not snapshot — they delete nothing, so every
+  * existing manifest stays valid.
   */
 object Snapshots {
 
@@ -29,9 +40,17 @@ object Snapshots {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.snapshots.enabled").forall(_.toBoolean)
 
+  /** Keep-last-N retention cap, enforced at create time (the ADVICE
+    * unbounded-growth finding; Iceberg's expire_snapshots analog). */
+  def retain(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.snapshots.retain")
+      .map(_.toInt).getOrElse(10)
+
   private def base(spark: SparkSession, db: String, table: String): Path =
     new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),
       s".graft-snapshots/$db.$table")
+
+  private def archiveRoot(root: Path): Path = new Path(root, "archive")
 
   private def resolve(spark: SparkSession, t: String): (String, String, Path) = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
@@ -40,77 +59,257 @@ object Snapshots {
     (db, ident.table, new Path(meta.location))
   }
 
-  /** Archive the table's current state; returns the snapshot id. */
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def relativize(base: Path, p: Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val s = p.toUri.getPath
+    require(s.startsWith(b + "/"), s"$p is not under $base")
+    s.substring(b.length + 1)
+  }
+
+  /** Relative paths of the table's data files (recursive; parquet
+    * only — commit markers and hidden files are not data). */
+  private def listDataFiles(fs: FileSystem, loc: Path): Seq[String] = {
+    if (!fs.exists(loc)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(loc, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith("."))
+        out += relativize(loc, f.getPath)
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------ manifest
+
+  private final case class Manifest(id: Long, operation: String,
+                                    createdAtMs: Long, files: Seq[String],
+                                    schemaJson: String)
+
+  private def escapeJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def unescapeJson(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private val filesRe = """(?s)"files":\[(.*?)\],"schema":""".r
+  private val quotedRe = """"((?:[^"\\]|\\.)*)"""".r
+
+  private def readManifest(fs: FileSystem, dir: Path): Option[Manifest] = {
+    val mf = new Path(dir, "MANIFEST.json")
+    if (!fs.exists(mf)) return None
+    val txt = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(mf)), "UTF-8")
+    for {
+      id <- """"id":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      op <- """"operation":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      at <- """"created_at":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      fl <- filesRe.findFirstMatchIn(txt).map(_.group(1))
+    } yield Manifest(id, op, at,
+      quotedRe.findAllMatchIn(fl).map(m => unescapeJson(m.group(1))).toSeq,
+      txt.substring(txt.indexOf("\"schema\":") + 9).stripSuffix("}"))
+  }
+
+  private def manifests(fs: FileSystem, root: Path): Seq[Manifest] = {
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(st => scala.util.Try(st.getPath.getName.toLong).isSuccess)
+      .flatMap(st => readManifest(fs, st.getPath))
+      .sortBy(_.id)
+  }
+
+  /** Every file some live manifest still references (relpaths). */
+  private def referencedFiles(fs: FileSystem, root: Path): Set[String] =
+    manifests(fs, root).iterator.flatMap(_.files).toSet
+
+  // -------------------------------------------------------------- create
+
+  /** Record a manifest over the table's CURRENT files; no data moves.
+    * Returns the snapshot id. Retention expires the oldest snapshots
+    * beyond the keep-last-N cap. */
   def create(spark: SparkSession, t: String, operation: String): Long = {
     val (db, table, loc) = resolve(spark, t)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = loc.getFileSystem(conf)
+    val fs = fsOf(spark, loc)
     val root = base(spark, db, table)
-    val id = nextId(spark, db, table)
+    val id = manifests(fs, root).lastOption.map(_.id).getOrElse(0L) + 1L
     val target = new Path(root, id.toString)
     fs.mkdirs(target)
-    // copy the table directory (immutable snapshot of the data files)
-    FileUtil.copy(fs, loc, fs, new Path(target, "data"), false, conf)
-    // schema at snapshot time: ALTER COLUMN changes types later, so
-    // the archived files must be read with the schema they were
-    // written under
+    val files = listDataFiles(fs, loc)
+    val filesJson =
+      files.map(f => "\"" + escapeJson(f) + "\"").mkString("[", ",", "]")
     val manifest =
-      s"""{"id":$id,"operation":"${operation}",
-         |"created_at":${System.currentTimeMillis()},
-         |"schema":${compactJson(spark.table(t).schema)}}""".stripMargin
+      s"""{"id":$id,"operation":"$operation","created_at":${System.currentTimeMillis()},"files":$filesJson,"schema":${spark.table(t).schema.json}}"""
     val out = fs.create(new Path(target, "MANIFEST.json"), true)
     out.write(manifest.getBytes("UTF-8"))
     out.close()
+    expire(spark, t, olderThanMs = None, keepLast = Some(retain(spark)))
     id
   }
 
-  private def compactJson(schema: StructType): String = schema.json
+  // ------------------------------------------------------------ preserve
 
-  private def nextId(spark: SparkSession, db: String, table: String): Long = {
+  /** Move every referenced live file into the archive — called by
+    * whole-table rewrites AFTER the replacement data is durably staged
+    * (the rewrite reads from staging, so a rename is safe and costs no
+    * data movement). Unreferenced files are left for the rewrite to
+    * delete. */
+  def preserveAll(spark: SparkSession, t: String): Unit = {
+    val (db, table, loc) = resolve(spark, t)
+    val fs = fsOf(spark, loc)
     val root = base(spark, db, table)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) 1L
-    else fs.listStatus(root).map(_.getPath.getName)
-      .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .maxOption.getOrElse(0L) + 1L
+    val referenced = referencedFiles(fs, root)
+    if (referenced.isEmpty) return
+    preserveFiles(spark, fs, loc, root,
+      listDataFiles(fs, loc).filter(referenced), move = true)
   }
+
+  /** Copy referenced files under the given directories into the
+    * archive — the partition-pruned DML scope. Copies (not renames)
+    * because the pending overwrite still READS the live files. */
+  def preserveUnder(spark: SparkSession, t: String, dirs: Seq[Path]): Unit = {
+    val (db, table, loc) = resolve(spark, t)
+    val fs = fsOf(spark, loc)
+    val root = base(spark, db, table)
+    val referenced = referencedFiles(fs, root)
+    if (referenced.isEmpty) return
+    val rels = dirs.flatMap { d =>
+      if (!fs.exists(d)) Seq.empty
+      else {
+        val out = Seq.newBuilder[String]
+        val it = fs.listFiles(d, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (f.isFile && name.endsWith(".parquet") &&
+              !name.startsWith("_") && !name.startsWith("."))
+            out += relativize(loc, f.getPath)
+        }
+        out.result()
+      }
+    }
+    preserveFiles(spark, fs, loc, root, rels.filter(referenced), move = false)
+  }
+
+  private def preserveFiles(spark: SparkSession, fs: FileSystem, loc: Path,
+                            root: Path, rels: Seq[String],
+                            move: Boolean): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val arch = archiveRoot(root)
+    rels.foreach { rel =>
+      val src = new Path(loc, rel)
+      val dst = new Path(arch, rel)
+      if (!fs.exists(dst) && fs.exists(src)) {
+        fs.mkdirs(dst.getParent)
+        if (move) fs.rename(src, dst)
+        else FileUtil.copy(fs, src, fs, dst, false, conf)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- read
 
   final case class SnapshotInfo(id: Long, operation: String, createdAtMs: Long)
 
   def list(spark: SparkSession, t: String): Seq[SnapshotInfo] = {
-    val (db, table, _) = resolve(spark, t)
-    val root = base(spark, db, table)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq.flatMap { st =>
-      val mf = new Path(st.getPath, "MANIFEST.json")
-      if (!fs.exists(mf)) None
-      else {
-        val txt = new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(mf)), "UTF-8")
-        for {
-          id <- """"id":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-          op <- """"operation":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-          at <- """"created_at":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-        } yield SnapshotInfo(id, op, at)
-      }
-    }.sortBy(_.id)
+    val (db, table, loc) = resolve(spark, t)
+    manifests(fsOf(spark, loc), base(spark, db, table))
+      .map(m => SnapshotInfo(m.id, m.operation, m.createdAtMs))
   }
 
-  /** DataFrame over an archived version, read with its own schema. */
+  /** DataFrame over an archived version: manifest entries resolve to
+    * the archive copy when one exists, else to the still-live table
+    * file; read under the schema recorded at snapshot time. */
   def read(spark: SparkSession, t: String, id: Long): DataFrame = {
-    val (db, table, _) = resolve(spark, t)
+    val (db, table, loc) = resolve(spark, t)
+    val fs = fsOf(spark, loc)
     val root = base(spark, db, table)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val target = new Path(root, id.toString)
-    require(fs.exists(target), s"no snapshot $id for $t")
-    val mf = new Path(target, "MANIFEST.json")
-    val txt = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(mf)), "UTF-8")
-    val schemaJson = txt.substring(txt.indexOf("\"schema\":") + 9).stripSuffix("}")
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    spark.read.schema(schema)
-      .option("basePath", new Path(target, "data").toString)
-      .parquet(new Path(target, "data").toString)
+    val m = readManifest(fs, new Path(root, id.toString))
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id for $t"))
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val arch = archiveRoot(root)
+    val (archived, live) = m.files.partition(r => fs.exists(new Path(arch, r)))
+    val missing = live.filterNot(r => fs.exists(new Path(loc, r)))
+    require(missing.isEmpty,
+      s"snapshot $id of $t is missing ${missing.length} file(s): " +
+        missing.take(3).mkString(", "))
+    def readFrom(basePath: Path, rels: Seq[String]): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .option("basePath", basePath.toString)
+        .parquet(rels.map(r => new Path(basePath, r).toString): _*)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*))
+    Seq(readFrom(arch, archived), readFrom(loc, live)).flatten
+      .reduceOption(_ union _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema))
+  }
+
+  // -------------------------------------------------------- expire / GC
+
+  /** Expire snapshots and garbage-collect unreferenced archive files.
+    * No qualifier expires everything; `olderThanMs` expires by age;
+    * `keepLast` keeps only the newest N. Returns how many expired. */
+  def expire(spark: SparkSession, t: String, olderThanMs: Option[Long],
+             keepLast: Option[Int]): Int = {
+    val (db, table, loc) = resolve(spark, t)
+    val fs = fsOf(spark, loc)
+    val root = base(spark, db, table)
+    val all = manifests(fs, root)
+    val byAge = olderThanMs
+      .map(cut => all.filter(_.createdAtMs < cut).map(_.id).toSet)
+      .getOrElse(Set.empty[Long])
+    val byCount = keepLast
+      .map(k => all.dropRight(math.max(k, 0)).map(_.id).toSet)
+      .getOrElse(Set.empty[Long])
+    val doomed =
+      if (olderThanMs.isEmpty && keepLast.isEmpty) all.map(_.id).toSet
+      else byAge ++ byCount
+    doomed.foreach(id => fs.delete(new Path(root, id.toString), true))
+    if (doomed.nonEmpty) gcArchive(fs, root)
+    doomed.size
+  }
+
+  /** Delete archived files no remaining manifest references, pruning
+    * emptied directories bottom-up. */
+  private def gcArchive(fs: FileSystem, root: Path): Unit = {
+    val arch = archiveRoot(root)
+    if (!fs.exists(arch)) return
+    val referenced = referencedFiles(fs, root)
+    val it = fs.listFiles(arch, true)
+    val doomed = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !referenced.contains(relativize(arch, f.getPath)))
+        doomed += f.getPath
+    }
+    doomed.result().foreach(p => fs.delete(p, false))
+    pruneEmptyDirs(fs, arch)
+  }
+
+  private def pruneEmptyDirs(fs: FileSystem, dir: Path): Boolean = {
+    if (!fs.exists(dir)) return true
+    val children = fs.listStatus(dir)
+    val allGone = children.forall { st =>
+      if (st.isDirectory) pruneEmptyDirs(fs, st.getPath) else false
+    }
+    if (allGone && children.nonEmpty) fs.delete(dir, false)
+    else if (children.isEmpty) fs.delete(dir, false)
+    allGone || children.isEmpty
+  }
+
+  /** Drop every snapshot of a table — DROP TABLE hygiene, so a
+    * recreated table never inherits a predecessor's history. Needs no
+    * catalog metadata (callable after the drop). */
+  def purge(spark: SparkSession, t: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val db = ident.database.getOrElse(spark.catalog.currentDatabase)
+    val root = base(spark, db, ident.table)
+    val fs = fsOf(spark, root)
+    if (fs.exists(root)) fs.delete(root, true)
   }
 }

@@ -29,6 +29,11 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
   /** Live connection count (gateway.go:236-262 caps). */
   def activeConnections: Int = active.get()
 
+  /** Frame-length bound shared with the native codec (Wire.readMessage):
+    * a corrupt or malicious length header must fail cleanly instead of
+    * allocating gigabytes. */
+  private val MaxFrameBytes = 64 * 1024 * 1024
+
   // message type bytes (protocol.go:11-44)
   private val SslRequestCode = 80877103
   private val CancelRequestCode = 80877102
@@ -100,6 +105,11 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
           try in.readUnsignedByte()
           catch { case _: EOFException => return }
         val len = in.readInt()
+        // bound before allocating: one corrupt frame header must not
+        // allocate 2 GB or throw NegativeArraySizeException (mirrors
+        // Wire.readMessage's 64 MiB cap on the native protocol)
+        if (len < 4 || len > MaxFrameBytes)
+          throw new java.io.IOException(s"bad pgwire frame length: $len")
         val payload = new Array[Byte](len - 4)
         in.readFully(payload)
         (tpe: @unchecked) match {
@@ -285,6 +295,8 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
       code = in.readInt()
     }
     if (code == CancelRequestCode) return false // keyless cancel: ignore
+    if (len < 8 || len > MaxFrameBytes)
+      throw new java.io.IOException(s"bad pgwire startup length: $len")
     val payload = new Array[Byte](len - 8)
     in.readFully(payload)
     val params = parseParams(payload)
