@@ -59,10 +59,56 @@ final class QueryEngine(val spark: SparkSession,
     "GRANT", "REVOKE", "BEGIN", "COMMIT", "ROLLBACK", "DECLARE", "OPEN",
     "FETCH", "CLOSE")
 
-  def execute(sql: String): QueryResult = {
+  def execute(sql: String): QueryResult = execute(sql, _ => ())
+
+  /** As [[execute]], but reports the assigned query id before the
+    * statement runs — protocol servers hook progress listeners onto
+    * the id's Spark job group. */
+  def execute(sql: String, onStart: String => Unit): QueryResult = {
     val info = executions.register(sql)
+    onStart(info.id)
     executions.run(info)(route(rewriteSysFuncs(
       sql.trim.stripSuffix(";").trim), info.id))
+  }
+
+  /** SELECT-family statements streamed through `sink` with bounded
+    * driver memory: rows are pulled partition-by-partition
+    * (`toLocalIterator`), so the server never materializes a full
+    * result and lifting the row cap cannot OOM it. The sink runs
+    * inside the query's job group on the calling thread, so
+    * cancellation reaches the per-partition fetch jobs. Non-SELECT
+    * statements run exactly like [[execute]] and the sink is not
+    * called. For streamed results `data` stays empty; `rowCount` and
+    * the truncation message are still populated. */
+  def executeStreamed(sql0: String, onStart: String => Unit = _ => ())
+                     (sink: (Seq[String], Iterator[Seq[Any]]) => Unit): QueryResult = {
+    val sql = rewriteSysFuncs(sql0.trim.stripSuffix(";").trim)
+    if (!Set("SELECT", "WITH", "VALUES", "TABLE").contains(head(sql)))
+      execute(sql0, onStart)
+    else {
+      val info = executions.register(sql0)
+      onStart(info.id)
+      executions.run(info) {
+        val rewritten = rewriteTimeTravel(sql)
+        if (SystemTables.isSystemQuery(rewritten)) {
+          SystemTables.register(spark)
+          registerSystemQueries()
+        }
+        val df = spark.sql(rewritten)
+        val cols = df.columns.toSeq
+        import scala.jdk.CollectionConverters._
+        val rows = df.toLocalIterator().asScala
+        var n = 0L
+        val capped: Iterator[Seq[Any]] = new Iterator[Seq[Any]] {
+          def hasNext: Boolean = n < maxResultRows && rows.hasNext
+          def next(): Seq[Any] = { n += 1; rows.next().toSeq }
+        }
+        sink(cols, capped)
+        val truncated = n >= maxResultRows && rows.hasNext
+        QueryResult(info.id, cols, Seq.empty, n,
+          if (truncated) s"result truncated to $maxResultRows rows" else "")
+      }
+    }
   }
 
   /** Ranger system functions (parser.go:101-104, cases :5741-5747) →

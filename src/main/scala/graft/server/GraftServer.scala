@@ -32,10 +32,20 @@ object GraftServer {
     args.headOption.foreach(dir => graft.sources.Tables.registerAll(spark, dir))
 
     val engine = new QueryEngine(spark)
-    val http = new HttpApi(engine, 2847).start()
-    val pg = new PgWireServer(engine, 2848); pg.start()
-    val native = new NativeServer(engine, 2849); native.start()
-    println("graft-server listening: http=2847 pgwire=2848 native=2849")
+    // spark.graft.auth.enabled=true turns on the reference's auth
+    // middleware defaults on all three tiers; HTTP bearer tokens come
+    // from spark.graft.auth.tokens (comma-separated)
+    val auth: Option[AuthProvider] =
+      if (spark.conf.getOption("spark.graft.auth.enabled").contains("true"))
+        Some(new SimpleAuthProvider(
+          tokens = spark.conf.getOption("spark.graft.auth.tokens")
+            .map(_.split(",").toSet).getOrElse(Set.empty)))
+      else None
+    val http = new HttpApi(engine, 2847, auth).start()
+    val pg = new PgWireServer(engine, 2848, auth = auth); pg.start()
+    val native = new NativeServer(engine, 2849, auth = auth); native.start()
+    println("graft-server listening: http=2847 pgwire=2848 native=2849" +
+      (if (auth.isDefined) " (auth enabled)" else ""))
     sys.addShutdownHook { native.stop(); pg.stop(); http.stop(); spark.stop() }
     Thread.currentThread().join() // serve until killed
   }

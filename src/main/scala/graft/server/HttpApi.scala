@@ -19,15 +19,27 @@ import graft.engine.QueryEngine
   * handler threads just block on collect. Thrift Server / Spark
   * Connect would provide the JDBC analog — out of scope (SURVEY §3.3).
   */
-final class HttpApi(engine: QueryEngine, port: Int = 0) {
+final class HttpApi(engine: QueryEngine, port: Int = 0,
+                    auth: Option[AuthProvider] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
   def boundPort: Int = server.getAddress.getPort
 
+  /** Bearer-token gate for the mutating endpoints when an auth
+    * provider is configured (the HTTP analog of the reference's auth
+    * middleware; /health and /info stay open like its health checks). */
+  private def authorized(ex: HttpExchange): Boolean =
+    auth.forall { provider =>
+      Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer "))
+        .exists(h => provider.validateToken(h.stripPrefix("Bearer ")))
+    }
+
   server.createContext("/query", handler { ex =>
-    if (ex.getRequestMethod != "POST") (405, """{"error":"POST required"}""")
+    if (!authorized(ex)) (401, """{"error":"authentication required"}""")
+    else if (ex.getRequestMethod != "POST") (405, """{"error":"POST required"}""")
     else {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       Json.strField(body, "query") match {
@@ -64,7 +76,8 @@ final class HttpApi(engine: QueryEngine, port: Int = 0) {
   })
 
   server.createContext("/cancel", handler { ex =>
-    if (ex.getRequestMethod != "POST") (405, """{"error":"POST required"}""")
+    if (!authorized(ex)) (401, """{"error":"authentication required"}""")
+    else if (ex.getRequestMethod != "POST") (405, """{"error":"POST required"}""")
     else {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       Json.strField(body, "query_id") match {

@@ -112,7 +112,8 @@ object Signals {
   val ClientCancel = 3; val ClientPing = 4
   // server -> client
   val ServerHello = 100; val ServerData = 101; val ServerException = 102
-  val ServerPong = 104; val ServerEndOfStream = 105
+  val ServerProgress = 103; val ServerPong = 104; val ServerEndOfStream = 105
+  val ServerProfileInfo = 106
 
   val ProtocolVersion = 54460L // DBMS_TCP_PROTOCOL_VERSION
 
@@ -245,6 +246,49 @@ object Signals {
       val rows = (0 until nRows).map(r => split.map(col =>
         if (r < col.length) col(r) else ""))
       Data(cols, rows)
+    }
+  }
+
+  /** Execution heartbeat (server_progress.go:10-63): four uvarints +
+    * elapsed time as 8-byte-BE microseconds. Totals are 0 when the
+    * engine cannot estimate them up front — same as the reference. */
+  final case class Progress(rowsRead: Long, bytesRead: Long,
+                            totalRows: Long, totalBytes: Long,
+                            elapsedSec: Double) {
+    def pack(): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      Wire.writeUvarint(b, rowsRead); Wire.writeUvarint(b, bytesRead)
+      Wire.writeUvarint(b, totalRows); Wire.writeUvarint(b, totalBytes)
+      Wire.writeU64(b, (elapsedSec * 1e6).toLong)
+      b.toByteArray
+    }
+  }
+  object Progress {
+    def unpack(p: Array[Byte]): Progress = {
+      val c = new Wire.Cursor(p)
+      Progress(c.uvarint(), c.uvarint(), c.uvarint(), c.uvarint(),
+        c.u64() / 1e6)
+    }
+  }
+
+  /** End-of-query execution summary (server_profile_info.go:10-22):
+    * six uvarints. */
+  final case class ProfileInfo(rowsReadBeforeLimit: Long,
+                               bytesReadBeforeLimit: Long,
+                               appliedLimit: Long, appliedOffset: Long,
+                               rowsRead: Long, bytesRead: Long) {
+    def pack(): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      Seq(rowsReadBeforeLimit, bytesReadBeforeLimit, appliedLimit,
+        appliedOffset, rowsRead, bytesRead).foreach(Wire.writeUvarint(b, _))
+      b.toByteArray
+    }
+  }
+  object ProfileInfo {
+    def unpack(p: Array[Byte]): ProfileInfo = {
+      val c = new Wire.Cursor(p)
+      ProfileInfo(c.uvarint(), c.uvarint(), c.uvarint(), c.uvarint(),
+        c.uvarint(), c.uvarint())
     }
   }
 

@@ -22,7 +22,8 @@ import graft.engine.{QueryAnalyzer, QueryEngine}
   * like the reference's unimplemented handlers.
   */
 final class PgWireServer(engine: QueryEngine, port: Int = 2848,
-                         maxConnections: Int = 100) {
+                         maxConnections: Int = 100,
+                         auth: Option[graft.server.AuthProvider] = None) {
 
   private val active = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -300,6 +301,27 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
     val payload = new Array[Byte](len - 8)
     in.readFully(payload)
     val params = parseParams(payload)
+    // cleartext-password exchange when an auth provider is configured:
+    // AuthenticationCleartextPassword (R, code 3) → PasswordMessage
+    // ('p') → check; failure = 28P01 invalid_password + close, the
+    // v3 protocol's rejection flow
+    auth.foreach { provider =>
+      message(out, 'R', b => b.writeInt(3))
+      val tpe = in.readUnsignedByte()
+      val plen = in.readInt()
+      if (tpe != 'p' || plen < 4 || plen > MaxFrameBytes)
+        throw new java.io.IOException(s"expected PasswordMessage, got '$tpe'")
+      val pbody = new Array[Byte](plen - 4)
+      in.readFully(pbody)
+      val password = cString(pbody, 0)._1
+      val user = params.getOrElse("user", "")
+      if (!provider.authenticate(user, password,
+            params.getOrElse("database", ""))) {
+        errorResponse(out, "28P01",
+          s"password authentication failed for user \"$user\"")
+        return false
+      }
+    }
     params.get("database").filter(_.nonEmpty).foreach { db =>
       try engine.spark.catalog.setCurrentDatabase(db)
       catch { case NonFatal(_) => () }

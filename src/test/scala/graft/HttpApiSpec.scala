@@ -77,6 +77,32 @@ class HttpApiSpec extends AnyFunSuite {
     assert(c3 == 404)
   }
 
+  test("bearer-token auth gates /query and /cancel; /health stays open") {
+    val secured = new HttpApi(engine,
+      auth = Some(new graft.server.SimpleAuthProvider(
+        tokens = Set("sekret-token")))).start()
+    try {
+      def postAuth(path: String, body: String, token: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${secured.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        token.foreach(t => b.header("Authorization", s"Bearer $t"))
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(postAuth("/query", """{"query":"SELECT 1 AS x"}""", None) == 401)
+      assert(postAuth("/query", """{"query":"SELECT 1 AS x"}""",
+        Some("wrong")) == 401)
+      assert(postAuth("/query", """{"query":"SELECT 1 AS x"}""",
+        Some("sekret-token")) == 200)
+      assert(postAuth("/cancel", """{"query_id":"query_nope"}""", None) == 401)
+      // health stays unauthenticated (reference health checks)
+      val hreq = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${secured.boundPort}/health")).GET().build()
+      assert(client.send(hreq,
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+    } finally secured.stop()
+  }
+
   test("Json helpers round-trip escapes") {
     assert(Json.strField("""{"query": "SELECT '\n\"x\"' AS s"}""", "query")
       .contains("SELECT '\n\"x\"' AS s"))

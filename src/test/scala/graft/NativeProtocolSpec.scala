@@ -163,6 +163,72 @@ class NativeProtocolSpec extends AnyFunSuite {
     } finally small.stop()
   }
 
+  test("slow query emits ServerProgress heartbeats; ProfileInfo matches row count") {
+    spark.conf.set("spark.graft.progress.interval.ms", "50")
+    try {
+      val c = connect()
+      c.hello()
+      // slow enough that several 50ms ticks elapse mid-execution
+      val (_, rows) = c.query(
+        "SELECT count(*) AS n FROM " +
+          "(SELECT sha2(cast(id AS string), 512) AS h FROM range(8000000)) " +
+          "WHERE h LIKE '%abc%'")
+      assert(rows.length == 1)
+      assert(c.progressFrames >= 1,
+        s"expected >=1 ServerProgress frame, saw ${c.progressFrames}")
+      // ProfileInfo arrives before EndOfStream and reports rows sent
+      assert(c.lastProfile.isDefined)
+      assert(c.lastProfile.get.rowsRead == 1L)
+      // a result-bearing query reports its own count
+      val (_, rs) = c.query("SELECT id FROM range(123)")
+      assert(rs.length == 123 && c.lastProfile.get.rowsRead == 123L)
+      c.close()
+    } finally spark.conf.unset("spark.graft.progress.interval.ms")
+  }
+
+  test("wide 100k-row result streams block-by-block off the partition iterator") {
+    val c = connect()
+    c.hello()
+    val (cols, rows) = c.query(
+      "SELECT id, repeat('x', 200) AS pad FROM range(100000)")
+    assert(cols == Seq("id", "pad"))
+    assert(rows.length == 100000)
+    assert(rows.last(1).length == 200)
+    // the server sent it as many bounded blocks, not one materialized
+    // result: ProfileInfo's bytes reflect ~20 MB across >= 10 frames
+    assert(c.lastProfile.get.rowsRead == 100000L)
+    c.close()
+  }
+
+  test("auth middleware: hello credentials checked, unauthenticated queries refused") {
+    val secured = new NativeServer(engine, port = 0,
+      auth = Some(new graft.server.SimpleAuthProvider()))
+    secured.start()
+    try {
+      // reference default users: admin/admin123 and default/""
+      val a = new NativeClient("127.0.0.1", secured.boundPort)
+      assert(a.hello(user = "admin", password = "admin123")
+        .serverName == "Graft Server")
+      assert(a.query("SELECT 1 AS x")._2.head.head == "1")
+      a.close()
+      val d = new NativeClient("127.0.0.1", secured.boundPort)
+      assert(d.hello().serverName == "Graft Server") // default/""
+      d.close()
+      // wrong password: exception frame, connection torn down
+      val bad = new NativeClient("127.0.0.1", secured.boundPort)
+      val e = intercept[Exception](bad.hello(user = "admin", password = "nope"))
+      assert(e.getMessage.contains("authentication failed")
+        || e.isInstanceOf[java.io.IOException], s"unexpected: $e")
+      bad.close()
+      // no hello at all: the requireAuth gate refuses the query
+      val sneak = new NativeClient("127.0.0.1", secured.boundPort)
+      val e2 = intercept[Exception](sneak.query("SELECT 1"))
+      assert(e2.getMessage.contains("authentication required")
+        || e2.isInstanceOf[java.io.IOException], s"unexpected: $e2")
+      sneak.close()
+    } finally secured.stop()
+  }
+
   test("wire codec round-trips every signal") {
     val h = Signals.Hello("cli", 1, 2, Signals.ProtocolVersion, "db", "u", "pw", 30, 60)
     assert(Signals.Hello.unpack(h.pack()) == h)
@@ -179,6 +245,13 @@ class NativeProtocolSpec extends AnyFunSuite {
     // uvarint edge: multi-byte lengths
     val big = Signals.Exception("E", "x" * 300, "")
     assert(Signals.Exception.unpack(big.pack()).message.length == 300)
+    // progress (4 uvarints + 8-byte BE micros) and profile (6 uvarints)
+    val pr = Signals.Progress(1234567, 89012345, 0, 0, 1.5)
+    val pr2 = Signals.Progress.unpack(pr.pack())
+    assert(pr2.rowsRead == 1234567 && pr2.bytesRead == 89012345)
+    assert(math.abs(pr2.elapsedSec - 1.5) < 1e-6)
+    val pi = Signals.ProfileInfo(7, 8, 100000, 0, 5, 6)
+    assert(Signals.ProfileInfo.unpack(pi.pack()) == pi)
     // frame roundtrip through a stream
     val bos = new java.io.ByteArrayOutputStream()
     Wire.writeMessage(bos, Signals.ClientQuery, q.pack())

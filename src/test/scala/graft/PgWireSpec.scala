@@ -256,4 +256,70 @@ class PgWireSpec extends AnyFunSuite {
     assert(tpe == 'E')
     sock.close()
   }
+
+  test("cleartext-password auth: accepted credentials run queries, bad ones get 28P01") {
+    val secured = new PgWireServer(engine, port = 0,
+      auth = Some(new graft.server.SimpleAuthProvider()))
+    secured.start()
+    def startupThenPassword(user: String, password: String)
+        : (Socket, DataInputStream, DataOutputStream, Seq[(Char, Array[Byte])]) = {
+      val sock = new Socket("127.0.0.1", secured.boundPort)
+      val sin = new DataInputStream(sock.getInputStream)
+      val sout = new DataOutputStream(sock.getOutputStream)
+      val body = new java.io.ByteArrayOutputStream()
+      val bd = new DataOutputStream(body)
+      bd.writeInt(196608)
+      for ((k, v) <- Seq("user" -> user, "database" -> "default")) {
+        bd.write(k.getBytes(UTF_8)); bd.writeByte(0)
+        bd.write(v.getBytes(UTF_8)); bd.writeByte(0)
+      }
+      bd.writeByte(0)
+      sout.writeInt(4 + body.size()); body.writeTo(sout); sout.flush()
+      // AuthenticationCleartextPassword: 'R' with code 3
+      assert(sin.readUnsignedByte().toChar == 'R')
+      val rlen = sin.readInt(); val rbody = new Array[Byte](rlen - 4)
+      sin.readFully(rbody)
+      assert(java.nio.ByteBuffer.wrap(rbody).getInt == 3)
+      // PasswordMessage
+      val pw = password.getBytes(UTF_8)
+      sout.writeByte('p'); sout.writeInt(4 + pw.length + 1)
+      sout.write(pw); sout.writeByte(0); sout.flush()
+      val msgs = Seq.newBuilder[(Char, Array[Byte])]
+      var done = false
+      try {
+        while (!done) {
+          val tpe = sin.readUnsignedByte().toChar
+          val len = sin.readInt(); val p = new Array[Byte](len - 4)
+          sin.readFully(p)
+          msgs += ((tpe, p))
+          if (tpe == 'Z' || tpe == 'E') done = true
+        }
+      } catch { case _: java.io.EOFException => () }
+      (sock, sin, sout, msgs.result())
+    }
+    try {
+      // good credentials: AuthenticationOk (R code 0) then ReadyForQuery
+      val (sock, sin, sout, msgs) = startupThenPassword("admin", "admin123")
+      assert(msgs.exists { case (t, p) =>
+        t == 'R' && java.nio.ByteBuffer.wrap(p).getInt == 0 })
+      assert(msgs.last._1 == 'Z')
+      val q = "SELECT 1 AS x".getBytes(UTF_8)
+      sout.writeByte('Q'); sout.writeInt(4 + q.length + 1)
+      sout.write(q); sout.writeByte(0); sout.flush()
+      var sawData = false; var done = false
+      while (!done) {
+        val tpe = sin.readUnsignedByte().toChar
+        val len = sin.readInt(); val p = new Array[Byte](len - 4); sin.readFully(p)
+        if (tpe == 'D') sawData = true
+        if (tpe == 'Z') done = true
+      }
+      assert(sawData)
+      sock.close()
+      // wrong password: ErrorResponse naming 28P01, then close
+      val (sock2, _, _, msgs2) = startupThenPassword("admin", "wrong")
+      assert(msgs2.exists { case (t, p) =>
+        t == 'E' && new String(p, UTF_8).contains("28P01") })
+      sock2.close()
+    } finally secured.stop()
+  }
 }
