@@ -31,9 +31,20 @@ object Dedup {
   // jaccard is <= ~0.1, true near-dups ~0.97. r=4 rows/band puts the
   // collision knee at j ~ 0.5: P(candidate | j=0.1) = 8*1e-4 (no
   // explosion), P(candidate | j=0.8) = 98.5%, j=0.97 ≈ 100%.
-  private val NumBands = 8
-  private val RowsPerBand = NumHashes / NumBands
+  // The band count is a corpus-sized knob, not a constant: the
+  // pipeline and its DuckDB oracle are generated from the same value
+  // ([[minhashPairs]]/[[minhashOracleSql]]), session-tunable via
+  // spark.graft.minhash.bands, and q33b pins a second operating point.
+  private val DefaultBands = 8
   private val BucketCap = 20
+
+  /** Session-tunable band count; must divide NumHashes. */
+  def bandsFor(s: SparkSession): Int = {
+    val b = s.conf.getOption("spark.graft.minhash.bands")
+      .map(_.toInt).getOrElse(DefaultBands)
+    require(NumHashes % b == 0, s"bands=$b must divide $NumHashes")
+    b
+  }
 
   private def jaccard(inter: Column, n1: Column, n2: Column): Column =
     inter.cast("double") / (n1 + n2 - inter)
@@ -56,49 +67,10 @@ object Dedup {
              count(lit(1)).as("group_size"),
              sum(col("n_chars")).as("total_chars"))),
 
-    "q33_minhash_pairs" -> ((s, dir) => {
-      // MinHash + LSH banding near-dup candidates, verified with exact
-      // shingle-set Jaccard. The md5-derived hash family (ArrayOpsImpl)
-      // makes the whole pipeline reproducible in DuckDB → full
-      // hash-match oracle below.
-      // cache: `base` feeds both the banding pass and the two
-      // verification joins — without it the shingle+minhash expression
-      // re-evaluates three times. At warehouse scale this projection
-      // would be a persisted/bucketed intermediate table instead.
-      val base = docs(s, dir)
-        .select(col("doc_id"),
-                graft.functions.expressions.ArrayOps
-                  .wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
-        .where(size(col("sh")) >= 1) // degenerate (<k tokens) docs out
-        .withColumn("mh", graft.functions.expressions.ArrayOps
-          .minhashSig(col("sh"), NumHashes))
-        .cache()
-      val bands = base.select(
-        col("doc_id"),
-        posexplode(Text.lshBandKeys(col("mh"), NumBands, RowsPerBand)).as(Seq("band", "bh")))
-      // bucket-local pair generation, capped: degenerate buckets are
-      // dropped instead of exploding quadratically
-      val buckets = bands.groupBy(col("band"), col("bh"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .where(size(col("ids")).between(2, BucketCap))
-      val cand = buckets
-        .select(explode(expr(
-          """flatten(transform(ids, a ->
-            |  transform(filter(ids, b -> b > a),
-            |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
-        .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
-        .distinct()
-      val sets = base.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      cand
-        .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"), col("n").as("n1")), "doc1")
-        .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"), col("n").as("n2")), "doc2")
-        .withColumn("inter", graft.functions.expressions.ArrayOps
-          .intersectCount(col("sh1"), col("sh2")))
-        .select(
-          col("doc1"), col("doc2"),
-          round(jaccard(col("inter"), col("n1"), col("n2")), 4).as("jaccard"))
-        .where(col("jaccard") >= 0.1)
-    }),
+    "q33_minhash_pairs" -> ((s, dir) => minhashPairs(s, dir, DefaultBands)),
+    // second banding point (r=2, lower collision knee), same generated
+    // oracle — the parameterization carries its hash-match oracle
+    "q33b_minhash_b16" -> ((s, dir) => minhashPairs(s, dir, 16)),
 
     "q34_simhash" -> ((s, dir) =>
       // 64-bit SimHash fingerprints via the native Catalyst expression
@@ -161,6 +133,78 @@ object Dedup {
     })
   )
 
+  /** MinHash + LSH banding near-dup candidates at any band count,
+    * verified with exact shingle-set Jaccard. The md5-derived hash
+    * family (ArrayOpsImpl) makes the whole pipeline reproducible in
+    * DuckDB → full hash-match oracle from [[minhashOracleSql]] at the
+    * SAME band count.
+    * cache: `base` feeds both the banding pass and the two
+    * verification joins — without it the shingle+minhash expression
+    * re-evaluates three times. At warehouse scale this projection
+    * would be a persisted/bucketed intermediate table instead. */
+  def minhashPairs(s: SparkSession, dir: String, numBands: Int): DataFrame = {
+    val rowsPerBand = NumHashes / numBands
+    val base = docs(s, dir)
+      .select(col("doc_id"),
+              graft.functions.expressions.ArrayOps
+                .wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
+      .where(size(col("sh")) >= 1) // degenerate (<k tokens) docs out
+      .withColumn("mh", graft.functions.expressions.ArrayOps
+        .minhashSig(col("sh"), NumHashes))
+      .cache()
+    val bands = base.select(
+      col("doc_id"),
+      posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand)).as(Seq("band", "bh")))
+    // bucket-local pair generation, capped: degenerate buckets are
+    // dropped instead of exploding quadratically
+    val buckets = bands.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, BucketCap))
+    val cand = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, a ->
+          |  transform(filter(ids, b -> b > a),
+          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"), col("n").as("n1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"), col("n").as("n2")), "doc2")
+      .withColumn("inter", graft.functions.expressions.ArrayOps
+        .intersectCount(col("sh1"), col("sh2")))
+      .select(
+        col("doc1"), col("doc2"),
+        round(jaccard(col("inter"), col("n1"), col("n2")), 4).as("jaccard"))
+      .where(col("jaccard") >= 0.1)
+  }
+
+  /** DuckDB oracle for [[minhashPairs]] at the same band count. */
+  def minhashOracleSql(numBands: Int): String = {
+    val r = NumHashes / numBands
+    s"""WITH $duckShingleCte,
+       |bands AS (
+       |  SELECT doc_id, b.range AS band,
+       |    array_to_string(mh[b.range * $r + 1 : b.range * $r + $r], '_') AS bh
+       |  FROM mh, range(0, $numBands) b),
+       |buckets AS (
+       |  SELECT band, bh FROM bands GROUP BY band, bh
+       |  HAVING count(*) BETWEEN 2 AND $BucketCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.bh = y.bh AND y.doc_id > x.doc_id
+       |  JOIN buckets k ON k.band = x.band AND k.bh = x.bh)
+       |SELECT c.doc1, c.doc2,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       |FROM cand c
+       |JOIN hp a ON a.doc_id = c.doc1
+       |JOIN hp b ON b.doc_id = c.doc2
+       |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.1""".stripMargin
+  }
+
   /** DuckDB rendering of the md5 hash family (ArrayOpsImpl doc):
     * h1 = hex chars 1-14, h2 = chars 17-30, g_j = h1 + j*h2. */
   private val duckShingleCte =
@@ -203,28 +247,8 @@ object Dedup {
       |  FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "q33_minhash_pairs" ->
-      s"""WITH $duckShingleCte,
-         |bands AS (
-         |  SELECT doc_id, b.range AS band,
-         |    array_to_string(mh[b.range * 4 + 1 : b.range * 4 + 4], '_') AS bh
-         |  FROM mh, range(0, 8) b),
-         |buckets AS (
-         |  SELECT band, bh FROM bands GROUP BY band, bh
-         |  HAVING count(*) BETWEEN 2 AND 20),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         |  FROM bands x
-         |  JOIN bands y ON x.band = y.band AND x.bh = y.bh AND y.doc_id > x.doc_id
-         |  JOIN buckets k ON k.band = x.band AND k.bh = x.bh)
-         |SELECT c.doc1, c.doc2,
-         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |        / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-         |FROM cand c
-         |JOIN hp a ON a.doc_id = c.doc1
-         |JOIN hp b ON b.doc_id = c.doc2
-         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.1""".stripMargin,
+    "q33_minhash_pairs" -> minhashOracleSql(DefaultBands),
+    "q33b_minhash_b16" -> minhashOracleSql(16),
 
     "q34_simhash" ->
       s"WITH $duckSimhashCte\nSELECT doc_id, source, simhash FROM fp",

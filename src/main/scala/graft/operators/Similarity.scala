@@ -29,12 +29,29 @@ object Similarity {
   private val Dim = 64
   private val NumQueries = 10 // vec_id < 10 are the query vectors
   private val TopK = 5
-  // 2^NumPlanes buckets must track corpus size: too many planes → tiny
-  // buckets → recall collapse (measured recall@5 on the 500-vector
-  // corpus: 0.12 at 8 planes, 0.34 at 4). At 100 TB you scale planes up
-  // (or switch to the IVF codebook in q41, whose cell count is a
-  // first-class parameter).
-  private val NumPlanes = 4
+
+  /** ANN family parameters — corpus-sized knobs, not constants
+    * (round-2 verdict #5). 2^numPlanes LSH buckets must track corpus
+    * size: too many planes → tiny buckets → recall collapse (measured
+    * recall@5 on the 500-vector corpus: 0.12 at 8 planes, 0.34 at 4);
+    * at 100 TB you raise planes (and the IVF codebook size ivfK, with
+    * ivfProbe cells probed per query). Both the DataFrame pipeline and
+    * the DuckDB oracle SQL are GENERATED from one params value, so any
+    * operating point carries the same hash-match oracle. */
+  final case class AnnParams(numPlanes: Int = 4, ivfK: Int = 16,
+                             ivfProbe: Int = 4)
+  object AnnParams {
+    val Default: AnnParams = AnnParams()
+    /** Session-tunable: spark.graft.ann.{planes,ivf.k,ivf.nprobe}. */
+    def from(s: SparkSession): AnnParams = AnnParams(
+      s.conf.getOption("spark.graft.ann.planes").map(_.toInt)
+        .getOrElse(Default.numPlanes),
+      s.conf.getOption("spark.graft.ann.ivf.k").map(_.toInt)
+        .getOrElse(Default.ivfK),
+      s.conf.getOption("spark.graft.ann.ivf.nprobe").map(_.toInt)
+        .getOrElse(Default.ivfProbe))
+  }
+
   // near-dup cosine threshold: the synthetic corpus has no planted
   // duplicates (max same-bucket cosine at sf0.01 is 0.456), so the
   // threshold sits at the top percentile of the distribution — high
@@ -43,10 +60,13 @@ object Similarity {
   private[graft] val NearDupCosine = 0.4
 
   /** Deterministic pseudo-random hyperplanes (seed fixed so Spark, the
-    * DuckDB oracle literal, and any re-run agree); values in [-1, 1). */
-  private lazy val planes: Seq[Seq[Double]] = {
+    * DuckDB oracle literal, and any re-run agree); values in [-1, 1).
+    * Drawn sequentially, so `planesFor(n)` is a prefix of
+    * `planesFor(n+1)` — raising the plane count refines, never
+    * reshuffles, the family. */
+  private def planesFor(numPlanes: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextDouble() * 2 - 1))
+    Seq.fill(numPlanes)(Seq.fill(Dim)(rnd.nextDouble() * 2 - 1))
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -75,8 +95,8 @@ object Similarity {
   /** Sign-bit LSH bucket code for a double-array embedding column
     * (native expression — a Column-arithmetic tree over 8x64 terms
     * spent more time in codegen compilation than evaluation). */
-  private def bucketCode(ve: Column): Column =
-    graft.functions.expressions.ArrayOps.hyperplaneBucket(ve, planes)
+  private def bucketCode(ve: Column, numPlanes: Int): Column =
+    graft.functions.expressions.ArrayOps.hyperplaneBucket(ve, planesFor(numPlanes))
 
   // ---- DuckDB renderings of the shared building blocks -------------
 
@@ -86,9 +106,9 @@ object Similarity {
     p.mkString("[", ", ", "]")
 
   /** The sign-bit bucket code over `ve` as a DuckDB expression —
-    * exactly [[bucketCode]]. */
-  private lazy val duckBucket: String =
-    planes.zipWithIndex.map { case (p, i) =>
+    * exactly [[bucketCode]] for the same plane count. */
+  private def duckBucket(numPlanes: Int): String =
+    planesFor(numPlanes).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(ve, ${duckList(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
 
@@ -112,6 +132,120 @@ object Similarity {
       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
       |FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** ANN with multi-probe at any plane count: each query probes its
+    * own bucket plus the `numPlanes` hamming-1 neighbors (one sign bit
+    * flipped) — the standard recall knob that costs query-side
+    * replication only; the corpus is bucketed once and never
+    * replicated. Approximate by design, but fully deterministic →
+    * exact hash-match oracle from [[lshOracleSql]] at the SAME params. */
+  def knnLsh(s: SparkSession, dir: String, p: AnnParams): DataFrame = {
+    val n = normed(emb(s, dir))
+      .withColumn("bucket", bucketCode(col("ve"), p.numPlanes))
+    val probes = expr(
+      s"""array_union(array(bucket),
+         |  transform(sequence(0, ${p.numPlanes - 1}),
+         |            i -> CAST(bucket AS BIGINT) ^ shiftleft(1L, i)))""".stripMargin)
+    val q = broadcast(
+      n.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("ve").as("qve"),
+                col("nrm").as("qnrm"), explode(probes).as("bucket")))
+    val scored = n.join(q, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .distinct()
+    topKPerQuery(scored)
+  }
+
+  /** IVF-Flat with a deterministic sampled codebook: the centroids
+    * are the ivfK corpus vectors with vec_id in [100, 100+k) — the
+    * "train offline on a sample" stand-in (round 1 ran KMeans.fit
+    * over the full corpus inside the query path: a repeated
+    * multi-pass training job before the first result row, the
+    * suite's slowest query; at 100 TB a non-starter). The codebook
+    * is tiny (k x 64 doubles): one k-row collect, embedded as a
+    * literal so cell assignment is a per-row codegen HOF — zero
+    * shuffle, zero training. Swapping in a real offline k-means
+    * model changes only where the literal comes from. */
+  def knnIvf(s: SparkSession, dir: String, p: AnnParams): DataFrame = {
+    val k = p.ivfK
+    val nprobe = p.ivfProbe
+    val n = normed(emb(s, dir))
+    val cents: Seq[Seq[Double]] = n
+      .where(col("vec_id").between(100, 100 + k - 1))
+      .orderBy("vec_id").select("ve").collect()
+      .map(_.getSeq[Double](0)).toSeq
+    val centroidLit = typedlit(cents)
+    val sqDist = (c: Column) => aggregate(
+      zip_with(c, col("ve"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val cellsByDist = array_sort(zip_with(
+      centroidLit, sequence(lit(0), lit(k - 1)),
+      (c, i) => struct(sqDist(c).as("d"), i.as("cell"))))
+    val assigned = n.withColumn("cbd", cellsByDist)
+    val corpus = assigned
+      .withColumn("cell", element_at(col("cbd"), 1).getField("cell"))
+      .drop("cbd")
+    val probeCells = transform(slice(col("cbd"), 1, nprobe),
+      s => s.getField("cell"))
+    val q = broadcast(
+      assigned.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("ve").as("qve"),
+                col("nrm").as("qnrm"),
+                explode(probeCells).as("cell")))
+    val scored = corpus.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    topKPerQuery(scored)
+  }
+
+  /** DuckDB oracle for [[knnLsh]], generated from the same params. */
+  def lshOracleSql(p: AnnParams): String = {
+    val probeList = (0 until p.numPlanes)
+      .map(i => s"xor(bucket, ${1L << i})").mkString(", ")
+    s"""WITH $duckNormedCte,
+       |b AS (
+       |  SELECT vec_id, ve, nrm, ${duckBucket(p.numPlanes)} AS bucket FROM n),
+       |q AS (
+       |  SELECT vec_id AS query_id, ve AS qve, nrm AS qnrm,
+       |    unnest([bucket, $probeList]) AS bucket
+       |  FROM b WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT DISTINCT q.query_id, d.vec_id AS neighbor_id,
+       |    list_dot_product(q.qve, d.ve) / (q.qnrm * d.nrm) AS cosine
+       |  FROM q JOIN b d ON d.bucket = q.bucket
+       |  WHERE d.vec_id <> q.query_id),
+       |$duckRankTail""".stripMargin
+  }
+
+  /** DuckDB oracle for [[knnIvf]], generated from the same params. */
+  def ivfOracleSql(p: AnnParams): String =
+    s"""WITH $duckNormedCte,
+       |cents AS (
+       |  SELECT list(struct_pack(cid := r, cve := ve) ORDER BY r) AS cl
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r, ve
+       |        FROM n WHERE vec_id BETWEEN 100 AND ${100 + p.ivfK - 1})),
+       |assigned AS (
+       |  SELECT vec_id, ve, nrm,
+       |    list_sort(list_transform(cl, c -> struct_pack(
+       |      d := list_sum(list_transform(generate_series(1, 64),
+       |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
+       |      cell := c.cid))) AS cbd
+       |  FROM n, cents),
+       |corpus AS (
+       |  SELECT vec_id, ve, nrm, cbd[1].cell AS cell FROM assigned),
+       |probes AS (
+       |  SELECT vec_id AS query_id, ve AS qve, nrm AS qnrm,
+       |    unnest(list_transform(cbd[1:${p.ivfProbe}], s2 -> s2.cell)) AS cell
+       |  FROM assigned WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(p.qve, c.ve) / (p.qnrm * c.nrm) AS cosine
+       |  FROM probes p JOIN corpus c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |$duckRankTail""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_knn_brute" -> ((s, dir) => {
       // exact top-k cosine: corpus scanned once, queries broadcast
@@ -125,77 +259,21 @@ object Similarity {
       topKPerQuery(scored)
     }),
 
-    "q37_knn_lsh" -> ((s, dir) => {
-      // ANN with multi-probe: each query probes its own bucket plus the
-      // 4 hamming-1 neighbors (one sign bit flipped) — the standard
-      // recall knob that costs query-side replication only; the corpus
-      // is bucketed once and never replicated. Approximate by design,
-      // but fully deterministic → exact hash-match oracle below.
-      val n = normed(emb(s, dir)).withColumn("bucket", bucketCode(col("ve")))
-      val probes = expr(
-        s"""array_union(array(bucket),
-           |  transform(sequence(0, ${NumPlanes - 1}),
-           |            i -> CAST(bucket AS BIGINT) ^ shiftleft(1L, i)))""".stripMargin)
-      val q = broadcast(
-        n.where(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("ve").as("qve"),
-                  col("nrm").as("qnrm"), explode(probes).as("bucket")))
-      val scored = n.join(q, Seq("bucket"))
-        .where(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
-        .distinct()
-      topKPerQuery(scored)
-    }),
+    "q37_knn_lsh" -> ((s, dir) => knnLsh(s, dir, AnnParams.Default)),
+    // second operating point, same generated oracle — proves the
+    // parameterization carries its hash-match oracle to any setting
+    "q37b_knn_lsh_p6" -> ((s, dir) => knnLsh(s, dir, AnnParams(numPlanes = 6))),
 
-    "q41_knn_ivf" -> ((s, dir) => {
-      // IVF-Flat with a deterministic sampled codebook: the centroids
-      // are the k corpus vectors with vec_id in [100, 100+k) — the
-      // "train offline on a sample" stand-in (round 1 ran KMeans.fit
-      // over the full corpus inside the query path: a repeated
-      // multi-pass training job before the first result row, the
-      // suite's slowest query; at 100 TB a non-starter). The codebook
-      // is tiny (k x 64 doubles): one 16-row collect, embedded as a
-      // literal so cell assignment is a per-row codegen HOF — zero
-      // shuffle, zero training. Swapping in a real offline k-means
-      // model changes only where the literal comes from.
-      val k = 16
-      val nprobe = 4
-      val n = normed(emb(s, dir))
-      val cents: Seq[Seq[Double]] = n
-        .where(col("vec_id").between(100, 100 + k - 1))
-        .orderBy("vec_id").select("ve").collect()
-        .map(_.getSeq[Double](0)).toSeq
-      val centroidLit = typedlit(cents)
-      val sqDist = (c: Column) => aggregate(
-        zip_with(c, col("ve"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-      val cellsByDist = array_sort(zip_with(
-        centroidLit, sequence(lit(0), lit(k - 1)),
-        (c, i) => struct(sqDist(c).as("d"), i.as("cell"))))
-      val assigned = n.withColumn("cbd", cellsByDist)
-      val corpus = assigned
-        .withColumn("cell", element_at(col("cbd"), 1).getField("cell"))
-        .drop("cbd")
-      val probeCells = transform(slice(col("cbd"), 1, nprobe),
-        s => s.getField("cell"))
-      val q = broadcast(
-        assigned.where(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("ve").as("qve"),
-                  col("nrm").as("qnrm"),
-                  explode(probeCells).as("cell")))
-      val scored = corpus.join(q, Seq("cell"))
-        .where(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
-      topKPerQuery(scored)
-    }),
+    "q41_knn_ivf" -> ((s, dir) => knnIvf(s, dir, AnnParams.Default)),
+    "q41b_knn_ivf_k8" -> ((s, dir) =>
+      knnIvf(s, dir, AnnParams(ivfK = 8, ivfProbe = 2))),
 
     "q42_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-duplicate pairs: sign-bit LSH buckets the
       // corpus (constant replication), exact cosine verifies within
       // buckets — the vector analog of q33's MinHash pipeline.
-      val n = normed(emb(s, dir)).withColumn("bucket", bucketCode(col("ve")))
+      val n = normed(emb(s, dir))
+        .withColumn("bucket", bucketCode(col("ve"), AnnParams.Default.numPlanes))
       val a = n.select(col("bucket"), col("vec_id").as("id1"),
                        col("ve").as("qve"), col("nrm").as("qnrm"))
       val b = n.select(col("bucket"), col("vec_id").as("id2"),
@@ -275,52 +353,16 @@ object Similarity {
          |  WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id),
          |$duckRankTail""".stripMargin,
 
-    "q37_knn_lsh" ->
-      s"""WITH $duckNormedCte,
-         |b AS (
-         |  SELECT vec_id, ve, nrm, $duckBucket AS bucket FROM n),
-         |q AS (
-         |  SELECT vec_id AS query_id, ve AS qve, nrm AS qnrm,
-         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
-         |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
-         |  FROM b WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT DISTINCT q.query_id, d.vec_id AS neighbor_id,
-         |    list_dot_product(q.qve, d.ve) / (q.qnrm * d.nrm) AS cosine
-         |  FROM q JOIN b d ON d.bucket = q.bucket
-         |  WHERE d.vec_id <> q.query_id),
-         |$duckRankTail""".stripMargin,
+    "q37_knn_lsh" -> lshOracleSql(AnnParams.Default),
+    "q37b_knn_lsh_p6" -> lshOracleSql(AnnParams(numPlanes = 6)),
 
-    "q41_knn_ivf" ->
-      s"""WITH $duckNormedCte,
-         |cents AS (
-         |  SELECT list(struct_pack(cid := r, cve := ve) ORDER BY r) AS cl
-         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r, ve
-         |        FROM n WHERE vec_id BETWEEN 100 AND 115)),
-         |assigned AS (
-         |  SELECT vec_id, ve, nrm,
-         |    list_sort(list_transform(cl, c -> struct_pack(
-         |      d := list_sum(list_transform(generate_series(1, 64),
-         |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
-         |      cell := c.cid))) AS cbd
-         |  FROM n, cents),
-         |corpus AS (
-         |  SELECT vec_id, ve, nrm, cbd[1].cell AS cell FROM assigned),
-         |probes AS (
-         |  SELECT vec_id AS query_id, ve AS qve, nrm AS qnrm,
-         |    unnest(list_transform(cbd[1:4], s2 -> s2.cell)) AS cell
-         |  FROM assigned WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT p.query_id, c.vec_id AS neighbor_id,
-         |    list_dot_product(p.qve, c.ve) / (p.qnrm * c.nrm) AS cosine
-         |  FROM probes p JOIN corpus c ON c.cell = p.cell
-         |  WHERE c.vec_id <> p.query_id),
-         |$duckRankTail""".stripMargin,
+    "q41_knn_ivf" -> ivfOracleSql(AnnParams.Default),
+    "q41b_knn_ivf_k8" -> ivfOracleSql(AnnParams(ivfK = 8, ivfProbe = 2)),
 
     "q42_embed_neardup" ->
       s"""WITH $duckNormedCte,
          |b AS (
-         |  SELECT vec_id, ve, nrm, $duckBucket AS bucket FROM n)
+         |  SELECT vec_id, ve, nrm, ${duckBucket(AnnParams.Default.numPlanes)} AS bucket FROM n)
          |SELECT a.vec_id AS id1, c.vec_id AS id2,
          |  round(list_dot_product(a.ve, c.ve) / (a.nrm * c.nrm), 4) AS cosine
          |FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id > a.vec_id

@@ -45,6 +45,40 @@ class SimilarityExtSpec extends AnyFunSuite {
     }
   }
 
+  test("parameterized ANN/LSH: two operating points, values consistent with brute force") {
+    import graft.operators.Similarity.AnnParams
+    // exact cosine for every pair — the value oracle any approximate
+    // variant must agree with on the pairs it returns
+    val brute = Similarity.queries("q36_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (p <- Seq(AnnParams.Default, AnnParams(numPlanes = 6))) {
+      val lsh = Similarity.knnLsh(spark, dir, p).collect()
+      assert(lsh.nonEmpty)
+      assert(lsh.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+      // approximation changes WHICH pairs surface, never their cosine
+      lsh.foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(brute.get(key).forall(c => math.abs(c - r.getDouble(2)) < 1e-9),
+          s"cosine mismatch vs brute force at $key (planes=${p.numPlanes})")
+      }
+    }
+    for (p <- Seq(AnnParams.Default, AnnParams(ivfK = 8, ivfProbe = 2))) {
+      val ivf = Similarity.knnIvf(spark, dir, p).collect()
+      assert(ivf.nonEmpty)
+      assert(ivf.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    }
+    // generated oracles interpolate the SAME parameters both sides
+    assert(Similarity.lshOracleSql(AnnParams(numPlanes = 6))
+      .contains("xor(bucket, 32)")) // 6th plane bit present
+    assert(!Similarity.lshOracleSql(AnnParams.Default).contains("xor(bucket, 16)"))
+    assert(Similarity.ivfOracleSql(AnnParams(ivfK = 8, ivfProbe = 2))
+      .contains("BETWEEN 100 AND 107"))
+    // MinHash at a second band count still yields verified-Jaccard pairs
+    val b16 = graft.operators.Dedup.minhashPairs(spark, dir, 16).collect()
+    assert(b16.forall(_.getDouble(2) >= 0.1))
+    assert(graft.operators.Dedup.minhashOracleSql(16).contains("range(0, 16)"))
+  }
+
   test("SETTINGS compression=zstd becomes a parquet writer property") {
     val ct = RangerDdl.parse(
       "CREATE TABLE t (id int64) STORAGE filesystem SETTINGS compression=zstd")
