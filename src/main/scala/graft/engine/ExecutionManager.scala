@@ -61,6 +61,10 @@ final class ExecutionManager(spark: SparkSession) {
     info.status = Running
     spark.sparkContext.setJobGroup(info.id, info.sql.take(200),
       interruptOnCancel = true)
+    // one FAIR pool per query: under spark.scheduler.mode=FAIR (set by
+    // GraftServer) a long scan cannot starve concurrent short queries —
+    // each pool gets an equal task-slot share. A no-op under FIFO.
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", info.id)
     val tmo = timeoutSec
     val timer =
       if (tmo > 0)
@@ -83,6 +87,7 @@ final class ExecutionManager(spark: SparkSession) {
     } finally {
       timer.foreach(_.cancel(false))
       info.endNanos = System.nanoTime()
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       spark.sparkContext.clearJobGroup()
     }
   }

@@ -167,12 +167,17 @@ final class QueryEngine(val spark: SparkSession,
     case "SHOW" => runShow(sql, id)
     case "DESCRIBE" | "DESC" =>
       // bare DESCRIBE <table> gets the reference's SHOW COLUMNS layout;
-      // anything else (DESCRIBE QUERY/EXTENDED) passes through
-      val m = """(?is)^DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.`]+)$""".r
+      // DESCRIBE EXTENDED adds the graft-shaped detail section (storage
+      // engine, location, settings, snapshots); anything else
+      // (DESCRIBE QUERY) passes through
+      val ext = """(?is)^DESC(?:RIBE)?\s+EXTENDED\s+([\w.`]+)$""".r
         .findFirstMatchIn(sql)
-      m match {
-        case Some(t) => showColumns(t.group(1).replace("`", ""), id)
-        case None => runSelect(sql, id)
+      val bare = """(?is)^DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.`]+)$""".r
+        .findFirstMatchIn(sql)
+      (ext, bare) match {
+        case (Some(t), _) => describeExtended(t.group(1).replace("`", ""), id)
+        case (_, Some(t)) => showColumns(t.group(1).replace("`", ""), id)
+        case _ => runSelect(sql, id)
       }
     case "USE" =>
       spark.sql(sql)
@@ -874,6 +879,41 @@ final class QueryEngine(val spark: SparkSession,
     QueryResult(id,
       Seq("Field", "Type", "Null", "Key", "Unique", "Default", "Extra"),
       rows, rows.length, s"Found ${rows.length} column(s)")
+  }
+
+  /** SHOW COLUMNS rows plus a `# Detailed Table Information` section:
+    * database, storage engine, location, partitioning, settings, and
+    * snapshot count — the graft rendering of DESCRIBE EXTENDED
+    * (previously a Spark passthrough; round-2 verdict #8). */
+  private def describeExtended(table: String, id: String): QueryResult = {
+    val cols = showColumns(table, id)
+    val meta = spark.sessionState.catalog.getTableMetadata(tableIdent(table))
+    val props = tableProps(table)
+    val settings = props.collect {
+      case (k, v) if k.startsWith("graft.settings.") =>
+        s"${k.stripPrefix("graft.settings.")}=$v"
+    }.toSeq.sorted
+    val snapCount =
+      try Snapshots.list(spark, table).length
+      catch { case _: Exception => 0 }
+    def row(k: String, v: String) = Seq[Any](k, v, "", "", "", "", "")
+    val detail = Seq(
+      row("", ""),
+      row("# Detailed Table Information", ""),
+      row("Database", meta.identifier.database.getOrElse("")),
+      row("Table", meta.identifier.table),
+      row("Storage", props.getOrElse("graft.storage", "filesystem")),
+      row("Location", meta.location.toString)) ++
+      (if (meta.partitionColumnNames.nonEmpty)
+        Seq(row("Partition By", meta.partitionColumnNames.mkString(", ")))
+       else Seq.empty) ++
+      props.get("graft.orderby").map(o => row("Order By", o)).toSeq ++
+      (if (settings.nonEmpty) Seq(row("Settings", settings.mkString(", ")))
+       else Seq.empty) ++
+      Seq(row("Snapshots", snapCount.toString))
+    cols.copy(data = cols.data ++ detail,
+      rowCount = cols.rowCount + detail.length,
+      message = s"Found ${cols.rowCount} column(s)")
   }
 
   /** Reference layout: columns Table / Create Table with regenerated

@@ -96,6 +96,82 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
       case (k, v) => k -> v.toString }: _*))
   })
 
+  // ---- Iceberg-REST catalog slice (reference:
+  // server/catalog/rest/catalog.go wraps an Iceberg REST catalog; this
+  // serves the read surface of that protocol over the session catalog,
+  // so a REST-catalog client can discover namespaces, tables, and
+  // schemas) ----
+  private val nsRe = "^/namespaces/([^/]+)$".r
+  private val nsTablesRe = "^/namespaces/([^/]+)/tables$".r
+  private val tableRe = "^/namespaces/([^/]+)/tables/([^/]+)$".r
+
+  server.createContext("/v1", handler { ex =>
+    if (!authorized(ex)) (401, """{"error":"authentication required"}""")
+    else {
+      val catalog = engine.spark.sessionState.catalog
+      ex.getRequestURI.getPath.stripPrefix("/v1").stripSuffix("/") match {
+        case "/config" => (200, """{"defaults":{},"overrides":{}}""")
+        case "/namespaces" =>
+          val dbs = catalog.listDatabases().sorted
+          (200, Json.obj("namespaces" ->
+            Json.arr(dbs.map(d => Json.arr(Seq(Json.str(d)))))))
+        case nsRe(ns) =>
+          if (!catalog.databaseExists(ns))
+            (404, Json.obj("error" -> Json.str(s"namespace $ns not found")))
+          else (200, Json.obj(
+            "namespace" -> Json.arr(Seq(Json.str(ns))),
+            "properties" -> "{}"))
+        case nsTablesRe(ns) =>
+          if (!catalog.databaseExists(ns))
+            (404, Json.obj("error" -> Json.str(s"namespace $ns not found")))
+          else {
+            val tables = catalog.listTables(ns).map(_.table).sorted
+            (200, Json.obj("identifiers" -> Json.arr(tables.map(t =>
+              Json.obj(
+                "namespace" -> Json.arr(Seq(Json.str(ns))),
+                "name" -> Json.str(t))))))
+          }
+        case tableRe(ns, t) =>
+          val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(ns))
+          if (!catalog.tableExists(ident))
+            (404, Json.obj("error" -> Json.str(s"table $ns.$t not found")))
+          else {
+            val meta = catalog.getTableMetadata(ident)
+            val props = meta.properties
+            // declared order + NOT NULL come from the graft.* props
+            // (Spark's parquet catalog reorders partition columns and
+            // erases nullability)
+            val order = props.get("graft.columns").map(_.split(",").toSeq)
+              .getOrElse(meta.schema.fieldNames.toSeq)
+            val notNull = props.get("graft.notnull")
+              .map(_.split(",").toSet).getOrElse(Set.empty[String])
+            val fields = order.zipWithIndex.flatMap { case (name, i) =>
+              meta.schema.fields.find(_.name == name).map { f =>
+                Json.obj(
+                  "id" -> (i + 1).toString,
+                  "name" -> Json.str(f.name),
+                  "required" -> (notNull.contains(f.name) || !f.nullable).toString,
+                  "type" -> Json.str(props.getOrElse(s"graft.type.${f.name}",
+                    graft.types.IcebergTypes.format(f.dataType))))
+              }
+            }
+            (200, Json.obj("metadata" -> Json.obj(
+              "format-version" -> "2",
+              "location" -> Json.str(meta.location.toString),
+              "current-schema-id" -> "0",
+              "schemas" -> Json.arr(Seq(Json.obj(
+                "schema-id" -> "0",
+                "type" -> Json.str("struct"),
+                "fields" -> Json.arr(fields.toSeq)))),
+              "properties" -> Json.obj(props.toSeq.sorted.map {
+                case (k, v) => k -> Json.str(v) }: _*))))
+          }
+        case other =>
+          (404, Json.obj("error" -> Json.str(s"no route $other")))
+      }
+    }
+  })
+
   private def handler(f: HttpExchange => (Int, String)): HttpHandler =
     (ex: HttpExchange) => {
       val (code, body) = try f(ex) catch {

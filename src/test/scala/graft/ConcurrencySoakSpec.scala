@@ -53,4 +53,29 @@ class ConcurrencySoakSpec extends AnyFunSuite {
       .data.head.head == 3L)
     root.execute("DROP TABLE soak.shared")
   }
+
+  test("FAIR pools: a heavy scan does not starve a short query") {
+    val root = new QueryEngine(spark)
+    // 48 short tasks on 4 cores: under FIFO the earlier job's queued
+    // tasks win every freed slot and the short query waits for the
+    // whole scan; under FAIR (pool per query, ExecutionManager.run)
+    // the short query gets its share at the next slot
+    val t0 = System.nanoTime()
+    val heavy = Future {
+      root.newConnectionEngine().execute(
+        "SELECT count(*) AS n FROM " +
+          "(SELECT sha2(cast(id AS string), 512) AS h " +
+          " FROM range(0, 12000000, 1, 48)) WHERE h LIKE '%abcd%'")
+    }
+    Thread.sleep(500) // let the heavy scan occupy the executor
+    val s0 = System.nanoTime()
+    val r = root.newConnectionEngine().execute("SELECT 1 AS x")
+    val shortSec = (System.nanoTime() - s0) / 1e9
+    assert(r.data.head.head == 1)
+    Await.result(heavy, 300.seconds)
+    val heavySec = (System.nanoTime() - t0) / 1e9
+    info(f"short query: $shortSec%.2fs while heavy scan ran $heavySec%.1fs")
+    assert(shortSec < math.max(6.0, heavySec / 2),
+      f"short query starved behind the scan: $shortSec%.1fs (scan $heavySec%.1fs)")
+  }
 }

@@ -428,4 +428,31 @@ class EngineSpec extends AnyFunSuite {
     assert(r.data.map(_.toList) == Seq(List("us", 3L)))
     engine.execute("DROP TABLE d7.mv")
   }
+
+  test("DESCRIBE EXTENDED: columns plus graft-shaped detail section") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS d8")
+    engine.execute("DROP TABLE IF EXISTS d8.de")
+    engine.execute(
+      "CREATE TABLE d8.de (id int64 NOT NULL, region string, v int32) " +
+      "STORAGE filesystem PARTITION BY (region) SETTINGS compression=zstd")
+    engine.execute("INSERT INTO d8.de VALUES (1,'eu',5)")
+    engine.execute("DELETE FROM d8.de WHERE id = 1") // -> one snapshot
+    val r = engine.execute("DESCRIBE EXTENDED d8.de")
+    assert(r.columns == Seq(
+      "Field", "Type", "Null", "Key", "Unique", "Default", "Extra"))
+    // column rows first, in declared order
+    assert(r.data.take(3).map(_.head) == Seq("id", "region", "v"))
+    val detail = r.data.map(row => row.head -> row(1)).toMap
+    assert(r.data.exists(_.head == "# Detailed Table Information"))
+    assert(detail("Database") == "d8" && detail("Table") == "de")
+    assert(detail("Storage") == "filesystem")
+    assert(detail("Location").toString.contains("d8.db/de"))
+    assert(detail("Partition By") == "region")
+    assert(detail("Settings").toString.contains("compression=zstd"))
+    assert(detail("Snapshots") == "1")
+    // bare DESCRIBE keeps the plain SHOW COLUMNS layout (no detail)
+    val bare = engine.execute("DESCRIBE d8.de")
+    assert(bare.data.length == 3)
+    engine.execute("DROP TABLE d8.de")
+  }
 }

@@ -77,6 +77,29 @@ class HttpApiSpec extends AnyFunSuite {
     assert(c3 == 404)
   }
 
+  test("Iceberg-REST catalog slice: namespaces, tables, schema metadata") {
+    post("/query", """{"query": "CREATE DATABASE IF NOT EXISTS restc"}""")
+    post("/query", """{"query": "DROP TABLE IF EXISTS restc.ct"}""")
+    post("/query",
+      """{"query": "CREATE TABLE restc.ct (id int64 NOT NULL, name string) STORAGE filesystem"}""")
+    assert(get("/v1/config") == (200, """{"defaults":{},"overrides":{}}"""))
+    val (nc, nbody) = get("/v1/namespaces")
+    assert(nc == 200 && nbody.contains("""["restc"]"""))
+    val (tc, tbody) = get("/v1/namespaces/restc/tables")
+    assert(tc == 200 &&
+      tbody.contains("""{"namespace":["restc"],"name":"ct"}"""))
+    val (mc, mbody) = get("/v1/namespaces/restc/tables/ct")
+    assert(mc == 200)
+    assert(mbody.contains(""""format-version":2"""))
+    assert(mbody.contains(""""name":"id","required":true,"type":"int64""""))
+    assert(mbody.contains(""""name":"name","required":false,"type":"string""""))
+    assert(mbody.contains(""""location":"""))
+    // 404 paths
+    assert(get("/v1/namespaces/nope_ns/tables")._1 == 404)
+    assert(get("/v1/namespaces/restc/tables/nope_t")._1 == 404)
+    post("/query", """{"query": "DROP TABLE restc.ct"}""")
+  }
+
   test("bearer-token auth gates /query and /cancel; /health stays open") {
     val secured = new HttpApi(engine,
       auth = Some(new graft.server.SimpleAuthProvider(

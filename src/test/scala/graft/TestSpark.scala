@@ -14,6 +14,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.scheduler.mode", "FAIR") // as GraftServer runs it
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
