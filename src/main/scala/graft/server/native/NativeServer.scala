@@ -20,7 +20,9 @@ import graft.engine.QueryEngine
   */
 final class NativeServer(engine: QueryEngine, port: Int = 2849,
                          maxConnections: Int = 100,
-                         auth: Option[graft.server.AuthProvider] = None) {
+                         auth: Option[graft.server.AuthProvider] = None,
+                         breaker: graft.server.CircuitBreaker =
+                           new graft.server.CircuitBreaker()) {
 
   @volatile private var server: ServerSocket = _
   private val running = new AtomicBoolean(false)
@@ -150,14 +152,18 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849,
                   var bytesSent = 0L
                   // SELECTs stream block-by-block straight off the
                   // partition iterator — the server never materializes
-                  // the result (round-2 verdict #6)
-                  val res = engine.executeStreamed(q.query, progress.start) {
-                    (cols, rows) =>
-                      streamed = true
-                      val sent = streamBlocks(out, wlock, cols,
-                        rows.map(_.map(render)))
-                      rowsSent = sent._1; bytesSent = sent._2
-                  }
+                  // the result (round-2 verdict #6). The circuit
+                  // breaker (middleware/circuit_breaker.go) refuses
+                  // queries outright after a failure storm instead of
+                  // letting retrying clients occupy the engine.
+                  val res = breaker.protect(
+                    engine.executeStreamed(q.query, progress.start) {
+                      (cols, rows) =>
+                        streamed = true
+                        val sent = streamBlocks(out, wlock, cols,
+                          rows.map(_.map(render)))
+                        rowsSent = sent._1; bytesSent = sent._2
+                    })
                   val (rowsRead, bytesRead) = progress.stop()
                   if (!streamed) {
                     // DDL/DML/SHOW: reference layout or single message row

@@ -15,11 +15,19 @@ import graft.engine.{QueryAnalyzer, QueryEngine}
   * query/jdbc/sql_parser_middleware.go:377-418 tag generation).
   *
   * The slice speaks enough of the v3 protocol for psql and a JDBC
-  * driver in simple-query mode: SSLRequest refused with 'N', startup
-  * params accepted, AuthenticationOk + ParameterStatus + BackendKeyData
-  * + ReadyForQuery, then a Q/CommandComplete loop. Extended-protocol
-  * messages (Parse/Bind/Execute) get a polite ErrorResponse, exactly
-  * like the reference's unimplemented handlers.
+  * driver: SSLRequest refused with 'N', startup params accepted,
+  * optional cleartext-password auth, AuthenticationOk + ParameterStatus
+  * + BackendKeyData + ReadyForQuery, then simple-query (Q) AND the
+  * extended protocol (Parse/Bind/Describe/Execute actually execute —
+  * the reference stubs these with bare acks, handler.go:163-201).
+  *
+  * JDBC e2e note: this container has no PostgreSQL JDBC driver jar and
+  * no network egress to fetch one (verified), so the extended-protocol
+  * path is exercised by PgWireSpec's hand-rolled v3 client (Parse/Bind/
+  * Execute with parameters — the exact frames pgjdbc sends for a
+  * preparedStatement) and by live psql; wire a stock `org.postgresql`
+  * driver at `jdbc:postgresql://host:2848/default` when one is
+  * available.
   */
 final class PgWireServer(engine: QueryEngine, port: Int = 2848,
                          maxConnections: Int = 100,

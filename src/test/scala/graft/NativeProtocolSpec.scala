@@ -229,6 +229,28 @@ class NativeProtocolSpec extends AnyFunSuite {
     } finally secured.stop()
   }
 
+  test("circuit breaker: failure storm opens, recovery trial closes") {
+    val cb = new graft.server.CircuitBreaker(
+      failureThreshold = 2, recoveryTimeoutMs = 500)
+    val guarded = new NativeServer(engine, port = 0, breaker = cb)
+    guarded.start()
+    try {
+      val c = new NativeClient("127.0.0.1", guarded.boundPort)
+      c.hello()
+      // two consecutive failures trip the breaker...
+      intercept[RuntimeException](c.query("SELECT * FROM missing_cb_a"))
+      intercept[RuntimeException](c.query("SELECT * FROM missing_cb_b"))
+      // ...so a perfectly valid query is refused while the circuit is open
+      val e = intercept[RuntimeException](c.query("SELECT 1 AS x"))
+      assert(e.getMessage.contains("circuit breaker is open"), s"got: $e")
+      // after the recovery timeout the half-open trial succeeds and closes
+      Thread.sleep(600)
+      assert(c.query("SELECT 1 AS x")._2.head.head == "1")
+      assert(c.query("SELECT 2 AS x")._2.head.head == "2")
+      c.close()
+    } finally guarded.stop()
+  }
+
   test("wire codec round-trips every signal") {
     val h = Signals.Hello("cli", 1, 2, Signals.ProtocolVersion, "db", "u", "pw", 30, 60)
     assert(Signals.Hello.unpack(h.pack()) == h)
