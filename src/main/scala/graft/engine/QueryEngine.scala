@@ -206,12 +206,19 @@ final class QueryEngine(val spark: SparkSession,
       // Spark parse error
       if (sql.toUpperCase.matches("""(?s)^DROP\s+(INDEX|USER)\b.*"""))
         throw new IllegalArgumentException("unsupported statement type")
+      // resolve the dropped database's snapshot roots BEFORE the drop
+      // (purgeDatabase needs nothing from the catalog, but the name
+      // must be captured while the statement is known valid)
+      val droppedDb =
+        """(?is)^DROP\s+(?:DATABASE|NAMESPACE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?([\w`]+)""".r
+          .findFirstMatchIn(sql).map(_.group(1).replace("`", ""))
       spark.sql(sql)
-      // DROP TABLE hygiene: a recreated table must not inherit its
-      // predecessor's snapshot history (or its archived files)
+      // DROP hygiene: a recreated table (or database) must not inherit
+      // its predecessor's snapshot history or archived files
       """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)""".r
         .findFirstMatchIn(sql)
         .foreach(m => Snapshots.purge(spark, m.group(1).replace("`", "")))
+      droppedDb.foreach(db => Snapshots.purgeDatabase(spark, db))
       ok(id, "Dropped")
     case "EXPIRE" => runExpire(sql, id)
     case "ALTER" =>

@@ -312,4 +312,15 @@ object Snapshots {
     val fs = fsOf(spark, root)
     if (fs.exists(root)) fs.delete(root, true)
   }
+
+  /** DROP DATABASE hygiene: drop every `<db>.<table>` snapshot root. */
+  def purgeDatabase(spark: SparkSession, db: String): Unit = {
+    val root = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),
+      ".graft-snapshots")
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(s"$db."))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
 }

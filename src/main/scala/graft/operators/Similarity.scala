@@ -167,14 +167,21 @@ object Similarity {
     * literal so cell assignment is a per-row codegen HOF — zero
     * shuffle, zero training. Swapping in a real offline k-means
     * model changes only where the literal comes from. */
+  /** Codebook memo keyed by (corpus dir, k): the sampled centroids are
+    * deterministic for a given corpus, so the bounded k-row collect
+    * runs once per JVM instead of once per query ("train offline,
+    * load the model" — here the memo IS the model store). */
+  private val codebooks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
+
   def knnIvf(s: SparkSession, dir: String, p: AnnParams): DataFrame = {
     val k = p.ivfK
     val nprobe = p.ivfProbe
     val n = normed(emb(s, dir))
-    val cents: Seq[Seq[Double]] = n
+    val cents: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, k), _ => n
       .where(col("vec_id").between(100, 100 + k - 1))
       .orderBy("vec_id").select("ve").collect()
-      .map(_.getSeq[Double](0)).toSeq
+      .map(_.getSeq[Double](0)).toSeq)
     val centroidLit = typedlit(cents)
     val sqDist = (c: Column) => aggregate(
       zip_with(c, col("ve"), (x, y) => (x - y) * (x - y)),

@@ -56,8 +56,12 @@ final class CircuitBreaker(failureThreshold: Int = 5,
   }
 
   /** Run `body` under the breaker: refused when open, counted toward
-    * the failure threshold when it throws. */
-  def protect[A](body: => A): A = {
+    * the failure threshold when it throws and `counts(e)` holds.
+    * Client-side I/O failures (a peer disconnecting mid-stream) must
+    * NOT open the circuit for everyone — only engine failures count. */
+  def protect[A](body: => A,
+                 counts: Throwable => Boolean =
+                   !_.isInstanceOf[java.io.IOException]): A = {
     checkRequest()
     try {
       val r = body
@@ -65,7 +69,7 @@ final class CircuitBreaker(failureThreshold: Int = 5,
       r
     } catch {
       case e: Throwable =>
-        recordFailure()
+        if (counts(e)) recordFailure()
         throw e
     }
   }

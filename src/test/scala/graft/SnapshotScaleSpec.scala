@@ -144,6 +144,18 @@ class SnapshotScaleSpec extends AnyFunSuite {
     engine.execute("DROP TABLE snapsc.scancount_t")
   }
 
+  test("DROP DATABASE purges every contained table's snapshot history") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS snapdb2")
+    engine.execute("DROP TABLE IF EXISTS snapdb2.t1")
+    engine.execute("CREATE TABLE snapdb2.t1 (id int64) STORAGE filesystem")
+    engine.execute("INSERT INTO snapdb2.t1 VALUES (1),(2)")
+    engine.execute("DELETE FROM snapdb2.t1 WHERE id = 1") // snapshot
+    assert(Files.exists(snapRoot("snapdb2.t1")))
+    engine.execute("DROP DATABASE snapdb2 CASCADE")
+    assert(!Files.exists(snapRoot("snapdb2.t1")),
+      "DROP DATABASE must purge contained tables' snapshot roots")
+  }
+
   test("whole-table UPDATE counts matches in the rewrite job itself") {
     engine.execute("CREATE DATABASE IF NOT EXISTS snapsc")
     engine.execute("DROP TABLE IF EXISTS snapsc.obs")
