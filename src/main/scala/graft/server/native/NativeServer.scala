@@ -136,10 +136,15 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849,
 
               case Signals.ClientQuery =>
                 val q = Signals.Query.unpack(payload)
+                // flipped to false INSIDE the write lock before the
+                // final frames, so a late timer tick can never emit a
+                // Progress frame after EndOfStream
+                val progressOpen = new AtomicBoolean(true)
                 val progress = new ProgressEmitter(
                   engine.spark.sparkContext,
                   p => wlock.synchronized {
-                    Wire.writeMessage(out, Signals.ServerProgress, p.pack())
+                    if (progressOpen.get)
+                      Wire.writeMessage(out, Signals.ServerProgress, p.pack())
                   },
                   engine.spark.conf
                     .getOption("spark.graft.progress.interval.ms")
@@ -176,19 +181,28 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849,
                     val sent = streamBlocks(out, wlock, cols, rows)
                     rowsSent = sent._1; bytesSent = sent._2
                   }
-                  // ProfileInfo before EndOfStream (server_profile_info.go)
-                  Wire.writeMessage(out, Signals.ServerProfileInfo,
-                    Signals.ProfileInfo(
-                      rowsRead, bytesRead,
-                      if (res.message.startsWith("result truncated"))
-                        engine.maxResultRows else 0L,
-                      0L, rowsSent, bytesSent).pack())
-                  Wire.writeMessage(out, Signals.ServerEndOfStream,
-                    Array.emptyByteArray)
+                  // ProfileInfo before EndOfStream (server_profile_info.go).
+                  // Timer.cancel does not wait for an in-flight tick, so
+                  // every frame here stays under the connection's write
+                  // lock — a racing Progress frame can never interleave
+                  wlock.synchronized {
+                    progressOpen.set(false)
+                    Wire.writeMessage(out, Signals.ServerProfileInfo,
+                      Signals.ProfileInfo(
+                        rowsRead, bytesRead,
+                        if (res.message.startsWith("result truncated"))
+                          engine.maxResultRows else 0L,
+                        0L, rowsSent, bytesSent).pack())
+                    Wire.writeMessage(out, Signals.ServerEndOfStream,
+                      Array.emptyByteArray)
+                  }
                 } catch {
                   case NonFatal(e) =>
                     progress.stop()
-                    sendException(out, e)
+                    wlock.synchronized {
+                      progressOpen.set(false)
+                      sendException(out, e)
+                    }
                 }
 
               case Signals.ClientData =>
