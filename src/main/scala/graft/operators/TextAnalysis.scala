@@ -56,7 +56,72 @@ object TextAnalysis {
           col("doc_id"),
           md5(col("text")).as("full_fp"),
           md5(substring(col("text"), 1, 64)).as("prefix_fp"),
-          col("n_chars")))
+          col("n_chars"))),
+
+    "q58_pii_redact" -> ((s, dir) => {
+      // PII scrubbing, the pre-training privacy pass. The synthetic
+      // corpus carries no PII (verified: zero digits/'@'), so a
+      // redactor run raw would be vacuously green — each doc instead
+      // gets a DETERMINISTIC planted email + phone (derived from
+      // doc_id, reproduced identically in the oracle), and the
+      // assertions check the redactor actually fired. Patterns stay in
+      // the Java/RE2 common subset so both engines match identically.
+      val planted = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      docs(s, dir)
+        .withColumn("with_pii", planted)
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("with_pii"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]"))
+        .select(
+          col("doc_id"),
+          size(expr(s"regexp_extract_all(with_pii, '$emailRe', 0)"))
+            .as("n_emails"),
+          size(expr(s"regexp_extract_all(with_pii, '$phoneRe', 0)"))
+            .as("n_phones"),
+          md5(col("redacted")).as("redacted_fp"),
+          (length(col("with_pii")) - length(col("redacted")))
+            .as("chars_removed"))
+    }),
+
+    "q59_repetition" -> ((s, dir) =>
+      // repetition scoring (Gopher-style duplicate-token fraction):
+      // the most boilerplate-heavy docs surface first. Pure per-row
+      // arithmetic + one ordered limit — no shuffle beyond top-k.
+      docs(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("dup_ratio"))
+        .orderBy(col("dup_ratio").desc, col("doc_id").asc)
+        .limit(20)),
+
+    "q60_normalize" -> ((s, dir) => {
+      // canonical text normalization (lowercase + whitespace collapse
+      // + trim), the dedup pre-pass. The corpus is already lowercase
+      // single-spaced, so each doc is deterministically dirtied first
+      // (uppercase prefix, doubled spaces, padding — reproduced
+      // identically in the oracle): every normalization step provably
+      // fires, and the fingerprint pins byte-exact output.
+      val messy = concat(
+        lit("  \t"), upper(substring(col("text"), 1, 16)),
+        regexp_replace(col("text"), " ", "  "), lit("   "))
+      docs(s, dir)
+        .withColumn("messy", messy)
+        .withColumn("norm",
+          trim(regexp_replace(lower(col("messy")), "\\s+", " ")))
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("norm_fp"),
+          length(col("norm")).as("n_norm_chars"),
+          (length(col("messy")) - length(col("norm"))).as("chars_collapsed"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -99,6 +164,52 @@ object TextAnalysis {
     "q30_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_fp,
         |  md5(substring(text, 1, 64)) AS prefix_fp, n_chars
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q58_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS with_pii
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, with_pii,
+        |    regexp_replace(
+        |      regexp_replace(with_pii,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(with_pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(with_pii, '[0-9]{3}-[0-9]{4}')) AS INTEGER)
+        |    AS n_phones,
+        |  md5(redacted) AS redacted_fp,
+        |  CAST(length(with_pii) - length(redacted) AS INTEGER) AS chars_removed
+        |FROM r""".stripMargin,
+
+    "q59_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS dup_ratio
+        |FROM documents
+        |ORDER BY dup_ratio DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+
+    "q60_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '  ' || chr(9) || upper(substring(text, 1, 16))
+        |      || replace(text, ' ', '  ') || '   ' AS messy
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, messy,
+        |    trim(regexp_replace(lower(messy), '\s+', ' ', 'g')) AS norm
+        |  FROM m)
+        |SELECT doc_id, md5(norm) AS norm_fp,
+        |  CAST(length(norm) AS INTEGER) AS n_norm_chars,
+        |  CAST(length(messy) - length(norm) AS INTEGER) AS chars_collapsed
+        |FROM n""".stripMargin
   )
 }

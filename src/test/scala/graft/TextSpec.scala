@@ -103,4 +103,32 @@ class MultimodalTypedSpec extends AnyFunSuite {
       .sortBy(_.doc_id)
     assert(rows(0).features.sameElements(again(0).features))
   }
+
+  test("PII redaction actually fires on every doc (planted PII; never vacuous)") {
+    val rows = graft.operators.TextAnalysis
+      .queries("q58_pii_redact")(TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") == 1, s"email not planted/found: $r")
+      assert(r.getAs[Int]("n_phones") == 1, s"phone not planted/found: $r")
+      // [EMAIL]/[PHONE] are shorter than what they replace
+      assert(r.getAs[Int]("chars_removed") > 0)
+    }
+  }
+
+  test("normalization collapses the planted mess on every doc") {
+    val rows = graft.operators.TextAnalysis
+      .queries("q60_normalize")(TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("chars_collapsed") > 0))
+  }
+
+  test("repetition ranking is deterministic and bounded") {
+    val rows = graft.operators.TextAnalysis
+      .queries("q59_repetition")(TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.length == 20)
+    val ratios = rows.map(_.getAs[Double]("dup_ratio"))
+    assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
+    assert(ratios.forall(r => r >= 0.0 && r < 1.0))
+  }
 }
