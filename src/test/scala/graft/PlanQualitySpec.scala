@@ -120,6 +120,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p57.contains("Expand") && !p55.contains("Expand"))
   }
 
+  test("text curation plans: per-row redact/normalize never shuffle; repetition is top-k") {
+    val redact = graft.operators.TextAnalysis
+      .queries("q58_pii_redact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!redact.contains("Exchange"),
+      s"PII redaction must be a pure per-row map:\n$redact")
+    val norm = graft.operators.TextAnalysis
+      .queries("q60_normalize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!norm.contains("Exchange"),
+      s"normalization must be a pure per-row map:\n$norm")
+    val rep = graft.operators.TextAnalysis
+      .queries("q59_repetition")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(rep.contains("TakeOrderedAndProject"),
+      s"repetition ranking must plan as top-k, not a global sort:\n$rep")
+  }
+
   test("partition-pruned UPDATE reads only affected partitions") {
     // the rewrite scan must carry the partition predicate so partition
     // pruning bounds the IO (EngineSpec proves the file-level effect;
