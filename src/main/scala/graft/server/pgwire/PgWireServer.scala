@@ -124,7 +124,11 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
         (tpe: @unchecked) match {
           case 'Q' =>
             val sql = cString(payload, 0)._1.trim
-            runQuery(engine, out, sql)
+            copyInRe.findFirstMatchIn(sql) match {
+              case Some(m) =>
+                copyIn(engine, in, out, m.group(1), Option(m.group(2)))
+              case None => runQuery(engine, out, sql)
+            }
           case 'P' => // Parse: store named statement
             val (name, p1) = cString(payload, 0)
             val (sql, _) = cString(payload, p1)
@@ -352,6 +356,70 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
     message(out, 'K', b => { b.writeInt(42); b.writeInt(7) })
     readyForQuery(out)
     true
+  }
+
+  // ---------------------------------------------------------- COPY IN
+
+  /** `COPY t [(cols)] FROM STDIN` — the bulk-load path every Postgres
+    * client uses (psql `\copy`, pgjdbc CopyManager). Handled at the
+    * protocol layer; the engine's COPY blocklist still rejects
+    * file-path COPY routed as SQL. Text format: tab delimiter, `\N`
+    * null, `\.` terminator — the v3 defaults. */
+  private val copyInRe =
+    """(?is)^COPY\s+([\w.`"]+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN\s*;?\s*$""".r
+
+  private def copyIn(engine: QueryEngine, in: DataInputStream,
+                     out: DataOutputStream, table0: String,
+                     colsOpt: Option[String]): Unit = {
+    try {
+      val table = table0.replace("\"", "").replace("`", "")
+      val columns = colsOpt
+        .map(_.split(",").map(_.trim.replace("\"", "")).toSeq)
+        .getOrElse(engine.spark.table(table).schema.fieldNames.toSeq)
+      // CopyInResponse: overall format 0 (text) + per-column formats
+      message(out, 'G', b => {
+        b.writeByte(0)
+        b.writeShort(columns.length)
+        columns.foreach(_ => b.writeShort(0))
+      })
+      val buf = new StringBuilder
+      var done = false
+      var failMsg: Option[String] = None
+      while (!done) {
+        val tpe = in.readUnsignedByte().toChar
+        val len = in.readInt()
+        if (len < 4 || len > MaxFrameBytes)
+          throw new java.io.IOException(s"bad pgwire frame length: $len")
+        val payload = new Array[Byte](len - 4)
+        in.readFully(payload)
+        tpe match {
+          case 'd' => buf.append(new String(payload, UTF_8))
+          case 'c' => done = true // CopyDone
+          case 'f' => // CopyFail
+            failMsg = Some(cString(payload, 0)._1); done = true
+          case _ => () // Flush/Sync during copy: ignore per spec
+        }
+      }
+      failMsg match {
+        case Some(msg) =>
+          errorResponse(out, "57014", s"COPY aborted by client: $msg")
+        case None =>
+          val rows = buf.toString.split("\n", -1).toSeq
+            .map(_.stripSuffix("\r"))
+            .filter(l => l.nonEmpty && l != "\\.")
+            .map(_.split("\t", -1).toSeq
+              .map(v => if (v == "\\N") null else v))
+          if (rows.nonEmpty)
+            engine.insertData(table, columns,
+              graft.server.WireCoerce(engine.spark, table, columns, rows))
+          commandComplete(out, s"COPY ${rows.length}")
+      }
+    } catch {
+      case NonFatal(e) =>
+        errorResponse(out, "XX000",
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
+    readyForQuery(out)
   }
 
   // ---------------------------------------------------------- queries

@@ -257,6 +257,71 @@ class PgWireSpec extends AnyFunSuite {
     sock.close()
   }
 
+  test("COPY FROM STDIN bulk-loads rows through the v3 copy sub-protocol") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS pgc")
+    engine.execute("DROP TABLE IF EXISTS pgc.cp")
+    engine.execute(
+      "CREATE TABLE pgc.cp (id int64, name string, age int32) STORAGE filesystem")
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    val sin = new DataInputStream(sock.getInputStream)
+    val sout = new DataOutputStream(sock.getOutputStream)
+    // startup
+    val body = new java.io.ByteArrayOutputStream()
+    val bd = new DataOutputStream(body)
+    bd.writeInt(196608)
+    for ((k, v) <- Seq("user" -> "t", "database" -> "default")) {
+      bd.write(k.getBytes(UTF_8)); bd.writeByte(0)
+      bd.write(v.getBytes(UTF_8)); bd.writeByte(0)
+    }
+    bd.writeByte(0)
+    sout.writeInt(4 + body.size()); body.writeTo(sout); sout.flush()
+    var ready = false
+    while (!ready) {
+      val t = sin.readUnsignedByte().toChar
+      val l = sin.readInt(); val p = new Array[Byte](l - 4); sin.readFully(p)
+      if (t == 'Z') ready = true
+    }
+    // COPY statement
+    val q = "COPY pgc.cp (id, name, age) FROM STDIN".getBytes(UTF_8)
+    sout.writeByte('Q'); sout.writeInt(4 + q.length + 1)
+    sout.write(q); sout.writeByte(0); sout.flush()
+    // CopyInResponse: format 0, 3 columns
+    assert(sin.readUnsignedByte().toChar == 'G')
+    val glen = sin.readInt(); val gp = new Array[Byte](glen - 4)
+    sin.readFully(gp)
+    assert(gp(0) == 0)
+    assert(((gp(1) & 0xFF) << 8 | (gp(2) & 0xFF)) == 3)
+    // two CopyData frames, one row SPLIT across the frame boundary,
+    // a \N null, and the \. terminator — the exact psql framing
+    def copyData(s: String): Unit = {
+      val b = s.getBytes(UTF_8)
+      sout.writeByte('d'); sout.writeInt(4 + b.length); sout.write(b)
+    }
+    copyData("1\tann\t34\n2\t\\N\t19\n3\tch")
+    copyData("o\t45\n\\.\n")
+    sout.writeByte('c'); sout.writeInt(4); sout.flush() // CopyDone
+    // CommandComplete COPY 3, then ReadyForQuery
+    var tag = ""
+    var done = false
+    while (!done) {
+      val t = sin.readUnsignedByte().toChar
+      val l = sin.readInt(); val p = new Array[Byte](l - 4); sin.readFully(p)
+      if (t == 'C') tag = new String(p, UTF_8).takeWhile(_ != 0)
+      if (t == 'Z') done = true
+    }
+    assert(tag == "COPY 3", s"got tag '$tag'")
+    sock.close()
+    val r = engine.execute(
+      "SELECT count(*) AS n, sum(age) AS total FROM pgc.cp")
+    assert(r.data.head == Seq(3L, 98L))
+    // the null landed as NULL, the split row reassembled
+    assert(engine.execute(
+      "SELECT name FROM pgc.cp WHERE id = 2").data.head.head == null)
+    assert(engine.execute(
+      "SELECT name FROM pgc.cp WHERE id = 3").data.head.head == "cho")
+    engine.execute("DROP TABLE pgc.cp")
+  }
+
   test("cleartext-password auth: accepted credentials run queries, bad ones get 28P01") {
     val secured = new PgWireServer(engine, port = 0,
       auth = Some(new graft.server.SimpleAuthProvider()))
