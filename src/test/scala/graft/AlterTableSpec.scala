@@ -65,6 +65,16 @@ class AlterTableSpec extends AnyFunSuite {
     assert(props("graft.settings.compression") == "zstd")
     assertThrows[Exception](
       engine.execute("ALTER TABLE alt.s SETTINGS (compression=rar)"))
+    // quoted literal values parse as the reference parser accepts them
+    // (round-2 ADVICE: 'zstd' kept its quotes and failed validation)
+    val rq = engine.execute("ALTER TABLE alt.s SETTINGS (compression='gzip')")
+    assert(rq.message == "Settings updated")
+    val props2 = spark.sql("SHOW TBLPROPERTIES alt.s").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(props2("parquet.compression") == "gzip")
+    assert(props2("graft.settings.compression") == "gzip")
+    assertThrows[Exception](
+      engine.execute("ALTER TABLE alt.s SETTINGS (compression='rar')"))
     engine.execute("DROP TABLE alt.s")
   }
 

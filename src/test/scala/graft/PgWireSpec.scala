@@ -257,6 +257,39 @@ class PgWireSpec extends AnyFunSuite {
     sock.close()
   }
 
+  test("corrupt frame length tears the connection down without allocating it") {
+    val sock = new Socket("127.0.0.1", server.boundPort)
+    val sin = new DataInputStream(sock.getInputStream)
+    val sout = new DataOutputStream(sock.getOutputStream)
+    val body = new java.io.ByteArrayOutputStream()
+    val bd = new DataOutputStream(body)
+    bd.writeInt(196608)
+    bd.write("user".getBytes(UTF_8)); bd.writeByte(0)
+    bd.write("t".getBytes(UTF_8)); bd.writeByte(0)
+    bd.writeByte(0)
+    sout.writeInt(4 + body.size()); body.writeTo(sout); sout.flush()
+    var ready = false
+    while (!ready) {
+      val t = sin.readUnsignedByte().toChar
+      val l = sin.readInt(); val p = new Array[Byte](l - 4); sin.readFully(p)
+      if (t == 'Z') ready = true
+    }
+    // a 1.9 GB frame header (round-2 ADVICE: allocated verbatim before)
+    sout.writeByte('Q'); sout.writeInt(0x70000000); sout.flush()
+    // the server must close the connection promptly, not wait for 1.9 GB
+    sock.setSoTimeout(10000)
+    val e = intercept[java.io.IOException] {
+      while (true) sin.readUnsignedByte()
+    }
+    assert(e.isInstanceOf[java.io.EOFException] ||
+      !e.isInstanceOf[java.net.SocketTimeoutException], s"hung instead of closing: $e")
+    sock.close()
+    // and the server still serves new connections
+    val c = new Client(false)
+    assert(c.query("SELECT 5 AS v").exists(_._1 == 'D'))
+    c.close()
+  }
+
   test("COPY FROM STDIN bulk-loads rows through the v3 copy sub-protocol") {
     engine.execute("CREATE DATABASE IF NOT EXISTS pgc")
     engine.execute("DROP TABLE IF EXISTS pgc.cp")

@@ -75,6 +75,19 @@ class SnapshotsSpec extends AnyFunSuite {
     engine.execute("DROP TABLE snap.r")
   }
 
+  test("VERSION AS OF inside a string literal is data, not time travel") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS snap")
+    engine.execute("DROP TABLE IF EXISTS snap.lit")
+    engine.execute("CREATE TABLE snap.lit (id int64) STORAGE filesystem")
+    engine.execute("INSERT INTO snap.lit VALUES (1)")
+    // no snapshot 99 exists: if the rewrite touched the literal this
+    // would throw from Snapshots.read; it must return the literal intact
+    val r = engine.execute(
+      "SELECT 'FROM snap.lit VERSION AS OF 99' AS s, id FROM snap.lit")
+    assert(r.data.head.head == "FROM snap.lit VERSION AS OF 99")
+    engine.execute("DROP TABLE snap.lit")
+  }
+
   test("snapshots can be disabled per session") {
     spark.conf.set("spark.graft.snapshots.enabled", "false")
     try {
