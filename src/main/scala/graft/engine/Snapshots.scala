@@ -294,12 +294,15 @@ object Snapshots {
   private def pruneEmptyDirs(fs: FileSystem, dir: Path): Boolean = {
     if (!fs.exists(dir)) return true
     val children = fs.listStatus(dir)
-    val allGone = children.forall { st =>
+    // map-then-forall: every child directory gets pruned even when an
+    // earlier sibling file means this directory itself must survive
+    val gone = children.map { st =>
       if (st.isDirectory) pruneEmptyDirs(fs, st.getPath) else false
     }
-    if (allGone && children.nonEmpty) fs.delete(dir, false)
-    else if (children.isEmpty) fs.delete(dir, false)
-    allGone || children.isEmpty
+    if (children.isEmpty || gone.forall(identity)) {
+      fs.delete(dir, false)
+      true
+    } else false
   }
 
   /** Drop every snapshot of a table — DROP TABLE hygiene, so a
