@@ -26,6 +26,8 @@ object AlterTable {
     """(?is)^ALTER\s+TABLE\s+([\w.`]+)\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+(.+)$""".r
   private val addColRe =
     """(?is)^ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+`?(\w+)`?\s+(.+)$""".r
+  private val renameColRe =
+    """(?is)^ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?$""".r
   private val settingsRe =
     """(?is)^ALTER\s+TABLE\s+([\w.`]+)\s+SETTINGS\s*\(?\s*(.*?)\s*\)?$""".r
 
@@ -36,6 +38,9 @@ object AlterTable {
       Some(addColumn(spark, clean(table), column, typeSpec.trim))
     case dropColRe(table, column) =>
       Some(dropColumn(spark, clean(table), canonical(spark, clean(table), column)))
+    case renameColRe(table, from, to) =>
+      Some(renameColumn(spark, clean(table),
+        canonical(spark, clean(table), from), to))
     case alterColRe(table, column, typeSpec) =>
       Some(alterColumn(spark, clean(table), canonical(spark, clean(table), column),
         typeSpec.trim))
@@ -121,6 +126,32 @@ object AlterTable {
         case kv => kv
       })
     s"Column $column altered to $icebergType"
+  }
+
+  // -------------------------------------------------------------- RENAME
+
+  /** RENAME COLUMN — parquet stores column names in the footers, so on
+    * the v1 catalog this is the same staged rebuild as DROP/ALTER (with
+    * the Iceberg runtime it would be metadata-only). Every graft.*
+    * bookkeeping list carries the rename. */
+  private def renameColumn(spark: SparkSession, t: String,
+                           from: String, to: String): String = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    require(!meta.partitionColumnNames.exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column '$from'")
+    require(!spark.table(t).schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column '$to' already exists in $t")
+    rebuild(spark, t, df => df.withColumnRenamed(from, to), remaining =>
+      remaining.map { case (k, v) =>
+        if (k == s"graft.type.$from") s"graft.type.$to" -> v
+        else if (Set("graft.columns", "graft.notnull", "graft.unique",
+                     "graft.primarykey").contains(k))
+          k -> v.split(",").map(c =>
+            if (c.equalsIgnoreCase(from)) to else c).mkString(",")
+        else k -> v
+      })
+    s"Column $from renamed to $to"
   }
 
   // ----------------------------------------------------------- SETTINGS

@@ -78,6 +78,28 @@ class AlterTableSpec extends AnyFunSuite {
     engine.execute("DROP TABLE alt.s")
   }
 
+  test("RENAME COLUMN rewrites data and carries all bookkeeping") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS alt")
+    engine.execute("DROP TABLE IF EXISTS alt.rn")
+    engine.execute(
+      "CREATE TABLE alt.rn (id int64 NOT NULL, old_name string UNIQUE) STORAGE filesystem")
+    engine.execute("INSERT INTO alt.rn VALUES (1,'a'),(2,'b')")
+    val r = engine.execute("ALTER TABLE alt.rn RENAME COLUMN old_name TO new_name")
+    assert(r.message == "Column old_name renamed to new_name")
+    // data survives under the new name; the old name is gone
+    val rows = engine.execute("SELECT id, new_name FROM alt.rn ORDER BY id")
+    assert(rows.data.map(_.toList) == Seq(List(1L, "a"), List(2L, "b")))
+    assertThrows[Exception](engine.execute("SELECT old_name FROM alt.rn"))
+    // bookkeeping followed: declared order, type map, unique list
+    val cols = engine.execute("SHOW COLUMNS FROM alt.rn")
+    assert(cols.data.map(_.head) == Seq("id", "new_name"))
+    assert(cols.data.find(_.head == "new_name").get(4) == "YES") // unique
+    // collisions and partition columns are refused
+    assertThrows[Exception](
+      engine.execute("ALTER TABLE alt.rn RENAME COLUMN new_name TO id"))
+    engine.execute("DROP TABLE alt.rn")
+  }
+
   test("ALTER on a partitioned table keeps partitioning through the rewrite") {
     engine.execute("CREATE DATABASE IF NOT EXISTS alt")
     engine.execute("DROP TABLE IF EXISTS alt.p")
