@@ -129,11 +129,25 @@ object Snapshots {
 
   // -------------------------------------------------------------- create
 
+  /** Per-table JVM lock: concurrent connections share this JVM, and
+    * two DMLs racing on one table must not allocate the same snapshot
+    * id (the DML rewrite race itself is the caller's concern, as in
+    * any CoW engine without a transaction log). */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Record a manifest over the table's CURRENT files; no data moves.
     * Returns the snapshot id. Retention expires the oldest snapshots
     * beyond the keep-last-N cap. */
   def create(spark: SparkSession, t: String, operation: String): Long = {
     val (db, table, loc) = resolve(spark, t)
+    tableLocks.computeIfAbsent(s"$db.$table", _ => new Object).synchronized {
+      createLocked(spark, t, operation, db, table, loc)
+    }
+  }
+
+  private def createLocked(spark: SparkSession, t: String, operation: String,
+                           db: String, table: String, loc: Path): Long = {
     val fs = fsOf(spark, loc)
     val root = base(spark, db, table)
     val id = manifests(fs, root).lastOption.map(_.id).getOrElse(0L) + 1L
