@@ -142,16 +142,25 @@ object Dedup {
     * verification joins — without it the shingle+minhash expression
     * re-evaluates three times. At warehouse scale this projection
     * would be a persisted/bucketed intermediate table instead. */
+  /** The shingle+minhash projection is band-count-independent, so the
+    * cached base is shared across every banding configuration run in a
+    * session (q33 and q33b cache it once between them). Keyed by
+    * session identity + corpus dir; entries die with the JVM. */
+  private val minhashBases =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def minhashPairs(s: SparkSession, dir: String, numBands: Int): DataFrame = {
     val rowsPerBand = NumHashes / numBands
-    val base = docs(s, dir)
-      .select(col("doc_id"),
-              graft.functions.expressions.ArrayOps
-                .wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
-      .where(size(col("sh")) >= 1) // degenerate (<k tokens) docs out
-      .withColumn("mh", graft.functions.expressions.ArrayOps
-        .minhashSig(col("sh"), NumHashes))
-      .cache()
+    val base = minhashBases.computeIfAbsent(
+      (System.identityHashCode(s), dir), _ =>
+        docs(s, dir)
+          .select(col("doc_id"),
+                  graft.functions.expressions.ArrayOps
+                    .wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
+          .where(size(col("sh")) >= 1) // degenerate (<k tokens) docs out
+          .withColumn("mh", graft.functions.expressions.ArrayOps
+            .minhashSig(col("sh"), NumHashes))
+          .cache())
     val bands = base.select(
       col("doc_id"),
       posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand)).as(Seq("band", "bh")))
