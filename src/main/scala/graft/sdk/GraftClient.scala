@@ -126,19 +126,71 @@ final class GraftClient private[sdk] (opt: GraftClient.Options) {
 
   def ping(): Boolean = withConn { c => c.ping(); true }
 
-  def query(sql: String): Rows = withConn { c =>
-    val (cols, rows) = c.query(sql)
+  /** Runs `sql` with client-side `?` parameter binding. The reference
+    * SDK's Query accepts variadic args but drops them on the floor
+    * (client.go:905-960 never references them); here each `?` outside
+    * a string literal is rendered as an escaped SQL literal — a
+    * deliberate behavioral superset. */
+  def query(sql: String, args: Any*): Rows = withConn { c =>
+    val (cols, rows) = c.query(bind(sql, args))
     Rows(cols, rows.map(Row))
   }
 
   /** First row of the result (reference QueryRow, client.go:489). */
-  def queryRow(sql: String): Option[Row] = {
-    val r = query(sql)
+  def queryRow(sql: String, args: Any*): Option[Row] = {
+    val r = query(sql, args: _*)
     r.rows.headOption
   }
 
   /** Statement executed for effect; result discarded (client.go:504). */
-  def exec(sql: String): Unit = { query(sql); () }
+  def exec(sql: String, args: Any*): Unit = { query(sql, args: _*); () }
+
+  /** ServerVersion from the connection handshake (client.go:547-556). */
+  def serverVersion(): String = withConn { c => c.ping(); c.serverName }
+
+  /** Quote-aware `?` substitution: literals copied verbatim ('' is the
+    * escape), placeholders bound left-to-right, count mismatches
+    * refused. */
+  private def bind(sql: String, args: Seq[Any]): String = {
+    if (args.isEmpty) return sql
+    val out = new StringBuilder
+    var ai = 0
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val ch = sql.charAt(i)
+      if (ch == '\'') {
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          if (sql.charAt(j) == '\'') {
+            if (j + 1 < n && sql.charAt(j + 1) == '\'') j += 2
+            else { j += 1; closed = true }
+          } else j += 1
+        }
+        out.append(sql.substring(i, j)); i = j
+      } else if (ch == '?') {
+        require(ai < args.length,
+          s"${args.length} arg(s) given but more '?' placeholders found")
+        out.append(renderArg(args(ai))); ai += 1; i += 1
+      } else { out.append(ch); i += 1 }
+    }
+    require(ai == args.length,
+      s"${args.length} arg(s) given, $ai placeholder(s) found")
+    out.toString
+  }
+
+  private def renderArg(v: Any): String = v match {
+    case null => "NULL"
+    case None => "NULL"
+    case Some(x) => renderArg(x)
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => b.toString
+    case d: java.sql.Date => s"DATE'$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP'$t'"
+    case n: java.math.BigDecimal => n.toPlainString
+    case other => other.toString // numeric types
+  }
 
   /** Batch insert builder (client.go:515-533; Append/Send as in the
     * reference's ClickHouse-style API). */

@@ -384,12 +384,20 @@ final class NativeClient(host: String, port: Int) {
   private val in = sock.getInputStream
   private val out = sock.getOutputStream
 
+  @volatile private var serverHello: Option[Signals.ServerHelloMsg] = None
+
+  /** "name major.minor" from the handshake (reference ServerVersion). */
+  def serverName: String = serverHello
+    .map(h => s"${h.serverName} ${h.major}.${h.minor}").getOrElse("unknown")
+
   def hello(database: String = "default", user: String = "default",
             password: String = ""): Signals.ServerHelloMsg = {
     Wire.writeMessage(out, Signals.ClientHello,
       Signals.Hello("graft-scala-client", 1, 0, Signals.ProtocolVersion,
         database, user, password).pack())
-    expect(Signals.ServerHello, Signals.ServerHelloMsg.unpack)
+    val h = expect(Signals.ServerHello, Signals.ServerHelloMsg.unpack)
+    serverHello = Some(h)
+    h
   }
 
   /** Progress frames seen and the last ProfileInfo received — the

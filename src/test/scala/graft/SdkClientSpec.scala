@@ -28,6 +28,31 @@ class SdkClientSpec extends AnyFunSuite {
     client.exec("CREATE DATABASE IF NOT EXISTS sdk")
   }
 
+  test("? parameter binding renders literals safely (reference SDK drops args)") {
+    client.exec("CREATE DATABASE IF NOT EXISTS sdk")
+    client.exec("DROP TABLE IF EXISTS sdk.bindt")
+    client.exec("CREATE TABLE sdk.bindt (id int64, name string) STORAGE filesystem")
+    client.exec("INSERT INTO sdk.bindt VALUES (?, ?), (?, ?)",
+      1L, "ann", 2L, "o'brien")
+    // quoting: embedded quote round-trips; ? inside a literal is data
+    val r = client.queryRow(
+      "SELECT name FROM sdk.bindt WHERE id = ? AND name <> 'not?me'", 2L)
+    assert(r.get.getString(0) == "o'brien")
+    assert(client.queryRow(
+      "SELECT count(*) AS n FROM sdk.bindt WHERE name = ?", "o'brien")
+      .get.getLong(0) == 1L)
+    // null binding and count mismatches
+    client.exec("INSERT INTO sdk.bindt VALUES (?, ?)", 3L, null)
+    assert(client.queryRow(
+      "SELECT count(*) AS n FROM sdk.bindt WHERE name IS NULL").get.getLong(0) == 1L)
+    assertThrows[IllegalArgumentException](
+      client.query("SELECT ? AS a", 1L, 2L))
+    assertThrows[IllegalArgumentException](
+      client.query("SELECT ? + ? AS a", 1L))
+    assert(client.serverVersion().startsWith("Graft Server"))
+    client.exec("DROP TABLE sdk.bindt")
+  }
+
   test("PrepareBatch / Append / Send lands rows") {
     client.exec("CREATE DATABASE IF NOT EXISTS sdk")
     client.exec("DROP TABLE IF EXISTS sdk.events")
