@@ -330,6 +330,22 @@ object Snapshots {
     if (fs.exists(root)) fs.delete(root, true)
   }
 
+  /** Warehouse-wide snapshot inventory for the `system_snapshots`
+    * view: (qualified table, snapshot, file count) per manifest, read
+    * straight from the snapshot roots — no catalog resolution, so
+    * orphaned histories (external drops) still show up for cleanup. */
+  def listAll(spark: SparkSession): Seq[(String, SnapshotInfo, Int)] = {
+    val root = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),
+      ".graft-snapshots")
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val table = st.getPath.getName
+      manifests(fs, st.getPath).map(m =>
+        (table, SnapshotInfo(m.id, m.operation, m.createdAtMs), m.files.length))
+    }
+  }
+
   /** DROP DATABASE hygiene: drop every `<db>.<table>` snapshot root. */
   def purgeDatabase(spark: SparkSession, db: String): Unit = {
     val root = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),

@@ -37,6 +37,30 @@ object SystemTables {
     databases(spark, dbs, tables).createOrReplaceTempView("system_databases")
     tablesView(spark, tables).createOrReplaceTempView("system_tables")
     columnsView(spark, tables).createOrReplaceTempView("system_columns")
+    snapshotsView(spark).createOrReplaceTempView("system_snapshots")
+  }
+
+  /** Warehouse-wide snapshot inventory (manifest-based store): one row
+    * per snapshot with its operation, age, and referenced file count —
+    * the observability hook for EXPIRE SNAPSHOTS decisions. */
+  private def snapshotsView(spark: SparkSession): DataFrame = {
+    val rows = Snapshots.listAll(spark).map { case (table, s, nFiles) =>
+      val (db, bare) = table.split("\\.", 2) match {
+        case Array(d, t) => (d, t)
+        case _ => ("default", table)
+      }
+      Row(db, bare, s.id, s.operation,
+        new java.sql.Timestamp(s.createdAtMs), nFiles.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("database_name", StringType),
+        StructField("table_name", StringType),
+        StructField("snapshot_id", LongType),
+        StructField("operation", StringType),
+        StructField("created_at", TimestampType),
+        StructField("file_count", LongType))))
   }
 
   // layout: views/databases.sql

@@ -58,6 +58,30 @@ class SystemTablesSpec extends AnyFunSuite {
     engine.execute("DROP TABLE sysx.orders")
   }
 
+  test("system_snapshots inventories the manifest store warehouse-wide") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS sysx")
+    engine.execute("DROP TABLE IF EXISTS sysx.snapinv")
+    engine.execute("CREATE TABLE sysx.snapinv (id int64) STORAGE filesystem")
+    engine.execute("INSERT INTO sysx.snapinv VALUES (1),(2),(3)")
+    engine.execute("DELETE FROM sysx.snapinv WHERE id = 1")
+    engine.execute("UPDATE sysx.snapinv SET id = 9 WHERE id = 2")
+    val r = engine.execute(
+      "SELECT snapshot_id, operation, file_count FROM system_snapshots " +
+        "WHERE database_name = 'sysx' AND table_name = 'snapinv' " +
+        "ORDER BY snapshot_id")
+    assert(r.columns == Seq("snapshot_id", "operation", "file_count"))
+    assert(r.data.map(row => (row.head, row(1))) ==
+      Seq((1L, "DELETE"), (2L, "UPDATE")))
+    assert(r.data.forall(_(2).asInstanceOf[Long] >= 1L))
+    // expiry empties the inventory for the table
+    engine.execute("EXPIRE SNAPSHOTS FROM sysx.snapinv")
+    assert(engine.execute(
+      "SELECT count(*) AS n FROM system_snapshots " +
+        "WHERE database_name = 'sysx' AND table_name = 'snapinv'")
+      .data.head.head == 0L)
+    engine.execute("DROP TABLE sysx.snapinv")
+  }
+
   test("system_queries exposes the execution registry as a relation") {
     engine.execute("SELECT 1 AS warm")
     val r = engine.execute(
