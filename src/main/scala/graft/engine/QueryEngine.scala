@@ -89,10 +89,11 @@ final class QueryEngine(val spark: SparkSession,
       val info = executions.register(sql0)
       onStart(info.id)
       executions.run(info) {
-        val rewritten = rewriteTimeTravel(sql)
+        var rewritten = rewriteTimeTravel(sql)
         if (SystemTables.isSystemQuery(rewritten)) {
           SystemTables.register(spark)
           registerSystemQueries()
+          rewritten = rewriteSystemNames(rewritten)
         }
         val df = spark.sql(rewritten)
         val cols = df.columns.toSeq
@@ -398,6 +399,15 @@ final class QueryEngine(val spark: SparkSession,
       })
     }
 
+  /** The reference addresses its system views as `system.<view>`
+    * (system_database_test.go:199-204); Spark temp views cannot carry
+    * the qualifier, so the dotted spelling rewrites (quote-aware) to
+    * the registered flat names. */
+  private def rewriteSystemNames(sql: String): String =
+    mapOutsideQuotes(sql)(_.replaceAll(
+      "(?i)\\bsystem\\.(tables|columns|databases|queries|snapshots)\\b",
+      "system_$1"))
+
   private def runSelect(sql0: String, id: String): QueryResult = {
     val sql = rewriteTimeTravel(sql0)
     if (SystemTables.isSystemQuery(sql)) {
@@ -405,7 +415,7 @@ final class QueryEngine(val spark: SparkSession,
       // (engine.go:1024-1049 routes them to the registry)
       SystemTables.register(spark)
       registerSystemQueries()
-      val r = toResult(id, spark.sql(sql))
+      val r = toResult(id, spark.sql(rewriteSystemNames(sql)))
       r.copy(message =
         s"System query executed successfully, ${r.rowCount} rows returned")
     } else toResult(id, spark.sql(sql))

@@ -82,6 +82,22 @@ class SystemTablesSpec extends AnyFunSuite {
     engine.execute("DROP TABLE sysx.snapinv")
   }
 
+  test("reference spelling system.<view> resolves (system_database_test.go:199-204)") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS sysx")
+    val r = engine.execute(
+      "SELECT count(*) AS n FROM system.databases WHERE database_name = 'sysx'")
+    assert(r.data.head.head == 1L)
+    assert(r.message.startsWith("System query executed successfully"))
+    val joined = engine.execute(
+      "SELECT count(*) AS n FROM system.tables t " +
+        "JOIN system.columns c ON c.table_name = t.table_name " +
+        "WHERE t.database_name = 'sysx'")
+    assert(joined.columns == Seq("n"))
+    // 'system.' inside a string literal stays data
+    assert(engine.execute("SELECT 'system.tables' AS s FROM system.databases LIMIT 1")
+      .data.head.head == "system.tables")
+  }
+
   test("system_queries exposes the execution registry as a relation") {
     engine.execute("SELECT 1 AS warm")
     val r = engine.execute(
