@@ -91,12 +91,30 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849,
     try {
       var open = true
       while (open) {
-        Wire.readMessage(in) match {
+        val msg =
+          try Wire.readMessage(in)
+          catch {
+            case _: java.net.SocketTimeoutException =>
+              // the hello's idleTimeoutSec elapsed with no frame:
+              // ServerClose then teardown (connection.go:557-576)
+              wlock.synchronized {
+                Wire.writeMessage(out, Signals.ServerClose,
+                  Signals.Close("Connection idle timeout").pack())
+              }
+              open = false
+              None
+          }
+        if (open) msg match {
           case None => open = false // client disconnected
           case Some((tpe, payload)) =>
             tpe match {
               case Signals.ClientHello =>
                 val hello = Signals.Hello.unpack(payload)
+                // idle-timeout request from the hello (the reference
+                // arms a per-connection idle timer): enforced via a
+                // read timeout on the socket
+                if (hello.idleTimeoutSec > 0)
+                  sock.setSoTimeout((hello.idleTimeoutSec * 1000).toInt)
                 // auth middleware (middleware/auth.go): the hello's
                 // user/password check FAILS the handshake with an
                 // exception frame, then tears the connection down
@@ -391,10 +409,11 @@ final class NativeClient(host: String, port: Int) {
     .map(h => s"${h.serverName} ${h.major}.${h.minor}").getOrElse("unknown")
 
   def hello(database: String = "default", user: String = "default",
-            password: String = ""): Signals.ServerHelloMsg = {
+            password: String = "",
+            idleTimeoutSec: Long = 0): Signals.ServerHelloMsg = {
     Wire.writeMessage(out, Signals.ClientHello,
       Signals.Hello("graft-scala-client", 1, 0, Signals.ProtocolVersion,
-        database, user, password).pack())
+        database, user, password, idleTimeoutSec).pack())
     val h = expect(Signals.ServerHello, Signals.ServerHelloMsg.unpack)
     serverHello = Some(h)
     h
@@ -430,6 +449,9 @@ final class NativeClient(host: String, port: Int) {
         case Some((Signals.ServerException, payload)) =>
           val e = Signals.Exception.unpack(payload)
           throw new RuntimeException(s"${e.code}: ${e.message}")
+        case Some((Signals.ServerClose, payload)) =>
+          throw new RuntimeException(
+            s"server closed connection: ${Signals.Close.unpack(payload).reason}")
         case Some((other, _)) =>
           throw new RuntimeException(s"unexpected signal $other in result stream")
         case None => throw new RuntimeException("connection closed")

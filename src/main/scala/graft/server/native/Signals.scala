@@ -113,7 +113,7 @@ object Signals {
   // server -> client
   val ServerHello = 100; val ServerData = 101; val ServerException = 102
   val ServerProgress = 103; val ServerPong = 104; val ServerEndOfStream = 105
-  val ServerProfileInfo = 106
+  val ServerProfileInfo = 106; val ServerClose = 116
 
   val ProtocolVersion = 54460L // DBMS_TCP_PROTOCOL_VERSION
 
@@ -290,6 +290,20 @@ object Signals {
       ProfileInfo(c.uvarint(), c.uvarint(), c.uvarint(), c.uvarint(),
         c.uvarint(), c.uvarint())
     }
+  }
+
+  /** Server-initiated close (server_close.go:20-60): u32-BE-length-
+    * prefixed reason. Sent before the server drops an idle connection
+    * (connection.go:557-576). */
+  final case class Close(reason: String) {
+    def pack(): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      Wire.writeU32String(b, reason)
+      b.toByteArray
+    }
+  }
+  object Close {
+    def unpack(p: Array[Byte]): Close = Close(new Wire.Cursor(p).u32String())
   }
 
   final case class Exception(code: String, message: String, stackTrace: String) {

@@ -229,6 +229,29 @@ class NativeProtocolSpec extends AnyFunSuite {
     } finally secured.stop()
   }
 
+  test("idle timeout from the hello: ServerClose(reason) then teardown") {
+    val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+    val in = sock.getInputStream
+    val out = sock.getOutputStream
+    Wire.writeMessage(out, Signals.ClientHello,
+      Signals.Hello("spec", 1, 0, Signals.ProtocolVersion,
+        "default", "default", "", idleTimeoutSec = 1).pack())
+    val Some((h, _)) = Wire.readMessage(in)
+    assert(h == Signals.ServerHello)
+    // no frames for > 1s: the server announces the close and drops us
+    val Some((tpe, payload)) = Wire.readMessage(in)
+    assert(tpe == Signals.ServerClose)
+    assert(Signals.Close.unpack(payload).reason == "Connection idle timeout")
+    assert(Wire.readMessage(in).isEmpty) // clean EOF after close
+    sock.close()
+    // a connection WITHOUT the hello field never times out
+    val c = connect()
+    c.hello()
+    Thread.sleep(1500)
+    assert(c.query("SELECT 1 AS x")._2.head.head == "1")
+    c.close()
+  }
+
   test("circuit breaker: failure storm opens, recovery trial closes") {
     val cb = new graft.server.CircuitBreaker(
       failureThreshold = 2, recoveryTimeoutMs = 500)
