@@ -80,13 +80,16 @@ object Bench {
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
+    // Headline keys print LAST: the driver keeps only the tail of this
+    // line, so the wall/floor numbers must sit at the end to be seen.
+    def r3(v: Double): String = f"$v%.3f"
     def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec",""" +
-      s""""queries":${jmap(sequential)},""" +
-      s""""sequential_total":$seqTotal,"concurrent_wall":$wall,""" +
-      s""""sched_floor_sec":$floor,"n_queries":${suite.length},""" +
-      s""""queries_concurrent":${jmap(concurrent)},"sf":"$sfDir"}""")
+      kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"queries":${jmap(sequential)},""" +
+      s""""queries_concurrent":${jmap(concurrent)},""" +
+      s""""metric":"total","value":${r3(wall)},"unit":"sec",""" +
+      s""""sequential_total":${r3(seqTotal)},"concurrent_wall":${r3(wall)},""" +
+      s""""sched_floor_sec":${r3(floor)},"n_queries":${suite.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

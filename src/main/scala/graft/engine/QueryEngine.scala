@@ -186,7 +186,15 @@ final class QueryEngine(val spark: SparkSession,
     case "CREATE" =>
       val upper = sql.toUpperCase
       if (upper.matches("(?s)^CREATE\\s+(DATABASE|NAMESPACE|SCHEMA).*")) {
+        val dbName =
+          """(?is)^CREATE\s+(?:DATABASE|NAMESPACE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w`]+)""".r
+            .findFirstMatchIn(sql).map(_.group(1).replace("`", ""))
+        // IF NOT EXISTS on an existing database is a no-op: no event
+        // (the reference's trigger fires only on an actual insert)
+        val existed = dbName.exists(spark.catalog.databaseExists)
         spark.sql(sql.replaceAll("(?i)^CREATE\\s+DATABASE", "CREATE NAMESPACE"))
+        if (!existed) dbName.foreach(db => Changefeed.emit(spark,
+          Changefeed.TableDatabases, "INSERT", Map("database" -> db)))
         ok(id, "Database created")
       } else if (upper.matches("(?s)^CREATE\\s+TABLE.*")) {
         val ct = RangerDdl.parse(sql)
@@ -199,6 +207,8 @@ final class QueryEngine(val spark: SparkSession,
         if (ct.storage == "memory")
           spark.catalog.cacheTable(ct.qualified(
             Some(spark.catalog.currentDatabase)).replace("`", ""))
+        registryChanged(ct.qualified(Some(spark.catalog.currentDatabase))
+          .replace("`", ""), Changefeed.TableTables, "INSERT")
         ok(id, s"Table ${ct.table} created")
       } else throw new IllegalArgumentException("unsupported statement type")
     case "DROP" =>
@@ -213,25 +223,43 @@ final class QueryEngine(val spark: SparkSession,
       val droppedDb =
         """(?is)^DROP\s+(?:DATABASE|NAMESPACE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?([\w`]+)""".r
           .findFirstMatchIn(sql).map(_.group(1).replace("`", ""))
+          .filter(spark.catalog.databaseExists)
+      val droppedTable =
+        """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)""".r
+          .findFirstMatchIn(sql).map(_.group(1).replace("`", ""))
+          .filter(t => try spark.catalog.tableExists(t)
+                       catch { case _: Exception => false })
       spark.sql(sql)
       // DROP hygiene: a recreated table (or database) must not inherit
-      // its predecessor's snapshot history or archived files
-      """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)""".r
-        .findFirstMatchIn(sql)
-        .foreach(m => Snapshots.purge(spark, m.group(1).replace("`", "")))
-      droppedDb.foreach(db => Snapshots.purgeDatabase(spark, db))
+      // its predecessor's snapshot history or archived files. IF EXISTS
+      // no-ops emit no event (the reference's trigger fires only on an
+      // actual registry delete).
+      droppedTable.foreach { t =>
+        Snapshots.purge(spark, t)
+        registryChanged(t, Changefeed.TableTables, "DELETE")
+      }
+      droppedDb.foreach { db =>
+        Snapshots.purgeDatabase(spark, db)
+        SystemTables.invalidateAll(spark)
+        Changefeed.emit(spark, Changefeed.TableDatabases, "DELETE",
+          Map("database" -> db))
+      }
       ok(id, "Dropped")
     case "EXPIRE" => runExpire(sql, id)
     case "ALTER" =>
       // ALTER TABLE column ops (parser.go:1998-2227): ADD/DROP/ALTER
       // COLUMN + SETTINGS run through the schema-evolution path;
       // any other ALTER form passes through to Spark
-      AlterTable.execute(spark, sql) match {
+      val altered = AlterTable.execute(spark, sql) match {
         case Some(msg) => ok(id, msg)
         case None =>
           spark.sql(sql)
           ok(id, "Altered")
       }
+      """(?is)^ALTER\s+TABLE\s+([\w.`]+)""".r.findFirstMatchIn(sql)
+        .foreach(m => registryChanged(m.group(1).replace("`", ""),
+          Changefeed.TableTables, "UPDATE"))
+      altered
     case "INSERT" => runInsert(sql, id)
     case "UPDATE" => runUpdate(sql, id)
     case "DELETE" => runDelete(sql, id)
@@ -259,6 +287,8 @@ final class QueryEngine(val spark: SparkSession,
         "(restore across ALTER is not supported; recreate the table instead)")
       if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "RESTORE")
       stagedRewrite(t, snap)
+      registryChanged(t, Changefeed.TableFiles, "UPDATE",
+        Map("op" -> "RESTORE", "version" -> version))
       QueryResult(id, Seq.empty, Seq.empty, 0,
         s"Table $t restored to version $version")
     case _ => throw new IllegalArgumentException("cannot parse RESTORE statement")
@@ -342,6 +372,10 @@ final class QueryEngine(val spark: SparkSession,
         stagedRewrite(t, spark.table(t), finalShape)
       }
       val (after, _) = dataFiles
+      if (after != before)
+        registryChanged(t, Changefeed.TableFiles, "UPDATE",
+          Map("op" -> "OPTIMIZE", "files_before" -> before.toString,
+            "files_after" -> after.toString))
       QueryResult(id, Seq.empty, Seq.empty, 0,
         s"OPTIMIZE: $before file(s) -> $after file(s)")
     case _ => throw new IllegalArgumentException("cannot parse OPTIMIZE statement")
@@ -349,6 +383,22 @@ final class QueryEngine(val spark: SparkSession,
 
   private def ok(id: String, msg: String): QueryResult =
     QueryResult(id, Seq.empty, Seq.empty, 0, msg)
+
+  /** One hook per registry mutation: append the CDC event (the
+    * reference's SQLite triggers → __cdc_log) and invalidate the
+    * system-tables metadata cache for the touched identifier (the
+    * schema cache the reference keeps current by consuming exactly
+    * these events — storage/schema/astha_subscriber.go:58-166). */
+  private def registryChanged(table: String, registryTable: String,
+                              op: String,
+                              extra: Map[String, String] = Map.empty): Unit = {
+    val qualified =
+      if (table.contains(".")) table
+      else s"${spark.catalog.currentDatabase}.$table"
+    SystemTables.invalidate(spark, qualified)
+    Changefeed.emit(spark, registryTable, op,
+      Map("table" -> qualified) ++ extra)
+  }
 
   private def toResult(id: String, df: DataFrame, msg: String = ""): QueryResult = {
     // cap at maxResultRows+1 so truncation is detectable without a count
@@ -405,7 +455,7 @@ final class QueryEngine(val spark: SparkSession,
     * the registered flat names. */
   private def rewriteSystemNames(sql: String): String =
     mapOutsideQuotes(sql)(_.replaceAll(
-      "(?i)\\bsystem\\.(tables|columns|databases|queries|snapshots)\\b",
+      "(?i)\\bsystem\\.(tables|columns|databases|queries|snapshots|cdc_log)\\b",
       "system_$1"))
 
   private def runSelect(sql0: String, id: String): QueryResult = {
@@ -433,8 +483,17 @@ final class QueryEngine(val spark: SparkSession,
     * INSERT: O(table) scans per statement, wrong for OVERWRITE and
     * under concurrent writers. */
   private def runInsert(sql: String, id: String): QueryResult = {
+    val target = insertHeadRe.findFirstMatchIn(sql)
+      .map(_.group(2).replace("`", ""))
+    // version the pre-insert state: appends delete nothing, so the
+    // manifest snapshot costs one file listing and zero archive work —
+    // `VERSION AS OF` then covers append history too
+    if (Snapshots.enabled(spark) && Snapshots.onInsert(spark))
+      target.foreach(t => Snapshots.create(spark, t, "INSERT"))
     val df = spark.sql(withDeclaredColumns(sql))
     val n = writtenRows(df).orElse(valuesRowCount(sql)).getOrElse(-1L)
+    target.foreach(t => registryChanged(t, Changefeed.TableFiles, "INSERT",
+      Map("rows" -> math.max(n, 0).toString)))
     QueryResult(id, Seq.empty, Seq.empty, math.max(n, 0),
       if (n >= 0) s"INSERT $n" else "INSERT")
   }
@@ -497,6 +556,8 @@ final class QueryEngine(val spark: SparkSession,
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(ordered.toList), target.schema)
       df.write.insertInto(table)
+      registryChanged(table, Changefeed.TableFiles, "INSERT",
+        Map("rows" -> rows.length.toString))
       QueryResult(info.id, Seq.empty, Seq.empty, rows.length,
         s"INSERT ${rows.length}")
     }
@@ -573,6 +634,8 @@ final class QueryEngine(val spark: SparkSession,
             observedN()
           }
         }
+      if (n > 0) registryChanged(t, Changefeed.TableFiles, "DELETE",
+        Map("rows" -> n.toString))
       QueryResult(id, Seq.empty, Seq.empty, n, s"DELETE $n")
     case _ => throw new IllegalArgumentException("cannot parse DELETE statement")
   }
@@ -629,6 +692,8 @@ final class QueryEngine(val spark: SparkSession,
             observedN()
           }
         }
+      if (n > 0) registryChanged(t, Changefeed.TableFiles, "UPDATE",
+        Map("rows" -> n.toString))
       QueryResult(id, Seq.empty, Seq.empty, n, s"UPDATE $n")
     case _ => throw new IllegalArgumentException("cannot parse UPDATE statement")
   }

@@ -31,8 +31,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Retention: `spark.graft.snapshots.retain` (default 10) newest
   * snapshots are kept; `EXPIRE SNAPSHOTS` prunes manually. Expiry
   * garbage-collects archived files no remaining manifest references.
-  * Appends (INSERT) do not snapshot — they delete nothing, so every
-  * existing manifest stays valid.
+  * Appends (INSERT) snapshot the PRE-insert file list when
+  * [[onInsert]] is enabled — they delete nothing, so the snapshot is
+  * manifest metadata only and every existing manifest stays valid.
   */
 object Snapshots {
 
@@ -45,6 +46,17 @@ object Snapshots {
   def retain(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.snapshots.retain")
       .map(_.toInt).getOrElse(10)
+
+  /** Version INSERTs too (opt-in): an append deletes nothing, so its
+    * snapshot is a pure manifest listing — O(file metadata), zero
+    * archive work — and `VERSION AS OF` then covers append history
+    * the way every Iceberg append commit does. Off by default because
+    * micro-batched ingest (the SDK AsyncInsert path) issues many small
+    * INSERTs and a per-statement file listing is exactly the overhead
+    * that path exists to avoid; destructive ops keep versioning
+    * regardless, so no data-losing operation is ever unversioned. */
+  def onInsert(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.snapshots.oninsert").exists(_.toBoolean)
 
   private def base(spark: SparkSession, db: String, table: String): Path =
     new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),

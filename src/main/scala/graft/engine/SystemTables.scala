@@ -14,7 +14,13 @@ import org.apache.spark.sql.types._
   * The views are rebuilt on each system query — catalog enumeration
   * is driver-side metadata (hundreds of rows, not data-scale), which
   * is exactly how the reference serves them (SQLite registry, not
-  * DuckDB).
+  * DuckDB). Per-table metadata lookups are CACHED and invalidated by
+  * the engine's mutation hooks (the round-3 re-enumeration finding):
+  * a system query fetches metadata only for identifiers it has not
+  * seen or that changed since — the registry's schema cache kept
+  * current by CDC events (storage/schema/astha_subscriber.go:58-166),
+  * here driven synchronously from the same hook that appends the
+  * [[Changefeed]] event.
   */
 object SystemTables {
 
@@ -24,13 +30,42 @@ object SystemTables {
     u.contains("SYSTEM.") || u.contains("FROM SYSTEM") || u.contains("JOIN SYSTEM")
   }
 
-  /** (Re)register the three views as temp views. */
+  // metadata cache: warehouse -> (db.table -> CatalogTable); shared
+  // across connection engines (they share the external catalog)
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.catalyst.catalog.CatalogTable]]()
+
+  private def cacheFor(spark: SparkSession) =
+    metaCache.computeIfAbsent(spark.conf.get("spark.sql.warehouse.dir"),
+      _ => new java.util.concurrent.ConcurrentHashMap())
+
+  /** Drop one table's cached metadata (engine mutation hook). A null
+    * or unknown key is a no-op. */
+  def invalidate(spark: SparkSession, qualified: String): Unit =
+    cacheFor(spark).remove(qualified.toLowerCase)
+
+  /** Drop everything cached for the warehouse (DROP DATABASE, tests). */
+  def invalidateAll(spark: SparkSession): Unit = cacheFor(spark).clear()
+
+  /** (Re)register the system views as temp views. */
   def register(spark: SparkSession): Unit = {
     val cat = spark.sessionState.catalog
+    val cache = cacheFor(spark)
     val dbs = cat.listDatabases()
-    val tables = dbs.flatMap { db =>
-      cat.listTables(db).flatMap { ti =>
-        try Some(cat.getTableMetadata(ti)) catch { case _: Exception => None }
+    val idents = dbs.flatMap(db => cat.listTables(db))
+    val live = idents.map(ti =>
+      s"${ti.database.getOrElse("default")}.${ti.table}".toLowerCase).toSet
+    // drop entries for tables that no longer exist
+    cache.keySet().removeIf(k => !live.contains(k))
+    val tables = idents.flatMap { ti =>
+      val key = s"${ti.database.getOrElse("default")}.${ti.table}".toLowerCase
+      Option(cache.get(key)).orElse {
+        try {
+          val m = cat.getTableMetadata(ti)
+          cache.put(key, m)
+          Some(m)
+        } catch { case _: Exception => None }
       }
     }
 
@@ -38,6 +73,7 @@ object SystemTables {
     tablesView(spark, tables).createOrReplaceTempView("system_tables")
     columnsView(spark, tables).createOrReplaceTempView("system_columns")
     snapshotsView(spark).createOrReplaceTempView("system_snapshots")
+    Changefeed.view(spark).createOrReplaceTempView("system_cdc_log")
   }
 
   /** Warehouse-wide snapshot inventory (manifest-based store): one row

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledExecutorService, TimeUnit}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import graft.engine.Changefeed
+import graft.engine.Changefeed.CdcEvent
+
+/** Event-distribution scheduler — the Astha analog
+  * (server/astha/scheduler.go:14-75 structure, :216-330 distribution;
+  * astha/types.go Subscriber/ComponentInfo; event cadence from
+  * astha/README.md Quick Start: poll 100 ms, batches of 256).
+  *
+  * Components implement [[Subscriber]] and register with the tables
+  * they care about ("tables", "databases", "table_files"). The
+  * scheduler polls the durable [[Changefeed]] log, delivers each new
+  * event to every subscribed component, and only advances a
+  * component's cursor past events it processed without throwing —
+  * at-least-once, per component, exactly like the reference (an event
+  * is only marked processed when every subscriber succeeded;
+  * scheduler.go distributeEvents). Events every subscriber has
+  * consumed are deleted from the log ("immediate cleanup").
+  *
+  * Health: onHealth runs each poll round; a component that fails
+  * delivery or health is marked "error" (ComponentInfo.Status) and
+  * retried next round — it is not dropped, matching the reference's
+  * recovery-via-OnRefresh model.
+  */
+object Astha {
+
+  /** astha/types.go Subscriber[T], minus Go's context plumbing. */
+  trait Subscriber {
+    /** Handle one event; THROW to signal failure (the event will be
+      * redelivered next round). */
+    def onEvent(event: CdcEvent): Unit
+    /** Liveness probe; false marks the component unhealthy. */
+    def onHealth(): Boolean = true
+    /** Full re-sync from the registry — called at registration and
+      * when the component recovers from error. */
+    def onRefresh(): Unit = ()
+  }
+
+  final case class ComponentInfo(name: String, version: String,
+                                 subscriptions: Seq[String],
+                                 status: String, lastSeenMs: Long)
+}
+
+final class AsthaScheduler(spark: SparkSession,
+                           pollIntervalMs: Long = 100L,
+                           batchSize: Int = 256) {
+  import Astha._
+
+  private final class State(val info: ComponentInfo, val instance: Subscriber) {
+    @volatile var status: String = "active"
+    @volatile var lastSeenMs: Long = System.currentTimeMillis()
+    // deliver only events logged after registration (the reference
+    // distributes events stored while the component is subscribed)
+    @volatile var cursor: Long = 0L
+    @volatile var wasError: Boolean = false
+  }
+
+  private val components = new ConcurrentHashMap[String, State]()
+  @volatile private var exec: Option[ScheduledExecutorService] = None
+
+  /** scheduler.go RegisterComponent — validation mirrored: empty name,
+    * empty subscriptions, and nil instance are errors. */
+  def register(info: ComponentInfo, instance: Subscriber): Unit = {
+    require(info.name.nonEmpty, "component name cannot be empty")
+    require(info.subscriptions.nonEmpty,
+      "component must subscribe to at least one table")
+    require(instance != null, "component instance cannot be nil")
+    val st = new State(info, instance)
+    st.cursor = Changefeed.maxId(spark)
+    components.put(info.name, st)
+    // registration refresh: the component syncs from the registry once,
+    // then stays current via events
+    try instance.onRefresh() catch { case _: Exception => () }
+  }
+
+  def unregister(name: String): Unit = {
+    if (components.remove(name) == null)
+      throw new IllegalArgumentException(s"component not found: $name")
+  }
+
+  def componentInfo(name: String): Option[ComponentInfo] =
+    Option(components.get(name)).map(s =>
+      s.info.copy(status = s.status, lastSeenMs = s.lastSeenMs))
+
+  def listComponents(): Seq[ComponentInfo] =
+    components.values().asScala.toSeq
+      .map(s => s.info.copy(status = s.status, lastSeenMs = s.lastSeenMs))
+      .sortBy(_.name)
+
+  def start(): Unit = synchronized {
+    if (exec.isDefined) return
+    val e = Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-astha-scheduler"); t.setDaemon(true); t
+    })
+    e.scheduleWithFixedDelay(() => {
+      try tick()
+      catch { case ex: Exception =>
+        System.err.println(s"[astha] distribution round failed: ${ex.getMessage}")
+      }
+    }, pollIntervalMs, pollIntervalMs, TimeUnit.MILLISECONDS)
+    exec = Some(e)
+  }
+
+  def stop(): Unit = synchronized {
+    exec.foreach { e => e.shutdown(); e.awaitTermination(5, TimeUnit.SECONDS) }
+    exec = None
+  }
+
+  /** One distribution round (also callable directly — specs drive the
+    * scheduler deterministically without sleeping on the poll timer). */
+  def tick(): Unit = {
+    val comps = components.values().asScala.toSeq
+    if (comps.isEmpty) return
+    comps.foreach(deliverTo)
+    comps.foreach(healthCheck)
+    // cleanup: every event all subscribers have passed is done
+    val floor = comps.map(_.cursor).min
+    if (floor > 0) Changefeed.cleanup(spark, floor)
+  }
+
+  private def deliverTo(st: State): Unit = {
+    val batch = Changefeed.events(spark, st.cursor, batchSize)
+      .filter(e => st.info.subscriptions.contains(e.table) ||
+        // a component may subscribe to "*" for the full feed
+        st.info.subscriptions.contains("*"))
+    // advance over events this component does not subscribe to — they
+    // must not hold the cleanup floor back
+    val unsubscribedFloor = Changefeed.events(spark, st.cursor, batchSize)
+      .takeWhile(e => !(st.info.subscriptions.contains(e.table) ||
+        st.info.subscriptions.contains("*")))
+      .lastOption.map(_.id)
+    unsubscribedFloor.foreach(f => st.cursor = math.max(st.cursor, f))
+    if (batch.isEmpty) return
+    if (st.wasError) {
+      // recovery path: a component returning from error re-syncs first
+      try { st.instance.onRefresh(); st.wasError = false }
+      catch { case _: Exception => return }
+    }
+    batch.foreach { e =>
+      if (st.cursor == e.id - 1 || st.cursor < e.id) {
+        try {
+          st.instance.onEvent(e)
+          st.cursor = e.id
+          st.status = "active"
+          st.lastSeenMs = System.currentTimeMillis()
+        } catch {
+          case ex: Exception =>
+            st.status = "error"
+            st.wasError = true
+            System.err.println(
+              s"[astha] ${st.info.name} failed on event ${e.id}: ${ex.getMessage}")
+            return // stop the batch; redeliver from cursor next round
+        }
+      }
+    }
+  }
+
+  private def healthCheck(st: State): Unit =
+    try {
+      if (st.instance.onHealth()) {
+        if (st.status != "error") st.status = "active"
+        st.lastSeenMs = System.currentTimeMillis()
+      } else st.status = "unhealthy"
+    } catch { case _: Exception => st.status = "unhealthy" }
+}

@@ -1,0 +1,215 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.engine.{Changefeed, QueryEngine}
+import graft.engine.Changefeed.CdcEvent
+import graft.streaming.{Astha, AsthaScheduler}
+
+/** CDC changefeed + event-distribution scheduler — the Astha analog
+  * (server/astha/README.md architecture; scheduler.go registration/
+  * distribution; astha_test.go lifecycle coverage). Engine mutations
+  * append durable events; subscribed components receive them
+  * at-least-once in order; processed events are cleaned up; the same
+  * log tails as a Structured Streaming source. */
+class ChangefeedSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  lazy val engine = new QueryEngine(spark)
+
+  private def drainLog(): Unit =
+    Changefeed.cleanup(spark, Changefeed.maxId(spark))
+
+  test("engine mutations append CDC events with registry table + operation") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.t")
+    drainLog()
+    val base = Changefeed.maxId(spark)
+
+    engine.execute("CREATE TABLE cdc.t (id int64, v string) STORAGE filesystem")
+    engine.execute("INSERT INTO cdc.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    engine.execute("UPDATE cdc.t SET v = 'z' WHERE id = 2")
+    engine.execute("DELETE FROM cdc.t WHERE id = 3")
+    engine.execute("DROP TABLE cdc.t")
+
+    val evts = Changefeed.events(spark, base, 100)
+    val kinds = evts.map(e => (e.table, e.operation))
+    kinds shouldBe Seq(
+      ("tables", "INSERT"),      // CREATE TABLE
+      ("table_files", "INSERT"), // INSERT (3 rows)
+      ("table_files", "UPDATE"), // UPDATE (1 row)
+      ("table_files", "DELETE"), // DELETE (1 row)
+      ("tables", "DELETE"))      // DROP TABLE
+    // ids are strictly increasing (the log is an ordered sequence)
+    evts.map(_.id) shouldBe evts.map(_.id).sorted
+    // data payloads carry the qualified table and affected rows
+    evts.foreach(e => e.data("table") shouldBe "cdc.t")
+    evts(1).data("rows") shouldBe "3"
+    evts(2).data("rows") shouldBe "1"
+    evts(3).data("rows") shouldBe "1"
+  }
+
+  test("scheduler delivers events in order to subscribed components only") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.s")
+    drainLog()
+
+    val sched = new AsthaScheduler(spark)
+    val fileEvents = scala.collection.mutable.ArrayBuffer[CdcEvent]()
+    val tableEvents = scala.collection.mutable.ArrayBuffer[CdcEvent]()
+    sched.register(
+      Astha.ComponentInfo("file-watcher", "1.0", Seq("table_files"), "", 0),
+      (e: CdcEvent) => fileEvents += e)
+    sched.register(
+      Astha.ComponentInfo("schema-cache", "1.0", Seq("tables"), "", 0),
+      (e: CdcEvent) => tableEvents += e)
+
+    engine.execute("CREATE TABLE cdc.s (id int64) STORAGE filesystem")
+    engine.execute("INSERT INTO cdc.s VALUES (1),(2)")
+    engine.execute("INSERT INTO cdc.s VALUES (3)")
+    sched.tick()
+
+    fileEvents.map(_.operation) shouldBe Seq("INSERT", "INSERT")
+    fileEvents.map(_.data("rows")) shouldBe Seq("2", "1")
+    tableEvents.map(_.operation) shouldBe Seq("INSERT")
+    sched.listComponents().map(_.status).distinct shouldBe Seq("active")
+
+    // cleanup: once every component consumed them, events are deleted
+    // ("immediate cleanup for processed events", astha/README.md)
+    sched.tick()
+    Changefeed.events(spark, 0, 100) shouldBe empty
+    engine.execute("DROP TABLE cdc.s")
+    sched.tick() // drain the DROP event too
+  }
+
+  test("at-least-once: a failing component is redelivered and recovers via onRefresh") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.f")
+    drainLog()
+
+    val sched = new AsthaScheduler(spark)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    var refreshes = 0
+    @volatile var failing = true
+    sched.register(
+      Astha.ComponentInfo("flaky", "1.0", Seq("table_files"), "", 0),
+      new Astha.Subscriber {
+        def onEvent(e: CdcEvent): Unit = {
+          if (failing) throw new RuntimeException("component down")
+          seen += e.id
+        }
+        override def onRefresh(): Unit = refreshes += 1
+      })
+    refreshes shouldBe 1 // registration refresh (reference OnRefresh contract)
+
+    engine.execute("CREATE TABLE cdc.f (id int64) STORAGE filesystem")
+    engine.execute("INSERT INTO cdc.f VALUES (1)")
+    val insertEventId = Changefeed.maxId(spark)
+
+    sched.tick() // delivery fails
+    seen shouldBe empty
+    sched.componentInfo("flaky").get.status shouldBe "error"
+    // the undelivered event is NOT cleaned up — redelivery must happen
+    Changefeed.events(spark, 0, 100).map(_.id) should contain(insertEventId)
+
+    failing = false
+    sched.tick() // recovery: refresh first, then redeliver
+    seen shouldBe Seq(insertEventId)
+    refreshes shouldBe 2
+    sched.componentInfo("flaky").get.status shouldBe "active"
+    engine.execute("DROP TABLE cdc.f")
+  }
+
+  test("registration validation mirrors the reference") {
+    val sched = new AsthaScheduler(spark)
+    val noop = (_: CdcEvent) => ()
+    assertThrows[IllegalArgumentException](sched.register(
+      Astha.ComponentInfo("", "1.0", Seq("tables"), "", 0), noop))
+    assertThrows[IllegalArgumentException](sched.register(
+      Astha.ComponentInfo("c", "1.0", Seq.empty, "", 0), noop))
+    assertThrows[IllegalArgumentException](sched.register(
+      Astha.ComponentInfo("c", "1.0", Seq("tables"), "", 0), null))
+    assertThrows[IllegalArgumentException](sched.unregister("ghost"))
+  }
+
+  test("unhealthy components are marked; health recovers") {
+    val sched = new AsthaScheduler(spark)
+    @volatile var healthy = false
+    sched.register(
+      Astha.ComponentInfo("probe", "1.0", Seq("tables"), "", 0),
+      new Astha.Subscriber {
+        def onEvent(e: CdcEvent): Unit = ()
+        override def onHealth(): Boolean = healthy
+      })
+    sched.tick()
+    sched.componentInfo("probe").get.status shouldBe "unhealthy"
+    healthy = true
+    sched.tick()
+    sched.componentInfo("probe").get.status shouldBe "active"
+  }
+
+  test("system.cdc_log is queryable through the engine") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.v")
+    drainLog()
+    engine.execute("CREATE TABLE cdc.v (id int64) STORAGE filesystem")
+    engine.execute("INSERT INTO cdc.v VALUES (42)")
+    val r = engine.execute(
+      "SELECT table_name, operation, data FROM system.cdc_log ORDER BY event_id")
+    r.data.map(row => (row(0), row(1))) shouldBe Seq(
+      ("tables", "INSERT"), ("table_files", "INSERT"))
+    r.data(1)(2).toString should include("rows=1")
+    engine.execute("DROP TABLE cdc.v")
+  }
+
+  test("the changefeed tails as a Structured Streaming source") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.st")
+    drainLog()
+    engine.execute("CREATE TABLE cdc.st (id int64) STORAGE filesystem")
+    engine.execute("INSERT INTO cdc.st VALUES (1),(2),(3),(4)")
+
+    val q = Changefeed.readStream(spark)
+      .selectExpr("id", "`table`", "operation", "data['rows'] AS rows")
+      .writeStream.format("memory").queryName("cdc_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000)
+    val got = spark.sql(
+      "SELECT `table`, operation, rows FROM cdc_stream ORDER BY id").collect()
+    got.map(r => (r.getString(0), r.getString(1))) shouldBe Array(
+      ("tables", "INSERT"), ("table_files", "INSERT"))
+    got(1).getString(2) shouldBe "4"
+    engine.execute("DROP TABLE cdc.st")
+  }
+
+  test("INSERT versioning (opt-in): VERSION AS OF covers append history") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.av")
+    spark.conf.set("spark.graft.snapshots.oninsert", "true")
+    try {
+      engine.execute("CREATE TABLE cdc.av (id int64) STORAGE filesystem")
+      engine.execute("INSERT INTO cdc.av VALUES (1),(2)") // snapshot 1: empty
+      engine.execute("INSERT INTO cdc.av VALUES (3)")     // snapshot 2: {1,2}
+      val snaps = engine.execute("SHOW SNAPSHOTS FROM cdc.av")
+      snaps.data.map(r => (r(0), r(1))) shouldBe Seq(
+        (1L, "INSERT"), (2L, "INSERT"))
+      engine.execute(
+        "SELECT count(*) AS n FROM cdc.av VERSION AS OF 1").data.head.head shouldBe 0L
+      engine.execute(
+        "SELECT count(*) AS n FROM cdc.av VERSION AS OF 2").data.head.head shouldBe 2L
+      engine.execute(
+        "SELECT count(*) AS n FROM cdc.av").data.head.head shouldBe 3L
+      // an append-only history archives nothing: snapshots resolve to
+      // still-live files (manifest metadata only)
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val arch = new java.io.File(s"$warehouse/.graft-snapshots/cdc.av/archive")
+      assert(!arch.exists() || arch.listFiles().isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.snapshots.oninsert")
+      engine.execute("DROP TABLE cdc.av")
+    }
+  }
+
+  private implicit def fn2sub(f: CdcEvent => Unit): Astha.Subscriber =
+    new Astha.Subscriber { def onEvent(e: CdcEvent): Unit = f(e) }
+}
