@@ -301,9 +301,10 @@ object Similarity {
       // within its published error bound (HLL rsd 0.02 → |err| <= 0.1
       // is a 5-sigma bound; approx_percentile accuracy 1000 → rank
       // error <= 0.1%, asserted within a +/-1% rank window whose
-      // endpoints come from an accuracy-50000 sketch, rank error
-      // <= 0.002% — negligible vs the window). The oracle emits
-      // literal TRUE for those assertions.
+      // endpoints come from an accuracy-10000 sketch, rank error
+      // <= 0.01% — still negligible vs the window, at a fifth of the
+      // 50000-bucket sketch's merge cost). The oracle emits literal
+      // TRUE for those assertions.
       //
       // Shape note: the exact distinct counts run as two-stage
       // aggregations (dedupe on (flag, key), then count) instead of
@@ -312,20 +313,29 @@ object Similarity {
       // the same agg buffers every value per group; this formulation
       // benched 41 s vs ~1 s at sf0.1.
       val li = Tables.load(s, dir, "lineitem")
-      def exactDistinct(key: String, as: String) =
-        li.select(col("l_returnflag"), col(key)).distinct()
-          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      // both exact distinct counts from ONE scan: tag-explode the two
+      // keys, map-side partial dedupe, one shuffle of the distinct
+      // pairs (was two scans, two shuffles, and an extra join)
+      val exactDistincts = li.select(col("l_returnflag"),
+          explode(array(
+            struct(lit(0).as("tag"), col("l_orderkey").as("key")),
+            struct(lit(1).as("tag"), col("l_partkey").as("key")))).as("tk"))
+        .select(col("l_returnflag"), col("tk.tag").as("tag"),
+                col("tk.key").as("key"))
+        .distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("tag") === 0, 1)).as("exact_orders"),
+             count(when(col("tag") === 1, 1)).as("exact_parts"))
       val sketches = li.groupBy(col("l_returnflag")).agg(
         count(lit(1)).as("n"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("hll_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("hll_parts"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
           .as("p_test"),
-        expr("approx_percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96), 50000)")
+        expr("approx_percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96), 10000)")
           .as("p_bounds"))
       sketches
-        .join(exactDistinct("l_orderkey", "exact_orders"), "l_returnflag")
-        .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
+        .join(exactDistincts, "l_returnflag")
         .select(
           col("l_returnflag"), col("n"), col("exact_orders"), col("exact_parts"),
           (abs(col("hll_orders") - col("exact_orders")).cast("double") /

@@ -24,16 +24,31 @@ object Tables {
   /** Small dimension tables that should always be broadcast in joins. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier")
 
+  // schema memo per parquet path: inference reads footers with a small
+  // Spark job on EVERY spark.read.parquet call — across a
+  // many-query-per-second serving mix that is pure fixed cost. The
+  // driver's tables are immutable, so the first inference is
+  // authoritative; passing the schema explicitly skips the job.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
       // natively; read the raw int64 nanos and convert to microseconds.
       // `div` keeps the arithmetic in exact integer space (nanos since
       // epoch exceed 2^53, so a double round-trip would corrupt them).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      val schema = schemaCache.computeIfAbsent(path,
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else {
+      val schema = schemaCache.computeIfAbsent(path,
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
   }
 
   /** Register every table as a temp view named after the table, so the
