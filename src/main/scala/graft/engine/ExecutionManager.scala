@@ -61,10 +61,22 @@ final class ExecutionManager(spark: SparkSession) {
     info.status = Running
     spark.sparkContext.setJobGroup(info.id, info.sql.take(200),
       interruptOnCancel = true)
-    // one FAIR pool per query: under spark.scheduler.mode=FAIR (set by
+    // BOUNDED FAIR pool set: under spark.scheduler.mode=FAIR (set by
     // GraftServer) a long scan cannot starve concurrent short queries —
-    // each pool gets an equal task-slot share. A no-op under FIFO.
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", info.id)
+    // each pool gets an equal task-slot share. Queries hash onto
+    // `spark.graft.scheduler.pools.count` pools (default 8) instead of
+    // getting a pool each: Spark never removes a pool from the root,
+    // so per-query pools grow the scheduler state forever in a
+    // long-running server (and warn once per query). A session can pin
+    // itself to a named pool with spark.graft.scheduler.pool (the
+    // allocation-file weights then apply). A no-op under FIFO.
+    val pool = spark.conf.getOption("spark.graft.scheduler.pool")
+      .getOrElse {
+        val n = spark.conf.getOption("spark.graft.scheduler.pools.count")
+          .map(_.toInt).getOrElse(8)
+        s"graft-${math.floorMod(info.id.hashCode, math.max(n, 1))}"
+      }
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
     val tmo = timeoutSec
     val timer =
       if (tmo > 0)

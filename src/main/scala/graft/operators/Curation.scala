@@ -38,6 +38,17 @@ object Curation {
   private def splitName(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
 
+  /** Per-language sampling rates (percent of the content-hash space)
+    * for q62 — upsample English, downsample zh; any unlisted language
+    * falls to the default. Literal here and interpolated into the
+    * oracle, so both engines sample identically. */
+  private val StratumRates: Seq[(String, Int)] =
+    Seq("en" -> 90, "de" -> 50, "es" -> 50, "fr" -> 50, "zh" -> 25)
+  private val DefaultRatePct = 10
+
+  /** Per-source token budget for q63's mixture cut. */
+  private val TokenBudgetPerSource = 600
+
   /** Shared quality gate (q28's keep rule). */
   private def qualityKeep: Column = {
     val toks = Text.tokens(col("text"))
@@ -88,6 +99,45 @@ object Curation {
         .agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("token").asc)
         .limit(20)),
+
+    "q62_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified sampling: each language stratum keeps
+      // its own rate (the training-mix rebalance every multilingual
+      // corpus build runs). CONTENT-addressed — the md5 bucket decides,
+      // so the sample is stable under re-sharding and re-ingestion,
+      // and two pipelines sampling the same corpus agree row-for-row.
+      // Per-row codegen, zero shuffle until the final per-stratum agg.
+      val rate = StratumRates.foldLeft(lit(DefaultRatePct): Column) {
+        case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
+      }
+      val sampled = splitBucket < rate
+      docs(s, dir)
+        .withColumn("tk", size(Text.tokens(col("text"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(sampled, 1).otherwise(0)).as("n_sampled"),
+             sum(when(sampled, col("tk")).otherwise(0)).as("sampled_tokens"))
+    }),
+
+    "q63_token_budget_mix" -> ((s, dir) => {
+      // token-budget mixture: each source (domain) contributes docs in
+      // deterministic content-hash order until its token budget is
+      // spent — how a training mix hits per-domain token targets
+      // reproducibly. The running sum is a window over (source),
+      // partition-parallel across domains; at 100 TB each domain's
+      // scan is independent and the budget cut prunes everything past
+      // the cumulative threshold.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .withColumn("tk", size(Text.tokens(col("text"))))
+        .withColumn("cum", sum(col("tk")).over(w))
+        .where(col("cum") <= TokenBudgetPerSource)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tk")).as("tokens_kept"))
+    }),
 
     "q56_curation_pipeline" -> ((s, dir) => {
       // the composed build: quality gate -> exact dedup (keep lowest
@@ -147,6 +197,38 @@ object Curation {
         |SELECT token, count(*) AS doc_freq
         |FROM t GROUP BY token
         |ORDER BY doc_freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q62_stratified_sample" -> {
+      val rateCase = "CASE " + StratumRates.map { case (l, r) =>
+        s"WHEN lang = '$l' THEN $r" }.mkString(" ") +
+        s" ELSE $DefaultRatePct END"
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    len(string_split(text, ' ')) AS tk,
+         |    ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket < $rateCase THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  CAST(sum(CASE WHEN bucket < $rateCase THEN tk ELSE 0 END) AS BIGINT)
+         |    AS sampled_tokens
+         |FROM t GROUP BY lang""".stripMargin
+    },
+
+    "q63_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, md5(text) AS h,
+         |    len(string_split(text, ' ')) AS tk
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, tk,
+         |    sum(tk) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum
+         |  FROM t)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(tk) AS BIGINT) AS tokens_kept
+         |FROM c WHERE cum <= $TokenBudgetPerSource GROUP BY source""".stripMargin,
 
     "q56_curation_pipeline" ->
       """WITH q AS (

@@ -18,6 +18,28 @@ import graft.server.pgwire.PgWireServer
   * so protocol clients can query them immediately.
   */
 object GraftServer {
+  /** Allocation file for the bounded FAIR pool set ExecutionManager
+    * hashes queries onto, plus weighted named pools from
+    * GRAFT_POOL_WEIGHTS ("batch=3,interactive=1") — sessions opt into
+    * one via spark.graft.scheduler.pool. Must exist before the
+    * SparkContext starts (the scheduler reads it once at init). */
+  private def allocationFile(poolCount: Int): String = {
+    val weighted = sys.env.get("GRAFT_POOL_WEIGHTS").toSeq
+      .flatMap(_.split(",")).flatMap(_.split("=") match {
+        case Array(name, w) => Some((name.trim, w.trim.toInt))
+        case _ => None
+      })
+    val pools =
+      (0 until poolCount).map(i => (s"graft-$i", 1)) ++ weighted
+    val xml = pools.map { case (name, w) =>
+      s"""  <pool name="$name"><schedulingMode>FIFO</schedulingMode>
+         |    <weight>$w</weight><minShare>0</minShare></pool>""".stripMargin
+    }.mkString("<?xml version=\"1.0\"?>\n<allocations>\n", "\n", "\n</allocations>\n")
+    val f = java.nio.file.Files.createTempFile("graft-pools", ".xml")
+    java.nio.file.Files.write(f, xml.getBytes("UTF-8"))
+    f.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -26,9 +48,10 @@ object GraftServer {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
-      // FAIR + a pool per query (ExecutionManager.run): one client's
+      // FAIR + a bounded pool set (ExecutionManager.run): one client's
       // long scan must not starve the other protocols' short queries
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", allocationFile(8))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

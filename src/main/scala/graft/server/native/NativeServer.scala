@@ -352,6 +352,8 @@ private final class ProgressEmitter(sc: org.apache.spark.SparkContext,
 
   private val rows = new java.util.concurrent.atomic.AtomicLong
   private val bytes = new java.util.concurrent.atomic.AtomicLong
+  private val totalTasks = new java.util.concurrent.atomic.AtomicLong
+  private val doneTasks = new java.util.concurrent.atomic.AtomicLong
   private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
   @volatile private var queryId: String = _
   private val t0 = System.nanoTime()
@@ -362,10 +364,13 @@ private final class ProgressEmitter(sc: org.apache.spark.SparkContext,
       val gid = Option(job.properties)
         .map(_.getProperty("spark.jobGroup.id")).orNull
       if (gid != null && gid == queryId)
-        job.stageInfos.foreach(si => stages.add(si.stageId))
+        job.stageInfos.foreach { si =>
+          if (stages.add(si.stageId)) totalTasks.addAndGet(si.numTasks.toLong)
+        }
     }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
       if (stages.contains(te.stageId) && te.taskMetrics != null) {
+        doneTasks.incrementAndGet()
         rows.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
         bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
       }
@@ -378,9 +383,19 @@ private final class ProgressEmitter(sc: org.apache.spark.SparkContext,
     val t = new java.util.Timer("graft-progress", true)
     t.scheduleAtFixedRate(new java.util.TimerTask {
       def run(): Unit =
-        try send(Signals.Progress(rows.get, bytes.get, 0, 0,
-          (System.nanoTime() - t0) / 1e9))
-        catch { case scala.util.control.NonFatal(_) => cancel() }
+        try {
+          // totals are ESTIMATES: rows-so-far extrapolated by the
+          // query's scheduled-task completion ratio (the number a
+          // progress bar wants; server_profile_info.go carries the
+          // exact totals at end of stream). Zero until the first task
+          // lands — never a fabricated figure.
+          val (r, b) = (rows.get, bytes.get)
+          val (tt, dt) = (totalTasks.get, doneTasks.get)
+          val (estR, estB) =
+            if (dt > 0 && tt > dt) (r * tt / dt, b * tt / dt) else (r, b)
+          send(Signals.Progress(r, b, estR, estB,
+            (System.nanoTime() - t0) / 1e9))
+        } catch { case scala.util.control.NonFatal(_) => cancel() }
     }, intervalMs, intervalMs)
     timer = t
   }
@@ -422,6 +437,7 @@ final class NativeClient(host: String, port: Int) {
   /** Progress frames seen and the last ProfileInfo received — the
     * server emits both during/after queries (reference signals 103/106). */
   @volatile var progressFrames: Int = 0
+  @volatile var lastProgress: Option[Signals.Progress] = None
   @volatile var lastProfile: Option[Signals.ProfileInfo] = None
 
   /** Runs a query; returns (columns, rows), accumulating every
@@ -441,8 +457,9 @@ final class NativeClient(host: String, port: Int) {
           val d = Signals.Data.unpack(payload)
           columns = d.columns.map(_._1)
           rows ++= d.rows
-        case Some((Signals.ServerProgress, _)) =>
+        case Some((Signals.ServerProgress, payload)) =>
           progressFrames += 1
+          lastProgress = Some(Signals.Progress.unpack(payload))
         case Some((Signals.ServerProfileInfo, payload)) =>
           lastProfile = Some(Signals.ProfileInfo.unpack(payload))
         case Some((Signals.ServerEndOfStream, _)) => streaming = false

@@ -52,4 +52,50 @@ class CurationSpec extends AnyFunSuite {
     out.foreach { case (k, n) => assert(n <= split(k), s"$k grew: $n > ${split(k)}") }
     assert(out.values.sum > 0)
   }
+
+  test("stratified sample respects per-language rates and is deterministic") {
+    val rows = Curation.queries("q62_stratified_sample")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("en", "de", "es", "fr", "zh"))
+    // achieved rates track the configured ones (binomial tolerance on
+    // ~70-220 docs per stratum): en ~0.9 upsampled, zh ~0.25 down
+    val en = rows("en")._2.toDouble / rows("en")._1
+    val zh = rows("zh")._2.toDouble / rows("zh")._1
+    assert(en > 0.75, s"en rate $en should be ~0.9")
+    assert(zh < 0.45, s"zh rate $zh should be ~0.25")
+    assert(en > zh, "upsampled stratum must keep a larger share")
+    // content-addressed: re-run is row-identical
+    val again = Curation.queries("q62_stratified_sample")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == again)
+  }
+
+  test("token-budget mix stops each source exactly at its budget") {
+    val kept = Curation.queries("q63_token_budget_mix")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kept.nonEmpty)
+    // every source's kept tokens are within budget...
+    kept.foreach { case (src, (n, toks)) =>
+      assert(toks <= 600, s"$src exceeded budget: $toks")
+      assert(n > 0)
+    }
+    // ...and the cut is maximal: adding the NEXT doc in hash order
+    // would exceed the budget (verified by recomputing the window)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val firstOver = graft.sources.Tables.load(spark, dir, "documents")
+      .withColumn("tk", size(split(col("text"), " ")))
+      .withColumn("cum", sum(col("tk")).over(w))
+      .where(col("cum") > 600)
+      .groupBy(col("source")).agg(min(col("cum")).as("next_cum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    firstOver.foreach { case (src, nextCum) =>
+      assert(nextCum > 600)
+      kept.get(src).foreach { case (_, toks) =>
+        assert(toks < nextCum, s"$src cut is not maximal")
+      }
+    }
+  }
 }

@@ -176,6 +176,13 @@ class NativeProtocolSpec extends AnyFunSuite {
       assert(rows.length == 1)
       assert(c.progressFrames >= 1,
         s"expected >=1 ServerProgress frame, saw ${c.progressFrames}")
+      // totals are extrapolated from task completion: whenever an
+      // estimate exists it can never be below the observed reads
+      c.lastProgress.foreach { p =>
+        assert(p.totalRows >= p.rowsRead,
+          s"estimated totalRows ${p.totalRows} < rowsRead ${p.rowsRead}")
+        assert(p.totalBytes >= p.bytesRead)
+      }
       // ProfileInfo arrives before EndOfStream and reports rows sent
       assert(c.lastProfile.isDefined)
       assert(c.lastProfile.get.rowsRead == 1L)

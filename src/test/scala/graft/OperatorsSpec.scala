@@ -112,6 +112,40 @@ class OperatorsSpec extends AnyFunSuite {
     val langs = rows.map(_.getString(0)).toSet
     assert(langs == Set("en", "fr", "es", "zh", "de"))
   }
+
+  test("dedup clusters: components agree with pairs, min-id representative") {
+    val pairs = Dedup.queries("q33_minhash_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.queries("q61_dedup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters.nonEmpty)
+    // every paired doc is labeled, and both ends share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster id == min member id; exactly that member is the representative
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid: min is ${members.keys.min}")
+      members.foreach { case (doc, (_, rep)) => assert(rep == (doc == cid)) }
+    }
+    // transitivity probe on a synthetic chain a-b, b-c
+    import spark.implicits._
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "s", 10L),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta mu lambda", "en", "s", 10L),
+      (4L, "one two three four five six seven eight nine ten", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    chain.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cc = Dedup.queries("q61_dedup_clusters")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2 and 2-3 pair up; 1-3 may not — transitive closure must still
+    // put all three in cluster 1, and 4 in none
+    assert(cc.get(1L).contains(1L) && cc.get(2L).contains(1L) &&
+      cc.get(3L).contains(1L), s"chain not closed: $cc")
+    assert(!cc.contains(4L))
+  }
 }
 
 class SimhashPairsSpec extends AnyFunSuite {
