@@ -98,40 +98,123 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
 
   // ---- Iceberg-REST catalog slice (reference:
   // server/catalog/rest/catalog.go wraps an Iceberg REST catalog; this
-  // serves the read surface of that protocol over the session catalog,
-  // so a REST-catalog client can discover namespaces, tables, and
-  // schemas) ----
+  // serves the discovery surface of that protocol over the session
+  // catalog, plus the write slice — create/drop namespace, create/drop
+  // table, rename — routed through the ENGINE so REST-created objects
+  // get the same dialect bookkeeping, CDC events, and snapshot hygiene
+  // as DDL statements) ----
   private val nsRe = "^/namespaces/([^/]+)$".r
   private val nsTablesRe = "^/namespaces/([^/]+)/tables$".r
   private val tableRe = "^/namespaces/([^/]+)/tables/([^/]+)$".r
+
+  /** (name, icebergType, required) triples from a CreateTableRequest's
+    * schema.fields array (minimal parser: one flat JSON object per
+    * field, the shape every REST client sends). */
+  private def parseFields(body: String): Seq[(String, String, Boolean)] = {
+    val at = body.indexOf("\"fields\"")
+    if (at < 0) return Seq.empty
+    """\{[^{}]*\}""".r.findAllIn(body.substring(at)).toSeq.flatMap { o =>
+      for {
+        n <- Json.strField(o, "name")
+        t <- Json.strField(o, "type")
+      } yield (n, t, o.replaceAll("\\s", "").contains("\"required\":true"))
+    }
+  }
 
   server.createContext("/v1", handler { ex =>
     if (!authorized(ex)) (401, """{"error":"authentication required"}""")
     else {
       val catalog = engine.spark.sessionState.catalog
-      ex.getRequestURI.getPath.stripPrefix("/v1").stripSuffix("/") match {
-        case "/config" => (200, """{"defaults":{},"overrides":{}}""")
-        case "/namespaces" =>
+      def body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1").stripSuffix("/")
+      (ex.getRequestMethod, path) match {
+        case ("POST", "/namespaces") =>
+          val b = body
+          // {"namespace": ["ns"]} — first string of the namespace array
+          val ns = """"namespace"\s*:\s*\[\s*"([^"]+)"""".r
+            .findFirstMatchIn(b).map(_.group(1))
+          ns match {
+            case None => (400, """{"error":"missing namespace"}""")
+            case Some(n) if catalog.databaseExists(n) =>
+              (409, Json.obj("error" -> Json.str(s"namespace $n already exists")))
+            case Some(n) =>
+              engine.execute(s"CREATE DATABASE `$n`")
+              (200, Json.obj("namespace" -> Json.arr(Seq(Json.str(n))),
+                "properties" -> "{}"))
+          }
+        case ("DELETE", nsRe(ns)) =>
+          if (!catalog.databaseExists(ns))
+            (404, Json.obj("error" -> Json.str(s"namespace $ns not found")))
+          else { engine.execute(s"DROP DATABASE `$ns`"); (204, "") }
+        case ("POST", nsTablesRe(ns)) =>
+          val b = body
+          // table name = the "name" before "schema" (CreateTableRequest)
+          val schemaAt = b.indexOf("\"schema\"")
+          val name = Json.strField(
+            if (schemaAt > 0) b.substring(0, schemaAt) else b, "name")
+          val fields = parseFields(b)
+          (name, fields) match {
+            case (None, _) => (400, """{"error":"missing table name"}""")
+            case (_, Seq()) => (400, """{"error":"missing schema.fields"}""")
+            case (Some(t), fs) =>
+              require(ns.matches("\\w+") && t.matches("\\w+"),
+                s"invalid identifier: $ns.$t")
+              val cols = fs.map { case (n, ty, req) =>
+                s"$n $ty${if (req) " NOT NULL" else ""}" }.mkString(", ")
+              engine.execute(s"CREATE TABLE $ns.$t ($cols) STORAGE FILESYSTEM")
+              (200, Json.obj(
+                "metadata-location" -> Json.str(catalog.getTableMetadata(
+                  org.apache.spark.sql.catalyst.TableIdentifier(t, Some(ns)))
+                  .location.toString),
+                "metadata" -> Json.obj("format-version" -> "2")))
+          }
+        case ("DELETE", tableRe(ns, t)) =>
+          val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(ns))
+          if (!catalog.tableExists(ident))
+            (404, Json.obj("error" -> Json.str(s"table $ns.$t not found")))
+          else { engine.execute(s"DROP TABLE `$ns`.`$t`"); (204, "") }
+        case ("POST", "/tables/rename") =>
+          val b = body
+          val destAt = b.indexOf("\"destination\"")
+          val src = for {
+            s <- Option(b.substring(0, math.max(destAt, 0)))
+            nsM <- """"namespace"\s*:\s*\[\s*"([^"]+)"""".r.findFirstMatchIn(s)
+            n <- Json.strField(s, "name")
+          } yield (nsM.group(1), n)
+          val dst = for {
+            s <- if (destAt >= 0) Some(b.substring(destAt)) else None
+            n <- Json.strField(s, "name")
+          } yield n
+          (src, dst) match {
+            case (Some((ns, from)), Some(to)) =>
+              engine.execute(s"ALTER TABLE `$ns`.`$from` RENAME TO `$ns`.`$to`")
+              (204, "")
+            case _ => (400, """{"error":"missing source/destination"}""")
+          }
+        case (_, "/config") => (200, """{"defaults":{},"overrides":{}}""")
+        case ("GET", "/namespaces") =>
           val dbs = catalog.listDatabases().sorted
           (200, Json.obj("namespaces" ->
             Json.arr(dbs.map(d => Json.arr(Seq(Json.str(d)))))))
-        case nsRe(ns) =>
+        case ("GET", nsRe(ns)) =>
           if (!catalog.databaseExists(ns))
             (404, Json.obj("error" -> Json.str(s"namespace $ns not found")))
           else (200, Json.obj(
             "namespace" -> Json.arr(Seq(Json.str(ns))),
             "properties" -> "{}"))
-        case nsTablesRe(ns) =>
+        case ("GET", nsTablesRe(ns)) =>
           if (!catalog.databaseExists(ns))
             (404, Json.obj("error" -> Json.str(s"namespace $ns not found")))
           else {
-            val tables = catalog.listTables(ns).map(_.table).sorted
+            // external catalog only: session temp views are not tables
+            // of the namespace (listTables would include them)
+            val tables = catalog.externalCatalog.listTables(ns).sorted
             (200, Json.obj("identifiers" -> Json.arr(tables.map(t =>
               Json.obj(
                 "namespace" -> Json.arr(Seq(Json.str(ns))),
                 "name" -> Json.str(t))))))
           }
-        case tableRe(ns, t) =>
+        case ("GET", tableRe(ns, t)) =>
           val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(ns))
           if (!catalog.tableExists(ident))
             (404, Json.obj("error" -> Json.str(s"table $ns.$t not found")))
@@ -179,8 +262,14 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
       }
       val bytes = body.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length)
-      ex.getResponseBody.write(bytes)
+      if (code == 204 || bytes.isEmpty) {
+        // JDK HttpServer: 204/empty must send length -1 (no body);
+        // length 0 would switch to chunked encoding and hang clients
+        ex.sendResponseHeaders(code, -1)
+      } else {
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+      }
       ex.close()
     }
 

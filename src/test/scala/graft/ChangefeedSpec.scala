@@ -210,6 +210,29 @@ class ChangefeedSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("live poll loop delivers within the cadence; '*' subscribes to all") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.live")
+    drainLog()
+    val sched = new AsthaScheduler(spark, pollIntervalMs = 50)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val got = new java.util.concurrent.CountDownLatch(2)
+    sched.register(Astha.ComponentInfo("live", "1.0", Seq("*"), "", 0),
+      (e: CdcEvent) => { seen.add((e.table, e.operation)); got.countDown() })
+    sched.start()
+    try {
+      engine.execute("CREATE TABLE cdc.live (id int64) STORAGE filesystem")
+      engine.execute("INSERT INTO cdc.live VALUES (7)")
+      assert(got.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        s"poll loop did not deliver; saw $seen")
+      assert(seen.toArray.toSeq == Seq(("tables", "INSERT"),
+        ("table_files", "INSERT")))
+    } finally {
+      sched.stop()
+      engine.execute("DROP TABLE cdc.live")
+    }
+  }
+
   private implicit def fn2sub(f: CdcEvent => Unit): Astha.Subscriber =
     new Astha.Subscriber { def onEvent(e: CdcEvent): Unit = f(e) }
 }

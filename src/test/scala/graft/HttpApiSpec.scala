@@ -100,6 +100,42 @@ class HttpApiSpec extends AnyFunSuite {
     post("/query", """{"query": "DROP TABLE restc.ct"}""")
   }
 
+  test("Iceberg-REST catalog write slice: create/drop namespace + table, rename") {
+    val delete = (path: String) => {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${api.boundPort}$path")).DELETE().build()
+      client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+    }
+    // create namespace; conflict on repeat
+    assert(post("/v1/namespaces", """{"namespace":["restw"]}""")._1 == 200)
+    assert(post("/v1/namespaces", """{"namespace":["restw"]}""")._1 == 409)
+    // create a table with required + optional fields
+    val (cc, cb) = post("/v1/namespaces/restw/tables",
+      """{"name":"t1","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"id","required":true,"type":"int64"},
+        |{"id":2,"name":"v","required":false,"type":"string"}]}}""".stripMargin)
+    assert(cc == 200, cb)
+    assert(cb.contains("metadata-location"))
+    // discoverable through the read slice with the declared types
+    val (gc, gb) = get("/v1/namespaces/restw/tables/t1")
+    assert(gc == 200)
+    assert(gb.contains(""""name":"id","required":true,"type":"int64""""))
+    // usable through the engine (same catalog, dialect bookkeeping)
+    assert(post("/query",
+      """{"query":"INSERT INTO restw.t1 VALUES (1, 'x')"}""")._1 == 200)
+    // rename within the namespace
+    assert(post("/v1/tables/rename",
+      """{"source":{"namespace":["restw"],"name":"t1"},
+        |"destination":{"namespace":["restw"],"name":"t2"}}""".stripMargin)._1 == 204)
+    assert(get("/v1/namespaces/restw/tables/t2")._1 == 200)
+    assert(get("/v1/namespaces/restw/tables/t1")._1 == 404)
+    // drop table then namespace; both 404 afterwards
+    assert(delete("/v1/namespaces/restw/tables/t2") == 204)
+    assert(delete("/v1/namespaces/restw/tables/t2") == 404)
+    assert(delete("/v1/namespaces/restw") == 204)
+    assert(get("/v1/namespaces/restw")._1 == 404)
+  }
+
   test("bearer-token auth gates /query and /cancel; /health stays open") {
     val secured = new HttpApi(engine,
       auth = Some(new graft.server.SimpleAuthProvider(
