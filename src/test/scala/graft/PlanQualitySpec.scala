@@ -138,6 +138,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"repetition ranking must plan as top-k, not a global sort:\n$rep")
   }
 
+  test("sampling/mix plans: q62 one agg shuffle, q63 one window shuffle; both prune columns") {
+    val p62 = graft.operators.Curation.queries("q62_stratified_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // per-row hash + rate gate stay in the scan stage: the ONLY
+    // exchange is the final per-stratum aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p62).size <= 1,
+      s"q62 should shuffle once (final agg):\n$p62")
+    val rs62 = p62.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs62.contains("source") && !rs62.contains("n_chars"),
+      s"q62 reads unneeded columns: $rs62")
+
+    val p63 = graft.operators.Curation.queries("q63_token_budget_mix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the cumulative cut needs exactly one hash exchange on source
+    // (window); the per-source agg reuses that partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p63).size <= 2,
+      s"q63 shuffles too much:\n$p63")
+    assert(p63.contains("Window"), s"q63 lost its window:\n$p63")
+    val rs63 = p63.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs63.contains("lang"), s"q63 reads unneeded columns: $rs63")
+  }
+
   test("partition-pruned UPDATE reads only affected partitions") {
     // the rewrite scan must carry the partition predicate so partition
     // pruning bounds the IO (EngineSpec proves the file-level effect;
