@@ -124,6 +124,40 @@ case class ShinglesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Sorted (squared-distance, cell) pairs against a centroid codebook
+  * in one pass — the native replacement for the IVF assignment's
+  * 16-way zip_with+aggregate HOF chain (interpreted lambda dispatch
+  * per element; k=16 vs k=8 measured ~0.35 s apart at sf0.1, all of
+  * it HOF evaluation). Arithmetic matches the HOF form exactly:
+  * sequential sum of squared diffs per centroid from 0.0, sort by
+  * (d, cell) ascending — the DuckDB oracle replay is unchanged. */
+case class IvfCellsExpr(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ivf_cells"
+
+  @transient private lazy val centArr: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.ivfCells(input.asInstanceOf[ArrayData], centArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", centArr, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ArrayOpsImpl.ivfCells($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCellsExpr =
+    copy(child = newChild)
+}
+
 /** Companion class => Java static forwarders for generated code. */
 class ArrayOpsImpl private ()
 
@@ -252,6 +286,40 @@ object ArrayOpsImpl {
     }
     acc
   }
+
+  def ivfCells(v: ArrayData, cents: Array[Array[Double]]): ArrayData = {
+    val dim = v.numElements()
+    val vec = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { vec(i) = v.getDouble(i); i += 1 }
+    val k = cents.length
+    val ds = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val n = math.min(dim, cent.length)
+      var acc = 0.0 // same sequential order as aggregate(zip_with(...))
+      var j = 0
+      while (j < n) {
+        val diff = cent(j) - vec(j)
+        acc += diff * diff
+        j += 1
+      }
+      ds(c) = acc
+      c += 1
+    }
+    // sort by (d, cell) ascending — array_sort's struct ordering
+    val order = Array.tabulate(k)(identity)
+    val boxed = order.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, (x: Integer, y: Integer) => {
+      val cmp = java.lang.Double.compare(ds(x), ds(y))
+      if (cmp != 0) cmp else Integer.compare(x, y)
+    })
+    new GenericArrayData(boxed.map { cell =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ds(cell), cell.intValue())): AnyRef
+    })
+  }
 }
 
 object ArrayOps {
@@ -270,4 +338,7 @@ object ArrayOps {
   def intersectCount(a: Column, b: Column): Column =
     GraftBridge.column(IntersectCountExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def ivfCells(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftBridge.column(IvfCellsExpr(GraftBridge.expression(v), centroids))
 }

@@ -92,14 +92,20 @@ object Relational {
     "q44_percentiles" -> ((s, dir) =>
       // exact interpolated percentiles (percentile == DuckDB
       // quantile_cont); approx_percentile/HLL are the scale path but
-      // cannot hash-match a different engine's sketch
+      // cannot hash-match a different engine's sketch. ONE array
+      // percentile aggregate: three scalar percentile() calls each
+      // buffer the group's full value map — 3x the dominant cost.
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
-          count(lit(1)).as("n"))),
+          expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
+          count(lit(1)).as("n"))
+        .select(
+          col("o_orderstatus"),
+          round(element_at(col("ps"), 1), 2).as("p50"),
+          round(element_at(col("ps"), 2), 2).as("p90"),
+          round(element_at(col("ps"), 3), 2).as("p99"),
+          col("n"))),
 
     "q45_asof_lastpurchase" -> ((s, dir) => {
       // as-of join, composed form: for every event, the value of that

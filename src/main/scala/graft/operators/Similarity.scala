@@ -182,14 +182,12 @@ object Similarity {
       .where(col("vec_id").between(100, 100 + k - 1))
       .orderBy("vec_id").select("ve").collect()
       .map(_.getSeq[Double](0)).toSeq)
-    val centroidLit = typedlit(cents)
-    val sqDist = (c: Column) => aggregate(
-      zip_with(c, col("ve"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-    val cellsByDist = array_sort(zip_with(
-      centroidLit, sequence(lit(0), lit(k - 1)),
-      (c, i) => struct(sqDist(c).as("d"), i.as("cell"))))
-    val assigned = n.withColumn("cbd", cellsByDist)
+    // one-pass native assignment (ArrayOpsExprs.IvfCellsExpr): the
+    // zip_with+aggregate HOF chain this replaces paid interpreted
+    // lambda dispatch per element x k centroids; arithmetic and
+    // (d, cell) ordering are identical, so the oracle is unchanged
+    val assigned = n.withColumn("cbd",
+      graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents))
     val corpus = assigned
       .withColumn("cell", element_at(col("cbd"), 1).getField("cell"))
       .drop("cbd")
