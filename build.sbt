@@ -27,5 +27,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default on the 128 GiB host: an 8g heap put the local[32]
+  // driver+executors under GC pressure during the 8-way concurrent
+  // bench (the whole engine lives in one JVM in local mode)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
