@@ -18,6 +18,22 @@ import graft.types.IcebergTypes
   * reference delegates row-level ops to DuckDB; Iceberg v2 would give
   * them natively — parquet tables get the same semantics by rewrite).
   */
+object QueryEngine {
+  /** Append serialization per table: concurrent INSERTs into one
+    * parquet table race on the shared `_temporary` staging directory
+    * (FileOutputCommitter deletes it when the first job commits,
+    * losing the others' files). The reference funnels every write
+    * through its per-table storage manager
+    * (server/storage/storage.go:500-528); here a per-table JVM lock
+    * gives the same single-writer-per-table semantics across
+    * connection engines, which share this JVM. On a real cluster the
+    * Iceberg commit protocol replaces this. */
+  private val tableWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[engine] def writeLock(key: String): Object =
+    tableWriteLocks.computeIfAbsent(key, _ => new Object)
+}
+
 final class QueryEngine(val spark: SparkSession,
                         sharedExecutions: Option[ExecutionManager] = None) {
 
@@ -482,20 +498,35 @@ final class QueryEngine(val spark: SparkSession,
     * table. The round-1 version diffed two full table counts per
     * INSERT: O(table) scans per statement, wrong for OVERWRITE and
     * under concurrent writers. */
+  private def qualifiedName(table: String): String =
+    if (table.contains(".")) table
+    else s"${spark.catalog.currentDatabase}.$table"
+
+  private def withTableWriteLock[A](table: Option[String])(body: => A): A =
+    table match {
+      case Some(t) =>
+        QueryEngine.writeLock(
+          spark.conf.get("spark.sql.warehouse.dir") + "#" +
+            qualifiedName(t).toLowerCase).synchronized(body)
+      case None => body
+    }
+
   private def runInsert(sql: String, id: String): QueryResult = {
     val target = insertHeadRe.findFirstMatchIn(sql)
       .map(_.group(2).replace("`", ""))
-    // version the pre-insert state: appends delete nothing, so the
-    // manifest snapshot costs one file listing and zero archive work —
-    // `VERSION AS OF` then covers append history too
-    if (Snapshots.enabled(spark) && Snapshots.onInsert(spark))
-      target.foreach(t => Snapshots.create(spark, t, "INSERT"))
-    val df = spark.sql(withDeclaredColumns(sql))
-    val n = writtenRows(df).orElse(valuesRowCount(sql)).getOrElse(-1L)
-    target.foreach(t => registryChanged(t, Changefeed.TableFiles, "INSERT",
-      Map("rows" -> math.max(n, 0).toString)))
-    QueryResult(id, Seq.empty, Seq.empty, math.max(n, 0),
-      if (n >= 0) s"INSERT $n" else "INSERT")
+    withTableWriteLock(target) {
+      // version the pre-insert state: appends delete nothing, so the
+      // manifest snapshot costs one file listing and zero archive work —
+      // `VERSION AS OF` then covers append history too
+      if (Snapshots.enabled(spark) && Snapshots.onInsert(spark))
+        target.foreach(t => Snapshots.create(spark, t, "INSERT"))
+      val df = spark.sql(withDeclaredColumns(sql))
+      val n = writtenRows(df).orElse(valuesRowCount(sql)).getOrElse(-1L)
+      target.foreach(t => registryChanged(t, Changefeed.TableFiles, "INSERT",
+        Map("rows" -> math.max(n, 0).toString)))
+      QueryResult(id, Seq.empty, Seq.empty, math.max(n, 0),
+        if (n >= 0) s"INSERT $n" else "INSERT")
+    }
   }
 
   private val insertHeadRe: Regex =
@@ -541,7 +572,7 @@ final class QueryEngine(val spark: SparkSession,
   def insertData(table: String, columns: Seq[String],
                  rows: Seq[Seq[Any]]): QueryResult = {
     val info = executions.register(s"INSERT-BATCH $table (${rows.length} rows)")
-    executions.run(info) {
+    executions.run(info) { withTableWriteLock(Some(table)) {
       val target = spark.table(table)
       InsertValidator.validate(declaredSchema(table), columns, rows)
       // keyed lowercase on BOTH sides: validation matches columns
@@ -560,7 +591,7 @@ final class QueryEngine(val spark: SparkSession,
         Map("rows" -> rows.length.toString))
       QueryResult(info.id, Seq.empty, Seq.empty, rows.length,
         s"INSERT ${rows.length}")
-    }
+    } }
   }
 
   // ------------------------------------------------- UPDATE / DELETE (CoW)

@@ -257,13 +257,25 @@ object Dedup {
                               numBands: Int): DataFrame = {
     val pairs = minhashPairs(s, dir, numBands)
       .select(col("doc1"), col("doc2"))
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Min-label connected components over an undirected pair list
+    * (columns: two numeric ids). Returns (node, label) with label =
+    * the component's minimum id. Factored from the dedup pipeline so
+    * the algorithm is testable on arbitrary graphs. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val (c1, c2) = (pairs.columns(0), pairs.columns(1))
     // localCheckpoint (not cache) everywhere in the loop: each round's
     // self-join would otherwise DOUBLE the logical plan, and Catalyst
     // re-analyzes the whole lineage per action — measured 1.9s -> 3.2s
     // -> 10.9s per round at sf0.1 before truncation. Non-reliable
     // storage is fine inside a query: a lost executor recomputes the
     // query, exactly as any multi-stage shuffle would.
-    val edges = pairs.union(pairs.select(col("doc2"), col("doc1")))
+    val edges = pairs.select(col(c1), col(c2))
+      .union(pairs.select(col(c2), col(c1)))
       .toDF("u", "v").localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
@@ -289,8 +301,7 @@ object Dedup {
       labels = jumped
       rounds += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+    labels
   }
 
   /** DuckDB oracle for [[dedupClusters]]: the same pair CTEs extended

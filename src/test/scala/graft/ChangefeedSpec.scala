@@ -233,6 +233,37 @@ class ChangefeedSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("concurrent DML from isolated connection engines: unique ordered ids, no lost events") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.conc")
+    engine.execute("CREATE TABLE cdc.conc (id int64) STORAGE filesystem")
+    drainLog()
+    val threads = 4
+    val perThread = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    (0 until threads).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          val conn = engine.newConnectionEngine()
+          (0 until perThread).foreach(i =>
+            conn.execute(s"INSERT INTO cdc.conc VALUES (${t * 100 + i})"))
+        } finally done.countDown()
+      })
+    }
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val evts = Changefeed.events(spark, 0, 1000)
+      .filter(e => e.table == "table_files" && e.data("table") == "cdc.conc")
+    // every INSERT produced exactly one event with a unique id
+    assert(evts.length == threads * perThread,
+      s"expected ${threads * perThread} events, got ${evts.length}")
+    assert(evts.map(_.id).distinct.length == evts.length)
+    assert(evts.forall(_.data("rows") == "1"))
+    engine.execute("DROP TABLE cdc.conc")
+    drainLog()
+  }
+
   private implicit def fn2sub(f: CdcEvent => Unit): Astha.Subscriber =
     new Astha.Subscriber { def onEvent(e: CdcEvent): Unit = f(e) }
 }

@@ -171,4 +171,39 @@ class DifferentialSpec extends AnyFunSuite {
     }
     e.execute("DROP TABLE IF EXISTS fuzz.t")
   }
+
+  test("random graphs: distributed connected components == union-find") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(4, 40)            // node id space
+      m <- Gen.choose(1, 60)            // edge count
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    samples(edgeGen, 12).filter(_.nonEmpty).foreach { edges =>
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent oracle: classic union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: representative = min node of the component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      val want = byRoot.values.flatMap { members =>
+        val m = members.min
+        members.map(_ -> m)
+      }.toMap
+      assert(got == want, s"CC mismatch on edges $edges:\n got  $got\n want $want")
+    }
+  }
 }
