@@ -87,6 +87,9 @@ object Bench {
       (results, w)
     }
     val (conc1, wall1) = concurrentPass()
+    // settle allocation pressure from pass 1 so a major GC does not
+    // land mid-pass-2 (observed 3s -> 9s pass-2 outliers)
+    System.gc()
     val (conc2, wall2) = concurrentPass()
     val (concurrent, wall) = if (wall1 <= wall2) (conc1, wall1) else (conc2, wall2)
 

@@ -19,15 +19,18 @@ import graft.types.IcebergTypes
   * them natively — parquet tables get the same semantics by rewrite).
   */
 object QueryEngine {
-  /** Append serialization per table: concurrent INSERTs into one
+  /** Write serialization per table: concurrent INSERTs into one
     * parquet table race on the shared `_temporary` staging directory
     * (FileOutputCommitter deletes it when the first job commits,
-    * losing the others' files). The reference funnels every write
-    * through its per-table storage manager
-    * (server/storage/storage.go:500-528); here a per-table JVM lock
-    * gives the same single-writer-per-table semantics across
-    * connection engines, which share this JVM. On a real cluster the
-    * Iceberg commit protocol replaces this. */
+    * losing the others' files), and a CoW rewrite racing an append
+    * can drop the append. The reference funnels every write through
+    * its per-table storage manager (server/storage/storage.go:
+    * 500-528); here a per-table JVM lock gives the same
+    * single-writer-per-table semantics across connection engines,
+    * which share this JVM — held by INSERT (statement + batch API),
+    * UPDATE, DELETE, OPTIMIZE, RESTORE, and ALTER. Reads never take
+    * it. On a real cluster the Iceberg commit protocol replaces
+    * this. */
   private val tableWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[engine] def writeLock(key: String): Object =
@@ -266,15 +269,18 @@ final class QueryEngine(val spark: SparkSession,
       // ALTER TABLE column ops (parser.go:1998-2227): ADD/DROP/ALTER
       // COLUMN + SETTINGS run through the schema-evolution path;
       // any other ALTER form passes through to Spark
-      val altered = AlterTable.execute(spark, sql) match {
-        case Some(msg) => ok(id, msg)
-        case None =>
-          spark.sql(sql)
-          ok(id, "Altered")
+      val alterTarget = """(?is)^ALTER\s+TABLE\s+([\w.`]+)""".r
+        .findFirstMatchIn(sql).map(_.group(1).replace("`", ""))
+      val altered = withTableWriteLock(alterTarget) {
+        AlterTable.execute(spark, sql) match {
+          case Some(msg) => ok(id, msg)
+          case None =>
+            spark.sql(sql)
+            ok(id, "Altered")
+        }
       }
-      """(?is)^ALTER\s+TABLE\s+([\w.`]+)""".r.findFirstMatchIn(sql)
-        .foreach(m => registryChanged(m.group(1).replace("`", ""),
-          Changefeed.TableTables, "UPDATE"))
+      alterTarget.foreach(t =>
+        registryChanged(t, Changefeed.TableTables, "UPDATE"))
       altered
     case "INSERT" => runInsert(sql, id)
     case "UPDATE" => runUpdate(sql, id)
@@ -296,13 +302,15 @@ final class QueryEngine(val spark: SparkSession,
   private def runRestore(sql: String, id: String): QueryResult = sql match {
     case restoreRe(table, version) =>
       val t = table.replace("`", "")
-      val snap = Snapshots.read(spark, t, version.toLong)
-      val current = spark.table(t).schema
-      require(snap.schema == current,
-        s"snapshot $version has a different schema than $t " +
-        "(restore across ALTER is not supported; recreate the table instead)")
-      if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "RESTORE")
-      stagedRewrite(t, snap)
+      withTableWriteLock(Some(t)) {
+        val snap = Snapshots.read(spark, t, version.toLong)
+        val current = spark.table(t).schema
+        require(snap.schema == current,
+          s"snapshot $version has a different schema than $t " +
+          "(restore across ALTER is not supported; recreate the table instead)")
+        if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "RESTORE")
+        stagedRewrite(t, snap)
+      }
       registryChanged(t, Changefeed.TableFiles, "UPDATE",
         Map("op" -> "RESTORE", "version" -> version))
       QueryResult(id, Seq.empty, Seq.empty, 0,
@@ -346,7 +354,7 @@ final class QueryEngine(val spark: SparkSession,
     * files so each partition holds ~targetFileBytes files; data and
     * schema unchanged, so no snapshot is taken. */
   private def runOptimize(sql: String, id: String): QueryResult = sql match {
-    case optimizeRe(table) =>
+    case optimizeRe(table) => withTableWriteLock(Some(table.replace("`", ""))) {
       val t = table.replace("`", "")
       val meta = spark.sessionState.catalog.getTableMetadata(tableIdent(t))
       val loc = new org.apache.hadoop.fs.Path(meta.location)
@@ -394,6 +402,7 @@ final class QueryEngine(val spark: SparkSession,
             "files_after" -> after.toString))
       QueryResult(id, Seq.empty, Seq.empty, 0,
         s"OPTIMIZE: $before file(s) -> $after file(s)")
+    }
     case _ => throw new IllegalArgumentException("cannot parse OPTIMIZE statement")
   }
 
@@ -607,7 +616,7 @@ final class QueryEngine(val spark: SparkSession,
       val condExpr = Option(cond).map(expr).getOrElse(lit(true))
       val matched = coalesce(condExpr, lit(false))
       val parts = partitionColumns(t)
-      val n: Long =
+      val n: Long = withTableWriteLock(Some(t)) {
         if (parts.nonEmpty) {
           // ONE scoping job gives the affected partitions AND the
           // matched count (round 2 ran a full-predicate count plus a
@@ -665,6 +674,7 @@ final class QueryEngine(val spark: SparkSession,
             observedN()
           }
         }
+      }
       if (n > 0) registryChanged(t, Changefeed.TableFiles, "DELETE",
         Map("rows" -> n.toString))
       QueryResult(id, Seq.empty, Seq.empty, n, s"DELETE $n")
@@ -694,7 +704,7 @@ final class QueryEngine(val spark: SparkSession,
       // destination partition with only the moved rows — those
       // statements take the whole-table path
       val touchesPartCol = assigns.exists { case (c, _) => parts.contains(c) }
-      val n: Long =
+      val n: Long = withTableWriteLock(Some(t)) {
         if (parts.nonEmpty) {
           // one scoping job: affected partitions + matched count
           val scope = scopeAffected(t, parts, condExpr)
@@ -723,6 +733,7 @@ final class QueryEngine(val spark: SparkSession,
             observedN()
           }
         }
+      }
       if (n > 0) registryChanged(t, Changefeed.TableFiles, "UPDATE",
         Map("rows" -> n.toString))
       QueryResult(id, Seq.empty, Seq.empty, n, s"UPDATE $n")
