@@ -205,6 +205,72 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  // ---- Product quantization (q64) ----------------------------------
+  //
+  // THE embedding-compression operator for 100 TB ANN: each 64-dim
+  // vector becomes M=8 sub-codes of 4 bits (nearest of K=16 sampled
+  // sub-centroids per 8-dim subvector), packed into one int32-sized
+  // BIGINT — a 64x compression that still supports asymmetric
+  // distance. The codebook is the IVF pattern again: deterministic
+  // sample (vec_id 200-215), bounded collect, embedded as literals —
+  // no training in the query path. Assignment reuses the native
+  // IvfCellsExpr per subvector slice; the oracle recomputes the same
+  // codebook from the data and replays the same sequential
+  // arithmetic.
+  private val PqM = 8         // subvectors
+  private val PqSub = Dim / PqM
+  private val PqK = 16        // centroids per subvector (4 bits)
+  private val PqSampleBase = 200L
+
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(emb(s, dir))
+    val samples: Seq[Seq[Double]] = codebooks.computeIfAbsent(
+      (dir, -PqK), _ => n
+        .where(col("vec_id").between(PqSampleBase, PqSampleBase + PqK - 1))
+        .orderBy("vec_id").select("ve").collect()
+        .map(_.getSeq[Double](0)).toSeq)
+    val withSubs = (0 until PqM).foldLeft(n) { (df, m) =>
+      val subCents = samples.map(_.slice(m * PqSub, (m + 1) * PqSub))
+      df.withColumn(s"cbd$m", graft.functions.expressions.ArrayOps
+        .ivfCells(slice(col("ve"), m * PqSub + 1, PqSub), subCents))
+    }
+    val code = (0 until PqM).map(m =>
+      element_at(col(s"cbd$m"), 1).getField("cell").cast("long") *
+        lit(1L << (4 * m))).reduce(_ + _)
+    val err = (0 until PqM).map(m =>
+      element_at(col(s"cbd$m"), 1).getField("d")).reduce(_ + _)
+    withSubs.select(col("vec_id"), code.as("pq_code"),
+      round(err, 4).as("recon_err"))
+  }
+
+  /** DuckDB oracle for [[pqEncode]] — codebook recomputed from the
+    * same sample rows, per-subvector argmin replayed with the same
+    * sequential squared-difference sums and (d, cell) tie-break. */
+  def pqOracleSql: String = {
+    val subDist = (m: Int) =>
+      s"""list_sort(list_transform(range(0, $PqK), c -> struct_pack(
+         |  d := list_sum(list_transform(generate_series(1, $PqSub),
+         |       j -> (cl[c + 1][${m * PqSub} + j] - ve[${m * PqSub} + j])
+         |          * (cl[c + 1][${m * PqSub} + j] - ve[${m * PqSub} + j]))),
+         |  cell := c)))[1]""".stripMargin
+    val codeTerms = (0 until PqM)
+      .map(m => s"(asg$m.cell * ${1L << (4 * m)})").mkString(" + ")
+    val errTerms = (0 until PqM).map(m => s"asg$m.d").mkString(" + ")
+    val asgCols = (0 until PqM)
+      .map(m => s"${subDist(m)} AS asg$m").mkString(",\n")
+    s"""WITH $duckNormedCte,
+       |cents AS (
+       |  SELECT list(ve ORDER BY vec_id) AS cl FROM n
+       |  WHERE vec_id BETWEEN $PqSampleBase AND ${PqSampleBase + PqK - 1}),
+       |assigned AS (
+       |  SELECT vec_id,
+       |$asgCols
+       |  FROM n, cents)
+       |SELECT vec_id, CAST($codeTerms AS BIGINT) AS pq_code,
+       |  round($errTerms, 4) AS recon_err
+       |FROM assigned""".stripMargin
+  }
+
   /** DuckDB oracle for [[knnLsh]], generated from the same params. */
   def lshOracleSql(p: AnnParams): String = {
     val probeList = (0 until p.numPlanes)
@@ -355,10 +421,13 @@ object Similarity {
         .agg(count(lit(1)).as("n_vecs"),
              round(avg(col("nrm")), 4).as("avg_norm"),
              round(min(col("nrm")), 6).as("min_norm"),
-             round(max(col("nrm")), 6).as("max_norm")))
+             round(max(col("nrm")), 6).as("max_norm"))),
+
+    "q64_pq_encode" -> ((s, dir) => pqEncode(s, dir))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q64_pq_encode" -> pqOracleSql,
     "q36_knn_brute" ->
       s"""WITH $duckNormedCte,
          |scored AS (

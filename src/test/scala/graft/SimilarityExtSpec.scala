@@ -95,4 +95,25 @@ class SimilarityExtSpec extends AnyFunSuite {
     assert(engine.execute("SELECT count(*) AS c FROM dz.z").data.head.head == 2L)
     engine.execute("DROP TABLE dz.z")
   }
+
+  test("PQ encoding: 32-bit codes, deterministic, sample vectors reconstruct exactly") {
+    val rows = Similarity.queries("q64_pq_encode")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (code, err) =>
+      assert(code >= 0 && code < (1L << 32), s"code $code out of 32-bit range")
+      assert(err >= 0.0, s"negative reconstruction error $err")
+    }
+    // the 16 codebook sample vectors (vec_id 200-215) are their own
+    // nearest sub-centroids in every subvector: exact reconstruction
+    (200L to 215L).foreach { id =>
+      rows.get(id).foreach { case (_, err) =>
+        assert(err == 0.0, s"sample vector $id should reconstruct exactly, err=$err")
+      }
+    }
+    // deterministic re-run
+    val again = Similarity.queries("q64_pq_encode")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows == again)
+  }
 }
