@@ -271,6 +271,108 @@ object Similarity {
        |FROM assigned""".stripMargin
   }
 
+  /** Asymmetric-distance top-k over PQ codes (q64b) — how compressed
+    * ANN actually scores at 100 TB: the corpus is only its 4-bit
+    * codes; each query precomputes an M x K lookup table of
+    * subvector-to-centroid distances (HOF evaluation, but on the TEN
+    * query rows, not the corpus), and a corpus row's distance is M
+    * table lookups + adds — no per-pair vector math, no corpus
+    * decompression. Composes [[pqEncode]]'s codes with a broadcast
+    * query side; exact same arithmetic replayed in the oracle.
+    *
+    * Recall caveat, stated plainly: the driver's synthetic embeddings
+    * are isotropic random vectors, where a 16-vector sampled codebook
+    * quantizes poorly (measured recall@5 vs exact L2 = 0.08 at
+    * sf0.001) — PQ's accuracy comes from cluster structure real
+    * embeddings have. The oracle therefore pins the ARITHMETIC
+    * (codes, LUTs, ranking) exactly; recall quality is a property of
+    * the data, tuned by M/K at deployment. */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(emb(s, dir))
+    val samples: Seq[Seq[Double]] = codebooks.computeIfAbsent(
+      (dir, -PqK), _ => n
+        .where(col("vec_id").between(PqSampleBase, PqSampleBase + PqK - 1))
+        .orderBy("vec_id").select("ve").collect()
+        .map(_.getSeq[Double](0)).toSeq)
+    // corpus side: codes only (the compressed representation)
+    val coded = (0 until PqM).foldLeft(n.select(col("vec_id"), col("ve"))) {
+      (df, m) =>
+        val subCents = samples.map(_.slice(m * PqSub, (m + 1) * PqSub))
+        df.withColumn(s"code$m", element_at(graft.functions.expressions
+          .ArrayOps.ivfCells(slice(col("ve"), m * PqSub + 1, PqSub), subCents), 1)
+          .getField("cell"))
+    }.drop("ve")
+    // query side: M x K distance lookup table, evaluated on 10 rows
+    val lutCols = (0 until PqM).map { m =>
+      val subCents = samples.map(_.slice(m * PqSub, (m + 1) * PqSub))
+      transform(typedlit(subCents), c => aggregate(
+        zip_with(c, slice(col("ve"), m * PqSub + 1, PqSub),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))
+    }
+    val q = broadcast(
+      n.where(col("vec_id") < NumQueries)
+        .select((col("vec_id").as("query_id") +: lutCols.zipWithIndex
+          .map { case (c, m) => c.as(s"lut$m") }): _*))
+    val dist = (0 until PqM).map(m =>
+      element_at(col(s"lut$m"), col(s"code$m") + 1)).reduce(_ + _)
+    val scored = coded.crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", dist)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(col("adc_dist"), 4).as("adc_dist"))
+  }
+
+  /** DuckDB oracle for [[pqAdcTopK]] — codes from the PQ assignment
+    * CTEs, per-query LUTs via the same sequential sums, distance =
+    * left-to-right sum of M lookups. */
+  def pqAdcOracleSql: String = {
+    val subDist = (m: Int) =>
+      s"""list_sort(list_transform(range(0, $PqK), c -> struct_pack(
+         |  d := list_sum(list_transform(generate_series(1, $PqSub),
+         |       j -> (cl[c + 1][${m * PqSub} + j] - ve[${m * PqSub} + j])
+         |          * (cl[c + 1][${m * PqSub} + j] - ve[${m * PqSub} + j]))),
+         |  cell := c)))[1].cell""".stripMargin
+    val codeCols = (0 until PqM)
+      .map(m => s"${subDist(m)} AS code$m").mkString(",\n")
+    val lutCols = (0 until PqM).map(m =>
+      s"""list_transform(range(0, $PqK), c ->
+         |  list_sum(list_transform(generate_series(1, $PqSub),
+         |    j -> (cl[c + 1][${m * PqSub} + j] - qve[${m * PqSub} + j])
+         |       * (cl[c + 1][${m * PqSub} + j] - qve[${m * PqSub} + j]))))
+         |  AS lut$m""".stripMargin).mkString(",\n")
+    val distTerms = (0 until PqM)
+      .map(m => s"l.lut$m[a.code$m + 1]").mkString(" + ")
+    s"""WITH $duckNormedCte,
+       |cents AS (
+       |  SELECT list(ve ORDER BY vec_id) AS cl FROM n
+       |  WHERE vec_id BETWEEN $PqSampleBase AND ${PqSampleBase + PqK - 1}),
+       |coded AS (
+       |  SELECT vec_id,
+       |$codeCols
+       |  FROM n, cents),
+       |lut AS (
+       |  SELECT vec_id AS query_id,
+       |$lutCols
+       |  FROM (SELECT vec_id, ve AS qve FROM n WHERE vec_id < 10), cents),
+       |scored AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id,
+       |    $distTerms AS adc_dist
+       |  FROM lut l, coded a WHERE a.vec_id <> l.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(adc_dist, 4) AS adc_dist
+       |FROM ranked WHERE rn <= $TopK""".stripMargin
+  }
+
   /** DuckDB oracle for [[knnLsh]], generated from the same params. */
   def lshOracleSql(p: AnnParams): String = {
     val probeList = (0 until p.numPlanes)
@@ -423,11 +525,13 @@ object Similarity {
              round(min(col("nrm")), 6).as("min_norm"),
              round(max(col("nrm")), 6).as("max_norm"))),
 
-    "q64_pq_encode" -> ((s, dir) => pqEncode(s, dir))
+    "q64_pq_encode" -> ((s, dir) => pqEncode(s, dir)),
+    "q64b_pq_adc_knn" -> ((s, dir) => pqAdcTopK(s, dir))
   )
 
   val oracleSql: Map[String, String] = Map(
     "q64_pq_encode" -> pqOracleSql,
+    "q64b_pq_adc_knn" -> pqAdcOracleSql,
     "q36_knn_brute" ->
       s"""WITH $duckNormedCte,
          |scored AS (

@@ -116,4 +116,22 @@ class SimilarityExtSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(rows == again)
   }
+
+  test("PQ ADC top-k: 10x5 shape, non-negative sorted distances, codes-only corpus") {
+    val rows = Similarity.queries("q64b_pq_adc_knn")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 50)
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._3).forall(_ >= 0.0), s"negative ADC distance for query $q")
+      assert(rs.map(_._2).distinct.length == 5, s"duplicate neighbors for $q")
+      assert(!rs.exists(_._2 == q), "query must not match itself")
+    }
+    // deterministic re-run (codes + LUTs are content-derived)
+    val again = Similarity.queries("q64b_pq_adc_knn")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
