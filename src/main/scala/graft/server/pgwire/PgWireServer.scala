@@ -124,10 +124,13 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
         (tpe: @unchecked) match {
           case 'Q' =>
             val sql = cString(payload, 0)._1.trim
-            copyInRe.findFirstMatchIn(sql) match {
-              case Some(m) =>
+            (copyInRe.findFirstMatchIn(sql), copyOutRe.findFirstMatchIn(sql)) match {
+              case (Some(m), _) =>
                 copyIn(engine, in, out, m.group(1), Option(m.group(2)))
-              case None => runQuery(engine, out, sql)
+              case (_, Some(m)) =>
+                copyOut(engine, out, Option(m.group(1)),
+                  Option(m.group(2)), Option(m.group(3)))
+              case _ => runQuery(engine, out, sql)
             }
           case 'P' => // Parse: store named statement
             val (name, p1) = cString(payload, 0)
@@ -414,6 +417,64 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
               graft.server.WireCoerce(engine.spark, table, columns, rows))
           commandComplete(out, s"COPY ${rows.length}")
       }
+    } catch {
+      case NonFatal(e) =>
+        errorResponse(out, "XX000",
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
+    readyForQuery(out)
+  }
+
+  // --------------------------------------------------------- COPY OUT
+
+  /** `COPY t [(cols)] TO STDOUT` / `COPY (query) TO STDOUT` — the
+    * export path (psql `\copy ... to file`). Rows stream through
+    * [[QueryEngine.executeStreamed]]'s partition iterator, so an
+    * export never materializes server-side. Text format mirrors the
+    * COPY IN defaults: tab delimiter, `\N` null, escaped
+    * backslash/tab/newline. */
+  private val copyOutRe =
+    """(?is)^COPY\s+(?:\(([\s\S]+)\)|([\w.`"]+)\s*(?:\(([^)]*)\))?)\s+TO\s+STDOUT\s*;?\s*$""".r
+
+  private def copyTextEsc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '\t' => b.append("\\t")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private def copyOut(engine: QueryEngine, out: DataOutputStream,
+                      innerQ: Option[String], table: Option[String],
+                      colsOpt: Option[String]): Unit = {
+    try {
+      val sql = innerQ.map(_.trim).getOrElse {
+        val t = table.get.replace("\"", "").replace("`", "")
+        val cl = colsOpt
+          .map(_.split(",").map(_.trim.replace("\"", "")).mkString(", "))
+          .getOrElse("*")
+        s"SELECT $cl FROM $t"
+      }
+      val res = engine.executeStreamed(sql) { (columns, rows) =>
+        message(out, 'H', b => { // CopyOutResponse, text format
+          b.writeByte(0)
+          b.writeShort(columns.length)
+          columns.foreach(_ => b.writeShort(0))
+        })
+        rows.foreach { r =>
+          val line = r.map {
+            case null => "\\N"
+            case v => copyTextEsc(String.valueOf(v))
+          }.mkString("\t") + "\n"
+          message(out, 'd', _.write(line.getBytes(UTF_8)))
+        }
+        message(out, 'c', _ => ()) // CopyDone
+      }
+      commandComplete(out, s"COPY ${res.rowCount}")
     } catch {
       case NonFatal(e) =>
         errorResponse(out, "XX000",

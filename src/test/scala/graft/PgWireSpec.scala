@@ -352,6 +352,50 @@ class PgWireSpec extends AnyFunSuite {
       "SELECT name FROM pgc.cp WHERE id = 2").data.head.head == null)
     assert(engine.execute(
       "SELECT name FROM pgc.cp WHERE id = 3").data.head.head == "cho")
+
+    // ---- COPY ... TO STDOUT round-trips what COPY FROM loaded ----
+    val sock2 = new Socket("127.0.0.1", server.boundPort)
+    val sin2 = new DataInputStream(sock2.getInputStream)
+    val sout2 = new DataOutputStream(sock2.getOutputStream)
+    val body2 = new java.io.ByteArrayOutputStream()
+    val bd2 = new DataOutputStream(body2)
+    bd2.writeInt(196608)
+    for ((k, v) <- Seq("user" -> "t", "database" -> "default")) {
+      bd2.write(k.getBytes(UTF_8)); bd2.writeByte(0)
+      bd2.write(v.getBytes(UTF_8)); bd2.writeByte(0)
+    }
+    bd2.writeByte(0)
+    sout2.writeInt(4 + body2.size()); body2.writeTo(sout2); sout2.flush()
+    var ready2 = false
+    while (!ready2) {
+      val t = sin2.readUnsignedByte().toChar
+      val l = sin2.readInt(); val p = new Array[Byte](l - 4); sin2.readFully(p)
+      if (t == 'Z') ready2 = true
+    }
+    val q2 = "COPY (SELECT id, name, age FROM pgc.cp ORDER BY id) TO STDOUT"
+      .getBytes(UTF_8)
+    sout2.writeByte('Q'); sout2.writeInt(4 + q2.length + 1)
+    sout2.write(q2); sout2.writeByte(0); sout2.flush()
+    var sawH = false
+    val data = new StringBuilder
+    var tag2 = ""
+    var done2 = false
+    while (!done2) {
+      val t = sin2.readUnsignedByte().toChar
+      val l = sin2.readInt(); val p = new Array[Byte](l - 4); sin2.readFully(p)
+      t match {
+        case 'H' => sawH = true
+        case 'd' => data.append(new String(p, UTF_8))
+        case 'C' => tag2 = new String(p, UTF_8).takeWhile(_ != 0)
+        case 'Z' => done2 = true
+        case _ => ()
+      }
+    }
+    assert(sawH, "no CopyOutResponse")
+    assert(tag2 == "COPY 3", s"got tag '$tag2'")
+    assert(data.toString == "1\tann\t34\n2\t\\N\t19\n3\tcho\t45\n",
+      s"unexpected copy-out payload: ${data.toString}")
+    sock2.close()
     engine.execute("DROP TABLE pgc.cp")
   }
 
