@@ -111,29 +111,31 @@ final class AsthaScheduler(spark: SparkSession,
   }
 
   /** One distribution round (also callable directly — specs drive the
-    * scheduler deterministically without sleeping on the poll timer). */
+    * scheduler deterministically without sleeping on the poll timer).
+    * The log is listed ONCE per round from the minimum cursor; each
+    * component consumes its slice of that one read. */
   def tick(): Unit = {
     val comps = components.values().asScala.toSeq
     if (comps.isEmpty) return
-    comps.foreach(deliverTo)
+    val from = comps.map(_.cursor).min
+    val events = Changefeed.events(spark, from, batchSize)
+    comps.foreach(deliverTo(_, events))
     comps.foreach(healthCheck)
     // cleanup: every event all subscribers have passed is done
     val floor = comps.map(_.cursor).min
     if (floor > 0) Changefeed.cleanup(spark, floor)
   }
 
-  private def deliverTo(st: State): Unit = {
-    val batch = Changefeed.events(spark, st.cursor, batchSize)
-      .filter(e => st.info.subscriptions.contains(e.table) ||
-        // a component may subscribe to "*" for the full feed
-        st.info.subscriptions.contains("*"))
+  private def deliverTo(st: State, all: Seq[Changefeed.CdcEvent]): Unit = {
+    val pending = all.filter(_.id > st.cursor)
+    def subscribed(e: Changefeed.CdcEvent): Boolean =
+      st.info.subscriptions.contains(e.table) ||
+        st.info.subscriptions.contains("*") // "*" = the full feed
+    val batch = pending.filter(subscribed)
     // advance over events this component does not subscribe to — they
     // must not hold the cleanup floor back
-    val unsubscribedFloor = Changefeed.events(spark, st.cursor, batchSize)
-      .takeWhile(e => !(st.info.subscriptions.contains(e.table) ||
-        st.info.subscriptions.contains("*")))
-      .lastOption.map(_.id)
-    unsubscribedFloor.foreach(f => st.cursor = math.max(st.cursor, f))
+    pending.takeWhile(e => !subscribed(e)).lastOption
+      .foreach(e => st.cursor = math.max(st.cursor, e.id))
     if (batch.isEmpty) return
     if (st.wasError) {
       // recovery path: a component returning from error re-syncs first
