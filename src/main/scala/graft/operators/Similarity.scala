@@ -373,6 +373,119 @@ object Similarity {
        |FROM ranked WHERE rn <= $TopK""".stripMargin
   }
 
+  /** IVF+PQ composed index (q65) — the canonical compressed-ANN
+    * architecture (FAISS IVFPQ) on Spark: the corpus is partitioned
+    * into IVF cells AND stored as 4-bit PQ codes; a query probes its
+    * nprobe nearest cells and ADC-scores ONLY the candidates inside
+    * them — search cost is (corpus/k) x nprobe lookups instead of a
+    * full scan, and the scanned payload is codes, not vectors. At
+    * 100 TB this is cell-partitioned storage (AnnAtScaleSpec's
+    * layout) + code columns; both codebooks are deterministic samples
+    * with zero training in the query path. */
+  def ivfPqTopK(s: SparkSession, dir: String, p: AnnParams): DataFrame = {
+    val n = normed(emb(s, dir))
+    val ivfCents: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, p.ivfK),
+      _ => n.where(col("vec_id").between(100, 100 + p.ivfK - 1))
+        .orderBy("vec_id").select("ve").collect()
+        .map(_.getSeq[Double](0)).toSeq)
+    val pqSamples: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, -PqK),
+      _ => n.where(col("vec_id").between(PqSampleBase, PqSampleBase + PqK - 1))
+        .orderBy("vec_id").select("ve").collect()
+        .map(_.getSeq[Double](0)).toSeq)
+    val assigned = n.withColumn("cbd",
+      graft.functions.expressions.ArrayOps.ivfCells(col("ve"), ivfCents))
+    val corpus = (0 until PqM).foldLeft(
+      assigned.withColumn("cell",
+        element_at(col("cbd"), 1).getField("cell")).drop("cbd")) { (df, m) =>
+      val subCents = pqSamples.map(_.slice(m * PqSub, (m + 1) * PqSub))
+      df.withColumn(s"code$m", element_at(graft.functions.expressions
+        .ArrayOps.ivfCells(slice(col("ve"), m * PqSub + 1, PqSub), subCents), 1)
+        .getField("cell"))
+    }.drop("ve", "nrm", "label")
+    val lutCols = (0 until PqM).map { m =>
+      val subCents = pqSamples.map(_.slice(m * PqSub, (m + 1) * PqSub))
+      transform(typedlit(subCents), c => aggregate(
+        zip_with(c, slice(col("ve"), m * PqSub + 1, PqSub),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)).as(s"lut$m")
+    }
+    val probeCells = transform(slice(col("cbd"), 1, p.ivfProbe),
+      st => st.getField("cell"))
+    val q = broadcast(
+      assigned.where(col("vec_id") < NumQueries)
+        .select((col("vec_id").as("query_id") +:
+          explode(probeCells).as("cell") +: lutCols): _*))
+    val dist = (0 until PqM).map(m =>
+      element_at(col(s"lut$m"), col(s"code$m") + 1)).reduce(_ + _)
+    val scored = corpus.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", dist)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(col("adc_dist"), 4).as("adc_dist"))
+  }
+
+  /** DuckDB oracle for [[ivfPqTopK]] at the same params. */
+  def ivfPqOracleSql(p: AnnParams): String = {
+    val ivfAssign =
+      s"""list_sort(list_transform(range(0, ${p.ivfK}), c -> struct_pack(
+         |  d := list_sum(list_transform(generate_series(1, $Dim),
+         |       j -> (icl[c + 1][j] - ve[j]) * (icl[c + 1][j] - ve[j]))),
+         |  cell := c)))""".stripMargin
+    val subCode = (m: Int) =>
+      s"""list_sort(list_transform(range(0, $PqK), c -> struct_pack(
+         |  d := list_sum(list_transform(generate_series(1, $PqSub),
+         |       j -> (pcl[c + 1][${m * PqSub} + j] - ve[${m * PqSub} + j])
+         |          * (pcl[c + 1][${m * PqSub} + j] - ve[${m * PqSub} + j]))),
+         |  cell := c)))[1].cell AS code$m""".stripMargin
+    val lutCols = (0 until PqM).map(m =>
+      s"""list_transform(range(0, $PqK), c ->
+         |  list_sum(list_transform(generate_series(1, $PqSub),
+         |    j -> (pcl[c + 1][${m * PqSub} + j] - qve[${m * PqSub} + j])
+         |       * (pcl[c + 1][${m * PqSub} + j] - qve[${m * PqSub} + j]))))
+         |  AS lut$m""".stripMargin).mkString(",\n")
+    val distTerms = (0 until PqM)
+      .map(m => s"l.lut$m[a.code$m + 1]").mkString(" + ")
+    s"""WITH $duckNormedCte,
+       |icents AS (
+       |  SELECT list(ve ORDER BY vec_id) AS icl FROM n
+       |  WHERE vec_id BETWEEN 100 AND ${100 + p.ivfK - 1}),
+       |pcents AS (
+       |  SELECT list(ve ORDER BY vec_id) AS pcl FROM n
+       |  WHERE vec_id BETWEEN $PqSampleBase AND ${PqSampleBase + PqK - 1}),
+       |corpus AS (
+       |  SELECT vec_id, ($ivfAssign)[1].cell AS cell,
+       |${(0 until PqM).map(subCode).mkString(",\n")}
+       |  FROM n, icents, pcents),
+       |probes AS (
+       |  SELECT vec_id AS query_id,
+       |    unnest(list_transform(($ivfAssign)[1:${p.ivfProbe}],
+       |           s2 -> s2.cell)) AS cell
+       |  FROM n, icents WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT vec_id AS query_id,
+       |$lutCols
+       |  FROM (SELECT vec_id, ve AS qve FROM n WHERE vec_id < 10), pcents),
+       |scored AS (
+       |  SELECT p2.query_id, a.vec_id AS neighbor_id,
+       |    $distTerms AS adc_dist
+       |  FROM probes p2
+       |  JOIN corpus a ON a.cell = p2.cell
+       |  JOIN lut l ON l.query_id = p2.query_id
+       |  WHERE a.vec_id <> p2.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, round(adc_dist, 4) AS adc_dist
+       |FROM ranked WHERE rn <= $TopK""".stripMargin
+  }
+
   /** DuckDB oracle for [[knnLsh]], generated from the same params. */
   def lshOracleSql(p: AnnParams): String = {
     val probeList = (0 until p.numPlanes)
@@ -526,12 +639,14 @@ object Similarity {
              round(max(col("nrm")), 6).as("max_norm"))),
 
     "q64_pq_encode" -> ((s, dir) => pqEncode(s, dir)),
-    "q64b_pq_adc_knn" -> ((s, dir) => pqAdcTopK(s, dir))
+    "q64b_pq_adc_knn" -> ((s, dir) => pqAdcTopK(s, dir)),
+    "q65_ivfpq_knn" -> ((s, dir) => ivfPqTopK(s, dir, AnnParams.Default))
   )
 
   val oracleSql: Map[String, String] = Map(
     "q64_pq_encode" -> pqOracleSql,
     "q64b_pq_adc_knn" -> pqAdcOracleSql,
+    "q65_ivfpq_knn" -> ivfPqOracleSql(AnnParams.Default),
     "q36_knn_brute" ->
       s"""WITH $duckNormedCte,
          |scored AS (

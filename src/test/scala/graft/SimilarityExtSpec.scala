@@ -134,4 +134,22 @@ class SimilarityExtSpec extends AnyFunSuite {
     assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("IVF+PQ: probing dominance — cell-restricted top-k never beats full ADC") {
+    def ranked(q: String): Map[Long, Seq[Double]] =
+      Similarity.queries(q)(spark, TestSpark.sfDir).collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val full = ranked("q64b_pq_adc_knn")     // ADC over the whole corpus
+    val probed = ranked("q65_ivfpq_knn")     // ADC over probed cells only
+    assert(probed.keySet == full.keySet)
+    probed.foreach { case (q, ds) =>
+      assert(ds.length == 5, s"query $q returned ${ds.length} rows")
+      // restricting candidates to nprobe cells can only keep or worsen
+      // each rank's distance (same scoring function, subset of corpus)
+      ds.zip(full(q)).zipWithIndex.foreach { case ((p, f), i) =>
+        assert(p >= f - 1e-9, s"query $q rank $i: probed $p < full $f")
+      }
+    }
+  }
 }
