@@ -168,6 +168,33 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
                   .location.toString),
                 "metadata" -> Json.obj("format-version" -> "2")))
           }
+        case ("POST", tableRe(ns, t)) =>
+          // UpdateTableRequest slice: an "add-schema" update carries
+          // the FULL new schema; columns not in the current schema
+          // become ALTER TABLE ADD COLUMN through the engine (added
+          // columns are nullable — existing rows cannot satisfy a new
+          // NOT NULL). Other update actions are acknowledged untouched.
+          val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(ns))
+          if (!catalog.tableExists(ident))
+            (404, Json.obj("error" -> Json.str(s"table $ns.$t not found")))
+          else {
+            val b = body
+            if (b.contains("add-schema")) {
+              require(ns.matches("\\w+") && t.matches("\\w+"),
+                s"invalid identifier: $ns.$t")
+              val current = catalog.getTableMetadata(ident)
+                .schema.fieldNames.map(_.toLowerCase).toSet
+              val added = parseFields(b)
+                .filterNot { case (n, _, _) => current.contains(n.toLowerCase) }
+              added.foreach { case (n2, ty, _) =>
+                engine.execute(s"ALTER TABLE $ns.$t ADD COLUMN $n2 $ty")
+              }
+            }
+            (200, Json.obj(
+              "metadata-location" -> Json.str(catalog.getTableMetadata(ident)
+                .location.toString),
+              "metadata" -> Json.obj("format-version" -> "2")))
+          }
         case ("DELETE", tableRe(ns, t)) =>
           val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(ns))
           if (!catalog.tableExists(ident))

@@ -129,6 +129,19 @@ class HttpApiSpec extends AnyFunSuite {
         |"destination":{"namespace":["restw"],"name":"t2"}}""".stripMargin)._1 == 204)
     assert(get("/v1/namespaces/restw/tables/t2")._1 == 200)
     assert(get("/v1/namespaces/restw/tables/t1")._1 == 404)
+    // commit endpoint: add-schema update evolves the table via ALTER
+    val (uc, _) = post("/v1/namespaces/restw/tables/t2",
+      """{"requirements":[],"updates":[{"action":"add-schema","schema":
+        |{"type":"struct","fields":[
+        |{"id":1,"name":"id","required":true,"type":"int64"},
+        |{"id":2,"name":"v","required":false,"type":"string"},
+        |{"id":3,"name":"score","required":false,"type":"float64"}]}}]}"""
+        .stripMargin)
+    assert(uc == 200)
+    val (_, evolved) = get("/v1/namespaces/restw/tables/t2")
+    assert(evolved.contains(""""name":"score""""))
+    assert(post("/query",
+      """{"query":"SELECT id, v, score FROM restw.t2"}""")._1 == 200)
     // drop table then namespace; both 404 afterwards
     assert(delete("/v1/namespaces/restw/tables/t2") == 204)
     assert(delete("/v1/namespaces/restw/tables/t2") == 404)
