@@ -640,13 +640,18 @@ object Similarity {
 
     "q64_pq_encode" -> ((s, dir) => pqEncode(s, dir)),
     "q64b_pq_adc_knn" -> ((s, dir) => pqAdcTopK(s, dir)),
-    "q65_ivfpq_knn" -> ((s, dir) => ivfPqTopK(s, dir, AnnParams.Default))
+    "q65_ivfpq_knn" -> ((s, dir) => ivfPqTopK(s, dir, AnnParams.Default)),
+    // second operating point (narrower probe) — the parameterization
+    // carries its generated oracle, as with q37b/q41b/q33b
+    "q65b_ivfpq_p2" -> ((s, dir) =>
+      ivfPqTopK(s, dir, AnnParams(ivfProbe = 2)))
   )
 
   val oracleSql: Map[String, String] = Map(
     "q64_pq_encode" -> pqOracleSql,
     "q64b_pq_adc_knn" -> pqAdcOracleSql,
     "q65_ivfpq_knn" -> ivfPqOracleSql(AnnParams.Default),
+    "q65b_ivfpq_p2" -> ivfPqOracleSql(AnnParams(ivfProbe = 2)),
     "q36_knn_brute" ->
       s"""WITH $duckNormedCte,
          |scored AS (

@@ -61,6 +61,16 @@ final class AsthaScheduler(spark: SparkSession,
 
   private val components = new ConcurrentHashMap[String, State]()
   @volatile private var exec: Option[ScheduledExecutorService] = None
+  // event_store.go GetProcessedCount / GetEventCount parity
+  private val processedCount = new java.util.concurrent.atomic.AtomicLong
+  private val cleanedCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Events delivered successfully across all components, and events
+    * removed by cleanup — the reference EventStore's counters. */
+  def stats: Map[String, Long] = Map(
+    "processed" -> processedCount.get,
+    "cleaned" -> cleanedCount.get,
+    "components" -> components.size.toLong)
 
   /** scheduler.go RegisterComponent — validation mirrored: empty name,
     * empty subscriptions, and nil instance are errors. */
@@ -123,7 +133,7 @@ final class AsthaScheduler(spark: SparkSession,
     comps.foreach(healthCheck)
     // cleanup: every event all subscribers have passed is done
     val floor = comps.map(_.cursor).min
-    if (floor > 0) Changefeed.cleanup(spark, floor)
+    if (floor > 0) cleanedCount.addAndGet(Changefeed.cleanup(spark, floor).toLong)
   }
 
   private def deliverTo(st: State, all: Seq[Changefeed.CdcEvent]): Unit = {
@@ -149,6 +159,7 @@ final class AsthaScheduler(spark: SparkSession,
           st.cursor = e.id
           st.status = "active"
           st.lastSeenMs = System.currentTimeMillis()
+          processedCount.incrementAndGet()
         } catch {
           case ex: Exception =>
             st.status = "error"

@@ -77,6 +77,11 @@ class ChangefeedSpec extends AnyFunSuite with Matchers {
     // ("immediate cleanup for processed events", astha/README.md)
     sched.tick()
     Changefeed.events(spark, 0, 100) shouldBe empty
+    // EventStore-style counters (event_store.go GetProcessedCount):
+    // file-watcher processed 2, schema-cache 1; 3 events cleaned
+    sched.stats("processed") shouldBe 3L
+    sched.stats("cleaned") shouldBe 3L
+    sched.stats("components") shouldBe 2L
     engine.execute("DROP TABLE cdc.s")
     sched.tick() // drain the DROP event too
   }
