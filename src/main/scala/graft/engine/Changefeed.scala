@@ -49,22 +49,57 @@ object Changefeed {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  // one id sequence per warehouse; initialized from the log's max id
-  // so a restarted server continues the sequence (the reference gets
-  // this from SQLite AUTOINCREMENT)
+  // one id sequence per warehouse; initialized from max(log max id,
+  // durable _seq high-water mark) so a restarted server continues the
+  // sequence even after cleanup emptied the log (the reference gets
+  // this from SQLite AUTOINCREMENT, which never reuses ids). Without
+  // the _seq file, a restart after cleanup would re-derive the
+  // sequence below previously-issued ids, and reused evt-N.json names
+  // would be silently skipped by the streaming file source and by any
+  // consumer persisting a sinceId cursor.
   private val sequences = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   private def nextId(spark: SparkSession, fs: FileSystem, d: Path): Long =
     sequences.computeIfAbsent(d.toString, _ => {
-      val max =
-        if (!fs.exists(d)) 0L
-        else fs.listStatus(d).iterator.map(_.getPath.getName)
-          .collect { case EventFileRe(id) => id.toLong }
-          .foldLeft(0L)(math.max)
-      new java.util.concurrent.atomic.AtomicLong(max)
+      new java.util.concurrent.atomic.AtomicLong(
+        math.max(logMaxId(fs, d), readSeq(fs, d)))
     }).incrementAndGet()
 
+  /** Drop the in-memory sequence cache — specs use this to simulate a
+    * process restart (the next emit re-derives the sequence from the
+    * log + the durable _seq high-water mark). */
+  private[graft] def resetSequences(): Unit = sequences.clear()
+
   private val EventFileRe = """evt-(\d+)\.json""".r
+  private val SeqFileName = "_seq"
+
+  private def logMaxId(fs: FileSystem, d: Path): Long =
+    if (!fs.exists(d)) 0L
+    else fs.listStatus(d).iterator.map(_.getPath.getName)
+      .collect { case EventFileRe(id) => id.toLong }
+      .foldLeft(0L)(math.max)
+
+  private def readSeq(fs: FileSystem, d: Path): Long = {
+    val p = new Path(d, SeqFileName)
+    if (!fs.exists(p)) 0L
+    else try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)), "UTF-8")
+      .trim.toLong
+    catch { case _: Exception => 0L }
+  }
+
+  /** Persist the high-water mark if `id` advances it (atomic
+    * temp+rename; monotonic — never written backwards). Called before
+    * cleanup deletes files so issued ids stay durable across restarts. */
+  private def advanceSeq(fs: FileSystem, d: Path, id: Long): Unit = {
+    if (id <= readSeq(fs, d)) return
+    val tmp = new Path(d, s".$SeqFileName.tmp")
+    val out = fs.create(tmp, true)
+    out.write(id.toString.getBytes("UTF-8"))
+    out.close()
+    fs.delete(new Path(d, SeqFileName), false)
+    fs.rename(tmp, new Path(d, SeqFileName))
+  }
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -155,29 +190,82 @@ object Changefeed {
       }
   }
 
-  /** Highest id currently in the log (0 when empty). */
+  /** Highest id ever issued (0 when none): max of the surviving log
+    * and the durable _seq high-water mark. */
   def maxId(spark: SparkSession): Long = {
     val d = dir(spark)
     val fs = fsOf(spark, d)
     if (!fs.exists(d)) return 0L
-    fs.listStatus(d).iterator.map(_.getPath.getName)
-      .collect { case EventFileRe(id) => id.toLong }
-      .foldLeft(0L)(math.max)
+    math.max(logMaxId(fs, d), readSeq(fs, d))
+  }
+
+  /** One (id, path) entry per event file, oldest first — ONE directory
+    * listing the caller can slice per consumer ([[graft.streaming.AsthaScheduler]]
+    * reads it once per round and serves every component's window from
+    * it). */
+  def index(spark: SparkSession): Seq[(Long, Path)] = {
+    val d = dir(spark)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).iterator.flatMap(st => st.getPath.getName match {
+      case EventFileRe(id) => Some((id.toLong, st.getPath))
+      case _ => None
+    }).toSeq.sortBy(_._1)
+  }
+
+  /** Read + parse one event file from [[index]]. */
+  def read(spark: SparkSession, p: Path): Option[CdcEvent] = {
+    val fs = fsOf(spark, p)
+    val txt = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)), "UTF-8")
+    parse(txt)
   }
 
   /** Delete events with id <= upToId — the scheduler's "immediate
-    * cleanup for processed events" (astha/README.md). */
+    * cleanup for processed events" (astha/README.md). The high-water
+    * mark is persisted BEFORE any file is deleted, so ids are never
+    * reissued after a restart. */
   def cleanup(spark: SparkSession, upToId: Long): Int = {
     val d = dir(spark)
     val fs = fsOf(spark, d)
     if (!fs.exists(d)) return 0
     val doomed = fs.listStatus(d).iterator.flatMap(st =>
       st.getPath.getName match {
-        case EventFileRe(id) if id.toLong <= upToId => Some(st.getPath)
+        case EventFileRe(id) if id.toLong <= upToId => Some((id.toLong, st.getPath))
         case _ => None
       }).toSeq
-    doomed.foreach(p => fs.delete(p, false))
+    if (doomed.isEmpty) return 0
+    advanceSeq(fs, d, doomed.map(_._1).max)
+    doomed.foreach { case (_, p) => fs.delete(p, false) }
     doomed.length
+  }
+
+  /** Retention sweep independent of subscriber progress: keep at most
+    * `maxEvents` events and nothing older than `maxAgeMs` (either
+    * bound <= 0 disables it). A long-running server with no (or a
+    * stalled) scheduler would otherwise grow `.graft-cdc/` without
+    * bound and `system.cdc_log` would slow down forever —
+    * [[graft.server.GraftServer]] runs this on a timer. Returns the
+    * number of events removed. */
+  def retain(spark: SparkSession, maxEvents: Int, maxAgeMs: Long): Int = {
+    val d = dir(spark)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) return 0
+    val entries = fs.listStatus(d).iterator.flatMap(st =>
+      st.getPath.getName match {
+        case EventFileRe(id) => Some((id.toLong, st.getModificationTime))
+        case _ => None
+      }).toSeq.sortBy(_._1)
+    val now = System.currentTimeMillis()
+    val byCount =
+      if (maxEvents > 0 && entries.length > maxEvents)
+        entries(entries.length - maxEvents - 1)._1 else 0L
+    val byAge =
+      if (maxAgeMs > 0)
+        entries.filter(_._2 < now - maxAgeMs).map(_._1).foldLeft(0L)(math.max)
+      else 0L
+    val floor = math.max(byCount, byAge)
+    if (floor <= 0) 0 else cleanup(spark, floor)
   }
 
   val schema: StructType = StructType(Seq(

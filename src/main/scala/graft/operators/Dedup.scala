@@ -265,8 +265,14 @@ object Dedup {
   /** Min-label connected components over an undirected pair list
     * (columns: two numeric ids). Returns (node, label) with label =
     * the component's minimum id. Factored from the dedup pipeline so
-    * the algorithm is testable on arbitrary graphs. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * the algorithm is testable on arbitrary graphs.
+    *
+    * `maxRounds` is a convergence bound: pointer jumping needs
+    * ~log2(diameter) rounds, so the default 16 covers diameters up to
+    * ~65k. If the loop exits with labels still changing (adversarially
+    * deep graphs), the result would be non-minimal — that is an ERROR,
+    * not a silent degradation: raise `maxRounds` for such graphs. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
     val (c1, c2) = (pairs.columns(0), pairs.columns(1))
     // localCheckpoint (not cache) everywhere in the loop: each round's
     // self-join would otherwise DOUBLE the logical plan, and Catalyst
@@ -281,7 +287,7 @@ object Dedup {
       .withColumn("label", col("node")).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 16) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
@@ -301,6 +307,11 @@ object Dedup {
       labels = jumped
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          s"($changed labels still changing) — labels would be non-minimal; " +
+          "pass a larger maxRounds (rounds grow with log2 of component diameter)")
     labels
   }
 

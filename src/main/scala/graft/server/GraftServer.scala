@@ -70,9 +70,32 @@ object GraftServer {
     val http = new HttpApi(engine, 2847, auth).start()
     val pg = new PgWireServer(engine, 2848, auth = auth); pg.start()
     val native = new NativeServer(engine, 2849, auth = auth); native.start()
+    // CDC retention: with no AsthaScheduler consuming (subscriber
+    // cleanup is cursor-driven), a long-running server would grow
+    // .graft-cdc/ without bound and system.cdc_log would slow down
+    // forever — sweep on a timer independent of subscriber progress
+    val retention = {
+      def confL(k: String, dflt: Long) =
+        spark.conf.getOption(k).map(_.toLong).getOrElse(dflt)
+      val maxEvents = confL("spark.graft.cdc.retention.maxEvents", 10000L).toInt
+      val maxAgeMs = confL("spark.graft.cdc.retention.maxAgeMs", 24L * 3600 * 1000)
+      val intervalMs = confL("spark.graft.cdc.retention.intervalMs", 60000L)
+      val e = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-cdc-retention"); t.setDaemon(true); t
+      })
+      e.scheduleWithFixedDelay(() => {
+        try graft.engine.Changefeed.retain(spark, maxEvents, maxAgeMs)
+        catch { case ex: Exception =>
+          System.err.println(s"[cdc-retention] sweep failed: ${ex.getMessage}")
+        }
+      }, intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      e
+    }
     println("graft-server listening: http=2847 pgwire=2848 native=2849" +
       (if (auth.isDefined) " (auth enabled)" else ""))
-    sys.addShutdownHook { native.stop(); pg.stop(); http.stop(); spark.stop() }
+    sys.addShutdownHook {
+      retention.shutdown(); native.stop(); pg.stop(); http.stop(); spark.stop()
+    }
     Thread.currentThread().join() // serve until killed
   }
 }

@@ -121,6 +121,18 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
     }
   }
 
+  /** Field names/types from request JSON are interpolated into engine
+    * SQL — reject anything outside \w+ names and parseable Iceberg
+    * types (the charset check additionally bans quotes/backticks/
+    * semicolons that a hostile type string could smuggle past the
+    * dialect parser). */
+  private def validateFields(fs: Seq[(String, String, Boolean)]): Unit =
+    fs.foreach { case (n, ty, _) =>
+      require(n.matches("\\w+"), s"invalid column name: $n")
+      require(ty.matches("[A-Za-z0-9_<>(),: ]+"), s"invalid type: $ty")
+      graft.types.IcebergTypes.parse(ty) // throws TypeError on non-Iceberg types
+    }
+
   server.createContext("/v1", handler { ex =>
     if (!authorized(ex)) (401, """{"error":"authentication required"}""")
     else {
@@ -159,6 +171,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
             case (Some(t), fs) =>
               require(ns.matches("\\w+") && t.matches("\\w+"),
                 s"invalid identifier: $ns.$t")
+              validateFields(fs)
               val cols = fs.map { case (n, ty, req) =>
                 s"$n $ty${if (req) " NOT NULL" else ""}" }.mkString(", ")
               engine.execute(s"CREATE TABLE $ns.$t ($cols) STORAGE FILESYSTEM")
@@ -186,6 +199,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
                 .schema.fieldNames.map(_.toLowerCase).toSet
               val added = parseFields(b)
                 .filterNot { case (n, _, _) => current.contains(n.toLowerCase) }
+              validateFields(added)
               added.foreach { case (n2, ty, _) =>
                 engine.execute(s"ALTER TABLE $ns.$t ADD COLUMN $n2 $ty")
               }
@@ -214,6 +228,8 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
           } yield n
           (src, dst) match {
             case (Some((ns, from)), Some(to)) =>
+              require(ns.matches("\\w+") && from.matches("\\w+") && to.matches("\\w+"),
+                s"invalid identifier in rename: $ns.$from -> $to")
               engine.execute(s"ALTER TABLE `$ns`.`$from` RENAME TO `$ns`.`$to`")
               (204, "")
             case _ => (400, """{"error":"missing source/destination"}""")

@@ -47,7 +47,8 @@ object Astha {
 
 final class AsthaScheduler(spark: SparkSession,
                            pollIntervalMs: Long = 100L,
-                           batchSize: Int = 256) {
+                           batchSize: Int = 256,
+                           quarantineAfter: Int = 5) {
   import Astha._
 
   private final class State(val info: ComponentInfo, val instance: Subscriber) {
@@ -57,6 +58,8 @@ final class AsthaScheduler(spark: SparkSession,
     // distributes events stored while the component is subscribed)
     @volatile var cursor: Long = 0L
     @volatile var wasError: Boolean = false
+    @volatile var consecutiveFailures: Int = 0
+    @volatile var quarantinedAtRound: Long = -1L
   }
 
   private val components = new ConcurrentHashMap[String, State]()
@@ -120,20 +123,47 @@ final class AsthaScheduler(spark: SparkSession,
     exec = None
   }
 
+  private var round = 0L
+
   /** One distribution round (also callable directly — specs drive the
     * scheduler deterministically without sleeping on the poll timer).
-    * The log is listed ONCE per round from the minimum cursor; each
-    * component consumes its slice of that one read. */
+    * The log is listed ONCE per round; each component gets its OWN
+    * batchSize window of that index (a slow component's window no
+    * longer caps how far fast components can read — the round-4 tick
+    * fetched one batch from the MINIMUM cursor, so one stuck
+    * subscriber starved every other). Each event file is read at most
+    * once per round regardless of how many components consume it.
+    *
+    * Quarantine: `quarantineAfter` consecutive delivery failures mark
+    * a component "quarantined" — it stops receiving events and stops
+    * pinning the cleanup floor. On a later healthy probe it is
+    * recovered through onRefresh (full registry re-sync, the
+    * reference's recovery path) and resumes from the live head; the
+    * events it failed on may have been cleaned and are NOT redelivered. */
   def tick(): Unit = {
+    round += 1
     val comps = components.values().asScala.toSeq
     if (comps.isEmpty) return
-    val from = comps.map(_.cursor).min
-    val events = Changefeed.events(spark, from, batchSize)
-    comps.foreach(deliverTo(_, events))
+    val live = comps.filter(_.quarantinedAtRound < 0)
+    if (live.nonEmpty) {
+      val index = Changefeed.index(spark)
+      val cache = scala.collection.mutable.Map.empty[Long, Option[Changefeed.CdcEvent]]
+      live.foreach { st =>
+        val slice = index.iterator.filter(_._1 > st.cursor).take(batchSize)
+          .flatMap { case (id, p) =>
+            cache.getOrElseUpdate(id, Changefeed.read(spark, p))
+          }.toSeq
+        deliverTo(st, slice)
+      }
+    }
     comps.foreach(healthCheck)
-    // cleanup: every event all subscribers have passed is done
-    val floor = comps.map(_.cursor).min
-    if (floor > 0) cleanedCount.addAndGet(Changefeed.cleanup(spark, floor).toLong)
+    // cleanup: every event all live subscribers have passed is done;
+    // quarantined components do not hold the floor
+    val holders = components.values().asScala.filter(_.quarantinedAtRound < 0)
+    if (holders.nonEmpty) {
+      val floor = holders.map(_.cursor).min
+      if (floor > 0) cleanedCount.addAndGet(Changefeed.cleanup(spark, floor).toLong)
+    }
   }
 
   private def deliverTo(st: State, all: Seq[Changefeed.CdcEvent]): Unit = {
@@ -158,13 +188,21 @@ final class AsthaScheduler(spark: SparkSession,
           st.instance.onEvent(e)
           st.cursor = e.id
           st.status = "active"
+          st.consecutiveFailures = 0
           st.lastSeenMs = System.currentTimeMillis()
           processedCount.incrementAndGet()
         } catch {
           case ex: Exception =>
             st.status = "error"
             st.wasError = true
-            System.err.println(
+            st.consecutiveFailures += 1
+            if (st.consecutiveFailures >= quarantineAfter) {
+              st.status = "quarantined"
+              st.quarantinedAtRound = round
+              System.err.println(
+                s"[astha] ${st.info.name} quarantined after " +
+                  s"${st.consecutiveFailures} consecutive failures on event ${e.id}")
+            } else System.err.println(
               s"[astha] ${st.info.name} failed on event ${e.id}: ${ex.getMessage}")
             return // stop the batch; redeliver from cursor next round
         }
@@ -175,8 +213,24 @@ final class AsthaScheduler(spark: SparkSession,
   private def healthCheck(st: State): Unit =
     try {
       if (st.instance.onHealth()) {
-        if (st.status != "error") st.status = "active"
         st.lastSeenMs = System.currentTimeMillis()
-      } else st.status = "unhealthy"
-    } catch { case _: Exception => st.status = "unhealthy" }
+        if (st.quarantinedAtRound >= 0 && round > st.quarantinedAtRound) {
+          // recovery: healthy again on a LATER round — re-sync via
+          // onRefresh and resume from the live head (missed events may
+          // already be cleaned; the refresh covers them)
+          try {
+            st.instance.onRefresh()
+            st.cursor = math.max(st.cursor, Changefeed.maxId(spark))
+            st.quarantinedAtRound = -1L
+            st.consecutiveFailures = 0
+            st.wasError = false
+            st.status = "active"
+          } catch { case _: Exception => () } // stay quarantined
+        } else if (st.status != "error" && st.status != "quarantined")
+          st.status = "active"
+      } else if (st.status != "quarantined") st.status = "unhealthy"
+    } catch {
+      case _: Exception =>
+        if (st.status != "quarantined") st.status = "unhealthy"
+    }
 }

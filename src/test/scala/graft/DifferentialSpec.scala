@@ -206,4 +206,19 @@ class DifferentialSpec extends AnyFunSuite {
       assert(got == want, s"CC mismatch on edges $edges:\n got  $got\n want $want")
     }
   }
+
+  test("connectedComponents raises on non-convergence instead of returning non-minimal labels") {
+    import spark.implicits._
+    // a 12-node chain cannot converge in one round; the old code
+    // returned silently with labels still changing
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(chain.toDF("a", "b"), maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // the default bound converges and labels the whole chain with 0
+    val ok = graft.operators.Dedup.connectedComponents(chain.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 12)
+  }
 }

@@ -149,6 +149,63 @@ class HttpApiSpec extends AnyFunSuite {
     assert(get("/v1/namespaces/restw")._1 == 404)
   }
 
+  test("REST write slice rejects SQL-fragment smuggling in names and types") {
+    assert(post("/v1/namespaces", """{"namespace":["restv"]}""")._1 == 200)
+    // hostile column NAME must not reach the engine's SQL
+    val (c1, b1) = post("/v1/namespaces/restv/tables",
+      """{"name":"inj1","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"a string, b","required":false,"type":"string"}]}}"""
+        .stripMargin)
+    assert(c1 == 500 && b1.contains("invalid column name"), s"$c1 $b1")
+    assert(get("/v1/namespaces/restv/tables/inj1")._1 == 404)
+    // hostile TYPE: quote breakout fails the charset check; a
+    // paren-smuggled fragment ("string) PARTITION BY (a") passes the
+    // charset but fails the Iceberg parse whitelist
+    val (c2, b2) = post("/v1/namespaces/restv/tables",
+      """{"name":"inj2","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"a","required":false,"type":"string') PARTITION BY (a"}]}}"""
+        .stripMargin)
+    assert(c2 == 500 && b2.contains("invalid type"), s"$c2 $b2")
+    val (c2b, b2b) = post("/v1/namespaces/restv/tables",
+      """{"name":"inj2","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"a","required":false,"type":"string) PARTITION BY (a"}]}}"""
+        .stripMargin)
+    assert(c2b == 500 && b2b.contains("unsupported type"), s"$c2b $b2b")
+    assert(get("/v1/namespaces/restv/tables/inj2")._1 == 404)
+    // non-Iceberg but charset-clean type fails the parse whitelist
+    val (c3, b3) = post("/v1/namespaces/restv/tables",
+      """{"name":"inj3","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"a","required":false,"type":"varchar(99)"}]}}"""
+        .stripMargin)
+    assert(c3 == 500 && b3.contains("unsupported type"), s"$c3 $b3")
+    // add-schema path gets the same validation
+    assert(post("/v1/namespaces/restv/tables",
+      """{"name":"ok","schema":{"type":"struct","fields":[
+        |{"id":1,"name":"a","required":false,"type":"string"}]}}"""
+        .stripMargin)._1 == 200)
+    val (c4, b4) = post("/v1/namespaces/restv/tables/ok",
+      """{"requirements":[],"updates":[{"action":"add-schema","schema":
+        |{"type":"struct","fields":[
+        |{"id":1,"name":"a","required":false,"type":"string"},
+        |{"id":2,"name":"b` string; DROP TABLE restv.ok; --","required":false,"type":"string"}]}}]}"""
+        .stripMargin)
+    assert(c4 == 500 && b4.contains("invalid column name"), s"$c4 $b4")
+    // rename rejects identifiers that could break out of backtick quoting
+    val (c5, b5) = post("/v1/tables/rename",
+      """{"source":{"namespace":["restv"],"name":"ok"},
+        |"destination":{"namespace":["restv"],"name":"x` (id int64); --"}}"""
+        .stripMargin)
+    assert(c5 == 500 && b5.contains("invalid identifier"), s"$c5 $b5")
+    assert(get("/v1/namespaces/restv/tables/ok")._1 == 200) // unharmed
+    val delete = (path: String) => {
+      val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${api.boundPort}$path")).DELETE().build()
+      client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+    }
+    assert(delete("/v1/namespaces/restv/tables/ok") == 204)
+    assert(delete("/v1/namespaces/restv") == 204)
+  }
+
   test("bearer-token auth gates /query and /cancel; /health stays open") {
     val secured = new HttpApi(engine,
       auth = Some(new graft.server.SimpleAuthProvider(
