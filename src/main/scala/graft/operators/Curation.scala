@@ -49,6 +49,15 @@ object Curation {
   /** Per-source token budget for q63's mixture cut. */
   private val TokenBudgetPerSource = 600
 
+  /** Training-sequence length (tokens) for q66's packing stats. */
+  private val SeqLen = 512
+
+  /** Segment width (tokens) and document-frequency threshold for
+    * q67's boilerplate removal — segments whose exact text appears in
+    * >= this many distinct docs are boilerplate. */
+  private val SegTokens = 3
+  private val BoilerplateDf = 2
+
   /** Shared quality gate (q28's keep rule). */
   private def qualityKeep: Column = {
     val toks = Text.tokens(col("text"))
@@ -137,6 +146,101 @@ object Curation {
         .where(col("cum") <= TokenBudgetPerSource)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("tk")).as("tokens_kept"))
+    }),
+
+    "q66_sequence_packing" -> ((s, dir) => {
+      // sequence packing: concatenate each source's docs in
+      // content-hash order and chunk into SeqLen-token training
+      // sequences (the GPT-style pack-then-split). Reports per source
+      // the full sequences produced, the wasted tail, and how many
+      // docs straddle a sequence boundary (the stat that decides
+      // whether you need attention masking across doc joins).
+      // Window is per-source — partition-parallel across domains, the
+      // same scale shape as q63; no global ordering anywhere.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .withColumn("tk", size(Text.tokens(col("text"))))
+        .withColumn("cum", sum(col("tk")).over(w))
+        .withColumn("st", col("cum") - col("tk"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tk")).as("total_tokens"),
+          sum(when(col("tk") > 0 &&
+                   expr(s"st div $SeqLen") =!= expr(s"(cum - 1) div $SeqLen"),
+              1).otherwise(0)).as("boundary_docs"))
+        .withColumn("n_sequences", expr(s"total_tokens div $SeqLen"))
+        .withColumn("tail_tokens", col("total_tokens") % SeqLen)
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+                col("n_sequences"), col("tail_tokens"), col("boundary_docs"))
+    }),
+
+    "q67_boilerplate_segments" -> ((s, dir) => {
+      // line/paragraph-level dedup (CCNet-style boilerplate removal),
+      // re-expressed over word-soup docs as fixed SegTokens-token
+      // segments at stride SegTokens: a segment whose exact text
+      // appears in >= BoilerplateDf distinct docs is boilerplate.
+      // Scale: segment doc-frequency is one partial-aggregated shuffle
+      // on the segment hash (O(corpus segments), never all-pairs); the
+      // boilerplate set joins back by segment key. Per doc: segment
+      // count, boilerplate instances, tokens surviving removal.
+      val base = docs(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("nseg", expr(s"size(toks) div $SegTokens"))
+      val segs = base.where(col("nseg") >= 1)
+        .select(col("doc_id"), size(col("toks")).as("tk"),
+          explode(expr(
+            s"""transform(sequence(0, nseg - 1),
+               |  i -> concat_ws(' ', slice(toks, i * $SegTokens + 1, $SegTokens)))"""
+              .stripMargin)).as("seg"))
+      val boiler = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= BoilerplateDf)
+        .select(col("seg"), lit(1).as("isb"))
+      segs.join(boiler, Seq("seg"), "left")
+        .groupBy(col("doc_id"), col("tk"))
+        .agg(count(lit(1)).as("n_segments"),
+             sum(coalesce(col("isb"), lit(0))).as("n_boilerplate"))
+        .select(col("doc_id"), col("n_segments"), col("n_boilerplate"),
+                (col("tk") - col("n_boilerplate") * SegTokens)
+                  .cast("long").as("tokens_after_removal"))
+    }),
+
+    "q69_importance_scores" -> ((s, dir) => {
+      // DSIR-style importance scoring: rank raw docs by how much their
+      // unigrams look like the target domain (lang='en' stands in for
+      // the curated target). The usual log-likelihood ratio is
+      // replaced by the integer cross-multiplication
+      //   weight(w) = ct(w) * total_raw - cr(w) * total_target
+      // (same sign and ordering per token as log(p_t/p_r) without
+      // smoothing-constant choices — and integer arithmetic is
+      // bit-identical across engines, where ln() is not). Doc score =
+      // sum of instance weights; top 20.
+      // Scale: vocab + corpus totals are tiny aggregates -> broadcast;
+      // the per-doc sum is one shuffle on doc_id; top-k collapses to
+      // TakeOrderedAndProject.
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+                explode(Text.tokens(col("text"))).as("w"))
+      val raw = toks.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      val tgt = toks.where(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val totals = toks.agg(
+        count(lit(1)).as("tr"),
+        sum(when(col("lang") === "en", 1).otherwise(0)).as("tt"))
+      val vocab = raw.join(tgt, Seq("w"), "left")
+        .na.fill(0, Seq("ct"))
+        .crossJoin(broadcast(totals))
+        .select(col("w"),
+                (col("ct") * col("tr") - col("cr") * col("tt")).as("wt"))
+      toks.join(broadcast(vocab.select(col("w"), col("wt"))), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wt")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
     }),
 
     "q56_curation_pipeline" -> ((s, dir) => {
@@ -229,6 +333,64 @@ object Curation {
          |SELECT source, count(*) AS n_kept,
          |  CAST(sum(tk) AS BIGINT) AS tokens_kept
          |FROM c WHERE cum <= $TokenBudgetPerSource GROUP BY source""".stripMargin,
+
+    "q66_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, md5(text) AS h,
+         |    len(string_split(text, ' ')) AS tk
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, tk,
+         |    sum(tk) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS total_tokens,
+         |  CAST(sum(tk) AS BIGINT) // $SeqLen AS n_sequences,
+         |  CAST(sum(tk) AS BIGINT) % $SeqLen AS tail_tokens,
+         |  CAST(sum(CASE WHEN tk > 0 AND (cum - tk) // $SeqLen <> (cum - 1) // $SeqLen
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
+         |FROM c GROUP BY source""".stripMargin,
+
+    "q67_boilerplate_segments" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |segr AS (
+         |  SELECT doc_id, len(toks) AS tk,
+         |    unnest(list_transform(generate_series(0, len(toks) // $SegTokens - 1),
+         |      i -> array_to_string(toks[(i * $SegTokens + 1):(i * $SegTokens + $SegTokens)], ' ')))
+         |      AS seg
+         |  FROM t WHERE len(toks) >= $SegTokens),
+         |boiler AS (
+         |  SELECT seg FROM segr GROUP BY seg
+         |  HAVING count(DISTINCT doc_id) >= $BoilerplateDf)
+         |SELECT s.doc_id, count(*) AS n_segments,
+         |  CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boilerplate,
+         |  CAST(any_value(s.tk)
+         |    - sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) * $SegTokens
+         |    AS BIGINT) AS tokens_after_removal
+         |FROM segr s LEFT JOIN boiler b ON s.seg = b.seg
+         |GROUP BY s.doc_id""".stripMargin,
+
+    "q69_importance_scores" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |raw AS (SELECT w, count(*) AS cr FROM tok GROUP BY w),
+        |tgt AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY w),
+        |tot AS (
+        |  SELECT count(*) AS tr,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        |  FROM tok),
+        |vocab AS (
+        |  SELECT r.w, coalesce(t.ct, 0) * tot.tr - r.cr * tot.tt AS wt
+        |  FROM raw r LEFT JOIN tgt t ON r.w = t.w, tot)
+        |SELECT k.doc_id, CAST(sum(v.wt) AS BIGINT) AS score
+        |FROM tok k JOIN vocab v ON k.w = v.w
+        |GROUP BY k.doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "q56_curation_pipeline" ->
       """WITH q AS (

@@ -98,4 +98,95 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  // shared local corpus view for the differential tests below
+  private def localDocs(): Seq[(Long, String, String, String)] =
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("sequence packing matches an independent per-source recomputation") {
+    val rows = Curation.queries("q66_sequence_packing")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows.nonEmpty)
+    // chunk math invariants per source
+    rows.foreach { case (src, (nDocs, total, nSeq, tail, boundary)) =>
+      assert(nSeq * 512 + tail == total, s"$src chunk math")
+      assert(tail >= 0 && tail < 512)
+      assert(boundary <= math.min(nDocs, nSeq), s"$src boundary bound")
+    }
+    // independent recomputation: same ordering, scalar loop
+    val want = localDocs().groupBy(_._4).map { case (src, ds) =>
+      val ordered = ds.map { case (id, text, _, _) =>
+        (md5hex(text), id, text.split(" ", -1).length.toLong)
+      }.sortBy(t => (t._1, t._2))
+      var cum = 0L
+      var boundary = 0L
+      ordered.foreach { case (_, _, tk) =>
+        val st = cum; cum += tk
+        if (tk > 0 && st / 512 != (cum - 1) / 512) boundary += 1
+      }
+      src -> (ordered.length.toLong, cum, cum / 512, cum % 512, boundary)
+    }
+    assert(rows == want, s"packing mismatch:\n got  $rows\n want $want")
+  }
+
+  test("boilerplate segments match an independent recomputation") {
+    val got = Curation.queries("q67_boilerplate_segments")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = localDocs().map { case (id, text, _, _) =>
+      id -> text.split(" ", -1).toSeq
+    }
+    val segsByDoc = docs.map { case (id, toks) =>
+      id -> (0 until toks.length / 3)
+        .map(i => toks.slice(i * 3, i * 3 + 3).mkString(" "))
+    }.filter(_._2.nonEmpty)
+    val df = segsByDoc.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val boiler = df.filter(_._2 >= 2).keySet
+    val want = segsByDoc.map { case (id, ss) =>
+      val nb = ss.count(boiler)
+      val tk = docs.toMap.apply(id).length.toLong
+      id -> (ss.length.toLong, nb.toLong, tk - nb * 3)
+    }.toMap
+    assert(got == want,
+      s"boilerplate mismatch on ${got.keySet.diff(want.keySet)} / value diffs: " +
+        got.collect { case (k, v) if want.get(k).exists(_ != v) => (k, v, want(k)) }.take(3))
+    // the flagged set is non-trivial on this corpus (the test has teeth)
+    assert(want.values.map(_._2).sum > 0, "no boilerplate found — corpus too clean")
+  }
+
+  test("importance scores match an independent recomputation and favor the target") {
+    val got = Curation.queries("q69_importance_scores")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.length == 20)
+    val docs = localDocs()
+    val toks = docs.map { case (id, text, lang, _) =>
+      (id, lang, text.split(" ", -1).toSeq)
+    }
+    val cr = toks.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = toks.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tr = toks.map(_._3.length.toLong).sum
+    val tt = toks.filter(_._2 == "en").map(_._3.length.toLong).sum
+    val scores = toks.map { case (id, _, ws) =>
+      id -> ws.map(w => ct.getOrElse(w, 0L) * tr - cr(w) * tt).sum
+    }
+    val want = scores.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    assert(got == want, s"importance mismatch:\n got  $got\n want $want")
+    // the scorer should rank the target language to the top: en docs
+    // are over-represented in the top 20 vs the corpus share
+    val enTop = docs.filter(d => got.map(_._1).contains(d._1)).count(_._3 == "en")
+    val enShare = docs.count(_._3 == "en").toDouble / docs.length
+    assert(enTop.toDouble / 20 > enShare,
+      s"top-20 en share ${enTop / 20.0} not above corpus share $enShare")
+  }
 }

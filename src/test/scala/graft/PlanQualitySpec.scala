@@ -160,6 +160,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!rs63.contains("lang"), s"q63 reads unneeded columns: $rs63")
   }
 
+  test("round-5 pipeline plans: packing windows once, importance broadcasts vocab, semdedup never all-pairs") {
+    import graft.operators.{Curation, Similarity}
+    // q66: the per-source window is the only partitioning the query
+    // needs; the per-source agg must reuse it (one hash exchange, as
+    // q63 — the global-ordering formulation would be a scale killer)
+    val p66 = Curation.queries("q66_sequence_packing")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p66.contains("Window"), s"q66 lost its window:\n$p66")
+    assert("Exchange hashpartitioning".r.findAllIn(p66).size <= 2,
+      s"q66 shuffles too much:\n$p66")
+    val rs66 = p66.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs66.contains("lang") && !rs66.contains("n_chars"),
+      s"q66 reads unneeded columns: $rs66")
+    // q67: segment frequency is a hash aggregation, never a cartesian;
+    // only doc_id + text leave the scan
+    val p67 = Curation.queries("q67_boilerplate_segments")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p67.contains("CartesianProduct"), s"q67 went all-pairs:\n$p67")
+    val rs67 = p67.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs67.contains("lang") && !rs67.contains("source"),
+      s"q67 reads unneeded columns: $rs67")
+    // q69: the vocab weights are tiny — the per-token join must
+    // broadcast them (the corpus token stream never shuffles for the
+    // join), and the final top-20 is TakeOrderedAndProject
+    val p69 = Curation.queries("q69_importance_scores")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p69.contains("BroadcastHashJoin"),
+      s"q69 vocab join not broadcast:\n$p69")
+    assert(p69.contains("TakeOrderedAndProject"),
+      s"q69 top-k must not be a global sort:\n$p69")
+    // q68: the pairwise pass stays cell-scoped — an equi-join on cell,
+    // never a cartesian, and no training stage (the codebook is a
+    // literal, same invariant as q41)
+    val p68 = Similarity.queries("q68_semdedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p68.contains("CartesianProduct"), s"q68 went all-pairs:\n$p68")
+    assert(p68.contains("ivf_cells"), s"q68 lost the native assignment:\n$p68")
+  }
+
   test("partition-pruned UPDATE reads only affected partitions") {
     // the rewrite scan must carry the partition predicate so partition
     // pruning bounds the IO (EngineSpec proves the file-level effect;

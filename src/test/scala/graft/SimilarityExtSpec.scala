@@ -152,4 +152,45 @@ class SimilarityExtSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("semdedup matches an independent scalar recomputation; one survivor per cell") {
+    val got = Similarity.queries("q68_semdedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent recomputation with the same arithmetic order
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val cents = vecs.filter { case (id, _) => id >= 100 && id <= 115 }
+      .map(_._2)
+    def assign(v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, ci) =>
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val x = c(i) - v(i); d += x * x; i += 1 }
+        (d, ci)
+      }.min._2
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byCell = vecs.groupBy { case (_, v) => assign(v).toLong }
+    val want = byCell.map { case (cell, members) =>
+      val dropped = members.count { case (bId, bv) =>
+        members.exists { case (aId, av) =>
+          aId < bId &&
+            dot(av, bv) / (math.sqrt(dot(av, av)) * math.sqrt(dot(bv, bv))) >= 0.4
+        }
+      }
+      cell -> (members.length.toLong, dropped.toLong)
+    }
+    assert(got == want, s"semdedup mismatch:\n got  $got\n want $want")
+    // population partitions the corpus; the min-id member of a cell
+    // can never be dropped, so every cell keeps at least one vector
+    assert(got.values.map(_._1).sum == vecs.length)
+    got.foreach { case (cell, (n, d)) =>
+      assert(d < n, s"cell $cell dropped everything")
+    }
+  }
 }
