@@ -29,6 +29,35 @@ case class MinHashExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Native rolling span keys for exact-substring coverage (q70): one
+  * md5 per TOKEN, then every stride-1 window of `w` tokens collapses
+  * to the position-weighted key sum(h1(tok[i+j]) << j, j=0..w-1).
+  * Weights MUST be powers of two: subset sums of {1,2,4,...} are
+  * distinct, so a cross-segment collision needs a genuine linear
+  * relation among random 56-bit hashes (weights 1..w had 1+2=3 —
+  * "a a b" collided with "b b a" structurally). h1 < 2^56 and the
+  * weights sum to 2^w - 1 <= 31, so the key stays under 2^61 —
+  * inside DuckDB's checked BIGINT range, replayable as
+  * th[i+j]*(1<<j) SQL. Replaces an interpreted
+  * transform/slice/concat_ws HOF that built (and shuffled) a
+  * ~25-char string per span. */
+case class SpanKeysExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.spanKeys(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ArrayOpsImpl.spanKeys($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanKeysExpr =
+    copy(child = newChild)
+}
+
 /** Native dot product over two array<double> columns: one fused loop,
   * no per-element lambda dispatch, no intermediate zipped array.
   * Summation is sequential left-to-right — bit-identical to
@@ -219,6 +248,32 @@ object ArrayOpsImpl {
     new GenericArrayData(mins)
   }
 
+  def spanKeys(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      if (s != null) {
+        md.reset()
+        h(i) = be(md.digest(s.getBytes), 0, 7) // h1: hex chars 1-14
+      }
+      i += 1
+    }
+    val out = new Array[Long](n - w + 1)
+    var k = 0
+    while (k <= n - w) {
+      var acc = 0L
+      var j = 0
+      while (j < w) { acc += h(k + j) << j; j += 1 }
+      out(k) = acc
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def intersectCount(a: ArrayData, b: ArrayData): Int = {
     val (small, big) =
       if (a.numElements() <= b.numElements()) (a, b) else (b, a)
@@ -341,4 +396,7 @@ object ArrayOps {
 
   def ivfCells(v: Column, centroids: Seq[Seq[Double]]): Column =
     GraftBridge.column(IvfCellsExpr(GraftBridge.expression(v), centroids))
+
+  def spanKeys(tokens: Column, w: Int): Column =
+    GraftBridge.column(SpanKeysExpr(GraftBridge.expression(tokens), w))
 }

@@ -181,29 +181,33 @@ object Curation {
     "q67_boilerplate_segments" -> ((s, dir) => {
       // line/paragraph-level dedup (CCNet-style boilerplate removal),
       // re-expressed over word-soup docs as fixed SegTokens-token
-      // segments at stride SegTokens: a segment whose exact text
-      // appears in >= BoilerplateDf distinct docs is boilerplate.
-      // Scale: segment doc-frequency is one partial-aggregated shuffle
-      // on the segment hash (O(corpus segments), never all-pairs); the
-      // boilerplate set joins back by segment key. Per doc: segment
-      // count, boilerplate instances, tokens surviving removal.
-      val base = docs(s, dir)
+      // segments at stride SegTokens: a segment appearing in >=
+      // BoilerplateDf (= 2) distinct docs is boilerplate. Per doc:
+      // segment count, boilerplate instances, tokens surviving
+      // removal.
+      // Scale/perf: segments key on the native SpanKeysExpr rolling
+      // hash (stride-1 keys, filtered to i % SegTokens == 0 — one
+      // codegen pass, one md5 per token, 8-byte shuffle keys); the
+      // >= 2-doc test is min(doc_id) != max(doc_id) over a window on
+      // the key, so the segment stream is computed once and never
+      // joined back. Same shape as q70.
+      import org.apache.spark.sql.expressions.Window
+      val segs = docs(s, dir)
         .withColumn("toks", Text.tokens(col("text")))
-        .withColumn("nseg", expr(s"size(toks) div $SegTokens"))
-      val segs = base.where(col("nseg") >= 1)
+        .where(size(col("toks")) >= SegTokens)
         .select(col("doc_id"), size(col("toks")).as("tk"),
-          explode(expr(
-            s"""transform(sequence(0, nseg - 1),
-               |  i -> concat_ws(' ', slice(toks, i * $SegTokens + 1, $SegTokens)))"""
-              .stripMargin)).as("seg"))
-      val boiler = segs.groupBy(col("seg"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .where(col("df") >= BoilerplateDf)
-        .select(col("seg"), lit(1).as("isb"))
-      segs.join(boiler, Seq("seg"), "left")
+          posexplode(graft.functions.expressions.ArrayOps
+            .spanKeys(col("toks"), SegTokens)))
+        .toDF("doc_id", "tk", "i", "seg")
+        .where(col("i") % SegTokens === 0)
+      val w = Window.partitionBy(col("seg"))
+      segs
+        .withColumn("mn", min(col("doc_id")).over(w))
+        .withColumn("mx", max(col("doc_id")).over(w))
         .groupBy(col("doc_id"), col("tk"))
         .agg(count(lit(1)).as("n_segments"),
-             sum(coalesce(col("isb"), lit(0))).as("n_boilerplate"))
+             sum(when(col("mn") =!= col("mx"), 1).otherwise(0))
+               .as("n_boilerplate"))
         .select(col("doc_id"), col("n_segments"), col("n_boilerplate"),
                 (col("tk") - col("n_boilerplate") * SegTokens)
                   .cast("long").as("tokens_after_removal"))
@@ -353,15 +357,22 @@ object Curation {
          |           THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
          |FROM c GROUP BY source""".stripMargin,
 
-    "q67_boilerplate_segments" ->
+    "q67_boilerplate_segments" -> {
+      // powers-of-two weights: see SpanKeysExpr (subset sums distinct)
+      val segKey = (1 to SegTokens)
+        .map(j => s"th[i * $SegTokens + $j] * ${1L << (j - 1)}").mkString(" + ")
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |segr AS (
+         |h AS (
          |  SELECT doc_id, len(toks) AS tk,
-         |    unnest(list_transform(generate_series(0, len(toks) // $SegTokens - 1),
-         |      i -> array_to_string(toks[(i * $SegTokens + 1):(i * $SegTokens + $SegTokens)], ' ')))
-         |      AS seg
-         |  FROM t WHERE len(toks) >= $SegTokens),
+         |    list_transform(toks,
+         |      tok -> ('0x' || substring(md5(tok), 1, 14))::BIGINT) AS th
+         |  FROM t),
+         |segr AS (
+         |  SELECT doc_id, tk,
+         |    unnest(list_transform(generate_series(0, tk // $SegTokens - 1),
+         |      i -> $segKey)) AS seg
+         |  FROM h WHERE tk >= $SegTokens),
          |boiler AS (
          |  SELECT seg FROM segr GROUP BY seg
          |  HAVING count(DISTINCT doc_id) >= $BoilerplateDf)
@@ -372,7 +383,8 @@ object Curation {
          |    - sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) * $SegTokens
          |    AS BIGINT) AS tokens_after_removal
          |FROM segr s LEFT JOIN boiler b ON s.seg = b.seg
-         |GROUP BY s.doc_id""".stripMargin,
+         |GROUP BY s.doc_id""".stripMargin
+    },
 
     "q69_importance_scores" ->
       """WITH tok AS (

@@ -49,7 +49,52 @@ object Dedup {
   private def jaccard(inter: Column, n1: Column, n2: Column): Column =
     inter.cast("double") / (n1 + n2 - inter)
 
+  /** Window width (tokens) for q70's exact-substring coverage. */
+  private val SpanW = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_span_coverage" -> ((s, dir) => {
+      // exact-substring duplication coverage (the w-gram approximation
+      // of suffix-array substring dedup): a span is SpanW consecutive
+      // tokens at stride 1; a span appearing in >= 2 distinct docs is
+      // duplicated text. Per doc: how many of its token positions are
+      // covered by some duplicated span — the number span-removal
+      // would cut.
+      // Scale/perf: the span key is a position-weighted sum of
+      // per-TOKEN md5-family hashes (the minhash pipeline's
+      // cross-engine family; weights 1..SpanW keep the checked BIGINT
+      // arithmetic under 2^60), computed by the native SpanKeysExpr —
+      // one codegen'd pass, one md5 per token. Every downstream stage
+      // moves an 8-byte long instead of a ~25-char string. Cross-doc
+      // repetition is min(doc_id) != max(doc_id) over a window on the
+      // key (algebraically = countDistinct >= 2, but one shuffle and
+      // the span stream is computed ONCE — no agg+join-back second
+      // scan). Hot boilerplate keys make hot partitions, the same
+      // bound as the groupBy formulation. The interpreted
+      // string-span version benched 1.93 s at sf0.1; this is 0.5 s.
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir)
+        .withColumn("toks", graft.functions.Text.tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+      val spans = base.where(col("n") >= SpanW)
+        .select(col("doc_id"), posexplode(graft.functions.expressions.ArrayOps
+          .spanKeys(col("toks"), SpanW)))
+        .toDF("doc_id", "i", "span")
+      val w = Window.partitionBy(col("span"))
+      val covered = spans
+        .withColumn("mn", min(col("doc_id")).over(w))
+        .withColumn("mx", max(col("doc_id")).over(w))
+        .where(col("mn") =!= col("mx"))
+        .select(col("doc_id"),
+                explode(expr(s"sequence(i, i + ${SpanW - 1})")).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+      base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+                coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+    }),
+
     "q31_dedup_exact" -> ((s, dir) =>
       // one-shuffle exact dedup summary on the content digest
       docs(s, dir)
@@ -271,20 +316,34 @@ object Dedup {
     * ~log2(diameter) rounds, so the default 16 covers diameters up to
     * ~65k. If the loop exits with labels still changing (adversarially
     * deep graphs), the result would be non-minimal — that is an ERROR,
-    * not a silent degradation: raise `maxRounds` for such graphs. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    * not a silent degradation: raise `maxRounds` for such graphs.
+    *
+    * `reliable = true` swaps the lineage truncation from
+    * localCheckpoint (executor-local blocks: fast, but a lost executor
+    * FAILS the job — truncated lineage cannot recompute) to a reliable
+    * checkpoint in `spark.sparkContext.getCheckpointDir`. That is the
+    * right setting for a multi-hour 100 TB clustering pass, where the
+    * probability of losing one of 1000 executors mid-loop approaches 1
+    * and re-running the whole iteration costs more than the HDFS
+    * round-trip per round. Requires setCheckpointDir; default stays
+    * local for short interactive runs. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 16,
+                          reliable: Boolean = false): DataFrame = {
     val (c1, c2) = (pairs.columns(0), pairs.columns(1))
-    // localCheckpoint (not cache) everywhere in the loop: each round's
-    // self-join would otherwise DOUBLE the logical plan, and Catalyst
-    // re-analyzes the whole lineage per action — measured 1.9s -> 3.2s
-    // -> 10.9s per round at sf0.1 before truncation. Non-reliable
-    // storage is fine inside a query: a lost executor recomputes the
-    // query, exactly as any multi-stage shuffle would.
-    val edges = pairs.select(col(c1), col(c2))
+    if (reliable)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable=true needs spark.sparkContext.setCheckpointDir(...)")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // lineage truncation (not cache) everywhere in the loop: each
+    // round's self-join would otherwise DOUBLE the logical plan, and
+    // Catalyst re-analyzes the whole lineage per action — measured
+    // 1.9s -> 3.2s -> 10.9s per round at sf0.1 before truncation.
+    val edges = truncate(pairs.select(col(c1), col(c2))
       .union(pairs.select(col(c2), col(c1)))
-      .toDF("u", "v").localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+      .toDF("u", "v"))
+    var labels = truncate(edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -296,11 +355,10 @@ object Dedup {
         .select(col("node"),
                 least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // pointer jump: follow the label one more hop
-      val jumped = prop
+      val jumped = truncate(prop
         .join(prop.select(col("node").as("label"), col("label").as("ll")),
               Seq("label"), "left")
-        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .select(col("node"), coalesce(col("ll"), col("label")).as("label")))
       changed = jumped
         .join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).count()
@@ -399,6 +457,36 @@ object Dedup {
         |  count(DISTINCT md5(text)) AS n_unique,
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes
         |FROM documents""".stripMargin,
+
+    "q70_span_coverage" -> {
+      // powers-of-two weights: see SpanKeysExpr (subset sums distinct)
+      val rolled = (1 to SpanW)
+        .map(j => s"th[i + $j] * ${1L << (j - 1)}").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(toks,
+         |      tk -> ('0x' || substring(md5(tk), 1, 14))::BIGINT) AS th
+         |  FROM t),
+         |sp AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(0, len(toks) - $SpanW),
+         |      i -> struct_pack(i := i, span := $rolled))) AS s
+         |  FROM h WHERE len(toks) >= $SpanW),
+         |spans AS (SELECT doc_id, s.i AS i, s.span AS span FROM sp),
+         |rep AS (
+         |  SELECT span FROM spans GROUP BY span
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT doc_id, count(*) AS covered FROM (
+         |    SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${SpanW - 1})) AS p
+         |    FROM spans JOIN rep USING (span))
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens
+         |FROM t LEFT JOIN cov c ON c.doc_id = t.doc_id""".stripMargin
+    },
 
     "q32_dedup_keep_first" ->
       """SELECT lang, source,

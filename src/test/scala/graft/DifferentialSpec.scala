@@ -207,6 +207,31 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable checkpointing yields identical components (and requires a checkpoint dir)") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L), (6L, 7L), (2L, 5L), (9L, 10L))
+    val df = edges.toDF("a", "b")
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      // without a checkpoint dir the reliable path must refuse loudly
+      intercept[IllegalArgumentException] {
+        graft.operators.Dedup.connectedComponents(df, reliable = true)
+      }
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("cc_ckpt").toString)
+    }
+    val ckptDir = sc.getCheckpointDir.get
+    val rel = graft.operators.Dedup.connectedComponents(df, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loc = graft.operators.Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == loc)
+    assert(rel.values.toSet == Set(0L, 9L))
+    // the reliable path actually wrote checkpoint data
+    assert(new java.io.File(new java.net.URI(ckptDir).getPath)
+      .listFiles().nonEmpty)
+  }
+
   test("connectedComponents raises on non-convergence instead of returning non-minimal labels") {
     import spark.implicits._
     // a 12-node chain cannot converge in one round; the old code

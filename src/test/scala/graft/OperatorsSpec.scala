@@ -170,4 +170,43 @@ class SimhashPairsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("span coverage matches an independent recomputation; planted duplicate is fully covered") {
+    import spark.implicits._
+    // planted: docs 1/2 share an identical 12-token run embedded in
+    // different surroundings; doc 3 shares nothing
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared z1 z2", "en", "s", 0L),
+      (2L, s"b1 $shared y1 y2 y3 y4", "en", "s", 0L),
+      (3L, (1 to 20).map(i => s"u$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_span").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Dedup.queries("q70_span_coverage")(spark, tmp)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // exactly the 12 shared positions are covered in each of docs 1/2
+    // (17 tokens each: 3+12+2 and 1+12+4)
+    assert(got(1L) == (17L, 12L), s"doc1: ${got(1L)}")
+    assert(got(2L) == (17L, 12L), s"doc2: ${got(2L)}")
+    assert(got(3L) == (20L, 0L), s"doc3: ${got(3L)}")
+    // independent recomputation on the real corpus
+    val corpus = graft.sources.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val spans = corpus.flatMap { case (id, toks) =>
+      (0 to toks.length - 5).map(i => (id, i, toks.slice(i, i + 5).mkString(" ")))
+    }
+    val rep = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val want = corpus.map { case (id, toks) =>
+      val covered = spans.filter(s => s._1 == id && rep(s._3))
+        .flatMap(s => s._2 until s._2 + 5).distinct.length
+      id -> (toks.length.toLong, covered.toLong)
+    }.toMap
+    val real = graft.operators.Dedup.queries("q70_span_coverage")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(real == want)
+    // the operator has teeth on the real corpus too
+    assert(want.values.map(_._2).sum > 0, "no repeated spans at this SF")
+  }
 }
