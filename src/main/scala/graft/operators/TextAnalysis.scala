@@ -50,6 +50,31 @@ object TextAnalysis {
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))),
 
+    "q71_quality_deciles" -> ((s, dir) => {
+      // quality-decile bucketing: rank docs by stopword ratio WITHIN
+      // each language and split into ntile(10) buckets — how a corpus
+      // build picks "top-q% by quality per language" cut points.
+      // Per-language windows keep the sort partition-parallel (a
+      // GLOBAL ntile would serialize the corpus through one
+      // partition); ties break on doc_id so both engines agree.
+      // min/max of the ratio per bucket (no summation — bit-identical
+      // doubles cross-engine) give the decile's boundaries.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("ratio"), col("doc_id"))
+      docs(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("ratio",
+          Text.stopwordCount(col("toks")).cast("double") / col("n_tokens"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("ratio")).as("min_ratio"),
+             max(col("ratio")).as("max_ratio"),
+             sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     "q30_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -160,6 +185,25 @@ object TextAnalysis {
         |         ELSE 'unknown' END AS lang_pred
         |  FROM t)
         |SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY lang, lang_pred""".stripMargin,
+
+    "q71_quality_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, len(toks) AS n_tokens,
+        |    CAST(len(list_filter(toks,
+        |      x -> list_contains(['the','a','of','and','to','in'], x)))
+        |      AS DOUBLE) / len(toks) AS ratio
+        |  FROM t),
+        |d AS (
+        |  SELECT lang, n_tokens, ratio,
+        |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY ratio, doc_id)
+        |         AS INT) AS decile
+        |  FROM q)
+        |SELECT lang, decile, count(*) AS n_docs,
+        |  min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY lang, decile""".stripMargin,
 
     "q30_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_fp,

@@ -131,4 +131,26 @@ class MultimodalTypedSpec extends AnyFunSuite {
     assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
     assert(ratios.forall(r => r >= 0.0 && r < 1.0))
   }
+
+  test("quality deciles: 10 near-equal buckets per language, monotone boundaries") {
+    val rows = graft.operators.TextAnalysis
+      .queries("q71_quality_deciles")(TestSpark.spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, ds) =>
+      assert(ds.map(_._2).sorted.toSeq == (1 to 10), s"$lang deciles: ${ds.map(_._2).sorted.toSeq}")
+      // ntile: bucket sizes differ by at most one
+      val sizes = ds.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes: ${sizes.toSeq}")
+      // decile boundaries are monotone: decile d's max <= decile d+1's min
+      val ordered = ds.sortBy(_._2)
+      ordered.zip(ordered.tail).foreach { case (lo, hi) =>
+        assert(lo._5 <= hi._4 + 1e-12,
+          s"$lang decile ${lo._2} max ${lo._5} > decile ${hi._2} min ${hi._4}")
+      }
+      ds.foreach(d => assert(d._4 >= 0.0 && d._5 <= 1.0))
+    }
+  }
 }
