@@ -505,6 +505,73 @@ object Similarity {
        |$duckRankTail""".stripMargin
   }
 
+  /** SemDeDup (cluster-scoped semantic dedup): assign every vector to
+    * its nearest codebook centroid — the q41 IVF assignment, same
+    * deterministic sampled codebook, zero training — then within each
+    * cell drop any vector whose cosine to a LOWER-id cell member
+    * clears the near-dup threshold; the survivor set is the deduped
+    * corpus. Per cell: population and drops.
+    * Scale: the pairwise pass is CELL-scoped (quadratic only within a
+    * cell, the same bound as q37's LSH buckets — at 100 TB the
+    * codebook size k grows with the corpus to keep cells bounded); the
+    * corpus shuffles once on cell. Parameterized like the ANN family:
+    * q68 and q68b are two (k, threshold) operating points whose
+    * oracles are generated from the same parameters. */
+  def semdedup(s: SparkSession, dir: String, k: Int,
+               threshold: Double): DataFrame = {
+    val n = normed(emb(s, dir))
+    val cents: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, k),
+      _ => n.where(col("vec_id").between(100, 100 + k - 1))
+        .orderBy("vec_id").select("ve").collect()
+        .map(_.getSeq[Double](0)).toSeq)
+    val corpus = n
+      .withColumn("cbd",
+        graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents))
+      .withColumn("cell", element_at(col("cbd"), 1).getField("cell"))
+      .drop("cbd")
+    val a = corpus.select(col("cell"), col("vec_id").as("a_id"),
+                          col("ve").as("qve"), col("nrm").as("qnrm"))
+    val b = corpus.select(col("cell"), col("vec_id").as("b_id"),
+                          col("ve"), col("nrm"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .where(dotExpr / (col("qnrm") * col("nrm")) >= threshold)
+      .select(col("b_id")).distinct()
+      .withColumn("isd", lit(1))
+    corpus.join(dropped, corpus("vec_id") === dropped("b_id"), "left")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+           sum(coalesce(col("isd"), lit(0))).as("n_dropped"))
+  }
+
+  /** DuckDB oracle for [[semdedup]], generated from the same params. */
+  def semdedupOracleSql(k: Int, threshold: Double): String =
+    s"""WITH $duckNormedCte,
+       |cents AS (
+       |  SELECT list(struct_pack(cid := r, cve := ve) ORDER BY r) AS cl
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r, ve
+       |        FROM n WHERE vec_id BETWEEN 100 AND ${100 + k - 1})),
+       |assigned AS (
+       |  SELECT vec_id, ve, nrm,
+       |    list_sort(list_transform(cl, c -> struct_pack(
+       |      d := list_sum(list_transform(generate_series(1, 64),
+       |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
+       |      cell := c.cid))) AS cbd
+       |  FROM n, cents),
+       |corpus AS (
+       |  SELECT vec_id, ve, nrm, cbd[1].cell AS cell FROM assigned),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id AS b_id
+       |  FROM corpus a JOIN corpus b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm)
+       |        >= $threshold)
+       |SELECT CAST(c.cell AS BIGINT) AS cell, count(*) AS n_vectors,
+       |  CAST(sum(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM corpus c LEFT JOIN dropped d ON d.b_id = c.vec_id
+       |GROUP BY c.cell""".stripMargin
+
   /** DuckDB oracle for [[knnIvf]], generated from the same params. */
   def ivfOracleSql(p: AnnParams): String =
     s"""WITH $duckNormedCte,
@@ -571,42 +638,9 @@ object Similarity {
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
     }),
 
-    "q68_semdedup" -> ((s, dir) => {
-      // SemDeDup (cluster-scoped semantic dedup): assign every vector
-      // to its nearest codebook centroid — the q41 IVF assignment,
-      // same deterministic sampled codebook, zero training — then
-      // within each cell drop any vector whose cosine to a LOWER-id
-      // cell member clears the near-dup threshold; the survivor set is
-      // the deduped corpus. Per cell: population and drops.
-      // Scale: the pairwise pass is CELL-scoped (quadratic only within
-      // a cell, the same bound as q37's LSH buckets — at 100 TB the
-      // codebook size k grows with the corpus to keep cells bounded);
-      // the corpus shuffles once on cell.
-      val p = AnnParams.Default
-      val n = normed(emb(s, dir))
-      val cents: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, p.ivfK),
-        _ => n.where(col("vec_id").between(100, 100 + p.ivfK - 1))
-          .orderBy("vec_id").select("ve").collect()
-          .map(_.getSeq[Double](0)).toSeq)
-      val corpus = n
-        .withColumn("cbd",
-          graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents))
-        .withColumn("cell", element_at(col("cbd"), 1).getField("cell"))
-        .drop("cbd")
-      val a = corpus.select(col("cell"), col("vec_id").as("a_id"),
-                            col("ve").as("qve"), col("nrm").as("qnrm"))
-      val b = corpus.select(col("cell"), col("vec_id").as("b_id"),
-                            col("ve"), col("nrm"))
-      val dropped = a.join(b, Seq("cell"))
-        .where(col("a_id") < col("b_id"))
-        .where(dotExpr / (col("qnrm") * col("nrm")) >= NearDupCosine)
-        .select(col("b_id")).distinct()
-        .withColumn("isd", lit(1))
-      corpus.join(dropped, corpus("vec_id") === dropped("b_id"), "left")
-        .groupBy(col("cell").cast("long").as("cell"))
-        .agg(count(lit(1)).as("n_vectors"),
-             sum(coalesce(col("isd"), lit(0))).as("n_dropped"))
-    }),
+    "q68_semdedup" -> ((s, dir) =>
+      semdedup(s, dir, AnnParams.Default.ivfK, NearDupCosine)),
+    "q68b_semdedup_k8" -> ((s, dir) => semdedup(s, dir, 8, 0.35)),
 
     "q51_approx_stats" -> ((s, dir) => {
       // the sketch path for 100 TB: HLL distinct counts + quantile
@@ -713,34 +747,9 @@ object Similarity {
          |FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id > a.vec_id
          |WHERE list_dot_product(a.ve, c.ve) / (a.nrm * c.nrm) >= $NearDupCosine""".stripMargin,
 
-    "q68_semdedup" -> {
-      val p = AnnParams.Default
-      s"""WITH $duckNormedCte,
-         |cents AS (
-         |  SELECT list(struct_pack(cid := r, cve := ve) ORDER BY r) AS cl
-         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r, ve
-         |        FROM n WHERE vec_id BETWEEN 100 AND ${100 + p.ivfK - 1})),
-         |assigned AS (
-         |  SELECT vec_id, ve, nrm,
-         |    list_sort(list_transform(cl, c -> struct_pack(
-         |      d := list_sum(list_transform(generate_series(1, 64),
-         |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
-         |      cell := c.cid))) AS cbd
-         |  FROM n, cents),
-         |corpus AS (
-         |  SELECT vec_id, ve, nrm, cbd[1].cell AS cell FROM assigned),
-         |dropped AS (
-         |  SELECT DISTINCT b.vec_id AS b_id
-         |  FROM corpus a JOIN corpus b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm)
-         |        >= $NearDupCosine)
-         |SELECT CAST(c.cell AS BIGINT) AS cell, count(*) AS n_vectors,
-         |  CAST(sum(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_dropped
-         |FROM corpus c LEFT JOIN dropped d ON d.b_id = c.vec_id
-         |GROUP BY c.cell""".stripMargin
-    },
+    "q68_semdedup" ->
+      semdedupOracleSql(AnnParams.Default.ivfK, NearDupCosine),
+    "q68b_semdedup_k8" -> semdedupOracleSql(8, 0.35),
 
     "q51_approx_stats" ->
       """SELECT l_returnflag, count(*) AS n,

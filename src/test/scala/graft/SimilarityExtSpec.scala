@@ -192,5 +192,13 @@ class SimilarityExtSpec extends AnyFunSuite {
     got.foreach { case (cell, (n, d)) =>
       assert(d < n, s"cell $cell dropped everything")
     }
+    // second operating point (k=8, threshold 0.35): coarser cells ->
+    // bigger cells; lower threshold -> at least as many drops overall
+    // per vector pair considered; corpus still partitions
+    val b = Similarity.queries("q68b_semdedup_k8")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(b.keySet.size <= 8)
+    assert(b.values.map(_._1).sum == vecs.length)
+    b.foreach { case (cell, (n, d)) => assert(d < n, s"cell $cell") }
   }
 }
