@@ -281,6 +281,13 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
                     graft.types.IcebergTypes.format(f.dataType))))
               }
             }
+            // snapshot history from the manifest store — the Iceberg
+            // REST metadata's snapshots array (id, op, timestamp)
+            val snaps = graft.engine.Snapshots.list(engine.spark, s"$ns.$t")
+              .map(si => Json.obj(
+                "snapshot-id" -> si.id.toString,
+                "timestamp-ms" -> si.createdAtMs.toString,
+                "summary" -> Json.obj("operation" -> Json.str(si.operation))))
             (200, Json.obj("metadata" -> Json.obj(
               "format-version" -> "2",
               "location" -> Json.str(meta.location.toString),
@@ -289,6 +296,7 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
                 "schema-id" -> "0",
                 "type" -> Json.str("struct"),
                 "fields" -> Json.arr(fields.toSeq)))),
+              "snapshots" -> Json.arr(snaps),
               "properties" -> Json.obj(props.toSeq.sorted.map {
                 case (k, v) => k -> Json.str(v) }: _*))))
           }

@@ -68,12 +68,15 @@ final class AsthaScheduler(spark: SparkSession,
   private val processedCount = new java.util.concurrent.atomic.AtomicLong
   private val cleanedCount = new java.util.concurrent.atomic.AtomicLong
 
-  /** Events delivered successfully across all components, and events
-    * removed by cleanup — the reference EventStore's counters. */
+  /** Events delivered successfully across all components, events
+    * removed by cleanup (the reference EventStore's counters), and the
+    * number of currently quarantined components. */
   def stats: Map[String, Long] = Map(
     "processed" -> processedCount.get,
     "cleaned" -> cleanedCount.get,
-    "components" -> components.size.toLong)
+    "components" -> components.size.toLong,
+    "quarantined" -> components.values().asScala
+      .count(_.quarantinedAtRound >= 0).toLong)
 
   /** scheduler.go RegisterComponent — validation mirrored: empty name,
     * empty subscriptions, and nil instance are errors. */

@@ -323,6 +323,7 @@ class ChangefeedSpec extends AnyFunSuite with Matchers {
     sched.tick() // stuck fails #1; healthy gets 2
     sched.tick() // stuck fails #2 -> quarantined; healthy gets 2 more
     sched.componentInfo("stuck").get.status shouldBe "quarantined"
+    sched.stats("quarantined") shouldBe 1L
     sched.tick() // stuck no longer pins the window: healthy gets the 5th
     healthySeen.length shouldBe 5
     healthySeen shouldBe healthySeen.sorted

@@ -140,6 +140,14 @@ class HttpApiSpec extends AnyFunSuite {
     assert(uc == 200)
     val (_, evolved) = get("/v1/namespaces/restw/tables/t2")
     assert(evolved.contains(""""name":"score""""))
+    // metadata carries the Iceberg REST snapshots array: empty before
+    // any destructive op, populated after a versioned UPDATE
+    assert(evolved.contains(""""snapshots":[]"""), evolved)
+    assert(post("/query",
+      """{"query":"UPDATE restw.t2 SET v = 'z' WHERE id = 1"}""")._1 == 200)
+    val (_, versioned) = get("/v1/namespaces/restw/tables/t2")
+    assert(versioned.contains(""""snapshot-id""""), versioned)
+    assert(versioned.contains(""""operation":"UPDATE""""), versioned)
     assert(post("/query",
       """{"query":"SELECT id, v, score FROM restw.t2"}""")._1 == 200)
     // drop table then namespace; both 404 afterwards
