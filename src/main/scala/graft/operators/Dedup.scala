@@ -119,6 +119,22 @@ object Dedup {
 
     "q61_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir, DefaultBands)),
 
+    "q61b_dedup_apply" -> ((s, dir) => {
+      // APPLY the fuzzy-dedup clusters: drop every paired doc that is
+      // not its cluster's representative, report the kept corpus per
+      // source — the step that actually shrinks the training set.
+      // The non-representative set is cluster-output-sized (orders of
+      // magnitude below the corpus), so the removal is a left-anti
+      // join against a small side; the corpus scans once.
+      val nonRep = dedupClusters(s, dir, DefaultBands)
+        .where(!col("is_representative"))
+        .select(col("doc_id"))
+      docs(s, dir).join(nonRep, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("n_chars")).as("kept_chars"))
+    }),
+
     "q34_simhash" -> ((s, dir) =>
       // 64-bit SimHash fingerprints via the native Catalyst expression
       // (one O(N) codegen'd loop per row; see SimHash64Expr). The md5
@@ -435,6 +451,25 @@ object Dedup {
     "q33_minhash_pairs" -> minhashOracleSql(DefaultBands),
     "q33b_minhash_b16" -> minhashOracleSql(16),
     "q61_dedup_clusters" -> clustersOracleSql(DefaultBands),
+
+    "q61b_dedup_apply" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes(DefaultBands)},
+         |edges AS (
+         |  SELECT doc1 AS u, doc2 AS v FROM pairs
+         |  UNION SELECT doc2, doc1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+         |  WHERE e.v <> r.u),
+         |nonrep AS (
+         |  SELECT u AS doc_id FROM reach GROUP BY u
+         |  HAVING u <> least(u, min(v)))
+         |SELECT d.source, count(*) AS n_kept,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+         |FROM documents d LEFT JOIN nonrep nr ON nr.doc_id = d.doc_id
+         |WHERE nr.doc_id IS NULL
+         |GROUP BY d.source""".stripMargin,
 
     "q34_simhash" ->
       s"WITH $duckSimhashCte\nSELECT doc_id, source, simhash FROM fp",

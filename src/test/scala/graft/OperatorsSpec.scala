@@ -146,6 +146,18 @@ class OperatorsSpec extends AnyFunSuite {
       cc.get(3L).contains(1L), s"chain not closed: $cc")
     assert(!cc.contains(4L))
   }
+
+  test("dedup apply: kept corpus = all docs minus non-representatives") {
+    val clusters = Dedup.queries("q61_dedup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val nonRep = clusters.count(!_._2)
+    val total = graft.sources.Tables.load(spark, dir, "documents").count()
+    val kept = Dedup.queries("q61b_dedup_apply")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.values.sum == total - nonRep,
+      s"kept ${kept.values.sum} != $total - $nonRep")
+    assert(nonRep > 0, "no duplicates found — apply test is vacuous")
+  }
 }
 
 class SimhashPairsSpec extends AnyFunSuite {
