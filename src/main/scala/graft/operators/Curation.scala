@@ -178,6 +178,26 @@ object Curation {
                 col("n_sequences"), col("tail_tokens"), col("boundary_docs"))
     }),
 
+    "q66b_packing_manifest" -> ((s, dir) => {
+      // the packing MANIFEST q66 summarizes: every doc is assigned to
+      // the training sequence containing its first token (source,
+      // seq_idx = start div 512) — the grouping a sequence writer
+      // consumes to emit chunks. Same single per-source window as
+      // q66; the manifest is one row per (source, sequence).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .withColumn("tk", size(Text.tokens(col("text"))))
+        .withColumn("cum", sum(col("tk")).over(w))
+        .withColumn("seq_idx", expr(s"(cum - tk) div $SeqLen"))
+        .groupBy(col("source"), col("seq_idx"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("tk")).as("doc_tokens"),
+             min(col("doc_id")).as("first_doc"))
+    }),
+
     "q67_boilerplate_segments" -> ((s, dir) => {
       // line/paragraph-level dedup (CCNet-style boilerplate removal),
       // re-expressed over word-soup docs as fixed SegTokens-token
@@ -356,6 +376,23 @@ object Curation {
          |  CAST(sum(CASE WHEN tk > 0 AND (cum - tk) // $SeqLen <> (cum - 1) // $SeqLen
          |           THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs
          |FROM c GROUP BY source""".stripMargin,
+
+    "q66b_packing_manifest" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, md5(text) AS h,
+         |    len(string_split(text, ' ')) AS tk
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, tk,
+         |    sum(tk) OVER (PARTITION BY source ORDER BY h, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum
+         |  FROM t)
+         |SELECT source, CAST((cum - tk) // $SeqLen AS BIGINT) AS seq_idx,
+         |  count(*) AS n_docs,
+         |  CAST(sum(tk) AS BIGINT) AS doc_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM c GROUP BY source, seq_idx""".stripMargin,
 
     "q67_boilerplate_segments" -> {
       // powers-of-two weights: see SpanKeysExpr (subset sums distinct)

@@ -138,6 +138,24 @@ class CurationSpec extends AnyFunSuite {
     assert(rows == want, s"packing mismatch:\n got  $rows\n want $want")
   }
 
+  test("packing manifest is consistent with the packing summary") {
+    val summary = Curation.queries("q66_sequence_packing")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val manifest = Curation.queries("q66b_packing_manifest")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySource = manifest.groupBy(_._1)
+    assert(bySource.keySet == summary.keySet)
+    bySource.foreach { case (src, rows) =>
+      // manifest docs/tokens add up to the summary totals
+      assert(rows.map(_._3).sum == summary(src)._1, s"$src docs")
+      assert(rows.map(_._4).sum == summary(src)._2, s"$src tokens")
+      // sequence indices are dense from 0 (every sequence has a first doc)
+      val idxs = rows.map(_._2).sorted.toSeq
+      assert(idxs == (0L until idxs.length.toLong),
+        s"$src seq indices not dense: $idxs")
+    }
+  }
+
   test("boilerplate segments match an independent recomputation") {
     val got = Curation.queries("q67_boilerplate_segments")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
