@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Text
+
+/** Keyword retrieval over the `documents` table: BM25-scored top-k
+  * search — the inverted-index workload every corpus-curation stack
+  * runs for eval-set mining, targeted filtering, and "find docs about
+  * X" debugging (reference analog: the engine's SELECT surface has no
+  * relevance ranking; this is a superset capability, same family as
+  * the ANN operators in [[Similarity]]).
+  *
+  * Scale design (the Spark rendering of an inverted index probe):
+  *  - the corpus is scanned ONCE; tokens are filtered to the query's
+  *    terms BEFORE the shuffle, so the posting stream is O(matching
+  *    postings), never O(corpus tokens);
+  *  - document frequencies aggregate from that same filtered stream
+  *    (|terms| rows) and BROADCAST back — the corpus side never
+  *    shuffles for the join;
+  *  - corpus stats (N, avgdl) are one tiny aggregate, broadcast as a
+  *    single row;
+  *  - scoring is integer-valued: each term's BM25 contribution is
+  *    floor(1e6 * idf * tf_saturation) — one fixed double expression
+  *    tree evaluated identically by Spark and DuckDB (IEEE ops are
+  *    deterministic; only REDUCTION order isn't, and the reduction
+  *    here sums longs) — which is what lets a ranking operator carry
+  *    an exact hash-match oracle;
+  *  - idf is the log-free odds form (N - df + 0.5) / (df + 0.5):
+  *    monotone in the classic Robertson idf, and rational arithmetic
+  *    cross-engine where ln() is last-ulp hazardous.
+  * At 100 TB: same plan — the posting filter pushes into the scan,
+  * per-term df partial-aggregates map-side, and the final top-k
+  * collapses to TakeOrderedAndProject.
+  */
+object Search {
+
+  /** BM25 constants — written as source literals on BOTH engines (the
+    * Spark Column tree and the generated DuckDB SQL parse the same
+    * decimal strings to the same doubles; never ship a computed
+    * constant like k1+1 across engines). k1=1.2, b=0.75. */
+  private val K1Plus1 = "2.2"   // k1 + 1
+  private val K1 = "1.2"
+  private val OneMinusB = "0.25" // 1 - b
+  private val B = "0.75"
+
+  /** Query-term sets are operating points, not constants — q72/q72b
+    * run two different queries through the same pipeline + generated
+    * oracle (the q33b/q37b/q41b parameterization pattern). */
+  final case class Bm25Params(terms: Seq[String], topN: Int = 15)
+  val DefaultQuery: Bm25Params = Bm25Params(Seq("spark", "query", "join"))
+  val AltQuery: Bm25Params = Bm25Params(Seq("vector", "index", "stream", "scan"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** BM25 top-k: returns (doc_id, n_terms matched, integer score). */
+  def bm25(s: SparkSession, dir: String, p: Bm25Params): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    // one-row corpus stats; broadcast
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    // postings: filter to query terms BEFORE the shuffle
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .where(col("w").isin(p.terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    // per-term document frequency: |terms| rows, broadcast back
+    val dfreq = postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + expr("0.5d")) / (col("df") + expr("0.5d")))
+      .withColumn("tfs",
+        col("tf") * expr(s"${K1Plus1}d") /
+          (col("tf") + expr(s"${K1}d") *
+            (expr(s"${OneMinusB}d") +
+              expr(s"${B}d") * (col("dl") / col("avgdl")))))
+      .withColumn("pts", floor(expr("1000000.0d") * col("idf") * col("tfs")))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("pts")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(p.topN)
+  }
+
+  /** DuckDB oracle for [[bm25]], generated from the same params —
+    * identical expression trees, so every double is bit-identical and
+    * the floor()ed points agree exactly. */
+  def bm25OracleSql(p: Bm25Params): String = {
+    val termList = p.terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM t),
+       |post AS (
+       |  SELECT doc_id, dl, w, count(*) AS tf
+       |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS w FROM t)
+       |  WHERE w IN ($termList)
+       |  GROUP BY doc_id, dl, w),
+       |dfreq AS (SELECT w, count(*) AS df FROM post GROUP BY w),
+       |scored AS (
+       |  SELECT post.doc_id,
+       |    CAST(floor(1000000.0
+       |      * ((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |      * (post.tf * $K1Plus1 / (post.tf + $K1
+       |           * ($OneMinusB + $B * (post.dl / stats.avgdl)))))
+       |      AS BIGINT) AS pts
+       |  FROM post JOIN dfreq ON post.w = dfreq.w, stats)
+       |SELECT doc_id, count(*) AS n_terms, CAST(sum(pts) AS BIGINT) AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT ${p.topN}""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_bm25_search" -> ((s, dir) => bm25(s, dir, DefaultQuery)),
+    "q72b_bm25_alt" -> ((s, dir) => bm25(s, dir, AltQuery))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q72_bm25_search" -> bm25OracleSql(DefaultQuery),
+    "q72b_bm25_alt" -> bm25OracleSql(AltQuery)
+  )
+}

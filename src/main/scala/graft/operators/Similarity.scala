@@ -572,6 +572,66 @@ object Similarity {
        |FROM corpus c LEFT JOIN dropped d ON d.b_id = c.vec_id
        |GROUP BY c.cell""".stripMargin
 
+  /** Cluster-balanced prototype sampling (q74): assign every vector
+    * to its nearest codebook centroid (the q41 IVF assignment — same
+    * deterministic sampled codebook, zero training), rank within each
+    * cell by distance-to-centroid, and keep the m most prototypical
+    * members per cell — the SSL-prototypes / DataComp-style pruning
+    * pass that keeps a corpus's cluster structure while cutting its
+    * volume, and the exact dual of [[semdedup]] (which drops the most
+    * redundant members; this keeps the most central).
+    * Scale: one shuffle on cell; the per-cell rank is a window over
+    * cells that are bounded by construction (codebook size grows with
+    * the corpus), so no partition ever sees more than a cell. */
+  def clusterSample(s: SparkSession, dir: String, k: Int,
+                    m: Int): DataFrame = {
+    val n = normed(emb(s, dir))
+    val cents: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, k),
+      _ => n.where(col("vec_id").between(100, 100 + k - 1))
+        .orderBy("vec_id").select("ve").collect()
+        .map(_.getSeq[Double](0)).toSeq)
+    val assigned = n
+      .withColumn("cbd",
+        graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents))
+      .select(col("vec_id"),
+        element_at(col("cbd"), 1).getField("cell").as("cell"),
+        element_at(col("cbd"), 1).getField("d").as("d"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    assigned.withColumn("rn", row_number().over(w))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+           sum(when(col("rn") <= m, 1).otherwise(0)).as("n_kept"),
+           round(min(col("d")), 4).as("min_d"),
+           round(max(when(col("rn") <= m, col("d"))), 4).as("max_kept_d"))
+  }
+
+  /** DuckDB oracle for [[clusterSample]] at the same (k, m). */
+  def clusterSampleOracleSql(k: Int, m: Int): String =
+    s"""WITH $duckNormedCte,
+       |cents AS (
+       |  SELECT list(struct_pack(cid := r, cve := ve) ORDER BY r) AS cl
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r, ve
+       |        FROM n WHERE vec_id BETWEEN 100 AND ${100 + k - 1})),
+       |assigned AS (
+       |  SELECT vec_id,
+       |    list_sort(list_transform(cl, c -> struct_pack(
+       |      d := list_sum(list_transform(generate_series(1, 64),
+       |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
+       |      cell := c.cid)))[1] AS a
+       |  FROM n, cents),
+       |r AS (
+       |  SELECT vec_id, a.cell AS cell, a.d AS d,
+       |    row_number() OVER (PARTITION BY a.cell
+       |                       ORDER BY a.d ASC, vec_id ASC) AS rn
+       |  FROM assigned)
+       |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vectors,
+       |  CAST(sum(CASE WHEN rn <= $m THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(min(d), 4) AS min_d,
+       |  round(max(CASE WHEN rn <= $m THEN d END), 4) AS max_kept_d
+       |FROM r GROUP BY cell""".stripMargin
+
   /** DuckDB oracle for [[knnIvf]], generated from the same params. */
   def ivfOracleSql(p: AnnParams): String =
     s"""WITH $duckNormedCte,
@@ -641,6 +701,10 @@ object Similarity {
     "q68_semdedup" -> ((s, dir) =>
       semdedup(s, dir, AnnParams.Default.ivfK, NearDupCosine)),
     "q68b_semdedup_k8" -> ((s, dir) => semdedup(s, dir, 8, 0.35)),
+
+    "q74_cluster_sample" -> ((s, dir) =>
+      clusterSample(s, dir, AnnParams.Default.ivfK, 10)),
+    "q74b_cluster_sample_k8" -> ((s, dir) => clusterSample(s, dir, 8, 5)),
 
     "q51_approx_stats" -> ((s, dir) => {
       // the sketch path for 100 TB: HLL distinct counts + quantile
@@ -750,6 +814,10 @@ object Similarity {
     "q68_semdedup" ->
       semdedupOracleSql(AnnParams.Default.ivfK, NearDupCosine),
     "q68b_semdedup_k8" -> semdedupOracleSql(8, 0.35),
+
+    "q74_cluster_sample" ->
+      clusterSampleOracleSql(AnnParams.Default.ivfK, 10),
+    "q74b_cluster_sample_k8" -> clusterSampleOracleSql(8, 5),
 
     "q51_approx_stats" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -75,6 +75,42 @@ object TextAnalysis {
              sum(col("n_tokens")).as("total_tokens"))
     }),
 
+    "q73_gopher_rules" -> ((s, dir) =>
+      // Gopher-style composite quality filter: each doc is scored
+      // against four independent rules (token-count bounds, mean word
+      // length bounds, minimum stopword evidence, duplicate-token
+      // ceiling) and keeps only if ALL pass — the rule-set shape of
+      // Gopher/C4/FineWeb quality filtering, with per-rule flags kept
+      // so a corpus build can report WHY documents were dropped, not
+      // just how many. Thresholds sit at the measured decile points of
+      // the synthetic corpus so every rule both fires and passes.
+      // Per-row codegen throughout — zero shuffle; at 100 TB this is a
+      // pushed-down scan predicate with a side channel of reject
+      // reasons.
+      docs(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("mean_wl",
+          aggregate(col("toks"), lit(0), (acc, x) => acc + length(x))
+            .cast("double") / col("n_tokens"))
+        .withColumn("stop_ct", Text.stopwordCount(col("toks")))
+        .withColumn("dup_ratio",
+          lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            col("n_tokens"))
+        .withColumn("r_len", col("n_tokens").between(25, 90))
+        .withColumn("r_wordlen", col("mean_wl").between(4.0, 5.0))
+        .withColumn("r_stop", col("stop_ct") >= 2)
+        .withColumn("r_dup", col("dup_ratio") <= 0.65)
+        .select(
+          col("doc_id"), col("n_tokens"),
+          col("r_len"), col("r_wordlen"), col("r_stop"), col("r_dup"),
+          (when(col("r_len"), 0).otherwise(1) +
+            when(col("r_wordlen"), 0).otherwise(1) +
+            when(col("r_stop"), 0).otherwise(1) +
+            when(col("r_dup"), 0).otherwise(1)).as("n_failed"),
+          (col("r_len") && col("r_wordlen") && col("r_stop") &&
+            col("r_dup")).as("keep"))),
+
     "q30_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -204,6 +240,35 @@ object TextAnalysis {
         |  min(ratio) AS min_ratio, max(ratio) AS max_ratio,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM d GROUP BY lang, decile""".stripMargin,
+
+    "q73_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |      / len(toks) AS mean_wl,
+        |    len(list_filter(toks,
+        |      x -> list_contains(['the','a','of','and','to','in'], x))) AS stop_ct,
+        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      AS dup_ratio
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    n_tokens BETWEEN 25 AND 90 AS r_len,
+        |    mean_wl BETWEEN 4.0 AND 5.0 AS r_wordlen,
+        |    stop_ct >= 2 AS r_stop,
+        |    dup_ratio <= 0.65 AS r_dup
+        |  FROM m)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  r_len, r_wordlen, r_stop, r_dup,
+        |  CAST((CASE WHEN r_len THEN 0 ELSE 1 END)
+        |     + (CASE WHEN r_wordlen THEN 0 ELSE 1 END)
+        |     + (CASE WHEN r_stop THEN 0 ELSE 1 END)
+        |     + (CASE WHEN r_dup THEN 0 ELSE 1 END) AS INTEGER) AS n_failed,
+        |  (r_len AND r_wordlen AND r_stop AND r_dup) AS keep
+        |FROM r""".stripMargin,
 
     "q30_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_fp,

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Search
+import graft.sources.Tables
+
+/** BM25 retrieval (q72): differential test against a plain-Scala
+  * replay of the scoring formula over the same corpus — the ranking
+  * the operator returns must be EXACTLY the ranking a sequential
+  * reference implementation computes, integer points and all. */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def referenceBm25(p: Search.Bm25Params): Seq[(Long, Long, Long)] = {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n
+    val terms = p.terms.toSet
+    // per-doc tf over query terms only
+    val tfs = docs.map { case (id, toks) =>
+      (id, toks.size, toks.filter(terms).groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }) }
+    val df = p.terms.map(w => w -> tfs.count(_._3.contains(w)).toLong).toMap
+    val scored = tfs.flatMap { case (id, dl, tf) =>
+      if (tf.isEmpty) None
+      else {
+        val pts = tf.map { case (w, f) =>
+          val idf = (n - df(w) + 0.5) / (df(w) + 0.5)
+          val sat = f * 2.2 / (f + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+          math.floor(1000000.0 * idf * sat).toLong
+        }.sum
+        Some((id, tf.size.toLong, pts))
+      }
+    }
+    scored.sortBy { case (id, _, s) => (-s, id) }.take(p.topN).toSeq
+  }
+
+  test("q72 bm25 matches a sequential reference implementation exactly") {
+    for (p <- Seq(Search.DefaultQuery, Search.AltQuery)) {
+      val got = Search.bm25(spark, TestSpark.sfDir, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == referenceBm25(p), s"params $p")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("bm25 ranks a saturating tf above a longer diluted doc") {
+    // rarer terms contribute more: with the same tf, a term with lower
+    // df must yield >= points (odds idf is monotone decreasing in df)
+    val p = Search.DefaultQuery
+    val dfs = Search.bm25(spark, TestSpark.sfDir, p)
+    assert(dfs.columns.toSeq == Seq("doc_id", "n_terms", "score"))
+    val scores = dfs.collect().map(_.getLong(2))
+    assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+  }
+
+  test("bm25 plan broadcasts df and stats; corpus side never shuffles for the join") {
+    val plan = Search.bm25(spark, TestSpark.sfDir, Search.DefaultQuery)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}

@@ -201,4 +201,24 @@ class SimilarityExtSpec extends AnyFunSuite {
     assert(b.values.map(_._1).sum == vecs.length)
     b.foreach { case (cell, (n, d)) => assert(d < n, s"cell $cell") }
   }
+
+  test("cluster-balanced sampling (q74): per-cell caps, corpus partition, distance order") {
+    val corpusSize = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    for ((name, m) <- Seq("q74_cluster_sample" -> 10,
+                          "q74b_cluster_sample_k8" -> 5)) {
+      val rows = Similarity.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   r.getDouble(3), r.getDouble(4)))
+      assert(rows.nonEmpty, name)
+      // cells partition the corpus
+      assert(rows.map(_._2).sum == corpusSize, name)
+      rows.foreach { case (cell, nVec, nKept, minD, maxKeptD) =>
+        // keep exactly min(m, population) per cell — the balance property
+        assert(nKept == math.min(m.toLong, nVec), s"$name cell $cell")
+        // kept members are the closest: min distance is a kept distance
+        assert(minD <= maxKeptD + 1e-12, s"$name cell $cell")
+        assert(minD >= 0.0, s"$name cell $cell")
+      }
+    }
+  }
 }

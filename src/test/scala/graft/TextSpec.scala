@@ -153,4 +153,36 @@ class MultimodalTypedSpec extends AnyFunSuite {
       ds.foreach(d => assert(d._4 >= 0.0 && d._5 <= 1.0))
     }
   }
+
+  test("q73 gopher rules: flags consistent, recomputed in scalar Scala") {
+    val rows = graft.operators.TextAnalysis
+      .queries("q73_gopher_rules")(TestSpark.spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables
+      .load(TestSpark.spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    var kept = 0
+    rows.foreach { r =>
+      val (id, n, rLen, rWl, rStop, rDup, nFailed, keep) =
+        (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getBoolean(3),
+         r.getBoolean(4), r.getBoolean(5), r.getInt(6), r.getBoolean(7))
+      // internal consistency
+      assert(nFailed == Seq(rLen, rWl, rStop, rDup).count(!_))
+      assert(keep == (nFailed == 0))
+      if (keep) kept += 1
+      // scalar recomputation
+      val toks = texts(id).split(" ", -1)
+      assert(n == toks.length)
+      assert(rLen == (n >= 25 && n <= 90))
+      val meanWl = toks.map(_.length).sum.toDouble / n
+      assert(rWl == (meanWl >= 4.0 && meanWl <= 5.0))
+      assert(rStop == (toks.count(stop) >= 2))
+      val dup = 1.0 - toks.distinct.length.toDouble / n
+      assert(rDup == (dup <= 0.65))
+    }
+    // the composite filter neither keeps nor drops everything
+    assert(kept > 0 && kept < rows.length, s"kept $kept of ${rows.length}")
+  }
 }
