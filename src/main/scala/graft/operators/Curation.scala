@@ -267,6 +267,24 @@ object Curation {
         .limit(20)
     }),
 
+    "q76_dataset_card" -> ((s, dir) =>
+      // the "dataset card" panel: per-(lang, source) corpus accounting
+      // with ROLLUP subtotals — docs, tokens, quality-keep counts,
+      // mean length — the one-query summary a dataset release ships.
+      // ROLLUP shares one scan + one shuffle across all three grouping
+      // levels (no per-level re-reads); all metrics are sums/counts
+      // (partial-agg friendly) — no count-distinct Expand (the q51
+      // lesson). At 100 TB this is the same plan, with the rollup
+      // shuffle bounded by |lang| x |source| groups.
+      docs(s, dir)
+        .withColumn("tk", size(Text.tokens(col("text"))))
+        .withColumn("keepq", when(qualityKeep, 1).otherwise(0))
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("tk")).as("n_tokens"),
+             sum(col("keepq")).as("n_quality_keep"),
+             round(avg(col("n_chars")), 4).as("avg_chars"))),
+
     "q56_curation_pipeline" -> ((s, dir) => {
       // the composed build: quality gate -> exact dedup (keep lowest
       // doc_id per content digest) -> content-hash split -> summary
@@ -440,6 +458,23 @@ object Curation {
         |FROM tok k JOIN vocab v ON k.w = v.w
         |GROUP BY k.doc_id
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q76_dataset_card" ->
+      """WITH t AS (
+        |  SELECT lang, source, n_chars,
+        |    len(string_split(text, ' ')) AS tk,
+        |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 2000
+        |          AND CAST(len(list_filter(string_split(text, ' '),
+        |                x -> list_contains(['the','a','of','and','to','in'], x)))
+        |              AS DOUBLE) / len(string_split(text, ' '))
+        |              BETWEEN 0.01 AND 0.6
+        |         THEN 1 ELSE 0 END AS keepq
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+        |  CAST(sum(keepq) AS BIGINT) AS n_quality_keep,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM t GROUP BY ROLLUP (lang, source)""".stripMargin,
 
     "q56_curation_pipeline" ->
       """WITH q AS (

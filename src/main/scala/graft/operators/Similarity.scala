@@ -706,6 +706,36 @@ object Similarity {
       clusterSample(s, dir, AnnParams.Default.ivfK, 10)),
     "q74b_cluster_sample_k8" -> ((s, dir) => clusterSample(s, dir, 8, 5)),
 
+    "q75_embed_decontam" -> ((s, dir) => {
+      // embedding-space benchmark decontamination — the semantic
+      // complement of q55's n-gram pass: score every corpus vector by
+      // its MAX cosine to the (small) benchmark set and rank the most
+      // contaminated. Benchmark vectors (vec_id < 10, the eval-set
+      // stand-in) BROADCAST — eval sets are benchmark-sized, never
+      // corpus-sized — so the corpus is scanned once, scored locally,
+      // and only the top-k survivors cross the network (the q36
+      // shape, with a per-corpus-vector max instead of per-query
+      // top-k). At 100 TB: one scan, zero corpus shuffle before the
+      // final TakeOrderedAndProject; a threshold filter instead of
+      // the limit turns it into the quarantine-list producer.
+      val n = normed(emb(s, dir))
+      val bench = broadcast(
+        n.where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("bench_id"), col("ve").as("qve"),
+                  col("nrm").as("qnrm")))
+      n.where(col("vec_id") >= NumQueries)
+        .crossJoin(bench)
+        .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cosine")).as("mc"),
+             max(struct(col("cosine").as("c"), col("bench_id").as("b")))
+               .getField("b").as("nearest_bench"))
+        .orderBy(col("mc").desc, col("vec_id").asc)
+        .limit(50)
+        .select(col("vec_id"), col("nearest_bench"),
+                round(col("mc"), 4).as("max_cosine"))
+    }),
+
     "q51_approx_stats" -> ((s, dir) => {
       // the sketch path for 100 TB: HLL distinct counts + quantile
       // sketches are mergeable across partitions (one pass, tiny
@@ -818,6 +848,22 @@ object Similarity {
     "q74_cluster_sample" ->
       clusterSampleOracleSql(AnnParams.Default.ivfK, 10),
     "q74b_cluster_sample_k8" -> clusterSampleOracleSql(8, 5),
+
+    "q75_embed_decontam" ->
+      s"""WITH $duckNormedCte,
+         |bench AS (
+         |  SELECT vec_id AS bench_id, ve AS qve, nrm AS qnrm
+         |  FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT c.vec_id, b.bench_id,
+         |    list_dot_product(b.qve, c.ve) / (b.qnrm * c.nrm) AS cosine
+         |  FROM n c, bench b WHERE c.vec_id >= 10),
+         |agg AS (
+         |  SELECT vec_id, max(cosine) AS mc,
+         |    max(struct_pack(c := cosine, b := bench_id)).b AS nearest_bench
+         |  FROM scored GROUP BY vec_id)
+         |SELECT vec_id, nearest_bench, round(mc, 4) AS max_cosine
+         |FROM agg ORDER BY mc DESC, vec_id ASC LIMIT 50""".stripMargin,
 
     "q51_approx_stats" ->
       """SELECT l_returnflag, count(*) AS n,

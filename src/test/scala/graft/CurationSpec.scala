@@ -207,4 +207,27 @@ class CurationSpec extends AnyFunSuite {
     assert(enTop.toDouble / 20 > enShare,
       s"top-20 en share ${enTop / 20.0} not above corpus share $enShare")
   }
+
+  test("q76 dataset card: rollup levels are mutually consistent") {
+    val rows = Curation.queries("q76_dataset_card")(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+                 r.getLong(2), r.getLong(3), r.getLong(4)))
+    val grand = rows.filter(r => r._1.isEmpty && r._2.isEmpty)
+    val perLang = rows.filter(r => r._1.nonEmpty && r._2.isEmpty)
+    val leaves = rows.filter(r => r._1.nonEmpty && r._2.nonEmpty)
+    assert(grand.length == 1 && perLang.nonEmpty && leaves.nonEmpty)
+    // every level sums to the grand total, metric by metric
+    def sums(rs: Array[(Option[String], Option[String], Long, Long, Long)]) =
+      (rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._5).sum)
+    assert(sums(perLang) == sums(grand))
+    assert(sums(leaves) == sums(grand))
+    // per-lang rows equal the sum of their leaves
+    perLang.foreach { case (lang, _, nd, nt, nq) =>
+      val mine = leaves.filter(_._1 == lang)
+      assert((mine.map(_._3).sum, mine.map(_._4).sum, mine.map(_._5).sum)
+        == ((nd, nt, nq)), s"lang $lang")
+    }
+    // quality keeps bounded by docs
+    rows.foreach { case (_, _, nd, _, nq) => assert(nq <= nd) }
+  }
 }

@@ -202,6 +202,35 @@ class SimilarityExtSpec extends AnyFunSuite {
     b.foreach { case (cell, (n, d)) => assert(d < n, s"cell $cell") }
   }
 
+  test("embedding decontamination (q75): scalar recomputation of max-cosine ranking") {
+    val got = Similarity.queries("q75_embed_decontam")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 50)
+    // descending contamination scores; corpus side only; bench ids valid
+    assert(got.map(_._3).sameElements(got.map(_._3).sorted(Ordering[Double].reverse)))
+    got.foreach { case (id, b, _) => assert(id >= 10 && b < 10) }
+    // scalar recomputation (same sequential dot arithmetic)
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val bench = vecs.filter(_._1 < 10)
+    val want = vecs.filter(_._1 >= 10).map { case (id, v) =>
+      val (bid, mc) = bench.map { case (b, bv) =>
+        (b, dot(bv, v) / (math.sqrt(dot(bv, bv)) * math.sqrt(dot(v, v))))
+      }.maxBy { case (b, c) => (c, b) }
+      (id, bid, mc)
+    }.sortBy { case (id, _, mc) => (-mc, id) }.take(50)
+      .map { case (id, b, mc) =>
+        (id, b, BigDecimal(mc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("cluster-balanced sampling (q74): per-cell caps, corpus partition, distance order") {
     val corpusSize = graft.sources.Tables.load(spark, dir, "embeddings").count()
     for ((name, m) <- Seq("q74_cluster_sample" -> 10,
