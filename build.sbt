@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // driver+executors under GC pressure during the 8-way concurrent
   // bench (the whole engine lives in one JVM in local mode)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ~90 whole-stage-codegen'd queries x 2 bench passes overflow the
+  // default 240m JIT code cache; once it fills the compiler shuts off
+  // and the second concurrent pass runs interpreted (observed 3.6s ->
+  // 14.9s walls). Size it so compiled code is never evicted.
+  "-XX:ReservedCodeCacheSize=512m",
 )

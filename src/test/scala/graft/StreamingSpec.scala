@@ -7,6 +7,7 @@ import java.sql.Timestamp
 import graft.streaming.EventsStream
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class Doc(doc_id: Long, text: String, source: String, ts: Timestamp)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -123,5 +124,58 @@ class StatefulSessionSpec extends AnyFunSuite {
       assert(seen.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
     engine.execute("DROP TABLE cdc.t")
+  }
+
+  test("curateStream: quality gate + cross-batch content dedup on a doc stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = ("the data " * 15).trim // 30 tokens, stopword ratio 0.5
+    val short = "too short"            // fails the 20-token floor
+    val input = MemoryStream[Doc]
+    val q = graft.streaming.DocStream.curateStream(input.toDF())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, good, "s1", ts("2024-01-01 10:00:00")),
+        Doc(2, short, "s1", ts("2024-01-01 10:00:01")),
+        Doc(3, good + " extra tail tokens", "s2", ts("2024-01-01 10:00:02")))
+      q.processAllAvailable()
+      input.addData( // same content as doc 1, later micro-batch
+        Doc(4, good, "s3", ts("2024-01-01 10:00:03")))
+      q.processAllAvailable()
+      val ids = spark.table("curated").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 3L),
+        s"expected quality reject (2) and cross-batch dup (4) dropped: ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("nearDupAgainstCorpus flags a planted near-dup, passes novel docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "documents")
+      .selectExpr("doc_id AS corpus_id", "text")
+    val base = corpus.orderBy("corpus_id").limit(1).collect()(0)
+    val (baseId, baseText) = (base.getLong(0), base.getString(1))
+    val input = MemoryStream[Doc]
+    val q = graft.streaming.DocStream
+      .nearDupAgainstCorpus(input.toDF(), corpus)
+      .writeStream.format("memory").queryName("neardup_flags")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // near-copy of a corpus doc (one token appended -> jaccard ~1)
+        Doc(9001, baseText + " tail", "s1", ts("2024-01-01 10:00:00")),
+        // novel content sharing no shingles with the corpus
+        Doc(9002, "qq ww ee rr tt yy uu ii oo pp", "s1",
+            ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      val flags = spark.table("neardup_flags").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(flags.exists { case (d, c, j) => d == 9001 && c == baseId && j >= 0.5 },
+        s"planted near-dup not flagged: ${flags.mkString(",")}")
+      assert(!flags.exists(_._1 == 9002), s"novel doc flagged: ${flags.mkString(",")}")
+    } finally q.stop()
   }
 }
