@@ -199,6 +199,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p68.contains("ivf_cells"), s"q68 lost the native assignment:\n$p68")
   }
 
+  test("round-5 retrieval/card plans: bm25 posting filter + broadcasts, gopher zero-shuffle, rollup single Expand, decontam corpus-local") {
+    import graft.operators.{Curation, Search, Similarity, TextAnalysis}
+    // q72: the token stream filters to the query terms BEFORE any
+    // exchange; df + stats join back as broadcasts; top-k is
+    // TakeOrderedAndProject — the corpus never shuffles
+    val p72 = Search.bm25(spark, dir, Search.DefaultQuery)
+      .queryExecution.executedPlan.toString
+    assert(p72.contains("BroadcastHashJoin") || p72.contains("BroadcastNestedLoopJoin"),
+      s"q72 df/stats join not broadcast:\n$p72")
+    assert(!p72.contains("SortMergeJoin"), s"q72 shuffled the corpus for a join:\n$p72")
+    assert(p72.contains("TakeOrderedAndProject"),
+      s"q72 top-k must not be a global sort:\n$p72")
+    val rs72 = p72.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs72.contains("lang") && !rs72.contains("n_chars"),
+      s"q72 reads unneeded columns: $rs72")
+    // q73: a pure per-row rule evaluation — no exchange anywhere
+    val p73 = TextAnalysis.queries("q73_gopher_rules")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p73.contains("Exchange"), s"q73 must not shuffle:\n$p73")
+    // q76: ROLLUP = one Expand + one aggregation exchange, no
+    // count-distinct blowup beyond the 3 grouping levels
+    val p76 = Curation.queries("q76_dataset_card")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(p76).size == 1, s"q76 Expand count:\n$p76")
+    assert("Exchange hashpartitioning".r.findAllIn(p76).size <= 1,
+      s"q76 shuffles too much:\n$p76")
+    // q75: benchmark side broadcast; corpus side scans once with no
+    // shuffle before the final ordered limit
+    val p75 = Similarity.queries("q75_embed_decontam")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p75.contains("BroadcastNestedLoopJoin"),
+      s"q75 bench side not broadcast:\n$p75")
+    assert(p75.contains("TakeOrderedAndProject"),
+      s"q75 ranking must not be a global sort:\n$p75")
+    // q74: one shuffle on cell for the window + agg; native assignment
+    val p74 = Similarity.queries("q74_cluster_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p74.contains("ivf_cells"), s"q74 lost the native assignment:\n$p74")
+    assert(!p74.contains("CartesianProduct"), s"q74 went all-pairs:\n$p74")
+  }
+
   test("partition-pruned UPDATE reads only affected partitions") {
     // the rewrite scan must carry the partition predicate so partition
     // pruning bounds the IO (EngineSpec proves the file-level effect;
