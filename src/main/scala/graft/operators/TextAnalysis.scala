@@ -111,6 +111,31 @@ object TextAnalysis {
           (col("r_len") && col("r_wordlen") && col("r_stop") &&
             col("r_dup")).as("keep"))),
 
+    "q77_tokenizer_fertility" -> ((s, dir) => {
+      // tokenizer fertility (BPE-ish regex tokens per whitespace word)
+      // per language — the stat that decides whether a tokenizer's
+      // token budget is fair across languages. The synthetic corpus is
+      // pure [a-z ]+ (regex tokens == words, fertility 1.0, vacuous),
+      // so each doc gets a deterministic mixed-script suffix derived
+      // from doc_id (digits + punctuation, reproduced identically in
+      // the oracle) — the regex tokenizer provably splits where the
+      // whitespace one does not. Per-lang fertility is
+      // sum(bpe)/sum(ws): integer sums then ONE division, so the
+      // double is bit-identical cross-engine (no double summation).
+      val planted = concat(col("text"), lit(" v"), col("doc_id"),
+        lit(".r-"), (col("doc_id") % 7).cast("string"))
+      docs(s, dir)
+        .withColumn("planted", planted)
+        .withColumn("ws", size(Text.tokens(col("planted"))))
+        .withColumn("bpe", size(Text.regexTokens(col("planted"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("ws")).as("ws_tokens"),
+             sum(col("bpe")).as("bpe_tokens"))
+        .withColumn("fertility",
+          col("bpe_tokens").cast("double") / col("ws_tokens"))
+    }),
+
     "q30_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -269,6 +294,23 @@ object TextAnalysis {
         |     + (CASE WHEN r_dup THEN 0 ELSE 1 END) AS INTEGER) AS n_failed,
         |  (r_len AND r_wordlen AND r_stop AND r_dup) AS keep
         |FROM r""".stripMargin,
+
+    "q77_tokenizer_fertility" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    text || ' v' || doc_id || '.r-' || (doc_id % 7) AS planted
+        |  FROM documents),
+        |t AS (
+        |  SELECT lang,
+        |    len(string_split(planted, ' ')) AS ws,
+        |    len(regexp_extract_all(planted,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe
+        |  FROM p)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(bpe) AS DOUBLE) / sum(ws) AS fertility
+        |FROM t GROUP BY lang""".stripMargin,
 
     "q30_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_fp,

@@ -185,4 +185,20 @@ class MultimodalTypedSpec extends AnyFunSuite {
     // the composite filter neither keeps nor drops everything
     assert(kept > 0 && kept < rows.length, s"kept $kept of ${rows.length}")
   }
+
+  test("q77 tokenizer fertility: planted mixed-script text makes bpe > ws per language") {
+    val rows = graft.operators.TextAnalysis
+      .queries("q77_tokenizer_fertility")(TestSpark.spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, ws, bpe, fert) =>
+      // the planted suffix " v<id>.r-<k>" adds 2 ws tokens but >= 6
+      // regex tokens, so fertility strictly exceeds 1 everywhere
+      assert(bpe > ws, s"$lang: bpe $bpe <= ws $ws")
+      assert(fert == bpe.toDouble / ws)
+      assert(n > 0)
+    }
+  }
 }
