@@ -34,6 +34,41 @@ object Skew {
       .agg(sum(col("pc")).as("n"), sum(col("ps")).as("total"))
   }
 
+  /** Two-phase ("salted") windowed running sum for a SKEWED window
+    * partition key — the pattern SCALING.md's q63 note calls for when
+    * one mega-domain would serialize through a single window
+    * partition (AQE cannot split a window partition the way it splits
+    * a skewed join).
+    *
+    * `salt` must be monotone non-decreasing in `order` within each
+    * key (e.g. a time bucket of the ordering timestamp): phase 1
+    * computes the running sum INSIDE each (key, salt) slice — the hot
+    * key's rows fan out over its salt slices instead of one reducer —
+    * and phase 2 adds the per-slice offsets (a window over the tiny
+    * (key, salt) totals). Row-for-row identical to the plain
+    * unbounded-preceding running sum when (key, order) is unique,
+    * at hot_key_rows / |salts| per task instead of hot_key_rows. */
+  def saltedCumSum(df: DataFrame, key: Column, order: Column,
+                   value: Column, salt: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(key.as("k"), order.as("o"), value.as("v"),
+                         salt.as("s"))
+    val wLocal = Window.partitionBy(col("k"), col("s")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum", sum(col("v")).over(wLocal))
+    // per-slice totals are |keys| x |salts| rows — the phase-2 window
+    // is over a table orders of magnitude below the data
+    val wOff = Window.partitionBy(col("k")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("k"), col("s"))
+      .agg(sum(col("v")).as("st"))
+      .withColumn("off", coalesce(sum(col("st")).over(wOff), lit(0)))
+      .select(col("k"), col("s"), col("off"))
+    local.join(offsets, Seq("k", "s"))
+      .withColumn("cum", col("local_cum") + col("off"))
+      .select(col("k"), col("o"), col("v"), col("cum"))
+  }
+
   /** Broadcast-salted join for a skewed fact-side key: replicate each
     * build-side row `saltBuckets` times with a salt column, salt the
     * probe side randomly, and join on (key, salt). Use when the build

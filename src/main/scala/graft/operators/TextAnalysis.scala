@@ -136,6 +136,32 @@ object TextAnalysis {
           col("bpe_tokens").cast("double") / col("ws_tokens"))
     }),
 
+    "q78_dup_ngrams" -> ((s, dir) => {
+      // within-doc repeated n-gram fractions (the rest of the Gopher
+      // repetition family started by q59's token-level dup_ratio):
+      // fraction of 2-grams / 3-grams that are repeats of an earlier
+      // n-gram in the SAME doc. Pure per-row HOF arithmetic — zero
+      // shuffle; fractions are one division each (bit-identical
+      // cross-engine); keep-gates at the Gopher-style thresholds.
+      val toks = Text.tokens(col("text"))
+      def dupFrac(k: Int) = {
+        val sh = Text.shingles(col("toks"), k)
+        when(size(sh) > 0,
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+          .otherwise(lit(0.0))
+      }
+      docs(s, dir)
+        .withColumn("toks", toks)
+        .withColumn("dup2", dupFrac(2))
+        .withColumn("dup3", dupFrac(3))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          col("dup2").as("dup_2gram_frac"),
+          col("dup3").as("dup_3gram_frac"),
+          (col("dup2") <= 0.2 && col("dup3") <= 0.15).as("keep"))
+    }),
+
     "q30_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(
@@ -311,6 +337,33 @@ object TextAnalysis {
         |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
         |  CAST(sum(bpe) AS DOUBLE) / sum(ws) AS fertility
         |FROM t GROUP BY lang""".stripMargin,
+
+    "q78_dup_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i + 1])
+        |    ELSE []::VARCHAR[] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |    ELSE []::VARCHAR[] END AS g3
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |    CASE WHEN len(g2) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        |      ELSE 0.0 END AS dup_2gram_frac,
+        |    CASE WHEN len(g3) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+        |      ELSE 0.0 END AS dup_3gram_frac
+        |  FROM g)
+        |SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+        |  (dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.15) AS keep
+        |FROM f""".stripMargin,
 
     "q30_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_fp,
