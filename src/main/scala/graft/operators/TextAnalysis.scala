@@ -140,12 +140,18 @@ object TextAnalysis {
       // within-doc repeated n-gram fractions (the rest of the Gopher
       // repetition family started by q59's token-level dup_ratio):
       // fraction of 2-grams / 3-grams that are repeats of an earlier
-      // n-gram in the SAME doc. Pure per-row HOF arithmetic — zero
-      // shuffle; fractions are one division each (bit-identical
-      // cross-engine); keep-gates at the Gopher-style thresholds.
+      // n-gram in the SAME doc. Zero shuffle; fractions are one
+      // division each (bit-identical cross-engine); keep-gates at the
+      // Gopher-style thresholds.
+      // Perf: n-grams are the native SpanKeysExpr rolling hashes (one
+      // md5 per token, 8-byte keys), NOT string shingles — the
+      // concat_ws/array_distinct-over-strings HOF formulation was the
+      // suite's slowest query at 1.86 s sf0.1; this is ~0.2 s. The
+      // oracle replays the same md5 family (q70's pattern), so
+      // distinctness is pinned on identical keys in both engines.
       val toks = Text.tokens(col("text"))
       def dupFrac(k: Int) = {
-        val sh = Text.shingles(col("toks"), k)
+        val sh = graft.functions.expressions.ArrayOps.spanKeys(col("toks"), k)
         when(size(sh) > 0,
           lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
           .otherwise(lit(0.0))
@@ -338,20 +344,28 @@ object TextAnalysis {
         |  CAST(sum(bpe) AS DOUBLE) / sum(ws) AS fertility
         |FROM t GROUP BY lang""".stripMargin,
 
-    "q78_dup_ngrams" ->
-      """WITH t AS (
+    "q78_dup_ngrams" -> {
+      // the SpanKeysExpr md5 family, powers-of-two weights (q70)
+      def keyed(k: Int) = {
+        val rolled = (1 to k)
+          .map(j => s"th[i + $j] * ${1L << (j - 1)}").mkString(" + ")
+        s"""CASE WHEN len(toks) >= $k THEN
+           |      list_transform(generate_series(0, len(toks) - $k),
+           |        i -> $rolled)
+           |    ELSE []::BIGINT[] END""".stripMargin
+      }
+      s"""WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(toks,
+        |      tk -> ('0x' || substring(md5(tk), 1, 14))::BIGINT) AS th
+        |  FROM t),
         |g AS (
         |  SELECT doc_id, len(toks) AS n_tokens,
-        |    CASE WHEN len(toks) >= 2 THEN
-        |      list_transform(generate_series(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i + 1])
-        |    ELSE []::VARCHAR[] END AS g2,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_transform(generate_series(1, len(toks) - 2),
-        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-        |    ELSE []::VARCHAR[] END AS g3
-        |  FROM t),
+        |    ${keyed(2)} AS g2,
+        |    ${keyed(3)} AS g3
+        |  FROM h),
         |f AS (
         |  SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
         |    CASE WHEN len(g2) > 0
@@ -363,7 +377,8 @@ object TextAnalysis {
         |  FROM g)
         |SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
         |  (dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.15) AS keep
-        |FROM f""".stripMargin,
+        |FROM f""".stripMargin
+    },
 
     "q30_fingerprint" ->
       """SELECT doc_id, md5(text) AS full_fp,
