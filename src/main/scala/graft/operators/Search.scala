@@ -55,6 +55,51 @@ object Search {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** The full postings list (w, doc_id, dl, tf) — what a materialized
+    * inverted index stores. In-query, [[bm25]] computes only the
+    * query terms' slice of it; at rest, write it `bucketBy(w)` and
+    * probes read just the matching buckets (IndexAtScaleSpec). */
+  def allPostings(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .groupBy(col("w"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** One-row corpus stats (N, total token count) — the index's
+    * metadata sidecar. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(size(Text.tokens(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** BM25 scoring over a postings slice already filtered to the query
+    * terms — shared verbatim by the scan path ([[bm25]]) and the
+    * materialized-index path, so both produce the identical ranking
+    * and identical integer points. */
+  def scorePostings(postings: DataFrame, stats: DataFrame,
+                    p: Bm25Params): DataFrame = {
+    // per-term document frequency: |terms| rows, broadcast back
+    val dfreq = postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + expr("0.5d")) / (col("df") + expr("0.5d")))
+      .withColumn("tfs",
+        col("tf") * expr(s"${K1Plus1}d") /
+          (col("tf") + expr(s"${K1}d") *
+            (expr(s"${OneMinusB}d") +
+              expr(s"${B}d") * (col("dl") / col("avgdl")))))
+      .withColumn("pts", floor(expr("1000000.0d") * col("idf") * col("tfs")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("pts")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(p.topN)
+  }
+
   /** BM25 top-k: returns (doc_id, n_terms matched, integer score). */
   def bm25(s: SparkSession, dir: String, p: Bm25Params): DataFrame = {
     val base = docs(s, dir)
@@ -70,25 +115,7 @@ object Search {
       .where(col("w").isin(p.terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
-    // per-term document frequency: |terms| rows, broadcast back
-    val dfreq = postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val scored = postings
-      .join(broadcast(dfreq), "w")
-      .crossJoin(broadcast(stats))
-      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-      .withColumn("idf",
-        (col("n_docs") - col("df") + expr("0.5d")) / (col("df") + expr("0.5d")))
-      .withColumn("tfs",
-        col("tf") * expr(s"${K1Plus1}d") /
-          (col("tf") + expr(s"${K1}d") *
-            (expr(s"${OneMinusB}d") +
-              expr(s"${B}d") * (col("dl") / col("avgdl")))))
-      .withColumn("pts", floor(expr("1000000.0d") * col("idf") * col("tfs")))
-    scored
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("pts")).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(p.topN)
+    scorePostings(postings, stats, p)
   }
 
   /** DuckDB oracle for [[bm25]], generated from the same params —
