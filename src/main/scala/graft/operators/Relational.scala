@@ -414,6 +414,48 @@ object Relational {
              max(col("k")).as("max_k"),
              round(avg(col("k")), 4).as("avg_k"))),
 
+    "q79_funnel" -> ((s, dir) => {
+      // 3-stage ordered funnel (view -> click -> purchase): each stage
+      // counts users whose first qualifying event follows their
+      // previous stage's time — the product-analytics staple. Stage
+      // tables shrink monotonically (<= |users| rows) and broadcast;
+      // the event scan filters by type BEFORE each groupBy, so each
+      // stage shuffles only its own event type. At 100 TB: three
+      // type-pruned scans (or one scan + conditional aggs off a cache)
+      // and user-count-sized joins.
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(broadcast(s1), "user_id").where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(broadcast(s2), "user_id").where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      ev.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(s1.agg(count(lit(1)).as("n_view")))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
+    }),
+
+    "q80_retention" -> ((s, dir) =>
+      // cohort retention: users grouped by first-activity day, counted
+      // on each later activity day offset 0..7 — the engagement panel
+      // every events warehouse serves. First-day table is
+      // users-sized -> broadcast; activity dedupes (user, day) with
+      // partial aggregation before the join.
+      {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        val activity = ev.distinct()
+        activity.join(broadcast(first), "user_id")
+          .withColumn("offset", datediff(col("day"), col("cohort")))
+          .where(col("offset").between(0, 7))
+          .groupBy(col("cohort"), col("offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      }),
+
     "q26_sessionize" -> ((s, dir) => {
       // gap-based sessionization (30 min): the batch analog of what
       // Structured Streaming's session windows do with state.
@@ -701,6 +743,40 @@ object Relational {
         |  min(k) AS min_k, max(k) AS max_k,
         |  round(avg(k), 4) AS avg_k
         |FROM t GROUP BY event_type""".stripMargin,
+
+    "q79_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
+        |  (SELECT count(*) FROM s1) AS n_view,
+        |  (SELECT count(*) FROM s2) AS n_view_click,
+        |  (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
+
+    "q80_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (
+        |  SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+        |activity AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT f.cohort, CAST(a.day - f.cohort AS INTEGER) AS "offset",
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN first f ON f.user_id = a.user_id
+        |WHERE a.day - f.cohort BETWEEN 0 AND 7
+        |GROUP BY f.cohort, a.day - f.cohort""".stripMargin,
 
     "q26_sessionize" ->
       """WITH flagged AS (

@@ -221,4 +221,29 @@ class SimhashPairsSpec extends AnyFunSuite {
     // the operator has teeth on the real corpus too
     assert(want.values.map(_._2).sum > 0, "no repeated spans at this SF")
   }
+
+  test("q79 funnel: stage counts are monotone and every stage reached") {
+    val r = graft.operators.Relational.queries("q79_funnel")(
+      spark, TestSpark.sfDir).collect()(0)
+    val (users, view, vc, full) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= view && view >= vc && vc >= full,
+      s"funnel not monotone: $users >= $view >= $vc >= $full")
+    assert(full > 0, "no user completed the funnel at this SF")
+  }
+
+  test("q80 retention: offset-0 equals cohort size, later offsets never exceed it") {
+    val rows = graft.operators.Relational.queries("q80_retention")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getDate(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (cohort, ds) =>
+      val d0 = ds.find(_._2 == 0)
+      assert(d0.isDefined, s"cohort $cohort missing offset 0")
+      ds.foreach { case (_, off, n) =>
+        assert(n <= d0.get._3, s"cohort $cohort offset $off retains $n > day0 ${d0.get._3}")
+      }
+    }
+  }
 }
