@@ -954,7 +954,11 @@ final class QueryEngine(val spark: SparkSession,
       QueryResult(id, Seq("database"), names.map(Seq[Any](_)).toSeq,
         names.length, s"Found ${names.length} database(s)")
     case _ =>
-      throw new IllegalArgumentException("unsupported statement type")
+      // the reference PARSES further SHOW forms (SHOW USERS,
+      // parser_show_test.go:329-346) but its executor rejects them —
+      // executeShowStmt's default arm (engine.go:267-268); mirror the
+      // exact error string
+      throw new IllegalArgumentException("unsupported SHOW type")
   }
 
   private def tableProps(table: String): Map[String, String] = {

@@ -230,6 +230,10 @@ class EngineSpec extends AnyFunSuite {
                     "DROP INDEX idx ON t", "DROP USER bob",
                     "CREATE INDEX idx ON t (c)", "CREATE USER bob"))
       assertThrows[IllegalArgumentException](engine.execute(bad))
+    // the reference parses SHOW USERS but its executor rejects it with
+    // "unsupported SHOW type" (engine.go:267-268) — mirror exactly
+    val e = intercept[IllegalArgumentException](engine.execute("SHOW USERS"))
+    assert(e.getMessage == "unsupported SHOW type")
   }
 
   test("execution manager tracks lifecycle and stats") {
