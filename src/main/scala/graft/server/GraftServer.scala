@@ -67,9 +67,19 @@ object GraftServer {
           tokens = spark.conf.getOption("spark.graft.auth.tokens")
             .map(_.split(",").toSet).getOrElse(Set.empty)))
       else None
-    val http = new HttpApi(engine, 2847, auth).start()
-    val pg = new PgWireServer(engine, 2848, auth = auth); pg.start()
-    val native = new NativeServer(engine, 2849, auth = auth); native.start()
+    // per-protocol enable flags, the gateway's isHTTPServerEnabled /
+    // isJDBCServerEnabled pattern (gateway.go:223-231) — default on
+    def enabled(proto: String): Boolean =
+      !spark.conf.getOption(s"spark.graft.server.$proto.enabled")
+        .contains("false")
+    val http = if (enabled("http"))
+      Some(new HttpApi(engine, 2847, auth).start()) else None
+    val pg = if (enabled("pgwire")) {
+      val s = new PgWireServer(engine, 2848, auth = auth); s.start(); Some(s)
+    } else None
+    val native = if (enabled("native")) {
+      val s = new NativeServer(engine, 2849, auth = auth); s.start(); Some(s)
+    } else None
     // CDC retention: with no AsthaScheduler consuming (subscriber
     // cleanup is cursor-driven), a long-running server would grow
     // .graft-cdc/ without bound and system.cdc_log would slow down
@@ -91,10 +101,15 @@ object GraftServer {
       }, intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       e
     }
-    println("graft-server listening: http=2847 pgwire=2848 native=2849" +
+    println("graft-server listening:" +
+      http.map(_ => " http=2847").getOrElse("") +
+      pg.map(_ => " pgwire=2848").getOrElse("") +
+      native.map(_ => " native=2849").getOrElse("") +
       (if (auth.isDefined) " (auth enabled)" else ""))
     sys.addShutdownHook {
-      retention.shutdown(); native.stop(); pg.stop(); http.stop(); spark.stop()
+      retention.shutdown()
+      native.foreach(_.stop()); pg.foreach(_.stop()); http.foreach(_.stop())
+      spark.stop()
     }
     Thread.currentThread().join() // serve until killed
   }
