@@ -72,13 +72,21 @@ object GraftServer {
     def enabled(proto: String): Boolean =
       !spark.conf.getOption(s"spark.graft.server.$proto.enabled")
         .contains("false")
+    // ports follow the reference's server.port config idea
+    // (ranger-server.yml `server:`) with our per-protocol layout
+    def port(proto: String, dflt: Int): Int =
+      spark.conf.getOption(s"spark.graft.server.$proto.port")
+        .map(_.toInt).getOrElse(dflt)
+    val httpPort = port("http", 2847)
+    val pgPort = port("pgwire", 2848)
+    val nativePort = port("native", 2849)
     val http = if (enabled("http"))
-      Some(new HttpApi(engine, 2847, auth).start()) else None
+      Some(new HttpApi(engine, httpPort, auth).start()) else None
     val pg = if (enabled("pgwire")) {
-      val s = new PgWireServer(engine, 2848, auth = auth); s.start(); Some(s)
+      val s = new PgWireServer(engine, pgPort, auth = auth); s.start(); Some(s)
     } else None
     val native = if (enabled("native")) {
-      val s = new NativeServer(engine, 2849, auth = auth); s.start(); Some(s)
+      val s = new NativeServer(engine, nativePort, auth = auth); s.start(); Some(s)
     } else None
     // CDC retention: with no AsthaScheduler consuming (subscriber
     // cleanup is cursor-driven), a long-running server would grow
@@ -102,9 +110,9 @@ object GraftServer {
       e
     }
     println("graft-server listening:" +
-      http.map(_ => " http=2847").getOrElse("") +
-      pg.map(_ => " pgwire=2848").getOrElse("") +
-      native.map(_ => " native=2849").getOrElse("") +
+      http.map(_ => s" http=$httpPort").getOrElse("") +
+      pg.map(_ => s" pgwire=$pgPort").getOrElse("") +
+      native.map(_ => s" native=$nativePort").getOrElse("") +
       (if (auth.isDefined) " (auth enabled)" else ""))
     sys.addShutdownHook {
       retention.shutdown()
