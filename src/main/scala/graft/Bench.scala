@@ -71,11 +71,8 @@ object Bench {
     val sequential = suite.map { case (name, fn) => name -> run1(name, fn) }
     val seqTotal = (System.nanoTime() - seqT0) / 1e9
 
-    // pass 3: 8-way concurrent throughput, TWICE — the host shows
-    // heavy run-to-run variance (the empty-job floor alone moves ~60%
-    // between back-to-back runs); the best of two is the number that
-    // reflects the engine rather than the noisiest GC/scheduler beat.
-    // Both walls are reported.
+    // pass 3: 8-way concurrent throughput, three times (best wall
+    // reported below; all walls published in `concurrent_walls`).
     def concurrentPass(): (Seq[(String, Double)], Double) = {
       val pool = Executors.newFixedThreadPool(8)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

@@ -58,8 +58,10 @@ object Curation {
   private val SegTokens = 3
   private val BoilerplateDf = 2
 
-  /** Shared quality gate (q28's keep rule). */
-  private def qualityKeep: Column = {
+  /** Shared quality gate (q28's keep rule) — also the streaming
+    * gate ([[graft.streaming.DocStream.curateStream]]), so online and
+    * offline curation can never drift apart on thresholds. */
+  def qualityKeep: Column = {
     val toks = Text.tokens(col("text"))
     val stopRatio = Text.stopwordCount(toks).cast("double") / size(toks)
     size(toks).between(20, 2000) && stopRatio.between(0.01, 0.6)

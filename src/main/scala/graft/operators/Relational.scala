@@ -418,19 +418,21 @@ object Relational {
       // 3-stage ordered funnel (view -> click -> purchase): each stage
       // counts users whose first qualifying event follows their
       // previous stage's time — the product-analytics staple. Stage
-      // tables shrink monotonically (<= |users| rows) and broadcast;
-      // the event scan filters by type BEFORE each groupBy, so each
-      // stage shuffles only its own event type. At 100 TB: three
-      // type-pruned scans (or one scan + conditional aggs off a cache)
-      // and user-count-sized joins.
+      // tables shrink monotonically but are |users|-sized (corpus-
+      // proportional, NOT a bounded dimension), so the joins carry no
+      // broadcast hint: AQE broadcasts them at small scale and
+      // falls back to a shuffle join on user_id at billions of users
+      // — per-user state stays bounded either way. The event scan
+      // filters by type BEFORE each groupBy, so each stage shuffles
+      // only its own event type.
       val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
       val s1 = ev.where(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
       val s2 = ev.where(col("event_type") === "click")
-        .join(broadcast(s1), "user_id").where(col("ts") > col("t1"))
+        .join(s1, "user_id").where(col("ts") > col("t1"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
       val s3 = ev.where(col("event_type") === "purchase")
-        .join(broadcast(s2), "user_id").where(col("ts") > col("t2"))
+        .join(s2, "user_id").where(col("ts") > col("t2"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
       ev.agg(countDistinct(col("user_id")).as("n_users"))
         .crossJoin(s1.agg(count(lit(1)).as("n_view")))
@@ -441,15 +443,17 @@ object Relational {
     "q80_retention" -> ((s, dir) =>
       // cohort retention: users grouped by first-activity day, counted
       // on each later activity day offset 0..7 — the engagement panel
-      // every events warehouse serves. First-day table is
-      // users-sized -> broadcast; activity dedupes (user, day) with
-      // partial aggregation before the join.
+      // every events warehouse serves. The first-day table is
+      // |users|-sized (corpus-proportional), so no broadcast hint:
+      // AQE broadcasts at small scale, shuffles on user_id at
+      // billions of users. Activity dedupes (user, day) with partial
+      // aggregation before the join.
       {
         val ev = t(s, dir, "events")
           .select(col("user_id"), col("ts").cast("date").as("day"))
         val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
         val activity = ev.distinct()
-        activity.join(broadcast(first), "user_id")
+        activity.join(first, "user_id")
           .withColumn("offset", datediff(col("day"), col("cohort")))
           .where(col("offset").between(0, 7))
           .groupBy(col("cohort"), col("offset"))

@@ -120,9 +120,20 @@ object Search {
 
   /** DuckDB oracle for [[bm25]], generated from the same params —
     * identical expression trees, so every double is bit-identical and
-    * the floor()ed points agree exactly. */
+    * the floor()ed points agree exactly.
+    *
+    * Every numeric literal is CAST to DOUBLE: DuckDB parses a bare
+    * `2.2` as DECIMAL(2,1) and evaluates `tf * 2.2` EXACTLY (for
+    * tf=3: decimal 6.6, which rounds to the double 6.6), while Spark
+    * computes `3 * 2.2d = 6.6000000000000005` — one ulp apart, enough
+    * to flip floor() when 1e6*idf*tfs lands near an integer. The
+    * casts force DuckDB onto the same double-at-every-step
+    * arithmetic as Spark. */
   def bm25OracleSql(p: Bm25Params): String = {
     val termList = p.terms.map(t => s"'$t'").mkString(", ")
+    val (k1p1, k1, oneMinusB, b) =
+      (s"CAST($K1Plus1 AS DOUBLE)", s"CAST($K1 AS DOUBLE)",
+       s"CAST($OneMinusB AS DOUBLE)", s"CAST($B AS DOUBLE)")
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |stats AS (
@@ -137,10 +148,11 @@ object Search {
        |dfreq AS (SELECT w, count(*) AS df FROM post GROUP BY w),
        |scored AS (
        |  SELECT post.doc_id,
-       |    CAST(floor(1000000.0
-       |      * ((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-       |      * (post.tf * $K1Plus1 / (post.tf + $K1
-       |           * ($OneMinusB + $B * (post.dl / stats.avgdl)))))
+       |    CAST(floor(CAST(1000000.0 AS DOUBLE)
+       |      * ((stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+       |         / (dfreq.df + CAST(0.5 AS DOUBLE)))
+       |      * (post.tf * $k1p1 / (post.tf + $k1
+       |           * ($oneMinusB + $b * (post.dl / stats.avgdl)))))
        |      AS BIGINT) AS pts
        |  FROM post JOIN dfreq ON post.w = dfreq.w, stats)
        |SELECT doc_id, count(*) AS n_terms, CAST(sum(pts) AS BIGINT) AS score

@@ -71,12 +71,18 @@ object GraftServer {
     // isJDBCServerEnabled pattern (gateway.go:223-231) — default on
     def enabled(proto: String): Boolean =
       !spark.conf.getOption(s"spark.graft.server.$proto.enabled")
-        .contains("false")
+        .exists(v => Set("false", "0", "no", "off")(v.trim.toLowerCase))
     // ports follow the reference's server.port config idea
-    // (ranger-server.yml `server:`) with our per-protocol layout
+    // (ranger-server.yml `server:`) with our per-protocol layout;
+    // a malformed value must fail with an addressed message, not a
+    // raw NumberFormatException mid-bootstrap
     def port(proto: String, dflt: Int): Int =
-      spark.conf.getOption(s"spark.graft.server.$proto.port")
-        .map(_.toInt).getOrElse(dflt)
+      spark.conf.getOption(s"spark.graft.server.$proto.port") match {
+        case None => dflt
+        case Some(v) => v.trim.toIntOption.filter(p => p > 0 && p <= 65535)
+          .getOrElse(sys.error(
+            s"invalid spark.graft.server.$proto.port: '$v' (need 1-65535)"))
+      }
     val httpPort = port("http", 2847)
     val pgPort = port("pgwire", 2848)
     val nativePort = port("native", 2849)

@@ -37,15 +37,12 @@ object DocStream {
   /** Streaming quality gate + cross-batch exact dedup. Input schema:
     * (doc_id, text, source, ts: timestamp). Emits surviving docs with
     * their content digest, in append mode. */
-  def curateStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val stopRatio = Text.stopwordCount(toks).cast("double") / size(toks)
+  def curateStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .where(size(toks).between(20, 2000) && stopRatio.between(0.01, 0.6))
+      .where(graft.operators.Curation.qualityKeep)
       .withColumn("fp", md5(col("text")))
       .dropDuplicatesWithinWatermark("fp")
-  }
 
   /** Online near-dup flagging: each arriving doc is checked against
     * the static `corpus` (doc_id, text) via LSH band-key equi-join +

@@ -28,26 +28,6 @@ class GenerativeOpsSpec extends AnyFunSuite {
     } yield ws.mkString(" "))
   } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
-  private def refBm25(docs: Seq[(Long, String)], terms: Seq[String],
-                      topN: Int): Seq[(Long, Long, Long)] = {
-    val toks = docs.map { case (id, t) => (id, t.split(" ", -1).toSeq) }
-    val n = toks.size.toLong
-    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / n
-    val tset = terms.toSet
-    val tfs = toks.map { case (id, ws) =>
-      (id, ws.size, ws.filter(tset).groupBy(identity)
-        .map { case (w, g) => w -> g.size.toLong }) }
-    val df = terms.map(w => w -> tfs.count(_._3.contains(w)).toLong).toMap
-    tfs.flatMap { case (id, dl, tf) =>
-      if (tf.isEmpty) None
-      else Some((id, tf.size.toLong, tf.map { case (w, f) =>
-        val idf = (n - df(w) + 0.5) / (df(w) + 0.5)
-        val sat = f * 2.2 / (f + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
-        math.floor(1000000.0 * idf * sat).toLong
-      }.sum))
-    }.sortBy { case (id, _, s) => (-s, id) }.take(topN)
-  }
-
   test("bm25 matches the scalar reference on random corpora (30 seeds)") {
     import spark.implicits._
     val params = graft.operators.Search.Bm25Params(
@@ -58,7 +38,7 @@ class GenerativeOpsSpec extends AnyFunSuite {
         .parquet(s"$tmp/documents.parquet")
       val got = graft.operators.Search.bm25(spark, tmp, params).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-      val want = refBm25(docs, params.terms, params.topN)
+      val want = Bm25Reference.score(docs, params)
       assert(got == want, s"seed ${i + 1}: $docs")
     }
   }

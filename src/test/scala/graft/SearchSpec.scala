@@ -12,31 +12,11 @@ import graft.sources.Tables
 class SearchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def referenceBm25(p: Search.Bm25Params): Seq[(Long, Long, Long)] = {
-    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
-    val n = docs.length.toLong
-    val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n
-    val terms = p.terms.toSet
-    // per-doc tf over query terms only
-    val tfs = docs.map { case (id, toks) =>
-      (id, toks.size, toks.filter(terms).groupBy(identity)
-        .map { case (w, ws) => w -> ws.size.toLong }) }
-    val df = p.terms.map(w => w -> tfs.count(_._3.contains(w)).toLong).toMap
-    val scored = tfs.flatMap { case (id, dl, tf) =>
-      if (tf.isEmpty) None
-      else {
-        val pts = tf.map { case (w, f) =>
-          val idf = (n - df(w) + 0.5) / (df(w) + 0.5)
-          val sat = f * 2.2 / (f + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
-          math.floor(1000000.0 * idf * sat).toLong
-        }.sum
-        Some((id, tf.size.toLong, pts))
-      }
-    }
-    scored.sortBy { case (id, _, s) => (-s, id) }.take(p.topN).toSeq
-  }
+  private def referenceBm25(p: Search.Bm25Params): Seq[(Long, Long, Long)] =
+    Bm25Reference.score(
+      Tables.load(spark, TestSpark.sfDir, "documents")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq, p)
 
   test("q72 bm25 matches a sequential reference implementation exactly") {
     for (p <- Seq(Search.DefaultQuery, Search.AltQuery)) {
