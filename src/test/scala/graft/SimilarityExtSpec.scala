@@ -202,6 +202,41 @@ class SimilarityExtSpec extends AnyFunSuite {
     b.foreach { case (cell, (n, d)) => assert(d < n, s"cell $cell") }
   }
 
+  test("session-tunable params: conf-driven runs equal the explicit operating points") {
+    // spark.graft.ann.* -> AnnParams.from drives the SAME pipeline as
+    // an explicit params value (the SETTINGS-tunable path the
+    // operating-point queries q37b/q41b pin with generated oracles)
+    spark.conf.set("spark.graft.ann.planes", "6")
+    spark.conf.set("spark.graft.ann.ivf.k", "8")
+    spark.conf.set("spark.graft.ann.ivf.nprobe", "2")
+    try {
+      val p = Similarity.AnnParams.from(spark)
+      assert(p == Similarity.AnnParams(numPlanes = 6, ivfK = 8, ivfProbe = 2))
+      val gotLsh = Similarity.knnLsh(spark, dir, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val wantLsh = Similarity.queries("q37b_knn_lsh_p6")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotLsh == wantLsh)
+      val gotIvf = Similarity.knnIvf(spark, dir, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val wantIvf = Similarity.queries("q41b_knn_ivf_k8")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotIvf == wantIvf)
+    } finally Seq("spark.graft.ann.planes", "spark.graft.ann.ivf.k",
+                  "spark.graft.ann.ivf.nprobe").foreach(spark.conf.unset)
+    // spark.graft.minhash.bands -> bandsFor drives minhashPairs
+    spark.conf.set("spark.graft.minhash.bands", "16")
+    try {
+      assert(graft.operators.Dedup.bandsFor(spark) == 16)
+      val got = graft.operators.Dedup
+        .minhashPairs(spark, dir, graft.operators.Dedup.bandsFor(spark))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.operators.Dedup.queries("q33b_minhash_b16")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.minhash.bands")
+  }
+
   test("embedding decontamination (q75): scalar recomputation of max-cosine ranking") {
     val got = Similarity.queries("q75_embed_decontam")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
