@@ -44,34 +44,56 @@ object DocStream {
       .withColumn("fp", md5(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
-  /** Online near-dup flagging: each arriving doc is checked against
-    * the static `corpus` (doc_id, text) via LSH band-key equi-join +
-    * exact-Jaccard verify. Emits (doc_id, corpus_id, jaccard, ts) for
-    * every flagged pair, deduplicated within the watermark. */
-  def nearDupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
-                           numBands: Int = 8,
-                           threshold: Double = 0.5,
-                           watermark: String = "1 hour"): DataFrame = {
+  private def banded(df: DataFrame, idCol: String,
+                     numBands: Int): DataFrame = {
     require(NumHashes % numBands == 0, s"bands=$numBands must divide $NumHashes")
     val r = NumHashes / numBands
-    def banded(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), col("ts"),
-          ArrayOps.wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
-        .where(size(col("sh")) >= 1)
-        .withColumn("mh", ArrayOps.minhashSig(col("sh"), NumHashes))
-        .select(col(idCol), col("ts"), col("sh"), size(col("sh")).as("n"),
-                explode(Text.lshBandKeys(col("mh"), numBands, r)).as("bh"))
-    val s = banded(stream.withWatermark("ts", watermark), "doc_id")
-    val c = banded(corpus.withColumn("ts", lit(null).cast("timestamp")),
-        "corpus_id")
+    df.select(col(idCol), col("ts"),
+        ArrayOps.wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
+      .where(size(col("sh")) >= 1)
+      .withColumn("mh", ArrayOps.minhashSig(col("sh"), NumHashes))
+      .select(col(idCol), col("ts"), col("sh"), size(col("sh")).as("n"),
+              explode(Text.lshBandKeys(col("mh"), numBands, r)).as("bh"))
+  }
+
+  /** The corpus side of the near-dup probe as a MATERIALIZABLE table
+    * (corpus_id, bh, csh, cn): write it `bucketBy(bh)` once at ingest
+    * and every micro-batch probes buckets instead of re-banding the
+    * corpus (the BandedCorpusSpec layout; at 100 TB this is the only
+    * shape that amortizes). */
+  def corpusBands(corpus: DataFrame, numBands: Int = 8): DataFrame =
+    banded(corpus.withColumn("ts", lit(null).cast("timestamp")),
+        "corpus_id", numBands)
       .select(col("corpus_id"), col("bh"),
               col("sh").as("csh"), col("n").as("cn"))
+
+  /** Online near-dup flagging against a pre-banded corpus table (the
+    * [[corpusBands]] schema, in-query or read back from a bucketed
+    * table). Emits (doc_id, corpus_id, jaccard, ts) per flagged pair,
+    * deduplicated within the watermark. */
+  def nearDupAgainstBands(stream: DataFrame, bands: DataFrame,
+                          numBands: Int = 8,
+                          threshold: Double = 0.5,
+                          watermark: String = "1 hour"): DataFrame = {
+    val s = banded(stream.withWatermark("ts", watermark), "doc_id", numBands)
     val inter = ArrayOps.intersectCount(col("sh"), col("csh"))
-    s.join(c, Seq("bh"))
+    s.join(bands, Seq("bh"))
       .withColumn("jaccard",
         round(inter.cast("double") / (col("n") + col("cn") - inter), 4))
       .where(col("jaccard") >= threshold)
       .select(col("doc_id"), col("corpus_id"), col("jaccard"), col("ts"))
       .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
   }
+
+  /** Online near-dup flagging: each arriving doc is checked against
+    * the static `corpus` (doc_id, text) via LSH band-key equi-join +
+    * exact-Jaccard verify. Bands the corpus in-query — prefer writing
+    * [[corpusBands]] bucketed and calling [[nearDupAgainstBands]]
+    * when the corpus is large. */
+  def nearDupAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+                           numBands: Int = 8,
+                           threshold: Double = 0.5,
+                           watermark: String = "1 hour"): DataFrame =
+    nearDupAgainstBands(stream, corpusBands(corpus, numBands),
+      numBands, threshold, watermark)
 }

@@ -178,4 +178,37 @@ class StatefulSessionSpec extends AnyFunSuite {
       assert(!flags.exists(_._1 == 9002), s"novel doc flagged: ${flags.mkString(",")}")
     } finally q.stop()
   }
+
+  test("nearDupAgainstBands probes a MATERIALIZED bucketed band table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "documents")
+      .selectExpr("doc_id AS corpus_id", "text")
+    // ingest-time: band once, write bucketed on the band key — every
+    // micro-batch then probes the table instead of re-banding the
+    // corpus (the 100 TB shape; SCALING.md "streaming curation")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bandix2")
+    spark.sql("DROP TABLE IF EXISTS bandix2.corpus_bands")
+    graft.streaming.DocStream.corpusBands(corpus)
+      .write.format("parquet").bucketBy(8, "bh")
+      .saveAsTable("bandix2.corpus_bands")
+    val base = corpus.orderBy("corpus_id").limit(1).collect()(0)
+    val input = MemoryStream[Doc]
+    val q = graft.streaming.DocStream
+      .nearDupAgainstBands(input.toDF(), spark.table("bandix2.corpus_bands"))
+      .writeStream.format("memory").queryName("neardup_banded")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(9101, base.getString(1) + " tail", "s1", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val flags = spark.table("neardup_banded").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(flags.exists { case (d, c, j) =>
+        d == 9101 && c == base.getLong(0) && j >= 0.5 },
+        s"banded-table probe missed the planted dup: ${flags.mkString(",")}")
+    } finally q.stop()
+    spark.sql("DROP TABLE bandix2.corpus_bands")
+  }
 }
