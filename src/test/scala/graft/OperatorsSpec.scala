@@ -222,6 +222,33 @@ class SimhashPairsSpec extends AnyFunSuite {
     assert(want.values.map(_._2).sum > 0, "no repeated spans at this SF")
   }
 
+  test("q81 containment: values match scalar recomputation; full containment found") {
+    val rows = graft.operators.Dedup.queries("q81_containment")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val shingles = graft.sources.Tables
+      .load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).split(" ", -1)
+        r.getLong(0) -> t.sliding(2).map(_.mkString(" ")).toSet
+      }.toMap
+    rows.foreach { case (d1, d2, c1, c2) =>
+      val (s1, s2) = (shingles(d1), shingles(d2))
+      val inter = (s1 & s2).size
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c1 == r4(inter.toDouble / s1.size), s"($d1,$d2) cont1")
+      assert(c2 == r4(inter.toDouble / s2.size), s"($d1,$d2) cont2")
+      assert(math.max(c1, c2) >= 0.5)
+    }
+    // the asymmetric measure has teeth: at least one FULL containment
+    // (a doc's entire shingle set inside another's) at this SF
+    assert(rows.exists { case (_, _, c1, c2) => c1 == 1.0 || c2 == 1.0 },
+      "no full-containment pair found")
+  }
+
   test("q79 funnel: stage counts are monotone and every stage reached") {
     val r = graft.operators.Relational.queries("q79_funnel")(
       spark, TestSpark.sfDir).collect()(0)
