@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract itself: every query must carry an
+  * oracle (the t2 gate treats an omitted key as a weaker rows-only
+  * check — drift here silently downgrades correctness coverage), and
+  * no oracle may reference a query that no longer exists. */
+class ContractSpec extends AnyFunSuite {
+  test("every SparkEntry query has an oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("query names are unique across operator modules") {
+    // Map ++ silently overwrites duplicate keys — a name collision
+    // between modules would shadow one operator's entry entirely
+    val all = Seq(
+      graft.operators.Relational.queries, graft.operators.TextAnalysis.queries,
+      graft.operators.Dedup.queries, graft.operators.Similarity.queries,
+      graft.operators.Multimodal.queries, graft.operators.Curation.queries,
+      graft.operators.Search.queries)
+    val names = all.flatMap(_.keys)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(names.size == SparkEntry.queries.size)
+  }
+}
