@@ -160,13 +160,67 @@ object Search {
        |ORDER BY score DESC, doc_id ASC LIMIT ${p.topN}""".stripMargin
   }
 
+  /** TF-IDF keyword extraction (q82): the top-k most distinctive
+    * terms per document — corpus tagging/topic-descriptor pass, the
+    * per-document dual of [[bm25]]'s per-query ranking. Same integer
+    * points (floor(1e6 * tf * odds_idf)) and the same broadcast
+    * shapes: df is vocabulary-sized, N is one row; the per-doc top-k
+    * is a window over (doc_id) — partition-parallel across docs. */
+  def tfidfKeywords(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val tf = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pts", floor(expr("1000000.0d") * col("tf") *
+        ((col("n_docs") - col("df") + expr("0.5d")) /
+          (col("df") + expr("0.5d")))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pts").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("keyword"), col("pts"))
+  }
+
+  /** DuckDB oracle for [[tfidfKeywords]] — every literal CAST to
+    * DOUBLE (the bm25 DECIMAL-drift lesson). */
+  def tfidfOracleSql(k: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |nd AS (SELECT count(*) AS n_docs FROM t),
+       |tf AS (
+       |  SELECT doc_id, w, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+       |  GROUP BY doc_id, w),
+       |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w,
+       |    CAST(floor(CAST(1000000.0 AS DOUBLE) * tf.tf
+       |      * ((nd.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+       |         / (dfreq.df + CAST(0.5 AS DOUBLE)))) AS BIGINT) AS pts
+       |  FROM tf JOIN dfreq ON tf.w = dfreq.w, nd),
+       |ranked AS (
+       |  SELECT doc_id, w, pts,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY pts DESC, w ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(rank AS INTEGER) AS rank, w AS keyword, pts
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_bm25_search" -> ((s, dir) => bm25(s, dir, DefaultQuery)),
-    "q72b_bm25_alt" -> ((s, dir) => bm25(s, dir, AltQuery))
+    "q72b_bm25_alt" -> ((s, dir) => bm25(s, dir, AltQuery)),
+    "q82_tfidf_keywords" -> ((s, dir) => tfidfKeywords(s, dir, 3))
   )
 
   val oracleSql: Map[String, String] = Map(
     "q72_bm25_search" -> bm25OracleSql(DefaultQuery),
-    "q72b_bm25_alt" -> bm25OracleSql(AltQuery)
+    "q72b_bm25_alt" -> bm25OracleSql(AltQuery),
+    "q82_tfidf_keywords" -> tfidfOracleSql(3)
   )
 }

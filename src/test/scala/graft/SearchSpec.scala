@@ -37,6 +37,24 @@ class SearchSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
   }
 
+  test("q82 tfidf keywords: 3 ranked keywords per doc, present in the doc, points non-increasing") {
+    val rows = Search.tfidfKeywords(spark, TestSpark.sfDir, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val texts = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == texts.size)
+    byDoc.foreach { case (id, ks) =>
+      assert(ks.map(_._2).sorted.toSeq == Seq(1, 2, 3), s"doc $id ranks")
+      val ordered = ks.sortBy(_._2)
+      ordered.zip(ordered.tail).foreach { case (hi, lo) =>
+        assert(hi._4 >= lo._4, s"doc $id points not monotone") }
+      ks.foreach { case (_, _, w, _) =>
+        assert(texts(id)(w), s"doc $id keyword $w not in doc") }
+    }
+  }
+
   test("bm25 plan broadcasts df and stats; corpus side never shuffles for the join") {
     val plan = Search.bm25(spark, TestSpark.sfDir, Search.DefaultQuery)
       .queryExecution.executedPlan.toString
