@@ -1,7 +1,7 @@
 package graft.engine
 
 import scala.util.matching.Regex
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.types.IcebergTypes
 
@@ -345,7 +345,51 @@ final class QueryEngine(val spark: SparkSession,
   }
 
   private val optimizeRe: Regex =
-    """(?is)^OPTIMIZE\s+([\w.`]+)$""".r
+    """(?is)^OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?$""".r
+
+  /** Z-order clustering column: each input column is normalized to a
+    * 16-bit rank (numeric/date/timestamp by min-max range, strings by
+    * hash — equal values cluster, ranges do not), and the ranks'
+    * bits are interleaved so files written in z-value order are
+    * simultaneously clustered in EVERY listed dimension — the
+    * data-skipping layout Iceberg/Delta expose as rewrite with
+    * zorder. The min/max normalization stats are one bounded 1-row
+    * aggregate over the table (a maintenance-job cost, like the
+    * compaction rewrite itself). */
+  private def zorderColumn(df: DataFrame, cols: Seq[String]): Column = {
+    val Bits = 16
+    val numeric = cols.map { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.StringType => None
+        case _ => Some(c)
+      }
+    }
+    val statRow = if (numeric.flatten.nonEmpty) {
+      val aggs = numeric.flatten.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c")))
+      Some(df.agg(aggs.head, aggs.tail: _*).collect()(0))
+    } else None
+    val ranks: Seq[Column] = cols.zip(numeric).map {
+      case (c, Some(_)) =>
+        val r = statRow.get
+        val mn = r.getAs[Double](s"mn_$c")
+        val mx = r.getAs[Double](s"mx_$c")
+        val span = if (mx > mn) mx - mn else 1.0
+        least(lit((1 << Bits) - 1), greatest(lit(0),
+          floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn))
+            / lit(span) * lit((1 << Bits) - 1)).cast("long")))
+      case (c, None) =>
+        pmod(xxhash64(col(c)), lit(1L << Bits))
+    }
+    // interleave: bit i of rank j lands at position i*k + j
+    val k = cols.length
+    (0 until Bits).flatMap { i =>
+      ranks.zipWithIndex.map { case (r, j) =>
+        shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ + _)
+  }
 
   /** Small-file compaction — the maintenance op every streaming/
     * micro-batched ingest needs (Iceberg's rewrite_data_files, the
@@ -354,7 +398,7 @@ final class QueryEngine(val spark: SparkSession,
     * files so each partition holds ~targetFileBytes files; data and
     * schema unchanged, so no snapshot is taken. */
   private def runOptimize(sql: String, id: String): QueryResult = sql match {
-    case optimizeRe(table) => withTableWriteLock(Some(table.replace("`", ""))) {
+    case optimizeRe(table, zcols) => withTableWriteLock(Some(table.replace("`", ""))) {
       val t = table.replace("`", "")
       val meta = spark.sessionState.catalog.getTableMetadata(tableIdent(t))
       val loc = new org.apache.hadoop.fs.Path(meta.location)
@@ -369,9 +413,31 @@ final class QueryEngine(val spark: SparkSession,
         (n, bytes)
       }
       val (before, bytes) = dataFiles
-      val targetFileBytes = 128L * 1024 * 1024 // reference rotation size
+      // reference rotation size (parquet_manager.go:202-235); tunable
+      // like the reference's parquet config
+      val targetFileBytes = spark.conf
+        .getOption("spark.graft.optimize.targetFileBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
       val targetFiles = math.max(1, (bytes / targetFileBytes).toInt)
-      if (before > targetFiles) {
+      val zorder = Option(zcols)
+        .map(_.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+      zorder.foreach { cs =>
+        val schema = spark.table(t).schema.fieldNames.toSet
+        val missing = cs.filterNot(schema)
+        require(missing.isEmpty, s"ZORDER BY columns not in $t: ${missing.mkString(", ")}")
+        require(partitionColumns(t).isEmpty,
+          "ZORDER BY on a partitioned table is not supported (z-cluster within partitions instead)")
+        // clustering rewrite: range-partition + sort on the z-value so
+        // every file is simultaneously clustered in all listed dims
+        val data = spark.table(t)
+        val z = zorderColumn(data, cs)
+        stagedRewrite(t, data, df => df
+          .withColumn("_graft_z", z)
+          .repartitionByRange(targetFiles, col("_graft_z"))
+          .sortWithinPartitions(col("_graft_z"))
+          .drop("_graft_z"))
+      }
+      if (zorder.isEmpty && before > targetFiles) {
         val parts = partitionColumns(t)
         // content-preserving staged rewrite; the final write is
         // repartitioned so the compaction actually lands. Partitioned
@@ -396,12 +462,14 @@ final class QueryEngine(val spark: SparkSession,
         stagedRewrite(t, spark.table(t), finalShape)
       }
       val (after, _) = dataFiles
-      if (after != before)
+      if (after != before || zorder.isDefined)
         registryChanged(t, Changefeed.TableFiles, "UPDATE",
           Map("op" -> "OPTIMIZE", "files_before" -> before.toString,
-            "files_after" -> after.toString))
+            "files_after" -> after.toString) ++
+            zorder.map(cs => "zorder" -> cs.mkString(",")))
       QueryResult(id, Seq.empty, Seq.empty, 0,
-        s"OPTIMIZE: $before file(s) -> $after file(s)")
+        s"OPTIMIZE: $before file(s) -> $after file(s)" +
+          zorder.map(cs => s", zordered by (${cs.mkString(", ")})").getOrElse(""))
     }
     case _ => throw new IllegalArgumentException("cannot parse OPTIMIZE statement")
   }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** OPTIMIZE ... ZORDER BY: after the clustering rewrite, every file
+  * is simultaneously clustered in BOTH listed dimensions — the
+  * min/max footprint per file shrinks from ~the full domain to a
+  * fraction of it, which is what lets row-group/file skipping prune
+  * scans on either column (Iceberg/Delta's zorder rewrite). */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def perFileSpans(loc: String, dom: Double): Seq[(Double, Double)] = {
+    val files = new java.io.File(loc.stripPrefix("file:")).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("a"), max("a"), min("b"), max("b")).collect()(0)
+      ((r.getLong(1) - r.getLong(0)).toDouble / dom,
+       (r.getLong(3) - r.getLong(2)).toDouble / dom)
+    }
+  }
+
+  test("zorder rewrite clusters files in both dimensions, preserving content") {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS zo")
+    engine.execute("DROP TABLE IF EXISTS zo.t")
+    engine.execute("CREATE TABLE zo.t (id int64, a int64, b int64) STORAGE filesystem")
+    // 40k rows over a 200x200 (a, b) domain, both dims scattered
+    // through every file (id-ordered writes, a = id mod, b = id*7919 mod)
+    import spark.implicits._
+    val data = (0L until 40000L).map(i => (i, i % 200, (i * 7919) % 200))
+      .toDF("id", "a", "b").repartition(8)
+    data.write.insertInto("zo.t")
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("zo.t"))
+      .location.toString
+    val before = perFileSpans(loc, 199.0)
+    // scattered layout: every file spans essentially the full domain
+    assert(before.forall { case (sa, sb) => sa > 0.9 && sb > 0.9 },
+      s"precondition: expected scattered files, got $before")
+
+    // shrink the rotation target so the small test table still spreads
+    // over multiple files (default 128 MB -> one file at 40k rows)
+    spark.conf.set("spark.graft.optimize.targetFileBytes", "16384")
+    val res =
+      try engine.execute("OPTIMIZE zo.t ZORDER BY (a, b)")
+      finally spark.conf.unset("spark.graft.optimize.targetFileBytes")
+    assert(res.message.contains("zordered by (a, b)"), res.message)
+
+    val after = perFileSpans(loc, 199.0)
+    assert(after.size > 1, s"want multiple files after rewrite, got ${after.size}")
+    // clustered layout: on AVERAGE each file covers a fraction of each
+    // dimension (perfect 2-d z-order over n files -> ~1/sqrt(n) spans)
+    val avgA = after.map(_._1).sum / after.size
+    val avgB = after.map(_._2).sum / after.size
+    assert(avgA < 0.6 && avgB < 0.6,
+      s"files not clustered: avg spans a=$avgA b=$avgB ($after)")
+    // content preserved exactly
+    val t = spark.table("zo.t")
+    assert(t.count() == 40000)
+    val sums = t.agg(sum("id"), sum("a"), sum("b")).collect()(0)
+    assert(sums.getLong(0) == (0L until 40000L).sum)
+    assert(sums.getLong(1) == (0L until 40000L).map(_ % 200).sum)
+    assert(sums.getLong(2) == (0L until 40000L).map(i => (i * 7919) % 200).sum)
+    // zorder on a partitioned table is refused with an addressed error
+    engine.execute("DROP TABLE zo.t")
+    engine.execute("CREATE TABLE zo.p (id int64, r string) STORAGE filesystem PARTITION BY (r)")
+    engine.execute("INSERT INTO zo.p VALUES (1,'x'),(2,'y')")
+    val e = intercept[IllegalArgumentException](
+      engine.execute("OPTIMIZE zo.p ZORDER BY (id)"))
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    engine.execute("DROP TABLE zo.p")
+  }
+}
