@@ -348,42 +348,64 @@ final class QueryEngine(val spark: SparkSession,
     """(?is)^OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?$""".r
 
   /** Z-order clustering column: each input column is normalized to a
-    * 16-bit rank (numeric/date/timestamp by min-max range, strings by
-    * hash — equal values cluster, ranges do not), and the ranks'
-    * bits are interleaved so files written in z-value order are
-    * simultaneously clustered in EVERY listed dimension — the
-    * data-skipping layout Iceberg/Delta expose as rewrite with
-    * zorder. The min/max normalization stats are one bounded 1-row
-    * aggregate over the table (a maintenance-job cost, like the
-    * compaction rewrite itself). */
+    * B-bit rank (numeric by min-max range; date/timestamp via an
+    * explicit epoch-number conversion first — Spark 4's ANSI cast
+    * rejects date/timestamp_ntz → double; strings by hash — equal
+    * values cluster, ranges do not), and the ranks' bits are
+    * interleaved so files written in z-value order are simultaneously
+    * clustered in EVERY listed dimension — the data-skipping layout
+    * Iceberg/Delta expose as rewrite with zorder. B = min(16, 63/k)
+    * so every interleaved bit fits a non-negative long for ANY column
+    * count (16-bit ranks with k>3 would push bits past position 62 —
+    * sign-bit flips would scramble the sort order silently). The
+    * min/max normalization stats are one bounded 1-row aggregate over
+    * the table (a maintenance-job cost, like the compaction rewrite
+    * itself). */
   private def zorderColumn(df: DataFrame, cols: Seq[String]): Column = {
-    val Bits = 16
-    val numeric = cols.map { c =>
+    import org.apache.spark.sql.types._
+    val k = cols.length
+    val Bits = math.min(16, 63 / k)
+    // per-type range expression: Some(numeric Column) for range-
+    // normalizable types, None for hash-clustered ones; anything that
+    // is neither (binary, nested, …) is an addressed error, matching
+    // the partitioned-table require below.
+    val rangeExpr: Seq[Option[Column]] = cols.map { c =>
       df.schema(c).dataType match {
-        case _: org.apache.spark.sql.types.StringType => None
-        case _ => Some(c)
+        case _: StringType => None
+        case DateType => Some(unix_date(col(c)).cast("double"))
+        case _: TimestampType => Some(unix_micros(col(c)).cast("double"))
+        case TimestampNTZType =>
+          Some(unix_micros(col(c).cast("timestamp")).cast("double"))
+        case BooleanType => Some(col(c).cast("int").cast("double"))
+        case _: NumericType => Some(col(c).cast("double"))
+        case other => throw new IllegalArgumentException(
+          s"ZORDER BY column `$c` has unsupported type ${other.simpleString} " +
+            "(supported: numeric, string, boolean, date, timestamp)")
       }
     }
-    val statRow = if (numeric.flatten.nonEmpty) {
-      val aggs = numeric.flatten.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"mn_$c"),
-        max(col(c).cast("double")).as(s"mx_$c")))
+    val named = cols.zip(rangeExpr).collect { case (c, Some(e)) => c -> e }
+    val statRow = if (named.nonEmpty) {
+      val aggs = named.flatMap { case (c, e) =>
+        Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c")) }
       Some(df.agg(aggs.head, aggs.tail: _*).collect()(0))
     } else None
-    val ranks: Seq[Column] = cols.zip(numeric).map {
-      case (c, Some(_)) =>
+    val ranks: Seq[Column] = cols.zip(rangeExpr).map {
+      case (c, Some(e)) =>
         val r = statRow.get
-        val mn = r.getAs[Double](s"mn_$c")
-        val mx = r.getAs[Double](s"mx_$c")
+        // all-NULL column → min/max are null; rank everything 0
+        val mn = Option(r.getAs[java.lang.Double](s"mn_$c"))
+          .fold(0.0)(_.doubleValue)
+        val mx = Option(r.getAs[java.lang.Double](s"mx_$c"))
+          .fold(0.0)(_.doubleValue)
         val span = if (mx > mn) mx - mn else 1.0
         least(lit((1 << Bits) - 1), greatest(lit(0),
-          floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn))
+          floor((coalesce(e, lit(mn)) - lit(mn))
             / lit(span) * lit((1 << Bits) - 1)).cast("long")))
       case (c, None) =>
         pmod(xxhash64(col(c)), lit(1L << Bits))
     }
-    // interleave: bit i of rank j lands at position i*k + j
-    val k = cols.length
+    // interleave: bit i of rank j lands at position i*k + j (< 63 by
+    // the Bits bound above)
     (0 until Bits).flatMap { i =>
       ranks.zipWithIndex.map { case (r, j) =>
         shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
@@ -417,10 +439,16 @@ final class QueryEngine(val spark: SparkSession,
       // like the reference's parquet config
       val targetFileBytes = spark.conf
         .getOption("spark.graft.optimize.targetFileBytes")
-        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        .map(v => v.trim.toLongOption.filter(_ > 0).getOrElse(sys.error(
+          s"invalid spark.graft.optimize.targetFileBytes: '$v' (need a positive byte count)")))
+        .getOrElse(128L * 1024 * 1024)
       val targetFiles = math.max(1, (bytes / targetFileBytes).toInt)
       val zorder = Option(zcols)
         .map(_.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+      // `ZORDER BY ( )` passes the regex with a blank group — reject
+      // it on the same path as any other malformed OPTIMIZE
+      if (zorder.exists(_.isEmpty))
+        throw new IllegalArgumentException("cannot parse OPTIMIZE statement")
       zorder.foreach { cs =>
         val schema = spark.table(t).schema.fieldNames.toSet
         val missing = cs.filterNot(schema)

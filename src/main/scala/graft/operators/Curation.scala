@@ -245,9 +245,12 @@ object Curation {
       // smoothing-constant choices — and integer arithmetic is
       // bit-identical across engines, where ln() is not). Doc score =
       // sum of instance weights; top 20.
-      // Scale: vocab + corpus totals are tiny aggregates -> broadcast;
-      // the per-doc sum is one shuffle on doc_id; top-k collapses to
-      // TakeOrderedAndProject.
+      // Scale: corpus totals are one row -> broadcast; the unigram
+      // vocab is CORPUS-PROPORTIONAL (10⁸-10⁹ terms at 100 TB), so
+      // its join is deliberately un-hinted — `toks` is keyed by `w`,
+      // AQE broadcasts when the vocab is small and shuffles on `w`
+      // (one exchange) when it isn't. Per-doc sum is one shuffle on
+      // doc_id; top-k collapses to TakeOrderedAndProject.
       val toks = docs(s, dir)
         .select(col("doc_id"), col("lang"),
                 explode(Text.tokens(col("text"))).as("w"))
@@ -262,7 +265,7 @@ object Curation {
         .crossJoin(broadcast(totals))
         .select(col("w"),
                 (col("ct") * col("tr") - col("cr") * col("tt")).as("wt"))
-      toks.join(broadcast(vocab.select(col("w"), col("wt"))), Seq("w"))
+      toks.join(vocab.select(col("w"), col("wt")), Seq("w"))
         .groupBy(col("doc_id"))
         .agg(sum(col("wt")).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)

@@ -130,7 +130,10 @@ object Search {
     * casts force DuckDB onto the same double-at-every-step
     * arithmetic as Spark. */
   def bm25OracleSql(p: Bm25Params): String = {
-    val termList = p.terms.map(t => s"'$t'").mkString(", ")
+    // Bm25Params is public API: escape quotes so a term containing '
+    // renders as valid (non-injected) oracle SQL.
+    val termList =
+      p.terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     val (k1p1, k1, oneMinusB, b) =
       (s"CAST($K1Plus1 AS DOUBLE)", s"CAST($K1 AS DOUBLE)",
        s"CAST($OneMinusB AS DOUBLE)", s"CAST($B AS DOUBLE)")
@@ -163,9 +166,13 @@ object Search {
   /** TF-IDF keyword extraction (q82): the top-k most distinctive
     * terms per document — corpus tagging/topic-descriptor pass, the
     * per-document dual of [[bm25]]'s per-query ranking. Same integer
-    * points (floor(1e6 * tf * odds_idf)) and the same broadcast
-    * shapes: df is vocabulary-sized, N is one row; the per-doc top-k
-    * is a window over (doc_id) — partition-parallel across docs. */
+    * points (floor(1e6 * tf * odds_idf)); N is one row and broadcast,
+    * but df is VOCABULARY-sized — corpus-proportional (10⁸-10⁹ terms
+    * at 100 TB), so its join is deliberately un-hinted: `tf` is
+    * already keyed by `w`, AQE broadcasts when the vocabulary is
+    * small and shuffles on `w` (one exchange) when it isn't — the
+    * q79/q80 discipline. The per-doc top-k is a window over (doc_id)
+    * — partition-parallel across docs. */
   def tfidfKeywords(s: SparkSession, dir: String, k: Int): DataFrame = {
     val base = docs(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -174,7 +181,7 @@ object Search {
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scored = tf
-      .join(broadcast(dfreq), "w")
+      .join(dfreq, "w")
       .crossJoin(broadcast(nDocs))
       .withColumn("pts", floor(expr("1000000.0d") * col("tf") *
         ((col("n_docs") - col("df") + expr("0.5d")) /

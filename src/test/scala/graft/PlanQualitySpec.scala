@@ -181,13 +181,13 @@ class PlanQualitySpec extends AnyFunSuite {
     val rs67 = p67.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!rs67.contains("lang") && !rs67.contains("source"),
       s"q67 reads unneeded columns: $rs67")
-    // q69: the vocab weights are tiny — the per-token join must
-    // broadcast them (the corpus token stream never shuffles for the
-    // join), and the final top-20 is TakeOrderedAndProject
+    // q69: the unigram vocab is corpus-proportional, so the per-token
+    // join is UN-hinted (AQE broadcasts small, shuffles large — the
+    // forced-estimate test below pins the large case); the final
+    // top-20 is TakeOrderedAndProject either way
     val p69 = Curation.queries("q69_importance_scores")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(p69.contains("BroadcastHashJoin"),
-      s"q69 vocab join not broadcast:\n$p69")
+    assert(!p69.contains("CartesianProduct"), s"q69 went all-pairs:\n$p69")
     assert(p69.contains("TakeOrderedAndProject"),
       s"q69 top-k must not be a global sort:\n$p69")
     // q68: the pairwise pass stays cell-scoped — an equi-join on cell,
@@ -238,6 +238,41 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p74.contains("ivf_cells"), s"q74 lost the native assignment:\n$p74")
     assert(!p74.contains("CartesianProduct"), s"q74 went all-pairs:\n$p74")
+  }
+
+  test("q69/q82: vocabulary joins survive a forced-large estimate (no corpus-proportional build side)") {
+    // The round-5 defect: q82/q69 force-broadcast doc-frequency /
+    // unigram-weight tables that are VOCABULARY-sized — fine at sf0.1,
+    // an OOM at 100 TB (10⁸-10⁹ terms). The fix is an un-hinted join;
+    // this pin simulates the huge-vocabulary case by disabling
+    // broadcast thresholds entirely (static + AQE). A surviving
+    // broadcast() hint would still plan BroadcastHashJoin under -1;
+    // the un-hinted join must fall back to a shuffle on `w`. The
+    // one-ROW sides (corpus stats, n_docs) keep their explicit hints —
+    // those plan as BroadcastNestedLoopJoin cross joins and are
+    // scale-safe at any corpus size.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      for ((name, df) <- Seq(
+        "q69" -> graft.operators.Curation
+          .queries("q69_importance_scores")(spark, dir),
+        "q82" -> graft.operators.Search
+          .queries("q82_tfidf_keywords")(spark, dir))) {
+        df.collect() // finalize the AQE plan
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$name still broadcasts a vocabulary-sized side under forced-large estimate:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$name lost its shuffle join on w:\n$p")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("partition-pruned UPDATE reads only affected partitions") {

@@ -73,4 +73,53 @@ class ZOrderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioned"), e.getMessage)
     engine.execute("DROP TABLE zo.p")
   }
+
+  test("zorder handles date/timestamp columns and >4 dims; rejects empty/unsupported") {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS zo")
+    engine.execute("DROP TABLE IF EXISTS zo.d")
+    engine.execute(
+      "CREATE TABLE zo.d (id int64, d date, ts timestamp, a int64, b int64, c int64) STORAGE filesystem")
+    import spark.implicits._
+    val rows = (0L until 2000L).map { i =>
+      (i,
+       java.time.LocalDate.of(2024, 1, 1).plusDays(i % 365),
+       java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(i),
+       i % 50, (i * 7919) % 50, (i * 31) % 50)
+    }.toDF("id", "d", "ts", "a", "b", "c")
+    rows.write.insertInto("zo.d")
+    // date + timestamp dims: the common partition-evolution case the
+    // ADVICE flagged (Spark 4 ANSI cast rejects date→double) — must
+    // complete and preserve content exactly
+    val r2 = engine.execute("OPTIMIZE zo.d ZORDER BY (d, ts)")
+    assert(r2.message.contains("zordered by (d, ts)"), r2.message)
+    // 5 dims: bit positions would pass 63 with 16-bit ranks; the
+    // shrunken 63/k rank width must keep z-values non-negative and the
+    // rewrite lossless
+    val r5 = engine.execute("OPTIMIZE zo.d ZORDER BY (d, ts, a, b, c)")
+    assert(r5.message.contains("zordered by (d, ts, a, b, c)"), r5.message)
+    val t = spark.table("zo.d")
+    assert(t.count() == 2000)
+    assert(t.agg(sum("id")).collect()(0).getLong(0) == (0L until 2000L).sum)
+    // empty column list is a parse error, not an empty.reduce crash
+    val eEmpty = intercept[IllegalArgumentException](
+      engine.execute("OPTIMIZE zo.d ZORDER BY ( )"))
+    assert(eEmpty.getMessage.contains("cannot parse OPTIMIZE"), eEmpty.getMessage)
+    // malformed targetFileBytes is an addressed error naming the conf
+    spark.conf.set("spark.graft.optimize.targetFileBytes", "lots")
+    val eConf =
+      try intercept[RuntimeException](engine.execute("OPTIMIZE zo.d ZORDER BY (a)"))
+      finally spark.conf.unset("spark.graft.optimize.targetFileBytes")
+    assert(eConf.getMessage.contains("spark.graft.optimize.targetFileBytes") &&
+      eConf.getMessage.contains("lots"), eConf.getMessage)
+    engine.execute("DROP TABLE zo.d")
+    // unsupported type (binary) is an addressed error, not a cast crash
+    engine.execute("DROP TABLE IF EXISTS zo.bin")
+    engine.execute("CREATE TABLE zo.bin (id int64, payload binary) STORAGE filesystem")
+    engine.execute("INSERT INTO zo.bin VALUES (1, X'0102')")
+    val eBin = intercept[IllegalArgumentException](
+      engine.execute("OPTIMIZE zo.bin ZORDER BY (payload)"))
+    assert(eBin.getMessage.contains("unsupported type"), eBin.getMessage)
+    engine.execute("DROP TABLE zo.bin")
+  }
 }
