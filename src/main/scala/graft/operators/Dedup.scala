@@ -364,6 +364,12 @@ object Dedup {
       (System.identityHashCode(s), dir, numBands),
       _ => computeClusters(s, dir, numBands))
 
+  /** Bench hook: drop the memoized cluster labels so a MEASURED pass
+    * re-materializes the clustering instead of timing a cache hit
+    * (round-5 verdict: q61 benched 0.010 s because warm-up filled the
+    * memo — not attributable work). Production keeps the memo. */
+  def clearClusterMemo(): Unit = clusterMemo.clear()
+
   private def computeClusters(s: SparkSession, dir: String,
                               numBands: Int): DataFrame = {
     val pairs = minhashPairs(s, dir, numBands)
