@@ -364,6 +364,15 @@ final class QueryEngine(val spark: SparkSession,
   private def zorderColumn(df: DataFrame, cols: Seq[String]): Column = {
     import org.apache.spark.sql.types._
     val k = cols.length
+    // 63/k = 0 bits at k >= 64 (empty interleave → empty.reduce crash)
+    // and k in 32..63 degrades to 1-bit ranks — useless clustering.
+    // Address both: a z-order past a handful of dimensions does not
+    // skip data anyway (each extra dim halves every dim's resolution).
+    if (k > 31) throw new IllegalArgumentException(
+      s"ZORDER BY supports at most 31 columns, got $k: with k columns " +
+        "each rank gets floor(63/k) bits, which is 0 at k >= 64 and " +
+        "degenerate well before; cluster on the few columns queries " +
+        "actually filter by")
     val Bits = math.min(16, 63 / k)
     // per-type range expression: Some(numeric Column) for range-
     // normalizable types, None for hash-clustered ones; anything that

@@ -367,8 +367,23 @@ object Dedup {
   /** Bench hook: drop the memoized cluster labels so a MEASURED pass
     * re-materializes the clustering instead of timing a cache hit
     * (round-5 verdict: q61 benched 0.010 s because warm-up filled the
-    * memo — not attributable work). Production keeps the memo. */
-  def clearClusterMemo(): Unit = clusterMemo.clear()
+    * memo — not attributable work). Production keeps the memo.
+    * The memoized frames sit on localCheckpoint blocks (a LogicalRDD
+    * over a persisted RDD); unpersist those RDDs before dropping the
+    * references, or the block manager pins the warm-up pass's blocks
+    * until the ContextCleaner's next weak-reference sweep — on a
+    * bench JVM that can be never (round-6 ADVICE). Blocking=false:
+    * the measured pass must not wait on block-removal RPCs. */
+  def clearClusterMemo(): Unit = {
+    clusterMemo.values.forEach { df =>
+      try org.apache.spark.sql.GraftBridge.plan(df).foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      } catch { case _: Throwable => () } // best-effort cleanup
+    }
+    clusterMemo.clear()
+  }
 
   private def computeClusters(s: SparkSession, dir: String,
                               numBands: Int): DataFrame = {

@@ -105,6 +105,12 @@ class ZOrderSpec extends AnyFunSuite {
     val eEmpty = intercept[IllegalArgumentException](
       engine.execute("OPTIMIZE zo.d ZORDER BY ( )"))
     assert(eEmpty.getMessage.contains("cannot parse OPTIMIZE"), eEmpty.getMessage)
+    // > 31 dims would give 63/k = 1..0 rank bits (0 at k >= 64 was an
+    // empty.reduce crash, round-6 ADVICE): addressed error, not a crash
+    val many = Seq.fill(6)(Seq("id", "d", "ts", "a", "b", "c")).flatten
+    val eMany = intercept[IllegalArgumentException](
+      engine.execute(s"OPTIMIZE zo.d ZORDER BY (${many.mkString(", ")})"))
+    assert(eMany.getMessage.contains("at most 31"), eMany.getMessage)
     // malformed targetFileBytes is an addressed error naming the conf
     spark.conf.set("spark.graft.optimize.targetFileBytes", "lots")
     val eConf =
