@@ -67,7 +67,10 @@ object Curation {
     size(toks).between(20, 2000) && stopRatio.between(0.01, 0.6)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesHead ++ queriesCont
+
+  private def queriesHead: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_hash_split" -> ((s, dir) =>
       // deterministic train/val/test assignment: 80/10/10 by content
       // hash; per-split doc and token counts
@@ -200,42 +203,70 @@ object Curation {
              min(col("doc_id")).as("first_doc"))
     }),
 
-    "q67_boilerplate_segments" -> ((s, dir) => {
-      // line/paragraph-level dedup (CCNet-style boilerplate removal),
-      // re-expressed over word-soup docs as fixed SegTokens-token
-      // segments at stride SegTokens: a segment appearing in >=
-      // BoilerplateDf (= 2) distinct docs is boilerplate. Per doc:
-      // segment count, boilerplate instances, tokens surviving
-      // removal.
-      // Scale/perf: segments key on the native SpanKeysExpr rolling
-      // hash (stride-1 keys, filtered to i % SegTokens == 0 — one
-      // codegen pass, one md5 per token, 8-byte shuffle keys); the
-      // >= 2-doc test is min(doc_id) != max(doc_id) over a window on
-      // the key, so the segment stream is computed once and never
-      // joined back. Same shape as q70.
-      import org.apache.spark.sql.expressions.Window
-      val segs = docs(s, dir)
-        .withColumn("toks", Text.tokens(col("text")))
-        .where(size(col("toks")) >= SegTokens)
-        .select(col("doc_id"), size(col("toks")).as("tk"),
-          posexplode(graft.functions.expressions.ArrayOps
-            .spanKeys(col("toks"), SegTokens)))
-        .toDF("doc_id", "tk", "i", "seg")
-        .where(col("i") % SegTokens === 0)
-      val w = Window.partitionBy(col("seg"))
-      segs
-        .withColumn("mn", min(col("doc_id")).over(w))
-        .withColumn("mx", max(col("doc_id")).over(w))
-        .groupBy(col("doc_id"), col("tk"))
-        .agg(count(lit(1)).as("n_segments"),
-             sum(when(col("mn") =!= col("mx"), 1).otherwise(0))
-               .as("n_boilerplate"))
-        .select(col("doc_id"), col("n_segments"), col("n_boilerplate"),
-                (col("tk") - col("n_boilerplate") * SegTokens)
-                  .cast("long").as("tokens_after_removal"))
-    }),
+    "q67_boilerplate_segments" -> ((s, dir) =>
+      boilerplateSegments(docs(s, dir), SegTokens,
+        Dedup.spanSaltBuckets(s))),
 
-    "q69_importance_scores" -> ((s, dir) => {
+    "q69_importance_scores" -> ((s, dir) => importanceScores(s, dir)),
+  )
+
+  /** q67's operator, factored so the skew spec can drive it on a
+    * planted Zipfian corpus: line/paragraph-level dedup (CCNet-style
+    * boilerplate removal), re-expressed over word-soup docs as fixed
+    * `segTokens`-token segments at stride `segTokens`: a segment
+    * appearing in >= BoilerplateDf (= 2) distinct docs is
+    * boilerplate. Per doc: segment count, boilerplate instances,
+    * tokens surviving removal.
+    *
+    * Scale/perf: segments key on the native SpanKeysExpr rolling hash
+    * (stride-1 keys, filtered to i % segTokens == 0 — one codegen
+    * pass, one md5 per token, 8-byte shuffle keys). The >= 2-doc test
+    * has the same two physical shapes as [[Dedup.spanCoverage]],
+    * chosen by `saltBuckets`: 0 = min/max window on the key (one
+    * shuffle, no join-back; hot-key bound), > 0 = two-phase salted
+    * aggregate into the boilerplate-key set + LEFT join back with a
+    * flag (per-row boilerplate membership, AQE-splittable join).
+    * Row-for-row identical output. */
+  def boilerplateSegments(docsDf: DataFrame, segTokens: Int = SegTokens,
+                          saltBuckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = docsDf
+      .withColumn("toks", Text.tokens(col("text")))
+      .where(size(col("toks")) >= segTokens)
+      .select(col("doc_id"), size(col("toks")).as("tk"),
+        posexplode(graft.functions.expressions.ArrayOps
+          .spanKeys(col("toks"), segTokens)))
+      .toDF("doc_id", "tk", "i", "seg")
+      .where(col("i") % segTokens === 0)
+    val flagged =
+      if (saltBuckets <= 0) {
+        val w = Window.partitionBy(col("seg"))
+        segs
+          .withColumn("mn", min(col("doc_id")).over(w))
+          .withColumn("mx", max(col("doc_id")).over(w))
+          .withColumn("bp", col("mn") =!= col("mx"))
+      } else {
+        val bpKeys = segs
+          .groupBy(col("seg"),
+            pmod(xxhash64(col("doc_id"), col("i")), lit(saltBuckets)).as("s"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .groupBy(col("seg"))
+          .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+          .where(col("mn") =!= col("mx"))
+          .select(col("seg"), lit(true).as("bp0"))
+        segs.join(bpKeys, Seq("seg"), "left")
+          .withColumn("bp", coalesce(col("bp0"), lit(false)))
+      }
+    flagged
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("n_segments"),
+           sum(when(col("bp"), 1).otherwise(0)).as("n_boilerplate"))
+      .select(col("doc_id"), col("n_segments"), col("n_boilerplate"),
+              (col("tk") - col("n_boilerplate") * segTokens)
+                .cast("long").as("tokens_after_removal"))
+  }
+
+  private def importanceScores(s: SparkSession, dir: String): DataFrame = {
       // DSIR-style importance scoring: rank raw docs by how much their
       // unigrams look like the target domain (lang='en' stands in for
       // the curated target). The usual log-likelihood ratio is
@@ -270,8 +301,11 @@ object Curation {
         .agg(sum(col("wt")).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)
-    }),
+  }
 
+  // rest of the query map (split around the factored operators above;
+  // a def so object-init order cannot NPE the eager `queries` val)
+  private def queriesCont: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_dataset_card" -> ((s, dir) =>
       // the "dataset card" panel: per-(lang, source) corpus accounting
       // with ROLLUP subtotals — docs, tokens, quality-keep counts,

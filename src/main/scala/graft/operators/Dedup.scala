@@ -52,48 +52,86 @@ object Dedup {
   /** Window width (tokens) for q70's exact-substring coverage. */
   private val SpanW = 5
 
+  /** Salt-bucket count for the span-key shuffles of q70/q67 (0 = off,
+    * single window shuffle). Zipf-distributed boilerplate makes some
+    * span keys carry a constant fraction of ALL rows — at 100× the
+    * hot key is the straggler task, and AQE cannot split a window
+    * partition the way it splits a skewed join. */
+  def spanSaltBuckets(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.span.saltBuckets").map(_.toInt).getOrElse(0)
+
+  /** q70's operator, factored so the skew spec can drive it on a
+    * planted Zipfian corpus: exact-substring duplication coverage
+    * (the w-gram approximation of suffix-array substring dedup). A
+    * span is `w` consecutive tokens at stride 1; a span appearing in
+    * >= 2 distinct docs is duplicated text. Per doc: how many of its
+    * token positions are covered by some duplicated span — the number
+    * span-removal would cut.
+    *
+    * Scale/perf: the span key is a position-weighted sum of per-TOKEN
+    * md5-family hashes (the minhash pipeline's cross-engine family;
+    * weights 1..w keep the checked BIGINT arithmetic under 2^60),
+    * computed by the native SpanKeysExpr — one codegen'd pass, one
+    * md5 per token. Every downstream stage moves an 8-byte long
+    * instead of a ~25-char string. The interpreted string-span
+    * version benched 1.93 s at sf0.1; this is 0.5 s.
+    *
+    * Two physical shapes for the >= 2-distinct-docs test, chosen by
+    * `saltBuckets`:
+    *  - 0 (default): min(doc_id) != max(doc_id) over a window on the
+    *    key — one shuffle, span stream computed ONCE, no join-back;
+    *    right up until a hot boilerplate key serializes through one
+    *    window partition.
+    *  - > 0: two-phase salted aggregate — per (span, salt) min/max
+    *    (the hot key fans over `saltBuckets` reducers), merged per
+    *    span into the duplicated-key set, then a LEFT SEMI join back
+    *    to the span stream. The join-back re-shuffles on the key, but
+    *    a skewed JOIN partition is exactly what AQE's skew-join
+    *    splitting handles (and the dup-key set is aggregated, so AQE
+    *    broadcasts it when small). Row-for-row identical output.
+    */
+  def spanCoverage(docsDf: DataFrame, w: Int = SpanW,
+                   saltBuckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsDf
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+    val spans = base.where(col("n") >= w)
+      .select(col("doc_id"), posexplode(graft.functions.expressions.ArrayOps
+        .spanKeys(col("toks"), w)))
+      .toDF("doc_id", "i", "span")
+    val dupRows =
+      if (saltBuckets <= 0) {
+        val win = Window.partitionBy(col("span"))
+        spans
+          .withColumn("mn", min(col("doc_id")).over(win))
+          .withColumn("mx", max(col("doc_id")).over(win))
+          .where(col("mn") =!= col("mx"))
+      } else {
+        val dupKeys = spans
+          .groupBy(col("span"),
+            pmod(xxhash64(col("doc_id"), col("i")), lit(saltBuckets)).as("s"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .groupBy(col("span"))
+          .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+          .where(col("mn") =!= col("mx"))
+          .select(col("span"))
+        spans.join(dupKeys, Seq("span"), "left_semi")
+      }
+    val covered = dupRows
+      .select(col("doc_id"),
+              explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q70_span_coverage" -> ((s, dir) => {
-      // exact-substring duplication coverage (the w-gram approximation
-      // of suffix-array substring dedup): a span is SpanW consecutive
-      // tokens at stride 1; a span appearing in >= 2 distinct docs is
-      // duplicated text. Per doc: how many of its token positions are
-      // covered by some duplicated span — the number span-removal
-      // would cut.
-      // Scale/perf: the span key is a position-weighted sum of
-      // per-TOKEN md5-family hashes (the minhash pipeline's
-      // cross-engine family; weights 1..SpanW keep the checked BIGINT
-      // arithmetic under 2^60), computed by the native SpanKeysExpr —
-      // one codegen'd pass, one md5 per token. Every downstream stage
-      // moves an 8-byte long instead of a ~25-char string. Cross-doc
-      // repetition is min(doc_id) != max(doc_id) over a window on the
-      // key (algebraically = countDistinct >= 2, but one shuffle and
-      // the span stream is computed ONCE — no agg+join-back second
-      // scan). Hot boilerplate keys make hot partitions, the same
-      // bound as the groupBy formulation. The interpreted
-      // string-span version benched 1.93 s at sf0.1; this is 0.5 s.
-      import org.apache.spark.sql.expressions.Window
-      val base = docs(s, dir)
-        .withColumn("toks", graft.functions.Text.tokens(col("text")))
-        .withColumn("n", size(col("toks")))
-      val spans = base.where(col("n") >= SpanW)
-        .select(col("doc_id"), posexplode(graft.functions.expressions.ArrayOps
-          .spanKeys(col("toks"), SpanW)))
-        .toDF("doc_id", "i", "span")
-      val w = Window.partitionBy(col("span"))
-      val covered = spans
-        .withColumn("mn", min(col("doc_id")).over(w))
-        .withColumn("mx", max(col("doc_id")).over(w))
-        .where(col("mn") =!= col("mx"))
-        .select(col("doc_id"),
-                explode(expr(s"sequence(i, i + ${SpanW - 1})")).as("p"))
-        .distinct()
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
-      base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
-        .join(covered, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-                coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
-    }),
+    "q70_span_coverage" -> ((s, dir) =>
+      spanCoverage(docs(s, dir), SpanW, spanSaltBuckets(s))),
 
     "q31_dedup_exact" -> ((s, dir) =>
       // one-shuffle exact dedup summary on the content digest

@@ -57,4 +57,62 @@ class SkewSpec extends AnyFunSuite {
       .count().collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted == plain)
   }
+
+  /** Planted Zipfian corpus for the span-key operators (q70/q67):
+    * one boilerplate 5-gram opens 20% of all docs — at 100× that key
+    * is the straggler window partition the round-6 verdict flagged.
+    * 600 docs: 120 share the hot header; 40 form 20 mutual near-dup
+    * pairs (each pair shares a full 10-token body); the rest are
+    * unique token soup. Every doc gets a unique 2-token tail so no
+    * accidental cross-doc spans appear. */
+  private def zipfCorpus = {
+    import spark.implicits._
+    val hot = "alpha beta gamma delta epsilon"
+    val docsSeq: Seq[(Long, String)] =
+      (0L until 120L).map(i =>
+        i -> s"$hot filler${i}a filler${i}b filler${i}c filler${i}d u${i}x u${i}y") ++
+      (0L until 20L).flatMap { p =>
+        val shared = (0 until 10).map(j => s"pair${p}tok$j").mkString(" ")
+        Seq(200L + 2 * p -> s"$shared u${200 + 2 * p}x u${200 + 2 * p}y",
+            201L + 2 * p -> s"$shared u${201 + 2 * p}x u${201 + 2 * p}y")
+      } ++
+      (300L until 740L).map(i =>
+        i -> (0 until 8).map(j => s"solo${i}tok$j").mkString(" "))
+    docsSeq.toDF("doc_id", "text").repartition(8)
+  }
+
+  test("salted span coverage (q70 path) equals the window formulation on a Zipfian corpus") {
+    val df = zipfCorpus
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val plain = graft.operators.Dedup.spanCoverage(df, 5, 0)
+      .collect().map(key).toSet
+    val salted = graft.operators.Dedup.spanCoverage(df, 5, 7)
+      .collect().map(key).toSet
+    assert(salted == plain)
+    // sanity: the hot header is detected as duplicated coverage
+    val hotCovered = graft.operators.Dedup.spanCoverage(df, 5, 7)
+      .where(col("doc_id") < 120 && col("covered_tokens") >= 5).count()
+    assert(hotCovered == 120, s"hot-header docs covered: $hotCovered")
+    // and solo docs have zero coverage
+    val soloCovered = graft.operators.Dedup.spanCoverage(df, 5, 7)
+      .where(col("doc_id") >= 300 && col("covered_tokens") > 0).count()
+    assert(soloCovered == 0)
+  }
+
+  test("salted boilerplate segments (q67 path) equals the window formulation on a Zipfian corpus") {
+    val df = zipfCorpus
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val plain = graft.operators.Curation.boilerplateSegments(df, 3, 0)
+      .collect().map(key).toSet
+    val salted = graft.operators.Curation.boilerplateSegments(df, 3, 11)
+      .collect().map(key).toSet
+    assert(salted == plain)
+    // the salted plan's first span-key shuffle is on (seg, salt) —
+    // a partial aggregate, not a window over the raw hot key
+    val p = graft.operators.Curation.boilerplateSegments(df, 3, 11)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"salted path must not window on the hot key:\n$p")
+  }
 }
