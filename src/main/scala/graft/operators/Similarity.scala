@@ -42,14 +42,54 @@ object Similarity {
                              ivfProbe: Int = 4)
   object AnnParams {
     val Default: AnnParams = AnnParams()
-    /** Session-tunable: spark.graft.ann.{planes,ivf.k,ivf.nprobe}. */
-    def from(s: SparkSession): AnnParams = AnnParams(
+
+    /** Corpus-derived IVF codebook size: k ≈ √n, the operating point
+      * that balances the two costs of an IVF query — scanning the k
+      * centroids and scanning the ~n/k members of each probed cell —
+      * and keeps SemDeDup's within-cell pairwise pass at ~n per cell
+      * pair-count instead of super-linear (SCALING.md measured the
+      * FIXED k=16 codebook going super-linear at 10×: cells grow with
+      * the corpus, the pairwise pass grows with cell²). Clamped to
+      * [Default.ivfK, 65536]: below 16 the codebook is noise; above
+      * 64k the centroid literal stops being broadcast-trivial and a
+      * real hierarchical index (IVF-HNSW) is the right tool. */
+    def ivfKFor(corpusSize: Long): Int =
+      math.max(Default.ivfK,
+        math.min(1 << 16, math.ceil(math.sqrt(corpusSize.toDouble)).toInt))
+
+    /** Session-tunable: spark.graft.ann.{planes,ivf.k,ivf.nprobe};
+      * `spark.graft.ann.ivf.k=auto` derives k from `corpusSize`
+      * (call-by-name: the count is only evaluated when auto is set —
+      * one metadata-only parquet count, not a data scan). The named
+      * q41/q68 query-map entries stay at PINNED k so their generated
+      * DuckDB oracles match; the auto path is the library default for
+      * users who don't pass an explicit operating point. */
+    def from(s: SparkSession, corpusSize: => Long): AnnParams = AnnParams(
       s.conf.getOption("spark.graft.ann.planes").map(_.toInt)
         .getOrElse(Default.numPlanes),
-      s.conf.getOption("spark.graft.ann.ivf.k").map(_.toInt)
-        .getOrElse(Default.ivfK),
+      s.conf.getOption("spark.graft.ann.ivf.k") match {
+        case Some("auto") => ivfKFor(corpusSize)
+        case Some(k) => k.toInt
+        case None => Default.ivfK
+      },
       s.conf.getOption("spark.graft.ann.ivf.nprobe").map(_.toInt)
         .getOrElse(Default.ivfProbe))
+
+    def from(s: SparkSession): AnnParams =
+      from(s, throw new IllegalArgumentException(
+        "spark.graft.ann.ivf.k=auto needs the corpus-size overload"))
+  }
+
+  /** The auto-sized parameter set for a corpus: conf overrides win,
+    * otherwise ivfK tracks √|embeddings| — the entry point for
+    * library users, while the named query-map operating points stay
+    * pinned for their oracles. */
+  def annParamsFor(s: SparkSession, dir: String): AnnParams = {
+    lazy val n = emb(s, dir).count()
+    val p = AnnParams.from(s, n)
+    if (s.conf.getOption("spark.graft.ann.ivf.k").isEmpty)
+      p.copy(ivfK = AnnParams.ivfKFor(n))
+    else p
   }
 
   // near-dup cosine threshold: the synthetic corpus has no planted
@@ -680,6 +720,11 @@ object Similarity {
     "q41_knn_ivf" -> ((s, dir) => knnIvf(s, dir, AnnParams.Default)),
     "q41b_knn_ivf_k8" -> ((s, dir) =>
       knnIvf(s, dir, AnnParams(ivfK = 8, ivfProbe = 2))),
+    // the GROWN-codebook operating point (round-6 verdict item 4):
+    // k=32 is ivfKFor's regime for a ~1k-vector corpus — cells stay
+    // bounded as the corpus grows instead of the fixed-k default
+    "q41c_knn_ivf_k32" -> ((s, dir) =>
+      knnIvf(s, dir, AnnParams(ivfK = 32))),
 
     "q42_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-duplicate pairs: sign-bit LSH buckets the
@@ -701,6 +746,10 @@ object Similarity {
     "q68_semdedup" -> ((s, dir) =>
       semdedup(s, dir, AnnParams.Default.ivfK, NearDupCosine)),
     "q68b_semdedup_k8" -> ((s, dir) => semdedup(s, dir, 8, 0.35)),
+    // grown codebook (verdict item 4): k=32 keeps the within-cell
+    // pairwise pass linear in the corpus as cells would otherwise
+    // grow — the scale knob SCALING.md's 10× curve measures
+    "q68c_semdedup_k32" -> ((s, dir) => semdedup(s, dir, 32, NearDupCosine)),
 
     "q74_cluster_sample" -> ((s, dir) =>
       clusterSample(s, dir, AnnParams.Default.ivfK, 10)),
@@ -831,6 +880,7 @@ object Similarity {
 
     "q41_knn_ivf" -> ivfOracleSql(AnnParams.Default),
     "q41b_knn_ivf_k8" -> ivfOracleSql(AnnParams(ivfK = 8, ivfProbe = 2)),
+    "q41c_knn_ivf_k32" -> ivfOracleSql(AnnParams(ivfK = 32)),
 
     "q42_embed_neardup" ->
       s"""WITH $duckNormedCte,
@@ -844,6 +894,7 @@ object Similarity {
     "q68_semdedup" ->
       semdedupOracleSql(AnnParams.Default.ivfK, NearDupCosine),
     "q68b_semdedup_k8" -> semdedupOracleSql(8, 0.35),
+    "q68c_semdedup_k32" -> semdedupOracleSql(32, NearDupCosine),
 
     "q74_cluster_sample" ->
       clusterSampleOracleSql(AnnParams.Default.ivfK, 10),

@@ -202,6 +202,29 @@ class SimilarityExtSpec extends AnyFunSuite {
     b.foreach { case (cell, (n, d)) => assert(d < n, s"cell $cell") }
   }
 
+  test("ivfK tracks corpus size: sqrt heuristic, clamps, auto conf") {
+    import Similarity.AnnParams
+    // sqrt regime with floor/ceiling clamps
+    assert(AnnParams.ivfKFor(100) == 16)        // floor: Default.ivfK
+    assert(AnnParams.ivfKFor(500) == 23)        // ceil(sqrt(500))
+    assert(AnnParams.ivfKFor(2000) == 45)       // sf0.1 corpus
+    assert(AnnParams.ivfKFor(200000) == 448)
+    assert(AnnParams.ivfKFor(10000000000L) == 65536) // ceiling clamp
+    // monotone: growing the corpus never shrinks the codebook
+    val ks = Seq(1L, 500L, 5000L, 500000L, 5000000000L)
+      .map(AnnParams.ivfKFor)
+    assert(ks == ks.sorted, ks.toString)
+    // no conf -> auto-derived from the corpus (500 vectors here)
+    assert(Similarity.annParamsFor(spark, dir).ivfK == 23)
+    // explicit conf wins; "auto" derives explicitly
+    spark.conf.set("spark.graft.ann.ivf.k", "8")
+    try assert(Similarity.annParamsFor(spark, dir).ivfK == 8)
+    finally spark.conf.unset("spark.graft.ann.ivf.k")
+    spark.conf.set("spark.graft.ann.ivf.k", "auto")
+    try assert(Similarity.annParamsFor(spark, dir).ivfK == 23)
+    finally spark.conf.unset("spark.graft.ann.ivf.k")
+  }
+
   test("session-tunable params: conf-driven runs equal the explicit operating points") {
     // spark.graft.ann.* -> AnnParams.from drives the SAME pipeline as
     // an explicit params value (the SETTINGS-tunable path the
