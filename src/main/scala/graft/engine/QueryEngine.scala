@@ -1097,8 +1097,9 @@ final class QueryEngine(val spark: SparkSession,
       .getOrElse(Set.empty)
     val rows = order.flatMap { name =>
       schema.fields.find(_.name == name).map { f =>
-        val icebergType = props.getOrElse(s"graft.type.${f.name}",
-          IcebergTypes.format(f.dataType))
+        val icebergType = IcebergTypes.canonical(
+          props.getOrElse(s"graft.type.${f.name}",
+            IcebergTypes.format(f.dataType)))
         Seq[Any](
           f.name,
           icebergType,
@@ -1162,8 +1163,9 @@ final class QueryEngine(val spark: SparkSession,
       .getOrElse(Set.empty)
     val cols = order.flatMap { name =>
       schema.fields.find(_.name == name).map { f =>
-        val t = props.getOrElse(s"graft.type.${f.name}",
-          IcebergTypes.format(f.dataType))
+        val t = IcebergTypes.canonical(
+          props.getOrElse(s"graft.type.${f.name}",
+            IcebergTypes.format(f.dataType)))
         val nn = if (!f.nullable) " NOT NULL" else ""
         val uq = if (uniques.contains(f.name)) " UNIQUE" else ""
         val pk = if (pks.contains(f.name)) " PRIMARY KEY" else ""

@@ -27,8 +27,23 @@ import org.apache.spark.sql.types.StructType
   */
 object RangerDdl {
 
-  final case class ParseError(message: String)
+  /** Dialect parse failure. `line`/`column` are 1-based positions in
+    * the ORIGINAL statement text (0 = unpositioned, for semantic
+    * errors with no single source location), mirroring the
+    * reference's ParseError.Error() rendering
+    * ("parse error at line L, column C: msg",
+    * server/query/parser/errors.go:126-135). */
+  final case class ParseError(message: String, line: Int = 0, column: Int = 0)
     extends IllegalArgumentException(message)
+
+  object ParseError {
+    /** Position-tracked error: line/col computed from `offset` into
+      * `source` and rendered into the message, reference-style. */
+    def at(source: String, offset: Int, msg: String): ParseError = {
+      val (l, c) = SqlPosition.lineColumn(source, offset)
+      ParseError(s"parse error at line $l, column $c: $msg", l, c)
+    }
+  }
 
   final case class ColumnDef(
       name: String,
@@ -131,9 +146,16 @@ object RangerDdl {
     """(?i)\b(NOT\s+NULL|UNIQUE|DEFAULT|PRIMARY\s+KEY)\b""".r
 
   def parse(sql: String): CreateTable = {
+    // offsets are tracked against the ORIGINAL text so reported
+    // line/column positions match what the user submitted
+    val lead = sql.indexWhere(!_.isWhitespace) match {
+      case -1 => 0
+      case i  => i
+    }
     val stmt = sql.trim.stripSuffix(";").trim
     val m = headerRe.findFirstMatchIn(stmt).getOrElse(
-      throw ParseError(s"not a CREATE TABLE statement: ${stmt.take(60)}"))
+      throw ParseError.at(sql, lead,
+        s"not a CREATE TABLE statement: ${stmt.take(60)}"))
     val ifNotExists = m.group(1) != null
     val (db, table) =
       if (m.group(3) != null) (Some(m.group(2)), m.group(3))
@@ -152,67 +174,129 @@ object RangerDdl {
       }
       i += 1
     }
-    if (closeIdx < 0) throw ParseError("unbalanced parentheses in column list")
+    if (closeIdx < 0) throw ParseError.at(sql, lead + openIdx,
+      "unbalanced parentheses in column list")
     val colsBody = stmt.substring(openIdx + 1, closeIdx)
     val tail = stmt.substring(closeIdx + 1)
 
-    val columns = IcebergTypes.splitTopLevel(colsBody).map(parseColumn)
+    val columns = splitWithOffsets(colsBody).map { case (c, off) =>
+      parseColumn(sql, lead + openIdx + 1 + off, c)
+    }
     if (columns.isEmpty)
-      throw ParseError("CREATE TABLE requires at least one column")
+      throw ParseError.at(sql, lead + openIdx,
+        "CREATE TABLE requires at least one column")
     val names = columns.map(_.name.toLowerCase)
-    if (names.distinct.length != names.length)
-      throw ParseError(s"duplicate column name in: ${names.mkString(", ")}")
+    if (names.distinct.length != names.length) {
+      val dup = names.diff(names.distinct).head
+      // position of the SECOND occurrence of the duplicated name
+      val dupOff = splitWithOffsets(colsBody)
+        .filter(_._1.takeWhile(!_.isWhitespace).toLowerCase == dup)
+        .drop(1).headOption.map(_._2).getOrElse(0)
+      throw ParseError.at(sql, lead + openIdx + 1 + dupOff,
+        s"duplicate column name: $dup")
+    }
 
-    val (storage, partitionBy, orderBy, settings) = parseTail(tail)
+    val (storage, partitionBy, orderBy, settings) =
+      parseTail(sql, lead + closeIdx + 1, tail)
     settings.get("compression").foreach { codec =>
       // codec list: reference parquet/compression.go:21-107
       if (!Set("none", "uncompressed", "snappy", "gzip", "brotli",
-               "lz4", "zstd").contains(codec.toLowerCase))
-        throw ParseError(s"unsupported compression codec: $codec")
+               "lz4", "zstd").contains(codec.toLowerCase)) {
+        val off = stmt.indexOf(codec) // best-effort: value is semantic
+        throw ParseError.at(sql, lead + math.max(off, 0),
+          s"unsupported compression codec: $codec")
+      }
     }
     CreateTable(db, table, ifNotExists, columns, storage, partitionBy,
       orderBy, settings)
   }
 
-  private def parseColumn(def0: String): ColumnDef = {
-    val d = def0.trim
+  /** [[IcebergTypes.splitTopLevel]] plus the offset of each trimmed
+    * piece within `s` — positions for per-column errors. */
+  private def splitWithOffsets(s: String): Seq[(String, Int)] = {
+    val out = Seq.newBuilder[(String, Int)]
+    var depth = 0
+    var start = 0
+    def emit(end: Int): Unit = {
+      val piece = s.substring(start, end)
+      val ws = piece.indexWhere(!_.isWhitespace)
+      if (ws >= 0) out += piece.trim -> (start + ws)
+    }
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
+        case ',' if depth == 0 => emit(i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    emit(s.length)
+    out.result()
+  }
+
+  /** `base` = absolute offset of `def0` within `source`. */
+  private def parseColumn(source: String, base: Int, def0: String): ColumnDef = {
+    val d = def0 // pre-trimmed by splitWithOffsets, offset accounted
     val sp = d.indexWhere(_.isWhitespace)
-    if (sp < 0) throw ParseError(s"column definition needs a type: '$d'")
+    if (sp < 0) throw ParseError.at(source, base,
+      s"column definition needs a type: '$d'")
     val name = d.substring(0, sp)
     if (!name.matches("[A-Za-z_][\\w]*"))
-      throw ParseError(s"invalid column name: '$name'")
-    val rest = d.substring(sp + 1).trim
+      throw ParseError.at(source, base, s"invalid column name: '$name'")
+    val restWs = d.indexWhere(!_.isWhitespace, sp)
+    val rest = d.substring(restWs)
+    val restOff = base + restWs
     // the type runs until the first constraint keyword (constraint
     // keywords cannot appear inside <...> or (...) of a type)
     val cm = constraintRe.findFirstMatchIn(rest)
-    val (typeStr, consStr) = cm match {
-      case Some(c) => (rest.substring(0, c.start).trim, rest.substring(c.start))
-      case None    => (rest, "")
+    val (typeStr, consStr, consOff) = cm match {
+      case Some(c) => (rest.substring(0, c.start).trim,
+                       rest.substring(c.start), restOff + c.start)
+      case None    => (rest, "", restOff + rest.length)
     }
-    if (typeStr.isEmpty) throw ParseError(s"column '$name' needs a type")
-    IcebergTypes.parse(typeStr) // validates; throws TypeError w/ detail
+    if (typeStr.isEmpty) throw ParseError.at(source, restOff,
+      s"column '$name' needs a type")
+    try IcebergTypes.parse(typeStr) // validates; throws TypeError w/ detail
+    catch { case te: IcebergTypes.TypeError =>
+      throw ParseError.at(source, restOff, te.message)
+    }
 
     var notNull = false; var unique = false; var pk = false
     var default: Option[String] = None
-    var remaining = consStr.trim
+    var remaining = consStr
+    var remOff = consOff
+    def advance(k: Int): Unit = {
+      val ws = remaining.indexWhere(!_.isWhitespace, k) match {
+        case -1 => remaining.length
+        case j  => j
+      }
+      remaining = remaining.substring(ws)
+      remOff += ws
+    }
+    advance(0)
     while (remaining.nonEmpty) {
       val lower = remaining.toLowerCase
       if (lower.startsWith("not null")) {
-        notNull = true; remaining = remaining.substring(8).trim
+        notNull = true; advance(8)
       } else if (lower.startsWith("unique")) {
-        unique = true; remaining = remaining.substring(6).trim
+        unique = true; advance(6)
       } else if (lower.startsWith("primary key")) {
-        pk = true; notNull = true; remaining = remaining.substring(11).trim
+        pk = true; notNull = true; advance(11)
       } else if (lower.startsWith("default")) {
-        val after = remaining.substring(7).trim
-        val end = constraintRe.findFirstMatchIn(after).map(_.start)
-          .getOrElse(after.length)
-        val lit = after.substring(0, end).trim
-        if (lit.isEmpty) throw ParseError(s"DEFAULT needs a value (column '$name')")
+        val kwOff = remOff
+        advance(7)
+        val end = constraintRe.findFirstMatchIn(remaining).map(_.start)
+          .getOrElse(remaining.length)
+        val lit = remaining.substring(0, end).trim
+        if (lit.isEmpty) throw ParseError.at(source, kwOff,
+          s"DEFAULT needs a value (column '$name')")
         default = Some(lit)
-        remaining = after.substring(end).trim
+        advance(end)
       } else {
-        throw ParseError(s"unexpected token in column '$name': '$remaining'")
+        throw ParseError.at(source, remOff,
+          s"unexpected token in column '$name': '$remaining'")
       }
     }
     ColumnDef(name, typeStr, notNull, unique, default, pk)
@@ -223,9 +307,20 @@ object RangerDdl {
   private val orderRe = """(?is)^\s*ORDER\s+BY\s*\(([^)]*)\)""".r
   private val settingsRe = """(?is)^\s*SETTINGS\s+(.*)$""".r
 
-  private def parseTail(tail0: String)
+  /** `base` = absolute offset of `tail0` within `source`. */
+  private def parseTail(source: String, base: Int, tail0: String)
       : (String, Seq[String], Seq[String], Map[String, String]) = {
-    var tail = tail0.trim
+    var tail = tail0
+    var off = base
+    def consume(k: Int): Unit = {
+      val ws = tail.indexWhere(!_.isWhitespace, k) match {
+        case -1 => tail.length
+        case j  => j
+      }
+      tail = tail.substring(ws)
+      off += ws
+    }
+    consume(0)
     var storage = "filesystem" // reference default: storage.go:133-164
     var partitionBy = Seq.empty[String]
     var orderBy = Seq.empty[String]
@@ -235,28 +330,33 @@ object RangerDdl {
         case Some(m) =>
           storage = m.group(1).toLowerCase
           if (!Set("filesystem", "memory", "s3").contains(storage))
-            throw ParseError(s"unknown STORAGE engine: $storage")
-          tail = tail.substring(m.end).trim
+            throw ParseError.at(source, off + m.start(1),
+              s"unknown STORAGE engine: $storage")
+          consume(m.end)
         case None => partitionRe.findFirstMatchIn(tail) match {
           case Some(m) =>
             partitionBy = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            tail = tail.substring(m.end).trim
+            consume(m.end)
           case None => orderRe.findFirstMatchIn(tail) match {
             case Some(m) =>
               orderBy = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-              tail = tail.substring(m.end).trim
+              consume(m.end)
             case None => settingsRe.findFirstMatchIn(tail) match {
               case Some(m) =>
-                settings = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
-                  .map { kv =>
-                    kv.split("=", 2) match {
-                      case Array(k, v) => k.trim -> v.trim
-                      case _ => throw ParseError(s"invalid SETTINGS entry: '$kv'")
-                    }
-                  }.toMap
+                // walk entries with a running offset so a malformed
+                // entry reports ITS position, not the clause's
+                val bodyOff = off + m.start(1)
+                settings = splitWithOffsets(m.group(1)).map { case (kv, o) =>
+                  kv.split("=", 2) match {
+                    case Array(k, v) => k.trim -> v.trim
+                    case _ => throw ParseError.at(source, bodyOff + o,
+                      s"invalid SETTINGS entry: '$kv'")
+                  }
+                }.toMap
                 tail = ""
               case None =>
-                throw ParseError(s"unexpected clause after column list: '${tail.take(40)}'")
+                throw ParseError.at(source, off,
+                  s"unexpected clause after column list: '${tail.take(40)}'")
             }
           }
         }

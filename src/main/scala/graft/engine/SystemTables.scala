@@ -171,8 +171,9 @@ object SystemTables {
         .getOrElse(t.schema.fieldNames.toSeq)
       declared.zipWithIndex.flatMap { case (name, ord) =>
         t.schema.fields.find(_.name == name).map { f =>
-          val icebergType = props.getOrElse(s"graft.type.${f.name}",
-            graft.types.IcebergTypes.format(f.dataType))
+          val icebergType = graft.types.IcebergTypes.canonical(
+            props.getOrElse(s"graft.type.${f.name}",
+              graft.types.IcebergTypes.format(f.dataType)))
           val (prec, scale) = f.dataType match {
             case d: DecimalType => (d.precision.toLong, d.scale.toLong)
             case _ => (null, null)

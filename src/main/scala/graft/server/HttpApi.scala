@@ -277,8 +277,9 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
                   "id" -> (i + 1).toString,
                   "name" -> Json.str(f.name),
                   "required" -> (notNull.contains(f.name) || !f.nullable).toString,
-                  "type" -> Json.str(props.getOrElse(s"graft.type.${f.name}",
-                    graft.types.IcebergTypes.format(f.dataType))))
+                  "type" -> Json.str(graft.types.IcebergTypes.canonical(
+                    props.getOrElse(s"graft.type.${f.name}",
+                      graft.types.IcebergTypes.format(f.dataType)))))
               }
             }
             // snapshot history from the manifest store — the Iceberg

@@ -76,6 +76,101 @@ object IcebergTypes {
     }
   }
 
+  private val fixedRe = """^fixed\(\s*(\d+)\s*\)$""".r
+
+  /** Registry-side (metadata READ path) type parsing: the reference's
+    * DDL parser accepts only canonical Iceberg names, but its
+    * registry → Iceberg schema conversion is lenient and maps common
+    * SQL aliases (`parseRegistryDataType`,
+    * /root/reference/server/storage/parquet/schema.go:264-327):
+    * integer→int32, bigint→int64, real→float32, double→float64,
+    * varchar/text→string, blob→binary, fixed(n)→fixed — so metadata
+    * written by an older/foreign registry still round-trips. Mirrored
+    * here: [[parse]] stays strict for CREATE TABLE (`varchar` is a
+    * rejected DDL type, per iceberg_types_test.go), this entry point
+    * serves read-back of stored type strings. `fixed(n)` maps to
+    * Spark BinaryType (Spark has no fixed-width binary; the reference
+    * maps it to Iceberg FixedType — width is metadata we cannot
+    * carry, the value domain is the same). Aliases resolve inside
+    * nested list/map/struct too. */
+  def parseRegistry(s: String): DataType = {
+    val t = s.trim
+    t.toLowerCase match {
+      case "integer" => IntegerType
+      case "bigint"  => LongType
+      case "real"    => FloatType
+      case "double"  => DoubleType
+      case "varchar" | "text" => StringType
+      case "blob"    => BinaryType
+      case lower if lower.startsWith("fixed") =>
+        lower match {
+          case fixedRe(n) =>
+            if (n.toInt <= 0) throw TypeError(s"invalid fixed length: $t")
+            BinaryType
+          case _ => throw TypeError(s"invalid fixed type: $t")
+        }
+      case lower if lower.startsWith("list<") && t.endsWith(">") =>
+        ArrayType(parseRegistry(inner(t)))
+      case lower if lower.startsWith("map<") && t.endsWith(">") =>
+        splitTopLevel(inner(t)) match {
+          case Seq(k, v) => MapType(parseRegistry(k), parseRegistry(v))
+          case _ => throw TypeError(s"invalid map type: $t")
+        }
+      case lower if lower.startsWith("struct<") && t.endsWith(">") =>
+        StructType(splitTopLevel(inner(t)).map { f =>
+          f.split(":", 2) match {
+            case Array(n, ft) =>
+              StructField(n.trim, parseRegistry(ft), nullable = true)
+            case _ => throw TypeError(s"invalid struct field: '$f' in $t")
+          }
+        })
+      case _ => parse(t)
+    }
+  }
+
+  private val canonicalNames = Set(
+    "boolean", "int32", "int64", "float32", "float64", "string",
+    "binary", "date", "time", "timestamp", "timestamptz", "uuid")
+
+  /** Canonicalize a STORED type string on read-back: aliases written
+    * by an older/foreign registry rewrite to their canonical Iceberg
+    * names (`varchar` → `string`), recursively inside nested types.
+    * A pure STRING rewrite, deliberately not routed through Spark
+    * types: `time`/`uuid`/`fixed(n)` are canonical Iceberg names with
+    * no distinct Spark type, so a DataType round-trip would corrupt
+    * them (time → int64). Unknown strings pass through untouched —
+    * display paths must not throw on someone else's metadata. */
+  def canonical(stored: String): String = {
+    val t = stored.trim
+    val lower = t.toLowerCase
+    lower match {
+      case "integer"          => "int32"
+      case "bigint"           => "int64"
+      case "real"             => "float32"
+      case "double"           => "float64"
+      case "varchar" | "text" => "string"
+      case "blob"             => "binary"
+      case fixedRe(n)         => s"fixed($n)"
+      case decimalRe(p, sc)   => s"decimal($p,$sc)"
+      case l if canonicalNames.contains(l) => l
+      case l if l.startsWith("list<") && l.endsWith(">") =>
+        s"list<${canonical(inner(t))}>"
+      case l if l.startsWith("map<") && l.endsWith(">") =>
+        splitTopLevel(inner(t)) match {
+          case Seq(k, v) => s"map<${canonical(k)}, ${canonical(v)}>"
+          case _ => stored
+        }
+      case l if l.startsWith("struct<") && l.endsWith(">") =>
+        splitTopLevel(inner(t)).map { f =>
+          f.split(":", 2) match {
+            case Array(n, ft) => s"${n.trim}: ${canonical(ft)}"
+            case _ => f.trim
+          }
+        }.mkString("struct<", ", ", ">")
+      case _ => stored
+    }
+  }
+
   /** Render a Spark DataType back as an Iceberg type string (for SHOW
     * COLUMNS / SHOW CREATE TABLE reference-layout output). */
   def format(dt: DataType): String = dt match {

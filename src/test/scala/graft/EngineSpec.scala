@@ -46,6 +46,57 @@ class IcebergTypesSpec extends AnyFunSuite {
                   "struct<a: int32, b: list<string>>", "decimal(10,2)"))
       assert(IcebergTypes.format(IcebergTypes.parse(t)) == t)
   }
+
+  test("registry read path accepts SQL aliases (parseRegistryDataType parity)") {
+    // the alias table from the reference's registry -> Iceberg
+    // conversion (server/storage/parquet/schema.go:264-327): the DDL
+    // parser rejects these (ast.go:163-169, pinned above), but
+    // metadata READ-BACK resolves them so foreign registry rows still
+    // load
+    val aliases = Seq(
+      "integer" -> IntegerType, "bigint" -> LongType,
+      "real" -> FloatType, "double" -> DoubleType,
+      "varchar" -> StringType, "text" -> StringType,
+      "blob" -> BinaryType, "fixed(16)" -> BinaryType,
+      // canonical names still parse identically
+      "int32" -> IntegerType, "string" -> StringType)
+    for ((a, want) <- aliases) {
+      assert(IcebergTypes.parseRegistry(a) == want, a)
+      assert(IcebergTypes.parseRegistry(a.toUpperCase) == want, a)
+    }
+    // aliases resolve inside nested types on the read path
+    assert(IcebergTypes.parseRegistry("list<varchar>") == ArrayType(StringType))
+    assert(IcebergTypes.parseRegistry("map<varchar, bigint>") ==
+      MapType(StringType, LongType))
+    assert(IcebergTypes.parseRegistry("struct<name: text, age: integer>") ==
+      StructType(Seq(StructField("name", StringType), StructField("age", IntegerType))))
+    // garbage is still an error, as in the reference's default branch
+    assertThrows[IcebergTypes.TypeError](IcebergTypes.parseRegistry("varchar2"))
+    assertThrows[IcebergTypes.TypeError](IcebergTypes.parseRegistry("fixed(x)"))
+    assertThrows[IcebergTypes.TypeError](IcebergTypes.parseRegistry("fixed(0)"))
+    // ... and the strict DDL parser still rejects every alias
+    for ((a, _) <- aliases.take(8))
+      assertThrows[IcebergTypes.TypeError](IcebergTypes.parse(a))
+  }
+
+  test("canonical() rewrites stored alias strings without corrupting Spark-less types") {
+    assert(IcebergTypes.canonical("varchar") == "string")
+    assert(IcebergTypes.canonical("BIGINT") == "int64")
+    assert(IcebergTypes.canonical("double") == "float64")
+    assert(IcebergTypes.canonical("fixed( 16 )") == "fixed(16)")
+    assert(IcebergTypes.canonical("list<text>") == "list<string>")
+    assert(IcebergTypes.canonical("map<varchar, integer>") == "map<string, int32>")
+    assert(IcebergTypes.canonical("struct<a: real, b: blob>") ==
+      "struct<a: float32, b: binary>")
+    // canonical Iceberg names with no distinct Spark type must pass
+    // through EXACTLY (a DataType round-trip would turn time -> int64)
+    assert(IcebergTypes.canonical("time") == "time")
+    assert(IcebergTypes.canonical("uuid") == "uuid")
+    assert(IcebergTypes.canonical("timestamp") == "timestamp")
+    assert(IcebergTypes.canonical("decimal(10, 2)") == "decimal(10,2)")
+    // unknown metadata passes through untouched, never throws
+    assert(IcebergTypes.canonical("someextension") == "someextension")
+  }
 }
 
 class RangerDdlSpec extends AnyFunSuite {
@@ -85,8 +136,13 @@ class RangerDdlSpec extends AnyFunSuite {
   }
 
   test("legacy types rejected at CREATE TABLE") {
-    assertThrows[IcebergTypes.TypeError](RangerDdl.parse(
+    // the TypeError detail now arrives wrapped in a position-tracked
+    // ParseError (the reference reports type errors through its
+    // positioned ParseError too, errors.go ErrorCategory "type")
+    val e = intercept[RangerDdl.ParseError](RangerDdl.parse(
       "CREATE TABLE t (user_id INT NOT NULL, event_type VARCHAR(50))"))
+    assert(e.message.contains("only Iceberg types"), e.message)
+    assert(e.line == 1 && e.column == 25, e.message) // at 'INT'
   }
 
   test("malformed statements rejected") {
