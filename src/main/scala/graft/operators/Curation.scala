@@ -206,6 +206,10 @@ object Curation {
     "q67_boilerplate_segments" -> ((s, dir) =>
       boilerplateSegments(docs(s, dir), SegTokens,
         Dedup.spanSaltBuckets(s))),
+    // the salted shape as a PINNED operating point (saltBuckets=8) so
+    // the driver hash-verifies it every round against the SAME oracle
+    "q67b_boilerplate_salted" -> ((s, dir) =>
+      boilerplateSegments(docs(s, dir), SegTokens, 8)),
 
     "q69_importance_scores" -> ((s, dir) => importanceScores(s, dir)),
   )
@@ -342,6 +346,38 @@ object Curation {
     })
   )
 
+  /** q67's DuckDB replay; shared verbatim by q67b (the salted shape's
+    * contract is identical output, so it carries the identical
+    * oracle). Powers-of-two weights: see SpanKeysExpr (subset sums
+    * distinct). */
+  private def q67OracleSql: String = {
+    val segKey = (1 to SegTokens)
+      .map(j => s"th[i * $SegTokens + $j] * ${1L << (j - 1)}").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id, len(toks) AS tk,
+       |    list_transform(toks,
+       |      tok -> ('0x' || substring(md5(tok), 1, 14))::BIGINT) AS th
+       |  FROM t),
+       |segr AS (
+       |  SELECT doc_id, tk,
+       |    unnest(list_transform(generate_series(0, tk // $SegTokens - 1),
+       |      i -> $segKey)) AS seg
+       |  FROM h WHERE tk >= $SegTokens),
+       |boiler AS (
+       |  SELECT seg FROM segr GROUP BY seg
+       |  HAVING count(DISTINCT doc_id) >= $BoilerplateDf)
+       |SELECT s.doc_id, count(*) AS n_segments,
+       |  CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_boilerplate,
+       |  CAST(any_value(s.tk)
+       |    - sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) * $SegTokens
+       |    AS BIGINT) AS tokens_after_removal
+       |FROM segr s LEFT JOIN boiler b ON s.seg = b.seg
+       |GROUP BY s.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q54_hash_split" ->
       """WITH t AS (
@@ -451,34 +487,9 @@ object Curation {
          |  min(doc_id) AS first_doc
          |FROM c GROUP BY source, seq_idx""".stripMargin,
 
-    "q67_boilerplate_segments" -> {
-      // powers-of-two weights: see SpanKeysExpr (subset sums distinct)
-      val segKey = (1 to SegTokens)
-        .map(j => s"th[i * $SegTokens + $j] * ${1L << (j - 1)}").mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |h AS (
-         |  SELECT doc_id, len(toks) AS tk,
-         |    list_transform(toks,
-         |      tok -> ('0x' || substring(md5(tok), 1, 14))::BIGINT) AS th
-         |  FROM t),
-         |segr AS (
-         |  SELECT doc_id, tk,
-         |    unnest(list_transform(generate_series(0, tk // $SegTokens - 1),
-         |      i -> $segKey)) AS seg
-         |  FROM h WHERE tk >= $SegTokens),
-         |boiler AS (
-         |  SELECT seg FROM segr GROUP BY seg
-         |  HAVING count(DISTINCT doc_id) >= $BoilerplateDf)
-         |SELECT s.doc_id, count(*) AS n_segments,
-         |  CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_boilerplate,
-         |  CAST(any_value(s.tk)
-         |    - sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) * $SegTokens
-         |    AS BIGINT) AS tokens_after_removal
-         |FROM segr s LEFT JOIN boiler b ON s.seg = b.seg
-         |GROUP BY s.doc_id""".stripMargin
-    },
+    "q67_boilerplate_segments" -> q67OracleSql,
+    // same statement: the salted plan must hash to the window plan
+    "q67b_boilerplate_salted" -> q67OracleSql,
 
     "q69_importance_scores" ->
       """WITH tok AS (

@@ -132,6 +132,10 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_span_coverage" -> ((s, dir) =>
       spanCoverage(docs(s, dir), SpanW, spanSaltBuckets(s))),
+    // the salted shape as a PINNED operating point (saltBuckets=8) so
+    // the driver hash-verifies it every round against the SAME oracle
+    // — identical output is the whole contract
+    "q70b_span_salted" -> ((s, dir) => spanCoverage(docs(s, dir), SpanW, 8)),
 
     "q31_dedup_exact" -> ((s, dir) =>
       // one-shuffle exact dedup summary on the content digest
@@ -556,6 +560,39 @@ object Dedup {
       |           ELSE 0 END)) AS BIGINT) AS simhash
       |  FROM documents)""".stripMargin
 
+  /** q70's DuckDB replay; shared verbatim by q70b (the salted shape's
+    * contract is identical output, so it carries the identical
+    * oracle). Powers-of-two weights: see SpanKeysExpr (subset sums
+    * distinct). */
+  private def q70OracleSql: String = {
+    val rolled = (1 to SpanW)
+      .map(j => s"th[i + $j] * ${1L << (j - 1)}").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id, toks,
+       |    list_transform(toks,
+       |      tk -> ('0x' || substring(md5(tk), 1, 14))::BIGINT) AS th
+       |  FROM t),
+       |sp AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(0, len(toks) - $SpanW),
+       |      i -> struct_pack(i := i, span := $rolled))) AS s
+       |  FROM h WHERE len(toks) >= $SpanW),
+       |spans AS (SELECT doc_id, s.i AS i, s.span AS span FROM sp),
+       |rep AS (
+       |  SELECT span FROM spans GROUP BY span
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT doc_id, count(*) AS covered FROM (
+       |    SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${SpanW - 1})) AS p
+       |    FROM spans JOIN rep USING (span))
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens
+       |FROM t LEFT JOIN cov c ON c.doc_id = t.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q33_minhash_pairs" -> minhashOracleSql(DefaultBands),
     "q33b_minhash_b16" -> minhashOracleSql(16),
@@ -603,35 +640,9 @@ object Dedup {
         |  count(*) - count(DISTINCT md5(text)) AS n_dupes
         |FROM documents""".stripMargin,
 
-    "q70_span_coverage" -> {
-      // powers-of-two weights: see SpanKeysExpr (subset sums distinct)
-      val rolled = (1 to SpanW)
-        .map(j => s"th[i + $j] * ${1L << (j - 1)}").mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |h AS (
-         |  SELECT doc_id, toks,
-         |    list_transform(toks,
-         |      tk -> ('0x' || substring(md5(tk), 1, 14))::BIGINT) AS th
-         |  FROM t),
-         |sp AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(generate_series(0, len(toks) - $SpanW),
-         |      i -> struct_pack(i := i, span := $rolled))) AS s
-         |  FROM h WHERE len(toks) >= $SpanW),
-         |spans AS (SELECT doc_id, s.i AS i, s.span AS span FROM sp),
-         |rep AS (
-         |  SELECT span FROM spans GROUP BY span
-         |  HAVING count(DISTINCT doc_id) >= 2),
-         |cov AS (
-         |  SELECT doc_id, count(*) AS covered FROM (
-         |    SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${SpanW - 1})) AS p
-         |    FROM spans JOIN rep USING (span))
-         |  GROUP BY doc_id)
-         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens
-         |FROM t LEFT JOIN cov c ON c.doc_id = t.doc_id""".stripMargin
-    },
+    "q70_span_coverage" -> q70OracleSql,
+    // same statement: the salted plan must hash to the window plan
+    "q70b_span_salted" -> q70OracleSql,
 
     "q32_dedup_keep_first" ->
       """SELECT lang, source,

@@ -227,7 +227,7 @@ object Similarity {
     // lambda dispatch per element x k centroids; arithmetic and
     // (d, cell) ordering are identical, so the oracle is unchanged
     val assigned = n.withColumn("cbd",
-      graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents))
+      graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents, nprobe))
     val corpus = assigned
       .withColumn("cell", element_at(col("cbd"), 1).getField("cell"))
       .drop("cbd")
@@ -272,7 +272,7 @@ object Similarity {
     val withSubs = (0 until PqM).foldLeft(n) { (df, m) =>
       val subCents = samples.map(_.slice(m * PqSub, (m + 1) * PqSub))
       df.withColumn(s"cbd$m", graft.functions.expressions.ArrayOps
-        .ivfCells(slice(col("ve"), m * PqSub + 1, PqSub), subCents))
+        .ivfCells(slice(col("ve"), m * PqSub + 1, PqSub), subCents, 1))
     }
     val code = (0 until PqM).map(m =>
       element_at(col(s"cbd$m"), 1).getField("cell").cast("long") *
@@ -339,7 +339,7 @@ object Similarity {
       (df, m) =>
         val subCents = samples.map(_.slice(m * PqSub, (m + 1) * PqSub))
         df.withColumn(s"code$m", element_at(graft.functions.expressions
-          .ArrayOps.ivfCells(slice(col("ve"), m * PqSub + 1, PqSub), subCents), 1)
+          .ArrayOps.ivfCells(slice(col("ve"), m * PqSub + 1, PqSub), subCents, 1), 1)
           .getField("cell"))
     }.drop("ve")
     // query side: M x K distance lookup table, evaluated on 10 rows
@@ -433,13 +433,14 @@ object Similarity {
         .orderBy("vec_id").select("ve").collect()
         .map(_.getSeq[Double](0)).toSeq)
     val assigned = n.withColumn("cbd",
-      graft.functions.expressions.ArrayOps.ivfCells(col("ve"), ivfCents))
+      graft.functions.expressions.ArrayOps.ivfCells(col("ve"), ivfCents,
+        p.ivfProbe))
     val corpus = (0 until PqM).foldLeft(
       assigned.withColumn("cell",
         element_at(col("cbd"), 1).getField("cell")).drop("cbd")) { (df, m) =>
       val subCents = pqSamples.map(_.slice(m * PqSub, (m + 1) * PqSub))
       df.withColumn(s"code$m", element_at(graft.functions.expressions
-        .ArrayOps.ivfCells(slice(col("ve"), m * PqSub + 1, PqSub), subCents), 1)
+        .ArrayOps.ivfCells(slice(col("ve"), m * PqSub + 1, PqSub), subCents, 1), 1)
         .getField("cell"))
     }.drop("ve", "nrm", "label")
     val lutCols = (0 until PqM).map { m =>
@@ -566,7 +567,7 @@ object Similarity {
         .map(_.getSeq[Double](0)).toSeq)
     val corpus = n
       .withColumn("cbd",
-        graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents))
+        graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents, 1))
       .withColumn("cell", element_at(col("cbd"), 1).getField("cell"))
       .drop("cbd")
     val a = corpus.select(col("cell"), col("vec_id").as("a_id"),
@@ -632,7 +633,7 @@ object Similarity {
         .map(_.getSeq[Double](0)).toSeq)
     val assigned = n
       .withColumn("cbd",
-        graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents))
+        graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents, 1))
       .select(col("vec_id"),
         element_at(col("cbd"), 1).getField("cell").as("cell"),
         element_at(col("cbd"), 1).getField("d").as("d"))

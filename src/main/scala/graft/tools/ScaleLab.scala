@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-measurement harness (SCALING.md's "evidence, not
+  * extrapolation" rows):
+  *
+  *  - `replicate <srcSfDir> <outDir> <factor>` — build a factor-×
+  *    corpus replica of `documents`/`embeddings`. Each replica keeps
+  *    the source's vocabulary, length, and norm distributions but is
+  *    content-distinct: document tokens and embedding elements are
+  *    circularly rotated by the replica index (deterministic — no
+  *    RNG, so re-runs build the identical corpus), ids offset per
+  *    replica.
+  *  - `semdedup <dir> <k|auto> [threshold]` — warm median-of-3 of
+  *    [[graft.operators.Similarity.semdedup]] at the given codebook
+  *    size; `auto` = AnnParams.ivfKFor(|embeddings|), the √n default.
+  *
+  * Used to measure the fixed-k vs grown-k SemDeDup curve at 10×
+  * (round-6 verdict item 4; SCALING.md "Round 5: measured scale-up").
+  */
+object ScaleLab {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.toList match {
+      case "replicate" :: src :: out :: factor :: Nil =>
+        replicate(spark, src, out, factor.toInt)
+      case "semdedup" :: dir :: k :: rest =>
+        val threshold = rest.headOption.map(_.toDouble).getOrElse(0.4)
+        probeSemdedup(spark, dir, k, threshold)
+      case other =>
+        System.err.println(s"unknown ScaleLab args: $other")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def replicate(spark: SparkSession, src: String, out: String,
+                        factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docOffset = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    val docReps = (0 until factor).map { r =>
+      // rotate the token sequence by r: same vocabulary and length,
+      // different spans/segments/shingles per replica
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(r * docOffset))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("text",
+          concat_ws(" ",
+            flatten(array(
+              expr(s"slice(toks, ${r % 8 + 1}, size(toks))"),
+              expr(s"slice(toks, 1, ${r % 8})")))))
+        .drop("toks")
+    }
+    docReps.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecOffset = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    val embReps = (0 until factor).map { r =>
+      // rotate embedding elements by r: preserves the norm exactly,
+      // changes the direction, so replicas land in different cells
+      val rot = r % 64
+      emb
+        .withColumn("vec_id", col("vec_id") + lit(r * vecOffset))
+        .withColumn("embedding",
+          flatten(array(
+            expr(s"slice(embedding, ${rot + 1}, size(embedding))"),
+            expr(s"slice(embedding, 1, $rot)"))))
+    }
+    embReps.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"REPLICATE done: $out x$factor " +
+      s"docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
+      s"vecs=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+  }
+
+  private def probeSemdedup(spark: SparkSession, dir: String, kArg: String,
+                            threshold: Double): Unit = {
+    import graft.operators.Similarity
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val k = kArg match {
+      case "auto" => Similarity.AnnParams.ivfKFor(n)
+      case other  => other.toInt
+    }
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      Similarity.semdedup(spark, dir, k, threshold)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm (also fills the codebook memo — the offline model)
+    val times = (1 to 3).map(_ => once()).sorted
+    println(f"SEMDEDUP_PROBE dir=$dir n=$n k=$k threshold=$threshold " +
+      f"median=${times(1)}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+  }
+}
