@@ -462,16 +462,27 @@ final class QueryEngine(val spark: SparkSession,
         val schema = spark.table(t).schema.fieldNames.toSet
         val missing = cs.filterNot(schema)
         require(missing.isEmpty, s"ZORDER BY columns not in $t: ${missing.mkString(", ")}")
-        require(partitionColumns(t).isEmpty,
-          "ZORDER BY on a partitioned table is not supported (z-cluster within partitions instead)")
+        val parts = partitionColumns(t)
+        val overlap = cs.filter(parts.contains)
+        require(overlap.isEmpty,
+          s"ZORDER BY columns cannot be partition columns (${overlap.mkString(", ")}): " +
+            "the partition layout already clusters them; z-order the " +
+            "columns queries filter WITHIN a partition")
         // clustering rewrite: range-partition + sort on the z-value so
-        // every file is simultaneously clustered in all listed dims
+        // every file is simultaneously clustered in all listed dims.
+        // Partitioned tables z-cluster WITHIN partitions: ranging and
+        // sorting on (partition cols..., z) keeps each partition's
+        // rows contiguous across tasks (the hive layout is untouched)
+        // while files inside a partition cover disjoint z-ranges —
+        // row-group min/max stats then prune scans on every listed
+        // dimension inside whichever partitions survive pruning.
         val data = spark.table(t)
         val z = zorderColumn(data, cs)
+        val rangeCols = parts.map(col) :+ col("_graft_z")
         stagedRewrite(t, data, df => df
           .withColumn("_graft_z", z)
-          .repartitionByRange(targetFiles, col("_graft_z"))
-          .sortWithinPartitions(col("_graft_z"))
+          .repartitionByRange(targetFiles, rangeCols: _*)
+          .sortWithinPartitions(rangeCols: _*)
           .drop("_graft_z"))
       }
       if (zorder.isEmpty && before > targetFiles) {

@@ -92,6 +92,24 @@ object Dedup {
     */
   def spanCoverage(docsDf: DataFrame, w: Int = SpanW,
                    saltBuckets: Int = 0): DataFrame = {
+    val (base, dupRows) = dupSpanRows(docsDf, w, saltBuckets)
+    val covered = dupRows
+      .select(col("doc_id"),
+              explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
+  /** Shared front half of q70/q83: tokenized base + the span stream
+    * filtered to spans appearing in >= 2 distinct docs, in the two
+    * physical shapes [[spanCoverage]] documents. Returns
+    * (base(doc_id, text, toks, n), dupRows(doc_id, i, span)). */
+  private def dupSpanRows(docsDf: DataFrame, w: Int,
+                          saltBuckets: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val base = docsDf
       .withColumn("toks", graft.functions.Text.tokens(col("text")))
@@ -118,15 +136,43 @@ object Dedup {
           .select(col("span"))
         spans.join(dupKeys, Seq("span"), "left_semi")
       }
+    (base, dupRows)
+  }
+
+  /** The APPLY step q70 only counts (q83): rewrite every document
+    * with its duplicated-span token positions REMOVED — the
+    * suffix-array-style exact-substring dedup transformation that
+    * actually shrinks a training corpus, w-gram approximated like
+    * q70. Emits (doc_id, n_tokens, kept_tokens, kept_text); a fully
+    * boilerplate doc comes back with kept_text = ''.
+    *
+    * Scale: the duplicated-position set rides the q70 span pipeline
+    * (same salt knob); the rewrite joins it back to the token stream
+    * with a LEFT ANTI on (doc_id, p) — hash-distributed on doc_id,
+    * no skew (positions are per-doc) — and reassembles per doc with
+    * a bounded collect_list (a document's own tokens; never a
+    * corpus-scale state). */
+  def spanDedupApply(docsDf: DataFrame, w: Int = SpanW,
+                     saltBuckets: Int = 0): DataFrame = {
+    val (base, dupRows) = dupSpanRows(docsDf, w, saltBuckets)
     val covered = dupRows
       .select(col("doc_id"),
               explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
       .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "p", "tok")
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+           concat_ws(" ", transform(
+             array_sort(collect_list(struct(col("p"), col("tok")))),
+             s => s.getField("tok"))).as("kept_text"))
     base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
-      .join(covered, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-              coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+              coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+              coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -136,6 +182,9 @@ object Dedup {
     // the driver hash-verifies it every round against the SAME oracle
     // — identical output is the whole contract
     "q70b_span_salted" -> ((s, dir) => spanCoverage(docs(s, dir), SpanW, 8)),
+
+    "q83_span_dedup_apply" -> ((s, dir) =>
+      spanDedupApply(docs(s, dir), SpanW, spanSaltBuckets(s))),
 
     "q31_dedup_exact" -> ((s, dir) =>
       // one-shuffle exact dedup summary on the content digest
@@ -643,6 +692,46 @@ object Dedup {
     "q70_span_coverage" -> q70OracleSql,
     // same statement: the salted plan must hash to the window plan
     "q70b_span_salted" -> q70OracleSql,
+
+    "q83_span_dedup_apply" -> {
+      val rolled = (1 to SpanW)
+        .map(j => s"th[i + $j] * ${1L << (j - 1)}").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(toks,
+         |      tk -> ('0x' || substring(md5(tk), 1, 14))::BIGINT) AS th
+         |  FROM t),
+         |sp AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(0, len(toks) - $SpanW),
+         |      i -> struct_pack(i := i, span := $rolled))) AS s
+         |  FROM h WHERE len(toks) >= $SpanW),
+         |spans AS (SELECT doc_id, s.i AS i, s.span AS span FROM sp),
+         |rep AS (
+         |  SELECT span FROM spans GROUP BY span
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${SpanW - 1})) AS p
+         |  FROM spans JOIN rep USING (span)),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks)),
+         |      j -> struct_pack(p := j - 1, tok := toks[j]))) AS u
+         |  FROM t),
+         |kept AS (
+         |  SELECT k.doc_id, count(*) AS kept_tokens,
+         |    string_agg(k.u.tok, ' ' ORDER BY k.u.p) AS kept_text
+         |  FROM tok k LEFT JOIN cov c
+         |    ON c.doc_id = k.doc_id AND c.p = k.u.p
+         |  WHERE c.p IS NULL
+         |  GROUP BY k.doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  coalesce(k.kept_text, '') AS kept_text
+         |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin
+    },
 
     "q32_dedup_keep_first" ->
       """SELECT lang, source,

@@ -100,6 +100,35 @@ class SkewSpec extends AnyFunSuite {
     assert(soloCovered == 0)
   }
 
+  test("span-dedup APPLY (q83): removes duplicated spans, salted path identical") {
+    val df = zipfCorpus
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val plain = graft.operators.Dedup.spanDedupApply(df, 5, 0)
+      .collect().map(key).toSet
+    val salted = graft.operators.Dedup.spanDedupApply(df, 5, 7)
+      .collect().map(key).toSet
+    assert(salted == plain)
+    val out = graft.operators.Dedup.spanDedupApply(df, 5, 0)
+    // hot-header docs: the 5 shared header tokens are removed, the
+    // unique tail survives verbatim
+    val hot = out.where(col("doc_id") === 3L).collect()(0)
+    assert(hot.getLong(2) == hot.getLong(1) - 5, hot.toString)
+    assert(hot.getString(3) ==
+      "filler3a filler3b filler3c filler3d u3x u3y", hot.toString)
+    assert(!hot.getString(3).contains("alpha"), hot.toString)
+    // solo docs keep every token, text unchanged
+    val solo = out.where(col("doc_id") === 300L).collect()(0)
+    assert(solo.getLong(2) == solo.getLong(1), solo.toString)
+    assert(solo.getString(3) ==
+      (0 until 8).map(j => s"solo300tok$j").mkString(" "), solo.toString)
+    // pair docs lose their shared 10-token body (spans cover all 10
+    // positions), keep their unique 2-token tail
+    val pair = out.where(col("doc_id") === 200L).collect()(0)
+    assert(pair.getLong(2) == 2, pair.toString)
+    assert(pair.getString(3) == "u200x u200y", pair.toString)
+  }
+
   test("salted boilerplate segments (q67 path) equals the window formulation on a Zipfian corpus") {
     val df = zipfCorpus
     def key(r: org.apache.spark.sql.Row) =

@@ -64,13 +64,57 @@ class ZOrderSpec extends AnyFunSuite {
     assert(sums.getLong(0) == (0L until 40000L).sum)
     assert(sums.getLong(1) == (0L until 40000L).map(_ % 200).sum)
     assert(sums.getLong(2) == (0L until 40000L).map(i => (i * 7919) % 200).sum)
-    // zorder on a partitioned table is refused with an addressed error
     engine.execute("DROP TABLE zo.t")
-    engine.execute("CREATE TABLE zo.p (id int64, r string) STORAGE filesystem PARTITION BY (r)")
-    engine.execute("INSERT INTO zo.p VALUES (1,'x'),(2,'y')")
+  }
+
+  test("zorder on a partitioned table clusters WITHIN partitions; partition cols rejected") {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS zo")
+    engine.execute("DROP TABLE IF EXISTS zo.p")
+    engine.execute(
+      "CREATE TABLE zo.p (id int64, a int64, b int64, r string) STORAGE filesystem PARTITION BY (r)")
+    import spark.implicits._
+    // two partitions, each scattered over the 200x200 (a, b) domain
+    val data = (0L until 40000L)
+      .map(i => (i, i % 200, (i * 7919) % 200, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "a", "b", "r").repartition(8)
+    data.write.insertInto("zo.p")
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("zo.p"))
+      .location.toString
+    for (p <- Seq("r=x", "r=y"))
+      assert(perFileSpans(s"$loc/$p", 199.0)
+        .forall { case (sa, sb) => sa > 0.9 && sb > 0.9 },
+        s"precondition: expected scattered files in $p")
+
+    // z-ordering ON a partition column is an addressed error
     val e = intercept[IllegalArgumentException](
-      engine.execute("OPTIMIZE zo.p ZORDER BY (id)"))
-    assert(e.getMessage.contains("partitioned"), e.getMessage)
+      engine.execute("OPTIMIZE zo.p ZORDER BY (a, r)"))
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
+
+    spark.conf.set("spark.graft.optimize.targetFileBytes", "16384")
+    val res =
+      try engine.execute("OPTIMIZE zo.p ZORDER BY (a, b)")
+      finally spark.conf.unset("spark.graft.optimize.targetFileBytes")
+    assert(res.message.contains("zordered by (a, b)"), res.message)
+
+    // hive layout intact, BOTH partitions internally z-clustered
+    for (p <- Seq("r=x", "r=y")) {
+      val spans = perFileSpans(s"$loc/$p", 199.0)
+      assert(spans.size > 1, s"want multiple files in $p, got ${spans.size}")
+      val avgA = spans.map(_._1).sum / spans.size
+      val avgB = spans.map(_._2).sum / spans.size
+      assert(avgA < 0.6 && avgB < 0.6,
+        s"$p files not clustered: avg spans a=$avgA b=$avgB ($spans)")
+    }
+    // content preserved exactly, per partition
+    val t = spark.table("zo.p")
+    assert(t.count() == 40000)
+    assert(t.where(col("r") === "x").count() == 20000)
+    val sums = t.agg(sum("id"), sum("a"), sum("b")).collect()(0)
+    assert(sums.getLong(0) == (0L until 40000L).sum)
+    assert(sums.getLong(1) == (0L until 40000L).map(_ % 200).sum)
+    assert(sums.getLong(2) == (0L until 40000L).map(i => (i * 7919) % 200).sum)
     engine.execute("DROP TABLE zo.p")
   }
 
