@@ -216,7 +216,19 @@ final class QueryEngine(val spark: SparkSession,
           Changefeed.TableDatabases, "INSERT", Map("database" -> db)))
         ok(id, "Database created")
       } else if (upper.matches("(?s)^CREATE\\s+TABLE.*")) {
-        val ct = RangerDdl.parse(sql)
+        // error-RECOVERING parse: a statement with several mistakes
+        // reports all of them (position-sorted, reference
+        // ErrorCollector shape) in ONE round-trip; a single mistake
+        // keeps the plain single-error message
+        val ct = RangerDdl.parseCollecting(sql) match {
+          case Right(parsed) => parsed
+          case Left(Seq(only)) => throw only
+          case Left(errs) =>
+            val collector = new ErrorCollector(errs.length)
+            errs.foreach(collector.add)
+            throw RangerDdl.ParseError(collector.formatAll(sql),
+              errs.head.line, errs.head.column)
+        }
         spark.sql(ct.toSparkSql(Some(spark.catalog.currentDatabase),
           spark.conf.getOption("spark.graft.s3.bucket")))
         // STORAGE memory: the reference's in-memory engine

@@ -73,6 +73,34 @@ object RangerDdl {
       org.apache.spark.sql.types.StructField(
         c.name, IcebergTypes.parse(c.icebergType), nullable = !c.notNull)))
 
+    /** Canonical ranger-dialect rendering (the reference's
+      * FormatQuery/formatCreateTableStmt analog, formatter.go:586-677):
+      * uppercase keywords, single spacing, canonical Iceberg type
+      * names, trailing `;`. Reparsing the rendering is semantically
+      * identical and `formatted` is its fixpoint:
+      * parse(x.formatted).formatted == x.formatted. */
+    def formatted: String = {
+      val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+      val name = database.map(d => s"$d.").getOrElse("") + table
+      val cols = columns.map { c =>
+        val parts = Seq(c.name, IcebergTypes.canonical(c.icebergType)) ++
+          (if (c.notNull && !c.primaryKey) Seq("NOT NULL") else Nil) ++
+          (if (c.unique) Seq("UNIQUE") else Nil) ++
+          c.default.map(d => s"DEFAULT $d").toSeq ++
+          (if (c.primaryKey) Seq("PRIMARY KEY") else Nil)
+        parts.mkString(" ")
+      }.mkString(", ")
+      val clauses = Seq(
+        if (storage != "filesystem") s" STORAGE $storage" else "",
+        if (partitionBy.nonEmpty) partitionBy.mkString(" PARTITION BY (", ", ", ")") else "",
+        if (orderBy.nonEmpty) orderBy.mkString(" ORDER BY (", ", ", ")") else "",
+        if (settings.nonEmpty)
+          settings.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+            .mkString(" SETTINGS ", ", ", "")
+        else "").mkString
+      s"CREATE TABLE $ine$name ($cols)$clauses;"
+    }
+
     /** Spark DDL equivalent. */
     def toSparkSql(defaultDb: String): String = toSparkSql(Some(defaultDb))
 
@@ -145,7 +173,27 @@ object RangerDdl {
   private val constraintRe =
     """(?i)\b(NOT\s+NULL|UNIQUE|DEFAULT|PRIMARY\s+KEY)\b""".r
 
-  def parse(sql: String): CreateTable = {
+  /** First-error-throws entry point (the common path: engine facade,
+    * ParserInterface). Error ORDER matches the recovering collector's
+    * first find, so the two entry points never disagree on which
+    * error a statement has. */
+  def parse(sql: String): CreateTable =
+    parseCollecting(sql, maxErrors = 1) match {
+      case Right(ct)  => ct
+      case Left(errs) => throw errs.head
+    }
+
+  /** Error-RECOVERING parse, mirroring the reference's ErrorCollector
+    * (server/query/parser/error_recovery_test.go): instead of
+    * stopping at the first bad column, recovery resumes at the next
+    * top-level comma / clause boundary and every failure is collected
+    * (position-sorted, capped at `maxErrors`) so the user fixes one
+    * round-trip's worth of mistakes, not one mistake per round-trip.
+    * Structure errors that remove the recovery anchors themselves
+    * (not a CREATE TABLE, unbalanced parens) are fatal and come back
+    * alone. */
+  def parseCollecting(sql: String, maxErrors: Int = 10)
+      : Either[Seq[ParseError], CreateTable] = {
     // offsets are tracked against the ORIGINAL text so reported
     // line/column positions match what the user submitted
     val lead = sql.indexWhere(!_.isWhitespace) match {
@@ -154,8 +202,8 @@ object RangerDdl {
     }
     val stmt = sql.trim.stripSuffix(";").trim
     val m = headerRe.findFirstMatchIn(stmt).getOrElse(
-      throw ParseError.at(sql, lead,
-        s"not a CREATE TABLE statement: ${stmt.take(60)}"))
+      return Left(Seq(ParseError.at(sql, lead,
+        s"not a CREATE TABLE statement: ${stmt.take(60)}"))))
     val ifNotExists = m.group(1) != null
     val (db, table) =
       if (m.group(3) != null) (Some(m.group(2)), m.group(3))
@@ -174,17 +222,20 @@ object RangerDdl {
       }
       i += 1
     }
-    if (closeIdx < 0) throw ParseError.at(sql, lead + openIdx,
-      "unbalanced parentheses in column list")
+    if (closeIdx < 0) return Left(Seq(ParseError.at(sql, lead + openIdx,
+      "unbalanced parentheses in column list")))
     val colsBody = stmt.substring(openIdx + 1, closeIdx)
     val tail = stmt.substring(closeIdx + 1)
 
-    val columns = splitWithOffsets(colsBody).map { case (c, off) =>
-      parseColumn(sql, lead + openIdx + 1 + off, c)
+    val collector = new ErrorCollector(maxErrors)
+    val pieces = splitWithOffsets(colsBody)
+    val columns = pieces.flatMap { case (c, off) =>
+      try Some(parseColumn(sql, lead + openIdx + 1 + off, c))
+      catch { case e: ParseError => collector.add(e); None }
     }
-    if (columns.isEmpty)
-      throw ParseError.at(sql, lead + openIdx,
-        "CREATE TABLE requires at least one column")
+    if (pieces.isEmpty)
+      collector.add(ParseError.at(sql, lead + openIdx,
+        "CREATE TABLE requires at least one column"))
     val names = columns.map(_.name.toLowerCase)
     if (names.distinct.length != names.length) {
       val dup = names.diff(names.distinct).head
@@ -192,23 +243,30 @@ object RangerDdl {
       val dupOff = splitWithOffsets(colsBody)
         .filter(_._1.takeWhile(!_.isWhitespace).toLowerCase == dup)
         .drop(1).headOption.map(_._2).getOrElse(0)
-      throw ParseError.at(sql, lead + openIdx + 1 + dupOff,
-        s"duplicate column name: $dup")
+      collector.add(ParseError.at(sql, lead + openIdx + 1 + dupOff,
+        s"duplicate column name: $dup"))
     }
 
-    val (storage, partitionBy, orderBy, settings) =
-      parseTail(sql, lead + closeIdx + 1, tail)
-    settings.get("compression").foreach { codec =>
-      // codec list: reference parquet/compression.go:21-107
-      if (!Set("none", "uncompressed", "snappy", "gzip", "brotli",
-               "lz4", "zstd").contains(codec.toLowerCase)) {
-        val off = stmt.indexOf(codec) // best-effort: value is semantic
-        throw ParseError.at(sql, lead + math.max(off, 0),
-          s"unsupported compression codec: $codec")
+    val tailParsed =
+      try Some(parseTail(sql, lead + closeIdx + 1, tail))
+      catch { case e: ParseError => collector.add(e); None }
+    tailParsed.foreach { case (_, _, _, settings) =>
+      settings.get("compression").foreach { codec =>
+        // codec list: reference parquet/compression.go:21-107
+        if (!Set("none", "uncompressed", "snappy", "gzip", "brotli",
+                 "lz4", "zstd").contains(codec.toLowerCase)) {
+          val off = stmt.indexOf(codec) // best-effort: value is semantic
+          collector.add(ParseError.at(sql, lead + math.max(off, 0),
+            s"unsupported compression codec: $codec"))
+        }
       }
     }
-    CreateTable(db, table, ifNotExists, columns, storage, partitionBy,
-      orderBy, settings)
+    if (collector.hasErrors) Left(collector.errors)
+    else {
+      val (storage, partitionBy, orderBy, settings) = tailParsed.get
+      Right(CreateTable(db, table, ifNotExists, columns, storage,
+        partitionBy, orderBy, settings))
+    }
   }
 
   /** [[IcebergTypes.splitTopLevel]] plus the offset of each trimmed

@@ -59,6 +59,11 @@ object SqlPosition {
     * context block (line number gutter + caret under the column). */
   def caret(source: String, offset: Int): String = {
     val (line, col) = lineColumn(source, offset)
+    caretAt(source, line, col)
+  }
+
+  /** [[caret]] from an already-computed 1-based (line, column). */
+  def caretAt(source: String, line: Int, col: Int): String = {
     val text = sourceLine(source, line)
     if (text.isEmpty) return ""
     val gutter = f"$line%4d | "

@@ -135,6 +135,33 @@ class RangerDdlSpec extends AnyFunSuite {
     assert(spark.contains("'graft.settings.batch_size'='50000'"))
   }
 
+  test("formatted renders canonical dialect DDL; reparse is a fixpoint (formatter.go parity)") {
+    val ct = RangerDdl.parse(
+      """create   table if not exists db2.t (
+        |  id int64 not null primary key,
+        |  name string unique,
+        |  balance decimal(10, 2) default 0.0,
+        |  tags list<string>
+        |) storage MEMORY partition by (id) order by (id, name)
+        |  settings batch_size=50000, cache_enabled=true""".stripMargin)
+    val f = ct.formatted
+    assert(f ==
+      "CREATE TABLE IF NOT EXISTS db2.t (id int64 PRIMARY KEY, " +
+      "name string UNIQUE, balance decimal(10,2) DEFAULT 0.0, " +
+      "tags list<string>) STORAGE memory PARTITION BY (id) " +
+      "ORDER BY (id, name) SETTINGS batch_size=50000, cache_enabled=true;", f)
+    // fixpoint: reparsing the rendering reproduces it exactly
+    assert(RangerDdl.parse(f).formatted == f)
+    // semantic identity survives the round-trip
+    val rt = RangerDdl.parse(f)
+    assert(rt.columns.map(_.name) == ct.columns.map(_.name))
+    assert(rt.columns.head.primaryKey && rt.columns.head.notNull)
+    assert(rt.storage == "memory" && rt.settings == ct.settings)
+    // default (filesystem) storage is omitted from the rendering
+    assert(RangerDdl.parse("CREATE TABLE t (id int64)").formatted ==
+      "CREATE TABLE t (id int64);")
+  }
+
   test("legacy types rejected at CREATE TABLE") {
     // the TypeError detail now arrives wrapped in a position-tracked
     // ParseError (the reference reports type errors through its

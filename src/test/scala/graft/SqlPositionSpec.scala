@@ -91,6 +91,57 @@ class SqlPositionSpec extends AnyFunSuite {
     assert(e9.message.contains("needs a type"), e9.message)
   }
 
+  test("error recovery collects every column's error in one pass (ErrorCollector parity)") {
+    import graft.engine.ErrorCollector
+    // empty state (error_recovery_test.go TestErrorCollectorBasicFunctionality)
+    val c0 = new ErrorCollector()
+    assert(!c0.hasErrors && c0.errorCount == 0)
+
+    // three mistakes in one statement: bad type (line 2), missing
+    // type (line 3), bad type (line 4) — all reported, position-sorted
+    val sql = "CREATE TABLE t (\n  a varchar,\n  b,\n  c blob,\n  d int64\n)"
+    val errs = RangerDdl.parseCollecting(sql) match {
+      case Left(es) => es
+      case Right(_) => fail("expected errors")
+    }
+    assert(errs.length == 3, errs.map(_.message).toString)
+    assert(errs.map(_.line) == Seq(2, 3, 4), errs.map(e => (e.line, e.column)))
+    assert(errs(0).message.contains("only Iceberg types"))
+    assert(errs(1).message.contains("needs a type"))
+    assert(errs(2).message.contains("only Iceberg types"))
+    // first-error parity: parse() throws exactly the collector's first
+    val thrown = intercept[RangerDdl.ParseError](RangerDdl.parse(sql))
+    assert(thrown.message == errs.head.message)
+
+    // limit (TestErrorCollectorLimitReached): cap 2 keeps 2, counts drops
+    val capped = RangerDdl.parseCollecting(sql, maxErrors = 2)
+      .swap.getOrElse(fail("expected errors"))
+    assert(capped.length == 2)
+
+    // multi-error formatting (TestMultiErrorFormatting): header +
+    // numbered blocks with carets
+    val col = new ErrorCollector()
+    errs.foreach(col.add)
+    val formatted = col.formatAll(sql)
+    assert(formatted.contains("Found 3 parsing errors"), formatted)
+    assert(formatted.contains("Error 1:") && formatted.contains("Error 2:")
+      && formatted.contains("Error 3:"), formatted)
+    assert(formatted.contains("^"), formatted)
+
+    // engine surfaces the multi-error message in one round-trip
+    val engine = new graft.engine.QueryEngine(TestSpark.spark)
+    val e = intercept[RangerDdl.ParseError](engine.execute(sql))
+    assert(e.message.contains("Found 3 parsing errors"), e.message)
+    // ... while a single-mistake statement keeps the plain message
+    val e1 = intercept[RangerDdl.ParseError](
+      engine.execute("CREATE TABLE t (\n  a varchar,\n  d int64\n)"))
+    assert(e1.message.startsWith("parse error at line 2"), e1.message)
+
+    // a VALID statement round-trips through the collecting path
+    assert(RangerDdl.parseCollecting(
+      "CREATE TABLE t (id int64, v string) STORAGE memory").isRight)
+  }
+
   test("positions survive CRLF statements and leading whitespace") {
     val e = errAt("CREATE TABLE t (\r\n  id int64,\r\n  name varchar\r\n)")
     assert((e.line, e.column) == (3, 8), e.message)
