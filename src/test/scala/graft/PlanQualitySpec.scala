@@ -275,6 +275,37 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q70b/q67b/q83: salted span shapes stay shuffle-joined under a forced-large estimate") {
+    // The salted path exists FOR the huge-corpus case, so its
+    // join-back must not depend on the duplicated-key set being
+    // broadcastable: with broadcast thresholds disabled the plan has
+    // to keep a shuffle join on the span key (which AQE's skew-join
+    // splitting can then handle — the property the window shape
+    // lacks) and, by construction, no Window over the raw hot key.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val docsDf = graft.sources.Tables.load(spark, dir, "documents")
+      for ((name, df) <- Seq(
+        "q70b" -> graft.operators.Dedup.spanCoverage(docsDf, 5, 8),
+        "q83"  -> graft.operators.Dedup.spanDedupApply(docsDf, 5, 8),
+        "q67b" -> graft.operators.Curation.boilerplateSegments(docsDf, 3, 8))) {
+        df.collect() // finalize the AQE plan
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("Window"),
+          s"$name salted shape must not window on the hot span key:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$name lost its shuffle join on the span key:\n$p")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("partition-pruned UPDATE reads only affected partitions") {
     // the rewrite scan must carry the partition predicate so partition
     // pruning bounds the IO (EngineSpec proves the file-level effect;
