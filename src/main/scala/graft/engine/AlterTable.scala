@@ -32,21 +32,39 @@ object AlterTable {
     """(?is)^ALTER\s+TABLE\s+([\w.`]+)\s+SETTINGS\s*\(?\s*(.*?)\s*\)?$""".r
 
   /** Returns Some(message) when the statement is one of the dialect's
-    * ALTER forms; None = caller should pass through to Spark. */
-  def execute(spark: SparkSession, sql: String): Option[String] = sql match {
-    case addColRe(table, column, typeSpec) =>
-      Some(addColumn(spark, clean(table), column, typeSpec.trim))
-    case dropColRe(table, column) =>
-      Some(dropColumn(spark, clean(table), canonical(spark, clean(table), column)))
-    case renameColRe(table, from, to) =>
-      Some(renameColumn(spark, clean(table),
-        canonical(spark, clean(table), from), to))
-    case alterColRe(table, column, typeSpec) =>
-      Some(alterColumn(spark, clean(table), canonical(spark, clean(table), column),
-        typeSpec.trim))
-    case settingsRe(table, kvs) if kvs.nonEmpty =>
-      Some(settings(spark, clean(table), kvs))
-    case _ => None
+    * ALTER forms; None = caller should pass through to Spark.
+    * Type-spec failures surface as position-tracked ParseErrors (the
+    * same "parse error at line L, column C" surface as CREATE TABLE),
+    * pointing at the type token. */
+  def execute(spark: SparkSession, sql: String): Option[String] =
+    addColRe.findFirstMatchIn(sql).map { m =>
+      addColumn(spark, clean(m.group(1)), m.group(2),
+        positionedType(sql, m.group(3).trim, m.start(3)))
+    }.orElse(dropColRe.findFirstMatchIn(sql).map { m =>
+      dropColumn(spark, clean(m.group(1)),
+        canonical(spark, clean(m.group(1)), m.group(2)))
+    }).orElse(renameColRe.findFirstMatchIn(sql).map { m =>
+      renameColumn(spark, clean(m.group(1)),
+        canonical(spark, clean(m.group(1)), m.group(2)), m.group(3))
+    }).orElse(alterColRe.findFirstMatchIn(sql).map { m =>
+      alterColumn(spark, clean(m.group(1)),
+        canonical(spark, clean(m.group(1)), m.group(2)),
+        positionedType(sql, m.group(3).trim, m.start(3)))
+    }).orElse(settingsRe.findFirstMatchIn(sql).collect {
+      case m if m.group(2).nonEmpty =>
+        settings(spark, clean(m.group(1)), m.group(2))
+    })
+
+  /** Validated (type, notNull, renderer-of-positioned-errors): checks
+    * the Iceberg type EAGERLY at the match site so a bad type reports
+    * its (line, column) in the original statement. */
+  private def positionedType(sql: String, typeSpec: String,
+                             offset: Int): (String, Boolean) = {
+    val (icebergType, notNull) = splitType(typeSpec)
+    try { IcebergTypes.parse(icebergType); (icebergType, notNull) }
+    catch { case te: IcebergTypes.TypeError =>
+      throw RangerDdl.ParseError.at(sql, offset, te.message)
+    }
   }
 
   private def clean(t: String): String = t.replace("`", "")
@@ -77,9 +95,9 @@ object AlterTable {
   // ---------------------------------------------------------------- ADD
 
   private def addColumn(spark: SparkSession, t: String,
-                        column: String, typeSpec: String): String = {
-    val (icebergType, notNull) = splitType(typeSpec)
-    val sparkType = IcebergTypes.parse(icebergType) // validates
+                        column: String, spec: (String, Boolean)): String = {
+    val (icebergType, notNull) = spec
+    val sparkType = IcebergTypes.parse(icebergType) // pre-validated
     spark.sql(s"ALTER TABLE $t ADD COLUMNS (`$column` ${sparkType.sql})")
     val p = props(spark, t)
     val updates = Map(
@@ -116,9 +134,9 @@ object AlterTable {
   // -------------------------------------------------------------- ALTER
 
   private def alterColumn(spark: SparkSession, t: String,
-                          column: String, typeSpec: String): String = {
-    val (icebergType, _) = splitType(typeSpec)
-    val newType = IcebergTypes.parse(icebergType)
+                          column: String, spec: (String, Boolean)): String = {
+    val (icebergType, _) = spec
+    val newType = IcebergTypes.parse(icebergType) // pre-validated
     rebuild(spark, t,
       df => df.withColumn(column, col(column).cast(newType)),
       remaining => remaining.map {

@@ -142,6 +142,23 @@ class SqlPositionSpec extends AnyFunSuite {
       "CREATE TABLE t (id int64, v string) STORAGE memory").isRight)
   }
 
+  test("ALTER TABLE type errors carry positions too") {
+    val spark = TestSpark.spark
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS posdb")
+    engine.execute("DROP TABLE IF EXISTS posdb.a")
+    engine.execute("CREATE TABLE posdb.a (id int64)")
+    try {
+      val e1 = intercept[RangerDdl.ParseError](engine.execute(
+        "ALTER TABLE posdb.a ADD COLUMN v varchar(10)"))
+      assert((e1.line, e1.column) == (1, 34), e1.message) // at 'varchar'
+      assert(e1.message.contains("only Iceberg types"), e1.message)
+      val e2 = intercept[RangerDdl.ParseError](engine.execute(
+        "ALTER TABLE posdb.a\n  ALTER COLUMN id bigint"))
+      assert((e2.line, e2.column) == (2, 19), e2.message)
+    } finally engine.execute("DROP TABLE posdb.a")
+  }
+
   test("positions survive CRLF statements and leading whitespace") {
     val e = errAt("CREATE TABLE t (\r\n  id int64,\r\n  name varchar\r\n)")
     assert((e.line, e.column) == (3, 8), e.message)
