@@ -35,7 +35,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case sparkErr: org.apache.spark.sql.catalyst.parser.ParseException
           if sqlText.trim.toUpperCase.startsWith("CREATE TABLE") =>
         val ct =
-          try RangerDdl.parse(sqlText)
+          try RangerDdl.parseOrReport(sqlText) // multi-error report too
           catch {
             case dialectErr: RangerDdl.ParseError
                 if dialectMarker.findFirstIn(sqlText).isDefined =>

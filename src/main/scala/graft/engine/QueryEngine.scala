@@ -220,15 +220,7 @@ final class QueryEngine(val spark: SparkSession,
         // reports all of them (position-sorted, reference
         // ErrorCollector shape) in ONE round-trip; a single mistake
         // keeps the plain single-error message
-        val ct = RangerDdl.parseCollecting(sql) match {
-          case Right(parsed) => parsed
-          case Left(Seq(only)) => throw only
-          case Left(errs) =>
-            val collector = new ErrorCollector(errs.length)
-            errs.foreach(collector.add)
-            throw RangerDdl.ParseError(collector.formatAll(sql),
-              errs.head.line, errs.head.column)
-        }
+        val ct = RangerDdl.parseOrReport(sql)
         spark.sql(ct.toSparkSql(Some(spark.catalog.currentDatabase),
           spark.conf.getOption("spark.graft.s3.bucket")))
         // STORAGE memory: the reference's in-memory engine

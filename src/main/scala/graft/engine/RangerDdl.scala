@@ -183,6 +183,22 @@ object RangerDdl {
       case Left(errs) => throw errs.head
     }
 
+  /** [[parseCollecting]] that THROWS its result: a single mistake
+    * throws the plain positioned error, several throw one ParseError
+    * carrying the ErrorCollector's "Found N parsing errors" report —
+    * shared by the engine facade and the spark.sql ParserInterface so
+    * both surfaces report identically. */
+  def parseOrReport(sql: String): CreateTable =
+    parseCollecting(sql) match {
+      case Right(ct) => ct
+      case Left(Seq(only)) => throw only
+      case Left(errs) =>
+        val collector = new ErrorCollector(errs.length)
+        errs.foreach(collector.add)
+        throw ParseError(collector.formatAll(sql),
+          errs.head.line, errs.head.column)
+    }
+
   /** Error-RECOVERING parse, mirroring the reference's ErrorCollector
     * (server/query/parser/error_recovery_test.go): instead of
     * stopping at the first bad column, recovery resumes at the next
