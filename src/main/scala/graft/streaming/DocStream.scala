@@ -96,4 +96,73 @@ object DocStream {
                            watermark: String = "1 hour"): DataFrame =
     nearDupAgainstBands(stream, corpusBands(corpus, numBands),
       numBands, threshold, watermark)
+
+  /** q70's span-coverage width — kept identical to the batch operator
+    * so an online coverage number agrees with the offline pass. */
+  private val SpanW = 5
+
+  /** The corpus's duplicated-span keys as a MATERIALIZABLE one-column
+    * table (span: bigint): the q70/q83 "rep" set — spans appearing in
+    * >= 2 distinct corpus docs. Write it `bucketBy(span)` at corpus
+    * build time; each micro-batch probes it instead of recomputing
+    * corpus-side windows. Same native SpanKeysExpr family as batch. */
+  def corpusDupSpans(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", Text.tokens(col("text")))
+      .where(size(col("toks")) >= SpanW)
+      .select(col("doc_id"),
+        explode(ArrayOps.spanKeys(col("toks"), SpanW)).as("span"))
+      .groupBy(col("span"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("span"))
+
+  /** Online exact-substring coverage: score each ARRIVING doc's
+    * duplication against the static corpus's duplicated-span set (the
+    * [[corpusDupSpans]] schema) — the streaming face of q70, for
+    * gating boilerplate-heavy documents at ingest time instead of a
+    * nightly sweep. Emits (doc_id, ts, n_tokens, covered_tokens) in
+    * append mode for each doc with NONZERO coverage, once the
+    * watermark passes its event time (clean docs produce no row —
+    * downstream gating treats absence as coverage 0).
+    *
+    * Scale: the stream side computes span keys per arriving doc (one
+    * codegen pass); the join against the span table is stream-static
+    * (stateless for Spark — with the table bucketed on span, each
+    * micro-batch reads matching buckets only). Overlapping spans are
+    * merged WITHOUT a second stateful operator (streaming agg cannot
+    * COUNT(DISTINCT) over exploded positions, and chaining a
+    * streaming dedup before the agg doubles the state): per doc, the
+    * matched span STARTS collect (bounded by the doc's own length)
+    * and an interval-union fold over the sorted starts computes the
+    * covered-token count — byte-identical to distinct-position
+    * counting, one stateful operator, state = one group per doc
+    * inside the watermark. */
+  def spanCoverageStream(stream: DataFrame, dupSpans: DataFrame,
+                         watermark: String = "1 hour"): DataFrame = {
+    val s = stream
+      .withWatermark("ts", watermark)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+    // NO length filter here: spanKeys returns an empty array below w
+    // tokens (posexplode then emits nothing), and an explicit
+    // where(n >= w) gets pushed BELOW the watermark node — a stream
+    // of short docs would then never reach the event-time collector
+    // and the watermark (hence every append emission) would stall
+    val spans = s
+      .select(col("doc_id"), col("ts"), col("n"),
+        posexplode(ArrayOps.spanKeys(col("toks"), SpanW)))
+      .toDF("doc_id", "ts", "n", "i", "span")
+    spans.join(dupSpans, Seq("span"))
+      .groupBy(col("doc_id"), col("ts"), col("n"))
+      .agg(sort_array(collect_list(col("i"))).as("ss"))
+      .select(col("doc_id"), col("ts"), col("n").cast("long").as("n_tokens"),
+        expr(s"""aggregate(ss,
+                  named_struct('prev', -1L, 'acc', 0L),
+                  (st, x) -> named_struct(
+                    'prev', CAST(x AS BIGINT),
+                    'acc', st.acc + IF(st.prev < 0, ${SpanW}L,
+                                       least(${SpanW}L, x - st.prev))),
+                  st -> st.acc)""").as("covered_tokens"))
+  }
 }

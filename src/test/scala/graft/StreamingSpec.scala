@@ -179,6 +179,47 @@ class StatefulSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spanCoverageStream scores arriving docs against the corpus dup-span set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two corpus docs share one exact 5-token phrase -> one dup span
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon one1 two1"),
+      (2L, "pre2 alpha beta gamma delta epsilon x2"))
+      .toDF("doc_id", "text")
+    val dupSpans = graft.streaming.DocStream.corpusDupSpans(corpus)
+    assert(dupSpans.count() == 1, "expected exactly the shared 5-gram")
+    val input = MemoryStream[Doc]
+    val q = graft.streaming.DocStream
+      .spanCoverageStream(input.toDF(), dupSpans)
+      .writeStream.format("memory").queryName("span_cov")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // contains the corpus boilerplate phrase -> 5 covered tokens
+        Doc(100, "zz alpha beta gamma delta epsilon yy", "s1",
+            ts("2024-01-01 10:00:00")),
+        // novel content -> no coverage row
+        Doc(101, "qq ww ee rr tt yy uu", "s1", ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      // advance the watermark past the scored docs' event time —
+      // deliberately with SHORT docs (< SpanW tokens): they produce
+      // zero spans but must still reach the event-time collector
+      // (the operator has no pre-watermark length filter for exactly
+      // this reason; a short-doc-only stream must not stall emission)
+      input.addData(Doc(102, "short advance", "s1",
+          ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      input.addData(Doc(103, "another advance", "s1",
+          ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("span_cov").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((100L, 7L, 5L)),
+        s"expected doc 100 with 5/7 covered, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("nearDupAgainstBands probes a MATERIALIZED bucketed band table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
