@@ -26,6 +26,17 @@ import graft.functions.expressions.ArrayOps
   *    be the bucketed band-key table AnnAtScaleSpec's layout writes,
   *    so each micro-batch probes matching buckets only); exact
   *    Jaccard verifies candidates before anything is flagged.
+  *
+  * Watermark/filter interaction (measured, not theoretical): Catalyst
+  * pushes non-event-time predicates BELOW the EventTimeWatermark
+  * node, so rows a filter rejects never reach the event-time
+  * collector. A stream whose rows ALL fail a filter therefore stops
+  * advancing the watermark: append-mode aggregations stop emitting
+  * ([[spanCoverageStream]] avoids its length filter entirely for this
+  * reason) and within-watermark dedup state stops evicting (the
+  * quality gate in [[curateStream]] and the shingle guard in the
+  * near-dup path accept this: their emission is immediate, only state
+  * EVICTION is paced by accepted traffic).
   */
 object DocStream {
 
