@@ -108,12 +108,15 @@ object Dedup {
     * filtered to spans appearing in >= 2 distinct docs, in the two
     * physical shapes [[spanCoverage]] documents. Returns
     * (base(doc_id, text, toks, n), dupRows(doc_id, i, span)). */
+  private def tokenizedBase(docsDf: DataFrame): DataFrame =
+    docsDf
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+
   private def dupSpanRows(docsDf: DataFrame, w: Int,
                           saltBuckets: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val base = docsDf
-      .withColumn("toks", graft.functions.Text.tokens(col("text")))
-      .withColumn("n", size(col("toks")))
+    val base = tokenizedBase(docsDf)
     val spans = base.where(col("n") >= w)
       .select(col("doc_id"), posexplode(graft.functions.expressions.ArrayOps
         .spanKeys(col("toks"), w)))
@@ -155,10 +158,22 @@ object Dedup {
   def spanDedupApply(docsDf: DataFrame, w: Int = SpanW,
                      saltBuckets: Int = 0): DataFrame = {
     val (base, dupRows) = dupSpanRows(docsDf, w, saltBuckets)
-    val covered = dupRows
-      .select(col("doc_id"),
-              explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+    applyRemoval(base, coveredPositions(dupRows, w))
+  }
+
+  /** (doc_id, i) span-occurrence rows → distinct (doc_id, p) covered
+    * token positions. */
+  private def coveredPositions(rows: DataFrame, w: Int): DataFrame =
+    rows.select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
       .distinct()
+
+  /** Rebuild per-doc text with the `covered` (doc_id, p) positions
+    * removed — shared tail of q83/q84. LEFT ANTI on (doc_id, p) is
+    * hash-distributed on doc-scoped keys (no skew), and the per-doc
+    * reassembly is a bounded collect_list (a document's own tokens,
+    * never corpus-scale state). */
+  private def applyRemoval(base: DataFrame, covered: DataFrame): DataFrame = {
     val toks = base
       .select(col("doc_id"), posexplode(col("toks")))
       .toDF("doc_id", "p", "tok")
@@ -175,6 +190,31 @@ object Dedup {
               coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** WITHIN-document span dedup (q84): remove every repeated span
+    * occurrence INSIDE a document — the self-dedup pass scraped pages
+    * need (headers/footers/menus repeating within one page), distinct
+    * from q83's cross-doc removal. A position is removed iff covered
+    * by a span occurrence that is not its span key's FIRST occurrence
+    * in that doc; the first occurrence's un-overlapped tokens stay.
+    *
+    * Scale: the only shuffle keys are (doc_id, span) — doc-scoped, so
+    * cardinality is bounded by document length, never corpus-wide
+    * (a hot boilerplate 5-gram CANNOT concentrate: its key includes
+    * the doc id). Partial aggregation applies; the rebuild is the
+    * shared q83 tail. */
+  def intraDocDedupApply(docsDf: DataFrame, w: Int = SpanW): DataFrame = {
+    val base = tokenizedBase(docsDf)
+    val spans = base.where(col("n") >= w)
+      .select(col("doc_id"), posexplode(graft.functions.expressions.ArrayOps
+        .spanKeys(col("toks"), w)))
+      .toDF("doc_id", "i", "span")
+    val firsts = spans.groupBy(col("doc_id"), col("span"))
+      .agg(min(col("i")).as("i0"))
+    val repeats = spans.join(firsts, Seq("doc_id", "span"))
+      .where(col("i") =!= col("i0"))
+    applyRemoval(base, coveredPositions(repeats, w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_span_coverage" -> ((s, dir) =>
       spanCoverage(docs(s, dir), SpanW, spanSaltBuckets(s))),
@@ -185,6 +225,9 @@ object Dedup {
 
     "q83_span_dedup_apply" -> ((s, dir) =>
       spanDedupApply(docs(s, dir), SpanW, spanSaltBuckets(s))),
+
+    "q84_intradoc_dedup" -> ((s, dir) =>
+      intraDocDedupApply(docs(s, dir), SpanW)),
 
     "q31_dedup_exact" -> ((s, dir) =>
       // one-shuffle exact dedup summary on the content digest
@@ -715,6 +758,49 @@ object Dedup {
          |cov AS (
          |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${SpanW - 1})) AS p
          |  FROM spans JOIN rep USING (span)),
+         |tok AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks)),
+         |      j -> struct_pack(p := j - 1, tok := toks[j]))) AS u
+         |  FROM t),
+         |kept AS (
+         |  SELECT k.doc_id, count(*) AS kept_tokens,
+         |    string_agg(k.u.tok, ' ' ORDER BY k.u.p) AS kept_text
+         |  FROM tok k LEFT JOIN cov c
+         |    ON c.doc_id = k.doc_id AND c.p = k.u.p
+         |  WHERE c.p IS NULL
+         |  GROUP BY k.doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  coalesce(k.kept_text, '') AS kept_text
+         |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin
+    },
+
+    "q84_intradoc_dedup" -> {
+      val rolled = (1 to SpanW)
+        .map(j => s"th[i + $j] * ${1L << (j - 1)}").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(toks,
+         |      tk -> ('0x' || substring(md5(tk), 1, 14))::BIGINT) AS th
+         |  FROM t),
+         |sp AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(0, len(toks) - $SpanW),
+         |      i -> struct_pack(i := i, span := $rolled))) AS s
+         |  FROM h WHERE len(toks) >= $SpanW),
+         |spans AS (SELECT doc_id, s.i AS i, s.span AS span FROM sp),
+         |firsts AS (
+         |  SELECT doc_id, span, min(i) AS i0 FROM spans
+         |  GROUP BY doc_id, span),
+         |cov AS (
+         |  SELECT DISTINCT sp2.doc_id,
+         |    unnest(generate_series(sp2.i, sp2.i + ${SpanW - 1})) AS p
+         |  FROM spans sp2 JOIN firsts f
+         |    ON f.doc_id = sp2.doc_id AND f.span = sp2.span
+         |  WHERE sp2.i <> f.i0),
          |tok AS (
          |  SELECT doc_id,
          |    unnest(list_transform(generate_series(1, len(toks)),

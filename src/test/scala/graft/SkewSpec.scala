@@ -129,6 +129,26 @@ class SkewSpec extends AnyFunSuite {
     assert(pair.getString(3) == "u200x u200y", pair.toString)
   }
 
+  test("intra-doc span dedup (q84): removes repeated spans within a doc, ignores cross-doc repeats") {
+    import spark.implicits._
+    val phrase = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      // the 5-gram repeats within doc 1: second occurrence removed
+      1L -> s"$phrase filler $phrase tail",
+      // doc 2 contains the SAME phrase once: untouched (cross-doc
+      // repetition is q83's job, not q84's)
+      2L -> s"intro $phrase outro2 outro3",
+      // no repetition at all
+      3L -> "one two three four five six seven")
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.intraDocDedupApply(df, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (12L, 7L, s"$phrase filler tail"), out(1L).toString)
+    assert(out(2L) == (8L, 8L, s"intro $phrase outro2 outro3"), out(2L).toString)
+    assert(out(3L) == (7L, 7L, "one two three four five six seven"), out(3L).toString)
+  }
+
   test("salted boilerplate segments (q67 path) equals the window formulation on a Zipfian corpus") {
     val df = zipfCorpus
     def key(r: org.apache.spark.sql.Row) =
