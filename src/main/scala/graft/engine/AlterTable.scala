@@ -55,13 +55,19 @@ object AlterTable {
         settings(spark, clean(m.group(1)), m.group(2))
     })
 
-  /** Validated (type, notNull, renderer-of-positioned-errors): checks
-    * the Iceberg type EAGERLY at the match site so a bad type reports
-    * its (line, column) in the original statement. */
+  private final case class TypeSpec(
+      icebergType: String,
+      sparkType: org.apache.spark.sql.types.DataType,
+      notNull: Boolean)
+
+  /** Validated type spec: checks the Iceberg type EAGERLY at the
+    * match site (so a bad type reports its (line, column) in the
+    * original statement) and carries the parsed Spark type so
+    * consumers never re-parse. */
   private def positionedType(sql: String, typeSpec: String,
-                             offset: Int): (String, Boolean) = {
+                             offset: Int): TypeSpec = {
     val (icebergType, notNull) = splitType(typeSpec)
-    try { IcebergTypes.parse(icebergType); (icebergType, notNull) }
+    try TypeSpec(icebergType, IcebergTypes.parse(icebergType), notNull)
     catch { case te: IcebergTypes.TypeError =>
       throw RangerDdl.ParseError.at(sql, offset, te.message)
     }
@@ -95,9 +101,8 @@ object AlterTable {
   // ---------------------------------------------------------------- ADD
 
   private def addColumn(spark: SparkSession, t: String,
-                        column: String, spec: (String, Boolean)): String = {
-    val (icebergType, notNull) = spec
-    val sparkType = IcebergTypes.parse(icebergType) // pre-validated
+                        column: String, spec: TypeSpec): String = {
+    val TypeSpec(icebergType, sparkType, notNull) = spec
     spark.sql(s"ALTER TABLE $t ADD COLUMNS (`$column` ${sparkType.sql})")
     val p = props(spark, t)
     val updates = Map(
@@ -134,9 +139,8 @@ object AlterTable {
   // -------------------------------------------------------------- ALTER
 
   private def alterColumn(spark: SparkSession, t: String,
-                          column: String, spec: (String, Boolean)): String = {
-    val (icebergType, _) = spec
-    val newType = IcebergTypes.parse(icebergType) // pre-validated
+                          column: String, spec: TypeSpec): String = {
+    val TypeSpec(icebergType, newType, _) = spec
     rebuild(spark, t,
       df => df.withColumn(column, col(column).cast(newType)),
       remaining => remaining.map {

@@ -174,30 +174,33 @@ object RangerDdl {
     """(?i)\b(NOT\s+NULL|UNIQUE|DEFAULT|PRIMARY\s+KEY)\b""".r
 
   /** First-error-throws entry point (the common path: engine facade,
-    * ParserInterface). Error ORDER matches the recovering collector's
-    * first find, so the two entry points never disagree on which
-    * error a statement has. */
+    * ParserInterface). Throws the POSITION-SORTED first error of the
+    * full collection — the same error [[parseCollecting]] and
+    * [[parseOrReport]] lead with, so the three entry points never
+    * disagree on a statement's primary error. */
   def parse(sql: String): CreateTable =
-    parseCollecting(sql, maxErrors = 1) match {
+    parseCollecting(sql) match {
       case Right(ct)  => ct
       case Left(errs) => throw errs.head
     }
 
   /** [[parseCollecting]] that THROWS its result: a single mistake
     * throws the plain positioned error, several throw one ParseError
-    * carrying the ErrorCollector's "Found N parsing errors" report —
+    * carrying the ErrorCollector's "Found N parsing errors" report
+    * (including the suppressed-count note when the cap was hit) —
     * shared by the engine facade and the spark.sql ParserInterface so
     * both surfaces report identically. */
-  def parseOrReport(sql: String): CreateTable =
-    parseCollecting(sql) match {
-      case Right(ct) => ct
-      case Left(Seq(only)) => throw only
-      case Left(errs) =>
-        val collector = new ErrorCollector(errs.length)
-        errs.foreach(collector.add)
-        throw ParseError(collector.formatAll(sql),
+  def parseOrReport(sql: String): CreateTable = {
+    val collector = new ErrorCollector()
+    parseWithCollector(sql, collector) match {
+      case Some(ct) if !collector.hasErrors => ct
+      case _ =>
+        val errs = collector.errors
+        if (errs.length == 1 && collector.dropped == 0) throw errs.head
+        else throw ParseError(collector.formatAll(sql),
           errs.head.line, errs.head.column)
     }
+  }
 
   /** Error-RECOVERING parse, mirroring the reference's ErrorCollector
     * (server/query/parser/error_recovery_test.go): instead of
@@ -210,6 +213,18 @@ object RangerDdl {
     * alone. */
   def parseCollecting(sql: String, maxErrors: Int = 10)
       : Either[Seq[ParseError], CreateTable] = {
+    val collector = new ErrorCollector(maxErrors)
+    parseWithCollector(sql, collector) match {
+      case Some(ct) if !collector.hasErrors => Right(ct)
+      case _ => Left(collector.errors)
+    }
+  }
+
+  /** The recovering parse body; errors go to `collector`, the result
+    * is Some only when structure allowed a full parse (it may still
+    * be meaningless if collector.hasErrors). */
+  private def parseWithCollector(sql: String,
+                                 collector: ErrorCollector): Option[CreateTable] = {
     // offsets are tracked against the ORIGINAL text so reported
     // line/column positions match what the user submitted
     val lead = sql.indexWhere(!_.isWhitespace) match {
@@ -217,9 +232,11 @@ object RangerDdl {
       case i  => i
     }
     val stmt = sql.trim.stripSuffix(";").trim
-    val m = headerRe.findFirstMatchIn(stmt).getOrElse(
-      return Left(Seq(ParseError.at(sql, lead,
-        s"not a CREATE TABLE statement: ${stmt.take(60)}"))))
+    val m = headerRe.findFirstMatchIn(stmt).getOrElse {
+      collector.add(ParseError.at(sql, lead,
+        s"not a CREATE TABLE statement: ${stmt.take(60)}"))
+      return None
+    }
     val ifNotExists = m.group(1) != null
     val (db, table) =
       if (m.group(3) != null) (Some(m.group(2)), m.group(3))
@@ -238,12 +255,14 @@ object RangerDdl {
       }
       i += 1
     }
-    if (closeIdx < 0) return Left(Seq(ParseError.at(sql, lead + openIdx,
-      "unbalanced parentheses in column list")))
+    if (closeIdx < 0) {
+      collector.add(ParseError.at(sql, lead + openIdx,
+        "unbalanced parentheses in column list"))
+      return None
+    }
     val colsBody = stmt.substring(openIdx + 1, closeIdx)
     val tail = stmt.substring(closeIdx + 1)
 
-    val collector = new ErrorCollector(maxErrors)
     val pieces = splitWithOffsets(colsBody)
     val columns = pieces.flatMap { case (c, off) =>
       try Some(parseColumn(sql, lead + openIdx + 1 + off, c))
@@ -256,7 +275,7 @@ object RangerDdl {
     if (names.distinct.length != names.length) {
       val dup = names.diff(names.distinct).head
       // position of the SECOND occurrence of the duplicated name
-      val dupOff = splitWithOffsets(colsBody)
+      val dupOff = pieces
         .filter(_._1.takeWhile(!_.isWhitespace).toLowerCase == dup)
         .drop(1).headOption.map(_._2).getOrElse(0)
       collector.add(ParseError.at(sql, lead + openIdx + 1 + dupOff,
@@ -277,11 +296,9 @@ object RangerDdl {
         }
       }
     }
-    if (collector.hasErrors) Left(collector.errors)
-    else {
-      val (storage, partitionBy, orderBy, settings) = tailParsed.get
-      Right(CreateTable(db, table, ifNotExists, columns, storage,
-        partitionBy, orderBy, settings))
+    tailParsed.map { case (storage, partitionBy, orderBy, settings) =>
+      CreateTable(db, table, ifNotExists, columns, storage,
+        partitionBy, orderBy, settings)
     }
   }
 

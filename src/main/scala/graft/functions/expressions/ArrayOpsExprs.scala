@@ -373,8 +373,11 @@ object ArrayOpsImpl {
       c += 1
     }
     // the `m` nearest by (d, cell) ascending — identical to the
-    // prefix of a full (d, cell) sort, via unboxed O(k·m) selection
-    // (strict < keeps the LOWEST cell index on distance ties)
+    // prefix of a full (d, cell) sort, via unboxed O(k·m) selection.
+    // Double.compare (not <): NaN distances must order GREATEST, as
+    // the sort this replaced did — a strict < would let a NaN picked
+    // as the first candidate win unconditionally. compare()==0 on
+    // ties keeps the LOWEST cell index (first seen wins).
     val m = math.min(math.max(top, 0), k)
     val used = new Array[Boolean](k)
     val out = new Array[AnyRef](m)
@@ -383,7 +386,8 @@ object ArrayOpsImpl {
       var best = -1
       var cc = 0
       while (cc < k) {
-        if (!used(cc) && (best < 0 || ds(cc) < ds(best))) best = cc
+        if (!used(cc) &&
+            (best < 0 || java.lang.Double.compare(ds(cc), ds(best)) < 0)) best = cc
         cc += 1
       }
       used(best) = true

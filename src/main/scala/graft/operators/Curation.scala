@@ -250,14 +250,8 @@ object Curation {
           .withColumn("mx", max(col("doc_id")).over(w))
           .withColumn("bp", col("mn") =!= col("mx"))
       } else {
-        val bpKeys = segs
-          .groupBy(col("seg"),
-            pmod(xxhash64(col("doc_id"), col("i")), lit(saltBuckets)).as("s"))
-          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-          .groupBy(col("seg"))
-          .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
-          .where(col("mn") =!= col("mx"))
-          .select(col("seg"), lit(true).as("bp0"))
+        val bpKeys = Dedup.saltedRepeatKeys(segs, "seg", saltBuckets)
+          .withColumn("bp0", lit(true))
         segs.join(bpKeys, Seq("seg"), "left")
           .withColumn("bp", coalesce(col("bp0"), lit(false)))
       }

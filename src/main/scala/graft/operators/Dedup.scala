@@ -129,18 +129,27 @@ object Dedup {
           .withColumn("mx", max(col("doc_id")).over(win))
           .where(col("mn") =!= col("mx"))
       } else {
-        val dupKeys = spans
-          .groupBy(col("span"),
-            pmod(xxhash64(col("doc_id"), col("i")), lit(saltBuckets)).as("s"))
-          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-          .groupBy(col("span"))
-          .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
-          .where(col("mn") =!= col("mx"))
-          .select(col("span"))
-        spans.join(dupKeys, Seq("span"), "left_semi")
+        spans.join(saltedRepeatKeys(spans, "span", saltBuckets),
+          Seq("span"), "left_semi")
       }
     (base, dupRows)
   }
+
+  /** The ONE salted >= 2-distinct-docs test, shared by every span
+    * operator (q70b here, q67b in Curation): per (key, salt) min/max
+    * partial aggregate — the hot key fans over `saltBuckets`
+    * reducers — merged per key into the repeated-key set. `rows` must
+    * carry (doc_id, i, `keyName`). */
+  private[operators] def saltedRepeatKeys(rows: DataFrame, keyName: String,
+                                          saltBuckets: Int): DataFrame =
+    rows
+      .groupBy(col(keyName),
+        pmod(xxhash64(col("doc_id"), col("i")), lit(saltBuckets)).as("s"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .groupBy(col(keyName))
+      .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col(keyName))
 
   /** The APPLY step q70 only counts (q83): rewrite every document
     * with its duplicated-span token positions REMOVED — the
@@ -652,14 +661,15 @@ object Dedup {
       |           ELSE 0 END)) AS BIGINT) AS simhash
       |  FROM documents)""".stripMargin
 
-  /** q70's DuckDB replay; shared verbatim by q70b (the salted shape's
-    * contract is identical output, so it carries the identical
-    * oracle). Powers-of-two weights: see SpanKeysExpr (subset sums
-    * distinct). */
-  private def q70OracleSql: String = {
+  /** Shared DuckDB prelude of every span-family oracle (q70/q70b,
+    * q83, q84): tokenized docs + stride-1 SpanW-gram keys as
+    * spans(doc_id, i, span) — ONE rendering so the replayed hash
+    * family cannot drift between the oracles it feeds. Powers-of-two
+    * weights: see SpanKeysExpr (subset sums distinct). */
+  private def spanOracleCtes: String = {
     val rolled = (1 to SpanW)
       .map(j => s"th[i + $j] * ${1L << (j - 1)}").mkString(" + ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |h AS (
        |  SELECT doc_id, toks,
@@ -671,7 +681,35 @@ object Dedup {
        |    unnest(list_transform(generate_series(0, len(toks) - $SpanW),
        |      i -> struct_pack(i := i, span := $rolled))) AS s
        |  FROM h WHERE len(toks) >= $SpanW),
-       |spans AS (SELECT doc_id, s.i AS i, s.span AS span FROM sp),
+       |spans AS (SELECT doc_id, s.i AS i, s.span AS span FROM sp)""".stripMargin
+  }
+
+  /** Shared reassembly tail of the APPLY oracles (q83/q84): a
+    * `cov(doc_id, p)` CTE upstream -> kept token count + position-
+    * ordered kept text per doc. */
+  private def applyOracleTail: String =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks)),
+       |      j -> struct_pack(p := j - 1, tok := toks[j]))) AS u
+       |  FROM t),
+       |kept AS (
+       |  SELECT k.doc_id, count(*) AS kept_tokens,
+       |    string_agg(k.u.tok, ' ' ORDER BY k.u.p) AS kept_text
+       |  FROM tok k LEFT JOIN cov c
+       |    ON c.doc_id = k.doc_id AND c.p = k.u.p
+       |  WHERE c.p IS NULL
+       |  GROUP BY k.doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |  coalesce(k.kept_text, '') AS kept_text
+       |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin
+
+  /** q70's DuckDB replay; shared verbatim by q70b (the salted shape's
+    * contract is identical output, so it carries the identical
+    * oracle). */
+  private def q70OracleSql: String =
+    s"""WITH $spanOracleCtes,
        |rep AS (
        |  SELECT span FROM spans GROUP BY span
        |  HAVING count(DISTINCT doc_id) >= 2),
@@ -683,7 +721,6 @@ object Dedup {
        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens
        |FROM t LEFT JOIN cov c ON c.doc_id = t.doc_id""".stripMargin
-  }
 
   val oracleSql: Map[String, String] = Map(
     "q33_minhash_pairs" -> minhashOracleSql(DefaultBands),
@@ -736,62 +773,18 @@ object Dedup {
     // same statement: the salted plan must hash to the window plan
     "q70b_span_salted" -> q70OracleSql,
 
-    "q83_span_dedup_apply" -> {
-      val rolled = (1 to SpanW)
-        .map(j => s"th[i + $j] * ${1L << (j - 1)}").mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |h AS (
-         |  SELECT doc_id, toks,
-         |    list_transform(toks,
-         |      tk -> ('0x' || substring(md5(tk), 1, 14))::BIGINT) AS th
-         |  FROM t),
-         |sp AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(generate_series(0, len(toks) - $SpanW),
-         |      i -> struct_pack(i := i, span := $rolled))) AS s
-         |  FROM h WHERE len(toks) >= $SpanW),
-         |spans AS (SELECT doc_id, s.i AS i, s.span AS span FROM sp),
+    "q83_span_dedup_apply" ->
+      s"""WITH $spanOracleCtes,
          |rep AS (
          |  SELECT span FROM spans GROUP BY span
          |  HAVING count(DISTINCT doc_id) >= 2),
          |cov AS (
          |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${SpanW - 1})) AS p
          |  FROM spans JOIN rep USING (span)),
-         |tok AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(generate_series(1, len(toks)),
-         |      j -> struct_pack(p := j - 1, tok := toks[j]))) AS u
-         |  FROM t),
-         |kept AS (
-         |  SELECT k.doc_id, count(*) AS kept_tokens,
-         |    string_agg(k.u.tok, ' ' ORDER BY k.u.p) AS kept_text
-         |  FROM tok k LEFT JOIN cov c
-         |    ON c.doc_id = k.doc_id AND c.p = k.u.p
-         |  WHERE c.p IS NULL
-         |  GROUP BY k.doc_id)
-         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-         |  coalesce(k.kept_text, '') AS kept_text
-         |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin
-    },
+         |$applyOracleTail""".stripMargin,
 
-    "q84_intradoc_dedup" -> {
-      val rolled = (1 to SpanW)
-        .map(j => s"th[i + $j] * ${1L << (j - 1)}").mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |h AS (
-         |  SELECT doc_id, toks,
-         |    list_transform(toks,
-         |      tk -> ('0x' || substring(md5(tk), 1, 14))::BIGINT) AS th
-         |  FROM t),
-         |sp AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(generate_series(0, len(toks) - $SpanW),
-         |      i -> struct_pack(i := i, span := $rolled))) AS s
-         |  FROM h WHERE len(toks) >= $SpanW),
-         |spans AS (SELECT doc_id, s.i AS i, s.span AS span FROM sp),
+    "q84_intradoc_dedup" ->
+      s"""WITH $spanOracleCtes,
          |firsts AS (
          |  SELECT doc_id, span, min(i) AS i0 FROM spans
          |  GROUP BY doc_id, span),
@@ -801,23 +794,7 @@ object Dedup {
          |  FROM spans sp2 JOIN firsts f
          |    ON f.doc_id = sp2.doc_id AND f.span = sp2.span
          |  WHERE sp2.i <> f.i0),
-         |tok AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(generate_series(1, len(toks)),
-         |      j -> struct_pack(p := j - 1, tok := toks[j]))) AS u
-         |  FROM t),
-         |kept AS (
-         |  SELECT k.doc_id, count(*) AS kept_tokens,
-         |    string_agg(k.u.tok, ' ' ORDER BY k.u.p) AS kept_text
-         |  FROM tok k LEFT JOIN cov c
-         |    ON c.doc_id = k.doc_id AND c.p = k.u.p
-         |  WHERE c.p IS NULL
-         |  GROUP BY k.doc_id)
-         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-         |  coalesce(k.kept_text, '') AS kept_text
-         |FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin
-    },
+         |$applyOracleTail""".stripMargin,
 
     "q32_dedup_keep_first" ->
       """SELECT lang, source,

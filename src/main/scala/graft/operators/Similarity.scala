@@ -59,18 +59,21 @@ object Similarity {
 
     /** Session-tunable: spark.graft.ann.{planes,ivf.k,ivf.nprobe};
       * `spark.graft.ann.ivf.k=auto` derives k from `corpusSize`
-      * (call-by-name: the count is only evaluated when auto is set —
-      * one metadata-only parquet count, not a data scan). The named
-      * q41/q68 query-map entries stay at PINNED k so their generated
-      * DuckDB oracles match; the auto path is the library default for
-      * users who don't pass an explicit operating point. */
-    def from(s: SparkSession, corpusSize: => Long): AnnParams = AnnParams(
+      * (call-by-name: the count is only evaluated when it is needed —
+      * one metadata-only parquet count, not a data scan). An UNSET
+      * ivf.k resolves to ivfKFor(corpusSize) when `autoWhenUnset`
+      * (the library-default path, [[Similarity.annParamsFor]]) and to
+      * the fixed Default.ivfK otherwise — the named q41/q68 query-map
+      * entries stay at PINNED k so their generated DuckDB oracles
+      * match. */
+    def from(s: SparkSession, corpusSize: => Long,
+             autoWhenUnset: Boolean = false): AnnParams = AnnParams(
       s.conf.getOption("spark.graft.ann.planes").map(_.toInt)
         .getOrElse(Default.numPlanes),
       s.conf.getOption("spark.graft.ann.ivf.k") match {
         case Some("auto") => ivfKFor(corpusSize)
         case Some(k) => k.toInt
-        case None => Default.ivfK
+        case None => if (autoWhenUnset) ivfKFor(corpusSize) else Default.ivfK
       },
       s.conf.getOption("spark.graft.ann.ivf.nprobe").map(_.toInt)
         .getOrElse(Default.ivfProbe))
@@ -84,13 +87,8 @@ object Similarity {
     * otherwise ivfK tracks √|embeddings| — the entry point for
     * library users, while the named query-map operating points stay
     * pinned for their oracles. */
-  def annParamsFor(s: SparkSession, dir: String): AnnParams = {
-    lazy val n = emb(s, dir).count()
-    val p = AnnParams.from(s, n)
-    if (s.conf.getOption("spark.graft.ann.ivf.k").isEmpty)
-      p.copy(ivfK = AnnParams.ivfKFor(n))
-    else p
-  }
+  def annParamsFor(s: SparkSession, dir: String): AnnParams =
+    AnnParams.from(s, emb(s, dir).count(), autoWhenUnset = true)
 
   // near-dup cosine threshold: the synthetic corpus has no planted
   // duplicates (max same-bucket cosine at sf0.01 is 0.456), so the

@@ -51,23 +51,40 @@ object ScaleLab {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docOffset = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
     val docReps = (0 until factor).map { r =>
-      // rotate the token sequence by r: same vocabulary and length,
-      // different spans/segments/shingles per replica
-      docs
-        .withColumn("doc_id", col("doc_id") + lit(r * docOffset))
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("text",
-          concat_ws(" ",
-            flatten(array(
-              expr(s"slice(toks, ${r % 8 + 1}, size(toks))"),
-              expr(s"slice(toks, 1, ${r % 8})")))))
-        .drop("toks")
+      // replica 0 is the source verbatim; each other replica PERMUTES
+      // every doc's tokens by a per-replica hash order. A permutation
+      // keeps the vocabulary multiset and doc length (so token/vocab
+      // distributions and per-doc work are preserved) and destroys
+      // w-gram structure, so replicas share no spans/segments/
+      // shingles with each other or the source — a circular ROTATION
+      // would not (it preserves every interior w-gram and repeats
+      // verbatim once r wraps), which silently turned span-family
+      // scale measurements into ~100% cross-doc duplication. Not
+      // preserved: token-ORDER statistics (bigram frequencies) —
+      // fine for the hash-keyed span/shingle/semdedup operators this
+      // harness measures, wrong for an LM-perplexity-style probe.
+      val permuted =
+        if (r == 0) docs
+        else docs
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("text",
+            concat_ws(" ", transform(
+              array_sort(transform(col("toks"),
+                t => struct(md5(concat(t, lit(s"#$r"))).as("k"), t.as("tok")))),
+              s => s.getField("tok"))))
+          .drop("toks")
+      permuted.withColumn("doc_id", col("doc_id") + lit(r * docOffset))
     }
     docReps.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // element rotation has period 64 (= Dim): replicas past that
+    // would repeat earlier ones verbatim — refuse rather than skew
+    // a measurement silently
+    require(factor <= 64,
+      s"embedding replicas repeat beyond 64x (rotation period); got $factor")
     val vecOffset = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
     val embReps = (0 until factor).map { r =>
       // rotate embedding elements by r: preserves the norm exactly,

@@ -118,6 +118,25 @@ class SqlPositionSpec extends AnyFunSuite {
       .swap.getOrElse(fail("expected errors"))
     assert(capped.length == 2)
 
+    // position-sorted consistency: the duplicate-name error (line 3)
+    // is DETECTED after the column pass adds the line-4 type error,
+    // but every entry point must lead with the earlier position
+    val sql2 = "CREATE TABLE t (\n  id int64,\n  id int32,\n  v varchar\n)"
+    val errs2 = RangerDdl.parseCollecting(sql2)
+      .swap.getOrElse(fail("expected errors"))
+    assert(errs2.map(_.line) == Seq(3, 4), errs2.map(e => (e.line, e.message)))
+    assert(errs2.head.message.contains("duplicate column name"), errs2.head.message)
+    val thrown2 = intercept[RangerDdl.ParseError](RangerDdl.parse(sql2))
+    assert(thrown2.message == errs2.head.message,
+      s"parse() primary error diverged: ${thrown2.message}")
+
+    // past the cap, the report carries the suppressed count
+    val manyBad = "CREATE TABLE t (" +
+      (1 to 13).map(i => s"\n  c$i varchar").mkString(",") + "\n)"
+    val eMany = intercept[RangerDdl.ParseError](RangerDdl.parseOrReport(manyBad))
+    assert(eMany.message.contains("Found 10 parsing errors"), eMany.message)
+    assert(eMany.message.contains("(3 further error(s) suppressed)"), eMany.message)
+
     // multi-error formatting (TestMultiErrorFormatting): header +
     // numbered blocks with carets
     val col = new ErrorCollector()
