@@ -58,6 +58,13 @@ object Curation {
   private val SegTokens = 3
   private val BoilerplateDf = 2
 
+  /** q86 retrieval-chunking geometry: fixed-width token chunks with a
+    * small overlap carried from the previous chunk (stride = width -
+    * overlap). Literals interpolated into the oracle. */
+  private val ChunkTokens = 32
+  private val ChunkOverlap = 8
+  private val ChunkStride = ChunkTokens - ChunkOverlap
+
   /** Shared quality gate (q28's keep rule) — also the streaming
     * gate ([[graft.streaming.DocStream.curateStream]]), so online and
     * offline curation can never drift apart on thresholds. */
@@ -301,9 +308,94 @@ object Curation {
         .limit(20)
   }
 
+  /** q85: CCNet-style language-model fluency filter — rank documents
+    * by how SURPRISING their text is under a bigram LM trained on the
+    * corpus itself (ccnet buckets CommonCrawl by KenLM perplexity and
+    * keeps the fluent head/middle; cf. reference's quality gates,
+    * which are rule-based only).
+    *
+    * The usual per-token cross-entropy -log P(w|v) with add-one
+    * smoothing, P(w|v) = (c(v,w)+1)/(c(v)+V), is replaced by its
+    * transcendental-free integer analog: the inverse conditional
+    * probability in milli-units,
+    *   r(v,w) = ((c(v) + V) * 1000) div (c(v,w) + 1)
+    * — monotone per bigram in the same direction as surprisal, and
+    * integer arithmetic is bit-identical across engines where ln()
+    * is not (the q69 DSIR trick). A doc's rarity is the sum of its
+    * instance rarities; avg = sum div n. Headroom: c(v) <= corpus
+    * tokens (~10^13 at 100 TB), x1000 ~ 10^16, x100-bigram docs ~
+    * 10^18 < 2^63.
+    *
+    * Scale: the bigram vocab is CORPUS-PROPORTIONAL, so both the
+    * cb-cu build join and the instance-scoring join are deliberately
+    * un-hinted — AQE broadcasts while the LM fits and shuffles on the
+    * bigram key when it doesn't (the q82/q69 lesson). V and totals
+    * are one row -> broadcast. Per-doc sum is one shuffle on doc_id;
+    * top-20 collapses to TakeOrderedAndProject. */
+  def lmRarity(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf
+      .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 2)
+    val bi = toks
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("v"), col("p.1").as("w"))
+    val uni = toks.select(explode(col("ts")).as("v"))
+    val cb = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cb"))
+    val cu = uni.groupBy(col("v")).agg(count(lit(1)).as("cu"))
+    val vsize = uni.agg(countDistinct(col("v")).as("vv"))
+    val vocab = cb.join(cu, Seq("v"))
+      .crossJoin(broadcast(vsize))
+      .select(col("v"), col("w"),
+        expr("((cu + vv) * 1000) div (cb + 1)").as("r"))
+    bi.join(vocab, Seq("v", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("rarity_sum"))
+      .withColumn("rarity_avg_milli", expr("rarity_sum div n_bigrams"))
+      .orderBy(col("rarity_avg_milli").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** q86: retrieval/RAG chunking — split each document into
+    * [[ChunkTokens]]-token chunks overlapping the previous chunk by
+    * [[ChunkOverlap]] tokens (stride [[ChunkStride]]), emitting a
+    * content-addressed manifest row per chunk (md5 of the space-joined
+    * tokens — the downstream embed-and-index key). A trailing start
+    * that adds no tokens beyond the previous chunk's overlap
+    * (s >= n - overlap, s > 0) is suppressed: every emitted chunk
+    * contributes new content.
+    *
+    * Scale: pure per-row codegen — sequence + explode + slice + md5,
+    * no shuffle at all; output is ~n/stride rows per doc and the
+    * chunk hash makes the manifest re-shard-stable (same property as
+    * the q54 content-addressed split). */
+  def chunkWithOverlap(docsDf: DataFrame,
+                       chunk: Int = ChunkTokens,
+                       overlap: Int = ChunkOverlap): DataFrame = {
+    val stride = chunk - overlap
+    docsDf
+      .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 1)
+      .select(col("doc_id"), size(col("ts")).as("n"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - 1, lit(stride))).as("s"))
+      .where(col("s") === 0 || col("s") < col("n") - overlap)
+      .select(col("doc_id"),
+        (col("s") / stride).cast("int").as("chunk_idx"),
+        col("s").as("start_tok"),
+        size(slice(col("ts"), col("s") + 1, lit(chunk))).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("ts"), col("s") + 1, lit(chunk))))
+          .as("chunk_hash"))
+  }
+
   // rest of the query map (split around the factored operators above;
   // a def so object-init order cannot NPE the eager `queries` val)
   private def queriesCont: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_lm_rarity" -> ((s, dir) => lmRarity(docs(s, dir))),
+
+    "q86_chunk_overlap" -> ((s, dir) => chunkWithOverlap(docs(s, dir))),
+
     "q76_dataset_card" -> ((s, dir) =>
       // the "dataset card" panel: per-(lang, source) corpus accounting
       // with ROLLUP subtotals — docs, tokens, quality-keep counts,
@@ -543,6 +635,51 @@ object Curation {
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs,
         |  round(avg(n_chars), 4) AS avg_chars
-        |FROM split GROUP BY 1""".stripMargin
+        |FROM split GROUP BY 1""".stripMargin,
+
+    "q85_lm_rarity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ts) - 1),
+        |      i -> struct_pack(v := ts[i], w := ts[i + 1]))) AS p
+        |  FROM t),
+        |bi2 AS (SELECT doc_id, p.v AS v, p.w AS w FROM bi),
+        |uni AS (SELECT unnest(ts) AS v FROM t),
+        |cb AS (SELECT v, w, count(*) AS cb FROM bi2 GROUP BY v, w),
+        |cu AS (SELECT v, count(*) AS cu FROM uni GROUP BY v),
+        |vv AS (SELECT count(DISTINCT v) AS vv FROM uni),
+        |vocab AS (
+        |  SELECT v, w, ((cu + vv) * 1000) // (cb + 1) AS r
+        |  FROM cb JOIN cu USING (v) CROSS JOIN vv),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(r) AS BIGINT) AS rarity_sum
+        |  FROM bi2 JOIN vocab USING (v, w) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, rarity_sum,
+        |  rarity_sum // n_bigrams AS rarity_avg_milli
+        |FROM agg
+        |ORDER BY rarity_avg_milli DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    "q86_chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 1),
+         |starts AS (
+         |  SELECT doc_id, ts, len(ts) AS n,
+         |    unnest(generate_series(0, len(ts) - 1, $ChunkStride)) AS s
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(s // $ChunkStride AS INTEGER) AS chunk_idx,
+         |  CAST(s AS INTEGER) AS start_tok,
+         |  CAST(len(ts[s + 1 : s + $ChunkTokens]) AS INTEGER)
+         |    AS n_chunk_tokens,
+         |  md5(array_to_string(ts[s + 1 : s + $ChunkTokens], ' '))
+         |    AS chunk_hash
+         |FROM starts
+         |WHERE s = 0 OR s < n - $ChunkOverlap""".stripMargin
   )
 }

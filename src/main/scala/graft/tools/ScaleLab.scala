@@ -16,9 +16,19 @@ import org.apache.spark.sql.functions._
   *  - `semdedup <dir> <k|auto> [threshold]` — warm median-of-3 of
   *    [[graft.operators.Similarity.semdedup]] at the given codebook
   *    size; `auto` = AnnParams.ivfKFor(|embeddings|), the √n default.
+  *  - `spans <dir> <saltBuckets> [hotPct] [rep]` — warm median-of-3
+  *    of [[graft.operators.Dedup.spanCoverage]] on the corpus with a
+  *    PLANTED Zipf hot-key load: `hotPct`% of docs (by id) get the
+  *    same 5-token boilerplate phrase repeated `rep` times prepended,
+  *    so 5 span keys carry ~hotPct·rep/avgLen of all span rows — the
+  *    repeated-header shape that makes the unsalted window a one-
+  *    partition straggler. Run with saltBuckets=0 (window) vs >0
+  *    (two-phase salted) on the SAME planted corpus to measure the
+  *    skew win; row-for-row output equality is SkewSpec's pin.
   *
   * Used to measure the fixed-k vs grown-k SemDeDup curve at 10×
-  * (round-6 verdict item 4; SCALING.md "Round 5: measured scale-up").
+  * (round-6 verdict item 4; SCALING.md "Round 5: measured scale-up")
+  * and the salted-vs-window span curve (round-7, SCALING.md).
   */
 object ScaleLab {
 
@@ -39,6 +49,10 @@ object ScaleLab {
       case "semdedup" :: dir :: k :: rest =>
         val threshold = rest.headOption.map(_.toDouble).getOrElse(0.4)
         probeSemdedup(spark, dir, k, threshold)
+      case "spans" :: dir :: salt :: rest =>
+        val hotPct = rest.headOption.map(_.toInt).getOrElse(20)
+        val rep = rest.drop(1).headOption.map(_.toInt).getOrElse(40)
+        probeSpans(spark, dir, salt.toInt, hotPct, rep)
       case other =>
         System.err.println(s"unknown ScaleLab args: $other")
         sys.exit(2)
@@ -123,5 +137,31 @@ object ScaleLab {
     val times = (1 to 3).map(_ => once()).sorted
     println(f"SEMDEDUP_PROBE dir=$dir n=$n k=$k threshold=$threshold " +
       f"median=${times(1)}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+  }
+
+  private def probeSpans(spark: SparkSession, dir: String, saltBuckets: Int,
+                         hotPct: Int, rep: Int): Unit = {
+    import graft.operators.Dedup
+    // plant: hotPct% of docs open with the same 5-token phrase
+    // repeated `rep` times — the 5 cyclic 5-grams of the phrase each
+    // occur ~rep times per hot doc, concentrating a large fraction of
+    // all span rows on 5 keys (the Zipf boilerplate-header shape)
+    val phrase = Seq.fill(rep)("gr4ft hot span probe key").mkString(" ")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % 100 < hotPct,
+          concat(lit(phrase + " "), col("text"))).otherwise(col("text")))
+    val n = docs.count()
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      Dedup.spanCoverage(docs, 5, saltBuckets)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm
+    val times = (1 to 3).map(_ => once()).sorted
+    println(f"SPANS_PROBE dir=$dir n=$n salt=$saltBuckets hotPct=$hotPct " +
+      f"rep=$rep median=${times(1)}%.3f " +
+      f"all=${times.map(t => f"$t%.3f").mkString(",")}")
   }
 }

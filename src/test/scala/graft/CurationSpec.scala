@@ -230,4 +230,63 @@ class CurationSpec extends AnyFunSuite {
     // quality keeps bounded by docs
     rows.foreach { case (_, _, nd, _, nq) => assert(nq <= nd) }
   }
+
+  test("q85 LM rarity matches a scalar recomputation and ranks the odd doc first") {
+    import spark.implicits._
+    // 10 fluent docs of the same two common bigrams + one doc that
+    // detours through two hapax tokens (q, z) — the LM must find it
+    // most surprising.
+    val texts: Seq[(Long, String)] =
+      (1L to 10L).map(i => i -> "a b a b a b") :+ (99L -> "a b q z a b")
+    val df = texts.map { case (id, t) => (id, t, "en", "unit", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.lmRarity(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head._1 == 99L, s"odd doc not ranked most surprising: ${out.head}")
+    // independent scalar recomputation of the integer-domain formula
+    val tokss = texts.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      .filter(_._2.length >= 2)
+    val allToks = tokss.flatMap(_._2)
+    val cu = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocabSize = cu.size.toLong
+    val cb = tokss.flatMap(_._2.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = tokss.map { case (id, ts) =>
+      val rs = ts.sliding(2).toSeq
+        .map { p => ((cu(p(0)) + vocabSize) * 1000L) / (cb((p(0), p(1))) + 1L) }
+      (id, rs.size.toLong, rs.sum, rs.sum / rs.size)
+    }.sortBy { case (id, _, _, avg) => (-avg, id) }.take(20)
+    assert(out.toSeq == expected)
+  }
+
+  test("q86 chunking geometry: overlap, suppressed tails, content-addressed hashes") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, words(40)), // 2 chunks: [0,32) and [24,40)
+      (2L, words(10)), // short doc: one chunk of 10
+      (3L, words(32)), // exact width: tail start 24 >= 32-8 suppressed
+      (4L, words(33))  // one past: tail start 24 < 25 emitted, 9 tokens
+    ).map { case (id, t) => (id, t, "en", "unit", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.chunkWithOverlap(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+      .sortBy(c => (c._1, c._2))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 0, 32), (1, 24, 16)))
+    assert(byDoc(2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0, 0, 10)))
+    assert(byDoc(3L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0, 0, 32)))
+    assert(byDoc(4L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 0, 32), (1, 24, 9)))
+    // hash is content-addressed: doc 1 chunk 0 = md5 of tokens 1..32,
+    // so it equals doc 3's only chunk (same text prefix)
+    assert(byDoc(1L).head._5 == byDoc(3L).head._5)
+    // overlap really is carried: doc 1 chunk 1 starts at token 25
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest((25 to 40).map(i => s"w$i").mkString(" ")
+      .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byDoc(1L)(1)._5 == want)
+  }
 }

@@ -306,6 +306,36 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q85/q86: LM-vocab joins survive a forced-large estimate; chunking never shuffles") {
+    // q85's bigram LM is CORPUS-PROPORTIONAL (same hazard class as
+    // q69/q82's vocabularies): both the cb⋈cu build join and the
+    // instance-scoring join must be un-hinted so they degrade to a
+    // shuffle when the LM outgrows broadcast. The 1-row V side keeps
+    // its hint. q86 chunking is pure per-row codegen — any Exchange
+    // in its plan is a regression.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = graft.operators.Curation.queries("q85_lm_rarity")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"q85 still broadcasts a vocabulary-sized side under forced-large estimate:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"q85 lost its shuffle join on the bigram key:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    val chunks = graft.operators.Curation.queries("q86_chunk_overlap")(spark, dir)
+    chunks.collect()
+    val cp = chunks.queryExecution.executedPlan.toString
+    assert(!cp.contains("Exchange"), s"q86 chunking gained a shuffle:\n$cp")
+  }
+
   test("partition-pruned UPDATE reads only affected partitions") {
     // the rewrite scan must carry the partition predicate so partition
     // pruning bounds the IO (EngineSpec proves the file-level effect;
