@@ -373,20 +373,28 @@ object Curation {
     * the q54 content-addressed split). */
   def chunkWithOverlap(docsDf: DataFrame,
                        chunk: Int = ChunkTokens,
-                       overlap: Int = ChunkOverlap): DataFrame = {
+                       overlap: Int = ChunkOverlap,
+                       keep: Seq[String] = Nil): DataFrame = {
+    // `keep` carries extra columns through unchanged (the streaming
+    // face keeps its event-time column) — the geometry is THIS code
+    // path for both batch and stream, so the two can never drift
     val stride = chunk - overlap
+    val kept = keep.map(col)
+    // internal names prefixed so they cannot collide with kept
+    // passthrough columns (the stream's event-time column is `ts`)
     docsDf
-      .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= 1)
-      .select(col("doc_id"), size(col("ts")).as("n"), col("ts"),
-        explode(sequence(lit(0), size(col("ts")) - 1, lit(stride))).as("s"))
-      .where(col("s") === 0 || col("s") < col("n") - overlap)
-      .select(col("doc_id"),
-        (col("s") / stride).cast("int").as("chunk_idx"),
-        col("s").as("start_tok"),
-        size(slice(col("ts"), col("s") + 1, lit(chunk))).as("n_chunk_tokens"),
-        md5(concat_ws(" ", slice(col("ts"), col("s") + 1, lit(chunk))))
-          .as("chunk_hash"))
+      .select(col("doc_id") +: Text.tokens(col("text")).as("_ctoks") +: kept: _*)
+      .where(size(col("_ctoks")) >= 1)
+      .select(col("doc_id") +: size(col("_ctoks")).as("_cn") +: col("_ctoks") +:
+        explode(sequence(lit(0), size(col("_ctoks")) - 1, lit(stride))).as("_cs") +:
+        kept: _*)
+      .where(col("_cs") === 0 || col("_cs") < col("_cn") - overlap)
+      .select(col("doc_id") +:
+        (col("_cs") / stride).cast("int").as("chunk_idx") +:
+        col("_cs").as("start_tok") +:
+        size(slice(col("_ctoks"), col("_cs") + 1, lit(chunk))).as("n_chunk_tokens") +:
+        md5(concat_ws(" ", slice(col("_ctoks"), col("_cs") + 1, lit(chunk))))
+          .as("chunk_hash") +: kept: _*)
   }
 
   // rest of the query map (split around the factored operators above;

@@ -117,6 +117,19 @@ object DocStream {
     * >= 2 distinct corpus docs. Write it `bucketBy(span)` at corpus
     * build time; each micro-batch probes it instead of recomputing
     * corpus-side windows. Same native SpanKeysExpr family as batch. */
+  /** Online retrieval chunking — the streaming face of q86, for
+    * embed-and-index pipelines that chunk documents AT ingest instead
+    * of in a nightly batch. Pure stateless per-row work (sequence +
+    * explode + slice + md5), so it shares
+    * [[graft.operators.Curation.chunkWithOverlap]] — the literal
+    * batch code path, geometry and hash included — and runs in append
+    * mode with no state at all; the watermark only bounds downstream
+    * consumers. Emits (doc_id, chunk_idx, start_tok, n_chunk_tokens,
+    * chunk_hash, ts). */
+  def chunkStream(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    graft.operators.Curation.chunkWithOverlap(
+      stream.withWatermark("ts", watermark), keep = Seq("ts"))
+
   def corpusDupSpans(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", Text.tokens(col("text")))

@@ -179,6 +179,36 @@ class StatefulSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunkStream emits the batch operator's chunks, stateless, with event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val input = MemoryStream[Doc]
+    val q = graft.streaming.DocStream.chunkStream(input.toDF())
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, words(40), "s1", ts("2024-01-01 10:00:00")),
+        Doc(2, words(10), "s1", ts("2024-01-01 10:00:01")))
+      q.processAllAvailable() // stateless: rows emit without watermark advance
+      val got = spark.table("chunks").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4)))
+        .sortBy(c => (c._1, c._2)).toSeq
+      // the stream shares the batch code path — outputs must be equal
+      val batch = graft.operators.Curation.chunkWithOverlap(
+          Seq((1L, words(40)), (2L, words(10))).toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4)))
+        .sortBy(c => (c._1, c._2)).toSeq
+      assert(got == batch, s"stream/batch drift:\n$got\nvs\n$batch")
+      assert(got.map(c => (c._1, c._2, c._3, c._4)) ==
+        Seq((1L, 0, 0, 32), (1L, 1, 24, 16), (2L, 0, 0, 10)))
+    } finally q.stop()
+  }
+
   test("spanCoverageStream scores arriving docs against the corpus dup-span set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
