@@ -332,30 +332,51 @@ object Curation {
     * bigram key when it doesn't (the q82/q69 lesson). V and totals
     * are one row -> broadcast. Per-doc sum is one shuffle on doc_id;
     * top-20 collapses to TakeOrderedAndProject. */
-  def lmRarity(docsDf: DataFrame): DataFrame = {
-    val toks = docsDf
-      .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= 2)
-    val bi = toks
-      .select(col("doc_id"),
-        explode(arrays_zip(
-          slice(col("ts"), lit(1), size(col("ts")) - 1),
-          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("p"))
-      .select(col("doc_id"), col("p.0").as("v"), col("p.1").as("w"))
-    val uni = toks.select(explode(col("ts")).as("v"))
-    val cb = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cb"))
-    val cu = uni.groupBy(col("v")).agg(count(lit(1)).as("cu"))
-    val vsize = uni.agg(countDistinct(col("v")).as("vv"))
-    val vocab = cb.join(cu, Seq("v"))
-      .crossJoin(broadcast(vsize))
-      .select(col("v"), col("w"),
-        expr("((cu + vv) * 1000) div (cb + 1)").as("r"))
-    bi.join(vocab, Seq("v", "w"))
+  def lmRarity(docsDf: DataFrame): DataFrame =
+    docBigrams(docsDf).join(lmVocab(docsDf), Seq("v", "w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("rarity_sum"))
       .withColumn("rarity_avg_milli", expr("rarity_sum div n_bigrams"))
       .orderBy(col("rarity_avg_milli").desc, col("doc_id").asc)
       .limit(20)
+
+  /** The stride-1 bigram stream of a doc set: (doc_id, v, w) per
+    * adjacent token pair, plus any `keep` passthrough columns (the
+    * streaming face keeps its event-time column). Underscore-prefixed
+    * internals — same collision rule as [[chunkWithOverlap]]. */
+  private[graft] def docBigrams(docsDf: DataFrame,
+                                keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    docsDf
+      .select(col("doc_id") +: Text.tokens(col("text")).as("_bts") +: kept: _*)
+      .where(size(col("_bts")) >= 2)
+      .select(col("doc_id") +:
+        explode(arrays_zip(
+          slice(col("_bts"), lit(1), size(col("_bts")) - 1),
+          slice(col("_bts"), lit(2), size(col("_bts")) - 1))).as("_bp") +:
+        kept: _*)
+      .select(col("doc_id") +: col("_bp.0").as("v") +: col("_bp.1").as("w") +:
+        kept: _*)
+  }
+
+  /** q85's trained model as a table: (v, w, r) — the integer rarity
+    * of every bigram observed in `docsDf` under the add-one-smoothed
+    * corpus bigram LM. Materialize this (one write) to score streams
+    * against it ([[graft.streaming.DocStream.lmRarityStream]]) without
+    * re-training per batch. */
+  def lmVocab(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf
+      .select(col("doc_id"), Text.tokens(col("text")).as("_bts"))
+      .where(size(col("_bts")) >= 2)
+    val uni = toks.select(explode(col("_bts")).as("v"))
+    val cb = docBigrams(docsDf)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cb"))
+    val cu = uni.groupBy(col("v")).agg(count(lit(1)).as("cu"))
+    val vsize = uni.agg(countDistinct(col("v")).as("vv"))
+    cb.join(cu, Seq("v"))
+      .crossJoin(broadcast(vsize))
+      .select(col("v"), col("w"),
+        expr("((cu + vv) * 1000) div (cb + 1)").as("r"))
   }
 
   /** q86: retrieval/RAG chunking — split each document into

@@ -130,6 +130,32 @@ object DocStream {
     graft.operators.Curation.chunkWithOverlap(
       stream.withWatermark("ts", watermark), keep = Seq("ts"))
 
+  /** Online LM fluency scoring — the streaming face of q85. Arriving
+    * docs are scored against a MATERIALIZED corpus bigram LM (the
+    * [[graft.operators.Curation.lmVocab]] (v, w, r) schema): per doc,
+    * the count and integer-rarity sum of its bigrams that the LM
+    * knows, emitted (doc_id, ts, n_bigrams, rarity_sum,
+    * rarity_avg_milli) in append mode once the watermark passes —
+    * the ccnet ingest gate (drop/route the tail) without a nightly
+    * re-score.
+    *
+    * Novel bigrams (absent from the LM) carry no count estimate, so
+    * the inner join skips them: the score is rarity over KNOWN
+    * bigrams, and a doc with no known bigram emits nothing (absence =
+    * unscorable, same contract as [[spanCoverageStream]]'s clean
+    * docs). Scale: stream-static join keyed on (v, w) — with the LM
+    * table bucketed on its key each micro-batch reads matching
+    * buckets; one stateful agg, state = one group per doc inside the
+    * watermark. */
+  def lmRarityStream(stream: DataFrame, lm: DataFrame,
+                     watermark: String = "1 hour"): DataFrame =
+    graft.operators.Curation
+      .docBigrams(stream.withWatermark("ts", watermark), keep = Seq("ts"))
+      .join(lm, Seq("v", "w"))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("rarity_sum"))
+      .withColumn("rarity_avg_milli", expr("rarity_sum div n_bigrams"))
+
   def corpusDupSpans(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", Text.tokens(col("text")))

@@ -53,6 +53,8 @@ object ScaleLab {
         val hotPct = rest.headOption.map(_.toInt).getOrElse(20)
         val rep = rest.drop(1).headOption.map(_.toInt).getOrElse(40)
         probeSpans(spark, dir, salt.toInt, hotPct, rep)
+      case "minhash" :: dir :: rest =>
+        probeMinhash(spark, dir, rest.headOption.map(_.toInt).getOrElse(8))
       case other =>
         System.err.println(s"unknown ScaleLab args: $other")
         sys.exit(2)
@@ -136,6 +138,26 @@ object ScaleLab {
     once() // warm (also fills the codebook memo — the offline model)
     val times = (1 to 3).map(_ => once()).sorted
     println(f"SEMDEDUP_PROBE dir=$dir n=$n k=$k threshold=$threshold " +
+      f"median=${times(1)}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+  }
+
+  private def probeMinhash(spark: SparkSession, dir: String,
+                           numBands: Int): Unit = {
+    // q33's full band-bucket pipeline at scale: candidate generation
+    // is bounded by the bucket cap, so pair volume — and with it
+    // runtime — should grow ~linearly in corpus size, NOT
+    // quadratically. Replicas share no shingles by construction, so
+    // cross-replica pairs cannot inflate the count.
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.minhashPairs(spark, dir, numBands)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm
+    val times = (1 to 3).map(_ => once()).sorted
+    println(f"MINHASH_PROBE dir=$dir n=$n bands=$numBands " +
       f"median=${times(1)}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
   }
 

@@ -209,6 +209,40 @@ class StatefulSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lmRarityStream scores arriving docs against the materialized corpus LM") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c a b"))
+      .toDF("doc_id", "text")
+    val lm = graft.operators.Curation.lmVocab(corpus)
+    val lmMap = lm.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val input = MemoryStream[Doc]
+    val q = graft.streaming.DocStream.lmRarityStream(input.toDF(), lm)
+      .writeStream.format("memory").queryName("lm_scores")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // all bigrams known to the LM: (a,b), (b,c), (c,a)
+        Doc(100, "a b c a b", "s1", ts("2024-01-01 10:00:00")),
+        // no bigram the LM has seen -> unscorable, no row
+        Doc(101, "zz qq zz", "s1", ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      input.addData(Doc(102, "advance only", "s1", ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      input.addData(Doc(103, "advance again", "s1", ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("lm_scores").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val bigrams = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "b"))
+      val want = bigrams.map(lmMap).sum
+      assert(rows.toSeq == Seq((100L, 4L, want, want / 4)),
+        s"expected doc 100 scored ${(4L, want, want / 4)}, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("spanCoverageStream scores arriving docs against the corpus dup-span set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
