@@ -112,7 +112,7 @@ object Snapshots {
   private val filesRe = """(?s)"files":\[(.*?)\],"schema":""".r
   private val quotedRe = """"((?:[^"\\]|\\.)*)"""".r
 
-  private def readManifest(fs: FileSystem, dir: Path): Option[Manifest] = {
+  private def readManifest(fs: FileSystem, dir: Path): Option[Manifest] = try {
     val mf = new Path(dir, "MANIFEST.json")
     if (!fs.exists(mf)) return None
     val txt = new String(
@@ -125,14 +125,26 @@ object Snapshots {
     } yield Manifest(id, op, at,
       quotedRe.findAllMatchIn(fl).map(m => unescapeJson(m.group(1))).toSeq,
       txt.substring(txt.indexOf("\"schema\":") + 9).stripSuffix("}"))
+  } catch {
+    // exists→open is a TOCTOU against concurrent EXPIRE/retention GC/
+    // DROP from another session (this JVM takes the per-table lock,
+    // but cross-table readers like system_snapshots hold no lock, and
+    // on a real cluster the expirer may be another driver entirely).
+    // A manifest that vanishes mid-read IS the post-expire state:
+    // report it as absent, never fail the reader.
+    case _: java.io.FileNotFoundException => None
   }
 
-  private def manifests(fs: FileSystem, root: Path): Seq[Manifest] = {
+  private def manifests(fs: FileSystem, root: Path): Seq[Manifest] = try {
     if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).toSeq
       .filter(st => scala.util.Try(st.getPath.getName.toLong).isSuccess)
       .flatMap(st => readManifest(fs, st.getPath))
       .sortBy(_.id)
+  } catch {
+    // same race one level up: the whole snapshot root can be dropped
+    // between exists and listStatus
+    case _: java.io.FileNotFoundException => Seq.empty
   }
 
   /** Every file some live manifest still references (relpaths). */

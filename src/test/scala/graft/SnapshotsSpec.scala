@@ -100,4 +100,47 @@ class SnapshotsSpec extends AnyFunSuite {
       engine.execute("DROP TABLE snap.off")
     } finally spark.conf.set("spark.graft.snapshots.enabled", "true")
   }
+
+  test("snapshot readers never fail against a concurrent expirer (TOCTOU)") {
+    // The race ConcurrencySoakSpec hit under load: system_snapshots-
+    // style readers (listAll) hold no per-table lock, so a manifest
+    // can vanish between exists() and open() while retention GC or
+    // DROP runs in another session. The reader's contract is to
+    // observe the post-expire state, not to throw. Probabilistic pin:
+    // hammer listAll against a create/expire/drop churn loop —
+    // pre-fix this threw FileNotFoundException reliably under suite
+    // load; any exception here is a regression.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    engine.execute("CREATE DATABASE IF NOT EXISTS snap")
+    engine.execute("DROP TABLE IF EXISTS snap.churn")
+    engine.execute("CREATE TABLE snap.churn (id int64) STORAGE filesystem")
+    engine.execute("INSERT INTO snap.churn VALUES (1)")
+    @volatile var stop = false
+    val churn = Future {
+      var i = 0
+      while (!stop) {
+        // DELETE+snapshot, then retention-expire everything old
+        engine.execute(s"INSERT INTO snap.churn VALUES (${i + 2})")
+        engine.execute(s"DELETE FROM snap.churn WHERE id = ${i + 2}")
+        engine.execute("EXPIRE SNAPSHOTS FROM snap.churn KEEP LAST 1")
+        i += 1
+      }
+      i
+    }
+    try {
+      val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+      var reads = 0
+      while (System.nanoTime() < deadline) {
+        graft.engine.Snapshots.listAll(spark) // must never throw
+        reads += 1
+      }
+      assert(reads > 0)
+    } finally {
+      stop = true
+      Await.result(churn, 60.seconds)
+      engine.execute("DROP TABLE snap.churn")
+    }
+  }
 }
