@@ -115,8 +115,13 @@ object Snapshots {
   private def readManifest(fs: FileSystem, dir: Path): Option[Manifest] = try {
     val mf = new Path(dir, "MANIFEST.json")
     if (!fs.exists(mf)) return None
-    val txt = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(mf)), "UTF-8")
+    // readFullyToByteArray reads to EOF but does NOT close — without
+    // the finally, every manifest read leaks an fd (and listAll-style
+    // readers scan every table's manifests)
+    val in = fs.open(mf)
+    val txt =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
     for {
       id <- """"id":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
       op <- """"operation":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))

@@ -322,9 +322,15 @@ object Curation {
     * — monotone per bigram in the same direction as surprisal, and
     * integer arithmetic is bit-identical across engines where ln()
     * is not (the q69 DSIR trick). A doc's rarity is the sum of its
-    * instance rarities; avg = sum div n. Headroom: c(v) <= corpus
-    * tokens (~10^13 at 100 TB), x1000 ~ 10^16, x100-bigram docs ~
-    * 10^18 < 2^63.
+    * instance rarities; avg = sum div n. Headroom: r is CAPPED at
+    * 10^12 — uncapped, a hapax bigram of a top unigram at 10^13
+    * corpus tokens scores ~10^16, and a long disfluent doc (10^5+
+    * known bigrams) sums past 2^63, where Spark's non-ANSI sum wraps
+    * negative (ranking the WORST doc last) while DuckDB's HUGEINT
+    * does not — a silent cross-engine divergence. The cap only binds
+    * when cu+vv > 10^9*(cb+1), i.e. the bigram is already maximally
+    * rare for ranking purposes; capped, even a 10^6-bigram doc sums
+    * to 10^18 < 2^63.
     *
     * Scale: the bigram vocab is CORPUS-PROPORTIONAL, so both the
     * cb-cu build join and the instance-scoring join are deliberately
@@ -347,9 +353,14 @@ object Curation {
   private[graft] def docBigrams(docsDf: DataFrame,
                                 keep: Seq[String] = Nil): DataFrame = {
     val kept = keep.map(col)
+    // NO doc-length filter here: a 1-token doc's two slices are both
+    // empty, so explode already emits nothing — and an explicit
+    // where(size >= 2) gets pushed BELOW the streaming watermark node
+    // (the DocStream-measured hazard), so a run of short docs would
+    // stall [[graft.streaming.DocStream.lmRarityStream]]'s watermark
+    // and with it every append emission
     docsDf
       .select(col("doc_id") +: Text.tokens(col("text")).as("_bts") +: kept: _*)
-      .where(size(col("_bts")) >= 2)
       .select(col("doc_id") +:
         explode(arrays_zip(
           slice(col("_bts"), lit(1), size(col("_bts")) - 1),
@@ -376,7 +387,7 @@ object Curation {
     cb.join(cu, Seq("v"))
       .crossJoin(broadcast(vsize))
       .select(col("v"), col("w"),
-        expr("((cu + vv) * 1000) div (cb + 1)").as("r"))
+        expr("least(((cu + vv) * 1000) div (cb + 1), 1000000000000L)").as("r"))
   }
 
   /** q86: retrieval/RAG chunking — split each document into
@@ -403,9 +414,13 @@ object Curation {
     val kept = keep.map(col)
     // internal names prefixed so they cannot collide with kept
     // passthrough columns (the stream's event-time column is `ts`)
+    // no length guard: split() never yields an empty array (empty
+    // text tokenizes to [""], one chunk), and null text short-circuits
+    // sequence/explode to zero rows — a where() here would only add a
+    // vacuous Filter to the otherwise pure per-row codegen plan (and,
+    // on the streaming face, sit below the watermark node)
     docsDf
       .select(col("doc_id") +: Text.tokens(col("text")).as("_ctoks") +: kept: _*)
-      .where(size(col("_ctoks")) >= 1)
       .select(col("doc_id") +: size(col("_ctoks")).as("_cn") +: col("_ctoks") +:
         explode(sequence(lit(0), size(col("_ctoks")) - 1, lit(stride))).as("_cs") +:
         kept: _*)
@@ -681,7 +696,8 @@ object Curation {
         |cu AS (SELECT v, count(*) AS cu FROM uni GROUP BY v),
         |vv AS (SELECT count(DISTINCT v) AS vv FROM uni),
         |vocab AS (
-        |  SELECT v, w, ((cu + vv) * 1000) // (cb + 1) AS r
+        |  SELECT v, w,
+        |    least(((cu + vv) * 1000) // (cb + 1), 1000000000000) AS r
         |  FROM cb JOIN cu USING (v) CROSS JOIN vv),
         |agg AS (
         |  SELECT doc_id, count(*) AS n_bigrams,

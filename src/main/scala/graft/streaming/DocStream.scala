@@ -112,11 +112,6 @@ object DocStream {
     * so an online coverage number agrees with the offline pass. */
   private val SpanW = 5
 
-  /** The corpus's duplicated-span keys as a MATERIALIZABLE one-column
-    * table (span: bigint): the q70/q83 "rep" set — spans appearing in
-    * >= 2 distinct corpus docs. Write it `bucketBy(span)` at corpus
-    * build time; each micro-batch probes it instead of recomputing
-    * corpus-side windows. Same native SpanKeysExpr family as batch. */
   /** Online retrieval chunking — the streaming face of q86, for
     * embed-and-index pipelines that chunk documents AT ingest instead
     * of in a nightly batch. Pure stateless per-row work (sequence +
@@ -156,6 +151,11 @@ object DocStream {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("rarity_sum"))
       .withColumn("rarity_avg_milli", expr("rarity_sum div n_bigrams"))
 
+  /** The corpus's duplicated-span keys as a MATERIALIZABLE one-column
+    * table (span: bigint): the q70/q83 "rep" set — spans appearing in
+    * >= 2 distinct corpus docs. Write it `bucketBy(span)` at corpus
+    * build time; each micro-batch probes it instead of recomputing
+    * corpus-side windows. Same native SpanKeysExpr family as batch. */
   def corpusDupSpans(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", Text.tokens(col("text")))

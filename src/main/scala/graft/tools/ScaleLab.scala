@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   *    partition straggler. Run with saltBuckets=0 (window) vs >0
   *    (two-phase salted) on the SAME planted corpus to measure the
   *    skew win; row-for-row output equality is SkewSpec's pin.
+  *  - `minhash <dir> [bands]` — warm median-of-3 of
+  *    [[graft.operators.Dedup.minhashPairs]] (default 8 bands): the
+  *    band-bucket pipeline's runtime should grow ~linearly with the
+  *    corpus, and replicas share no shingles by construction.
   *
   * Used to measure the fixed-k vs grown-k SemDeDup curve at 10×
   * (round-6 verdict item 4; SCALING.md "Round 5: measured scale-up")
@@ -121,6 +125,24 @@ object ScaleLab {
       s"vecs=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
   }
 
+  /** The shared probe protocol: materialize `df` through the noop
+    * sink once to warm (fills plan/codebook memos — the offline
+    * model), then report median-of-3. One definition so all probes
+    * measure identically; a protocol change lands everywhere at once. */
+  private def timeMedian3(df: => DataFrame): (Double, Seq[Double]) = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm
+    val times = (1 to 3).map(_ => once()).sorted
+    (times(1), times)
+  }
+
+  private def fmtAll(times: Seq[Double]): String =
+    times.map(t => f"$t%.3f").mkString(",")
+
   private def probeSemdedup(spark: SparkSession, dir: String, kArg: String,
                             threshold: Double): Unit = {
     import graft.operators.Similarity
@@ -129,16 +151,10 @@ object ScaleLab {
       case "auto" => Similarity.AnnParams.ivfKFor(n)
       case other  => other.toInt
     }
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      Similarity.semdedup(spark, dir, k, threshold)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once() // warm (also fills the codebook memo — the offline model)
-    val times = (1 to 3).map(_ => once()).sorted
+    val (median, times) =
+      timeMedian3(Similarity.semdedup(spark, dir, k, threshold))
     println(f"SEMDEDUP_PROBE dir=$dir n=$n k=$k threshold=$threshold " +
-      f"median=${times(1)}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+      f"median=$median%.3f all=${fmtAll(times)}")
   }
 
   private def probeMinhash(spark: SparkSession, dir: String,
@@ -149,16 +165,10 @@ object ScaleLab {
     // quadratically. Replicas share no shingles by construction, so
     // cross-replica pairs cannot inflate the count.
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      graft.operators.Dedup.minhashPairs(spark, dir, numBands)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once() // warm
-    val times = (1 to 3).map(_ => once()).sorted
+    val (median, times) =
+      timeMedian3(graft.operators.Dedup.minhashPairs(spark, dir, numBands))
     println(f"MINHASH_PROBE dir=$dir n=$n bands=$numBands " +
-      f"median=${times(1)}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+      f"median=$median%.3f all=${fmtAll(times)}")
   }
 
   private def probeSpans(spark: SparkSession, dir: String, saltBuckets: Int,
@@ -174,16 +184,8 @@ object ScaleLab {
         when(col("doc_id") % 100 < hotPct,
           concat(lit(phrase + " "), col("text"))).otherwise(col("text")))
     val n = docs.count()
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      Dedup.spanCoverage(docs, 5, saltBuckets)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once() // warm
-    val times = (1 to 3).map(_ => once()).sorted
+    val (median, times) = timeMedian3(Dedup.spanCoverage(docs, 5, saltBuckets))
     println(f"SPANS_PROBE dir=$dir n=$n salt=$saltBuckets hotPct=$hotPct " +
-      f"rep=$rep median=${times(1)}%.3f " +
-      f"all=${times.map(t => f"$t%.3f").mkString(",")}")
+      f"rep=$rep median=$median%.3f all=${fmtAll(times)}")
   }
 }

@@ -132,15 +132,20 @@ class SnapshotsSpec extends AnyFunSuite {
     try {
       val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
       var reads = 0
-      while (System.nanoTime() < deadline) {
+      // bail if the churn future dies early — reading a static tree
+      // for 3 s would pass `reads > 0` without exercising the race
+      while (System.nanoTime() < deadline && !churn.isCompleted) {
         graft.engine.Snapshots.listAll(spark) // must never throw
         reads += 1
       }
-      assert(reads > 0)
+      stop = true
+      // rethrows a churn-loop failure; iters > 0 proves the reader
+      // actually raced live expire/insert cycles
+      val iters = Await.result(churn, 60.seconds)
+      assert(reads > 0 && iters > 0)
     } finally {
       stop = true
-      Await.result(churn, 60.seconds)
-      engine.execute("DROP TABLE snap.churn")
+      engine.execute("DROP TABLE IF EXISTS snap.churn")
     }
   }
 }

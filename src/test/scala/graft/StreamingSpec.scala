@@ -230,9 +230,13 @@ class StatefulSessionSpec extends AnyFunSuite {
         // no bigram the LM has seen -> unscorable, no row
         Doc(101, "zz qq zz", "s1", ts("2024-01-01 10:00:01")))
       q.processAllAvailable()
-      input.addData(Doc(102, "advance only", "s1", ts("2024-01-01 12:30:00")))
+      // 1-token docs produce ZERO bigrams yet MUST advance the
+      // watermark: pre-fix, docBigrams' where(size >= 2) was pushed
+      // below the watermark node, so a run of short docs never
+      // reached the event-time collector and doc 100 never emitted
+      input.addData(Doc(102, "advance", "s1", ts("2024-01-01 12:30:00")))
       q.processAllAvailable()
-      input.addData(Doc(103, "advance again", "s1", ts("2024-01-01 15:00:00")))
+      input.addData(Doc(103, "again", "s1", ts("2024-01-01 15:00:00")))
       q.processAllAvailable()
       val rows = spark.table("lm_scores").collect()
         .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
