@@ -29,6 +29,25 @@ import org.apache.spark.sql.functions._
   *    [[graft.operators.Dedup.minhashPairs]] (default 8 bands): the
   *    band-bucket pipeline's runtime should grow ~linearly with the
   *    corpus, and replicas share no shingles by construction.
+  *  - `tfidf <dir> [k]` — warm median-of-3 of
+  *    [[graft.operators.Search.tfidfKeywords]] (q82). Replicas
+  *    permute tokens, so every doc's term multiset — hence tf, df
+  *    (×factor), and per-doc scores — is preserved exactly: measured
+  *    growth is the operator's row volume, not a distribution shift.
+  *    The VOCABULARY stays constant across replicas, so this probes
+  *    the tf explode/agg/window path, not the df join strategy.
+  *  - `lmrarity <dir>` — warm median-of-3 of
+  *    [[graft.operators.Curation.lmRarity]] (q85): LM training
+  *    (bigram/unigram counts + vocab join) plus instance scoring,
+  *    end to end. Caveat, measured: permutation grows the bigram
+  *    vocab only toward its |V|² cap — the synthetic corpus has
+  *    |V|=31 tokens, so the LM saturates at 961 rows by 1× and the
+  *    probe measures INSTANCE-row growth (×factor) against a
+  *    constant-size LM. The corpus-proportional-vocab join strategy
+  *    is pinned by PlanQualitySpec's forced-large-estimate test, not
+  *    by this measurement. Bigram frequencies are not a real
+  *    corpus's (permutation flattens them) — runtime shape only,
+  *    never LM quality.
   *
   * Used to measure the fixed-k vs grown-k SemDeDup curve at 10×
   * (round-6 verdict item 4; SCALING.md "Round 5: measured scale-up")
@@ -59,6 +78,10 @@ object ScaleLab {
         probeSpans(spark, dir, salt.toInt, hotPct, rep)
       case "minhash" :: dir :: rest =>
         probeMinhash(spark, dir, rest.headOption.map(_.toInt).getOrElse(8))
+      case "tfidf" :: dir :: rest =>
+        probeTfidf(spark, dir, rest.headOption.map(_.toInt).getOrElse(3))
+      case "lmrarity" :: dir :: Nil =>
+        probeLmRarity(spark, dir)
       case other =>
         System.err.println(s"unknown ScaleLab args: $other")
         sys.exit(2)
@@ -168,6 +191,23 @@ object ScaleLab {
     val (median, times) =
       timeMedian3(graft.operators.Dedup.minhashPairs(spark, dir, numBands))
     println(f"MINHASH_PROBE dir=$dir n=$n bands=$numBands " +
+      f"median=$median%.3f all=${fmtAll(times)}")
+  }
+
+  private def probeTfidf(spark: SparkSession, dir: String, k: Int): Unit = {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val (median, times) =
+      timeMedian3(graft.operators.Search.tfidfKeywords(spark, dir, k))
+    println(f"TFIDF_PROBE dir=$dir n=$n k=$k " +
+      f"median=$median%.3f all=${fmtAll(times)}")
+  }
+
+  private def probeLmRarity(spark: SparkSession, dir: String): Unit = {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val n = docs.count()
+    val (median, times) =
+      timeMedian3(graft.operators.Curation.lmRarity(docs))
+    println(f"LMRARITY_PROBE dir=$dir n=$n " +
       f"median=$median%.3f all=${fmtAll(times)}")
   }
 
