@@ -79,13 +79,28 @@ object Changefeed {
       .collect { case EventFileRe(id) => id.toLong }
       .foldLeft(0L)(math.max)
 
+  /** Read a small control/event file fully, ALWAYS closing the stream
+    * (readFullyToByteArray reads to EOF but does not close — unclosed,
+    * every poll leaks an fd). A file that vanished between
+    * list/exists and open — a concurrent [[cleanup]]/[[retain]] (on a
+    * cluster, another driver's) winning the race — maps to None: a
+    * deleted event IS the post-cleanup state, and readers never fail
+    * because an expirer got there first (same contract as
+    * [[Snapshots]] manifest reads). */
+  private def readUtf8(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
   private def readSeq(fs: FileSystem, d: Path): Long = {
     val p = new Path(d, SeqFileName)
     if (!fs.exists(p)) 0L
-    else try new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)), "UTF-8")
-      .trim.toLong
-    catch { case _: Exception => 0L }
+    else readUtf8(fs, p)
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(0L)
   }
 
   /** Persist the high-water mark if `id` advances it (atomic
@@ -184,9 +199,7 @@ object Changefeed {
       })
       .toSeq.sortBy(_._1).take(limit)
       .flatMap { case (_, p) =>
-        val txt = new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)), "UTF-8")
-        parse(txt)
+        readUtf8(fs, p).flatMap(parse)
       }
   }
 
@@ -213,13 +226,10 @@ object Changefeed {
     }).toSeq.sortBy(_._1)
   }
 
-  /** Read + parse one event file from [[index]]. */
-  def read(spark: SparkSession, p: Path): Option[CdcEvent] = {
-    val fs = fsOf(spark, p)
-    val txt = new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(p)), "UTF-8")
-    parse(txt)
-  }
+  /** Read + parse one event file from [[index]]; None if it was
+    * cleaned up since the listing. */
+  def read(spark: SparkSession, p: Path): Option[CdcEvent] =
+    readUtf8(fsOf(spark, p), p).flatMap(parse)
 
   /** Delete events with id <= upToId — the scheduler's "immediate
     * cleanup for processed events" (astha/README.md). The high-water

@@ -371,6 +371,49 @@ class ChangefeedSpec extends AnyFunSuite with Matchers {
     drainLog()
   }
 
+  test("log readers never fail against a concurrent cleanup (TOCTOU)") {
+    // Same race class as the Snapshots manifest pin: events()/read()
+    // list the log then open each file; cleanup()/retain() — on a
+    // cluster, another driver's — can delete a listed file before the
+    // open. The reader's contract is the post-cleanup state (skip),
+    // never an exception. Pre-fix this threw FileNotFoundException
+    // under suite load.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    engine.execute("CREATE DATABASE IF NOT EXISTS cdc")
+    engine.execute("DROP TABLE IF EXISTS cdc.churn")
+    drainLog()
+    engine.execute("CREATE TABLE cdc.churn (id int64) STORAGE filesystem")
+    @volatile var stop = false
+    val churn = Future {
+      var i = 0
+      while (!stop) {
+        engine.execute(s"INSERT INTO cdc.churn VALUES ($i)")
+        Changefeed.cleanup(spark, Changefeed.maxId(spark))
+        i += 1
+      }
+      i
+    }
+    try {
+      val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+      var reads = 0
+      while (System.nanoTime() < deadline && !churn.isCompleted) {
+        Changefeed.events(spark, 0L, 256)                // must never throw
+        Changefeed.index(spark).foreach(e =>
+          Changefeed.read(spark, e._2))                  // None if cleaned
+        reads += 1
+      }
+      stop = true
+      val iters = Await.result(churn, 60.seconds)
+      assert(reads > 0 && iters > 0)
+    } finally {
+      stop = true
+      engine.execute("DROP TABLE IF EXISTS cdc.churn")
+      drainLog()
+    }
+  }
+
   private implicit def fn2sub(f: CdcEvent => Unit): Astha.Subscriber =
     new Astha.Subscriber { def onEvent(e: CdcEvent): Unit = f(e) }
 }
