@@ -532,7 +532,15 @@ object Dedup {
                               numBands: Int): DataFrame = {
     val pairs = minhashPairs(s, dir, numBands)
       .select(col("doc1"), col("doc2"))
-    connectedComponents(pairs)
+    // spark.graft.cc.maxRounds: the convergence bound reaches the
+    // user here too — the addressed non-convergence error tells them
+    // to raise it, so the q61 entry point must expose it (default 16
+    // = diameters to ~65k; deep chained-near-dup graphs need more)
+    val maxRounds = s.conf.getOption("spark.graft.cc.maxRounds")
+      .map(v => v.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+        s"invalid spark.graft.cc.maxRounds: '$v' (need a positive int)")))
+      .getOrElse(16)
+    connectedComponents(pairs, maxRounds)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_representative", col("doc_id") === col("cluster_id"))
   }

@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   *    growth is the operator's row volume, not a distribution shift.
   *    The VOCABULARY stays constant across replicas, so this probes
   *    the tf explode/agg/window path, not the df join strategy.
+  *  - `cc <dir> [bands] [maxRounds]` — warm median-of-3 of
+  *    [[graft.operators.Dedup.dedupClusters]] (q61), the suite's only
+  *    ITERATIVE operator, with the cluster memo cleared before every
+  *    timed run so each sample re-materializes the pointer-jumping
+  *    rounds; prints pair/node/cluster/max-cluster counts so the
+  *    growth number is interpretable next to how the graph grew.
+  *    `maxRounds` sets spark.graft.cc.maxRounds — the 50x replica
+  *    corpus canonicalizes token order per replica, which densifies
+  *    the near-dup graph into a giant boilerplate-style component
+  *    (measured: 4.7k docs, >16-round diameter) — the regime the
+  *    knob exists for.
   *  - `lmrarity <dir>` — warm median-of-3 of
   *    [[graft.operators.Curation.lmRarity]] (q85): LM training
   *    (bigram/unigram counts + vocab join) plus instance scoring,
@@ -80,6 +91,10 @@ object ScaleLab {
         probeMinhash(spark, dir, rest.headOption.map(_.toInt).getOrElse(8))
       case "tfidf" :: dir :: rest =>
         probeTfidf(spark, dir, rest.headOption.map(_.toInt).getOrElse(3))
+      case "cc" :: dir :: rest =>
+        rest.drop(1).headOption.foreach(r =>
+          spark.conf.set("spark.graft.cc.maxRounds", r))
+        probeCc(spark, dir, rest.headOption.map(_.toInt).getOrElse(8))
       case "lmrarity" :: dir :: Nil =>
         probeLmRarity(spark, dir)
       case other =>
@@ -200,6 +215,34 @@ object ScaleLab {
       timeMedian3(graft.operators.Search.tfidfKeywords(spark, dir, k))
     println(f"TFIDF_PROBE dir=$dir n=$n k=$k " +
       f"median=$median%.3f all=${fmtAll(times)}")
+  }
+
+  private def probeCc(spark: SparkSession, dir: String, bands: Int): Unit = {
+    import graft.operators.Dedup
+    // q61 end to end: minhash pairs -> pointer-jumping connected
+    // components -> min-id labels. The ONLY iterative operator in the
+    // suite — rounds grow with cluster DIAMETER (log-halved each
+    // jump), not corpus size, so wall growth should track the pair
+    // volume (~linear, see the minhash probe), never rounds x corpus.
+    // The memo is cleared before every timed run (the bench's own
+    // q61 discipline) so each sample re-materializes the clustering.
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val (median, times) = timeMedian3 {
+      Dedup.clearClusterMemo()
+      Dedup.dedupClusters(spark, dir, bands)
+    }
+    // graph shape alongside the timing: wall depends on pair volume
+    // AND rounds (~log2 diameter), so a growth number is only
+    // interpretable next to how the graph itself grew
+    val nPairs = Dedup.minhashPairs(spark, dir, bands).count()
+    val labels = Dedup.dedupClusters(spark, dir, bands)
+    val nNodes = labels.count()
+    val top = labels.groupBy("cluster_id").count()
+      .agg(count(lit(1)).as("k"), max("count").as("mx")).collect()(0)
+    println(f"CC_PROBE dir=$dir n=$n bands=$bands " +
+      f"median=$median%.3f all=${fmtAll(times)} " +
+      f"pairs=$nPairs nodes=$nNodes clusters=${top.getLong(0)} " +
+      f"maxCluster=${top.getLong(1)}")
   }
 
   private def probeLmRarity(spark: SparkSession, dir: String): Unit = {

@@ -246,4 +246,30 @@ class DifferentialSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ok.values.toSet == Set(0L) && ok.size == 12)
   }
+
+  test("spark.graft.cc.maxRounds reaches the q61 entry point") {
+    // The ScaleLab cc probe at 50x hit a giant (4.7k-doc) component
+    // whose diameter needs >16 jump rounds; the non-convergence error
+    // says "pass a larger maxRounds", so the q61 path must expose the
+    // knob. Validation mirrors optimize.targetFileBytes: a garbage
+    // value is an addressed error, not a NumberFormatException.
+    val conf = "spark.graft.cc.maxRounds"
+    try {
+      spark.conf.set(conf, "not-a-number")
+      graft.operators.Dedup.clearClusterMemo()
+      val ex = intercept[RuntimeException] {
+        graft.operators.Dedup.dedupClusters(
+          spark, "/root/testdata/sf0.001", 8).count()
+      }
+      assert(ex.getMessage.contains("invalid spark.graft.cc.maxRounds"))
+      // a valid override computes normally (memo cleared in between)
+      spark.conf.set(conf, "24")
+      graft.operators.Dedup.clearClusterMemo()
+      assert(graft.operators.Dedup.dedupClusters(
+        spark, "/root/testdata/sf0.001", 8).count() > 0)
+    } finally {
+      spark.conf.unset(conf)
+      graft.operators.Dedup.clearClusterMemo()
+    }
+  }
 }
