@@ -86,22 +86,26 @@ object Changefeed {
     * cluster, another driver's) winning the race — maps to None: a
     * deleted event IS the post-cleanup state, and readers never fail
     * because an expirer got there first (same contract as
-    * [[Snapshots]] manifest reads). */
+    * [[Snapshots]] manifest reads). On a distributed FS the deletion
+    * can also land MID-read (open succeeded, blocks then invalidated
+    * → an IOException that is not FileNotFound), so a generic read
+    * failure maps to None iff the file is gone afterwards; if it
+    * still exists the error was real and propagates. */
   private def readUtf8(fs: FileSystem, p: Path): Option[String] =
     try {
       val in = fs.open(p)
       try Some(new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
       finally in.close()
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case e: java.io.IOException => if (!fs.exists(p)) None else throw e
+    }
 
-  private def readSeq(fs: FileSystem, d: Path): Long = {
-    val p = new Path(d, SeqFileName)
-    if (!fs.exists(p)) 0L
-    else readUtf8(fs, p)
+  private def readSeq(fs: FileSystem, d: Path): Long =
+    readUtf8(fs, new Path(d, SeqFileName))
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
       .getOrElse(0L)
-  }
 
   /** Persist the high-water mark if `id` advances it (atomic
     * temp+rename; monotonic — never written backwards). Called before

@@ -237,8 +237,12 @@ object ScaleLab {
     val nPairs = Dedup.minhashPairs(spark, dir, bands).count()
     val labels = Dedup.dedupClusters(spark, dir, bands)
     val nNodes = labels.count()
+    // coalesce: max() over zero clusters is null (corpus with no
+    // near-dup pairs) — the probe should print 0s, not NPE after
+    // paying for all the timed runs
     val top = labels.groupBy("cluster_id").count()
-      .agg(count(lit(1)).as("k"), max("count").as("mx")).collect()(0)
+      .agg(count(lit(1)).as("k"), coalesce(max("count"), lit(0L)).as("mx"))
+      .collect()(0)
     println(f"CC_PROBE dir=$dir n=$n bands=$bands " +
       f"median=$median%.3f all=${fmtAll(times)} " +
       f"pairs=$nPairs nodes=$nNodes clusters=${top.getLong(0)} " +

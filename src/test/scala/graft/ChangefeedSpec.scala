@@ -409,6 +409,9 @@ class ChangefeedSpec extends AnyFunSuite with Matchers {
       assert(reads > 0 && iters > 0)
     } finally {
       stop = true
+      // a reader-loop failure jumps here with churn still running —
+      // let it finish before the DROP races its INSERTs
+      scala.util.Try(Await.ready(churn, 60.seconds))
       engine.execute("DROP TABLE IF EXISTS cdc.churn")
       drainLog()
     }

@@ -145,6 +145,9 @@ class SnapshotsSpec extends AnyFunSuite {
       assert(reads > 0 && iters > 0)
     } finally {
       stop = true
+      // a reader-loop failure jumps here with churn still running —
+      // let it finish before the DROP races its INSERT/EXPIRE cycle
+      scala.util.Try(Await.ready(churn, 60.seconds))
       engine.execute("DROP TABLE IF EXISTS snap.churn")
     }
   }
