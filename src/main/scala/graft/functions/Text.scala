@@ -32,21 +32,27 @@ object Text {
 
   /** Cross-engine md5-derived hash-family members (see
     * [[graft.functions.expressions.ArrayOpsImpl]] for the family
-    * definition shared with the DuckDB oracle): h1 = md5 hex chars
-    * 1-14, h2 = chars 17-30, both 56-bit so g_j = h1 + j*h2 never
-    * overflows int64 in either engine. */
+    * definition shared with the DuckDB oracle). */
   private def mdHash(s: Column, from: Int, len: Int): Column =
     conv(substring(md5(s.cast("binary")), from, len), 16, 10).cast("long")
 
-  /** MinHash signature over the md5-derived KM family
-    * g_j(s) = h1(s) + j*h2(s); one digest per shingle.
-    * O(|shingles| * numHashes) per row, no shuffle. */
+  /** MinHash signature over the md5-derived 2-independent family
+    * g_j(s) = (a_j*x(s) + b_j) mod p (constants from ArrayOpsImpl);
+    * one digest per shingle. O(|shingles| * numHashes) per row, no
+    * shuffle. HOF documentation form — the native
+    * [[graft.functions.expressions.ArrayOps.minhashSig]] is the
+    * production path. */
   def minhash(shingleSet: Column, numHashes: Int): Column = {
-    val pairs = transform(shingleSet,
-      s => struct(mdHash(s, 1, 14).as("h1"), mdHash(s, 17, 14).as("h2")))
+    import graft.functions.expressions.ArrayOpsImpl
+    val aArr = array((0 until numHashes)
+      .map(j => lit(ArrayOpsImpl.mhFamilyA(j))): _*)
+    val bArr = array((0 until numHashes)
+      .map(j => lit(ArrayOpsImpl.mhFamilyB(j))): _*)
+    val xs = transform(shingleSet, s => mdHash(s, 1, 8))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(pairs,
-        p => p.getField("h1") + j * p.getField("h2"))))
+      j => array_min(transform(xs,
+        x => (element_at(aArr, (j + 1).cast("int")) * x +
+              element_at(bArr, (j + 1).cast("int"))) % lit(ArrayOpsImpl.MhP))))
   }
 
   /** LSH band keys: `rowsPerBand` consecutive minhash components per

@@ -206,16 +206,27 @@ class ArrayOpsImpl private ()
   * the MD5 digest — which makes the whole LSH pipeline expressible as
   * oracle SQL and hash-checkable against DuckDB (the round-1 verdict's
   * top ask). Family definition (hex = lowercase md5 hex, 1-indexed):
-  *   h1(s) = int(hex[1..14])  = digest bytes 0..6  big-endian, 56 bits
-  *   h2(s) = int(hex[17..30]) = digest bytes 8..14 big-endian, 56 bits
-  *   g_j(s) = h1 + j*h2   for j < 32  (< 2^61: no BIGINT overflow in
-  *            either engine — DuckDB errors on int64 overflow, so the
-  *            family is sized to stay in range)
+  *   x(s)  = int(hex[1..8])   = digest bytes 0..3 big-endian, 32 bits
+  *   a_j   = (int(md5hex("graft_mh_a" + j)[1..8]) & (2^30-1)) | 1
+  *   b_j   =  int(md5hex("graft_mh_b" + j)[1..8]) & (2^30-1)
+  *   g_j(s) = (a_j * x(s) + b_j) mod p,  p = 2^31-1 (prime)
+  *            a_j < 2^30, x < 2^32 → a_j*x + b_j < 2^62 + 2^30: no
+  *            BIGINT overflow in either engine (DuckDB errors on
+  *            int64 overflow, so the family is sized to stay in range)
   *   lo(s) = int(hex[1..8])  = bytes 0..3 BE (SimHash vote bits 0-31)
   *   hi(s) = int(hex[9..16]) = bytes 4..7 BE (SimHash vote bits 32-63)
   * DuckDB side: ('0x' || substring(md5(s), a, n))::BIGINT.
   * Spark SQL side: CAST(conv(substring(md5(s), a, n), 16, 10) AS BIGINT).
-  */
+  *
+  * Why multiply-mod and not the earlier g_j = h1 + j*h2: a LINEAR
+  * family in j shares one argmin across all j whenever some shingle
+  * is small in both coordinates (Pareto-dominant), which collapses
+  * the 32 hashes to ~1 effective permutation — a doc pair at true
+  * Jaccard 0.9 was measured agreeing on 0/32 positions because each
+  * doc's dominant shingle was the unshared one. (a_j*x + b_j) mod p
+  * is the standard 2-independent construction: per-j orderings are
+  * pairwise-uncorrelated and P[min agrees] tracks Jaccard, restoring
+  * the S-curve the band-count tuning assumes. */
 object ArrayOpsImpl {
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
@@ -231,7 +242,31 @@ object ArrayOpsImpl {
     v
   }
 
+  /** p = 2^31 - 1 (prime) — the modulus of the minhash family. */
+  private[graft] val MhP = 2147483647L
+
+  private val MhMaxHashes = 64
+
+  /** a_j (odd, < 2^30) / b_j (< 2^30) of the 2-independent family,
+    * derived from md5 of a seed string so the DuckDB oracle re-derives
+    * bit-identical constants (see the family spec above). */
+  private def mhConst(seed: String, j: Int, odd: Boolean): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest((seed + j).getBytes("UTF-8"))
+    val v = be(d, 0, 4) & 0x3FFFFFFFL
+    if (odd) v | 1L else v
+  }
+  private val MhA =
+    Array.tabulate(MhMaxHashes)(j => mhConst("graft_mh_a", j, odd = true))
+  private val MhB =
+    Array.tabulate(MhMaxHashes)(j => mhConst("graft_mh_b", j, odd = false))
+
+  private[graft] def mhFamilyA(j: Int): Long = MhA(j)
+  private[graft] def mhFamilyB(j: Int): Long = MhB(j)
+
   def minhash(elems: ArrayData, numHashes: Int): ArrayData = {
+    require(numHashes <= MhMaxHashes,
+      s"numHashes=$numHashes exceeds the family size $MhMaxHashes")
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val md = md5Local.get()
@@ -242,13 +277,11 @@ object ArrayOpsImpl {
       if (s != null) {
         md.reset()
         val d = md.digest(s.getBytes)
-        val h1 = be(d, 0, 7)
-        val h2 = be(d, 8, 7)
+        val x = be(d, 0, 4)
         var j = 0
-        var g = h1
         while (j < numHashes) {
+          val g = (MhA(j) * x + MhB(j)) % MhP
           if (g < mins(j)) mins(j) = g
-          g += h2 // g_j = h1 + j*h2, computed incrementally
           j += 1
         }
       }

@@ -262,6 +262,12 @@ object Dedup {
 
     "q81_containment" -> ((s, dir) => containmentPairs(s, dir, DefaultBands)),
 
+    "q87_incremental_neardup" -> ((s, dir) =>
+      incrementalNearDupPairs(s, dir, DefaultBands)),
+
+    "q87b_incremental_keep" -> ((s, dir) =>
+      incrementalKeep(s, dir, DefaultBands)),
+
     "q61_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir, DefaultBands)),
 
     "q61b_dedup_apply" -> ((s, dir) => {
@@ -361,10 +367,10 @@ object Dedup {
     * stage shared by the Jaccard verifier ([[minhashPairs]]) and the
     * containment verifier ([[containmentPairs]]): (doc1, doc2, sh1,
     * n1, sh2, n2, inter). */
-  private def lshCandidates(s: SparkSession, dir: String,
-                            numBands: Int): DataFrame = {
-    val rowsPerBand = NumHashes / numBands
-    val base = minhashBases.computeIfAbsent(
+  /** Cached (doc_id, sh, mh) projection — the band-count-independent
+    * stage every minhash consumer (q33/q33b/q81/q87) shares. */
+  private def shingleBase(s: SparkSession, dir: String): DataFrame =
+    minhashBases.computeIfAbsent(
       (System.identityHashCode(s), dir), _ =>
         docs(s, dir)
           .select(col("doc_id"),
@@ -374,6 +380,11 @@ object Dedup {
           .withColumn("mh", graft.functions.expressions.ArrayOps
             .minhashSig(col("sh"), NumHashes))
           .cache())
+
+  private def lshCandidates(s: SparkSession, dir: String,
+                            numBands: Int): DataFrame = {
+    val rowsPerBand = NumHashes / numBands
+    val base = shingleBase(s, dir)
     val bands = base.select(
       col("doc_id"),
       posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand)).as(Seq("band", "bh")))
@@ -422,6 +433,84 @@ object Dedup {
         round(col("inter").cast("double") / col("n1"), 4).as("cont1"),
         round(col("inter").cast("double") / col("n2"), 4).as("cont2"))
       .where(greatest(col("cont1"), col("cont2")) >= ContainmentThreshold)
+
+  /** Near-dup decision threshold for the incremental (batch-vs-corpus)
+    * probe — matches [[graft.streaming.DocStream.nearDupAgainstBands]]
+    * so the batch entry and its streaming face agree on what counts
+    * as a duplicate. */
+  private val IncThreshold = 0.5
+
+  /** The "new batch" carve-out for q87: a deterministic tenth of the
+    * corpus plays the freshly-crawled shard, the rest the ingested
+    * corpus — mirrored verbatim in the DuckDB oracle. */
+  private def isBatch: Column = col("doc_id") % 10 === 7
+
+  /** Incremental near-dedup (q87): LSH-probe a NEW batch of documents
+    * against the already-ingested corpus — the shape every continuous
+    * ingest pipeline runs, where re-shuffling the corpus per shard is
+    * the thing you must never do.
+    *
+    * Scale design: the corpus side of the band join is exactly the
+    * [[graft.streaming.DocStream.corpusBands]] schema — at 100 TB it
+    * is a persisted `bucketBy(bh)` table written once at ingest, so
+    * each shard's probe scans only colliding buckets and shuffles
+    * only the (small) batch side, which AQE broadcasts when it fits.
+    * The corpus-side bucket cap is the same degeneracy guard as the
+    * self-join path: an over-full bucket is boilerplate, not signal.
+    * Batch-internal duplicates are deliberately NOT flagged here —
+    * that is the regular self-join pass's job ([[minhashPairs]]);
+    * this operator answers only "is it already in the corpus".
+    * Reference: near-dup semantics as q33 (`minhashPairs`); split
+    * probe shape as the streaming face. */
+  def incrementalNearDupPairs(s: SparkSession, dir: String,
+                              numBands: Int): DataFrame = {
+    val rowsPerBand = NumHashes / numBands
+    val base = shingleBase(s, dir)
+    val bands = base.select(
+      col("doc_id"),
+      posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
+        .as(Seq("band", "bh")))
+    val corpB = bands.where(!isBatch)
+      .select(col("band"), col("bh"), col("doc_id").as("corpus_id"))
+    val okBuckets = corpB.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("c")).where(col("c") <= BucketCap)
+      .select(col("band"), col("bh"))
+    val cand = bands.where(isBatch)
+      .join(corpB.join(okBuckets, Seq("band", "bh")), Seq("band", "bh"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val sets = base.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    cand
+      .join(sets.select(col("doc_id"), col("sh").as("sh1"),
+                        col("n").as("n1")), "doc_id")
+      .join(sets.select(col("doc_id").as("corpus_id"), col("sh").as("sh2"),
+                        col("n").as("n2")), "corpus_id")
+      .withColumn("inter", graft.functions.expressions.ArrayOps
+        .intersectCount(col("sh1"), col("sh2")))
+      .select(col("doc_id"), col("corpus_id"),
+              round(jaccard(col("inter"), col("n1"), col("n2")), 4)
+                .as("jaccard"))
+      .where(col("jaccard") >= IncThreshold)
+  }
+
+  /** The incremental KEEP decision (q87b): a batch doc survives iff it
+    * has no exact content-digest twin in the corpus AND no verified
+    * near-dup above [[IncThreshold]]. Both rejection sides are small:
+    * the digest anti-join shuffles 16-byte digests with map-side
+    * distinct, and the near-dup flag list is candidate-bounded — the
+    * batch scans once. */
+  def incrementalKeep(s: SparkSession, dir: String,
+                      numBands: Int): DataFrame = {
+    val d = docs(s, dir)
+    val corpusFp = d.where(!isBatch)
+      .select(md5(col("text")).as("fp")).distinct()
+    val flagged = incrementalNearDupPairs(s, dir, numBands)
+      .select(col("doc_id")).distinct()
+    d.where(isBatch)
+      .withColumn("fp", md5(col("text")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
 
   /** The full minhash-pair pipeline as a CTE stack ending in
     * `pairs(doc1, doc2, jaccard)` — shared by [[minhashOracleSql]] and
@@ -477,6 +566,39 @@ object Dedup {
        |  JOIN hp b ON b.doc_id = c.doc2)
        |SELECT doc1, doc2, cont1, cont2 FROM cont
        |WHERE greatest(cont1, cont2) >= $ContainmentThreshold""".stripMargin
+
+  /** CTE stack for the incremental probe (q87/q87b), ending in
+    * `ipairs(doc_id, corpus_id, jaccard)`: batch = `doc_id % 10 = 7`,
+    * corpus-side bucket cap and the [[IncThreshold]] decision mirrored
+    * from the Spark path verbatim. */
+  private def incPairsCtes(numBands: Int): String = {
+    val r = NumHashes / numBands
+    s"""$duckShingleCte,
+       |bands AS (
+       |  SELECT doc_id, b.range AS band,
+       |    array_to_string(mh[b.range * $r + 1 : b.range * $r + $r], '_') AS bh
+       |  FROM mh, range(0, $numBands) b),
+       |corpb AS (SELECT * FROM bands WHERE doc_id % 10 <> 7),
+       |okb AS (
+       |  SELECT band, bh FROM corpb GROUP BY band, bh
+       |  HAVING count(*) <= $BucketCap),
+       |icand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS corpus_id
+       |  FROM bands x
+       |  JOIN corpb y ON x.band = y.band AND x.bh = y.bh
+       |  JOIN okb k ON k.band = x.band AND k.bh = x.bh
+       |  WHERE x.doc_id % 10 = 7),
+       |ipairs AS (
+       |  SELECT c.doc_id, c.corpus_id,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       |  FROM icand c
+       |  JOIN hp a ON a.doc_id = c.doc_id
+       |  JOIN hp b ON b.doc_id = c.corpus_id
+       |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4)
+       |        >= $IncThreshold)""".stripMargin
+  }
 
   /** Near-duplicate CLUSTERS: connected components over the verified
     * minhash pair graph — the step that turns pairwise matches into
@@ -614,7 +736,8 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds " +
           s"($changed labels still changing) — labels would be non-minimal; " +
-          "pass a larger maxRounds (rounds grow with log2 of component diameter)")
+          "raise spark.graft.cc.maxRounds (rounds grow with log2 of " +
+          "component diameter)")
     labels
   }
 
@@ -636,7 +759,10 @@ object Dedup {
        |FROM reach GROUP BY u""".stripMargin
 
   /** DuckDB rendering of the md5 hash family (ArrayOpsImpl doc):
-    * h1 = hex chars 1-14, h2 = chars 17-30, g_j = h1 + j*h2. */
+    * x = hex chars 1-8 (32-bit), g_j = (a_j*x + b_j) mod (2^31-1)
+    * with a_j/b_j re-derived from md5("graft_mh_a"/"_b" + j) — the
+    * 2-independent construction; constants and modulus must match
+    * ArrayOpsImpl bit for bit. */
   private val duckShingleCte =
     """tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -649,14 +775,18 @@ object Dedup {
       |  FROM tok),
       |hp AS (
       |  SELECT doc_id, sh, len(sh) AS n,
-      |    list_transform(sh, s -> struct_pack(
-      |      h1 := ('0x' || substring(md5(s), 1, 14))::BIGINT,
-      |      h2 := ('0x' || substring(md5(s), 17, 14))::BIGINT)) AS hp
+      |    list_transform(sh,
+      |      s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS hx
       |  FROM sh WHERE len(sh) >= 1),
       |mh AS (
       |  SELECT doc_id, sh, n,
       |    list_transform(range(0, 32), j ->
-      |      list_min(list_transform(hp, p -> p.h1 + j * p.h2))) AS mh
+      |      list_min(list_transform(hx, x ->
+      |        ((((('0x' || substring(md5('graft_mh_a' || j), 1, 8))::BIGINT
+      |              & 1073741823) | 1) * x
+      |          + (('0x' || substring(md5('graft_mh_b' || j), 1, 8))::BIGINT
+      |              & 1073741823))
+      |         % 2147483647)))) AS mh
       |  FROM hp)""".stripMargin
 
   /** DuckDB rendering of the md5 SimHash (SimHashImpl doc): vote bits
@@ -741,6 +871,20 @@ object Dedup {
     "q33_minhash_pairs" -> minhashOracleSql(DefaultBands),
     "q33b_minhash_b16" -> minhashOracleSql(16),
     "q81_containment" -> containmentOracleSql(DefaultBands),
+
+    "q87_incremental_neardup" ->
+      s"""WITH ${incPairsCtes(DefaultBands)}
+         |SELECT doc_id, corpus_id, jaccard FROM ipairs""".stripMargin,
+
+    "q87b_incremental_keep" ->
+      s"""WITH ${incPairsCtes(DefaultBands)}
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id % 10 = 7
+         |  AND NOT EXISTS (SELECT 1 FROM documents c
+         |    WHERE c.doc_id % 10 <> 7 AND md5(c.text) = md5(d.text))
+         |  AND NOT EXISTS (SELECT 1 FROM ipairs p
+         |    WHERE p.doc_id = d.doc_id)""".stripMargin,
     "q61_dedup_clusters" -> clustersOracleSql(DefaultBands),
 
     "q61b_dedup_apply" ->

@@ -250,7 +250,7 @@ class DifferentialSpec extends AnyFunSuite {
   test("spark.graft.cc.maxRounds reaches the q61 entry point") {
     // The ScaleLab cc probe at 50x hit a giant (4.7k-doc) component
     // whose diameter needs >16 jump rounds; the non-convergence error
-    // says "pass a larger maxRounds", so the q61 path must expose the
+    // says "raise spark.graft.cc.maxRounds", so the q61 path must expose the
     // knob. Validation mirrors optimize.targetFileBytes: a garbage
     // value is an addressed error, not a NumberFormatException.
     val conf = "spark.graft.cc.maxRounds"

@@ -275,6 +275,33 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q87: incremental probe stays shuffle-joined under a forced-large estimate") {
+    // Both sides of the incremental band join are corpus-proportional
+    // (the batch is a shard of a crawl, the corpus bands are the whole
+    // ingested set), and q87 carries no broadcast() hints — under
+    // disabled thresholds every join must fall back to a shuffle; at
+    // real scale the corpus side is the bucketBy(bh) table and AQE
+    // broadcasts the shard side only when it actually fits.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = graft.operators.Dedup
+        .queries("q87b_incremental_keep")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"q87b broadcasts a corpus-proportional side under forced-large estimate:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"q87b lost its shuffle joins:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q70b/q67b/q83: salted span shapes stay shuffle-joined under a forced-large estimate") {
     // The salted path exists FOR the huge-corpus case, so its
     // join-back must not depend on the duplicated-key set being
