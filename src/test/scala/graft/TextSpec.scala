@@ -30,6 +30,33 @@ class TextSpec extends AnyFunSuite {
     assert(rows(0).length == 16)
   }
 
+  test("minhash signature agreement tracks jaccard (2-independence regression)") {
+    // Two 20-token docs sharing 18 of their 19 bigram shingles
+    // (J = 18/20 = 0.9): E[agreeing positions] = 32 * J ≈ 29. The
+    // pre-fix linear family g_j = h1 + j*h2 scored 0/32 on exactly
+    // this shape (one Pareto-dominant unshared shingle owned every
+    // minimum), which is why its LSH recall collapsed mid-range; the
+    // multiply-mod family must stay near the expectation. Bound set
+    // at 22 — ~4 sigma below E, far above the failure mode.
+    val base = "red orange yellow green blue indigo violet ultra infra " +
+      "sonic gold silver bronze copper iron tin lead zinc nickel"
+    val sigs = Seq(s"$base mercury", s"$base cobalt").toDF("text")
+      .select(graft.functions.expressions.ArrayOps.minhashSig(
+        array_distinct(Text.shingles(Text.tokens(col("text")), 2)), 32)
+        .as("mh"))
+      .collect().map(_.getSeq[Long](0))
+    val agree = (0 until 32).count(i => sigs(0)(i) == sigs(1)(i))
+    assert(agree >= 22, s"only $agree/32 positions agree at J=0.9")
+    // and the HOF documentation form is the SAME family
+    val hof = Seq(s"$base mercury").toDF("text")
+      .select(Text.minhash(
+        array_distinct(Text.shingles(Text.tokens(col("text")), 2)), 32)
+        .as("mh"))
+      .collect().head.getSeq[Long](0)
+    assert(hof == sigs(0),
+      "Text.minhash (HOF) drifted from the native ArrayOps.minhashSig family")
+  }
+
   test("simhash: identical texts agree, near-identical texts are close") {
     val df = Seq(
       ("a", "spark query engine for big data processing at scale"),
