@@ -639,14 +639,19 @@ object Dedup {
     * until the ContextCleaner's next weak-reference sweep — on a
     * bench JVM that can be never (round-6 ADVICE). Blocking=false:
     * the measured pass must not wait on block-removal RPCs. */
+  /** Best-effort release of a checkpointed frame's block-manager
+    * storage (localCheckpoint blocks otherwise live until the JVM
+    * exits; for reliable checkpoints the unpersist is a no-op on the
+    * files and merely drops any cached partitions). */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    try org.apache.spark.sql.GraftBridge.plan(df).foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+
   def clearClusterMemo(): Unit = {
-    clusterMemo.values.forEach { df =>
-      try org.apache.spark.sql.GraftBridge.plan(df).foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      } catch { case _: Throwable => () } // best-effort cleanup
-    }
+    clusterMemo.values.forEach(dropCheckpoint)
     clusterMemo.clear()
   }
 
@@ -721,14 +726,26 @@ object Dedup {
       // of edges+labels plus a count action, so fewer rounds beat a
       // thinner round (measured at 50x on the giant-component
       // corpus: 17+ rounds -> converges inside the default 16).
+      // truncate BETWEEN stages, not just after: jump(df) references
+      // df twice, so un-truncated nesting evaluates prop's
+      // edges⋈labels aggregation 4x per round — measured as a ~10x
+      // round-time blowup at 50x. With per-stage truncation the
+      // expensive propagate subtree runs exactly once per round and
+      // the self-joins read label-sized checkpoint blocks.
       def jump(df: DataFrame): DataFrame = df
         .join(df.select(col("node").as("label"), col("label").as("ll")),
               Seq("label"), "left")
         .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
-      val jumped = truncate(jump(jump(prop)))
+      val p0 = truncate(prop)
+      val j1 = truncate(jump(p0))
+      val jumped = truncate(jump(j1))
       changed = jumped
         .join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).count()
+      // round-scoped checkpoints (and the superseded labels) die here,
+      // not with the JVM — 3 truncations/round would otherwise pin
+      // 3*rounds label-sized block sets in the block manager
+      dropCheckpoint(p0); dropCheckpoint(j1); dropCheckpoint(labels)
       labels = jumped
       rounds += 1
     }

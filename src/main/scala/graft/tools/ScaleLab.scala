@@ -200,8 +200,11 @@ object ScaleLab {
     // q33's full band-bucket pipeline at scale: candidate generation
     // is bounded by the bucket cap, so pair volume — and with it
     // runtime — should grow ~linearly in corpus size, NOT
-    // quadratically. Replicas share no shingles by construction, so
-    // cross-replica pairs cannot inflate the count.
+    // quadratically. NOTE the synthetic 31-token vocabulary makes
+    // mid-range background similarity ubiquitous (39 bigrams sampled
+    // from a 961-bigram space), so cross-replica pairs are REAL and
+    // the recall-correct family finds them — pair volume at 50x is
+    // ~21x the correlated family's count (measured; SCALING.md).
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     val (median, times) =
       timeMedian3(graft.operators.Dedup.minhashPairs(spark, dir, numBands))

@@ -247,6 +247,37 @@ class DifferentialSpec extends AnyFunSuite {
     assert(ok.values.toSet == Set(0L) && ok.size == 12)
   }
 
+  test("minhash LSH recall: every ground-truth J>=0.9 pair found at sf0.001") {
+    // Differential recall check — LSH candidates vs brute-force exact
+    // Jaccard over ALL pairs (500 docs -> 125k pairs, in-test scale).
+    // The sf0.001 corpus holds 28 true pairs, all at J>=0.9, where the
+    // band S-curve promises ~100% recall (P(miss) ~ 2e-4 per pair);
+    // the pre-fix correlated family passed the fixed-corpus oracles
+    // while silently missing mid-range pairs, so recall is pinned
+    // against an independent computation, not a replayed family.
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.sfDir
+    val sets = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(graft.functions.Text.shingles(
+        graft.functions.Text.tokens(col("text")), 2)).as("sh"))
+      .where(size(col("sh")) >= 1)
+    val truth = sets.select(col("doc_id").as("d1"), col("sh").as("s1"))
+      .crossJoin(sets.select(col("doc_id").as("d2"), col("sh").as("s2")))
+      .where(col("d2") > col("d1"))
+      .withColumn("inter", graft.functions.expressions.ArrayOps
+        .intersectCount(col("s1"), col("s2")))
+      .where(col("inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("inter")) >= 0.9)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 20, s"corpus drifted: only ${truth.size} true pairs")
+    val found = graft.operators.Dedup.queries("q33_minhash_pairs")(spark, dir)
+      .select(col("doc1"), col("doc2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- found
+    assert(missed.isEmpty, s"LSH missed ground-truth pairs: $missed")
+  }
+
   test("spark.graft.cc.maxRounds reaches the q61 entry point") {
     // The ScaleLab cc probe at 50x hit a giant (4.7k-doc) component
     // whose diameter needs >16 jump rounds; the non-convergence error
