@@ -35,15 +35,29 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-      // natively; read the raw int64 nanos and convert to microseconds.
-      // `div` keeps the arithmetic in exact integer space (nanos since
-      // epoch exceed 2^53, so a double round-trip would corrupt them).
+      // events.ts has shipped in two physical shapes across driver
+      // datasets: parquet TIMESTAMP(NANOS) — unreadable natively, so
+      // the raw int64 nanos are read (nanosAsLong) and divided in
+      // exact integer space (nanos exceed 2^53; a double round-trip
+      // would corrupt them) — and plain TIMESTAMP(MICROS), which
+      // Spark reads directly. Branch on the inferred type so both
+      // generations of testdata load identically.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = schemaCache.computeIfAbsent(path,
         _ => spark.read.parquet(path).schema)
-      spark.read.schema(schema).parquet(path)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.schema(schema).parquet(path)
+      schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          // native timestamp (read as NTZ under Spark 4 inference);
+          // cast to session-tz TIMESTAMP so downstream semantics and
+          // the DuckDB oracle's naive timestamps agree (session tz is
+          // pinned to UTC — the cast is value-identity).
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else {
       val schema = schemaCache.computeIfAbsent(path,
         _ => spark.read.parquet(path).schema)
