@@ -104,6 +104,58 @@ case class IntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sorted 56-bit md5-prefix hashes of a string array — the verify-side
+  * representation of a shingle set. 56 bits = the md5 hex prefix
+  * family every cross-engine hash in this repo derives from (DuckDB:
+  * `('0x' || substring(md5(s), 1, 14))::BIGINT`); at 10^4 distinct
+  * shingles per document the within-set collision odds are ~10^-9, and
+  * the oracle replays the SAME hashes so the engines agree regardless.
+  * Computed once per document (cached in the shingle base), it turns
+  * each candidate-pair verification from a per-pair string HashSet
+  * build into an allocation-free merge over two sorted long arrays —
+  * the kernel cost that dominates band-bucket dedup at low band rows
+  * (b=16 emits ~1% of all pairs as candidates). */
+case class SortedHashesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_md5_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.sortedHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ArrayOpsImpl.sortedHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedHashesExpr =
+    copy(child = newChild)
+}
+
+/** Distinct-match intersection count of two SORTED long arrays by
+  * two-pointer merge — set semantics (a duplicated value counts once),
+  * matching DuckDB's `len(list_intersect(...))` exactly. O(n1+n2)
+  * comparisons, zero allocation: the hot verify kernel for LSH
+  * candidate pairs, where [[IntersectCountExpr]]'s per-pair string
+  * HashSet was the measured bottleneck. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOpsImpl.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.expressions.ArrayOpsImpl.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sign-bit hyperplane LSH bucket code: bit i of the result is the
   * sign of dot(v, planes(i)). Replaces an 8x64-node Column arithmetic
   * tree (whose codegen compile time dominated the query) with one
@@ -316,6 +368,46 @@ object ArrayOpsImpl {
     new GenericArrayData(out)
   }
 
+  def sortedHashes(elems: ArrayData): ArrayData = {
+    val md = md5Local.get()
+    val n = elems.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = elems.getUTF8String(i)
+      if (s != null) {
+        md.reset()
+        out(i) = be(md.digest(s.getBytes), 0, 7) // first 14 hex chars
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var count = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        count += 1
+        // skip duplicate runs on BOTH sides: distinct-match (set)
+        // semantics, same as DuckDB list_intersect
+        val v = x
+        while (i < na && a.getLong(i) == v) i += 1
+        while (j < nb && b.getLong(j) == v) j += 1
+      }
+    }
+    count
+  }
+
   def intersectCount(a: ArrayData, b: ArrayData): Int = {
     val (small, big) =
       if (a.numElements() <= b.numElements()) (a, b) else (b, a)
@@ -447,6 +539,13 @@ object ArrayOps {
 
   def intersectCount(a: Column, b: Column): Column =
     GraftBridge.column(IntersectCountExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def sortedHashes(elems: Column): Column =
+    GraftBridge.column(SortedHashesExpr(GraftBridge.expression(elems)))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCountExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** `top` defaults to the full codebook for backward compatibility;

@@ -328,20 +328,25 @@ object Dedup {
     "q35_ngram_jaccard" -> ((s, dir) => {
       // exact token-set Jaccard over a banded self-join (same source,
       // doc_id within +5): linear pair count, oracle-checkable.
+      // tokens hashed to sorted 56-bit md5 prefixes once per doc; each
+      // pair check is then a merge, not a string-set build (the same
+      // verify kernel as the LSH pipelines — see SortedHashesExpr)
       val t = docs(s, dir)
         .select(col("doc_id"), col("source"),
                 array_distinct(Text.tokens(col("text"))).as("tset"))
         .withColumn("n", size(col("tset")))
+        .withColumn("tx", graft.functions.expressions.ArrayOps
+          .sortedHashes(col("tset")))
       val a = t.select(col("source"), col("doc_id").as("doc1"),
-                       col("tset").as("t1"), col("n").as("n1"))
+                       col("tx").as("t1"), col("n").as("n1"))
       val b = t.select(col("source"), col("doc_id").as("doc2"),
-                       col("tset").as("t2"), col("n").as("n2"))
+                       col("tx").as("t2"), col("n").as("n2"))
       // doc_ids are assigned round-robin across sources (stride 20), so
       // the band must span >= a few strides to produce any pairs
       a.join(b, Seq("source"))
         .where(col("doc2") > col("doc1") && col("doc2") <= col("doc1") + 100)
         .withColumn("inter", graft.functions.expressions.ArrayOps
-          .intersectCount(col("t1"), col("t2")))
+          .sortedIntersectCount(col("t1"), col("t2")))
         .select(col("source"), col("doc1"), col("doc2"),
                 round(jaccard(col("inter"), col("n1"), col("n2")), 4).as("jaccard"))
     })
@@ -379,6 +384,14 @@ object Dedup {
           .where(size(col("sh")) >= 1) // degenerate (<k tokens) docs out
           .withColumn("mh", graft.functions.expressions.ArrayOps
             .minhashSig(col("sh"), NumHashes))
+          // sorted 56-bit md5-prefix hashes of the shingle set: the
+          // verify-side representation. Computed ONCE per doc here so
+          // every candidate-pair check is an allocation-free merge
+          // instead of a per-pair string HashSet (measured 3x on the
+          // b=16 operating point, whose 2-row bands emit ~1% of all
+          // pairs as candidates).
+          .withColumn("shx", graft.functions.expressions.ArrayOps
+            .sortedHashes(col("sh")))
           .cache())
 
   private def lshCandidates(s: SparkSession, dir: String,
@@ -400,12 +413,12 @@ object Dedup {
           |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
-    val sets = base.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val sets = base.select(col("doc_id"), col("shx"), size(col("sh")).as("n"))
     cand
-      .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1"), col("n").as("n1")), "doc1")
-      .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2"), col("n").as("n2")), "doc2")
+      .join(sets.select(col("doc_id").as("doc1"), col("shx").as("sh1"), col("n").as("n1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("shx").as("sh2"), col("n").as("n2")), "doc2")
       .withColumn("inter", graft.functions.expressions.ArrayOps
-        .intersectCount(col("sh1"), col("sh2")))
+        .sortedIntersectCount(col("sh1"), col("sh2")))
   }
 
   def minhashPairs(s: SparkSession, dir: String, numBands: Int): DataFrame =
@@ -478,14 +491,14 @@ object Dedup {
     val cand = bands.where(isBatch)
       .join(corpB.join(okBuckets, Seq("band", "bh")), Seq("band", "bh"))
       .select(col("doc_id"), col("corpus_id")).distinct()
-    val sets = base.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val sets = base.select(col("doc_id"), col("shx"), size(col("sh")).as("n"))
     cand
-      .join(sets.select(col("doc_id"), col("sh").as("sh1"),
+      .join(sets.select(col("doc_id"), col("shx").as("sh1"),
                         col("n").as("n1")), "doc_id")
-      .join(sets.select(col("doc_id").as("corpus_id"), col("sh").as("sh2"),
+      .join(sets.select(col("doc_id").as("corpus_id"), col("shx").as("sh2"),
                         col("n").as("n2")), "corpus_id")
       .withColumn("inter", graft.functions.expressions.ArrayOps
-        .intersectCount(col("sh1"), col("sh2")))
+        .sortedIntersectCount(col("sh1"), col("sh2")))
       .select(col("doc_id"), col("corpus_id"),
               round(jaccard(col("inter"), col("n1"), col("n2")), 4)
                 .as("jaccard"))
@@ -538,13 +551,13 @@ object Dedup {
     s"""${candCtes(numBands)},
        |pairs AS (
        |  SELECT c.doc1, c.doc2,
-       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |          / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       |    round(CAST(len(list_intersect(a.hxv, b.hxv)) AS DOUBLE)
+       |          / (a.n + b.n - len(list_intersect(a.hxv, b.hxv))), 4) AS jaccard
        |  FROM cand c
        |  JOIN hp a ON a.doc_id = c.doc1
        |  JOIN hp b ON b.doc_id = c.doc2
-       |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |        / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.1)""".stripMargin
+       |  WHERE round(CAST(len(list_intersect(a.hxv, b.hxv)) AS DOUBLE)
+       |        / (a.n + b.n - len(list_intersect(a.hxv, b.hxv))), 4) >= 0.1)""".stripMargin
   }
 
   /** DuckDB oracle for [[minhashPairs]] at the same band count. */
@@ -557,9 +570,9 @@ object Dedup {
     s"""WITH ${candCtes(numBands)},
        |cont AS (
        |  SELECT c.doc1, c.doc2,
-       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / a.n, 4)
+       |    round(CAST(len(list_intersect(a.hxv, b.hxv)) AS DOUBLE) / a.n, 4)
        |      AS cont1,
-       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / b.n, 4)
+       |    round(CAST(len(list_intersect(a.hxv, b.hxv)) AS DOUBLE) / b.n, 4)
        |      AS cont2
        |  FROM cand c
        |  JOIN hp a ON a.doc_id = c.doc1
@@ -590,13 +603,13 @@ object Dedup {
        |  WHERE x.doc_id % 10 = 7),
        |ipairs AS (
        |  SELECT c.doc_id, c.corpus_id,
-       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |          / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+       |    round(CAST(len(list_intersect(a.hxv, b.hxv)) AS DOUBLE)
+       |          / (a.n + b.n - len(list_intersect(a.hxv, b.hxv))), 4) AS jaccard
        |  FROM icand c
        |  JOIN hp a ON a.doc_id = c.doc_id
        |  JOIN hp b ON b.doc_id = c.corpus_id
-       |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |        / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4)
+       |  WHERE round(CAST(len(list_intersect(a.hxv, b.hxv)) AS DOUBLE)
+       |        / (a.n + b.n - len(list_intersect(a.hxv, b.hxv))), 4)
        |        >= $IncThreshold)""".stripMargin
   }
 
@@ -793,7 +806,9 @@ object Dedup {
       |hp AS (
       |  SELECT doc_id, sh, len(sh) AS n,
       |    list_transform(sh,
-      |      s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS hx
+      |      s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS hx,
+      |    list_transform(sh,
+      |      s -> ('0x' || substring(md5(s), 1, 14))::BIGINT) AS hxv
       |  FROM sh WHERE len(sh) >= 1),
       |mh AS (
       |  SELECT doc_id, sh, n,
@@ -982,7 +997,8 @@ object Dedup {
     "q35_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    list_distinct(string_split(text, ' ')) AS tset,
+        |    list_transform(list_distinct(string_split(text, ' ')),
+        |      s -> ('0x' || substring(md5(s), 1, 14))::BIGINT) AS tset,
         |    len(list_distinct(string_split(text, ' '))) AS n
         |  FROM documents)
         |SELECT a.source AS source, a.doc_id AS doc1, b.doc_id AS doc2,

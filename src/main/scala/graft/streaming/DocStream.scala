@@ -63,7 +63,12 @@ object DocStream {
         ArrayOps.wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
       .where(size(col("sh")) >= 1)
       .withColumn("mh", ArrayOps.minhashSig(col("sh"), NumHashes))
-      .select(col(idCol), col("ts"), col("sh"), size(col("sh")).as("n"),
+      // sorted 56-bit hash form of the shingle set: the batch verify
+      // kernel's representation (Dedup.shingleBase), so stream and
+      // batch probes share one intersect semantics
+      .select(col(idCol), col("ts"),
+              ArrayOps.sortedHashes(col("sh")).as("shx"),
+              size(col("sh")).as("n"),
               explode(Text.lshBandKeys(col("mh"), numBands, r)).as("bh"))
   }
 
@@ -76,7 +81,7 @@ object DocStream {
     banded(corpus.withColumn("ts", lit(null).cast("timestamp")),
         "corpus_id", numBands)
       .select(col("corpus_id"), col("bh"),
-              col("sh").as("csh"), col("n").as("cn"))
+              col("shx").as("csh"), col("n").as("cn"))
 
   /** Online near-dup flagging against a pre-banded corpus table (the
     * [[corpusBands]] schema, in-query or read back from a bucketed
@@ -87,7 +92,7 @@ object DocStream {
                           threshold: Double = 0.5,
                           watermark: String = "1 hour"): DataFrame = {
     val s = banded(stream.withWatermark("ts", watermark), "doc_id", numBands)
-    val inter = ArrayOps.intersectCount(col("sh"), col("csh"))
+    val inter = ArrayOps.sortedIntersectCount(col("shx"), col("csh"))
     s.join(bands, Seq("bh"))
       .withColumn("jaccard",
         round(inter.cast("double") / (col("n") + col("cn") - inter), 4))
