@@ -212,14 +212,105 @@ object Similarity {
   private val codebooks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
 
-  def knnIvf(s: SparkSession, dir: String, p: AnnParams): DataFrame = {
-    val k = p.ivfK
-    val nprobe = p.ivfProbe
+  private def sampledCodebook(s: SparkSession, dir: String,
+                              k: Int): Seq[Seq[Double]] = {
     val n = normed(emb(s, dir))
-    val cents: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, k), _ => n
+    codebooks.computeIfAbsent((dir, k), _ => n
       .where(col("vec_id").between(100, 100 + k - 1))
       .orderBy("vec_id").select("ve").collect()
       .map(_.getSeq[Double](0)).toSeq)
+  }
+
+  /** Quantization scale for Lloyd centroid updates: coordinate sums
+    * are accumulated as `floor(x * 2^20)` BIGINTs, so the reduction
+    * is ORDER-INDEPENDENT — the one property double summation lacks
+    * and the reason a k-means mean can be replayed bit-for-bit in a
+    * different engine with a different plan. (The repo-wide integer
+    * trick: DSIR's cross-multiplied ratios, BM25's integer points.)
+    * 2^20 keeps |x|<2^10 coordinate sums under 2^57 at 100M members
+    * per cell — inside checked BIGINT space in both engines. */
+  private val LloydQ = 1048576.0 // 2^20
+
+  /** Lloyd (k-means) refinement of an initial codebook: `iters`
+    * rounds of assign (native IvfCellsExpr argmin, (d, cell)
+    * tie-break) + recompute means. Each round is one shuffle of
+    * (cell, coordinate) integer partial sums — k*Dim rows total, a
+    * bounded collect ("train offline on the cluster, ship the model
+    * as a literal"; same contract as the sampled codebook, with the
+    * same ≤64k-centroid bound before a distributed index is the
+    * right tool). A cell that loses all members keeps its previous
+    * centroid (the classic empty-cell rule, mirrored in the oracle's
+    * LEFT JOIN + COALESCE). */
+  private[graft] def lloydRefine(n: DataFrame, init: Seq[Seq[Double]],
+                                     iters: Int): Seq[Seq[Double]] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val sums = n
+        .withColumn("cell", element_at(graft.functions.expressions.ArrayOps
+          .ivfCells(col("ve"), cents, 1), 1).getField("cell"))
+        .select(col("cell"), posexplode(col("ve")).as(Seq("j", "x")))
+        .groupBy(col("cell"), col("j"))
+        .agg(sum(floor(col("x") * LloydQ).cast("long")).as("qs"),
+             count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).toSeq
+              .map(r => r.getLong(2).toDouble / (r.getLong(3).toDouble * LloydQ))
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** Lloyd-refined codebook memo (the "model store" for the trained
+    * variant): sampled init at the same k, then [[lloydRefine]]. */
+  private def lloydCodebook(s: SparkSession, dir: String, k: Int,
+                            iters: Int): Seq[Seq[Double]] = {
+    val n = normed(emb(s, dir))
+    codebooks.computeIfAbsent((dir, -(k * 100 + iters)), _ =>
+      lloydRefine(n, sampledCodebook(s, dir, k), iters))
+  }
+
+  /** q88: per-cell accounting of the Lloyd-refined IVF index —
+    * members and integer-quantized within-cell sum of squared
+    * distances (`wss_q`, in 2^-20 units). The operational readout of
+    * codebook quality: refined centroids pull WSS down and even out
+    * cell populations, and balanced cells are balanced PARTITIONS for
+    * every downstream cell-scoped operator (SemDeDup's pairwise pass,
+    * IVF probe fan-out) — at 100 TB an unbalanced codebook is a
+    * straggler, not a recall problem. */
+  def kmeansCells(s: SparkSession, dir: String, k: Int,
+                  iters: Int): DataFrame = {
+    val n = normed(emb(s, dir))
+    val cents = lloydCodebook(s, dir, k, iters)
+    n.withColumn("a", element_at(graft.functions.expressions.ArrayOps
+        .ivfCells(col("ve"), cents, 1), 1))
+      .select(col("a").getField("cell").as("cell"),
+              col("a").getField("d").as("d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+           sum(floor(col("d") * LloydQ).cast("long")).as("wss_q"))
+  }
+
+  /** q88b: IVF-Flat search over the Lloyd-refined codebook — the
+    * sampled-codebook search (q41) with the trained model swapped in,
+    * proving the "changes only where the literal comes from" contract
+    * of [[knnIvf]]'s design note. */
+  def knnIvfLloyd(s: SparkSession, dir: String, p: AnnParams,
+                  iters: Int): DataFrame =
+    ivfSearch(normed(emb(s, dir)), lloydCodebook(s, dir, p.ivfK, iters),
+      p.ivfProbe)
+
+  def knnIvf(s: SparkSession, dir: String, p: AnnParams): DataFrame =
+    ivfSearch(normed(emb(s, dir)), sampledCodebook(s, dir, p.ivfK),
+      p.ivfProbe)
+
+  private def ivfSearch(n: DataFrame, cents: Seq[Seq[Double]],
+                        nprobe: Int): DataFrame = {
     // one-pass native assignment (ArrayOpsExprs.IvfCellsExpr): the
     // zip_with+aggregate HOF chain this replaces paid interpreted
     // lambda dispatch per element x k centroids; arithmetic and
@@ -698,6 +789,90 @@ object Similarity {
        |  WHERE c.vec_id <> p.query_id),
        |$duckRankTail""".stripMargin
 
+  /** CTE stack replaying [[lloydRefine]]: cents0 = the sampled
+    * codebook, then per iteration assign (same argmin/tie-break as
+    * the ivf oracle) + integer-quantized mean update. The quantized
+    * sums make the GROUP BY order-independent, so the double centroid
+    * coordinates that come out of `qs / (cnt * 2^20)` are bit-equal
+    * to the Spark side's regardless of plan or engine. Ends in
+    * `cents$iters(cl)` with cl = [(cid, cve)...] ordered by cid. */
+  private def lloydCtes(k: Int, iters: Int): String = {
+    val assign = (cin: String, out: String) =>
+      s"""$out AS (
+         |  SELECT vec_id, ve,
+         |    list_sort(list_transform(cl, c -> struct_pack(
+         |      d := list_sum(list_transform(generate_series(1, $Dim),
+         |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
+         |      cell := c.cid)))[1].cell AS cell
+         |  FROM n, $cin)""".stripMargin
+    val iterCtes = (0 until iters).map { it =>
+      s"""${assign(s"cents$it", s"asg$it")},
+         |upd$it AS (
+         |  SELECT cell, g.j AS j,
+         |    CAST(sum(CAST(floor(ve[g.j] * 1048576.0) AS BIGINT)) AS BIGINT)
+         |      AS qs,
+         |    count(*) AS cnt
+         |  FROM asg$it, (SELECT unnest(generate_series(1, $Dim)) AS j) g
+         |  GROUP BY cell, g.j),
+         |mean$it AS (
+         |  SELECT cell,
+         |    list(CAST(qs AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0)
+         |         ORDER BY j) AS cve
+         |  FROM upd$it GROUP BY cell),
+         |cents${it + 1} AS (
+         |  SELECT list(struct_pack(cid := s.cid,
+         |                          cve := COALESCE(m.cve, s.cve))
+         |              ORDER BY s.cid) AS cl
+         |  FROM (SELECT unnest(cl) AS s FROM cents$it) c0
+         |  LEFT JOIN mean$it m ON m.cell = c0.s.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckNormedCte,
+       |cents0 AS (
+       |  SELECT list(struct_pack(cid := r, cve := ve) ORDER BY r) AS cl
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r, ve
+       |        FROM n WHERE vec_id BETWEEN 100 AND ${100 + k - 1})),
+       |$iterCtes""".stripMargin
+  }
+
+  /** DuckDB oracle for [[kmeansCells]] at the same (k, iters). */
+  def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${lloydCtes(k, iters)},
+       |fin AS (
+       |  SELECT vec_id,
+       |    list_sort(list_transform(cl, c -> struct_pack(
+       |      d := list_sum(list_transform(generate_series(1, $Dim),
+       |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
+       |      cell := c.cid)))[1] AS a
+       |  FROM n, cents$iters)
+       |SELECT CAST(a.cell AS INTEGER) AS cell, count(*) AS n_members,
+       |  CAST(sum(CAST(floor(a.d * 1048576.0) AS BIGINT)) AS BIGINT)
+       |    AS wss_q
+       |FROM fin GROUP BY a.cell""".stripMargin
+
+  /** DuckDB oracle for [[knnIvfLloyd]] — the ivf oracle's search
+    * tail over the replayed refined codebook. */
+  def ivfLloydOracleSql(p: AnnParams, iters: Int): String =
+    s"""WITH ${lloydCtes(p.ivfK, iters)},
+       |assigned AS (
+       |  SELECT vec_id, ve, nrm,
+       |    list_sort(list_transform(cl, c -> struct_pack(
+       |      d := list_sum(list_transform(generate_series(1, $Dim),
+       |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
+       |      cell := c.cid))) AS cbd
+       |  FROM n, cents$iters),
+       |corpus AS (
+       |  SELECT vec_id, ve, nrm, cbd[1].cell AS cell FROM assigned),
+       |probes AS (
+       |  SELECT vec_id AS query_id, ve AS qve, nrm AS qnrm,
+       |    unnest(list_transform(cbd[1:${p.ivfProbe}], s2 -> s2.cell)) AS cell
+       |  FROM assigned WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(p.qve, c.ve) / (p.qnrm * c.nrm) AS cosine
+       |  FROM probes p JOIN corpus c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |$duckRankTail""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_knn_brute" -> ((s, dir) => {
       // exact top-k cosine: corpus scanned once, queries broadcast
@@ -722,6 +897,9 @@ object Similarity {
     // the GROWN-codebook operating point (round-6 verdict item 4):
     // k=32 is ivfKFor's regime for a ~1k-vector corpus — cells stay
     // bounded as the corpus grows instead of the fixed-k default
+    "q88_kmeans_cells" -> ((s, dir) => kmeansCells(s, dir, 16, 2)),
+    "q88b_knn_ivf_lloyd" -> ((s, dir) =>
+      knnIvfLloyd(s, dir, AnnParams.Default, 2)),
     "q41c_knn_ivf_k32" -> ((s, dir) =>
       knnIvf(s, dir, AnnParams(ivfK = 32))),
 
@@ -880,6 +1058,8 @@ object Similarity {
     "q41_knn_ivf" -> ivfOracleSql(AnnParams.Default),
     "q41b_knn_ivf_k8" -> ivfOracleSql(AnnParams(ivfK = 8, ivfProbe = 2)),
     "q41c_knn_ivf_k32" -> ivfOracleSql(AnnParams(ivfK = 32)),
+    "q88_kmeans_cells" -> kmeansOracleSql(16, 2),
+    "q88b_knn_ivf_lloyd" -> ivfLloydOracleSql(AnnParams.Default, 2),
 
     "q42_embed_neardup" ->
       s"""WITH $duckNormedCte,
