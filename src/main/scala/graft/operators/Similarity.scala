@@ -268,7 +268,7 @@ object Similarity {
 
   /** Lloyd-refined codebook memo (the "model store" for the trained
     * variant): sampled init at the same k, then [[lloydRefine]]. */
-  private def lloydCodebook(s: SparkSession, dir: String, k: Int,
+  private[graft] def lloydCodebook(s: SparkSession, dir: String, k: Int,
                             iters: Int): Seq[Seq[Double]] = {
     val n = normed(emb(s, dir))
     codebooks.computeIfAbsent((dir, -(k * 100 + iters)), _ =>

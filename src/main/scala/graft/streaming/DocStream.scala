@@ -156,6 +156,44 @@ object DocStream {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("rarity_sum"))
       .withColumn("rarity_avg_milli", expr("rarity_sum div n_bigrams"))
 
+  /** Online IVF cell assignment — the streaming face of the q88/q41
+    * index: each arriving vector is assigned its nearest trained-
+    * codebook centroid at INGEST time (stateless per-row native
+    * argmin, the codebook embedded as a literal exactly as in the
+    * batch path). Writing the output cell-partitioned keeps
+    * probe-side cell pruning valid for vectors that arrived AFTER
+    * training — the online half of an IVF index build. Emits
+    * (vec_id, ts, cell, d_q); d_q is the quantized squared distance
+    * in 2^-20 units, the same integer family as q88's wss_q, so
+    * monitors can SUM it without float-order concerns. Works on a
+    * batch DataFrame too (stateless transforms), which is the
+    * stream==batch contract the spec pins. */
+  def vecIngestStream(stream: DataFrame,
+                      cents: Seq[Seq[Double]]): DataFrame =
+    stream
+      .select(col("vec_id"), col("ts"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ve"))
+      .withColumn("a", element_at(ArrayOps.ivfCells(col("ve"), cents, 1), 1))
+      .select(col("vec_id"), col("ts"),
+              col("a").getField("cell").as("cell"),
+              floor(col("a").getField("d") * 1048576.0).cast("long").as("d_q"))
+
+  /** Windowed per-cell ingest load + quantized distortion — the index
+    * drift monitor over [[vecIngestStream]]: a window whose
+    * `d_sum / n` rises above the trained WSS/n baseline (q88) is
+    * drift, a cell whose `n` runs hot is a partition-balance alarm —
+    * both BEFORE the skew lands in the stored index. One stateful
+    * agg, state = cells x open windows inside the watermark. */
+  def cellLoadStream(stream: DataFrame, cents: Seq[Seq[Double]],
+                     windowLen: String = "10 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    vecIngestStream(stream, cents)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d_q")).as("d_sum"))
+      .select(col("window.start").as("window_start"), col("cell"),
+              col("n"), col("d_sum"))
+
   /** The corpus's duplicated-span keys as a MATERIALIZABLE one-column
     * table (span: bigint): the q70/q83 "rep" set — spans appearing in
     * >= 2 distinct corpus docs. Write it `bucketBy(span)` at corpus

@@ -8,6 +8,7 @@ import graft.streaming.EventsStream
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class Doc(doc_id: Long, text: String, source: String, ts: Timestamp)
+case class Vec(vec_id: Long, embedding: Array[Float], ts: Timestamp)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -319,5 +320,41 @@ class StatefulSessionSpec extends AnyFunSuite {
         s"banded-table probe missed the planted dup: ${flags.mkString(",")}")
     } finally q.stop()
     spark.sql("DROP TABLE bandix2.corpus_bands")
+  }
+
+  test("streaming IVF ingest: stream assignments equal the batch path; cell-load monitor accounts every vector") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cents = graft.operators.Similarity
+      .lloydCodebook(spark, TestSpark.sfDir, 16, 2)
+    val vecs = graft.sources.Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .orderBy("vec_id").limit(20).collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray,
+                    ts("2024-01-01 10:05:00")))
+    val expected = graft.streaming.DocStream
+      .vecIngestStream(vecs.toSeq.toDF(), cents)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+
+    val input = MemoryStream[Vec]
+    val q = graft.streaming.DocStream.vecIngestStream(input.toDF(), cents)
+      .writeStream.format("memory").queryName("vec_ingest")
+      .outputMode("append").start()
+    val q2 = graft.streaming.DocStream.cellLoadStream(input.toDF(), cents)
+      .writeStream.format("memory").queryName("cell_load")
+      .outputMode("complete").start()
+    try {
+      input.addData(vecs.toIndexedSeq)
+      q.processAllAvailable(); q2.processAllAvailable()
+      val got = spark.table("vec_ingest").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+      assert(got == expected, "stream and batch assignment diverged")
+      val load = spark.table("cell_load").collect()
+      assert(load.map(_.getLong(2)).sum == 20L, "monitor lost vectors")
+      // the monitor's distortion sums are the per-cell sums of d_q
+      val byCell = spark.table("vec_ingest").collect()
+        .groupBy(_.getInt(2)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+      load.foreach(r =>
+        assert(r.getLong(3) == byCell(r.getInt(1)), s"cell ${r.getInt(1)}"))
+    } finally { q.stop(); q2.stop() }
   }
 }
