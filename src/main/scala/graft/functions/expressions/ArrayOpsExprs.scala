@@ -205,6 +205,38 @@ case class ShinglesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Within-document span dedup in ONE per-row pass (q84): repeated
+  * span-key occurrences (same md5 family as [[SpanKeysExpr]] — the
+  * key, not the token sequence, is the identity, exactly as the
+  * relational formulation joined) mark their w windows covered; the
+  * surviving tokens are counted and re-joined. The work is
+  * document-local by definition, so the right plan is NO plan: this
+  * expression replaces a 6-shuffle spans/firsts/repeats/anti-join/
+  * collect pipeline with a scan — within-doc state never belongs in
+  * a shuffle, at any corpus size. The DuckDB oracle is unchanged:
+  * it replays the relational formulation over the same key family,
+  * and the outputs are defined to be identical. */
+case class IntraDocDedupExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("kept_tokens", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("kept_text",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  override def prettyName: String = "intra_doc_dedup"
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.intraDocDedup(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ArrayOpsImpl.intraDocDedup($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): IntraDocDedupExpr =
+    copy(child = newChild)
+}
+
 /** Sorted (squared-distance, cell) pairs against a centroid codebook
   * in one pass — the native replacement for the IVF assignment's
   * 16-way zip_with+aggregate HOF chain (interpreted lambda dispatch
@@ -408,6 +440,39 @@ object ArrayOpsImpl {
     count
   }
 
+  def intraDocDedup(tokens: ArrayData, w: Int)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = tokens.numElements()
+    val covered = new Array[Boolean](n)
+    if (n >= w) {
+      val keys = spanKeys(tokens, w)
+      val m = n - w + 1
+      val seen = new java.util.HashMap[java.lang.Long, Integer](m * 2)
+      var i = 0
+      while (i < m) {
+        if (seen.putIfAbsent(keys.getLong(i), i) != null) {
+          var j = i
+          while (j < i + w) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+    }
+    var kept = 0L
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (!covered(i)) {
+        if (kept > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i).toString)
+        kept += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](kept,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
   def intersectCount(a: ArrayData, b: ArrayData): Int = {
     val (small, big) =
       if (a.numElements() <= b.numElements()) (a, b) else (b, a)
@@ -558,4 +623,7 @@ object ArrayOps {
 
   def spanKeys(tokens: Column, w: Int): Column =
     GraftBridge.column(SpanKeysExpr(GraftBridge.expression(tokens), w))
+
+  def intraDocDedup(tokens: Column, w: Int): Column =
+    GraftBridge.column(IntraDocDedupExpr(GraftBridge.expression(tokens), w))
 }

@@ -363,6 +363,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!cp.contains("Exchange"), s"q86 chunking gained a shuffle:\n$cp")
   }
 
+  test("q84 intra-doc dedup is a bare scan: document-local work never shuffles") {
+    // the whole operator is per-document by definition
+    // (IntraDocDedupExpr); any Exchange is a regression back to the
+    // relational 6-shuffle formulation
+    val df = graft.operators.Dedup.queries("q84_intradoc_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"q84 gained a shuffle:\n$p")
+  }
+
   test("partition-pruned UPDATE reads only affected partitions") {
     // the rewrite scan must carry the partition predicate so partition
     // pruning bounds the IO (EngineSpec proves the file-level effect;
