@@ -78,4 +78,65 @@ class GenerativeOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // -- round-7 native rewrites vs independent references --------------
+
+  /** Tiny vocab forces within- and cross-array repeats, the regimes
+    * where sorted-merge vs hash-set and first-occurrence bookkeeping
+    * can diverge. */
+  private val tinyDocGen: Gen[Seq[String]] = for {
+    len <- Gen.choose(0, 60)
+    ws <- Gen.listOfN(len, Gen.oneOf(Vector("a", "b", "c", "ab", "x")))
+  } yield ws
+
+  test("sorted-hash merge equals distinct string intersection on random arrays") {
+    val s = spark
+    import s.implicits._
+    val pairs = samples(Gen.zip(tinyDocGen, tinyDocGen), 60)
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a.distinct, b.distinct) }
+      .toDF("id", "a", "b")
+      .select($"id",
+        graft.functions.expressions.ArrayOps.sortedIntersectCount(
+          graft.functions.expressions.ArrayOps.sortedHashes($"a"),
+          graft.functions.expressions.ArrayOps.sortedHashes($"b")).as("got"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val want = a.distinct.toSet.intersect(b.distinct.toSet).size
+      assert(df(i.toLong) == want, s"pair $i: $a vs $b")
+    }
+  }
+
+  test("native intra-doc dedup equals a brute-force span reference on random docs") {
+    val s = spark
+    import s.implicits._
+    val w = 5
+    val docs = samples(tinyDocGen, 60)
+    // independent reference: repeated (by token SEQUENCE) w-gram
+    // occurrences cover their window; first occurrences stay. The
+    // native path keys on the md5 span hash — agreement also checks
+    // that the hash family is collision-free on these inputs.
+    def ref(toks: Seq[String]): (Long, String) = {
+      val n = toks.length
+      val covered = Array.fill(n)(false)
+      if (n >= w) {
+        val seen = scala.collection.mutable.HashSet[Seq[String]]()
+        for (i <- 0 to n - w) {
+          val g = toks.slice(i, i + w)
+          if (!seen.add(g)) (i until i + w).foreach(covered(_) = true)
+        }
+      }
+      val kept = toks.indices.filterNot(covered).map(toks)
+      (kept.size.toLong, kept.mkString(" "))
+    }
+    val got = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("doc_id", "toks")
+      .select($"doc_id", graft.functions.expressions.ArrayOps
+        .intraDocDedup($"toks", w).as("r"))
+      .select($"doc_id", $"r.kept_tokens", $"r.kept_text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    docs.zipWithIndex.foreach { case (d, i) =>
+      assert(got(i.toLong) == ref(d), s"doc $i: ${d.mkString(" ")}")
+    }
+  }
 }
