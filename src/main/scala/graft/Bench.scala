@@ -50,7 +50,8 @@ object Bench {
     * labels): bypassed in the attributable sequential pass; the
     * concurrent passes keep the memo warm (suite-throughput
     * semantics) and the JSON flags them. */
-  private val MemoBypass = Set("q61_dedup_clusters")
+  private val MemoBypass =
+    Set("q61_dedup_clusters", "q89_bpe_merges", "q89b_bpe_vocab")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,7 +100,10 @@ object Bench {
     // re-materialized so each number is attributable work
     val seqT0 = System.nanoTime()
     val sequential = suite.map { case (name, fn) =>
-      if (MemoBypass(name)) graft.operators.Dedup.clearClusterMemo()
+      if (MemoBypass(name)) {
+        graft.operators.Dedup.clearClusterMemo()
+        graft.operators.Curation.clearBpeMemo()
+      }
       name -> run1(name, fn)
     }
     val seqTotal = (System.nanoTime() - seqT0) / 1e9

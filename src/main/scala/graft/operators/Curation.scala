@@ -65,6 +65,170 @@ object Curation {
   private val ChunkOverlap = 8
   private val ChunkStride = ChunkTokens - ChunkOverlap
 
+  /** BPE merge rounds for q89 — the tokenizer-training operator. */
+  private val BpeRounds = 8
+
+  /** The BPE word table: each distinct corpus token with its
+    * frequency, symbols initialized to characters, rendered as ONE
+    * string with a fixed separator invariant — single space at each
+    * end, double space between symbols (` h  i `). The invariant is
+    * what makes merge application a plain `replace(w, ' a  b ',
+    * ' ab ')`: the anchoring spaces cannot match inside a symbol, and
+    * left-to-right non-overlapping replacement (the same semantics in
+    * Spark and DuckDB) is exactly BPE's greedy scan. Word-frequency
+    * space is where real BPE trainers run (corpus-sized work is ONE
+    * groupBy; every merge round then touches only the vocab table). */
+  private def bpeWords(docsDf: DataFrame): DataFrame =
+    docsDf.select(explode(Text.tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        concat_ws("  ", split(col("tok"), "")), lit(" ")).as("w"),
+        col("cnt"))
+
+  /** Adjacent symbol pairs of the current word table, counted by word
+    * frequency (overlapping pairs count, the BPE convention). */
+  private def bpePairs(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), split(trim(col("w")), "  ").as("syms"))
+      .select(col("cnt"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+      .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"),
+              col("cnt"))
+      .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c"))
+
+  /** BPE tokenizer training (q89): `rounds` greedy merges over the
+    * corpus word-frequency table. Each round: count adjacent symbol
+    * pairs (vocab-sized shuffle), pick argmax with a total (c DESC,
+    * a, b) order, apply the merge with the separator-invariant
+    * `replace`. The argmax is a 1-row collect per round and the merge
+    * list IS the trained model — the Lloyd-codebook contract again
+    * (bounded driver state, corpus-sized work only in the initial
+    * groupBy). Integer counts and binary string order make every
+    * round deterministic, so the DuckDB oracle replays all rounds as
+    * generated CTEs and hash-matches. Returns (round, a, b, merged,
+    * c) per executed round; stops early when no pair remains. */
+  /** Trained-model memo, keyed like the ANN codebooks: the merge list
+    * and final word table are deterministic per (corpus, rounds), so
+    * train once per JVM ("the memo IS the model store") — and the
+    * cached word table is created once instead of per call. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int),
+    (Seq[(Int, String, String, String, Long)], DataFrame, DataFrame)]()
+
+  private[graft] def bpeMerges(s: SparkSession, dir: String,
+                               rounds: Int = BpeRounds)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val (m, fin, _) = bpeMemo.computeIfAbsent(
+      (System.identityHashCode(s), dir, rounds),
+      _ => bpeTrain(s, dir, rounds))
+    (m, fin)
+  }
+
+  /** Bench hook (the q61 contract): drop trained models and unpersist
+    * the cached BASE word table (the only cached plan — the final
+    * table chains off it) so a sequential pass times real training. */
+  def clearBpeMemo(): Unit = {
+    bpeMemo.values.forEach { case (_, _, base) => base.unpersist() }
+    bpeMemo.clear()
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, DataFrame) = {
+    val base = bpeWords(docs(s, dir)).cache()
+    var words = base
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val best = bpePairs(words)
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, a + b, c))
+        words = words.withColumn("w", call_function("replace", col("w"),
+          lit(s" $a  $b "), lit(s" $a$b ")))
+      }
+      r += 1
+    }
+    (merges.toSeq, words, base)
+  }
+
+  /** q89: the learned merge table. */
+  def bpeMergeTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir)._1
+      .toDF("round", "a", "b", "merged", "c")
+  }
+
+  /** q89b: the learned vocabulary — every symbol surviving the merge
+    * rounds, weighted by corpus token frequency. */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(s, dir)._2
+      .select(explode(split(trim(col("w")), "  ")).as("sym"), col("cnt"))
+      .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
+
+  /** DuckDB oracle CTE stack replaying [[bpeMerges]]: w0 = the word
+    * table with the same separator invariant, then per round the pair
+    * count / argmax / guarded replace. Empty-argmax rounds no-op in
+    * both engines (scalar subqueries go NULL -> CASE keeps w). */
+  private def bpeCtes(rounds: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and 8 chained rounds otherwise re-expand the whole
+    // prefix per reference — exponential plan growth ("too many open
+    // files" on the documents scan). The merge apply joins ONE guarded
+    // best-row (LEFT JOIN ON TRUE) instead of scalar subqueries so
+    // each round references its predecessor exactly twice.
+    val roundCtes = (0 until rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s.syms[g.i] AS a, s.syms[g.i + 1] AS b,
+         |    CAST(sum(s.cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, string_split(trim(w), '  ') AS syms
+         |        FROM w$r) s,
+         |       (SELECT unnest(generate_series(1, 64)) AS i) g
+         |  WHERE g.i < len(s.syms)
+         |  GROUP BY a, b),
+         |b$r AS MATERIALIZED (
+         |  SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT CASE WHEN g.a IS NOT NULL
+         |    THEN replace(w.w, ' ' || g.a || '  ' || g.b || ' ',
+         |                 ' ' || g.a || g.b || ' ')
+         |    ELSE w.w END AS w, w.cnt AS cnt
+         |  FROM w$r w LEFT JOIN b$r g ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(
+       |      list_transform(generate_series(1, length(tok)), i -> tok[i]),
+       |      '  ') || ' ' AS w,
+       |    count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) >= 1
+       |  GROUP BY tok),
+       |$roundCtes""".stripMargin
+  }
+
+  def bpeMergesOracleSql(rounds: Int = BpeRounds): String = {
+    val union = (0 until rounds).map(r =>
+      s"SELECT $r AS round, a, b, a || b AS merged, c FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(rounds)}
+       |$union""".stripMargin
+  }
+
+  def bpeVocabOracleSql(rounds: Int = BpeRounds): String =
+    s"""WITH ${bpeCtes(rounds)}
+       |SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |  SELECT unnest(string_split(trim(w), '  ')) AS sym, cnt
+       |  FROM w$rounds)
+       |GROUP BY sym""".stripMargin
+
   /** Shared quality gate (q28's keep rule) — also the streaming
     * gate ([[graft.streaming.DocStream.curateStream]]), so online and
     * offline curation can never drift apart on thresholds. */
@@ -107,6 +271,9 @@ object Curation {
         .agg(countDistinct(col("shingle")).as("shared_ngrams"))
         .where(col("shared_ngrams") >= 3)
     }),
+
+    "q89_bpe_merges" -> ((s, dir) => bpeMergeTable(s, dir)),
+    "q89b_bpe_vocab" -> ((s, dir) => bpeVocab(s, dir)),
 
     "q57_vocab_topk" -> ((s, dir) =>
       // corpus vocabulary heavy hitters: document frequency of each
@@ -540,6 +707,9 @@ object Curation {
         |FROM train tr JOIN bench b ON tr.shingle = b.shingle
         |GROUP BY tr.doc_id
         |HAVING count(DISTINCT tr.shingle) >= 3""".stripMargin,
+
+    "q89_bpe_merges" -> bpeMergesOracleSql(),
+    "q89b_bpe_vocab" -> bpeVocabOracleSql(),
 
     "q57_vocab_topk" ->
       """WITH t AS (

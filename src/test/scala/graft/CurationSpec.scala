@@ -289,4 +289,55 @@ class CurationSpec extends AnyFunSuite {
       .getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(byDoc(1L)(1)._5 == want)
   }
+
+  test("BPE merges (q89) match a plain-Scala greedy reference; best-pair count never increases") {
+    import org.apache.spark.sql.functions._
+    // independent reference over the same word-frequency table
+    val wordCnt = graft.sources.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var words: Map[Vector[String], Long] =
+      wordCnt.groupBy { case (tok, _) => tok.toVector.map(_.toString) }
+        .view.mapValues(_.values.sum).toMap
+    val refMerges = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (r <- 0 until 8) {
+      val pairCnt = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pairCnt((syms(i), syms(i + 1))) += c
+      if (pairCnt.nonEmpty) {
+        val ((a, b), c) = pairCnt.minBy { case ((a, b), c) => (-c, a, b) }
+        refMerges += ((r, a, b, a + b, c))
+        words = words.groupBy { case (syms, _) =>
+          // greedy left-to-right application
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector
+        }.view.mapValues(_.values.sum).toMap
+      }
+    }
+    val got = graft.operators.Curation.queries("q89_bpe_merges")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == refMerges.toSeq, "merge tables diverge")
+    // greedy BPE invariant: the winning pair count is non-increasing
+    val cs = got.map(_._5)
+    assert(cs.zip(cs.drop(1)).forall { case (x, y) => y <= x }, cs.toSeq)
+    // the learned vocab covers every surviving symbol exactly
+    val vocab = graft.operators.Curation.queries("q89b_bpe_vocab")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refVocab = words.toSeq
+      .flatMap { case (syms, c) => syms.map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(vocab == refVocab, "vocab diverges from reference")
+  }
 }
