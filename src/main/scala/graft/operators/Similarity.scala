@@ -267,13 +267,25 @@ object Similarity {
   }
 
   /** Lloyd-refined codebook memo (the "model store" for the trained
-    * variant): sampled init at the same k, then [[lloydRefine]]. */
+    * variant): sampled init at the same k, then [[lloydRefine]]. Its
+    * own map with a structured key — packing (k, iters) into the
+    * sampled-codebook map's int key would collide (k=17,iters=2 vs
+    * k=16,iters=102) and silently serve the wrong model. */
+  private val lloydBooks = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[Seq[Double]]]()
+
   private[graft] def lloydCodebook(s: SparkSession, dir: String, k: Int,
-                            iters: Int): Seq[Seq[Double]] = {
+                                   iters: Int): Seq[Seq[Double]] = {
     val n = normed(emb(s, dir))
-    codebooks.computeIfAbsent((dir, -(k * 100 + iters)), _ =>
+    lloydBooks.computeIfAbsent((dir, k, iters), _ =>
       lloydRefine(n, sampledCodebook(s, dir, k), iters))
   }
+
+  /** Bench hook (the q61 contract): drop trained Lloyd models so a
+    * sequential pass times the actual refinement iterations; the
+    * sampled-init memo stays (a bounded 16-row collect, not
+    * training). */
+  def clearLloydMemo(): Unit = lloydBooks.clear()
 
   /** q88: per-cell accounting of the Lloyd-refined IVF index —
     * members and integer-quantized within-cell sum of squared
@@ -513,10 +525,7 @@ object Similarity {
     * with zero training in the query path. */
   def ivfPqTopK(s: SparkSession, dir: String, p: AnnParams): DataFrame = {
     val n = normed(emb(s, dir))
-    val ivfCents: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, p.ivfK),
-      _ => n.where(col("vec_id").between(100, 100 + p.ivfK - 1))
-        .orderBy("vec_id").select("ve").collect()
-        .map(_.getSeq[Double](0)).toSeq)
+    val ivfCents = sampledCodebook(s, dir, p.ivfK)
     val pqSamples: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, -PqK),
       _ => n.where(col("vec_id").between(PqSampleBase, PqSampleBase + PqK - 1))
         .orderBy("vec_id").select("ve").collect()
@@ -650,10 +659,7 @@ object Similarity {
   def semdedup(s: SparkSession, dir: String, k: Int,
                threshold: Double): DataFrame = {
     val n = normed(emb(s, dir))
-    val cents: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, k),
-      _ => n.where(col("vec_id").between(100, 100 + k - 1))
-        .orderBy("vec_id").select("ve").collect()
-        .map(_.getSeq[Double](0)).toSeq)
+    val cents = sampledCodebook(s, dir, k)
     val corpus = n
       .withColumn("cbd",
         graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents, 1))
@@ -716,10 +722,7 @@ object Similarity {
   def clusterSample(s: SparkSession, dir: String, k: Int,
                     m: Int): DataFrame = {
     val n = normed(emb(s, dir))
-    val cents: Seq[Seq[Double]] = codebooks.computeIfAbsent((dir, k),
-      _ => n.where(col("vec_id").between(100, 100 + k - 1))
-        .orderBy("vec_id").select("ve").collect()
-        .map(_.getSeq[Double](0)).toSeq)
+    val cents = sampledCodebook(s, dir, k)
     val assigned = n
       .withColumn("cbd",
         graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents, 1))
