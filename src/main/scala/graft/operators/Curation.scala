@@ -66,7 +66,14 @@ object Curation {
   private val ChunkStride = ChunkTokens - ChunkOverlap
 
   /** BPE merge rounds for q89 — the tokenizer-training operator. */
-  private val BpeRounds = 8
+  private[graft] val BpeRounds = 64
+
+  /** Max merges applied per Spark round (`spark.graft.bpe.batch`
+    * overrides). A real 30k-merge tokenizer at batch 1 is 30k serial
+    * driver round-trips; batching keeps driver rounds ≈ merges / B
+    * while [[selectBatch]] guarantees bit-identical output to
+    * sequential greedy. */
+  private val BpeBatchDefault = 16
 
   /** The BPE word table: each distinct corpus token with its
     * frequency, symbols initialized to characters, rendered as ONE
@@ -99,63 +106,216 @@ object Curation {
       .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c"))
 
   /** BPE tokenizer training (q89): `rounds` greedy merges over the
-    * corpus word-frequency table. Each round: count adjacent symbol
-    * pairs (vocab-sized shuffle), pick argmax with a total (c DESC,
-    * a, b) order, apply the merge with the separator-invariant
-    * `replace`. The argmax is a 1-row collect per round and the merge
-    * list IS the trained model — the Lloyd-codebook contract again
+    * corpus word-frequency table. Each SPARK round: count adjacent
+    * symbol pairs (vocab-sized shuffle), collect the top candidates,
+    * select a batch of up to B merges that [[selectBatch]] proves
+    * identical to B steps of sequential greedy, and apply them as
+    * chained separator-invariant `replace`s. Driver rounds are
+    * therefore ≈ merges / B — a 30k-merge tokenizer is ~2k Spark jobs,
+    * not 30k — while the merge list stays bit-identical to one-at-a-
+    * time greedy (the sequential DuckDB oracle replays it unchanged).
+    * The merge list IS the trained model — the Lloyd-codebook contract
     * (bounded driver state, corpus-sized work only in the initial
-    * groupBy). Integer counts and binary string order make every
-    * round deterministic, so the DuckDB oracle replays all rounds as
-    * generated CTEs and hash-matches. Returns (round, a, b, merged,
-    * c) per executed round; stops early when no pair remains. */
+    * groupBy). Integer counts and binary string order make every round
+    * deterministic. Returns (round, a, b, merged, c) per executed
+    * merge; stops early when no pair remains. */
   /** Trained-model memo, keyed like the ANN codebooks: the merge list
     * and final word table are deterministic per (corpus, rounds), so
     * train once per JVM ("the memo IS the model store") — and the
     * cached word table is created once instead of per call. */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int),
+    (String, String, Int),
     (Seq[(Int, String, String, String, Long)], DataFrame, DataFrame)]()
 
   private[graft] def bpeMerges(s: SparkSession, dir: String,
                                rounds: Int = BpeRounds)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    // sessionUUID, not identityHashCode: identity hashes can collide
+    // across two live sessions, serving one a DataFrame bound to the
+    // other (round-7 ADVICE).
     val (m, fin, _) = bpeMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir, rounds),
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, rounds),
       _ => bpeTrain(s, dir, rounds))
     (m, fin)
   }
 
-  /** Bench hook (the q61 contract): drop trained models and unpersist
-    * the cached BASE word table (the only cached plan — the final
-    * table chains off it) so a sequential pass times real training. */
+  /** Bench hook (the q61 contract): drop trained models, unpersist the
+    * cached BASE word table, and release any mid-train checkpoint
+    * blocks the final word table sits on, so a sequential pass times
+    * real training. */
   def clearBpeMemo(): Unit = {
-    bpeMemo.values.forEach { case (_, _, base) => base.unpersist() }
+    bpeMemo.values.forEach { case (_, fin, base) =>
+      base.unpersist()
+      try org.apache.spark.sql.GraftBridge.plan(fin).foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+    }
     bpeMemo.clear()
   }
 
+  /** Driver rounds (Spark jobs) of the last [[bpeTrain]] — the
+    * ScaleLab probe for "driver rounds ≈ merges / batch". */
+  private[graft] val lastTrainJobs =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Batched greedy selection: from `top` — candidate pairs in the
+    * greedy total order (count DESC, a ASC, b ASC) — return the
+    * longest PREFIX whose batched application is provably identical to
+    * running sequential greedy BPE once per pair.
+    *
+    * Why a prefix, and why these stop rules. Merging (a, b) → "ab"
+    * can only (1) remove adjacencies that involve a or b, and
+    * (2) create adjacencies that involve the new symbol "ab" — an
+    * adjacency between two OLD symbols is never created. So for any
+    * pair that shares no symbol with the merges applied so far, its
+    * count is untouched, and sequential greedy's next argmax is the
+    * next such pair — PROVIDED nothing new can beat it:
+    *
+    *  - prefix property: every pair ranked above it is in the batch
+    *    (already merged), so no skipped old pair outranks it — old
+    *    pairs below it only lose count, which cannot flip the
+    *    (c DESC, a, b) order upward;
+    *  - new pairs: count(x, ab) ≤ old count(x, a) (every x-ab
+    *    adjacency was an x-a adjacency), and (x, a) conflicts with
+    *    the batch, so it is NOT in the prefix and is ranked at or
+    *    below F, the first excluded pair ⇒ new counts ≤ c(F). Any
+    *    selected pair TIED with c(F) could still lose the
+    *    lexicographic tiebreak to such a new pair, so the tied tail
+    *    is dropped (p1 alone is literally sequential greedy and
+    *    always safe);
+    *  - self-pair (a, a): its merge creates (a, aa)/(aa, a) whose
+    *    counts are bounded by c(a, a) itself — NOT by c(F) — so a
+    *    self-pair is only safe as the LAST element of a batch;
+    *  - string collision: a later pair whose symbol EQUALS an earlier
+    *    pair's merged output ("ab") would merge adjacencies that did
+    *    not exist at count time; stop there too.
+    *
+    * `exhaustive` = `top` is the complete pair list (the collect's
+    * LIMIT was not reached), in which case a batch that consumes the
+    * whole list has no F and needs no tie truncation. */
+  private[graft] def selectBatch(
+      top: IndexedSeq[(String, String, Long)], maxB: Int,
+      exhaustive: Boolean): IndexedSeq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val outs = scala.collection.mutable.Set.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var open = true
+    while (open && i < top.length && sel.length < maxB) {
+      val (a, b, _) = top(i)
+      if (used(a) || used(b) || outs(a) || outs(b)) open = false
+      else {
+        sel += top(i); used += a; used += b; outs += (a + b)
+        i += 1
+        if (a == b) open = false
+      }
+    }
+    require(i < top.length || exhaustive,
+      "selectBatch: candidate list truncated before F was found — " +
+        "collect limit must exceed maxB")
+    if (i < top.length) {
+      val cF = top(i)._3
+      while (sel.length > 1 && sel.last._3 == cF) sel.dropRightInPlace(1)
+    }
+    sel.toIndexedSeq
+  }
+
+  /** Mode dispatch — the two-mode trainer architecture:
+    *
+    *  - `local` (the real-tokenizer shape): ONE Spark job builds the
+    *    word-frequency table; the merge loop runs in driver memory
+    *    with exact incremental pair updates ([[BpeTrainer]]). A 100 TB
+    *    corpus's word table is vocab-sized (~10^8 rows, a few GB) —
+    *    collecting it is what HuggingFace/SentencePiece trainers do,
+    *    and it makes a 30k-merge vocabulary seconds of driver CPU.
+    *  - `distributed`: batched Spark rounds ([[selectBatch]]'s exact
+    *    prefix batching) for word tables too large to collect.
+    *  - `auto` (default): local iff the word table has at most
+    *    `spark.graft.bpe.localMaxWords` (default 2M) rows.
+    *
+    * All three produce bit-identical merge lists (pinned by
+    * BpeBatchSpec + CurationSpec); the choice is purely a scale
+    * switch. */
   private def bpeTrain(s: SparkSession, dir: String, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame, DataFrame) = {
+    val mode = s.conf.getOption("spark.graft.bpe.mode").getOrElse("auto")
     val base = bpeWords(docs(s, dir)).cache()
+    val local = mode match {
+      case "local" => true
+      case "distributed" => false
+      case _ =>
+        val maxLocal = s.conf.getOption("spark.graft.bpe.localMaxWords")
+          .getOrElse("2000000").toLong
+        base.count() <= maxLocal
+    }
+    if (local) bpeTrainLocal(s, rounds, base)
+    else bpeTrainDistributed(s, rounds, base)
+  }
+
+  private def bpeTrainLocal(s: SparkSession, rounds: Int, base: DataFrame)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, DataFrame) = {
+    val table = base.collect().map { r =>
+      (r.getString(0).trim.split("  "), r.getLong(1))
+    }
+    val (merges, finalWords) = BpeTrainer.train(table, rounds)
+    import s.implicits._
+    val fin = finalWords.zip(table.map(_._2)).toSeq
+      .map { case (syms, c) => (syms.mkString(" ", "  ", " "), c) }
+      .toDF("w", "cnt")
+    lastTrainJobs.set(1)
+    (merges, fin, base)
+  }
+
+  private def bpeTrainDistributed(s: SparkSession, rounds: Int,
+                                  base: DataFrame)
+      : (Seq[(Int, String, String, String, Long)], DataFrame, DataFrame) = {
+    val batchMax = math.max(1, s.conf.getOption("spark.graft.bpe.batch")
+      .getOrElse(BpeBatchDefault.toString).toInt)
+    val reliable =
+      s.conf.getOption("spark.graft.bpe.reliableCheckpoint").contains("true")
+    if (reliable)
+      require(s.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint needs spark.sparkContext.setCheckpointDir(...)")
     var words = base
     val merges = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, String, Long)]
-    var r = 0
     var exhausted = false
-    while (r < rounds && !exhausted) {
-      val best = bpePairs(words)
+    var jobs = 0
+    // lineage truncation: each merge chains a `replace` withColumn, so
+    // a long training run otherwise re-analyzes an ever-deeper plan
+    // per round (the q61 lesson). Truncate every ~32 applied merges;
+    // reliable=true swaps localCheckpoint for an HDFS checkpoint on
+    // long cluster runs (lost-executor recomputation, as in
+    // Dedup.connectedComponents).
+    var sinceTruncate = 0
+    while (merges.size < rounds && !exhausted) {
+      val m = math.min(batchMax, rounds - merges.size)
+      val limit = 4 * m + 1
+      val top = bpePairs(words)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(limit).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toIndexedSeq
+      jobs += 1
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, a, b, a + b, c))
-        words = words.withColumn("w", call_function("replace", col("w"),
-          lit(s" $a  $b "), lit(s" $a$b ")))
+        val sel = selectBatch(top, m, exhaustive = top.length < limit)
+        for ((a, b, c) <- sel) {
+          merges += ((merges.size, a, b, a + b, c))
+          words = words.withColumn("w", call_function("replace", col("w"),
+            lit(s" $a  $b "), lit(s" $a$b ")))
+        }
+        sinceTruncate += sel.length
+        if (sinceTruncate >= 32 && merges.size < rounds) {
+          words = if (reliable) words.checkpoint(true)
+                  else words.localCheckpoint(true)
+          sinceTruncate = 0
+        }
       }
-      r += 1
     }
+    lastTrainJobs.set(jobs)
     (merges.toSeq, words, base)
   }
 
@@ -190,8 +350,8 @@ object Curation {
          |    CAST(sum(s.cnt) AS BIGINT) AS c
          |  FROM (SELECT cnt, string_split(trim(w), '  ') AS syms
          |        FROM w$r) s,
-         |       (SELECT unnest(generate_series(1, 64)) AS i) g
-         |  WHERE g.i < len(s.syms)
+         |       LATERAL (SELECT unnest(generate_series(1, len(s.syms) - 1))
+         |                AS i) g
          |  GROUP BY a, b),
          |b$r AS MATERIALIZED (
          |  SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),

@@ -97,6 +97,11 @@ object ScaleLab {
         probeCc(spark, dir, rest.headOption.map(_.toInt).getOrElse(8))
       case "lmrarity" :: dir :: Nil =>
         probeLmRarity(spark, dir)
+      case "bpe" :: dir :: rest =>
+        val rounds = rest.headOption.map(_.toInt).getOrElse(64)
+        val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+        val mode = rest.drop(2).headOption.getOrElse("auto")
+        probeBpe(spark, dir, rounds, batch, mode)
       case other =>
         System.err.println(s"unknown ScaleLab args: $other")
         sys.exit(2)
@@ -259,6 +264,48 @@ object ScaleLab {
       timeMedian3(graft.operators.Curation.lmRarity(docs))
     println(f"LMRARITY_PROBE dir=$dir n=$n " +
       f"median=$median%.3f all=${fmtAll(times)}")
+  }
+
+  /** q89 batching probe: driver rounds (Spark jobs) and wall for BPE
+    * training at a given merge count and batch size. The scale claim
+    * under test: jobs ≈ rounds / batch while the merge list stays
+    * bit-identical to sequential greedy (BpeBatchSpec's theorem). */
+  private def probeBpe(spark: SparkSession, dirArg: String, rounds: Int,
+                       batch: Int, mode: String): Unit = {
+    import graft.operators.Curation
+    // `synth:<nWords>` builds a diverse-vocabulary corpus on the fly.
+    // The testdata documents table has ~100 distinct words, so its
+    // merges form per-word sequential chains (exhausts at ~89 merges)
+    // — adversarial for batching and nothing like web text, whose
+    // millions of distinct words keep the top pair candidates symbol-
+    // disjoint. Batching is a diverse-vocabulary optimization; this
+    // corpus measures that regime.
+    val dir = if (dirArg.startsWith("synth:")) {
+      val nWords = dirArg.stripPrefix("synth:").toInt
+      val rnd = new scala.util.Random(42)
+      val letters = "abcdefghijklmnop"
+      val rows = (1 to nWords).map { i =>
+        val w = (0 to 4 + rnd.nextInt(7))
+          .map(_ => letters(rnd.nextInt(letters.length))).mkString
+        (i.toLong, Seq.fill(1 + rnd.nextInt(20))(w).mkString(" "))
+      }
+      val tmp = java.nio.file.Files
+        .createTempDirectory("bpe_synth").toString
+      import spark.implicits._
+      rows.toDF("doc_id", "text").repartition(8)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      tmp
+    } else dirArg
+    spark.conf.set("spark.graft.bpe.batch", batch.toString)
+    spark.conf.set("spark.graft.bpe.mode", mode)
+    Curation.clearBpeMemo()
+    val t0 = System.nanoTime()
+    val merges = Curation.bpeMerges(spark, dir, rounds)._1
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"BPE_PROBE dir=$dir rounds=$rounds batch=$batch mode=$mode " +
+      f"merges=${merges.size} jobs=${Curation.lastTrainJobs.get} " +
+      f"sec=$sec%.2f")
+    Curation.clearBpeMemo()
   }
 
   private def probeSpans(spark: SparkSession, dir: String, saltBuckets: Int,

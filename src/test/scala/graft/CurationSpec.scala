@@ -303,7 +303,7 @@ class CurationSpec extends AnyFunSuite {
         .view.mapValues(_.values.sum).toMap
     val refMerges = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, String, Long)]
-    for (r <- 0 until 8) {
+    for (r <- 0 until graft.operators.Curation.BpeRounds) {
       val pairCnt = scala.collection.mutable.Map
         .empty[(String, String), Long].withDefaultValue(0L)
       for ((syms, c) <- words; i <- 0 until syms.length - 1)
@@ -329,6 +329,21 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
                  r.getString(3), r.getLong(4))).sortBy(_._1)
     assert(got.toSeq == refMerges.toSeq, "merge tables diverge")
+    // the mode switch is purely a scale decision: the batched
+    // DISTRIBUTED path must produce the same merges as the default
+    // (local at this word-table size) path just checked
+    spark.conf.set("spark.graft.bpe.mode", "distributed")
+    graft.operators.Curation.clearBpeMemo()
+    try {
+      val dist = graft.operators.Curation
+        .queries("q89_bpe_merges")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+                   r.getString(3), r.getLong(4))).sortBy(_._1)
+      assert(dist.toSeq == refMerges.toSeq, "distributed mode diverges")
+    } finally {
+      spark.conf.unset("spark.graft.bpe.mode")
+      graft.operators.Curation.clearBpeMemo()
+    }
     // greedy BPE invariant: the winning pair count is non-increasing
     val cs = got.map(_._5)
     assert(cs.zip(cs.drop(1)).forall { case (x, y) => y <= x }, cs.toSeq)
