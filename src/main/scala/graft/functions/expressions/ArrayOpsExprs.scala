@@ -404,17 +404,26 @@ object ArrayOpsImpl {
     val md = md5Local.get()
     val n = elems.numElements()
     val out = new Array[Long](n)
+    var k = 0
     var i = 0
     while (i < n) {
       val s = elems.getUTF8String(i)
+      // skip nulls (shrinking the output): a 0L placeholder would make
+      // nulls hash-collide with each other — and with any string
+      // hashing to 0 — and count as intersect matches, where the
+      // DuckDB counterpart (list_transform md5) maps NULL -> NULL
+      // (round-7 ADVICE). Current callers never produce nulls, but
+      // the declared contract allows them.
       if (s != null) {
         md.reset()
-        out(i) = be(md.digest(s.getBytes), 0, 7) // first 14 hex chars
+        out(k) = be(md.digest(s.getBytes), 0, 7) // first 14 hex chars
+        k += 1
       }
       i += 1
     }
-    java.util.Arrays.sort(out)
-    new GenericArrayData(out)
+    val trimmed = if (k == n) out else java.util.Arrays.copyOf(out, k)
+    java.util.Arrays.sort(trimmed)
+    new GenericArrayData(trimmed)
   }
 
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
@@ -463,7 +472,11 @@ object ArrayOpsImpl {
     while (i < n) {
       if (!covered(i)) {
         if (kept > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(i).toString)
+        // null-guard to match spanKeys' defensiveness above (a null
+        // token hashes as 0 there; here it rebuilds as empty) — the
+        // concat_ws path this kernel replaced tolerated nulls too
+        val t = tokens.getUTF8String(i)
+        if (t != null) sb.append(t.toString)
         kept += 1
       }
       i += 1

@@ -45,6 +45,30 @@ class ArrayOpsExprSpec extends AnyFunSuite {
     val bs = df.collect().map(_.getLong(0))
     assert(bs(0) == 15L && bs(1) == 0L)
   }
+
+  test("sortedHashes skips null elements instead of hashing them to 0") {
+    // round-7 ADVICE: a 0L placeholder made nulls collide with each
+    // other (and with any string hashing to 0) in sorted-intersect
+    val df = Seq(1).toDF("x").select(
+      ArrayOps.sortedHashes(
+        expr("array('a', CAST(NULL AS STRING), 'b')")).as("withNull"),
+      ArrayOps.sortedHashes(expr("array('a', 'b')")).as("noNull"),
+      ArrayOps.sortedHashes(
+        expr("array(CAST(NULL AS STRING), CAST(NULL AS STRING))"))
+        .as("allNull"))
+    val r = df.collect().head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](2).isEmpty)
+  }
+
+  test("intraDocDedup tolerates null tokens (rebuilds them as empty)") {
+    val df = Seq(1).toDF("x").select(
+      ArrayOps.intraDocDedup(
+        expr("array('a', CAST(NULL AS STRING), 'b')"), 2).as("d"))
+    val r = df.select(col("d.kept_tokens"), col("d.kept_text")).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getString(1) == "a  b") // null renders empty, stays counted
+  }
 }
 
 class IntersectCountSpec extends AnyFunSuite {
