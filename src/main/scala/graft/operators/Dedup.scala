@@ -468,9 +468,9 @@ object Dedup {
     * only the (small) batch side, which AQE broadcasts when it fits.
     * The corpus-side bucket cap is the same degeneracy guard as the
     * self-join path: an over-full bucket is boilerplate, not signal.
-    * Batch-internal duplicates are deliberately NOT flagged here —
-    * that is the regular self-join pass's job ([[minhashPairs]]);
-    * this operator answers only "is it already in the corpus".
+    * This PAIRS view answers only "is it already in the corpus";
+    * duplicates WITHIN the arriving batch are handled by the keep
+    * decision ([[incrementalKeep]] via [[batchInternalPairs]]).
     * Reference: near-dup semantics as q33 (`minhashPairs`); split
     * probe shape as the streaming face. */
   def incrementalNearDupPairs(s: SparkSession, dir: String,
@@ -503,12 +503,63 @@ object Dedup {
       .where(col("jaccard") >= IncThreshold)
   }
 
-  /** The incremental KEEP decision (q87b): a batch doc survives iff it
-    * has no exact content-digest twin in the corpus AND no verified
-    * near-dup above [[IncThreshold]]. Both rejection sides are small:
-    * the digest anti-join shuffles 16-byte digests with map-side
-    * distinct, and the near-dup flag list is candidate-bounded — the
-    * batch scans once. */
+  /** Verified near-dup pairs WITHIN the arriving batch (doc1 < doc2)
+    * — the other half of the incremental decision. The self-join
+    * touches ONLY batch bands: a shard is orders of magnitude smaller
+    * than the corpus, so this is the cheap side and the corpus still
+    * never re-shuffles. Same banding, bucket cap, and threshold as
+    * the corpus probe. */
+  private def batchInternalPairs(s: SparkSession, dir: String,
+                                 numBands: Int): DataFrame = {
+    val rowsPerBand = NumHashes / numBands
+    val base = shingleBase(s, dir)
+    val bands = base.where(isBatch).select(
+      col("doc_id"),
+      posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
+        .as(Seq("band", "bh")))
+    val buckets = bands.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, BucketCap))
+    val cand = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, a ->
+          |  transform(filter(ids, b -> b > a),
+          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("shx"), size(col("sh")).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc1"), col("shx").as("sh1"),
+                        col("n").as("n1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("shx").as("sh2"),
+                        col("n").as("n2")), "doc2")
+      .withColumn("inter", graft.functions.expressions.ArrayOps
+        .sortedIntersectCount(col("sh1"), col("sh2")))
+      .select(col("doc1"), col("doc2"),
+              round(jaccard(col("inter"), col("n1"), col("n2")), 4)
+                .as("jaccard"))
+      .where(col("jaccard") >= IncThreshold)
+  }
+
+  /** The incremental KEEP decision (q87b), in documented order:
+    *
+    *  1. reject on an exact content-digest twin in the CORPUS;
+    *  2. reject on a verified corpus near-dup above [[IncThreshold]]
+    *     ([[incrementalNearDupPairs]]);
+    *  3. among the survivors, batch-internal exact twins keep the
+    *     lowest doc_id per digest;
+    *  4. batch-internal near-dup CLUSTERS (connected components over
+    *     [[batchInternalPairs]] restricted to step-3 survivors) keep
+    *     the lowest doc_id per cluster — the q61b convention, and
+    *     what RefinedWeb-style pipelines do to a shard.
+    *
+    * Steps 3-4 close the round-7 gap where a twin ARRIVING IN THE
+    * SAME SHARD passed the gate. Restricting the cluster edges to
+    * survivors matches sequential-ingest intuition: a doc rejected by
+    * the corpus does not bridge two otherwise-distinct batch docs.
+    * All rejection sides stay small: digests shuffle 16 bytes with
+    * map-side distinct, the flag lists are candidate-bounded, and the
+    * CC runs on the shard's own pair graph only. */
   def incrementalKeep(s: SparkSession, dir: String,
                       numBands: Int): DataFrame = {
     val d = docs(s, dir)
@@ -516,10 +567,24 @@ object Dedup {
       .select(md5(col("text")).as("fp")).distinct()
     val flagged = incrementalNearDupPairs(s, dir, numBands)
       .select(col("doc_id")).distinct()
-    d.where(isBatch)
+    val corpusSurvivors = d.where(isBatch)
       .withColumn("fp", md5(col("text")))
       .join(corpusFp, Seq("fp"), "left_anti")
       .join(flagged, Seq("doc_id"), "left_anti")
+    val exactKept = corpusSurvivors
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1)
+    val ids = exactKept.select(col("doc_id"))
+    val bp = batchInternalPairs(s, dir, numBands)
+      .join(ids.select(col("doc_id").as("doc1")), "doc1")
+      .join(ids.select(col("doc_id").as("doc2")), "doc2")
+      .select(col("doc1"), col("doc2"))
+    val reject = connectedComponents(bp)
+      .where(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    exactKept.join(reject, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
@@ -907,14 +972,52 @@ object Dedup {
          |SELECT doc_id, corpus_id, jaccard FROM ipairs""".stripMargin,
 
     "q87b_incremental_keep" ->
-      s"""WITH ${incPairsCtes(DefaultBands)}
-         |SELECT d.doc_id, d.source, d.n_chars
-         |FROM documents d
-         |WHERE d.doc_id % 10 = 7
-         |  AND NOT EXISTS (SELECT 1 FROM documents c
-         |    WHERE c.doc_id % 10 <> 7 AND md5(c.text) = md5(d.text))
-         |  AND NOT EXISTS (SELECT 1 FROM ipairs p
-         |    WHERE p.doc_id = d.doc_id)""".stripMargin,
+      s"""WITH RECURSIVE ${incPairsCtes(DefaultBands)},
+         |bsurv AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, md5(d.text) AS fp
+         |  FROM documents d
+         |  WHERE d.doc_id % 10 = 7
+         |    AND NOT EXISTS (SELECT 1 FROM documents c
+         |      WHERE c.doc_id % 10 <> 7 AND md5(c.text) = md5(d.text))
+         |    AND NOT EXISTS (SELECT 1 FROM ipairs p
+         |      WHERE p.doc_id = d.doc_id)),
+         |bkeep AS (
+         |  SELECT doc_id, source, n_chars FROM bsurv
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         |bbk AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+         |bokb AS (
+         |  SELECT band, bh FROM bbk GROUP BY band, bh
+         |  HAVING count(*) BETWEEN 2 AND $BucketCap),
+         |bcand AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bbk x
+         |  JOIN bbk y ON x.band = y.band AND x.bh = y.bh
+         |            AND y.doc_id > x.doc_id
+         |  JOIN bokb k ON k.band = x.band AND k.bh = x.bh),
+         |bpairs AS (
+         |  SELECT c.doc1, c.doc2
+         |  FROM bcand c
+         |  JOIN hp a ON a.doc_id = c.doc1
+         |  JOIN hp b ON b.doc_id = c.doc2
+         |  WHERE c.doc1 IN (SELECT doc_id FROM bkeep)
+         |    AND c.doc2 IN (SELECT doc_id FROM bkeep)
+         |    AND round(CAST(len(list_intersect(a.hxv, b.hxv)) AS DOUBLE)
+         |        / (a.n + b.n - len(list_intersect(a.hxv, b.hxv))), 4)
+         |        >= $IncThreshold),
+         |bedges AS (
+         |  SELECT doc1 AS u, doc2 AS v FROM bpairs
+         |  UNION SELECT doc2, doc1 FROM bpairs),
+         |breach(u, v) AS (
+         |  SELECT u, v FROM bedges
+         |  UNION
+         |  SELECT r.u, e.v FROM breach r JOIN bedges e ON e.u = r.v
+         |  WHERE e.v <> r.u),
+         |bnonrep AS (
+         |  SELECT u AS doc_id FROM breach GROUP BY u
+         |  HAVING u <> least(u, min(v)))
+         |SELECT b.doc_id, b.source, b.n_chars FROM bkeep b
+         |WHERE NOT EXISTS (SELECT 1 FROM bnonrep nr
+         |                  WHERE nr.doc_id = b.doc_id)""".stripMargin,
     "q61_dedup_clusters" -> clustersOracleSql(DefaultBands),
 
     "q61b_dedup_apply" ->

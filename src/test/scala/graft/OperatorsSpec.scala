@@ -73,9 +73,9 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     // batch = doc_id % 10 == 7: 7 is an exact twin of corpus doc 1,
     // 17 a near-dup of corpus doc 2, 27 unique, 37 a near-dup of 27
-    // (batch-INTERNAL — must not be flagged: within-batch dedup is the
-    // self-join pass's job, this operator only answers "already in the
-    // corpus?")
+    // (batch-INTERNAL — stays out of the corpus-probe PAIRS view, but
+    // the keep gate rejects it, keeping cluster-min 27), 47 an exact
+    // batch-internal twin of 27 (keep-first rejects it too)
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10L),
       (2L, "red orange yellow green blue indigo violet ultra infra sonic gold silver bronze copper iron tin lead zinc nickel mercury", "en", "s", 10L),
@@ -83,7 +83,8 @@ class OperatorsSpec extends AnyFunSuite {
       (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 10L),
       (17L, "red orange yellow green blue indigo violet ultra infra sonic gold silver bronze copper iron tin lead zinc nickel cobalt", "en", "s", 10L),
       (27L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do", "en", "s", 10L),
-      (37L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed dont", "en", "s", 10L))
+      (37L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed dont", "en", "s", 10L),
+      (47L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do", "en", "s", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
@@ -93,10 +94,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getLong(0) == 17L && r.getLong(1) == 2L),
       s"near-dup (17,2) not flagged in ${pairs.mkString(",")}")
     assert(!pairs.exists(r => r.getLong(0) == 37L || r.getLong(1) == 37L),
-      s"batch-internal pair leaked into ${pairs.mkString(",")}")
+      s"batch-internal pair leaked into corpus-probe ${pairs.mkString(",")}")
     val kept = Dedup.queries("q87b_incremental_keep")(spark, tmp)
       .collect().map(_.getLong(0)).toSet
-    assert(kept == Set(27L, 37L), s"kept=$kept")
+    assert(kept == Set(27L), s"kept=$kept (expected only cluster-min 27)")
   }
 
   test("ngram jaccard is 1.0 for identical docs within the band") {
