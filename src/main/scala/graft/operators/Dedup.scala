@@ -170,6 +170,50 @@ object Dedup {
     applyRemoval(base, coveredPositions(dupRows, w))
   }
 
+  /** Minimum merged-run length (tokens) for q83b's variable-length
+    * removal. Lee et al. ("Deduplicating Training Data Makes Language
+    * Models Better") use 50 on web corpora; 20 keeps useful signal at
+    * the test scales while still letting short incidental overlaps
+    * survive — the knob a real pipeline tunes. */
+  private[graft] val MinRun = 20
+
+  /** VARIABLE-LENGTH exact-substring dedup (q83b): the Lee-et-al
+    * semantics "remove any duplicated run of at least `minRun`
+    * tokens, as a unit". q83 removes every shared w-gram — correct
+    * for aggressive boilerplate stripping, but it also deletes
+    * incidental 5-token overlaps (common phrases). Here the
+    * duplicated w-gram COVERAGE is first merged into maximal runs
+    * per document (gaps-and-islands: two covered spans merge iff
+    * their coverage is contiguous, i.e. start difference <= w), and
+    * only runs of >= `minRun` tokens are removed. A 50-token
+    * duplicated paragraph disappears byte-exactly; a shared idiom
+    * survives.
+    *
+    * Scale: island detection is a per-doc window over the (already
+    * >= 2-distinct-docs filtered, salt-shareable) span stream —
+    * doc-scoped keys, no skew — and the removal tail is q83's. The
+    * interval union this computes is the same fold the streaming
+    * face runs per micro-batch (DocStream.spanCoverageStream). */
+  def spanDedupApplyRuns(docsDf: DataFrame, w: Int = SpanW,
+                         minRun: Int = MinRun,
+                         saltBuckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (base, dupRows) = dupSpanRows(docsDf, w, saltBuckets)
+    val docWin = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val isl = dupRows.select(col("doc_id"), col("i")).distinct()
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(docWin) <= w, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("g", sum(col("brk")).over(docWin))
+    val runs = isl.groupBy(col("doc_id"), col("g"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(w - 1)).as("e"))
+      .where(col("e") - col("s") + 1 >= minRun)
+    val covered = runs
+      .select(col("doc_id"), explode(expr("sequence(s, e)")).as("p"))
+      .distinct()
+    applyRemoval(base, covered)
+  }
+
   /** (doc_id, i) span-occurrence rows → distinct (doc_id, p) covered
     * token positions. */
   private def coveredPositions(rows: DataFrame, w: Int): DataFrame =
@@ -232,6 +276,9 @@ object Dedup {
 
     "q83_span_dedup_apply" -> ((s, dir) =>
       spanDedupApply(docs(s, dir), SpanW, spanSaltBuckets(s))),
+
+    "q83b_span_dedup_runs" -> ((s, dir) =>
+      spanDedupApplyRuns(docs(s, dir), SpanW, MinRun, spanSaltBuckets(s))),
 
     "q84_intradoc_dedup" -> ((s, dir) =>
       intraDocDedupApply(docs(s, dir), SpanW)),
@@ -1073,6 +1120,32 @@ object Dedup {
          |cov AS (
          |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${SpanW - 1})) AS p
          |  FROM spans JOIN rep USING (span)),
+         |$applyOracleTail""".stripMargin,
+
+    "q83b_span_dedup_runs" ->
+      s"""WITH $spanOracleCtes,
+         |rep AS (
+         |  SELECT span FROM spans GROUP BY span
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |drows AS (
+         |  SELECT DISTINCT s.doc_id, s.i FROM spans s JOIN rep USING (span)),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+         |              <= $SpanW
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM drows),
+         |grp AS (
+         |  SELECT doc_id, i,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+         |  FROM isl),
+         |runs AS (
+         |  SELECT doc_id, g, min(i) AS s, max(i) + ${SpanW - 1} AS e
+         |  FROM grp GROUP BY doc_id, g
+         |  HAVING max(i) + ${SpanW - 1} - min(i) + 1 >= $MinRun),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS p
+         |  FROM runs),
          |$applyOracleTail""".stripMargin,
 
     "q84_intradoc_dedup" ->

@@ -100,6 +100,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(27L), s"kept=$kept (expected only cluster-min 27)")
   }
 
+  test("variable-length span dedup removes a planted 50-token run byte-exactly, keeps short overlaps") {
+    import spark.implicits._
+    // R: a 50-token run shared by docs 1 and 2 (different contexts);
+    // P: a 10-token phrase shared by docs 1 and 3. q83 removes both;
+    // q83b (minRun=20) removes ONLY the run — and removes it as a
+    // unit, byte-exactly, leaving each doc's unique context intact.
+    val run = (1 to 50).map(i => s"r$i").mkString(" ")
+    val phrase = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $run b1 b2 b3 b4 b5 $phrase c1 c2", "en", "s", 10L),
+      (2L, s"d1 d2 d3 d4 d5 $run e1 e2 e3 e4 e5", "en", "s", 10L),
+      (3L, s"f1 f2 f3 f4 f5 $phrase g1 g2 g3 g4 g5", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_runs").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.queries("q83b_span_dedup_runs")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(got(1L)._2 ==
+      s"a1 a2 a3 a4 a5 b1 b2 b3 b4 b5 $phrase c1 c2", s"doc1=${got(1L)}")
+    assert(got(1L)._1 == 22L)
+    assert(got(2L)._2 == "d1 d2 d3 d4 d5 e1 e2 e3 e4 e5")
+    assert(got(3L)._2 == s"f1 f2 f3 f4 f5 $phrase g1 g2 g3 g4 g5",
+      "short overlap must survive the run threshold")
+    // contrast: q83's any-shared-gram removal strips the phrase too
+    val aggressive = Dedup.queries("q83_span_dedup_apply")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(aggressive(3L) == "f1 f2 f3 f4 f5 g1 g2 g3 g4 g5")
+  }
+
   test("ngram jaccard is 1.0 for identical docs within the band") {
     val rows = Dedup.queries("q35_ngram_jaccard")(spark, dir).collect()
     assert(rows.nonEmpty)
