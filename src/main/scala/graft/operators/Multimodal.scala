@@ -7,32 +7,64 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, plus a feature-extraction pass.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * deterministic fake (hash-derived features) behind a clearly marked
-  * stub — but the Spark-side shape is real: binary column + metadata
-  * struct, per-row featurization that stays inside codegen, and a
-  * partitioning story (featurize is embarrassingly parallel; the only
-  * shuffle is the downstream aggregation).
+  * Real in-JVM codecs cover PPM/WAV (hand-parsed) and JPEG/PNG/BMP/
+  * GIF (`javax.imageio`, shipped with the JDK). The q39/q40 oracle
+  * queries still use a deterministic md5 featurizer over `text`
+  * payloads — that keeps the DuckDB replay exact — while the typed
+  * Dataset path ([[featurizePartitioned]]) runs the real decoders;
+  * the Spark-side shape is identical either way: binary column +
+  * metadata struct, per-row featurization that stays inside codegen,
+  * and a partitioning story (featurize is embarrassingly parallel;
+  * the only shuffle is the downstream aggregation).
   *
-  * On a real cluster the fake featurizer is replaced by a batched
-  * decoder over `mapPartitions` (JVM codec) or `mapInPandas`/Arrow
-  * (Python codec) with identical schema in/out.
+  * On a real cluster, additional codecs plug into the same batched
+  * `mapPartitions` decoder (JVM) or `mapInPandas`/Arrow (Python) with
+  * identical schema in/out.
   */
 object Multimodal {
 
   /** REAL-DECODER BOUNDARY. Formats with in-container codecs decode
-    * for real: binary PPM (P6) is parsed right here in pure JVM code —
-    * no image library needed — to an HxW grayscale matrix in [0,1].
-    * Compressed formats (JPEG/PNG/...) need codec libraries this
-    * container does not ship; they fail with an addressed error, and a
-    * production build plugs a codec into this same function without
-    * touching any of the Spark plumbing around it. */
+    * for real, to an HxW grayscale (ITU-R 601 luma) matrix in [0,1]:
+    * binary PPM (P6) is parsed right here in pure JVM code, and
+    * JPEG / PNG / BMP / GIF go through `javax.imageio` — a public JDK
+    * API, no external jar. Formats beyond those (WebP, AVIF, ...)
+    * fail with an addressed error; a production build plugs another
+    * codec into this same function without touching any of the Spark
+    * plumbing around it. */
   def decodeImage(bytes: Array[Byte]): Array[Array[Float]] = {
     require(bytes.length >= 2, "empty image payload")
     if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
-    else throw new IllegalArgumentException(
-      s"unsupported image format (magic ${bytes(0).toChar}${bytes(1).toChar}); " +
-      "this build decodes binary PPM (P6); compressed formats need a codec library")
+    else {
+      val decoded = decodeImageIo(bytes)
+      decoded.getOrElse(throw new IllegalArgumentException(
+        s"unsupported image format (magic ${bytes(0).toChar}${bytes(1).toChar}); " +
+        "this build decodes PPM (P6) natively and JPEG/PNG/BMP/GIF via " +
+        "javax.imageio; other formats need a codec library"))
+    }
+  }
+
+  /** JDK `ImageIO` decode (JPEG/PNG/BMP/GIF readers ship with every
+    * JRE). Returns None when no registered reader recognizes the
+    * payload — the caller owns the addressed error. Luma conversion
+    * matches [[decodePpm]] bit-for-bit on 8-bit RGB. */
+  private[operators] def decodeImageIo(bytes: Array[Byte])
+      : Option[Array[Array[Float]]] = {
+    // a corrupt body behind a valid magic makes ImageIO THROW
+    // (IIOException) rather than return null; both mean "no decodable
+    // image", and both must surface as the caller's addressed error —
+    // never kill a 100 TB featurize job over one broken payload
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      Array.tabulate(im.getHeight, im.getWidth) { (y, x) =>
+        val rgb = im.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+      }
+    }
   }
 
   /** Binary PPM (P6): "P6 <w> <h> <maxval>" header (whitespace/comment
@@ -175,10 +207,11 @@ object Multimodal {
 
   /** The batched decode path: mapPartitions so a real codec can
     * amortize per-batch setup (model load, decoder init) exactly like
-    * `mapInPandas` would on the Python side. Decodable payloads (PPM)
-    * go through the REAL pipeline — decode → resize 2x4 → 8 pixel
-    * features; payloads in formats without an in-container codec fall
-    * back to deterministic hash features, so the operator is total.
+    * `mapInPandas` would on the Python side. Decodable payloads (PPM
+    * natively; JPEG/PNG/BMP/GIF via the JDK's ImageIO) go through the
+    * REAL pipeline — decode → resize 2x4 → 8 pixel features; payloads
+    * in formats without an in-container codec fall back to
+    * deterministic hash features, so the operator is total.
     * Each partition is processed independently: the operator scales
     * with executor count and shuffles nothing. */
   def featurizePartitioned(assets: org.apache.spark.sql.Dataset[Asset])

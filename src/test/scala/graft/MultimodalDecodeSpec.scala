@@ -36,9 +36,52 @@ class MultimodalDecodeSpec extends AnyFunSuite {
   }
 
   test("unsupported formats fail with an addressed error") {
+    // unknown magic: no ImageIO reader claims it
     val e = intercept[IllegalArgumentException](
-      Multimodal.decodeImage(Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+      Multimodal.decodeImage("XXunknown-payload".getBytes("US-ASCII")))
     assert(e.getMessage.contains("unsupported image format"))
+    // a TRUNCATED known format (PNG magic, no body) also fails
+    // addressed rather than NPEing inside the codec
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeImage(Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+    assert(e2.getMessage.contains("unsupported image format"))
+    // corrupt body behind a valid JPEG magic: the codec throws
+    // internally; the operator still fails ADDRESSED (and the
+    // featurize pipeline's fallback therefore still catches it)
+    val corrupt = encoded("jpg", 4, 4, 10, 20, 30).take(24)
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.decodeImage(corrupt))
+    assert(e3.getMessage.contains("unsupported image format"))
+  }
+
+  /** Encode a solid-color image via the JDK codec under test. */
+  private def encoded(fmt: String, w: Int, h: Int,
+                      r: Int, g: Int, b: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      im.setRGB(x, y, (r << 16) | (g << 8) | b)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("PNG decodes losslessly to the PPM luma convention") {
+    val img = Multimodal.decodeImage(encoded("png", 5, 3, 200, 100, 50))
+    assert(img.length == 3 && img.head.length == 5)
+    val want = (0.299f * 200 + 0.587f * 100 + 0.114f * 50) / 255.0f
+    assert(img.flatten.forall(v => math.abs(v - want) < 1e-6))
+    // same pixels as the equivalent PPM, bit-for-bit
+    val viaPpm = Multimodal.decodeImage(ppm(5, 3, 200, 100, 50))
+    assert(img.flatten.toSeq == viaPpm.flatten.toSeq)
+  }
+
+  test("JPEG decodes (lossy: uniform images land within codec tolerance)") {
+    val img = Multimodal.decodeImage(encoded("jpg", 8, 8, 128, 128, 128))
+    assert(img.length == 8 && img.head.length == 8)
+    val want = 128f / 255f
+    assert(img.flatten.forall(v => math.abs(v - want) < 4f / 255f),
+      s"jpeg gray drifted: ${img.flatten.take(4).toSeq}")
   }
 
   test("resize downsamples deterministically") {
@@ -97,18 +140,23 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(sampled.head.head.head == 0f)
   }
 
-  test("featurizePartitioned runs the REAL decode for PPM payloads") {
+  test("featurizePartitioned runs the REAL decode over MIXED formats") {
     import spark.implicits._
     val assets = Seq(
-      Multimodal.Asset(1L, "cam", ppm(8, 8, 255, 255, 255)), // white image
-      Multimodal.Asset(2L, "cam", ppm(8, 8, 0, 0, 0)),       // black image
-      Multimodal.Asset(3L, "txt", "not an image".getBytes))   // fallback path
+      Multimodal.Asset(1L, "cam", ppm(8, 8, 255, 255, 255)),       // white PPM
+      Multimodal.Asset(2L, "cam", ppm(8, 8, 0, 0, 0)),             // black PPM
+      Multimodal.Asset(3L, "txt", "not an image".getBytes),        // fallback
+      Multimodal.Asset(4L, "web", encoded("png", 8, 8, 255, 255, 255)), // white PNG
+      Multimodal.Asset(5L, "web", encoded("jpg", 8, 8, 0, 0, 0)))  // black JPEG
       .toDS()
     val out = Multimodal.featurizePartitioned(assets).collect()
       .map(f => f.doc_id -> f).toMap
-    // real pixels: white -> all ~1, black -> all 0
+    // real pixels: white -> all ~1, black -> all 0 — regardless of
+    // which codec produced them
     assert(out(1L).features.forall(v => math.abs(v - 1.0f) < 1e-3))
     assert(out(2L).features.forall(_ == 0.0f))
+    assert(out(4L).features.forall(v => math.abs(v - 1.0f) < 1e-3))
+    assert(out(5L).features.forall(v => v < 4f / 255f))
     assert(out(1L).features.length == 8)
     // non-image payload flows through the hash fallback, stays bounded
     assert(out(3L).features.forall(v => v >= 0f && v < 1f))
