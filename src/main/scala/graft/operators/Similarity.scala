@@ -346,6 +346,142 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  // ---- Two-level IVF routing (q41d) --------------------------------
+
+  /** Coarse-codebook memo — the only driver-sized object of the
+    * two-level index (coarseK ≈ √k vectors). */
+  private val coarseBooks = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[Seq[Double]]]()
+
+  private def coarseCodebook(s: SparkSession, dir: String, k: Int,
+                             coarseK: Int): Seq[Seq[Double]] = {
+    val stride = k / coarseK
+    coarseBooks.computeIfAbsent((dir, k, coarseK), _ =>
+      normed(emb(s, dir))
+        .where(col("vec_id").between(100, 100 + k - 1) &&
+               (col("vec_id") - 100) % stride === 0)
+        .orderBy("vec_id").select("ve").collect()
+        .map(_.getSeq[Double](0)).toSeq.take(coarseK))
+  }
+
+  /** TWO-LEVEL IVF routing (q41d): the distributed half of the FAISS
+    * architecture, for codebooks past the ≤64k-centroid broadcast
+    * bound documented on [[knnIvf]]. The FINE codebook (k centroids)
+    * never becomes a plan literal — it stays a TABLE (here derived
+    * from corpus vectors [100, 100+k); in production written ONCE at
+    * train time, `bucketBy(ccell)`), each fine centroid routed to its
+    * nearest COARSE cell. Only the coarse codebook (coarseK ≈ √k
+    * rows, a deterministic stride-subsample of the fine table) is
+    * collected and broadcast as a literal.
+    *
+    * Assignment and search both route coarse → fine: a vector probes
+    * its `coarseProbe` nearest coarse cells (per-row codegen argmin
+    * over the small literal), joins the fine table on ccell — ~
+    * coarseProbe·k/coarseK candidate rows per vector, the classic
+    * two-level assignment cost — and keeps the (d, fcell)-argmin
+    * (corpus: 1 cell; queries: `fineProbe` cells). The scoring join
+    * is then exactly [[ivfSearch]]'s: corpus bucketed by fine cell,
+    * tiny query probe list broadcast. At 100 TB: one corpus-sized
+    * shuffle per reindex for assignment, zero corpus shuffles per
+    * query batch.
+    *
+    * Fine distance uses the |f|² + |v|² − 2·f·v algebra (native dot,
+    * precomputed norms) — cheaper than per-pair squared-diff sums and
+    * replayed with the identical expression in the oracle; the coarse
+    * argmin reuses IvfCellsExpr's squared-L2 (d, cell) order. */
+  def knnIvfTwoLevel(s: SparkSession, dir: String, k: Int, coarseK: Int,
+                     coarseProbe: Int, fineProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = normed(emb(s, dir))
+    val coarse = coarseCodebook(s, dir, k, coarseK)
+    val fine = n.where(col("vec_id").between(100, 100 + k - 1))
+      .select((col("vec_id") - 100).cast("int").as("fcell"),
+              col("ve").as("fve"), col("nrm").as("fnrm"))
+      .withColumn("ccell", element_at(graft.functions.expressions.ArrayOps
+        .ivfCells(col("fve"), coarse, 1), 1).getField("cell"))
+    val probed = n.withColumn("ccell",
+        explode(transform(graft.functions.expressions.ArrayOps
+          .ivfCells(col("ve"), coarse, coarseProbe),
+          x => x.getField("cell"))))
+      .join(fine, Seq("ccell"))
+      .withColumn("d",
+        col("fnrm") * col("fnrm") + col("nrm") * col("nrm")
+          - lit(2.0) * dotProduct(col("fve"), col("ve")))
+    val assignWin = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("fcell"))
+    val corpus = probed
+      .withColumn("rn", row_number().over(assignWin))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("ve"), col("nrm"), col("fcell").as("cell"))
+    val qProbes = broadcast(
+      probed.where(col("vec_id") < NumQueries)
+        .withColumn("rn", row_number().over(assignWin))
+        .where(col("rn") <= fineProbe)
+        .select(col("vec_id").as("query_id"), col("ve").as("qve"),
+                col("nrm").as("qnrm"), col("fcell").as("cell")))
+    val scored = corpus.join(qProbes, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("cosine"))
+    topKPerQuery(scored)
+  }
+
+  /** DuckDB replay of [[knnIvfTwoLevel]] — fine table, coarse
+    * stride-subsample, coarse-probe routing, (d, fcell) argmins, and
+    * the shared rank tail, all from one params set so any operating
+    * point (including k=1024 at sf0.1) carries a hash-match oracle. */
+  def ivfTwoLevelOracleSql(k: Int, coarseK: Int, coarseProbe: Int,
+                           fineProbe: Int): String = {
+    val stride = k / coarseK
+    s"""WITH $duckNormedCte,
+       |fine0 AS (
+       |  SELECT CAST(vec_id - 100 AS INT) AS fcell, ve AS fve, nrm AS fnrm
+       |  FROM n WHERE vec_id BETWEEN 100 AND ${100 + k - 1}),
+       |ccents AS (
+       |  SELECT list(struct_pack(cid := r, cve := cve) ORDER BY r) AS cl
+       |  FROM (SELECT row_number() OVER (ORDER BY fcell) - 1 AS r,
+       |               fve AS cve
+       |        FROM fine0 WHERE fcell % $stride = 0)),
+       |fine AS (
+       |  SELECT fcell, fve, fnrm,
+       |    list_sort(list_transform(cl, c -> struct_pack(
+       |      d := list_sum(list_transform(generate_series(1, $Dim),
+       |             i -> (c.cve[i] - fve[i]) * (c.cve[i] - fve[i]))),
+       |      cell := c.cid)))[1].cell AS ccell
+       |  FROM fine0, ccents),
+       |cprobe AS (
+       |  SELECT vec_id, ve, nrm,
+       |    unnest(list_transform(
+       |      list_sort(list_transform(cl, c -> struct_pack(
+       |        d := list_sum(list_transform(generate_series(1, $Dim),
+       |               i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
+       |        cell := c.cid)))[1:$coarseProbe],
+       |      s2 -> s2.cell)) AS ccell
+       |  FROM n, ccents),
+       |ccand AS (
+       |  SELECT p.vec_id, p.ve, p.nrm, f.fcell,
+       |    f.fnrm * f.fnrm + p.nrm * p.nrm
+       |      - 2.0 * list_dot_product(f.fve, p.ve) AS d
+       |  FROM cprobe p JOIN fine f ON f.ccell = p.ccell),
+       |corpus AS (
+       |  SELECT vec_id, ve, nrm, fcell AS cell FROM ccand
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY d, fcell) = 1),
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, ve AS qve, nrm AS qnrm,
+       |    fcell AS cell
+       |  FROM ccand WHERE vec_id < $NumQueries
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY d, fcell) <= $fineProbe),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(p.qve, c.ve) / (p.qnrm * c.nrm) AS cosine
+       |  FROM qprobes p JOIN corpus c ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |$duckRankTail""".stripMargin
+  }
+
   // ---- Product quantization (q64) ----------------------------------
   //
   // THE embedding-compression operator for 100 TB ANN: each 64-dim
@@ -903,6 +1039,9 @@ object Similarity {
     "q88_kmeans_cells" -> ((s, dir) => kmeansCells(s, dir, 16, 2)),
     "q88b_knn_ivf_lloyd" -> ((s, dir) =>
       knnIvfLloyd(s, dir, AnnParams.Default, 2)),
+    "q41d_knn_ivf2" -> ((s, dir) =>
+      knnIvfTwoLevel(s, dir, 64, 8, 2, 4)),
+
     "q41c_knn_ivf_k32" -> ((s, dir) =>
       knnIvf(s, dir, AnnParams(ivfK = 32))),
 
@@ -1061,6 +1200,7 @@ object Similarity {
     "q41_knn_ivf" -> ivfOracleSql(AnnParams.Default),
     "q41b_knn_ivf_k8" -> ivfOracleSql(AnnParams(ivfK = 8, ivfProbe = 2)),
     "q41c_knn_ivf_k32" -> ivfOracleSql(AnnParams(ivfK = 32)),
+    "q41d_knn_ivf2" -> ivfTwoLevelOracleSql(64, 8, 2, 4),
     "q88_kmeans_cells" -> kmeansOracleSql(16, 2),
     "q88b_knn_ivf_lloyd" -> ivfLloydOracleSql(AnnParams.Default, 2),
 

@@ -97,6 +97,18 @@ object ScaleLab {
         probeCc(spark, dir, rest.headOption.map(_.toInt).getOrElse(8))
       case "lmrarity" :: dir :: Nil =>
         probeLmRarity(spark, dir)
+      case "ivfflat" :: dir :: k :: rest =>
+        val np = rest.headOption.map(_.toInt).getOrElse(8)
+        val (median, times) = timeMedian3(graft.operators.Similarity
+          .knnIvf(spark, dir, graft.operators.Similarity
+            .AnnParams(ivfK = k.toInt, ivfProbe = np)))
+        println(f"IVFFLAT_PROBE dir=$dir k=$k np=$np " +
+          f"median=$median%.3f all=${fmtAll(times)}")
+      case "ivf2" :: dir :: k :: coarseK :: rest =>
+        val cp = rest.headOption.map(_.toInt).getOrElse(4)
+        val np = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+        val outDir = rest.drop(2).headOption
+        probeIvf2(spark, dir, k.toInt, coarseK.toInt, cp, np, outDir)
       case "bpe" :: dir :: rest =>
         val rounds = rest.headOption.map(_.toInt).getOrElse(64)
         val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
@@ -264,6 +276,32 @@ object ScaleLab {
       timeMedian3(graft.operators.Curation.lmRarity(docs))
     println(f"LMRARITY_PROBE dir=$dir n=$n " +
       f"median=$median%.3f all=${fmtAll(times)}")
+  }
+
+  /** Two-level IVF probe (q41d at arbitrary operating points, e.g.
+    * the k=1024 point the 64k-literal bound motivates). Times the
+    * search; with `outDir` set, also dumps the Spark result parquet +
+    * generated oracle SQL in tools/oracle_check.py layout so the
+    * operating point can be hash-verified against DuckDB. */
+  private def probeIvf2(spark: SparkSession, dir: String, k: Int,
+                        coarseK: Int, cp: Int, np: Int,
+                        outDir: Option[String]): Unit = {
+    import graft.operators.Similarity
+    val (median, times) = timeMedian3(
+      Similarity.knnIvfTwoLevel(spark, dir, k, coarseK, cp, np))
+    println(f"IVF2_PROBE dir=$dir k=$k coarse=$coarseK cp=$cp np=$np " +
+      f"median=$median%.3f all=${fmtAll(times)}")
+    outDir.foreach { out =>
+      val name = s"q41d_ivf2_k$k"
+      Similarity.knnIvfTwoLevel(spark, dir, k, coarseK, cp, np)
+        .write.mode("overwrite").parquet(s"$out/$name")
+      val sql = Similarity.ivfTwoLevelOracleSql(k, coarseK, cp, np)
+        .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+        s"""{"$name": "$sql"}""".getBytes("UTF-8"))
+      println(s"IVF2_ORACLE_DUMP $out/$name")
+    }
   }
 
   /** q89 batching probe: driver rounds (Spark jobs) and wall for BPE
