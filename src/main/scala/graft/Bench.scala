@@ -19,8 +19,14 @@ import org.apache.spark.sql.SparkSession
   *    memo is cleared right before its timing so the number is the
   *    real materialization, not a cache hit (round-5 verdict);
   *  - pass 3 (measured, `value` = `concurrent_wall`): 8-way
-  *    concurrent — suite throughput, how a shared engine actually
-  *    runs; per-query latencies under load go to
+  *    concurrent, run FIVE times — `value` is the MEDIAN wall (one
+  *    lucky quiet window cannot set the committed number;
+  *    `concurrent_wall_best` records the floor, all walls publish in
+  *    `concurrent_walls`), plus ONE further pass with every
+  *    trained-model memo cleared → `concurrent_wall_train_inclusive`
+  *    (model training inside the wall: the cold-start pipeline
+  *    number, so the headline cannot improve by moving work into
+  *    memos). Per-query latencies under load go to
   *    `queries_concurrent`, with `queries_stage_wall` (Σ stage
   *    submit→complete) and `queries_task_time` (Σ executor task
   *    time) from [[graft.bench.QueryMetricsListener]] so CONTENTION
@@ -130,20 +136,34 @@ object Bench {
       val (sw, tt) = listener.snapshotAndReset()
       (results, w, drained, sw, tt)
     }
-    // three passes, best wall reported: the shared host shows heavy
-    // multi-second variance beats (same binary, same data: 3.3s and
-    // 8.5s walls minutes apart), so one sample is noise. The memoized
-    // caches (codebooks, shingle projections, cluster labels — "the
-    // model store") stay warm across passes by design: clearing them
-    // turns pass 1 into a 45s rebuild of offline artifacts. gc()
-    // between passes keeps a major collection from landing mid-pass
-    // (observed 3s -> 9s outliers).
-    val passes = (1 to 3).map { _ =>
+    // FIVE passes, MEDIAN wall reported (round-7 verdict item 3: the
+    // shared host shows multi-second variance beats — same binary,
+    // same data: 3.3s and 8.5s walls minutes apart — and a best-of-3
+    // lets one lucky quiet window set the committed number; the
+    // median tracks the engine, `concurrent_wall_best` still records
+    // the floor). The memoized caches (codebooks, shingle
+    // projections, cluster labels — "the model store") stay warm
+    // across passes by design. gc() between passes keeps a major
+    // collection from landing mid-pass (observed 3s -> 9s outliers).
+    val passes = (1 to 5).map { _ =>
       System.gc()
       concurrentPass()
     }
     val walls = passes.map(_._2)
-    val (concurrent, wall, drained, stageWall, taskTime) = passes.minBy(_._2)
+    val medianWall = walls.sorted.apply(walls.length / 2)
+    val (concurrent, wall, drained, stageWall, taskTime) =
+      passes.minBy(p => math.abs(p._2 - medianWall))
+
+    // train-INCLUSIVE wall (round-7 verdict item 2): one more
+    // concurrent pass with every trained-model memo cleared first, so
+    // model training (clusters, codebooks, BPE merges) is INSIDE the
+    // measured wall. Published next to the memoized number so the
+    // headline cannot silently improve by moving work into memos; a
+    // serving deployment reads the memoized wall, a cold-start
+    // pipeline this one.
+    MemoBypass.values.foreach(clear => clear())
+    System.gc()
+    val trainInclusiveWall = concurrentPass()._2
 
     def r3(v: Double): String = f"$v%.3f"
     def jmap(kv: Seq[(String, Double)]): String =
@@ -157,6 +177,8 @@ object Bench {
       s""""listener_drained":$drained,""" +
       s""""metric":"total","value":${r3(wall)},"unit":"sec",""" +
       s""""sequential_total":${r3(seqTotal)},"concurrent_wall":${r3(wall)},""" +
+      s""""concurrent_wall_best":${r3(walls.min)},""" +
+      s""""concurrent_wall_train_inclusive":${r3(trainInclusiveWall)},""" +
       s""""concurrent_walls":[${walls.map(r3).mkString(",")}],""" +
       s""""sched_floor_sec":${r3(floor)},"n_queries":${suite.length},"sf":"$sfDir""""
 

@@ -628,11 +628,47 @@ object Dedup {
       .join(ids.select(col("doc_id").as("doc1")), "doc1")
       .join(ids.select(col("doc_id").as("doc2")), "doc2")
       .select(col("doc1"), col("doc2"))
-    val reject = connectedComponents(bp)
+    val reject = shardCC(s, bp)
       .where(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     exactKept.join(reject, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** CC sized for a SHARD's pair graph: an arriving batch is orders
+    * of magnitude below the corpus and its verified near-dup pairs
+    * are candidate-bounded, so the graph near-always fits the driver
+    * — collect once, union-find, done (the codebook bounded-collect
+    * contract; the iterative distributed CC costs several
+    * checkpoint+count rounds of driver coordination that dwarf a
+    * 50-edge graph). Above `spark.graft.cc.localMaxEdges` (default
+    * 100k) it falls back to [[connectedComponents]], which is the
+    * right tool for corpus-scale graphs (q61). Both return
+    * (node, label = component minimum). */
+  private[graft] def shardCC(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val cap = s.conf.getOption("spark.graft.cc.localMaxEdges")
+      .getOrElse("100000").toInt
+    val edges = pairs.limit(cap + 1).collect()
+    if (edges.length > cap) connectedComponents(pairs)
+    else {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+        }
+        r
+      }
+      for (e <- edges) {
+        val (a, b) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val nodes = edges.flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
+      import s.implicits._
+      nodes.toSeq.map(n => (n, find(n))).toDF("node", "label")
+    }
   }
 
   /** The full minhash-pair pipeline as a CTE stack ending in
