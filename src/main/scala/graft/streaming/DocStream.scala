@@ -27,6 +27,24 @@ import graft.functions.expressions.ArrayOps
   *    so each micro-batch probes matching buckets only); exact
   *    Jaccard verifies candidates before anything is flagged.
   *
+  * RECOVERY CONTRACT (kill/restart): every face here is a
+  * deterministic function of its input stream plus static tables, so
+  * end-to-end exactly-once is Structured Streaming's standard
+  * three-part deal — a REPLAYABLE source (files/Kafka), a
+  * `checkpointLocation` owned by the (query, sink) pair for its whole
+  * life, and a transactional sink. With those set, a killed query
+  * restarted from its checkpoint re-plans only unfinished batches and
+  * the file sink's `_spark_metadata` commit log makes the replay
+  * invisible to readers (who must read THROUGH Spark so uncommitted
+  * part-files are filtered). Restarting WITHOUT the checkpoint is a
+  * NEW query: the source re-reads everything and every face re-emits
+  * its full history — the file sink offers no cross-query dedup.
+  * StreamingRecoverySpec pins both sides for chunkStream and
+  * vecIngestStream; stateful faces (dedup, sessionization, windowed
+  * aggs) additionally restore their state store from the same
+  * checkpoint, which is why the checkpoint directory must never be
+  * shared across queries or deleted mid-life.
+  *
   * Watermark/filter interaction (measured, not theoretical): Catalyst
   * pushes non-event-time predicates BELOW the EventTimeWatermark
   * node, so rows a filter rejects never reach the event-time
