@@ -333,6 +333,30 @@ object Curation {
       .select(explode(split(trim(col("w")), "  ")).as("sym"), col("cnt"))
       .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
 
+  /** q89c: ENCODE the corpus with the trained tokenizer — the apply
+    * step that closes the train→use loop (a tokenizer exists to be
+    * applied). Word-level encoding is exact and cheap: the trained
+    * word table already holds each distinct token's post-merge symbol
+    * segmentation, so encoding a document is a join from its tokens
+    * to that (vocab-sized, AQE-broadcastable) table plus a per-doc
+    * sum — the corpus is scanned once and never re-segmented. Emits
+    * (doc_id, n_ws_tokens, n_bpe_tokens): whitespace vs trained-BPE
+    * token counts, the trained-tokenizer fertility q77 approximates
+    * with a fixed regex. */
+  def bpeEncodeCounts(s: SparkSession, dir: String): DataFrame = {
+    val fin = bpeMerges(s, dir)._2
+    val tokSyms = fin.select(
+      call_function("replace", col("w"), lit(" "), lit("")).as("tok"),
+      size(split(trim(col("w")), "  ")).as("n_sym"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) >= 1)
+      .join(tokSyms, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws_tokens"),
+           sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+  }
+
   /** DuckDB oracle CTE stack replaying [[bpeMerges]]: w0 = the word
     * table with the same separator invariant, then per round the pair
     * count / argmax / guarded replace. Empty-argmax rounds no-op in
@@ -389,6 +413,20 @@ object Curation {
        |  FROM w$rounds)
        |GROUP BY sym""".stripMargin
 
+  def bpeEncodeOracleSql(rounds: Int = BpeRounds): String =
+    s"""WITH ${bpeCtes(rounds)},
+       |enc AS (
+       |  SELECT replace(w, ' ', '') AS tok,
+       |         len(string_split(trim(w), '  ')) AS n_sym
+       |  FROM w$rounds)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       |  CAST(sum(e.n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |      FROM documents) d
+       |JOIN enc e ON e.tok = d.tok
+       |WHERE length(d.tok) >= 1
+       |GROUP BY d.doc_id""".stripMargin
+
   /** Shared quality gate (q28's keep rule) — also the streaming
     * gate ([[graft.streaming.DocStream.curateStream]]), so online and
     * offline curation can never drift apart on thresholds. */
@@ -434,6 +472,7 @@ object Curation {
 
     "q89_bpe_merges" -> ((s, dir) => bpeMergeTable(s, dir)),
     "q89b_bpe_vocab" -> ((s, dir) => bpeVocab(s, dir)),
+    "q89c_bpe_encode" -> ((s, dir) => bpeEncodeCounts(s, dir)),
 
     "q57_vocab_topk" -> ((s, dir) =>
       // corpus vocabulary heavy hitters: document frequency of each
@@ -870,6 +909,7 @@ object Curation {
 
     "q89_bpe_merges" -> bpeMergesOracleSql(),
     "q89b_bpe_vocab" -> bpeVocabOracleSql(),
+    "q89c_bpe_encode" -> bpeEncodeOracleSql(),
 
     "q57_vocab_topk" ->
       """WITH t AS (

@@ -354,5 +354,17 @@ class CurationSpec extends AnyFunSuite {
       .flatMap { case (syms, c) => syms.map(_ -> c) }
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(vocab == refVocab, "vocab diverges from reference")
+    // q89c: encoding the corpus with the trained model matches a pure
+    // per-doc recomputation from the reference's final word state
+    val tokLen = words.map { case (syms, _) => syms.mkString("") -> syms.length }
+    val refEnc = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        r.getLong(0) -> ((toks.length.toLong, toks.map(t => tokLen(t).toLong).sum))
+      }.toMap
+    val enc = graft.operators.Curation.queries("q89c_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(enc == refEnc, "trained-tokenizer encode diverges from reference")
   }
 }

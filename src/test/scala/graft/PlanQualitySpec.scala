@@ -275,6 +275,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q41d: two-level IVF has no cartesian product and broadcasts only probe/centroid sides") {
+    // the whole point of the two-level index: the k-sized fine
+    // codebook is a JOINED table, never a plan literal — so the plan
+    // must be equi-joins (ccell, then cell) with the broadcast
+    // reserved for the tiny query-probe list; any CartesianProduct
+    // means routing collapsed to all-pairs
+    val df = graft.operators.Similarity.queries("q41d_knn_ivf2")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"q41d degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q41d should broadcast the tiny probe list:\n$p")
+  }
+
   test("q87: incremental probe stays shuffle-joined under a forced-large estimate") {
     // Both sides of the incremental band join are corpus-proportional
     // (the batch is a shard of a crawl, the corpus bands are the whole
