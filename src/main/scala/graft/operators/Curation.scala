@@ -839,8 +839,137 @@ object Curation {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
              round(avg(col("n_chars")), 4).as("avg_chars"))
-    })
+    }),
+
+    "q90_curriculum_order" -> ((s, dir) =>
+      globalOrder(s, dir, banded = true, seed = "")),
+    "q90b_epoch_shuffle" -> ((s, dir) =>
+      globalOrder(s, dir, banded = false, seed = "epoch-1")),
+
+    "q91_bloom_decontam" -> ((s, dir) => bloomDecontam(s, dir))
   )
+
+  /** q90/q90b: GLOBAL training order without a global sort — the
+    * data-ordering step every training run needs (curriculum order,
+    * or a fresh deterministic permutation per epoch), produced at
+    * corpus scale with NO single-partition window and no zipWithIndex.
+    *
+    * The enumeration trick: bucket rows by (band, first hex byte of
+    * the order hash) — the bucket is a PREFIX of the global sort key,
+    * so bucket boundaries are order boundaries. Then
+    *   1. per-bucket counts (one partial agg, ≤ 2,560 rows out),
+    *   2. exclusive prefix-sum over the ORDERED bucket list — the only
+    *      unpartitioned window in the library, and it runs on the
+    *      bucket-count table, never the corpus,
+    *   3. broadcast the offsets back, rank WITHIN each bucket
+    *      (partitioned window), global_pos = bucket offset + local rank.
+    * One corpus shuffle total (the bucket-partitioned rank); a global
+    * `ORDER BY` + row_number would funnel 100 TB through one task.
+    * Content-addressed (md5 of seed+text): stable under re-sharding,
+    * and a new `seed` is a new, equally-deterministic epoch permutation.
+    *
+    * `banded=true` is curriculum order: length band ascending (short,
+    * easy docs first), hash-shuffled within a band. `banded=false` is
+    * the pure epoch shuffle. */
+  def globalOrder(s: SparkSession, dir: String, banded: Boolean,
+                  seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir)
+      .withColumn("h", md5(concat(lit(seed), col("text")).cast("binary")))
+      .withColumn("band",
+        (if (banded) least(expr("size(split(text, ' ')) div 100"), lit(9))
+         else lit(0)).cast("long"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val counts = base.groupBy(col("band"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wo = Window.orderBy(col("band"), col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(wo), lit(0L)))
+      .select(col("band"), col("bkt"), col("off"))
+    val wb = Window.partitionBy(col("band"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+    base.join(broadcast(offsets), Seq("band", "bkt"))
+      .withColumn("global_pos", col("off") + row_number().over(wb))
+      .select(col("doc_id"), col("band"), col("global_pos"))
+  }
+
+  def globalOrderOracleSql(banded: Boolean, seed: String): String = {
+    val band =
+      if (banded) "least(len(string_split(text, ' ')) // 100, 9)" else "0"
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST($band AS BIGINT) AS band,
+       |    md5('$seed' || text) AS h
+       |  FROM documents)
+       |SELECT doc_id, band,
+       |  row_number() OVER (ORDER BY band, h, doc_id) AS global_pos
+       |FROM t""".stripMargin
+  }
+
+  /** q91: q55's benchmark decontamination with a BLOOM-FILTER
+    * prefilter — the shape for when the eval-set n-gram table is too
+    * big to broadcast raw (a full eval harness is 10⁷-10⁸ shingles;
+    * the raw strings are GBs, the Bloom filter of their hashes is
+    * tens of MBs at the same false-positive budget). Spark's own
+    * runtime-filter machinery (BloomFilterAggregate /
+    * BloomFilterMightContain, the expressions InjectRuntimeFilter
+    * plants) is used EXPLICITLY: build the filter over the benchmark
+    * shingles in one tiny agg (bit-OR merge — order-independent,
+    * deterministic), embed it as a literal predicate on the corpus
+    * side, and only survivors enter the exact verify join. False
+    * positives die in the join, so the result is EXACTLY q55 — the
+    * oracle is shared verbatim — while the corpus-side shuffle
+    * carries ~fpp of the non-matching shingles instead of all of
+    * them. The verify join is deliberately un-hinted: AQE broadcasts
+    * the eval side while it fits and shuffles when it doesn't. */
+  def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatalystLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.GraftBridge
+    val sh = graft.functions.expressions.ArrayOps
+    val shingled = docs(s, dir)
+      .select(col("doc_id"), sh.wordShingles(Text.tokens(col("text")), 3).as("sh"))
+    val bench = shingled.where(col("doc_id") < 10)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val bfAgg = GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("shingle"))), 100000L)
+        .toAggregateExpression())
+    // one Bloom filter, ~100 KB — the bounded-collect contract
+    // (codebook-style): driver state is filter-sized, never corpus-sized
+    val bf = bench.agg(bfAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      CatalystLit.create(bf, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(xxhash64(col("shingle")))))
+    val candidates = shingled.where(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .where(mightContain)
+    candidates.join(bench, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= 3)
+  }
+
+  /** q55's DuckDB replay — shared verbatim by q91 (the Bloom
+    * prefilter's contract is identical output). */
+  private val decontamOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+      |         ELSE []::VARCHAR[] END AS sh
+      |  FROM tok),
+      |bench AS (
+      |  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 10),
+      |train AS (
+      |  SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 10)
+      |SELECT tr.doc_id, count(DISTINCT tr.shingle) AS shared_ngrams
+      |FROM train tr JOIN bench b ON tr.shingle = b.shingle
+      |GROUP BY tr.doc_id
+      |HAVING count(DISTINCT tr.shingle) >= 3""".stripMargin
 
   /** q67's DuckDB replay; shared verbatim by q67b (the salted shape's
     * contract is identical output, so it carries the identical
@@ -888,24 +1017,14 @@ object Curation {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM t GROUP BY 1""".stripMargin,
 
-    "q55_decontam" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) >= 3
-        |         THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
-        |         ELSE []::VARCHAR[] END AS sh
-        |  FROM tok),
-        |bench AS (
-        |  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 10),
-        |train AS (
-        |  SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id >= 10)
-        |SELECT tr.doc_id, count(DISTINCT tr.shingle) AS shared_ngrams
-        |FROM train tr JOIN bench b ON tr.shingle = b.shingle
-        |GROUP BY tr.doc_id
-        |HAVING count(DISTINCT tr.shingle) >= 3""".stripMargin,
+    "q55_decontam" -> decontamOracleSql,
+    // the Bloom prefilter is semantically transparent (false positives
+    // die in the exact verify join), so q91 carries q55's oracle verbatim
+    "q91_bloom_decontam" -> decontamOracleSql,
+
+    "q90_curriculum_order" -> globalOrderOracleSql(banded = true, seed = ""),
+    "q90b_epoch_shuffle" ->
+      globalOrderOracleSql(banded = false, seed = "epoch-1"),
 
     "q89_bpe_merges" -> bpeMergesOracleSql(),
     "q89b_bpe_vocab" -> bpeVocabOracleSql(),

@@ -1012,18 +1012,74 @@ object Similarity {
        |  WHERE c.vec_id <> p.query_id),
        |$duckRankTail""".stripMargin
 
+  /** Exact top-k cosine (q36): corpus scanned once, queries broadcast.
+    * Also the GROUND TRUTH side of [[annRecall]]. */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(emb(s, dir))
+    val q = broadcast(
+      n.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("ve").as("qve"), col("nrm").as("qnrm")))
+    val scored = n.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    topKPerQuery(scored)
+  }
+
+  /** ANN index-quality monitor (q92): recall@k of the IVF index
+    * against brute-force ground truth, per query. The evaluation every
+    * production vector index runs continuously — an index whose recall
+    * drifts (corpus grew past the codebook, cells skewed) needs
+    * retraining, and this is the query that tells you.
+    *
+    * Scale: both sides are the existing pipelines (corpus read twice;
+    * the brute side would run over a SAMPLE of queries at 100 TB —
+    * ground truth costs a full scan per query batch, which is exactly
+    * why you evaluate on a query sample, not why you skip it). The
+    * join is per-(query, neighbor) over 2×k×|queries| rows — tiny;
+    * recall aggregates per query. Deterministic end-to-end, so the
+    * DuckDB oracle replays both pipelines and the same join. */
+  def annRecall(s: SparkSession, dir: String, p: AnnParams): DataFrame = {
+    val truth = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvf(s, dir, p)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+              round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+  }
+
+  def annRecallOracleSql(p: AnnParams): String =
+    s"""WITH brute AS ($bruteOracleSql),
+       |approx AS (${ivfOracleSql(p)})
+       |SELECT b.query_id, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 4) AS recall
+       |FROM brute b LEFT JOIN approx a
+       |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |GROUP BY b.query_id""".stripMargin
+
+  private def bruteOracleSql: String =
+    s"""WITH $duckNormedCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    list_dot_product(q.ve, d.ve) / (q.nrm * d.nrm) AS cosine
+       |  FROM n q, n d
+       |  WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id),
+       |$duckRankTail""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q36_knn_brute" -> ((s, dir) => {
-      // exact top-k cosine: corpus scanned once, queries broadcast
-      val n = normed(emb(s, dir))
-      val q = broadcast(
-        n.where(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("ve").as("qve"), col("nrm").as("qnrm")))
-      val scored = n.join(q, col("vec_id") =!= col("query_id"))
-        .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
-      topKPerQuery(scored)
-    }),
+    "q36_knn_brute" -> ((s, dir) => knnBrute(s, dir)),
+
+    "q92_ann_recall" -> ((s, dir) => annRecall(s, dir, AnnParams.Default)),
+    // the cost/recall knob made visible: probe=1 scans a quarter of
+    // the cells and the measured recall drops with it — same
+    // generated oracle at the narrow operating point
+    "q92b_ann_recall_p1" -> ((s, dir) =>
+      annRecall(s, dir, AnnParams(ivfProbe = 1))),
 
     "q37_knn_lsh" -> ((s, dir) => knnLsh(s, dir, AnnParams.Default)),
     // second operating point, same generated oracle — proves the
@@ -1185,14 +1241,9 @@ object Similarity {
     "q64b_pq_adc_knn" -> pqAdcOracleSql,
     "q65_ivfpq_knn" -> ivfPqOracleSql(AnnParams.Default),
     "q65b_ivfpq_p2" -> ivfPqOracleSql(AnnParams(ivfProbe = 2)),
-    "q36_knn_brute" ->
-      s"""WITH $duckNormedCte,
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-         |    list_dot_product(q.ve, d.ve) / (q.nrm * d.nrm) AS cosine
-         |  FROM n q, n d
-         |  WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id),
-         |$duckRankTail""".stripMargin,
+    "q36_knn_brute" -> bruteOracleSql,
+    "q92_ann_recall" -> annRecallOracleSql(AnnParams.Default),
+    "q92b_ann_recall_p1" -> annRecallOracleSql(AnnParams(ivfProbe = 1)),
 
     "q37_knn_lsh" -> lshOracleSql(AnnParams.Default),
     "q37b_knn_lsh_p6" -> lshOracleSql(AnnParams(numPlanes = 6)),

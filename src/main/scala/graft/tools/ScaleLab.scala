@@ -109,6 +109,8 @@ object ScaleLab {
         val np = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
         val outDir = rest.drop(2).headOption
         probeIvf2(spark, dir, k.toInt, coarseK.toInt, cp, np, outDir)
+      case "order" :: dir :: Nil =>
+        probeOrder(spark, dir)
       case "bpe" :: dir :: rest =>
         val rounds = rest.headOption.map(_.toInt).getOrElse(64)
         val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
@@ -184,6 +186,29 @@ object ScaleLab {
     * sink once to warm (fills plan/codebook memos — the offline
     * model), then report median-of-3. One definition so all probes
     * measure identically; a protocol change lands everywhere at once. */
+  /** q90's bucketed global enumeration vs the naive single-partition
+    * window over the same sort key — the measured case for why the
+    * bucket-offset shape exists. The naive plan funnels every row
+    * through one task; the bucketed plan's widest window is one
+    * (band, hash-byte) bucket (~1/2560 of the corpus). */
+  private def probeOrder(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val (mb, tb) = timeMedian3(
+      graft.operators.Curation.globalOrder(spark, dir, banded = true, seed = ""))
+    def naive = {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+        .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("band",
+          least(expr("size(split(text, ' ')) div 100"), lit(9)).cast("long"))
+      docs.withColumn("global_pos",
+          row_number().over(Window.orderBy(col("band"), col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("band"), col("global_pos"))
+    }
+    val (mn, tn) = timeMedian3(naive)
+    println(f"ORDER_PROBE dir=$dir bucketed_median=$mb%.3f all=${fmtAll(tb)} " +
+      f"naive_global_window_median=$mn%.3f all=${fmtAll(tn)}")
+  }
+
   private def timeMedian3(df: => DataFrame): (Double, Seq[Double]) = {
     def once(): Double = {
       val t0 = System.nanoTime()
