@@ -289,6 +289,7 @@ final class QueryEngine(val spark: SparkSession,
     case "INSERT" => runInsert(sql, id)
     case "UPDATE" => runUpdate(sql, id)
     case "DELETE" => runDelete(sql, id)
+    case "MERGE" => runMerge(sql, id)
     case "OPTIMIZE" => runOptimize(sql, id)
     case "RESTORE" => runRestore(sql, id)
     case _ =>
@@ -858,6 +859,43 @@ final class QueryEngine(val spark: SparkSession,
         Map("rows" -> n.toString))
       QueryResult(id, Seq.empty, Seq.empty, n, s"UPDATE $n")
     case _ => throw new IllegalArgumentException("cannot parse UPDATE statement")
+  }
+
+  /** MERGE INTO (upsert) — parsing/planning in [[MergeInto]]; this
+    * wires the engine contract around it: write lock, ANSI multi-match
+    * guard as a bounded pre-job, empty-source fast path (no rewrite),
+    * snapshot, staged CoW rewrite, changefeed, observed counts. */
+  private def runMerge(sql: String, id: String): QueryResult = {
+    val parsed = MergeInto.parse(sql).getOrElse(
+      throw new IllegalArgumentException("cannot parse MERGE statement"))
+    val t = parsed.table
+    val declaredOrder = tableProps(t).get("graft.columns")
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val plan = MergeInto.plan(spark, parsed, declaredOrder)
+    val (u, d, i) = withTableWriteLock(Some(t)) {
+      // a MERGE from an empty source changes nothing — don't rewrite
+      if (plan.sourceDf.isEmpty) (0L, 0L, 0L)
+      else {
+        plan.dupCheck.foreach { dc =>
+          if (!dc.isEmpty) throw new IllegalArgumentException(
+            "MERGE: a target row matched multiple source rows")
+        }
+        if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
+        stagedRewrite(t, plan.result)
+        def n(k: String): Long = plan.obs.get(k) match {
+          case x: Long => x
+          case x: java.lang.Long => x.longValue()
+          case _ => 0L
+        }
+        (n("updated"), n("deleted"), n("inserted"))
+      }
+    }
+    val total = u + d + i
+    if (total > 0) registryChanged(t, Changefeed.TableFiles, "MERGE",
+      Map("updated" -> u.toString, "deleted" -> d.toString,
+          "inserted" -> i.toString))
+    QueryResult(id, Seq.empty, Seq.empty, total,
+      s"MERGE $u updated, $d deleted, $i inserted")
   }
 
   // -- partition-pruned copy-on-write machinery -------------------------

@@ -931,12 +931,18 @@ object Curation {
       .select(col("doc_id"), sh.wordShingles(Text.tokens(col("text")), 3).as("sh"))
     val bench = shingled.where(col("doc_id") < 10)
       .select(explode(col("sh")).as("shingle")).distinct()
+    // size the filter from the EVAL-SET cardinality (one eval-sized
+    // count — cheap relative to the corpus scan it saves), so the
+    // false-positive rate tracks the eval set instead of decaying as
+    // it grows past a fixed constant (the ivfKFor discipline)
+    val est = math.max(1000L, bench.count())
     val bfAgg = GraftBridge.column(
       new BloomFilterAggregate(
-        GraftBridge.expression(xxhash64(col("shingle"))), 100000L)
+        GraftBridge.expression(xxhash64(col("shingle"))), est)
         .toAggregateExpression())
-    // one Bloom filter, ~100 KB — the bounded-collect contract
-    // (codebook-style): driver state is filter-sized, never corpus-sized
+    // one Bloom filter, ~1.2 MB per 10⁶ eval shingles — the
+    // bounded-collect contract (codebook-style): driver state is
+    // filter-sized, never corpus-sized
     val bf = bench.agg(bfAgg.as("bf")).head.getAs[Array[Byte]](0)
     val mightContain = GraftBridge.column(BloomFilterMightContain(
       CatalystLit.create(bf, org.apache.spark.sql.types.BinaryType),
