@@ -450,25 +450,12 @@ object Curation {
              sum(size(Text.tokens(col("text")))).as("n_tokens"),
              sum(col("n_chars")).as("n_chars"))),
 
-    "q55_decontam" -> ((s, dir) => {
-      // benchmark decontamination: training docs sharing >= 3 distinct
-      // word 3-grams with the benchmark set (doc_id < 10 stands in for
-      // the eval benchmark) are flagged. The benchmark shingle set is
-      // tiny -> broadcast; matches aggregate per training doc.
-      val sh = graft.functions.expressions.ArrayOps
-      val shingled = docs(s, dir)
-        .select(col("doc_id"),
-                sh.wordShingles(Text.tokens(col("text")), 3).as("sh"))
-      val bench = broadcast(
-        shingled.where(col("doc_id") < 10)
-          .select(explode(col("sh")).as("shingle")).distinct())
-      val train = shingled.where(col("doc_id") >= 10)
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      train.join(bench, "shingle")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("shingle")).as("shared_ngrams"))
-        .where(col("shared_ngrams") >= 3)
-    }),
+    // benchmark decontamination: training docs sharing >= 3 distinct
+    // word 3-grams with the benchmark set (doc_id < 10 stands in for
+    // the eval benchmark) are flagged. The benchmark shingle set is
+    // benchmark-sized -> broadcast shape (see [[decontam]] for the
+    // shuffle/bloom shapes as the eval set grows).
+    "q55_decontam" -> ((s, dir) => decontam(s, dir, 10L, "broadcast")),
 
     "q89_bpe_merges" -> ((s, dir) => bpeMergeTable(s, dir)),
     "q89b_bpe_vocab" -> ((s, dir) => bpeVocab(s, dir)),
@@ -922,20 +909,50 @@ object Curation {
     * carries ~fpp of the non-matching shingles instead of all of
     * them. The verify join is deliberately un-hinted: AQE broadcasts
     * the eval side while it fits and shuffles when it doesn't. */
-  def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+  def bloomDecontam(s: SparkSession, dir: String): DataFrame =
+    decontam(s, dir, benchMaxId = 10L, mode = "bloom")
+
+  /** The decontamination operator at any eval-set size, in the three
+    * physical shapes whose crossover [[graft.tools.ScaleLab]] measures
+    * (`bloom` probe):
+    *  - `broadcast` — q55's shape: the raw eval shingle set broadcast,
+    *    right for benchmark-sized eval sets;
+    *  - `shuffle` — un-hinted exact join: ALL train shingles shuffle
+    *    on the shingle key, the fallback once the eval set outgrows
+    *    broadcast;
+    *  - `bloom` — the Bloom prefilter above the same un-hinted join:
+    *    the filter is eval-sized-bits, the shuffle carries only
+    *    candidates (true matches + fpp of the rest).
+    * Output is identical across modes — false positives die in the
+    * exact join — so all three carry q55's oracle semantics. */
+  def decontam(s: SparkSession, dir: String, benchMaxId: Long,
+               mode: String): DataFrame = {
+    val (train, bench) = decontamLegs(s, dir, benchMaxId)
+    val candidates = mode match {
+      case "broadcast" => train // bench side broadcast-hinted below
+      case "shuffle" => train
+      case "bloom" => bloomFiltered(train, bench)
+      case other =>
+        throw new IllegalArgumentException(s"unknown decontam mode '$other'")
+    }
+    val benchSide = if (mode == "broadcast") broadcast(bench) else bench
+    candidates.join(benchSide, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= 3)
+  }
+
+  /** `rows` restricted to shingles that MIGHT be in `keys`: the Bloom
+    * prefilter (exposed for ScaleLab's shuffled-row accounting). */
+  private[graft] def bloomFiltered(rows: DataFrame, keys: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatalystLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.GraftBridge
-    val sh = graft.functions.expressions.ArrayOps
-    val shingled = docs(s, dir)
-      .select(col("doc_id"), sh.wordShingles(Text.tokens(col("text")), 3).as("sh"))
-    val bench = shingled.where(col("doc_id") < 10)
-      .select(explode(col("sh")).as("shingle")).distinct()
     // size the filter from the EVAL-SET cardinality (one eval-sized
     // count — cheap relative to the corpus scan it saves), so the
-    // false-positive rate tracks the eval set instead of decaying as
-    // it grows past a fixed constant (the ivfKFor discipline)
-    val est = math.max(1000L, bench.count())
+    // false-positive rate tracks the eval set instead of decaying
+    // past a fixed constant (the ivfKFor discipline)
+    val est = math.max(1000L, keys.count())
     val bfAgg = GraftBridge.column(
       new BloomFilterAggregate(
         GraftBridge.expression(xxhash64(col("shingle"))), est)
@@ -943,17 +960,23 @@ object Curation {
     // one Bloom filter, ~1.2 MB per 10⁶ eval shingles — the
     // bounded-collect contract (codebook-style): driver state is
     // filter-sized, never corpus-sized
-    val bf = bench.agg(bfAgg.as("bf")).head.getAs[Array[Byte]](0)
-    val mightContain = GraftBridge.column(BloomFilterMightContain(
+    val bf = keys.agg(bfAgg.as("bf")).head.getAs[Array[Byte]](0)
+    rows.where(GraftBridge.column(BloomFilterMightContain(
       CatalystLit.create(bf, org.apache.spark.sql.types.BinaryType),
-      GraftBridge.expression(xxhash64(col("shingle")))))
-    val candidates = shingled.where(col("doc_id") >= 10)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .where(mightContain)
-    candidates.join(bench, "shingle")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("shingle")).as("shared_ngrams"))
-      .where(col("shared_ngrams") >= 3)
+      GraftBridge.expression(xxhash64(col("shingle"))))))
+  }
+
+  /** The (train, bench) shingle legs of [[decontam]] at any eval size
+    * (exposed for ScaleLab's accounting). */
+  private[graft] def decontamLegs(s: SparkSession, dir: String,
+                                  benchMaxId: Long): (DataFrame, DataFrame) = {
+    val sh = graft.functions.expressions.ArrayOps
+    val shingled = docs(s, dir)
+      .select(col("doc_id"), sh.wordShingles(Text.tokens(col("text")), 3).as("sh"))
+    (shingled.where(col("doc_id") >= benchMaxId)
+       .select(col("doc_id"), explode(col("sh")).as("shingle")),
+     shingled.where(col("doc_id") < benchMaxId)
+       .select(explode(col("sh")).as("shingle")).distinct())
   }
 
   /** q55's DuckDB replay — shared verbatim by q91 (the Bloom

@@ -111,6 +111,8 @@ object ScaleLab {
         probeIvf2(spark, dir, k.toInt, coarseK.toInt, cp, np, outDir)
       case "order" :: dir :: Nil =>
         probeOrder(spark, dir)
+      case "bloom" :: dir :: rest =>
+        probeBloom(spark, dir, rest.headOption.map(_.toLong).getOrElse(25000L))
       case "bpe" :: dir :: rest =>
         val rounds = rest.headOption.map(_.toInt).getOrElse(64)
         val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
@@ -207,6 +209,43 @@ object ScaleLab {
     val (mn, tn) = timeMedian3(naive)
     println(f"ORDER_PROBE dir=$dir bucketed_median=$mb%.3f all=${fmtAll(tb)} " +
       f"naive_global_window_median=$mn%.3f all=${fmtAll(tn)}")
+  }
+
+  /** The three decontam shapes at a LARGE eval set (doc_id <
+    * benchMaxId — a fraction of the corpus, modeling a full eval
+    * harness whose raw shingles outgrow broadcast): q55's broadcast
+    * join, the un-hinted exact shuffle join, and the Bloom prefilter
+    * above it. Identical output by contract; the measurement is where
+    * the crossover sits. */
+  private def probeBloom(spark: SparkSession, dir: String,
+                         benchMaxId: Long): Unit = {
+    def run(mode: String) =
+      timeMedian3(graft.operators.Curation.decontam(spark, dir, benchMaxId, mode))
+    val (mBloom, aBloom) = run("bloom")
+    val (mShuffle, aShuffle) = run("shuffle")
+    val (mBcast, aBcast) = run("broadcast")
+    // the scale-relevant metric a local wall can't show: rows entering
+    // the exact-join shuffle with and without the prefilter (local
+    // shuffles are in-memory; a cluster pays network+disk per row)
+    val (train, bench) = graft.operators.Curation.decontamLegs(spark, dir, benchMaxId)
+    val nTrain = train.count()
+    val nBench = bench.count()
+    val nCand = graft.operators.Curation.bloomFiltered(train, bench).count()
+    // mechanical selectivity on a DISJOINT key set (every bench key
+    // suffixed out of the corpus space): survivors are pure false
+    // positives — the shuffle reduction the filter delivers on a
+    // corpus where eval shingles are rare (real benchmarks), however
+    // saturated this synthetic shingle space is
+    val benchDisjoint = bench.select(
+      concat(col("shingle"), lit("#eval")).as("shingle"))
+    val nFp = graft.operators.Curation.bloomFiltered(train, benchDisjoint).count()
+    println(f"BLOOM_PROBE dir=$dir benchMaxId=$benchMaxId " +
+      f"bloom=$mBloom%.3f all=${fmtAll(aBloom)} " +
+      f"shuffle=$mShuffle%.3f all=${fmtAll(aShuffle)} " +
+      f"broadcast=$mBcast%.3f all=${fmtAll(aBcast)} " +
+      f"trainShingles=$nTrain benchShingles=$nBench " +
+      f"bloomCandidates=$nCand (${100.0 * nCand / nTrain}%.2f%% shuffled) " +
+      f"disjointFp=$nFp (${100.0 * nFp / nTrain}%.3f%% pure-fpp floor)")
   }
 
   private def timeMedian3(df: => DataFrame): (Double, Seq[Double]) = {
