@@ -190,18 +190,38 @@ object MergeInto {
     * `dupCheck` (when MATCHED clauses exist) is non-empty iff some
     * target row matches multiple source rows — run it BEFORE the
     * rewrite. */
+  /** The programmatic upsert shape: UPDATE every non-key column on
+    * match, INSERT everything on miss — what a CDC/streaming sink
+    * wants, without rendering SQL. */
+  def upsertParsed(table: String, keyCols: Seq[String],
+                   columns: Seq[String]): Parsed = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val nonKey = columns.filterNot(keyCols.contains)
+    Parsed(table, "t", sourceIsQuery = false, source = "<override>",
+      sAlias = "s",
+      onCond = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND "),
+      matched =
+        if (nonKey.isEmpty) Seq.empty
+        else Seq(Matched(None, Some(nonKey.map(c => c -> s"s.`$c`")))),
+      notMatched = Seq(NotMatched(None, columns,
+        columns.map(c => s"s.`$c`"))))
+  }
+
   /** `declaredOrder`: the user-visible column order for positional
     * `INSERT VALUES` without a column list (the DDL order — Spark's
-    * catalog moves partition columns last, SHOW COLUMNS does not). */
+    * catalog moves partition columns last, SHOW COLUMNS does not).
+    * `sourceOverride`: use this DataFrame as the source instead of
+    * resolving `p.source` (the programmatic/streaming entry). */
   def plan(spark: SparkSession, p: Parsed,
-           declaredOrder: Seq[String] = Seq.empty): Plan = {
+           declaredOrder: Seq[String] = Seq.empty,
+           sourceOverride: Option[DataFrame] = None): Plan = {
     val tgtBase = spark.table(p.table)
     val schema = tgtBase.schema
     val tCols = schema.fieldNames.toSeq
     val insertOrder = if (declaredOrder.nonEmpty) declaredOrder else tCols
 
-    val srcRaw =
-      if (p.sourceIsQuery) spark.sql(p.source) else spark.table(p.source)
+    val srcRaw = sourceOverride.getOrElse(
+      if (p.sourceIsQuery) spark.sql(p.source) else spark.table(p.source))
     val src = srcRaw.withColumn("__sm", lit(true)).alias(p.sAlias)
     val tgt = tgtBase.withColumn("__tm", lit(true)).alias(p.tAlias)
 

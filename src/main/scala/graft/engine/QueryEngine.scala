@@ -868,10 +868,33 @@ final class QueryEngine(val spark: SparkSession,
   private def runMerge(sql: String, id: String): QueryResult = {
     val parsed = MergeInto.parse(sql).getOrElse(
       throw new IllegalArgumentException("cannot parse MERGE statement"))
+    executeMerge(parsed, id, None)
+  }
+
+  /** Programmatic upsert: UPDATE every non-key column on key match,
+    * INSERT on miss — the CDC/streaming-sink entry
+    * ([[graft.streaming.UpsertStream]]). Idempotent by construction
+    * (re-merging the same source reproduces the same table state),
+    * which is what makes it a safe foreachBatch sink under
+    * at-least-once batch redelivery. The source must be unique per
+    * key — collapse in-batch duplicates first (the ANSI multi-match
+    * guard throws otherwise). */
+  def upsert(table: String, source: DataFrame,
+             keyCols: Seq[String]): QueryResult = {
+    val info = executions.register(s"MERGE-UPSERT $table")
+    executions.run(info) {
+      executeMerge(
+        MergeInto.upsertParsed(table, keyCols, source.columns.toSeq),
+        info.id, Some(source))
+    }
+  }
+
+  private def executeMerge(parsed: MergeInto.Parsed, id: String,
+                           sourceOverride: Option[DataFrame]): QueryResult = {
     val t = parsed.table
     val declaredOrder = tableProps(t).get("graft.columns")
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
-    val plan = MergeInto.plan(spark, parsed, declaredOrder)
+    val plan = MergeInto.plan(spark, parsed, declaredOrder, sourceOverride)
     val (u, d, i) = withTableWriteLock(Some(t)) {
       // a MERGE from an empty source changes nothing — don't rewrite
       if (plan.sourceDf.isEmpty) (0L, 0L, 0L)
