@@ -193,10 +193,17 @@ object MergeInto {
   /** The programmatic upsert shape: UPDATE every non-key column on
     * match, INSERT everything on miss — what a CDC/streaming sink
     * wants, without rendering SQL. */
+  /** `frozenCols`: columns set on INSERT but never UPDATEd — the
+    * engine passes the table's partition columns here, so an upsert
+    * never moves a row across partitions (partition value is part of
+    * row identity, the Hive/Delta convention) and the partition-scoped
+    * merge path stays applicable. */
   def upsertParsed(table: String, keyCols: Seq[String],
-                   columns: Seq[String]): Parsed = {
+                   columns: Seq[String],
+                   frozenCols: Seq[String] = Seq.empty): Parsed = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
-    val nonKey = columns.filterNot(keyCols.contains)
+    val nonKey = columns.filterNot(c =>
+      keyCols.contains(c) || frozenCols.contains(c))
     Parsed(table, "t", sourceIsQuery = false, source = "<override>",
       sAlias = "s",
       onCond = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND "),
@@ -206,6 +213,28 @@ object MergeInto {
       notMatched = Seq(NotMatched(None, columns,
         columns.map(c => s"s.`$c`"))))
   }
+
+  /** The resolved source DataFrame (`sourceOverride` wins — the
+    * programmatic/streaming entry). */
+  def resolveSource(spark: SparkSession, p: Parsed,
+                    sourceOverride: Option[DataFrame]): DataFrame =
+    sourceOverride.getOrElse(
+      if (p.sourceIsQuery) spark.sql(p.source) else spark.table(p.source))
+
+  /** ANSI multi-match guard: non-empty iff some target row matches
+    * multiple source rows (only built when a MATCHED clause exists).
+    * `restrictTo`: prune the target scan to the partitions that can
+    * hold matches (every match lives in an affected partition). */
+  def dupCheck(spark: SparkSession, p: Parsed, srcRaw: DataFrame,
+               restrictTo: Option[Column] = None): Option[DataFrame] =
+    if (p.matched.isEmpty) None
+    else Some(
+      restrictTo.foldLeft(spark.table(p.table))(_.where(_))
+        .withColumn("__tid", monotonically_increasing_id())
+        .alias(p.tAlias)
+        .join(srcRaw.alias(p.sAlias), expr(p.onCond), "inner")
+        .groupBy(col("__tid")).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).limit(1))
 
   /** `declaredOrder`: the user-visible column order for positional
     * `INSERT VALUES` without a column list (the DDL order — Spark's
@@ -220,19 +249,9 @@ object MergeInto {
     val tCols = schema.fieldNames.toSeq
     val insertOrder = if (declaredOrder.nonEmpty) declaredOrder else tCols
 
-    val srcRaw = sourceOverride.getOrElse(
-      if (p.sourceIsQuery) spark.sql(p.source) else spark.table(p.source))
+    val srcRaw = resolveSource(spark, p, sourceOverride)
     val src = srcRaw.withColumn("__sm", lit(true)).alias(p.sAlias)
     val tgt = tgtBase.withColumn("__tm", lit(true)).alias(p.tAlias)
-
-    val dupCheck =
-      if (p.matched.isEmpty) None
-      else Some(
-        tgtBase.withColumn("__tid", monotonically_increasing_id())
-          .alias(p.tAlias)
-          .join(srcRaw.alias(p.sAlias), expr(p.onCond), "inner")
-          .groupBy(col("__tid")).agg(count(lit(1)).as("n"))
-          .where(col("n") > 1).limit(1))
 
     val j = tgt.join(src, expr(p.onCond), "full_outer")
     val mFlag = coalesce(col("__tm"), lit(false))
@@ -296,6 +315,89 @@ object MergeInto {
           .as("inserted"))
       .where(keep)
       .select(tCols.map(valueFor): _*)
-    Plan(result, obs, dupCheck, srcRaw)
+    Plan(result, obs, dupCheck(spark, p, srcRaw), srcRaw)
+  }
+
+  final case class PrunedPlan(overwrite: DataFrame, obsUpdated: Observation,
+                              inserts: DataFrame, obsInserted: Observation)
+
+  /** The partition-scoped merge (the UPDATE/DELETE pruned-CoW shape,
+    * for MERGEs with NO DELETE clause and no SET on a partition
+    * column): the matched/update half runs as a LEFT join of ONLY the
+    * affected partitions (`restrictTo`) against the source — rows are
+    * never removed, so dynamic overwrite of exactly those partitions
+    * is sound — and the insert half is a LEFT ANTI of the source
+    * against the FULL target (any source row matching anything would
+    * have made its partition affected), appended rather than
+    * overwritten. At 100 TB a batch-sized upsert rewrites batch-many
+    * partitions instead of the corpus. */
+  def planPruned(spark: SparkSession, p: Parsed,
+                 declaredOrder: Seq[String],
+                 srcRaw: DataFrame, restrictTo: Column): PrunedPlan = {
+    require(!p.matched.exists(_.sets.isEmpty),
+      "pruned merge path cannot carry DELETE clauses")
+    val tgtBase = spark.table(p.table)
+    val schema = tgtBase.schema
+    val tCols = schema.fieldNames.toSeq
+    val insertOrder = if (declaredOrder.nonEmpty) declaredOrder else tCols
+
+    def applicable(cond: Option[String]): Column =
+      cond.map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
+
+    // ---- overwrite half: affected target partitions LEFT JOIN source
+    val src = srcRaw.withColumn("__sm", lit(true)).alias(p.sAlias)
+    val tgt = tgtBase.where(restrictTo).alias(p.tAlias)
+    val j = tgt.join(src, expr(p.onCond), "left_outer")
+    val isMatched = coalesce(col("__sm"), lit(false))
+    val midx = when(isMatched,
+      p.matched.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((cl, i), acc) => when(applicable(cl.cond), lit(i)).otherwise(acc)
+      }).otherwise(lit(-1))
+    def updatedValue(c: String): Column = {
+      val dt = schema(c).dataType
+      p.matched.zipWithIndex.foldLeft(col(s"${p.tAlias}.$c")) {
+        case (acc, (Matched(_, Some(sets)), i)) =>
+          sets.find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, v)) =>
+              when(midx === i, expr(v).cast(dt)).otherwise(acc)
+            case None => acc
+          }
+        case (acc, _) => acc
+      }.as(c)
+    }
+    val obsU = new Observation()
+    val overwrite = j
+      .observe(obsU,
+        sum(when(isMatched && (midx >= 0), 1L).otherwise(0L)).as("updated"))
+      .select(tCols.map(updatedValue): _*)
+
+    // ---- insert half: source rows matching NO target row, appended.
+    // The anti-join's target scan is pruned to the affected
+    // partitions: a source row matching ANY target row made that
+    // row's partition affected, so anti-vs-affected == anti-vs-full.
+    val srcAnti = srcRaw.alias(p.sAlias)
+      .join(tgtBase.where(restrictTo).alias(p.tAlias), expr(p.onCond),
+        "left_anti")
+    val nidx = p.notMatched.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((cl, i), acc) => when(applicable(cl.cond), lit(i)).otherwise(acc)
+    }
+    def insertValue(c: String): Column = {
+      val dt = schema(c).dataType
+      p.notMatched.zipWithIndex
+        .foldLeft(lit(null).cast(dt): Column) { case (acc, (cl, i)) =>
+          val cols = if (cl.cols.isEmpty) insertOrder else cl.cols
+          val pos = cols.indexWhere(_.equalsIgnoreCase(c))
+          if (pos >= 0 && pos < cl.vals.length)
+            when(col("__nidx") === i, expr(cl.vals(pos)).cast(dt)).otherwise(acc)
+          else acc
+        }.as(c)
+    }
+    val obsI = new Observation()
+    val inserts = srcAnti
+      .withColumn("__nidx", nidx)
+      .where(col("__nidx") >= 0)
+      .observe(obsI, count(lit(1)).as("inserted"))
+      .select(tCols.map(insertValue): _*)
+    PrunedPlan(overwrite, obsU, inserts, obsI)
   }
 }

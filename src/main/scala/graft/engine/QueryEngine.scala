@@ -884,7 +884,8 @@ final class QueryEngine(val spark: SparkSession,
     val info = executions.register(s"MERGE-UPSERT $table")
     executions.run(info) {
       executeMerge(
-        MergeInto.upsertParsed(table, keyCols, source.columns.toSeq),
+        MergeInto.upsertParsed(table, keyCols, source.columns.toSeq,
+          frozenCols = partitionColumns(table)),
         info.id, Some(source))
     }
   }
@@ -894,23 +895,79 @@ final class QueryEngine(val spark: SparkSession,
     val t = parsed.table
     val declaredOrder = tableProps(t).get("graft.columns")
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
-    val plan = MergeInto.plan(spark, parsed, declaredOrder, sourceOverride)
+    val srcRaw = MergeInto.resolveSource(spark, parsed, sourceOverride)
+    def obsN(obs: org.apache.spark.sql.Observation, k: String): Long =
+      obs.get(k) match {
+        case x: Long => x
+        case x: java.lang.Long => x.longValue()
+        case _ => 0L
+      }
+    val parts = partitionColumns(t)
+    val hasDelete = parsed.matched.exists(_.sets.isEmpty)
+    val touchesPartCol = parsed.matched.exists(_.sets.exists(
+      _.exists { case (c, _) => parts.contains(c) }))
     val (u, d, i) = withTableWriteLock(Some(t)) {
       // a MERGE from an empty source changes nothing — don't rewrite
-      if (plan.sourceDf.isEmpty) (0L, 0L, 0L)
+      if (srcRaw.isEmpty) (0L, 0L, 0L)
       else {
-        plan.dupCheck.foreach { dc =>
-          if (!dc.isEmpty) throw new IllegalArgumentException(
-            "MERGE: a target row matched multiple source rows")
+        def guardDups(restrictTo: Option[Column]): Unit =
+          MergeInto.dupCheck(spark, parsed, srcRaw, restrictTo).foreach { dc =>
+            if (!dc.isEmpty) throw new IllegalArgumentException(
+              "MERGE: a target row matched multiple source rows")
+          }
+        // partition-scoped path (the UPDATE/DELETE pruned-CoW shape):
+        // rows are only revised or appended, never removed, so the
+        // affected partitions can be dynamically overwritten and the
+        // inserts appended — a batch-sized upsert rewrites batch-many
+        // partitions, not the table. DELETE clauses, SETs on a
+        // partition column, and over-wide scopes fall back to the
+        // whole-table staged rewrite.
+        val pruneEnabled = spark.conf
+          .getOption("spark.graft.merge.prune").forall(_ != "off")
+        val prunedScope: Option[Seq[Row]] =
+          if (parts.isEmpty || hasDelete || touchesPartCol || !pruneEnabled) None
+          else {
+            val rows = spark.table(t).alias(parsed.tAlias)
+              .join(srcRaw.alias(parsed.sAlias), expr(parsed.onCond), "left_semi")
+              .groupBy(parts.map(col): _*).agg(count(lit(1)).as("__cnt"))
+              .limit(MaxPrunedPartitions + 1).collect().toSeq
+              .map(r => Row.fromSeq(r.toSeq.dropRight(1)))
+            val nullParts = rows.exists(r =>
+              (0 until r.length).exists(r.isNullAt))
+            if (rows.length > MaxPrunedPartitions || nullParts) None
+            else Some(rows)
+          }
+        prunedScope match {
+          case Some(affected) =>
+            val restrict =
+              if (affected.isEmpty) lit(false)
+              else partitionPredicate(parts, affected)
+            // matches only exist in affected partitions — the guard's
+            // target scan is pruned to them
+            guardDups(Some(restrict))
+            if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
+            val pruned = MergeInto.planPruned(spark, parsed, declaredOrder,
+              srcRaw, restrict)
+            val updated =
+              if (affected.isEmpty) 0L
+              else {
+                preserveAffected(t, parts, affected)
+                withDynamicOverwrite(alignForInsert(t, pruned.overwrite)
+                  .write.mode("overwrite").insertInto(t))
+                obsN(pruned.obsUpdated, "updated")
+              }
+            alignForInsert(t, pruned.inserts)
+              .write.mode("append").insertInto(t)
+            (updated, 0L, obsN(pruned.obsInserted, "inserted"))
+          case None =>
+            guardDups(None)
+            val plan = MergeInto.plan(spark, parsed, declaredOrder,
+              Some(srcRaw))
+            if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
+            stagedRewrite(t, plan.result)
+            (obsN(plan.obs, "updated"), obsN(plan.obs, "deleted"),
+             obsN(plan.obs, "inserted"))
         }
-        if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
-        stagedRewrite(t, plan.result)
-        def n(k: String): Long = plan.obs.get(k) match {
-          case x: Long => x
-          case x: java.lang.Long => x.longValue()
-          case _ => 0L
-        }
-        (n("updated"), n("deleted"), n("inserted"))
       }
     }
     val total = u + d + i

@@ -833,7 +833,26 @@ object Curation {
     "q90b_epoch_shuffle" -> ((s, dir) =>
       globalOrder(s, dir, banded = false, seed = "epoch-1")),
 
-    "q91_bloom_decontam" -> ((s, dir) => bloomDecontam(s, dir))
+    "q91_bloom_decontam" -> ((s, dir) => bloomDecontam(s, dir)),
+
+    "q93_weighted_sample" -> ((s, dir) => {
+      // importance-weighted Bernoulli sampling: each doc's keep
+      // probability is a CONTINUOUS per-doc weight (token count,
+      // capped — the "keep more of the long documents" rebalance),
+      // not a per-stratum constant like q62. Content-addressed
+      // (md5 bucket < weight), so the sample is stable under
+      // re-sharding and two pipelines agree row-for-row; per-row
+      // codegen, zero shuffle until the per-source summary.
+      val tk = size(Text.tokens(col("text")))
+      val weightPct = expr("least(size(split(text, ' ')), 200) div 2") // [0,100]
+      docs(s, dir)
+        .withColumn("tk", tk)
+        .withColumn("kept", splitBucket < weightPct)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("kept"), 1).otherwise(0)).as("n_kept"),
+             sum(when(col("kept"), col("tk")).otherwise(0)).as("kept_tokens"))
+    })
   )
 
   /** q90/q90b: GLOBAL training order without a global sort — the
@@ -1054,6 +1073,20 @@ object Curation {
     "q90_curriculum_order" -> globalOrderOracleSql(banded = true, seed = ""),
     "q90b_epoch_shuffle" ->
       globalOrderOracleSql(banded = false, seed = "epoch-1"),
+
+    "q93_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(string_split(text, ' ')) AS tk,
+        |    ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+        |    least(len(string_split(text, ' ')), 200) // 2 AS w
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN bucket < w THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN bucket < w THEN tk ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM t GROUP BY source""".stripMargin,
 
     "q89_bpe_merges" -> bpeMergesOracleSql(),
     "q89b_bpe_vocab" -> bpeVocabOracleSql(),

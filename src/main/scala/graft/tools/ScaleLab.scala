@@ -74,6 +74,8 @@ object ScaleLab {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_scalelab_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -113,6 +115,8 @@ object ScaleLab {
         probeOrder(spark, dir)
       case "bloom" :: dir :: rest =>
         probeBloom(spark, dir, rest.headOption.map(_.toLong).getOrElse(25000L))
+      case "merge" :: dir :: rest =>
+        probeMerge(spark, dir, rest.headOption.map(_.toInt).getOrElse(1000))
       case "bpe" :: dir :: rest =>
         val rounds = rest.headOption.map(_.toInt).getOrElse(64)
         val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
@@ -188,6 +192,40 @@ object ScaleLab {
     * sink once to warm (fills plan/codebook memos — the offline
     * model), then report median-of-3. One definition so all probes
     * measure identically; a protocol change lands everywhere at once. */
+  /** The partition-scoped merge vs the whole-table rewrite: a
+    * corpus-sized 64-partition table takes a batch-sized upsert
+    * touching 4 partitions, with `spark.graft.merge.prune` toggling
+    * the path. The pruned walls should track the BATCH (4/64 of the
+    * table rewritten + an append); the whole-table wall rewrites
+    * everything every time. */
+  private def probeMerge(spark: SparkSession, dir: String,
+                         batchN: Int): Unit = {
+    val engine = new graft.engine.QueryEngine(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS sl")
+    spark.sql("DROP TABLE IF EXISTS sl.mdocs")
+    spark.sql("""CREATE TABLE sl.mdocs (doc_id BIGINT, text STRING, p INT)
+                 USING parquet PARTITIONED BY (p)""")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+              pmod(col("doc_id"), lit(64)).cast("int").as("p"))
+    docs.write.mode("append").insertInto("sl.mdocs")
+    val batch = docs.where(col("p") < 4)
+      .orderBy(col("doc_id")).limit(batchN)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .localCheckpoint()
+    def run(prune: String): Double = {
+      spark.conf.set("spark.graft.merge.prune", prune)
+      val t0 = System.nanoTime()
+      engine.upsert("sl.mdocs", batch, Seq("doc_id"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val p1 = run("on"); val off1 = run("off")
+    val p2 = run("on"); val off2 = run("off")
+    spark.conf.unset("spark.graft.merge.prune")
+    println(f"MERGE_PROBE dir=$dir batch=$batchN " +
+      f"pruned=$p1%.2f,$p2%.2f wholeTable=$off1%.2f,$off2%.2f")
+  }
+
   /** q90's bucketed global enumeration vs the naive single-partition
     * window over the same sort key — the measured case for why the
     * bucket-offset shape exists. The naive plan funnels every row

@@ -126,4 +126,82 @@ class MergeSpec extends AnyFunSuite {
     assert(rows("SELECT count(*) AS n FROM mrg.tp WHERE region = 'eu'") ==
       Seq(List(2L)))
   }
+
+  import scala.jdk.CollectionConverters._
+
+  private def partFiles(table: String, part: String): Set[String] = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+    val dir = java.nio.file.Paths.get(new java.net.URI(loc.toString).getPath, part)
+    if (!java.nio.file.Files.exists(dir)) Set.empty
+    else {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSet
+      finally s.close()
+    }
+  }
+
+  test("a DELETE-free merge rewrites ONLY the affected partitions") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS mrg")
+    engine.execute("DROP TABLE IF EXISTS mrg.tq")
+    engine.execute(
+      """CREATE TABLE mrg.tq (id int64 NOT NULL, region string, qty int64)
+        |STORAGE filesystem PARTITION BY (region)""".stripMargin)
+    engine.execute(
+      "INSERT INTO mrg.tq VALUES (1,'eu',10),(2,'us',20),(3,'eu',30)")
+    val euBefore = partFiles("mrg.tq", "region=eu")
+    assert(euBefore.nonEmpty)
+    val r = engine.execute(
+      """MERGE INTO mrg.tq t
+        |USING (VALUES (2, 99), (7, 70)) AS s(id, qty)
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET qty = s.qty
+        |WHEN NOT MATCHED THEN INSERT (id, region, qty) VALUES (s.id, 'ap', s.qty)""".stripMargin)
+    assert(r.message == "MERGE 1 updated, 0 deleted, 1 inserted")
+    // the eu partition held no matched rows: its files are untouched
+    assert(partFiles("mrg.tq", "region=eu") == euBefore)
+    assert(rows("SELECT id, region, qty FROM mrg.tq ORDER BY id") == Seq(
+      List(1L, "eu", 10L), List(2L, "us", 99L),
+      List(3L, "eu", 30L), List(7L, "ap", 70L)))
+  }
+
+  test("insert-only merge into a partitioned table appends without any overwrite") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS mrg")
+    engine.execute("DROP TABLE IF EXISTS mrg.tr")
+    engine.execute(
+      """CREATE TABLE mrg.tr (id int64 NOT NULL, region string, qty int64)
+        |STORAGE filesystem PARTITION BY (region)""".stripMargin)
+    engine.execute("INSERT INTO mrg.tr VALUES (1,'eu',10)")
+    val euBefore = partFiles("mrg.tr", "region=eu")
+    val r = engine.execute(
+      """MERGE INTO mrg.tr t
+        |USING (VALUES (8, 'us', 80)) AS s(id, region, qty)
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET qty = s.qty
+        |WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.region, s.qty)""".stripMargin)
+    assert(r.message == "MERGE 0 updated, 0 deleted, 1 inserted")
+    assert(partFiles("mrg.tr", "region=eu") == euBefore)
+    assert(rows("SELECT id, region, qty FROM mrg.tr ORDER BY id") == Seq(
+      List(1L, "eu", 10L), List(8L, "us", 80L)))
+  }
+
+  test("a merge WITH a DELETE clause on a partitioned table still lands exactly") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS mrg")
+    engine.execute("DROP TABLE IF EXISTS mrg.ts")
+    engine.execute(
+      """CREATE TABLE mrg.ts (id int64 NOT NULL, region string, qty int64)
+        |STORAGE filesystem PARTITION BY (region)""".stripMargin)
+    engine.execute(
+      "INSERT INTO mrg.ts VALUES (1,'eu',10),(2,'us',20),(3,'eu',30)")
+    val r = engine.execute(
+      """MERGE INTO mrg.ts t
+        |USING (VALUES (1, 0), (2, 99)) AS s(id, qty)
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.qty = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET qty = s.qty""".stripMargin)
+    assert(r.message == "MERGE 1 updated, 1 deleted, 0 inserted")
+    assert(rows("SELECT id, region, qty FROM mrg.ts ORDER BY id") == Seq(
+      List(2L, "us", 99L), List(3L, "eu", 30L)))
+  }
 }
