@@ -499,6 +499,104 @@ object Similarity {
   private val PqK = 16        // centroids per subvector (4 bits)
   private val PqSampleBase = 200L
 
+  /** q94: SQ8 scalar quantization — the OTHER classic compressed-ANN
+    * operating point next to PQ: each dimension is linearly quantized
+    * to 8 bits against per-dimension corpus [min, max] (one scan, 128
+    * partial-agg expressions → a 2x64-double literal, the
+    * codebook-broadcast contract). The stored index is (vec_id,
+    * codes): 8 bits/dim = 4x smaller than float32 — SQ8's win is
+    * memory, not arithmetic shortcuts — and the query path decodes
+    * corpus-scan-locally and scores ADC L2 via the algebraic
+    * expansion |q-d|² = q·q − 2·q·d + d·d, three NATIVE sequential
+    * dots, so the DuckDB oracle replays the exact same doubles.
+    * Zero-span dimensions encode to 0 and decode to their min (both
+    * engines, pinned in the CASE). Same honest recall caveat as PQ:
+    * isotropic synthetic vectors quantize poorly; the oracle pins the
+    * arithmetic, recall quality is the data's property. */
+  def sqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(emb(s, dir))
+    val stats: Seq[Seq[Double]] = codebooks.computeIfAbsent(
+      (dir, -256), _ => {
+        val aggs = (1 to Dim).flatMap(i => Seq(
+          min(element_at(col("ve"), i)).as(s"mn$i"),
+          max(element_at(col("ve"), i)).as(s"mx$i")))
+        val row = n.agg(aggs.head, aggs.tail: _*).head
+        Seq((0 until Dim).map(i => row.getDouble(2 * i)),
+            (0 until Dim).map(i => row.getDouble(2 * i + 1)))
+      })
+    val withStats = n.select(col("vec_id"), col("ve"))
+      .withColumn("mn", typedlit(stats(0)))
+      .withColumn("mx", typedlit(stats(1)))
+    val coded = withStats.withColumn("codes", expr(
+      s"""transform(sequence(1, $Dim), i ->
+         |  CASE WHEN element_at(mx, i) = element_at(mn, i) THEN 0
+         |  ELSE least(255, greatest(0, CAST(floor(
+         |    (element_at(ve, i) - element_at(mn, i)) * 255.0D
+         |      / (element_at(mx, i) - element_at(mn, i))) AS INT))) END)""".stripMargin))
+      .select(col("vec_id"), col("mn"), col("mx"), col("codes"))
+    // the stored index is (vec_id, codes); decode happens scan-local
+    val decoded = coded.withColumn("dv", expr(
+      s"""transform(sequence(1, $Dim), i ->
+         |  element_at(mn, i) + CAST(element_at(codes, i) AS DOUBLE)
+         |    * (element_at(mx, i) - element_at(mn, i)) / 255.0D)""".stripMargin))
+      .select(col("vec_id"), col("dv"))
+    val q = broadcast(
+      n.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("ve").as("qve"),
+                dotProduct(col("ve"), col("ve")).as("qq")))
+    val scored = decoded.crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        col("qq") - lit(2.0) * dotProduct(col("qve"), col("dv"))
+          + dotProduct(col("dv"), col("dv")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(col("adc_dist"), 4).as("adc_dist"))
+  }
+
+  /** DuckDB oracle for [[sqAdcTopK]] — stats, codes, decode, and the
+    * three-dot expansion replayed with identical double arithmetic. */
+  def sqAdcOracleSql: String =
+    s"""WITH $duckNormedCte,
+       |stats AS (
+       |  SELECT list(mnv ORDER BY i) AS mn, list(mxv ORDER BY i) AS mx
+       |  FROM (
+       |    SELECT g.i AS i, min(ve[g.i]) AS mnv, max(ve[g.i]) AS mxv
+       |    FROM n, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+       |    GROUP BY g.i)),
+       |coded AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, $Dim), i ->
+       |      CASE WHEN mx[i] = mn[i] THEN 0
+       |      ELSE least(255, greatest(0, CAST(floor(
+       |        (ve[i] - mn[i]) * 255.0 / (mx[i] - mn[i])) AS INT))) END) AS codes
+       |  FROM n, stats),
+       |dec AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, $Dim), i ->
+       |      mn[i] + CAST(codes[i] AS DOUBLE) * (mx[i] - mn[i]) / 255.0) AS dv
+       |  FROM coded, stats),
+       |qs AS (
+       |  SELECT vec_id AS query_id, ve AS qve,
+       |    list_dot_product(ve, ve) AS qq
+       |  FROM n WHERE vec_id < $NumQueries),
+       |scored0 AS (
+       |  SELECT q.query_id, d.vec_id AS neighbor_id,
+       |    q.qq - 2.0 * list_dot_product(q.qve, d.dv)
+       |      + list_dot_product(d.dv, d.dv) AS adc_dist
+       |  FROM dec d, qs q WHERE d.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+       |  FROM scored0)
+       |SELECT query_id, neighbor_id, round(adc_dist, 4) AS adc_dist
+       |FROM ranked WHERE rn <= 5""".stripMargin
+
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val n = normed(emb(s, dir))
     val samples: Seq[Seq[Double]] = codebooks.computeIfAbsent(
@@ -1229,6 +1327,7 @@ object Similarity {
 
     "q64_pq_encode" -> ((s, dir) => pqEncode(s, dir)),
     "q64b_pq_adc_knn" -> ((s, dir) => pqAdcTopK(s, dir)),
+    "q94_sq8_knn" -> ((s, dir) => sqAdcTopK(s, dir)),
     "q65_ivfpq_knn" -> ((s, dir) => ivfPqTopK(s, dir, AnnParams.Default)),
     // second operating point (narrower probe) — the parameterization
     // carries its generated oracle, as with q37b/q41b/q33b
@@ -1239,6 +1338,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "q64_pq_encode" -> pqOracleSql,
     "q64b_pq_adc_knn" -> pqAdcOracleSql,
+    "q94_sq8_knn" -> sqAdcOracleSql,
     "q65_ivfpq_knn" -> ivfPqOracleSql(AnnParams.Default),
     "q65b_ivfpq_p2" -> ivfPqOracleSql(AnnParams(ivfProbe = 2)),
     "q36_knn_brute" -> bruteOracleSql,

@@ -47,6 +47,34 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** STREAM-STREAM interval join — attribution: every purchase pairs
+    * with the same user's clicks from the preceding `within` window.
+    * Both sides are watermarked and the join carries an event-time
+    * RANGE condition, which is what lets Spark bound the join state:
+    * a buffered click can be dropped once the watermark passes
+    * click_ts + within, a buffered purchase once its own watermark
+    * passes — state is ingest-rate x window, never history-sized.
+    * (The other streaming joins in this library are stream-static;
+    * this is the genuinely two-moving-sides shape.) Same plan runs
+    * in batch for the offline backfill — the spec pins stream ==
+    * batch row-for-row. */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame,
+                        within: String = "30 minutes",
+                        watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Session summary row emitted by [[sessionizeStream]]. */
   case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
                             n_events: Long, total_value: Double)

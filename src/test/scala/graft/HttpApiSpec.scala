@@ -39,6 +39,19 @@ class HttpApiSpec extends AnyFunSuite {
     assert(body.contains(""""query_id":"query_"""))
   }
 
+  test("MERGE INTO is served over the HTTP tier") {
+    assert(post("/query", """{"query": "CREATE DATABASE IF NOT EXISTS hapi"}""")._1 == 200)
+    post("/query", """{"query": "DROP TABLE IF EXISTS hapi.m"}""")
+    assert(post("/query",
+      """{"query": "CREATE TABLE hapi.m (id int64 NOT NULL, v string) STORAGE filesystem"}""")._1 == 200)
+    assert(post("/query", """{"query": "INSERT INTO hapi.m VALUES (1,'x')"}""")._1 == 200)
+    val m = post("/query",
+      """{"query": "MERGE INTO hapi.m t USING (VALUES (1,'X'), (2,'y')) AS s(id, v) ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v)"}""")
+    assert(m._1 == 200 && m._2.contains(""""message":"MERGE 1 updated, 0 deleted, 1 inserted""""))
+    val sel = post("/query", """{"query": "SELECT id, v FROM hapi.m ORDER BY id"}""")
+    assert(sel._2.contains("""[[1,"X"],[2,"y"]]"""))
+  }
+
   test("full DDL+DML lifecycle over HTTP") {
     assert(post("/query", """{"query": "CREATE DATABASE IF NOT EXISTS hapi"}""")._1 == 200)
     assert(post("/query",

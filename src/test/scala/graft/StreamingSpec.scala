@@ -7,6 +7,7 @@ import java.sql.Timestamp
 import graft.streaming.EventsStream
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class EvU(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 case class Doc(doc_id: Long, text: String, source: String, ts: Timestamp)
 case class Vec(vec_id: Long, embedding: Array[Float], ts: Timestamp)
 
@@ -56,6 +57,39 @@ class StreamingSpec extends AnyFunSuite {
       val ids = spark.table("dedup_stream").select("event_id")
         .collect().map(_.getLong(0)).sorted
       assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EvU]
+    val purchases = MemoryStream[EvU]
+    val q = EventsStream
+      .attributionStream(clicks.toDF(), purchases.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      val cData = Seq(
+        EvU(1, ts("2024-01-01 10:00:00"), 100, 0),
+        EvU(2, ts("2024-01-01 11:00:00"), 100, 0),
+        EvU(3, ts("2024-01-01 10:05:00"), 200, 0))
+      val pData = Seq(
+        EvU(10, ts("2024-01-01 10:20:00"), 100, 9.99), // 20m after click 1
+        EvU(11, ts("2024-01-01 10:50:00"), 200, 5.0),  // 45m after click 3: out
+        EvU(12, ts("2024-01-01 11:10:00"), 100, 7.5))  // 10m after click 2
+      clicks.addData(cData: _*)
+      purchases.addData(pData: _*)
+      q.processAllAvailable()
+      val got = spark.table("attr").select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (2L, 12L)))
+      // the SAME plan in batch (offline backfill) agrees row-for-row
+      val batch = EventsStream
+        .attributionStream(cData.toDF(), pData.toDF(), "30 minutes")
+        .select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got)
     } finally q.stop()
   }
 

@@ -79,6 +79,33 @@ class TrainingOrderSpec extends AnyFunSuite {
       s"probe=k must equal ground truth, got $full")
   }
 
+  test("q94 SQ8: ADC distance within the quantization error bound of exact L2") {
+    // per-dim decode error <= span_i/255, so |adc - exact| over the
+    // expansion is bounded by sum_i (2|q_i| + 2|x_i| + span_i) * span_i/255
+    // — loose but cheap; here we just pin a corpus-level sanity: every
+    // ADC distance is within 10% + 0.5 of the exact distance computed
+    // from raw doubles on the same pairs.
+    val adc = Similarity.sqAdcTopK(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(adc.nonEmpty)
+    val exact = {
+      val n = graft.sources.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ve"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      adc.keys.map { case k @ (q, d) =>
+        k -> exactL2(n(q), n(d))
+      }.toMap
+    }
+    adc.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)) <= 0.1 * exact(k) + 0.5,
+        s"pair $k: adc=$a exact=${exact(k)}")
+    }
+  }
+
+  private def exactL2(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
   test("q92 recall knob: narrower probe can only lose recall") {
     def avgRecall(probe: Int): Double = {
       val rows = Similarity.annRecall(spark, dir,
