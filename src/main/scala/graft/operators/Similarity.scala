@@ -597,6 +597,100 @@ object Similarity {
        |SELECT query_id, neighbor_id, round(adc_dist, 4) AS adc_dist
        |FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** q95: BINARY quantization — the most compressed end of the
+    * quantization family (float32 → SQ8 → PQ-4bit → 1 bit/dim): each
+    * dimension keeps only its sign, so a 64-dim vector IS one BIGINT
+    * and similarity is a Hamming distance — `bit_count(xor)`, two
+    * instructions per pair, the shape binary rerankers run over
+    * billions of candidates before a float pass. Signs are taken
+    * against the per-dimension corpus MEAN, centered so the bits stay
+    * balanced on biased dims — and the mean test runs as the
+    * library's integer cross-multiplication (floor(x·2²⁰) BIGINT
+    * sums, order-independent; `qx·n >= Σqx` ⟺ `x >= mean` in exact
+    * rationals), because a float mean differs by summation order
+    * across engines and a ULP flips a sign bit. The oracle replays
+    * the same integer sums and DuckDB's own bit_count(xor).
+    * Tie-break (hamming, vec_id). */
+  def binaryKnn(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(emb(s, dir))
+    val qexpr = (i: Int) =>
+      s"CAST(floor(element_at(ve, $i) * 1048576.0D) AS BIGINT)"
+    val stats: Seq[Seq[Double]] = codebooks.computeIfAbsent(
+      (dir, -1), _ => {
+        val aggs = sum(lit(1L)).as("cnt") +:
+          (1 to Dim).map(i => sum(expr(qexpr(i))).as(s"q$i"))
+        val row = n.agg(aggs.head, aggs.tail: _*).head
+        Seq(Seq(row.getLong(0).toDouble) ++
+          (1 to Dim).map(i => row.getLong(i).toDouble))
+      })
+    val cnt = stats.head.head.toLong
+    val qsums = stats.head.tail.map(_.toLong)
+    // two 32-bit words, not one 64-bit: bit 63 wraps a signed long in
+    // Spark but promotes to HUGEINT under DuckDB's list_sum — the one
+    // packing the two engines cannot agree on
+    def word(lo: Int): String =
+      s"""aggregate(sequence($lo, ${lo + 31}), 0L, (acc, i) ->
+         |  acc + CASE WHEN CAST(floor(element_at(ve, i) * 1048576.0D)
+         |                   AS BIGINT) * ${cnt}L >= element_at(qs, i)
+         |             THEN shiftleft(1L, i - $lo) ELSE 0L END)""".stripMargin
+    val code = n
+      .withColumn("qs", typedlit(qsums))
+      .withColumn("lo", expr(word(1)))
+      .withColumn("hi", expr(word(33)))
+      .select(col("vec_id"), col("lo"), col("hi"))
+    val q = broadcast(
+      code.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
+                col("hi").as("qhi")))
+    val scored = code.crossJoin(q)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi"))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("hamming").cast("long").as("hamming"))
+  }
+
+  def binaryKnnOracleSql: String = {
+    val word = (lo: Int) =>
+      s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), i ->
+         |      CASE WHEN CAST(floor(ve[i] * 1048576.0) AS BIGINT) * s.cnt
+         |                >= s.qs[i]
+         |           THEN 1::BIGINT << (i - $lo) ELSE 0::BIGINT END))
+         |    AS BIGINT)""".stripMargin
+    s"""WITH $duckNormedCte,
+       |stats AS (
+       |  SELECT g.i AS i,
+       |    CAST(sum(CAST(floor(ve[g.i] * 1048576.0) AS BIGINT)) AS BIGINT) AS q,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM n, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+       |  GROUP BY g.i),
+       |qs AS (
+       |  SELECT list(q ORDER BY i) AS qs, any_value(c) AS cnt FROM stats),
+       |coded AS (
+       |  SELECT vec_id,
+       |    ${word(1)} AS lo,
+       |    ${word(33)} AS hi
+       |  FROM n, qs s),
+       |scored0 AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    bit_count(xor(q.lo, d.lo)) + bit_count(xor(q.hi, d.hi)) AS hamming
+       |  FROM coded q, coded d
+       |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY hamming ASC, neighbor_id ASC) AS rn
+       |  FROM scored0)
+       |SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming
+       |FROM ranked WHERE rn <= 5""".stripMargin
+  }
+
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val n = normed(emb(s, dir))
     val samples: Seq[Seq[Double]] = codebooks.computeIfAbsent(
@@ -1328,6 +1422,7 @@ object Similarity {
     "q64_pq_encode" -> ((s, dir) => pqEncode(s, dir)),
     "q64b_pq_adc_knn" -> ((s, dir) => pqAdcTopK(s, dir)),
     "q94_sq8_knn" -> ((s, dir) => sqAdcTopK(s, dir)),
+    "q95_binary_knn" -> ((s, dir) => binaryKnn(s, dir)),
     "q65_ivfpq_knn" -> ((s, dir) => ivfPqTopK(s, dir, AnnParams.Default)),
     // second operating point (narrower probe) — the parameterization
     // carries its generated oracle, as with q37b/q41b/q33b
@@ -1339,6 +1434,7 @@ object Similarity {
     "q64_pq_encode" -> pqOracleSql,
     "q64b_pq_adc_knn" -> pqAdcOracleSql,
     "q94_sq8_knn" -> sqAdcOracleSql,
+    "q95_binary_knn" -> binaryKnnOracleSql,
     "q65_ivfpq_knn" -> ivfPqOracleSql(AnnParams.Default),
     "q65b_ivfpq_p2" -> ivfPqOracleSql(AnnParams(ivfProbe = 2)),
     "q36_knn_brute" -> bruteOracleSql,

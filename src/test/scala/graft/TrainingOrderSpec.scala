@@ -106,6 +106,15 @@ class TrainingOrderSpec extends AnyFunSuite {
   private def exactL2(a: Seq[Double], b: Seq[Double]): Double =
     a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
 
+  test("q95 binary codes: hamming bounded by the dimension") {
+    val rows = Similarity.binaryKnn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getLong(2)
+      assert(h >= 0 && h <= 64, s"hamming $h out of [0, 64]")
+    }
+  }
+
   test("q92 recall knob: narrower probe can only lose recall") {
     def avgRecall(probe: Int): Double = {
       val rows = Similarity.annRecall(spark, dir,
