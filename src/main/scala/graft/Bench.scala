@@ -63,7 +63,9 @@ object Bench {
     "q89_bpe_merges" -> (() => graft.operators.Curation.clearBpeMemo()),
     "q89b_bpe_vocab" -> (() => graft.operators.Curation.clearBpeMemo()),
     "q88_kmeans_cells" -> (() => graft.operators.Similarity.clearLloydMemo()),
-    "q88b_knn_ivf_lloyd" -> (() => graft.operators.Similarity.clearLloydMemo()))
+    "q88b_knn_ivf_lloyd" -> (() => graft.operators.Similarity.clearLloydMemo()),
+    "q96_perceptron_weights" -> (() => graft.operators.Classifier.clearPerceptronMemo()),
+    "q96b_perceptron_confusion" -> (() => graft.operators.Classifier.clearPerceptronMemo()))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,299 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Text
+
+/** TRAINED linear quality classifier — the third trained-model family
+  * next to the Lloyd codebook (q88) and the BPE tokenizer (q89): the
+  * fastText-style "train a cheap linear scorer, apply it to the whole
+  * corpus" loop production curation pipelines run (CCNet's fastText
+  * quality filter, GPT-3's WebText classifier).
+  *
+  * Algorithm: the DISTRIBUTED PERCEPTRON by iterative parameter
+  * mixing (McDonald, Hall & Mann, NAACL 2010) — the published
+  * shared-nothing training shape: each of [[S]] shards runs an ONLINE
+  * perceptron pass over its own documents, the S weight vectors are
+  * averaged, and the average seeds the next epoch. Shards are
+  * CONTENT-ADDRESSED (md5(text) mod S) and walked in doc_id order, so
+  * the "online" pass is a deterministic fold per shard no matter how
+  * Spark physically partitions the data — which is what makes a
+  * sequential-update algorithm bit-exactly replayable: the DuckDB
+  * oracle replays every epoch as a recursive CTE folding the same
+  * shard sequences, and the epoch average uses both engines' native
+  * truncating integer division (Scala `/` == DuckDB `//`).
+  *
+  * Features are hashed unigram counts (the hashing trick, [[D]]
+  * buckets via the md5 family's chars 9-16 slice — the SimHash
+  * hi-word slice) + a constant-1 bias slot: integers end to end, so
+  * no float summation order can flip a margin anywhere.
+  *
+  * The training target is the stopword-DENSITY gate
+  * `20*stop_ct >= n_tokens` (stop ratio >= 5% — the CCNet-style
+  * "natural language vs word soup" signal). The target is linear in
+  * token counts with an integer margin, so the perceptron provably
+  * converges — and measurably does: training error hits 0 within 16
+  * epochs at sf0.001/0.01/0.1 and is then a FIXED POINT (no
+  * misclassifications → no updates → the average returns the same
+  * vector), so the fixed [[Epochs]] is deterministic, not a tuned
+  * stop. Docs inside the ±[[Deadband]] margin band are excluded from
+  * training (distant-supervision practice: don't teach the model the
+  * boundary noise), which is what gives the separation a real margin.
+  *
+  * Scale shape: the feature table is built once (one corpus pass +
+  * one count shuffle) and persisted across epochs — at 100 TB it
+  * would be a materialized table bucketed by shard. Each epoch is ONE
+  * Spark job: repartition by shard, sortWithinPartitions (external
+  * sort — a shard never has to fit in memory), one streaming fold per
+  * shard, and an S-row collect (the bounded-collect contract; compare
+  * Lloyd's k rows). Epoch count is a small constant — the q89
+  * merge-per-round hazard does not apply. More shards = more
+  * parallelism and a coarser mix; S is the only knob.
+  */
+object Classifier {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Hashed feature buckets; one extra constant-1 bias slot. D=128
+    * keeps the driver corpus's 31-word vocabulary collision-free
+    * between stop and non-stop words (measured; a mixed bucket blurs
+    * the target and costs margin, it does not break correctness). */
+  private[graft] val D = 128
+  private[graft] val NF = D + 1
+  private[graft] val S = 8
+  private[graft] val Deadband = 20
+  private[graft] val Epochs = 16
+
+  /** The linear training target: +1 iff stop-ratio >= 5%, as the
+    * integer cross-multiplication 20*stop_ct - n_tokens >= 0. */
+  private def margCol = lit(20) * Text.stopwordCount(
+    Text.tokens(col("text"))) - size(Text.tokens(col("text")))
+
+  /** Labeled training docs outside the deadband: (doc_id, sh, y). */
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % S).as("sh"),
+        margCol.as("marg"))
+      .where(abs(col("marg")) >= Deadband)
+      .withColumn("y", when(col("marg") >= 0, 1L).otherwise(-1L))
+
+  /** Dense integer feature vectors: (sh, doc_id, y, x[NF]) with
+    * x = hashed unigram counts ++ [1]. One count shuffle; the dense
+    * assembly is per-row map lookup, zero extra shuffle. */
+  private[graft] def examples(s: SparkSession, dir: String): DataFrame = {
+    val lab = labeled(s, dir)
+    val sparse = lab
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("j",
+        conv(substring(md5(col("tok").cast("binary")), 9, 8), 16, 10)
+          .cast("long") % D)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(count(lit(1)).as("c"))
+    val dense = sparse.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
+        .as("m"))
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, ${D - 1}),
+                |  i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))"""
+          .stripMargin).as("hx"))
+    lab.select(col("doc_id"), col("sh"), col("y"))
+      .join(dense, Seq("doc_id"))
+      .select(col("sh"), col("doc_id"), col("y"),
+              expr("concat(hx, array(1L))").as("x"))
+  }
+
+  /** Model store (the lloydBooks pattern): weights are a
+    * deterministic artifact of an immutable corpus — train once per
+    * JVM. */
+  private val weightMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+
+  /** Bench hook (the q61/q88/q89 contract): drop trained weights so a
+    * MEASURED pass times the actual training epochs. */
+  def clearPerceptronMemo(): Unit = weightMemo.clear()
+
+  private[graft] def trainWeights(s: SparkSession, dir: String): Seq[Long] =
+    weightMemo.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val ex = examples(s, dir).persist()
+      try {
+        var w = Seq.fill(NF)(0L)
+        for (_ <- 0 until Epochs) {
+          val seed = w.toArray
+          // one epoch = one job: each shard folds its docs in doc_id
+          // order (sort is external — shards stream, never collect)
+          val perShard = ex.repartition(S, col("sh"))
+            .sortWithinPartitions(col("sh"), col("doc_id"))
+            .select(col("sh"), col("y"), col("x"))
+            .as[(Long, Long, Seq[Long])]
+            .mapPartitions { it =>
+              val out =
+                scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+              var cur = Long.MinValue
+              var wv: Array[Long] = null
+              it.foreach { case (sh, y, x) =>
+                if (sh != cur) {
+                  if (wv != null) out += ((cur, wv))
+                  cur = sh; wv = seed.clone()
+                }
+                var dot = 0L; var k = 0
+                while (k < wv.length) { dot += wv(k) * x(k); k += 1 }
+                if (y * dot <= 0L) {
+                  k = 0
+                  while (k < wv.length) { wv(k) += y * x(k); k += 1 }
+                }
+              }
+              if (wv != null) out += ((cur, wv))
+              out.iterator
+            }.collect() // <= S rows — the bounded-collect contract
+          // parameter mixing: truncated integer mean over all S
+          // shards; a shard with no training docs contributes its
+          // unchanged seed
+          val sums = Array.fill(NF)(0L)
+          perShard.foreach { case (_, ws) =>
+            var k = 0; while (k < NF) { sums(k) += ws(k); k += 1 } }
+          val absent = S - perShard.length
+          w = (0 until NF).map(k => (sums(k) + absent * seed(k)) / S)
+        }
+        w
+      } finally { ex.unpersist(); () }
+    })
+
+  /** q96: the trained model — (j, weight) for the D hashed slots +
+    * bias (j = NF). The artifact a model registry stores. */
+  def perceptronWeights(s: SparkSession, dir: String): DataFrame = {
+    val w = trainWeights(s, dir)
+    import s.implicits._
+    w.zipWithIndex.map { case (wt, k) => (k + 1L, wt) }
+      .toDF("j", "weight")
+  }
+
+  /** q96b: APPLY the trained model — score every labeled doc (w·x)
+    * and cross-tabulate prediction vs label: the distillation-
+    * fidelity confusion matrix (diagonal-only == the model reproduces
+    * the gate exactly). Zero-shuffle scoring: the weight vector rides
+    * into the plan as a literal, the margin is a per-row integer
+    * fold, and only the 2x2 aggregation shuffles. */
+  def perceptronConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = trainWeights(s, dir)
+    examples(s, dir)
+      .withColumn("wv", typedlit(w))
+      .withColumn("sc", expr(
+        s"""aggregate(transform(sequence(1, $NF),
+           |  k -> element_at(x, k) * element_at(wv, k)),
+           |  0L, (acc, v) -> acc + v)""".stripMargin))
+      .select(col("y").as("label"),
+              when(col("sc") > 0, 1L).otherwise(-1L).as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle: the examples table + EVERY training epoch as a
+  // recursive CTE folding each shard's doc sequence (the sequential
+  // replay the deterministic sharding makes possible), then the
+  // truncated-mean mix — the q88/q89 full-replay pattern.
+  // ---------------------------------------------------------------
+
+  private def exampleCtes: String =
+    s"""lab AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    ('0x' || substring(md5(text), 1, 8))::BIGINT % $S AS sh,
+       |    20 * len(list_filter(string_split(text, ' '),
+       |          x -> list_contains(['the','a','of','and','to','in'], x)))
+       |      - len(string_split(text, ' ')) AS marg
+       |  FROM documents),
+       |lab2 AS MATERIALIZED (
+       |  SELECT doc_id, sh,
+       |    CASE WHEN marg >= 0 THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(-1 AS BIGINT) END AS y
+       |  FROM lab WHERE abs(marg) >= $Deadband),
+       |sparse AS MATERIALIZED (
+       |  SELECT doc_id, j, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substring(md5(tok), 9, 8))::BIGINT % $D AS j
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |          FROM documents))
+       |  GROUP BY doc_id, j),
+       |dense AS MATERIALIZED (
+       |  SELECT doc_id, list(j ORDER BY j) AS hk, list(c ORDER BY j) AS hv
+       |  FROM sparse GROUP BY doc_id),
+       |ex0 AS MATERIALIZED (
+       |  SELECT l.doc_id, l.sh, l.y,
+       |    list_append(
+       |      list_transform(generate_series(0, ${D - 1}), i ->
+       |        CAST(coalesce(d.hv[list_position(d.hk, i)], 0) AS BIGINT)),
+       |      CAST(1 AS BIGINT)) AS x
+       |  FROM lab2 l JOIN dense d ON d.doc_id = l.doc_id),
+       |ex AS MATERIALIZED (
+       |  SELECT sh, doc_id, y, x,
+       |    row_number() OVER (PARTITION BY sh ORDER BY doc_id) AS rn
+       |  FROM ex0),
+       |shards AS MATERIALIZED (SELECT DISTINCT sh FROM ex),
+       |shcnt AS MATERIALIZED (SELECT sh, count(*) AS c FROM ex GROUP BY sh),
+       |w0 AS MATERIALIZED (SELECT list_transform(generate_series(1, $NF),
+       |                             k -> CAST(0 AS BIGINT)) AS w)""".stripMargin
+
+  private def epochCtes(e: Int): String =
+    s"""rec$e(sh, i, w) AS (
+       |  SELECT s.sh, 0, p.w FROM shards s CROSS JOIN w${e - 1} p
+       |  UNION ALL
+       |  SELECT r.sh, r.i + 1,
+       |    CASE WHEN t.y * list_sum(list_transform(range(1, ${NF + 1}),
+       |                k -> r.w[k] * t.x[k])) <= 0
+       |         THEN list_transform(range(1, ${NF + 1}),
+       |                k -> r.w[k] + t.y * t.x[k])
+       |         ELSE r.w END
+       |  FROM rec$e r JOIN ex t ON t.sh = r.sh AND t.rn = r.i + 1),
+       |fin$e AS MATERIALIZED (
+       |  SELECT r.sh, r.w FROM rec$e r
+       |  JOIN shcnt n ON n.sh = r.sh AND r.i = n.c),
+       |w$e AS MATERIALIZED (
+       |  SELECT list(v ORDER BY j) AS w FROM (
+       |    SELECT g.j,
+       |      CAST(COALESCE(t.s, 0)
+       |           + ($S - (SELECT count(*) FROM shards)) * p.w[g.j]
+       |           AS BIGINT) // $S AS v
+       |    FROM (SELECT unnest(generate_series(1, $NF)) AS j) g
+       |    LEFT JOIN (
+       |      SELECT u.j AS j, CAST(sum(u.v) AS BIGINT) AS s FROM (
+       |        SELECT unnest(w) AS v,
+       |          unnest(generate_series(1, $NF)) AS j
+       |        FROM fin$e) u
+       |      GROUP BY u.j) t ON t.j = g.j
+       |    CROSS JOIN w${e - 1} p))""".stripMargin
+
+  private def trainCtes: String =
+    (s"WITH RECURSIVE $exampleCtes" +:
+      (1 to Epochs).map(epochCtes)).mkString(",\n")
+
+  def weightsOracleSql: String =
+    s"""$trainCtes
+       |SELECT CAST(u.j AS BIGINT) AS j, CAST(u.v AS BIGINT) AS weight
+       |FROM (SELECT unnest(w) AS v,
+       |        unnest(generate_series(1, $NF)) AS j
+       |      FROM w$Epochs) u""".stripMargin
+
+  def confusionOracleSql: String =
+    s"""$trainCtes,
+       |p AS (
+       |  SELECT t.y AS label,
+       |    CASE WHEN list_sum(list_transform(range(1, ${NF + 1}),
+       |               k -> t.x[k] * m.w[k])) > 0
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred
+       |  FROM ex t CROSS JOIN w$Epochs m)
+       |SELECT label, pred, count(*) AS n_docs
+       |FROM p GROUP BY label, pred""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_perceptron_weights" -> ((s, dir) => perceptronWeights(s, dir)),
+    "q96b_perceptron_confusion" -> ((s, dir) => perceptronConfusion(s, dir)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q96_perceptron_weights" -> weightsOracleSql,
+    "q96b_perceptron_confusion" -> confusionOracleSql)
+}

@@ -31,11 +31,11 @@ object Curation {
 
   /** Content-addressed split bucket in [0,100): md5 hex chars 1-8 of
     * the text, mod 100 (cross-engine md5 family — see ArrayOpsImpl). */
-  private def splitBucket: Column =
+  private[operators] def splitBucket: Column =
     conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
       .cast("long") % 100
 
-  private def splitName(bucket: Column): Column =
+  private[operators] def splitName(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
 
   /** Per-language sampling rates (percent of the content-hash space)

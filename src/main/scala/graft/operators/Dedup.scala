@@ -315,6 +315,9 @@ object Dedup {
 
     "q61_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir, DefaultBands)),
 
+    "q97_leakage_safe_split" -> ((s, dir) =>
+      leakageSafeSplit(s, dir, DefaultBands)),
+
     "q61b_dedup_apply" -> ((s, dir) => {
       // APPLY the fuzzy-dedup clusters: drop every paired doc that is
       // not its cluster's representative, report the kept corpus per
@@ -409,9 +412,9 @@ object Dedup {
   /** The shingle+minhash projection is band-count-independent, so the
     * cached base is shared across every banding configuration run in a
     * session (q33 and q33b cache it once between them). Keyed by
-    * session identity + corpus dir; entries die with the JVM. */
+    * sessionUUID (identity hashes can collide across sessions) + dir; entries die with the JVM. */
   private val minhashBases =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   /** LSH candidate pairs joined to both sides' shingle sets — the
     * stage shared by the Jaccard verifier ([[minhashPairs]]) and the
@@ -421,7 +424,7 @@ object Dedup {
     * stage every minhash consumer (q33/q33b/q81/q87) shares. */
   private def shingleBase(s: SparkSession, dir: String): DataFrame =
     minhashBases.computeIfAbsent(
-      (System.identityHashCode(s), dir), _ =>
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), _ =>
         docs(s, dir)
           .select(col("doc_id"),
                   graft.functions.expressions.ArrayOps
@@ -635,6 +638,88 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** q97: LEAKAGE-SAFE train/val/test split — the q54 content-hash
+    * split made contamination-aware: assignment happens at the
+    * NEAR-DUP-CLUSTER level (q61's components), so two fuzzy twins
+    * can never land one in train and one in test — the split-level
+    * contamination that silently inflates eval scores when a per-doc
+    * split (q54) cuts straight through a duplicate cluster. Unpaired
+    * docs are their own singleton group.
+    *
+    * The group's bucket is the md5 bucket of its REPRESENTATIVE's
+    * text (component-minimum doc), so the split stays
+    * content-addressed: re-sharding or re-running the pipeline
+    * reassigns nothing.
+    *
+    * Scale shape: the corpus scans ONCE with its per-row bucket; the
+    * only joins are against cluster metadata — the membership table
+    * (dup-pair-sized) and the rep-bucket lookup (cluster-count-sized,
+    * built by a semi-join-pruned second read that touches only rep
+    * rows). Both are orders of magnitude below the corpus and
+    * AQE-broadcastable; no corpus-sized shuffle anywhere. */
+  /** Doc-level assignments of [[leakageSafeSplit]]: (doc_id, gid,
+    * split, n_chars) — exposed so the leakage PROPERTY (no group
+    * spans two splits) is directly testable. */
+  private[graft] def splitAssignments(s: SparkSession, dir: String,
+                                      numBands: Int): DataFrame = {
+    val d = docs(s, dir)
+    val cl = dedupClusters(s, dir, numBands)
+      .select(col("doc_id"), col("cluster_id"))
+    val repBuckets = d
+      .join(cl.select(col("cluster_id")).distinct()
+              .withColumnRenamed("cluster_id", "doc_id"),
+            Seq("doc_id"))
+      .select(col("doc_id").as("cluster_id"),
+              Curation.splitBucket.as("rep_bucket"))
+    d.select(col("doc_id"), col("n_chars"),
+             Curation.splitBucket.as("own_bucket"))
+      .join(cl, Seq("doc_id"), "left")
+      .join(repBuckets, Seq("cluster_id"), "left")
+      .withColumn("gid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", Curation.splitName(
+        coalesce(col("rep_bucket"), col("own_bucket"))))
+      .select(col("doc_id"), col("gid"), col("split"), col("n_chars"))
+  }
+
+  def leakageSafeSplit(s: SparkSession, dir: String,
+                       numBands: Int): DataFrame =
+    splitAssignments(s, dir, numBands)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("gid")).as("n_groups"),
+           sum(col("n_chars")).as("n_chars"))
+
+  def leakageSafeSplitOracleSql(numBands: Int): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(numBands)},
+       |edges AS (
+       |  SELECT doc1 AS u, doc2 AS v FROM pairs
+       |  UNION SELECT doc2, doc1 FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+       |  WHERE e.v <> r.u),
+       |clusters AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u),
+       |b AS (
+       |  SELECT doc_id, n_chars,
+       |    ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket
+       |  FROM documents),
+       |g AS (
+       |  SELECT b.doc_id, b.n_chars,
+       |    coalesce(c.cluster_id, b.doc_id) AS gid
+       |  FROM b LEFT JOIN clusters c ON c.doc_id = b.doc_id),
+       |a AS (
+       |  SELECT g.doc_id, g.gid, g.n_chars,
+       |    CASE WHEN rb.bucket < 80 THEN 'train'
+       |         WHEN rb.bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM g JOIN b rb ON rb.doc_id = g.gid)
+       |SELECT split, count(*) AS n_docs,
+       |  CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM a GROUP BY 1""".stripMargin
+
   /** CC sized for a SHARD's pair graph: an arriving batch is orders
     * of magnitude below the corpus and its verified near-dup pairs
     * are candidate-bounded, so the graph near-always fits the driver
@@ -781,11 +866,11 @@ object Dedup {
     * artifact of an immutable corpus, so it is computed once per JVM
     * like the IVF codebook. */
   private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
 
   def dedupClusters(s: SparkSession, dir: String, numBands: Int): DataFrame =
     clusterMemo.computeIfAbsent(
-      (System.identityHashCode(s), dir, numBands),
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, numBands),
       _ => computeClusters(s, dir, numBands))
 
   /** Bench hook: drop the memoized cluster labels so a MEASURED pass
@@ -1102,6 +1187,7 @@ object Dedup {
          |WHERE NOT EXISTS (SELECT 1 FROM bnonrep nr
          |                  WHERE nr.doc_id = b.doc_id)""".stripMargin,
     "q61_dedup_clusters" -> clustersOracleSql(DefaultBands),
+    "q97_leakage_safe_split" -> leakageSafeSplitOracleSql(DefaultBands),
 
     "q61b_dedup_apply" ->
       s"""WITH RECURSIVE ${minhashPairsCtes(DefaultBands)},

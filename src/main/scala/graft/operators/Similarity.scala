@@ -612,6 +612,20 @@ object Similarity {
     * the same integer sums and DuckDB's own bit_count(xor).
     * Tie-break (hamming, vec_id). */
   def binaryKnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    binaryScored(s, dir).withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("hamming").cast("long").as("hamming"))
+  }
+
+  /** The shared Hamming stage of the binary family: every corpus
+    * vector paired with every query at (query_id, vec_id, hamming).
+    * [[binaryKnn]] ranks it directly; [[binaryRerank]] uses it as
+    * the billions-scale PREFILTER before an exact float pass. */
+  private def binaryScored(s: SparkSession, dir: String): DataFrame = {
     val n = normed(emb(s, dir))
     val qexpr = (i: Int) =>
       s"CAST(floor(element_at(ve, $i) * 1048576.0D) AS BIGINT)"
@@ -642,28 +656,67 @@ object Similarity {
       code.where(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("lo").as("qlo"),
                 col("hi").as("qhi")))
-    val scored = code.crossJoin(q)
+    code.crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("hamming",
         bit_count(col("lo").bitwiseXOR(col("qlo"))) +
           bit_count(col("hi").bitwiseXOR(col("qhi"))))
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+  }
+
+  /** Shortlist size of the binary prefilter in [[binaryRerank]] —
+    * 8×TopK: sign codes on 64 near-orthogonal dims are a WEAK rank
+    * signal (measured recall@5 of the hamming order alone is ~0.36
+    * with a 4×k shortlist at sf0.001), so the shortlist errs wide —
+    * production binary prefilters shortlist 100-1000×k for the same
+    * reason; the float pass still touches 40 vectors per query
+    * instead of the corpus. */
+  private val RerankShortlist = 8 * TopK
+
+  /** q95b: the two-stage production shape the binary codes exist FOR
+    * — Hamming prefilter to a shortlist of [[RerankShortlist]]
+    * candidates per query, then an EXACT cosine pass over only those.
+    * At billions of vectors the float vectors never join the scan:
+    * stage 1 streams 16-byte codes (two longs), stage 2 fetches
+    * exact embeddings for shortlist×|queries| rows — the join back to
+    * `n` is shortlist-sized, so the expensive side is a semi-join-
+    * pruned point lookup, not a second corpus scan. Output matches
+    * q36's (query_id, neighbor_id, cosine) contract; ranking happens
+    * on the unrounded double exactly as the brute path does, so the
+    * oracle replays both stages verbatim. */
+  def binaryRerank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              col("hamming").cast("long").as("hamming"))
+    val short = binaryScored(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= RerankShortlist)
+      .select(col("query_id"), col("vec_id"))
+    val n = normed(emb(s, dir))
+    val q = broadcast(
+      n.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("ve").as("qve"),
+                col("nrm").as("qnrm")))
+    val exact = short
+      .join(n.select(col("vec_id"), col("ve"), col("nrm")), Seq("vec_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    topKPerQuery(exact)
   }
 
-  def binaryKnnOracleSql: String = {
+  /** DuckDB rendering of [[binaryScored]] — normed corpus → integer
+    * dim sums → two-word sign codes → all (query, candidate) Hamming
+    * pairs as scored0. ONE rendering feeds q95 and q95b so the code
+    * construction cannot drift between the two oracles. */
+  private def binaryScoredCtes: String = {
     val word = (lo: Int) =>
       s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), i ->
          |      CASE WHEN CAST(floor(ve[i] * 1048576.0) AS BIGINT) * s.cnt
          |                >= s.qs[i]
          |           THEN 1::BIGINT << (i - $lo) ELSE 0::BIGINT END))
          |    AS BIGINT)""".stripMargin
-    s"""WITH $duckNormedCte,
+    s"""$duckNormedCte,
        |stats AS (
        |  SELECT g.i AS i,
        |    CAST(sum(CAST(floor(ve[g.i] * 1048576.0) AS BIGINT)) AS BIGINT) AS q,
@@ -681,7 +734,11 @@ object Similarity {
        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
        |    bit_count(xor(q.lo, d.lo)) + bit_count(xor(q.hi, d.hi)) AS hamming
        |  FROM coded q, coded d
-       |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id),
+       |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id)""".stripMargin
+  }
+
+  def binaryKnnOracleSql: String =
+    s"""WITH $binaryScoredCtes,
        |ranked AS (
        |  SELECT query_id, neighbor_id, hamming,
        |    row_number() OVER (PARTITION BY query_id
@@ -689,7 +746,23 @@ object Similarity {
        |  FROM scored0)
        |SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming
        |FROM ranked WHERE rn <= 5""".stripMargin
-  }
+
+  def binaryRerankOracleSql: String =
+    s"""WITH $binaryScoredCtes,
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY hamming ASC, neighbor_id ASC) AS rn
+       |    FROM scored0)
+       |  WHERE rn <= $RerankShortlist),
+       |scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(q.ve, d.ve) / (q.nrm * d.nrm) AS cosine
+       |  FROM short s
+       |  JOIN n d ON d.vec_id = s.neighbor_id
+       |  JOIN n q ON q.vec_id = s.query_id),
+       |$duckRankTail""".stripMargin
 
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
     val n = normed(emb(s, dir))
@@ -1423,6 +1496,7 @@ object Similarity {
     "q64b_pq_adc_knn" -> ((s, dir) => pqAdcTopK(s, dir)),
     "q94_sq8_knn" -> ((s, dir) => sqAdcTopK(s, dir)),
     "q95_binary_knn" -> ((s, dir) => binaryKnn(s, dir)),
+    "q95b_binary_rerank" -> ((s, dir) => binaryRerank(s, dir)),
     "q65_ivfpq_knn" -> ((s, dir) => ivfPqTopK(s, dir, AnnParams.Default)),
     // second operating point (narrower probe) — the parameterization
     // carries its generated oracle, as with q37b/q41b/q33b
@@ -1435,6 +1509,7 @@ object Similarity {
     "q64b_pq_adc_knn" -> pqAdcOracleSql,
     "q94_sq8_knn" -> sqAdcOracleSql,
     "q95_binary_knn" -> binaryKnnOracleSql,
+    "q95b_binary_rerank" -> binaryRerankOracleSql,
     "q65_ivfpq_knn" -> ivfPqOracleSql(AnnParams.Default),
     "q65b_ivfpq_p2" -> ivfPqOracleSql(AnnParams(ivfProbe = 2)),
     "q36_knn_brute" -> bruteOracleSql,

@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Classifier, Curation, Dedup, Similarity}
+
+/** The three round-8 additions: the distributed-perceptron classifier
+  * (q96 family), the leakage-safe split (q97), and the binary-prefilter
+  * rerank (q95b). Each is pinned against an independent in-memory
+  * reference, not just the DuckDB oracle. */
+class PerceptronSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val Stop = Set("the", "a", "of", "and", "to", "in")
+
+  /** Pure in-memory replica of the iterative-parameter-mixing trainer
+    * (features, sharding, fold order, truncated mean) built straight
+    * from the raw documents — shares NOTHING with the Spark
+    * implementation. */
+  private def referenceTrain(): (Array[Long], Seq[(Long, Array[Long])]) = {
+    val D = Classifier.D; val NF = Classifier.NF; val S = Classifier.S
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val ex = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val marg = 20L * toks.count(Stop) - toks.length
+      if (math.abs(marg) < Classifier.Deadband) None
+      else {
+        val y = if (marg >= 0) 1L else -1L
+        val x = Array.fill(NF)(0L); x(D) = 1L
+        toks.foreach { t =>
+          val j = (java.lang.Long.parseLong(md5hex(t).substring(8, 16), 16) % D).toInt
+          x(j) += 1L
+        }
+        val sh = java.lang.Long.parseLong(md5hex(text).substring(0, 8), 16) % S
+        Some((sh, id, y, x))
+      }
+    }
+    var w = Array.fill(NF)(0L)
+    for (_ <- 0 until Classifier.Epochs) {
+      val seed = w
+      val byShard = ex.groupBy(_._1)
+      val ws = byShard.toSeq.map { case (_, rows) =>
+        var wv = seed.clone()
+        rows.sortBy(_._2).foreach { case (_, _, y, x) =>
+          val dot = (0 until NF).map(k => wv(k) * x(k)).sum
+          if (y * dot <= 0L) wv = Array.tabulate(NF)(k => wv(k) + y * x(k))
+        }
+        wv
+      }
+      val absent = S - ws.length
+      w = Array.tabulate(NF) { k =>
+        (ws.map(_(k)).sum + absent * seed(k)) / S
+      }
+    }
+    (w, ex.map(e => (e._3, e._4)).toSeq.map { case (y, x) => (y, x) })
+  }
+
+  test("q96: trained weights equal the from-scratch reference trainer") {
+    val (refW, _) = referenceTrain()
+    val got = Classifier.queries("q96_perceptron_weights")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.length === Classifier.NF)
+    val gotW = got.map(_._2)
+    assert(gotW.toSeq === refW.toSeq)
+  }
+
+  test("q96: training converges — zero training error at the fixed point") {
+    val (refW, ex) = referenceTrain()
+    val errs = ex.count { case (y, x) =>
+      y * (0 until Classifier.NF).map(k => refW(k) * x(k)).sum <= 0L }
+    assert(errs === 0, s"training error $errs after ${Classifier.Epochs} epochs")
+  }
+
+  test("q96b: confusion matrix is diagonal and accounts every labeled doc") {
+    val (_, ex) = referenceTrain()
+    val rows = Classifier.queries("q96b_perceptron_confusion")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.keys.forall { case (l, p) => l == p },
+      s"off-diagonal predictions: $rows")
+    assert(rows.values.sum === ex.length)
+  }
+
+  test("q97: no near-dup cluster spans two splits (the leakage property)") {
+    val assign = Dedup.splitAssignments(spark, dir, 32)
+      .select("doc_id", "gid", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every group maps to exactly one split
+    val perGroup = assign.groupBy(_._2).map { case (_, xs) =>
+      xs.map(_._3).distinct.length }
+    assert(perGroup.forall(_ == 1))
+    // and the split is the group REPRESENTATIVE's content bucket
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assign.foreach { case (_, gid, split) =>
+      val b = java.lang.Long.parseLong(md5hex(texts(gid)).substring(0, 8), 16) % 100
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(split === want)
+    }
+    // totals account every document exactly once
+    assert(assign.length === texts.size)
+  }
+
+  test("q97: pairs from the verifier land in the same split") {
+    val assign = Dedup.splitAssignments(spark, dir, 32)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val pairs = Dedup.queries("q33_minhash_pairs")(spark, dir)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(assign(a) === assign(b), s"near-dups $a/$b split apart") }
+  }
+
+  test("q95b: rerank cosines are exact and candidates come from the shortlist") {
+    val rer = Similarity.queries("q95b_binary_rerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rer.nonEmpty)
+    val perQ = rer.groupBy(_._1)
+    assert(perQ.values.forall(_.length <= 5))
+    // exact cosine recomputation from the raw embeddings
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rer.foreach { case (q, n, c) =>
+      assert(math.abs(cos(emb(q), emb(n)) - c) < 1e-4) }
+  }
+
+  test("q95b: exact rerank recovers brute-force top-k on shortlisted queries") {
+    val brute = Similarity.queries("q36_knn_brute")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rer = Similarity.queries("q95b_binary_rerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = rer.intersect(brute).size.toDouble / brute.size
+    info(f"binary-prefilter rerank recall@5: $recall%.2f")
+    // the float pass can only lose neighbors the sign codes dropped;
+    // the 8x shortlist keeps well over half of the true top-5
+    assert(recall >= 0.5, s"rerank recall too low: $recall")
+  }
+}
