@@ -534,12 +534,23 @@ object Similarity {
          |    (element_at(ve, i) - element_at(mn, i)) * 255.0D
          |      / (element_at(mx, i) - element_at(mn, i))) AS INT))) END)""".stripMargin))
       .select(col("vec_id"), col("mn"), col("mx"), col("codes"))
-    // the stored index is (vec_id, codes); decode happens scan-local
+      // materialization barrier: the stored index IS (vec_id, codes)
+      // — without it CollapseProject inlines the codes transform into
+      // every element of the decode transform (O(Dim^2) interpreted
+      // lambda evals per row, ~7 ms/row measured) and into each
+      // downstream dot. At warehouse scale this projection is the
+      // persisted index table, so the barrier models reality.
+      .repartition(col("vec_id"))
+    // decode happens scan-local over the materialized codes; the d·d
+    // self-term is per-VECTOR, computed before the query join. The
+    // second barrier keeps the decode out of the per-pair dot.
     val decoded = coded.withColumn("dv", expr(
       s"""transform(sequence(1, $Dim), i ->
          |  element_at(mn, i) + CAST(element_at(codes, i) AS DOUBLE)
          |    * (element_at(mx, i) - element_at(mn, i)) / 255.0D)""".stripMargin))
-      .select(col("vec_id"), col("dv"))
+      .withColumn("dd", dotProduct(col("dv"), col("dv")))
+      .select(col("vec_id"), col("dv"), col("dd"))
+      .repartition(col("vec_id"))
     val q = broadcast(
       n.where(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("ve").as("qve"),
@@ -548,7 +559,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("adc_dist",
         col("qq") - lit(2.0) * dotProduct(col("qve"), col("dv"))
-          + dotProduct(col("dv"), col("dv")))
+          + col("dd"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
