@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.Text
@@ -172,22 +172,34 @@ object Classifier {
       .toDF("j", "weight")
   }
 
-  /** q96b: APPLY the trained model — score every labeled doc (w·x)
-    * and cross-tabulate prediction vs label: the distillation-
-    * fidelity confusion matrix (diagonal-only == the model reproduces
-    * the gate exactly). Zero-shuffle scoring: the weight vector rides
-    * into the plan as a literal, the margin is a per-row integer
-    * fold, and only the 2x2 aggregation shuffles. */
+  /** Per-row margin of the trained model over a `text` column:
+    * Σ_tok w[bucket(tok)] + w[bias] — algebraically equal to the
+    * dense w·x (Σ_j c_j·w_j groups the same integer terms) but
+    * needs NO explode/groupBy: scoring is a single codegen'd fold
+    * per row, which is both the cheapest batch APPLY shape and the
+    * stateless streaming face ([[graft.streaming.DocStream
+    * .qualityScoreStream]] uses this very Column, so online and
+    * offline scoring cannot drift). */
+  def scoreExpr(w: Seq[Long]): Column = {
+    val wl = typedlit(w)
+    aggregate(
+      Text.tokens(col("text")),
+      lit(w.last),
+      (acc, t) => acc + element_at(wl,
+        (conv(substring(md5(t.cast("binary")), 9, 8), 16, 10)
+          .cast("long") % D + 1).cast("int")))
+  }
+
+  /** q96b: APPLY the trained model — score every labeled doc and
+    * cross-tabulate prediction vs label: the distillation-fidelity
+    * confusion matrix (diagonal-only == the model reproduces the
+    * gate exactly). Scoring is the per-row [[scoreExpr]] fold —
+    * zero shuffle until the 2x2 aggregation. */
   def perceptronConfusion(s: SparkSession, dir: String): DataFrame = {
     val w = trainWeights(s, dir)
-    examples(s, dir)
-      .withColumn("wv", typedlit(w))
-      .withColumn("sc", expr(
-        s"""aggregate(transform(sequence(1, $NF),
-           |  k -> element_at(x, k) * element_at(wv, k)),
-           |  0L, (acc, v) -> acc + v)""".stripMargin))
+    labeled(s, dir)
       .select(col("y").as("label"),
-              when(col("sc") > 0, 1L).otherwise(-1L).as("pred"))
+              when(scoreExpr(w) > 0, 1L).otherwise(-1L).as("pred"))
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n_docs"))
   }

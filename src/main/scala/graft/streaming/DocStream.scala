@@ -165,6 +165,20 @@ object DocStream {
     * table bucketed on its key each micro-batch reads matching
     * buckets; one stateful agg, state = one group per doc inside the
     * watermark. */
+  /** Streaming face of the trained perceptron (q96): score arriving
+    * docs with the SAME per-row margin Column the batch APPLY uses
+    * ([[graft.operators.Classifier.scoreExpr]] — the weights ride as
+    * a literal), so online and offline quality scoring cannot drift.
+    * Stateless per-row fold: no watermark, no state, works on a batch
+    * DataFrame too — the stream==batch contract the spec pins.
+    * `score` is the integer margin (magnitude = confidence);
+    * `quality_pred` the ±1 decision. */
+  def qualityScoreStream(stream: DataFrame, w: Seq[Long]): DataFrame = {
+    val sc = graft.operators.Classifier.scoreExpr(w)
+    stream.select(col("doc_id"), col("ts"), sc.as("score"),
+      when(sc > 0, 1L).otherwise(-1L).as("quality_pred"))
+  }
+
   def lmRarityStream(stream: DataFrame, lm: DataFrame,
                      watermark: String = "1 hour"): DataFrame =
     graft.operators.Curation

@@ -120,6 +120,58 @@ class PerceptronSpec extends AnyFunSuite {
       assert(assign(a) === assign(b), s"near-dups $a/$b split apart") }
   }
 
+  test("per-row scoreExpr equals the dense w·x margin on every labeled doc") {
+    val (refW, _) = referenceTrain()
+    val w = refW.toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val got = docs
+      .withColumn("sc", graft.operators.Classifier.scoreExpr(w))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val texts = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    texts.foreach { case (id, text) =>
+      val x = Array.fill(Classifier.NF)(0L); x(Classifier.D) = 1L
+      text.split(" ", -1).foreach { t =>
+        val j = (java.lang.Long.parseLong(md5hex(t).substring(8, 16), 16)
+          % Classifier.D).toInt
+        x(j) += 1L
+      }
+      val dense = (0 until Classifier.NF).map(k => w(k) * x(k)).sum
+      assert(got(id) === dense, s"doc $id per-row vs dense margin")
+    }
+  }
+
+  test("qualityScoreStream == batch scoring row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = graft.operators.Classifier
+      .trainWeights(spark, dir)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Doc]
+    val q = graft.streaming.DocStream.qualityScoreStream(input.toDF(), w)
+      .writeStream.format("memory").queryName("quality_scores")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val batch = Seq(
+        Doc(200, "the a of and to in x", "s1", t0),
+        Doc(201, "key agg row scan slow fast table value part hash", "s1", t0))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quality_scores").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      val batchDf = batch.toDF()
+      val expected = graft.streaming.DocStream
+        .qualityScoreStream(batchDf, w).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(streamed.toSeq === expected.toSeq)
+      // the stopword-dense doc scores positive, the word-soup one negative
+      val byId = streamed.map(r => r._1 -> r._3).toMap
+      assert(byId(200L) === 1L)
+      assert(byId(201L) === -1L)
+    } finally q.stop()
+  }
+
   test("q95b: rerank cosines are exact and candidates come from the shortlist") {
     val rer = Similarity.queries("q95b_binary_rerank")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
