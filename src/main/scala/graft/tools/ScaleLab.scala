@@ -117,6 +117,8 @@ object ScaleLab {
         probeBloom(spark, dir, rest.headOption.map(_.toLong).getOrElse(25000L))
       case "merge" :: dir :: rest =>
         probeMerge(spark, dir, rest.headOption.map(_.toInt).getOrElse(1000))
+      case "perceptron" :: dir :: Nil =>
+        probePerceptron(spark, dir)
       case "bpe" :: dir :: rest =>
         val rounds = rest.headOption.map(_.toInt).getOrElse(64)
         val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
@@ -446,6 +448,24 @@ object ScaleLab {
       f"merges=${merges.size} jobs=${Curation.lastTrainJobs.get} " +
       f"sec=$sec%.2f")
     Curation.clearBpeMemo()
+  }
+
+  /** Perceptron IPM training at the probe corpus size: wall per run
+    * and the invariant that driver traffic is EPOCHS bounded-collects
+    * regardless of corpus size (epoch cost is one repartition+sort
+    * job over the feature table -> wall should track corpus
+    * linearly; the mix is S rows per epoch no matter what). */
+  private def probePerceptron(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Classifier
+    Classifier.clearPerceptronMemo()
+    val t0 = System.nanoTime()
+    val w = Classifier.trainWeights(spark, dir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nz = w.count(_ != 0L)
+    println(f"PERCEPTRON_PROBE dir=$dir epochs=${Classifier.Epochs} " +
+      f"nonzero_weights=$nz sec=$sec%.2f " +
+      f"driver_rows_per_epoch<=${Classifier.S}")
+    Classifier.clearPerceptronMemo()
   }
 
   private def probeSpans(spark: SparkSession, dir: String, saltBuckets: Int,
