@@ -204,6 +204,24 @@ object Classifier {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q96c: the trained model as the CURATION GATE — keep docs the
+    * classifier scores positive, report kept docs/tokens per source:
+    * the actual corpus-shrinking step the model was distilled FOR
+    * (CCNet applies its fastText filter exactly here). Per-row
+    * [[scoreExpr]] + one partial-agg summary; at 100 TB this is one
+    * pass over the corpus with a D+1-long literal riding along —
+    * no joins, no model table, nothing to skew. */
+  def perceptronApply(s: SparkSession, dir: String): DataFrame = {
+    val w = trainWeights(s, dir)
+    docs(s, dir)
+      .withColumn("keep", scoreExpr(w) > 0)
+      .withColumn("tk", size(Text.tokens(col("text"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("keep"), col("tk")).otherwise(0L)).as("kept_tokens"))
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle: the examples table + EVERY training epoch as a
   // recursive CTE folding each shard's doc sequence (the sequential
@@ -301,11 +319,35 @@ object Classifier {
        |SELECT label, pred, count(*) AS n_docs
        |FROM p GROUP BY label, pred""".stripMargin
 
+  /** q96c oracle: the per-row token fold replayed over the trained
+    * w$Epochs list — score = w[bias] + sum_tok w[bucket(tok)+1]. */
+  def applyOracleSql: String =
+    s"""$trainCtes,
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    m.w[$NF] + CAST(coalesce(sum(
+       |      m.w[('0x' || substring(md5(t.tok), 9, 8))::BIGINT % $D + 1]),
+       |      0) AS BIGINT) AS sc
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) t
+       |  CROSS JOIN w$Epochs m
+       |  GROUP BY t.doc_id, m.w[$NF])
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN s.sc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN s.sc > 0
+       |                THEN len(string_split(d.text, ' '))
+       |                ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM documents d JOIN sc s ON s.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_perceptron_weights" -> ((s, dir) => perceptronWeights(s, dir)),
-    "q96b_perceptron_confusion" -> ((s, dir) => perceptronConfusion(s, dir)))
+    "q96b_perceptron_confusion" -> ((s, dir) => perceptronConfusion(s, dir)),
+    "q96c_perceptron_apply" -> ((s, dir) => perceptronApply(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
     "q96_perceptron_weights" -> weightsOracleSql,
-    "q96b_perceptron_confusion" -> confusionOracleSql)
+    "q96b_perceptron_confusion" -> confusionOracleSql,
+    "q96c_perceptron_apply" -> applyOracleSql)
 }

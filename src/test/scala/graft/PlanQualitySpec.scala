@@ -404,4 +404,44 @@ class PlanQualitySpec extends AnyFunSuite {
       scan.contains("region"), s"partition filter missing:\n$scan")
     e.execute("DROP TABLE pq.t")
   }
+
+  test("q96c: classifier apply is scan + partial agg — no joins, no model table") {
+    // the trained weights ride as a literal; the corpus pass must be
+    // a bare scan into a two-stage aggregate. A join in this plan
+    // means the model leaked back in as data.
+    val df = graft.operators.Classifier.queries("q96c_perceptron_apply")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"q96c gained a join:\n$p")
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"q96c should shuffle once (the final agg):\n$p")
+  }
+
+  test("q97: leakage-safe split joins only cluster-sized metadata") {
+    // the corpus side scans once with its per-row bucket; the two
+    // joins (membership, rep-bucket) are against dup-cluster-sized
+    // tables — an all-pairs shape here means the split re-derived
+    // candidates instead of reusing the cluster artifact
+    val df = graft.operators.Dedup.queries("q97_leakage_safe_split")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"q97 all-pairs:\n$p")
+  }
+
+  test("q95b: float pass is shortlist-pruned — corpus vectors enter one join only") {
+    // stage 1 streams the 16-byte codes (the deliberate broadcast
+    // nested loop against 10 query codes); stage 2 must fetch exact
+    // vectors through equi-joins keyed on the shortlist — a second
+    // nested-loop with the full vectors means the prefilter bought
+    // nothing
+    val df = graft.operators.Similarity.queries("q95b_binary_rerank")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nested = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(nested <= 1, s"q95b: float pass degenerated to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"q95b shortlist join missing:\n$p")
+  }
 }
