@@ -65,7 +65,8 @@ object Bench {
     "q88_kmeans_cells" -> (() => graft.operators.Similarity.clearLloydMemo()),
     "q88b_knn_ivf_lloyd" -> (() => graft.operators.Similarity.clearLloydMemo()),
     "q96_perceptron_weights" -> (() => graft.operators.Classifier.clearPerceptronMemo()),
-    "q96b_perceptron_confusion" -> (() => graft.operators.Classifier.clearPerceptronMemo()))
+    "q96b_perceptron_confusion" -> (() => graft.operators.Classifier.clearPerceptronMemo()),
+    "q96d_perceptron_incremental" -> (() => graft.operators.Classifier.clearIncMemo()))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

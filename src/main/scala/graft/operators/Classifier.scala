@@ -71,9 +71,19 @@ object Classifier {
   private def margCol = lit(20) * Text.stopwordCount(
     Text.tokens(col("text"))) - size(Text.tokens(col("text")))
 
+  /** Corpus/batch partition for the incremental story (q96d) — the
+    * q87 convention: doc_id % 10 == 7 marks the ARRIVING batch. */
+  private def partCol(part: Int): Column = part match {
+    case 0 => col("doc_id") % 10 =!= 7
+    case 1 => col("doc_id") % 10 === 7
+    case _ => lit(true)
+  }
+
   /** Labeled training docs outside the deadband: (doc_id, sh, y). */
-  private def labeled(s: SparkSession, dir: String): DataFrame =
+  private def labeled(s: SparkSession, dir: String,
+                      part: Int = -1): DataFrame =
     docs(s, dir)
+      .where(partCol(part))
       .select(col("doc_id"), col("text"),
         (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
           .cast("long") % S).as("sh"),
@@ -84,8 +94,9 @@ object Classifier {
   /** Dense integer feature vectors: (sh, doc_id, y, x[NF]) with
     * x = hashed unigram counts ++ [1]. One count shuffle; the dense
     * assembly is per-row map lookup, zero extra shuffle. */
-  private[graft] def examples(s: SparkSession, dir: String): DataFrame = {
-    val lab = labeled(s, dir)
+  private[graft] def examples(s: SparkSession, dir: String,
+                              part: Int = -1): DataFrame = {
+    val lab = labeled(s, dir, part)
     val sparse = lab
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .withColumn("j",
@@ -117,12 +128,41 @@ object Classifier {
   def clearPerceptronMemo(): Unit = weightMemo.clear()
 
   private[graft] def trainWeights(s: SparkSession, dir: String): Seq[Long] =
-    weightMemo.computeIfAbsent(dir, _ => {
+    weightMemo.computeIfAbsent(dir, _ =>
+      mixEpochs(s, examples(s, dir), Seq.fill(NF)(0L), Epochs))
+
+  /** Warm-start epochs of q96d's incremental update. */
+  private[graft] val IncEpochs = 4
+
+  private val incMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+
+  /** q96d model: ONLINE MODEL MAINTENANCE — the corpus-trained base
+    * continues training on the ARRIVING batch only (doc_id%10==7,
+    * q87's convention), seeded with the base weights: the warm-start
+    * protocol that keeps a deployed filter current without re-reading
+    * the corpus. Batch epochs cost O(batch), not O(corpus), and if
+    * the base already classifies the batch perfectly the update is a
+    * NO-OP by the fixed-point argument (no misclassification -> no
+    * updates -> the mix returns the seed) — drift in the arriving
+    * data is exactly what makes the weights move. */
+  private[graft] def incrementalWeights(s: SparkSession,
+                                        dir: String): Seq[Long] =
+    incMemo.computeIfAbsent(dir, _ => {
+      val base = mixEpochs(s, examples(s, dir, part = 0),
+        Seq.fill(NF)(0L), Epochs)
+      mixEpochs(s, examples(s, dir, part = 1), base, IncEpochs)
+    })
+
+  /** The IPM training loop: `epochs` rounds of per-shard online fold
+    * + truncated-mean mix, from an arbitrary seed. */
+  private def mixEpochs(s: SparkSession, exDf: DataFrame,
+                        init: Seq[Long], epochs: Int): Seq[Long] = {
       import s.implicits._
-      val ex = examples(s, dir).persist()
+      val ex = exDf.persist()
       try {
-        var w = Seq.fill(NF)(0L)
-        for (_ <- 0 until Epochs) {
+        var w = init
+        for (_ <- 0 until epochs) {
           val seed = w.toArray
           // one epoch = one job: each shard folds its docs in doc_id
           // order (sort is external — shards stream, never collect)
@@ -161,7 +201,10 @@ object Classifier {
         }
         w
       } finally { ex.unpersist(); () }
-    })
+  }
+
+  /** Bench hook for the incremental model (the q61 contract). */
+  def clearIncMemo(): Unit = incMemo.clear()
 
   /** q96: the trained model — (j, weight) for the D hashed slots +
     * bias (j = NF). The artifact a model registry stores. */
@@ -204,6 +247,16 @@ object Classifier {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q96d: the incrementally-updated model — (j, weight) after the
+    * warm-start epochs on the arriving batch. Diff against q96 to see
+    * exactly which feature weights the new data moved. */
+  def incrementalWeightsDf(s: SparkSession, dir: String): DataFrame = {
+    val w = incrementalWeights(s, dir)
+    import s.implicits._
+    w.zipWithIndex.map { case (wt, k) => (k + 1L, wt) }
+      .toDF("j", "weight")
+  }
+
   /** q96c: the trained model as the CURATION GATE — keep docs the
     * classifier scores positive, report kept docs/tokens per source:
     * the actual corpus-shrinking step the model was distilled FOR
@@ -229,48 +282,51 @@ object Classifier {
   // truncated-mean mix — the q88/q89 full-replay pattern.
   // ---------------------------------------------------------------
 
-  private def exampleCtes: String =
-    s"""lab AS MATERIALIZED (
+  /** One rendering, name-prefixed so the incremental oracle can
+    * carry TWO example sets (corpus + batch) in one statement;
+    * `filter` restricts the labeled side (sparse features join-prune
+    * themselves). */
+  private def exampleCtes(p: String, filter: String): String =
+    s"""${p}lab AS MATERIALIZED (
        |  SELECT doc_id, text,
        |    ('0x' || substring(md5(text), 1, 8))::BIGINT % $S AS sh,
        |    20 * len(list_filter(string_split(text, ' '),
        |          x -> list_contains(['the','a','of','and','to','in'], x)))
        |      - len(string_split(text, ' ')) AS marg
-       |  FROM documents),
-       |lab2 AS MATERIALIZED (
+       |  FROM documents $filter),
+       |${p}lab2 AS MATERIALIZED (
        |  SELECT doc_id, sh,
        |    CASE WHEN marg >= 0 THEN CAST(1 AS BIGINT)
        |         ELSE CAST(-1 AS BIGINT) END AS y
-       |  FROM lab WHERE abs(marg) >= $Deadband),
-       |sparse AS MATERIALIZED (
+       |  FROM ${p}lab WHERE abs(marg) >= $Deadband),
+       |${p}sparse AS MATERIALIZED (
        |  SELECT doc_id, j, CAST(count(*) AS BIGINT) AS c FROM (
        |    SELECT doc_id,
        |      ('0x' || substring(md5(tok), 9, 8))::BIGINT % $D AS j
        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |          FROM documents))
        |  GROUP BY doc_id, j),
-       |dense AS MATERIALIZED (
+       |${p}dense AS MATERIALIZED (
        |  SELECT doc_id, list(j ORDER BY j) AS hk, list(c ORDER BY j) AS hv
-       |  FROM sparse GROUP BY doc_id),
-       |ex0 AS MATERIALIZED (
+       |  FROM ${p}sparse GROUP BY doc_id),
+       |${p}ex0 AS MATERIALIZED (
        |  SELECT l.doc_id, l.sh, l.y,
        |    list_append(
        |      list_transform(generate_series(0, ${D - 1}), i ->
        |        CAST(coalesce(d.hv[list_position(d.hk, i)], 0) AS BIGINT)),
        |      CAST(1 AS BIGINT)) AS x
-       |  FROM lab2 l JOIN dense d ON d.doc_id = l.doc_id),
-       |ex AS MATERIALIZED (
+       |  FROM ${p}lab2 l JOIN ${p}dense d ON d.doc_id = l.doc_id),
+       |${p}ex AS MATERIALIZED (
        |  SELECT sh, doc_id, y, x,
        |    row_number() OVER (PARTITION BY sh ORDER BY doc_id) AS rn
-       |  FROM ex0),
-       |shards AS MATERIALIZED (SELECT DISTINCT sh FROM ex),
-       |shcnt AS MATERIALIZED (SELECT sh, count(*) AS c FROM ex GROUP BY sh),
-       |w0 AS MATERIALIZED (SELECT list_transform(generate_series(1, $NF),
-       |                             k -> CAST(0 AS BIGINT)) AS w)""".stripMargin
+       |  FROM ${p}ex0),
+       |${p}shards AS MATERIALIZED (SELECT DISTINCT sh FROM ${p}ex),
+       |${p}shcnt AS MATERIALIZED (
+       |  SELECT sh, count(*) AS c FROM ${p}ex GROUP BY sh)""".stripMargin
 
-  private def epochCtes(e: Int): String =
-    s"""rec$e(sh, i, w) AS (
-       |  SELECT s.sh, 0, p.w FROM shards s CROSS JOIN w${e - 1} p
+  private def epochCtes(p: String, e: Int): String =
+    s"""${p}rec$e(sh, i, w) AS (
+       |  SELECT s.sh, 0, p.w FROM ${p}shards s CROSS JOIN ${p}w${e - 1} p
        |  UNION ALL
        |  SELECT r.sh, r.i + 1,
        |    CASE WHEN t.y * list_sum(list_transform(range(1, ${NF + 1}),
@@ -278,28 +334,52 @@ object Classifier {
        |         THEN list_transform(range(1, ${NF + 1}),
        |                k -> r.w[k] + t.y * t.x[k])
        |         ELSE r.w END
-       |  FROM rec$e r JOIN ex t ON t.sh = r.sh AND t.rn = r.i + 1),
-       |fin$e AS MATERIALIZED (
-       |  SELECT r.sh, r.w FROM rec$e r
-       |  JOIN shcnt n ON n.sh = r.sh AND r.i = n.c),
-       |w$e AS MATERIALIZED (
+       |  FROM ${p}rec$e r JOIN ${p}ex t ON t.sh = r.sh AND t.rn = r.i + 1),
+       |${p}fin$e AS MATERIALIZED (
+       |  SELECT r.sh, r.w FROM ${p}rec$e r
+       |  JOIN ${p}shcnt n ON n.sh = r.sh AND r.i = n.c),
+       |${p}w$e AS MATERIALIZED (
        |  SELECT list(v ORDER BY j) AS w FROM (
        |    SELECT g.j,
        |      CAST(COALESCE(t.s, 0)
-       |           + ($S - (SELECT count(*) FROM shards)) * p.w[g.j]
+       |           + ($S - (SELECT count(*) FROM ${p}shards)) * p.w[g.j]
        |           AS BIGINT) // $S AS v
        |    FROM (SELECT unnest(generate_series(1, $NF)) AS j) g
        |    LEFT JOIN (
        |      SELECT u.j AS j, CAST(sum(u.v) AS BIGINT) AS s FROM (
        |        SELECT unnest(w) AS v,
        |          unnest(generate_series(1, $NF)) AS j
-       |        FROM fin$e) u
+       |        FROM ${p}fin$e) u
        |      GROUP BY u.j) t ON t.j = g.j
-       |    CROSS JOIN w${e - 1} p))""".stripMargin
+       |    CROSS JOIN ${p}w${e - 1} p))""".stripMargin
+
+  private def zeroW(p: String): String =
+    s"""${p}w0 AS MATERIALIZED (
+       |  SELECT list_transform(generate_series(1, $NF),
+       |                        k -> CAST(0 AS BIGINT)) AS w)""".stripMargin
 
   private def trainCtes: String =
-    (s"WITH RECURSIVE $exampleCtes" +:
-      (1 to Epochs).map(epochCtes)).mkString(",\n")
+    (Seq(s"WITH RECURSIVE ${exampleCtes("", "")}", zeroW("")) ++
+      (1 to Epochs).map(e => epochCtes("", e))).mkString(",\n")
+
+  /** q96d oracle: the corpus chain (c-prefixed, 16 epochs from zero)
+    * feeds the batch chain (b-prefixed, 4 epochs seeded with cw16) in
+    * ONE statement — the full warm-start protocol replayed. */
+  def incrementalOracleSql: String =
+    (Seq(
+      s"WITH RECURSIVE ${exampleCtes("c", "WHERE doc_id % 10 <> 7")}",
+      zeroW("c")) ++
+      (1 to Epochs).map(e => epochCtes("c", e)) ++
+      Seq(
+        exampleCtes("b", "WHERE doc_id % 10 = 7"),
+        s"bw0 AS MATERIALIZED (SELECT w FROM cw$Epochs)") ++
+      (1 to IncEpochs).map(e => epochCtes("b", e)))
+      .mkString(",\n") +
+    s"""
+       |SELECT CAST(u.j AS BIGINT) AS j, CAST(u.v AS BIGINT) AS weight
+       |FROM (SELECT unnest(w) AS v,
+       |        unnest(generate_series(1, $NF)) AS j
+       |      FROM bw$IncEpochs) u""".stripMargin
 
   def weightsOracleSql: String =
     s"""$trainCtes
@@ -344,10 +424,12 @@ object Classifier {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_perceptron_weights" -> ((s, dir) => perceptronWeights(s, dir)),
     "q96b_perceptron_confusion" -> ((s, dir) => perceptronConfusion(s, dir)),
-    "q96c_perceptron_apply" -> ((s, dir) => perceptronApply(s, dir)))
+    "q96c_perceptron_apply" -> ((s, dir) => perceptronApply(s, dir)),
+    "q96d_perceptron_incremental" -> ((s, dir) => incrementalWeightsDf(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
     "q96_perceptron_weights" -> weightsOracleSql,
     "q96b_perceptron_confusion" -> confusionOracleSql,
-    "q96c_perceptron_apply" -> applyOracleSql)
+    "q96c_perceptron_apply" -> applyOracleSql,
+    "q96d_perceptron_incremental" -> incrementalOracleSql)
 }

@@ -21,13 +21,19 @@ class PerceptronSpec extends AnyFunSuite {
   /** Pure in-memory replica of the iterative-parameter-mixing trainer
     * (features, sharding, fold order, truncated mean) built straight
     * from the raw documents — shares NOTHING with the Spark
-    * implementation. */
-  private def referenceTrain(): (Array[Long], Seq[(Long, Array[Long])]) = {
+    * implementation. `part`: -1 all docs, 0 corpus (doc_id%10 != 7),
+    * 1 the arriving batch. */
+  private def referenceExamples(part: Int)
+      : Array[(Long, Long, Long, Array[Long])] = {
     val D = Classifier.D; val NF = Classifier.NF; val S = Classifier.S
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val ex = docs.flatMap { case (id, text) =>
+      .filter { case (id, _) => part match {
+        case 0 => id % 10 != 7
+        case 1 => id % 10 == 7
+        case _ => true } }
+    docs.flatMap { case (id, text) =>
       val toks = text.split(" ", -1)
       val marg = 20L * toks.count(Stop) - toks.length
       if (math.abs(marg) < Classifier.Deadband) None
@@ -42,8 +48,13 @@ class PerceptronSpec extends AnyFunSuite {
         Some((sh, id, y, x))
       }
     }
-    var w = Array.fill(NF)(0L)
-    for (_ <- 0 until Classifier.Epochs) {
+  }
+
+  private def referenceMix(ex: Array[(Long, Long, Long, Array[Long])],
+                           init: Array[Long], epochs: Int): Array[Long] = {
+    val NF = Classifier.NF; val S = Classifier.S
+    var w = init
+    for (_ <- 0 until epochs) {
       val seed = w
       val byShard = ex.groupBy(_._1)
       val ws = byShard.toSeq.map { case (_, rows) =>
@@ -59,7 +70,13 @@ class PerceptronSpec extends AnyFunSuite {
         (ws.map(_(k)).sum + absent * seed(k)) / S
       }
     }
-    (w, ex.map(e => (e._3, e._4)).toSeq.map { case (y, x) => (y, x) })
+    w
+  }
+
+  private def referenceTrain(): (Array[Long], Seq[(Long, Array[Long])]) = {
+    val ex = referenceExamples(-1)
+    val w = referenceMix(ex, Array.fill(Classifier.NF)(0L), Classifier.Epochs)
+    (w, ex.toSeq.map(e => (e._3, e._4)))
   }
 
   test("q96: trained weights equal the from-scratch reference trainer") {
@@ -118,6 +135,24 @@ class PerceptronSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) =>
       assert(assign(a) === assign(b), s"near-dups $a/$b split apart") }
+  }
+
+  test("q96d: incremental warm-start equals the partitioned reference protocol") {
+    val base = referenceMix(referenceExamples(0),
+      Array.fill(Classifier.NF)(0L), Classifier.Epochs)
+    val batch = referenceExamples(1)
+    val upd = referenceMix(batch, base, Classifier.IncEpochs)
+    val got = Classifier.queries("q96d_perceptron_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    assert(got.toSeq === upd.toSeq)
+    // the production claims: batch epochs never see corpus docs, and
+    // a base that already classifies the batch perfectly is a FIXED
+    // POINT (no drift -> no update)
+    def errs(w: Array[Long]) = batch.count { case (_, _, y, x) =>
+      y * (0 until Classifier.NF).map(k => w(k) * x(k)).sum <= 0L }
+    info(s"batch errors: base=${errs(base)} updated=${errs(upd)}")
+    if (errs(base) == 0) assert(upd.toSeq === base.toSeq)
+    assert(errs(upd) <= errs(base))
   }
 
   test("per-row scoreExpr equals the dense w·x margin on every labeled doc") {
