@@ -119,6 +119,8 @@ object ScaleLab {
         probeMerge(spark, dir, rest.headOption.map(_.toInt).getOrElse(1000))
       case "perceptron" :: dir :: Nil =>
         probePerceptron(spark, dir)
+      case "rerank" :: dir :: Nil =>
+        probeRerank(spark, dir)
       case "bpe" :: dir :: rest =>
         val rounds = rest.headOption.map(_.toInt).getOrElse(64)
         val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
@@ -448,6 +450,23 @@ object ScaleLab {
       f"merges=${merges.size} jobs=${Curation.lastTrainJobs.get} " +
       f"sec=$sec%.2f")
     Curation.clearBpeMemo()
+  }
+
+  /** The two-stage-ANN claim measured: exact brute top-k (q36) vs
+    * binary Hamming top-k (q95) vs Hamming-shortlist + exact rerank
+    * (q95b) at the probe corpus size. The rerank should track the
+    * cheap binary pass, not the brute pass — that gap IS the reason
+    * the sign codes exist, and it widens with corpus size because the
+    * float work is shortlist-bounded while brute work is
+    * corpus-bounded. */
+  private def probeRerank(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Similarity
+    val (mb, tb) = timeMedian3(Similarity.queries("q36_knn_brute")(spark, dir))
+    val (mh, th) = timeMedian3(Similarity.queries("q95_binary_knn")(spark, dir))
+    val (mr, tr) = timeMedian3(Similarity.queries("q95b_binary_rerank")(spark, dir))
+    println(f"RERANK_PROBE dir=$dir brute=$mb%.3f binary=$mh%.3f " +
+      f"rerank=$mr%.3f all_brute=${fmtAll(tb)} all_binary=${fmtAll(th)} " +
+      f"all_rerank=${fmtAll(tr)}")
   }
 
   /** Perceptron IPM training at the probe corpus size: wall per run
