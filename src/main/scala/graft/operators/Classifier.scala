@@ -257,6 +257,21 @@ object Classifier {
       .toDF("j", "weight")
   }
 
+  /** q98: QUALITY-SCORE CURRICULUM — the global training order (q90's
+    * machinery: bucket counts -> broadcast offsets -> bucket-local
+    * rank, ONE corpus shuffle, no global sort) with the TRAINED
+    * classifier as the curriculum key: predicted-clean docs first
+    * (band 0), predicted-noisy last (band 1), content-hash shuffled
+    * within each band. Two trained-artifact compositions in one
+    * operator: the model orders the stream the training run consumes
+    * — the "clean data first" curriculum a pretraining pipeline
+    * actually schedules. */
+  def scoreCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val w = trainWeights(s, dir)
+    Curation.globalOrderBy(docs(s, dir),
+      when(scoreExpr(w) > 0, 0L).otherwise(1L), seed = "")
+  }
+
   /** q96c: the trained model as the CURATION GATE — keep docs the
     * classifier scores positive, report kept docs/tokens per source:
     * the actual corpus-shrinking step the model was distilled FOR
@@ -421,15 +436,40 @@ object Classifier {
        |FROM documents d JOIN sc s ON s.doc_id = d.doc_id
        |GROUP BY d.source""".stripMargin
 
+  /** q98 oracle: per-doc score over the trained chain (q96c's fold),
+    * banded keep-first, then the q90 global-order replay. */
+  def curriculumOracleSql: String =
+    s"""$trainCtes,
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    m.w[$NF] + CAST(coalesce(sum(
+       |      m.w[('0x' || substring(md5(t.tok), 9, 8))::BIGINT % $D + 1]),
+       |      0) AS BIGINT) AS sc
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) t
+       |  CROSS JOIN w$Epochs m
+       |  GROUP BY t.doc_id, m.w[$NF]),
+       |o AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN s.sc > 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(1 AS BIGINT) END AS band,
+       |    md5('' || d.text) AS h
+       |  FROM documents d JOIN sc s ON s.doc_id = d.doc_id)
+       |SELECT doc_id, band,
+       |  row_number() OVER (ORDER BY band, h, doc_id) AS global_pos
+       |FROM o""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_perceptron_weights" -> ((s, dir) => perceptronWeights(s, dir)),
     "q96b_perceptron_confusion" -> ((s, dir) => perceptronConfusion(s, dir)),
     "q96c_perceptron_apply" -> ((s, dir) => perceptronApply(s, dir)),
-    "q96d_perceptron_incremental" -> ((s, dir) => incrementalWeightsDf(s, dir)))
+    "q96d_perceptron_incremental" -> ((s, dir) => incrementalWeightsDf(s, dir)),
+    "q98_score_curriculum" -> ((s, dir) => scoreCurriculum(s, dir)))
 
   val oracleSql: Map[String, String] = Map(
     "q96_perceptron_weights" -> weightsOracleSql,
     "q96b_perceptron_confusion" -> confusionOracleSql,
     "q96c_perceptron_apply" -> applyOracleSql,
-    "q96d_perceptron_incremental" -> incrementalOracleSql)
+    "q96d_perceptron_incremental" -> incrementalOracleSql,
+    "q98_score_curriculum" -> curriculumOracleSql)
 }

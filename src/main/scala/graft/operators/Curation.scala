@@ -878,13 +878,20 @@ object Curation {
     * easy docs first), hash-shuffled within a band. `banded=false` is
     * the pure epoch shuffle. */
   def globalOrder(s: SparkSession, dir: String, banded: Boolean,
-                  seed: String): DataFrame = {
+                  seed: String): DataFrame =
+    globalOrderBy(docs(s, dir),
+      (if (banded) least(expr("size(split(text, ' ')) div 100"), lit(9))
+       else lit(0)).cast("long"),
+      seed)
+
+  /** The q90 machinery over ANY integer band column — q98 reuses it
+    * with the trained classifier score as the curriculum key. */
+  private[operators] def globalOrderBy(docsDf: DataFrame, bandCol: Column,
+                                       seed: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs(s, dir)
+    val base = docsDf
       .withColumn("h", md5(concat(lit(seed), col("text")).cast("binary")))
-      .withColumn("band",
-        (if (banded) least(expr("size(split(text, ' ')) div 100"), lit(9))
-         else lit(0)).cast("long"))
+      .withColumn("band", bandCol)
       .withColumn("bkt", substring(col("h"), 1, 2))
     val counts = base.groupBy(col("band"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))

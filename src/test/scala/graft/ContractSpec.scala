@@ -21,7 +21,7 @@ class ContractSpec extends AnyFunSuite {
       graft.operators.Relational.queries, graft.operators.TextAnalysis.queries,
       graft.operators.Dedup.queries, graft.operators.Similarity.queries,
       graft.operators.Multimodal.queries, graft.operators.Curation.queries,
-      graft.operators.Search.queries)
+      graft.operators.Search.queries, graft.operators.Classifier.queries)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")

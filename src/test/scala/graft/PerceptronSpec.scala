@@ -155,6 +155,27 @@ class PerceptronSpec extends AnyFunSuite {
     assert(errs(upd) <= errs(base))
   }
 
+  test("q98: curriculum is a permutation with all predicted-clean docs first") {
+    val (refW, _) = referenceTrain()
+    val rows = Classifier.queries("q98_score_curriculum")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length === n)
+    assert(rows.map(_._3).sorted.toSeq === (1L to n).toSeq,
+      "global_pos must be the permutation 1..n")
+    // every band-0 position precedes every band-1 position
+    val maxClean = rows.filter(_._2 == 0L).map(_._3).max
+    val minNoisy = rows.filter(_._2 == 1L).map(_._3).min
+    assert(maxClean < minNoisy, "curriculum bands interleaved")
+    // band agrees with the trained model's per-doc decision
+    val scores = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("sc", graft.operators.Classifier.scoreExpr(refW.toSeq))
+      .select("doc_id", "sc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (id, band, _) =>
+      assert(band === (if (scores(id) > 0) 0L else 1L)) }
+  }
+
   test("per-row scoreExpr equals the dense w·x margin on every labeled doc") {
     val (refW, _) = referenceTrain()
     val w = refW.toSeq
