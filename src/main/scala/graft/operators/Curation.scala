@@ -474,6 +474,32 @@ object Curation {
         .orderBy(col("doc_freq").desc, col("token").asc)
         .limit(20)),
 
+    "q57b_heavy_hitters" -> ((s, dir) => {
+      // exact heavy hitters (freq > n/256) WITHOUT a vocab-sized
+      // shuffle: pass 1 folds each partition into a 255-counter
+      // Misra-Gries summary (the custom Catalyst aggregate) whose
+      // merge provably retains every token above the threshold — at
+      // 100 TB the billions-strong token vocabulary never shuffles and
+      // the driver sees <= 255 strings + one count, partition-count
+      // independent. Pass 2 exact-counts ONLY the candidates (a
+      // broadcast-literal IN prunes the scan) and applies the true
+      // threshold, so the result is the exact answer — independent of
+      // partition layout even though the candidate SET is not. q57's
+      // full groupBy is the small-vocab plan; this is the one that
+      // survives n-gram-scale vocabularies.
+      import graft.functions.expressions.MisraGriesAgg.mgSummary
+      val toks = docs(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      val summary = toks.agg(mgSummary(col("tok"), 255).as("s"))
+        .head.getStruct(0)
+      val total = summary.getLong(0)
+      val cands = summary.getSeq[String](1)
+      toks.filter(col("tok").isin(cands: _*))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"))
+        .where(col("freq") * lit(256L) > lit(total))
+    }),
+
     "q62_stratified_sample" -> ((s, dir) => {
       // deterministic stratified sampling: each language stratum keeps
       // its own rate (the training-mix rebalance every multilingual
@@ -1106,6 +1132,14 @@ object Curation {
         |SELECT token, count(*) AS doc_freq
         |FROM t GROUP BY token
         |ORDER BY doc_freq DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q57b_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT tok, count(*) AS freq
+        |FROM toks GROUP BY tok
+        |HAVING count(*) * 256 > (SELECT n FROM tot)""".stripMargin,
 
     "q62_stratified_sample" -> {
       val rateCase = "CASE " + StratumRates.map { case (l, r) =>

@@ -478,7 +478,58 @@ object Relational {
         .groupBy(col("user_id"))
         .agg(max(col("session_id")).as("n_sessions"),
              count(lit(1)).as("n_events"))
-    })
+    }),
+
+    "q23b_window_nav" -> ((s, dir) => {
+      // navigation-function family (superset — SURVEY §2.5): LAG/LEAD/
+      // NTILE/FIRST/LAST over each customer's order history. All five
+      // specs share the o_custkey partitioning + (date, key) sort, so
+      // one shuffle and one sort serve the whole select; the
+      // whole-partition last_price frame reuses that sort. ntile is
+      // cast to BIGINT to match DuckDB's result type.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wAll =
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          round(first(col("o_totalprice")).over(w), 2).as("first_price"),
+          round(last(col("o_totalprice")).over(wAll), 2).as("last_price"))
+    }),
+
+    "q46c_grouping_sets" -> ((s, dir) =>
+      // explicit GROUPING SETS (superset): status-only, priority-only
+      // and grand-total — strictly fewer expanded groups than q46b's
+      // CUBE; Catalyst's Expand emits 3 projections per row into ONE
+      // partially-aggregated shuffle (no per-set rescan).
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("total"))),
+
+    "q46d_pivot" -> ((s, dir) =>
+      // PIVOT with a FIXED value list: no extra distinct-values job and
+      // a stable output schema — the only pivot form that scales (a
+      // discovered value list is a driver-side collect over the corpus).
+      // Catalyst rewrites it to one pass of conditional aggregates,
+      // exactly the oracle's CASE formulation.
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+               Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                   "5-LOW"))
+        .agg(round(sum("o_totalprice"), 2))
+        .select(col("o_orderstatus"),
+          col("`1-URGENT`").as("p_urgent"), col("`2-HIGH`").as("p_high"),
+          col("`3-MEDIUM`").as("p_medium"),
+          col("`4-NOT SPECIFIED`").as("p_notspec"),
+          col("`5-LOW`").as("p_low")))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -798,6 +849,37 @@ object Relational {
         |SELECT user_id,
         |  CAST(max(session_id) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
-        |FROM sessions GROUP BY user_id""".stripMargin
+        |FROM sessions GROUP BY user_id""".stripMargin,
+
+    "q23b_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice, 2) AS price,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  ntile(4) OVER w AS quartile,
+        |  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |  round(last_value(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+        |    AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q46c_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q46d_pivot" ->
+      """SELECT o_orderstatus,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p_urgent,
+        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS p_high,
+        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS p_medium,
+        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec,
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin
   )
 }
