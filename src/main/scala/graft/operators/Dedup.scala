@@ -397,8 +397,78 @@ object Dedup {
           .sortedIntersectCount(col("t1"), col("t2")))
         .select(col("source"), col("doc1"), col("doc2"),
                 round(jaccard(col("inter"), col("n1"), col("n2")), 4).as("jaccard"))
+    }),
+
+    "q35b_prefix_join" -> ((s, dir) => {
+      // EXACT set-similarity self-join at Jaccard >= 0.9 over the WHOLE
+      // corpus — no band (q35) and no LSH false negatives (q33):
+      // prefix filtering (Chaudhuri et al. ICDE'06; Bayardo et al.
+      // WWW'07 "AllPairs"). Token sets ordered rarest-document-
+      // frequency-first; two sets with J >= t MUST share a token in
+      // their first n - ceil(t*n) + 1 entries, so the candidate join
+      // runs on rare prefix tokens only, plus the length filter
+      // (J <= n_min/n_max => 10*n_min >= 9*n_max). Threshold 9/10 is
+      // kept in INTEGER arithmetic end-to-end — ceil(9n/10) as
+      // (9n+9) div 10, the final gate as 10*inter >= 9*union — so the
+      // oracle replays bit-exactly. At web scale the DF-ranked prefix
+      // is what bounds candidates (Zipf: most prefixes are near-unique
+      // tokens — measured in ScaleLab `prefixjoin`); THIS synthetic
+      // template corpus is the adversarial case — near-uniform DFs
+      // prune little and most of the 125k pairs really are >= 0.9 —
+      // which the exact semantics must (and do) survive.
+      prefixSimilarityJoin(docs(s, dir), num = 9, den = 10)
     })
   )
+
+  /** Prefix-filtering exact Jaccard self-join at threshold num/den
+    * (see the q35b entry comment). `docsDf` needs (doc_id, text);
+    * candidate generation explodes only the DF-ranked prefix of each
+    * token set, and the candidate pair count is also exposed to
+    * [[graft.tools.ScaleLab]] for the Zipf pruning probe. */
+  private[graft] def prefixSimilarityJoin(docsDf: DataFrame,
+                                          num: Int, den: Int): DataFrame = {
+    import graft.functions.expressions.ArrayOps
+    val base = docsDf.select(col("doc_id"),
+        array_distinct(ArrayOps.sortedHashes(
+          array_distinct(Text.tokens(col("text"))))).as("hs"))
+    val pairs = prefixCandidatePairs(base, num, den)
+    val f1 = base.select(col("doc_id").as("doc1"), col("hs").as("h1"),
+                         size(col("hs")).as("n1"))
+    val f2 = base.select(col("doc_id").as("doc2"), col("hs").as("h2"),
+                         size(col("hs")).as("n2"))
+    pairs.join(f1, "doc1").join(f2, "doc2")
+      .withColumn("inter", ArrayOps.sortedIntersectCount(col("h1"), col("h2")))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .where(col("inter") * den >= col("uni") * num)
+      .select(col("doc1"), col("doc2"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
+
+  /** Candidate stage only (doc1, doc2 distinct pairs): DF-ranked
+    * prefixes + the length filter. Split out so the pruning ratio is
+    * measurable on its own. */
+  private[graft] def prefixCandidatePairs(base: DataFrame,
+                                          num: Int, den: Int): DataFrame = {
+    val tok = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfTab = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfTab, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), x => x.getField("h")).as("toks"),
+        size(col("ord")).as("n"))
+    val cand = ranked
+      .withColumn("p",
+        (col("n") - expr(s"($num*n+${den - 1}) div $den") + 1).cast("int"))
+      .select(col("doc_id"), col("n"),
+              explode(slice(col("toks"), lit(1), col("p"))).as("h"))
+    cand.as("a").join(cand.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n"), col("b.n")) * den
+             >= greatest(col("a.n"), col("b.n")) * num)
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+  }
 
   /** MinHash + LSH banding near-dup candidates at any band count,
     * verified with exact shingle-set Jaccard. The md5-derived hash
@@ -1302,6 +1372,38 @@ object Dedup {
         |        / (a.n + b.n - len(list_intersect(a.tset, b.tset))), 4) AS jaccard
         |FROM t a, t b
         |WHERE a.source = b.source AND b.doc_id > a.doc_id
-        |  AND b.doc_id <= a.doc_id + 100""".stripMargin
+        |  AND b.doc_id <= a.doc_id + 100""".stripMargin,
+
+    "q35b_prefix_join" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(
+        |      list_distinct(string_split(text, ' ')),
+        |      s -> ('0x' || substring(md5(s), 1, 14))::BIGINT))) AS hs
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(hs) AS h FROM base),
+        |dfq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+        |ranked AS (
+        |  SELECT t.doc_id, list(t.h ORDER BY d.df, t.h) AS toks,
+        |         count(*) AS n
+        |  FROM tok t JOIN dfq d USING (h) GROUP BY t.doc_id),
+        |pref AS (
+        |  SELECT doc_id, n,
+        |    unnest(toks[1 : CAST(n - (9*n+9)//10 + 1 AS INT)]) AS h
+        |  FROM ranked),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |  FROM pref a JOIN pref b
+        |    ON a.h = b.h AND a.doc_id < b.doc_id
+        |   AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9)
+        |SELECT p.doc1, p.doc2,
+        |  round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+        |        / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))),
+        |        4) AS jaccard
+        |FROM pairs p
+        |JOIN base x ON x.doc_id = p.doc1
+        |JOIN base y ON y.doc_id = p.doc2
+        |WHERE len(list_intersect(x.hs, y.hs)) * 10
+        |      >= (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) * 9""".stripMargin
   )
 }

@@ -121,6 +121,10 @@ object ScaleLab {
         probePerceptron(spark, dir)
       case "rerank" :: dir :: Nil =>
         probeRerank(spark, dir)
+      case "prefixjoin" :: target :: rest =>
+        val num = rest.headOption.map(_.toInt).getOrElse(9)
+        val den = rest.drop(1).headOption.map(_.toInt).getOrElse(10)
+        probePrefixJoin(spark, target, num, den)
       case "bpe" :: dir :: rest =>
         val rounds = rest.headOption.map(_.toInt).getOrElse(64)
         val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
@@ -459,6 +463,45 @@ object ScaleLab {
     * the sign codes exist, and it widens with corpus size because the
     * float work is shortlist-bounded while brute work is
     * corpus-bounded. */
+  /** q35b exact prefix-filtering join: candidate-stage pruning ratio +
+    * warm median-of-3 wall. `target` is a corpus dir, or `zipf:N` for
+    * a deterministic (fixed-seed) N-doc Zipf-token corpus — the DF
+    * distribution real text has and where the DF-ranked prefix must
+    * prune hard; the template `documents` corpus is the adversarial
+    * near-uniform-DF case, measured honestly next to it. */
+  private def probePrefixJoin(spark: SparkSession, target: String,
+                              num: Int, den: Int): Unit = {
+    import graft.operators.Dedup
+    val docsDf: DataFrame =
+      if (target.startsWith("zipf:")) {
+        val n = target.drop(5).toInt
+        val rng = new scala.util.Random(61)
+        val rows = (0 until n).map { i =>
+          val toks = (0 until 30).map { _ =>
+            val r = math.max(rng.nextDouble(), 1e-4)
+            "z" + math.min((1.0 / r - 1).toInt, 5000)
+          }.distinct
+          (i.toLong, toks.mkString(" "))
+        }
+        spark.createDataFrame(rows).toDF("doc_id", "text")
+      } else spark.read.parquet(s"$target/documents.parquet")
+        .select(col("doc_id"), col("text"))
+    val nDocs = docsDf.count()
+    val base = docsDf.select(col("doc_id"),
+      array_distinct(graft.functions.expressions.ArrayOps.sortedHashes(
+        array_distinct(graft.functions.Text.tokens(col("text"))))).as("hs"))
+      .cache()
+    val cands = Dedup.prefixCandidatePairs(base, num, den).count()
+    val matches = Dedup.prefixSimilarityJoin(docsDf, num, den).count()
+    val (median, times) = timeMedian3(Dedup.prefixSimilarityJoin(docsDf, num, den))
+    val totalPairs = nDocs * (nDocs - 1) / 2
+    println(f"PREFIXJOIN_PROBE target=$target t=$num/$den docs=$nDocs " +
+      f"total_pairs=$totalPairs candidates=$cands matches=$matches " +
+      f"prune_pct=${100.0 * (1 - cands.toDouble / totalPairs)}%.1f " +
+      f"median=$median%.3f all=${fmtAll(times)}")
+    base.unpersist()
+  }
+
   private def probeRerank(spark: SparkSession, dir: String): Unit = {
     import graft.operators.Similarity
     val (mb, tb) = timeMedian3(Similarity.queries("q36_knn_brute")(spark, dir))
