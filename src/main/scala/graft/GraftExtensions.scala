@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{MinHashExpr, SimHash64Expr, ShinglesExpr}
+import graft.functions.expressions.{MinHashExpr, MisraGriesAgg, SimHash64Expr, ShinglesExpr}
 import graft.plans.{RankToTopKRule, TopKStrategy}
 
 /** Spark extension entry point — the idiomatic way to ship this
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShinglesExpr].getName, "word_shingles"),
       (exprs: Seq[Expression]) =>
         ShinglesExpr(exprs.head, intLit(exprs(1), "word_shingles k"))))
+    ext.injectFunction((
+      new FunctionIdentifier("mg_summary"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_summary"),
+      (exprs: Seq[Expression]) =>
+        MisraGriesAgg(exprs.head, intLit(exprs(1), "mg_summary capacity"))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RankToTopKRule)
     ext.injectParser((_, delegate) => new graft.engine.GraftSqlParser(delegate))

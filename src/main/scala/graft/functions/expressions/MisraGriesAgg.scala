@@ -26,13 +26,21 @@ import org.apache.spark.unsafe.types.UTF8String
 final class MgSummary(val capacity: Int) {
   /** Total items observed (exact — needed for the n/(c+1) threshold). */
   var n: Long = 0L
-  val counts = new java.util.HashMap[String, java.lang.Long]()
+  /** Keys are UTF8String — the update path must not allocate a JVM
+    * String per input row; probes are zero-copy, and a key is copied
+    * only when it actually enters the map (the aggregation framework
+    * reuses the input buffer between rows). Overflow sweeps are
+    * amortized O(1)/row: each O(capacity) sweep retires capacity+1
+    * observed units and only ~n/(capacity+1) sweeps can happen. */
+  val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
 
-  def add(k: String): Unit = {
+  def add(s: String): Unit = addKey(UTF8String.fromString(s))
+
+  def addKey(k: UTF8String): Unit = {
     n += 1
     val cur = counts.get(k)
     if (cur != null) counts.put(k, cur + 1L)
-    else if (counts.size < capacity) counts.put(k, 1L)
+    else if (counts.size < capacity) counts.put(k.copy(), 1L)
     else {
       // classic MG overflow: the new item and one unit of every counter
       // cancel; zeroed counters free their slots.
@@ -42,6 +50,14 @@ final class MgSummary(val capacity: Int) {
         if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
       }
     }
+  }
+
+  /** Spec convenience: resident tokens as JVM strings. */
+  def tokens: Set[String] = {
+    val b = Set.newBuilder[String]
+    val it = counts.keySet().iterator()
+    while (it.hasNext) b += it.next().toString
+    b.result()
   }
 
   def mergeWith(o: MgSummary): Unit = {
@@ -76,7 +92,9 @@ final class MgSummary(val capacity: Int) {
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      val kb = e.getKey.getBytes
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -91,8 +109,9 @@ object MgSummary {
     s.n = in.readLong()
     var k = in.readInt()
     while (k > 0) {
-      val key = in.readUTF()
-      s.counts.put(key, in.readLong())
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      s.counts.put(UTF8String.fromBytes(kb), in.readLong())
       k -= 1
     }
     s
@@ -120,7 +139,7 @@ case class MisraGriesAgg(
 
   override def update(buf: MgSummary, input: InternalRow): MgSummary = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buf.addKey(v.asInstanceOf[UTF8String])
     buf
   }
 
@@ -130,14 +149,14 @@ case class MisraGriesAgg(
   }
 
   override def eval(buf: MgSummary): Any = {
-    val keys = new Array[String](buf.counts.size)
+    val keys = new Array[UTF8String](buf.counts.size)
     var i = 0
     val it = buf.counts.keySet().iterator()
     while (it.hasNext) { keys(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    java.util.Arrays.sort(keys,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
     new GenericInternalRow(Array[Any](
-      buf.n,
-      new GenericArrayData(keys.map(UTF8String.fromString): Array[Any])))
+      buf.n, new GenericArrayData(keys.asInstanceOf[Array[Any]])))
   }
 
   override def serialize(buf: MgSummary): Array[Byte] = buf.toBytes

@@ -121,6 +121,10 @@ object ScaleLab {
         probePerceptron(spark, dir)
       case "rerank" :: dir :: Nil =>
         probeRerank(spark, dir)
+      case "heavyhitters" :: dir :: rest =>
+        probeHeavyHitters(spark, dir,
+          rest.headOption.map(_.toInt).getOrElse(255),
+          rest.drop(1).headOption.map(_.toInt).getOrElse(1))
       case "prefixjoin" :: target :: rest =>
         val num = rest.headOption.map(_.toInt).getOrElse(9)
         val den = rest.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -463,6 +467,78 @@ object ScaleLab {
     * the sign codes exist, and it widens with corpus size because the
     * float work is shortlist-bounded while brute work is
     * corpus-bounded. */
+  /** q57b exact heavy hitters: MG-candidates + exact recount vs the
+    * full-vocab groupBy equivalent, warm median-of-3 each. The MG
+    * path's shuffle is bounded by capacity × partitions and its
+    * driver state by capacity, independent of vocabulary size — the
+    * property that matters when the "tokens" are n-grams and the
+    * vocab is billions. */
+  private def probeHeavyHitters(spark: SparkSession, dir: String,
+                                cap: Int, ngram: Int): Unit = {
+    import graft.functions.expressions.MisraGriesAgg.mgSummary
+    // ngram > 1 probes the regime the aggregate exists for: the
+    // synthetic corpus has |V|=31 unigrams (full groupBy is trivially
+    // cheap there — measured honestly), but n-gram "tokens" grow the
+    // vocab toward corpus-position counts, which is where bounding the
+    // shuffle at capacity × partitions starts to matter.
+    val words = graft.functions.Text.tokens(col("text"))
+    val items =
+      if (ngram <= 1) words
+      else graft.functions.expressions.ArrayOps.wordShingles(words, ngram)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(items).as("tok"))
+    def mgPath(): DataFrame = {
+      val s = toks.agg(mgSummary(col("tok"), cap).as("s")).head.getStruct(0)
+      val n = s.getLong(0)
+      val cands = s.getSeq[String](1)
+      toks.filter(col("tok").isin(cands: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .where(col("freq") * (cap + 1L) > lit(n))
+    }
+    def fullPath(): DataFrame = {
+      val tot = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(tot))
+        .where(col("freq") * (cap + 1L) > col("n"))
+        .select(col("tok"), col("freq"))
+    }
+    val (mMg, tMg) = timeMedian3(mgPath())
+    val (mFull, tFull) = timeMedian3(fullPath())
+    val vocab = toks.distinct().count()
+    val hits = mgPath().count()
+    // the scale-relevant invariant: SHUFFLE ROWS. local[N] shuffles at
+    // memory speed, so walls can't show the win — row volume can.
+    val mgShuffle = shuffleRecordsOf(spark) { mgPath().count() }
+    val fullShuffle = shuffleRecordsOf(spark) { fullPath().count() }
+    println(f"HEAVYHITTERS_PROBE dir=$dir cap=$cap ngram=$ngram " +
+      f"vocab=$vocab matches=$hits mg=$mMg%.3f full=$mFull%.3f " +
+      f"shuffle_rows_mg=$mgShuffle shuffle_rows_full=$fullShuffle " +
+      f"all_mg=${fmtAll(tMg)} all_full=${fmtAll(tFull)}")
+  }
+
+  /** Total shuffle-write records across all stages run by `body`. */
+  private def shuffleRecordsOf(spark: SparkSession)(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        acc.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // bus drains asynchronously; poll to a stable count (bounded)
+      var last = -1L
+      var waited = 0
+      while (acc.get() != last && waited < 5000) {
+        last = acc.get()
+        Thread.sleep(250)
+        waited += 250
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
+
   /** q35b exact prefix-filtering join: candidate-stage pruning ratio +
     * warm median-of-3 wall. `target` is a corpus dir, or `zipf:N` for
     * a deterministic (fixed-seed) N-doc Zipf-token corpus — the DF

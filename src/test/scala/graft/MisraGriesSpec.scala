@@ -33,7 +33,7 @@ class MisraGriesSpec extends AnyFunSuite {
       val exact = exactOver(items)
       exact.foreach { case (k, c) =>
         if (c * (cap + 1) > items.size.toLong)
-          assert(s.counts.containsKey(k),
+          assert(s.tokens.contains(k),
             s"cap=$cap trial=$trial lost heavy hitter $k ($c/${items.size})")
       }
     }
@@ -55,7 +55,7 @@ class MisraGriesSpec extends AnyFunSuite {
       assert(merged.counts.size <= cap)
       exactOver(all).foreach { case (k, c) =>
         if (c * (cap + 1) > all.size.toLong)
-          assert(merged.counts.containsKey(k),
+          assert(merged.tokens.contains(k),
             s"cap=$cap trial=$trial merge lost $k ($c/${all.size})")
       }
     }
@@ -68,6 +68,15 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(back.capacity == s.capacity)
     assert(back.n == s.n)
     assert(back.counts == s.counts)
+  }
+
+  test("mg_summary is SQL-registered via GraftExtensions") {
+    Seq("a", "a", "a", "b", "c").toDF("tok").createOrReplaceTempView("mg_t")
+    val r = spark.sql(
+      "SELECT s.n AS n, s.cands AS cands FROM " +
+        "(SELECT mg_summary(tok, 2) AS s FROM mg_t)").head
+    assert(r.getLong(0) == 5L)
+    assert(r.getSeq[String](1).contains("a")) // freq 3 > 5/3
   }
 
   test("end-to-end aggregate: exact recount is partition-layout independent") {
