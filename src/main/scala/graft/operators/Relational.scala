@@ -513,6 +513,43 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"),
              round(sum("o_totalprice"), 2).as("total"))),
 
+    "q46e_unpivot" -> ((s, dir) =>
+      // UNPIVOT / melt (superset): three measure columns become
+      // (measure, val) rows — a zero-shuffle per-row Expand (3
+      // projections per input row), then one partial-agg shuffle.
+      t(s, dir, "lineitem")
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+                         col("l_discount")),
+          variableColumnName = "measure",
+          valueColumnName = "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(round(sum(col("val")), 2).as("total"),
+             count(lit(1)).as("n"))),
+
+    "q25c_gapfill" -> ((s, dir) => {
+      // calendar gap-fill / resample: daily event counts with missing
+      // (event_type, day) combinations zero-filled over the observed
+      // date range. The spine is types × days — two TINY dims (a
+      // 1-row bounds agg exploded by sequence(), and the distinct
+      // types), so the cross join is broadcast-cheap at any corpus
+      // size; the corpus-sized daily agg then left-joins onto it.
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val days = ev
+        .agg(min(col("ts").cast("date")).as("d0"),
+             max(col("ts").cast("date")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      types.crossJoin(days)
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+                coalesce(col("n"), lit(0L)).as("n_events"))
+    }),
+
     "q46d_pivot" -> ((s, dir) =>
       // PIVOT with a FIXED value list: no extra distinct-values job and
       // a stable output schema — the only pivot form that scales (a
@@ -872,6 +909,33 @@ object Relational {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q46e_unpivot" ->
+      """SELECT l_returnflag, measure,
+        |  round(sum(val), 2) AS total, count(*) AS n
+        |FROM (
+        |  UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+        |                  l_discount FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount
+        |  INTO NAME measure VALUE val)
+        |GROUP BY l_returnflag, measure""".stripMargin,
+
+    "q25c_gapfill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, d.day, COALESCE(dd.n, 0) AS n_events
+        |FROM types t CROSS JOIN days d
+        |LEFT JOIN daily dd ON dd.event_type = t.event_type
+        |                  AND dd.day = d.day""".stripMargin,
 
     "q46d_pivot" ->
       """SELECT o_orderstatus,

@@ -179,6 +179,24 @@ object DocStream {
       when(sc > 0, 1L).otherwise(-1L).as("quality_pred"))
   }
 
+  /** Streaming face of q57b: a running Misra-Gries summary over the
+    * token stream (Complete mode — the aggregation state IS the
+    * bounded summary, capacity entries regardless of how long the
+    * stream runs or how large the vocab grows). Each micro-batch
+    * folds its tokens into the state-store buffer, so after any batch
+    * the emitted (n, cands) is exactly what the batch aggregate would
+    * produce on all data seen so far — the stream==batch contract
+    * MisraGriesSpec pins; the exact-recount second pass stays a batch
+    * job over the corpus (candidates are a superset at every point,
+    * so a monitor can recount lazily). */
+  def heavyHittersStream(stream: DataFrame, capacity: Int = 255): DataFrame =
+    stream
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .agg(graft.functions.expressions.MisraGriesAgg
+        .mgSummary(col("tok"), capacity).as("s"))
+      .select(col("s").getField("n").as("n"),
+              col("s").getField("cands").as("cands"))
+
   def lmRarityStream(stream: DataFrame, lm: DataFrame,
                      watermark: String = "1 hour"): DataFrame =
     graft.operators.Curation

@@ -79,6 +79,30 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(r.getSeq[String](1).contains("a")) // freq 3 > 5/3
   }
 
+  test("streaming face: running summary equals the batch aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocStream.heavyHittersStream(stream, 7)
+      .writeStream.format("memory").queryName("mg_hh")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, "a a a b c"), (2L, "a d e f g"))
+      q.processAllAvailable()
+      input.addData((3L, "a a h i j"), (4L, "k l m n o"))
+      q.processAllAvailable()
+      val r = spark.table("mg_hh").head
+      assert(r.getLong(0) == 20L)
+      // the guarantee (not buffer-identity — merge order differs
+      // between the state store and a sequential fold): bounded size,
+      // and every token above n/(cap+1) resident. 'a' has freq 6 >
+      // 20/8; nothing else exceeds it.
+      assert(r.getSeq[String](1).size <= 7)
+      assert(r.getSeq[String](1).contains("a"))
+    } finally q.stop()
+  }
+
   test("end-to-end aggregate: exact recount is partition-layout independent") {
     val rng = new scala.util.Random(47)
     val items = (0 until 3000).map(_ =>
