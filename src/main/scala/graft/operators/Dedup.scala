@@ -462,7 +462,17 @@ object Dedup {
         (col("n") - expr(s"($num*n+${den - 1}) div $den") + 1).cast("int"))
       .select(col("doc_id"), col("n"),
               explode(slice(col("toks"), lit(1), col("p"))).as("h"))
-    cand.as("a").join(cand.as("b"),
+    // The self-join's OUTPUT is quadratic in per-token df while its
+    // INPUT bytes are tiny, so AQE's byte-based coalescing would run
+    // the whole pair explosion (+ the distinct and the verify merge
+    // downstream) in one task. Pin the probe side's partition count to
+    // the cluster's parallelism — explicit numPartitions is exempt
+    // from AQE coalescing; hash on (doc_id, h) so one hot template
+    // token still spreads its df rows across all tasks.
+    val probe = cand.repartition(
+      base.sparkSession.sparkContext.defaultParallelism,
+      col("doc_id"), col("h"))
+    probe.as("a").join(cand.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
           && least(col("a.n"), col("b.n")) * den
              >= greatest(col("a.n"), col("b.n")) * num)
