@@ -216,6 +216,44 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    "q99_range_join" -> ((s, dir) => {
+      // Pure time-RANGE join, NO equi key: for every 'view' event, the
+      // site-wide purchases in the following 10 minutes. Spark's only
+      // native plan for an inequality-only join is a nested loop over
+      // every (view, purchase) pair — O(|A|·|B|), 400M pair
+      // evaluations at sf0.1 and unrunnable at 100 TB. The scale shape
+      // bins both sides to window-width buckets: a purchase inside
+      // [ta, ta+W) lives in bucket(ta) or bucket(ta)+1, so exploding
+      // each view row to those two buckets turns the range predicate
+      // into a ONE-SHUFFLE equi-join + exact residual filter, with
+      // ≤2× replication of one side and candidates bounded by genuine
+      // bucket co-residents (PlanQualitySpec pins the no-nested-loop
+      // shape; SCALING.md has the naive-vs-binned A/B). Bucket
+      // arithmetic stays in integer microseconds — `div`, not a
+      // double divide — so the oracle replays bit-exactly.
+      val ev = t(s, dir, "events")
+      val W = 600L * 1000000L // 10 min in µs == bucket width
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), unix_micros(col("ts")).as("ta"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(unix_micros(col("ts")).as("tb"), col("value"))
+        .withColumn("bin", expr(s"tb div ${W}L"))
+      val hits = views
+        .select(col("event_id"), col("ta"),
+          explode(array(expr(s"ta div ${W}L"),
+                        expr(s"ta div ${W}L + 1L"))).as("bin"))
+        .join(buys, "bin")
+        .where(col("tb") >= col("ta") && col("tb") < col("ta") + lit(W))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+             round(sum(col("value")), 2).as("purchase_value"))
+      views.select(col("event_id"))
+        .join(hits, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+    }),
+
     "q50_shipping_priority" -> ((s, dir) => {
       // TPC-H Q3 shape: selective date filters on both join sides reach
       // the scans, 3-way join, aggregate, top-10 by revenue
@@ -701,6 +739,20 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 300000)""".stripMargin,
+
+    "q99_range_join" ->
+      // the oracle states the range join DIRECTLY (DuckDB's IEJoin
+      // executes inequality joins natively); the Spark side's binned
+      // equi-join must reproduce it bit-exactly
+      """SELECT v.event_id,
+        |  count(b.tb) AS n_purchases,
+        |  coalesce(round(sum(b.value), 2), 0.0) AS purchase_value
+        |FROM (SELECT event_id, epoch_us(ts) AS ta FROM events
+        |      WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT epoch_us(ts) AS tb, value FROM events
+        |           WHERE event_type = 'purchase') b
+        |  ON b.tb >= v.ta AND b.tb < v.ta + 600000000
+        |GROUP BY v.event_id""".stripMargin,
 
     "q10_filter_combo" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount

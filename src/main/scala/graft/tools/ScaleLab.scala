@@ -129,6 +129,8 @@ object ScaleLab {
         val num = rest.headOption.map(_.toInt).getOrElse(9)
         val den = rest.drop(1).headOption.map(_.toInt).getOrElse(10)
         probePrefixJoin(spark, target, num, den)
+      case "rangejoin" :: dir :: rest =>
+        probeRangeJoin(spark, dir, rest.headOption.map(_.toInt).getOrElse(4))
       case "bpe" :: dir :: rest =>
         val rounds = rest.headOption.map(_.toInt).getOrElse(64)
         val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
@@ -545,6 +547,51 @@ object ScaleLab {
     * distribution real text has and where the DF-ranked prefix must
     * prune hard; the template `documents` corpus is the adversarial
     * near-uniform-DF case, measured honestly next to it. */
+  /** q99's naive-vs-binned range join at growing scale. Replicates the
+    * events time axis (replica k shifts ts by k months, so event
+    * DENSITY — and with it the binned join's per-bucket output — stays
+    * constant while the naive nested loop's pair count grows
+    * quadratically). `rangejoin <dir> [maxRep]` runs both shapes at
+    * r = 1, 2, .., maxRep (doubling). */
+  private def probeRangeJoin(spark: SparkSession, dir: String,
+                             maxRep: Int): Unit = {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val W = 600L * 1000000L
+    val month = 30L * 86400L * 1000000L
+    def rep(df: DataFrame, r: Int, idCol: String, tsCol: String): DataFrame =
+      (0 until r).map(k => df
+        .withColumn(idCol, col(idCol) + lit(k.toLong * 10000000L))
+        .withColumn(tsCol, col(tsCol) + lit(k.toLong * month)))
+        .reduce(_ union _)
+    val views0 = ev.where(col("event_type") === "view")
+      .select(col("event_id"), unix_micros(col("ts")).as("ta"))
+    val buys0 = ev.where(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("tb"), col("value"))
+      .withColumn("bid", monotonically_increasing_id())
+    val reps = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxRep).toSeq
+    for (r <- reps) {
+      val views = rep(views0, r, "event_id", "ta").cache(); views.count()
+      val buys = rep(buys0, r, "bid", "tb").cache(); buys.count()
+      def agg(j: DataFrame): DataFrame = j
+        .where(col("tb") >= col("ta") && col("tb") < col("ta") + lit(W))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      val (mN, tN) = timeMedian3(agg(
+        views.join(buys,
+          col("tb") >= col("ta") && col("tb") < col("ta") + lit(W))))
+      val bb = buys.withColumn("bin", expr(s"tb div ${W}L"))
+      val (mB, tB) = timeMedian3(agg(
+        views.select(col("event_id"), col("ta"),
+            explode(array(expr(s"ta div ${W}L"),
+                          expr(s"ta div ${W}L + 1L"))).as("bin"))
+          .join(bb, "bin")))
+      println(f"RANGEJOIN_PROBE r=$r views=${views.count()} " +
+        f"naive_median=$mN%.3f naive_all=${fmtAll(tN)} " +
+        f"binned_median=$mB%.3f binned_all=${fmtAll(tB)}")
+      views.unpersist(); buys.unpersist()
+    }
+  }
+
   private def probePrefixJoin(spark: SparkSession, target: String,
                               num: Int, den: Int): Unit = {
     import graft.operators.Dedup

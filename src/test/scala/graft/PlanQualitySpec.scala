@@ -444,4 +444,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"q95b shortlist join missing:\n$p")
   }
+
+  test("q99: range join plans as a binned equi-join, never a nested loop") {
+    // an inequality-only join's native Spark plan is
+    // BroadcastNestedLoopJoin — O(|A|·|B|) pair evaluations; the
+    // binning rewrite must make every join in the plan an equi-join
+    val df = Relational.queries("q99_range_join")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q99 range join degenerated to a nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q99 went all-pairs:\n$p")
+  }
 }
