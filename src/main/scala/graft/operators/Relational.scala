@@ -232,26 +232,11 @@ object Relational {
       // arithmetic stays in integer microseconds — `div`, not a
       // double divide — so the oracle replays bit-exactly.
       val ev = t(s, dir, "events")
-      val W = 600L * 1000000L // 10 min in µs == bucket width
       val views = ev.where(col("event_type") === "view")
         .select(col("event_id"), unix_micros(col("ts")).as("ta"))
       val buys = ev.where(col("event_type") === "purchase")
         .select(unix_micros(col("ts")).as("tb"), col("value"))
-        .withColumn("bin", expr(s"tb div ${W}L"))
-      val hits = views
-        .select(col("event_id"), col("ta"),
-          explode(array(expr(s"ta div ${W}L"),
-                        expr(s"ta div ${W}L + 1L"))).as("bin"))
-        .join(buys, "bin")
-        .where(col("tb") >= col("ta") && col("tb") < col("ta") + lit(W))
-        .groupBy(col("event_id"))
-        .agg(count(lit(1)).as("n_purchases"),
-             round(sum(col("value")), 2).as("purchase_value"))
-      views.select(col("event_id"))
-        .join(hits, Seq("event_id"), "left")
-        .select(col("event_id"),
-          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
-          coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+      rangeJoinBinned(views, buys, 600L * 1000000L) // 10 min in µs
     }),
 
     "q50_shipping_priority" -> ((s, dir) => {
@@ -998,4 +983,34 @@ object Relational {
         |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low
         |FROM orders GROUP BY o_orderstatus""".stripMargin
   )
+
+  /** Binned rewrite of the equi-key-less interval join behind q99:
+    * every `views` row (event_id, ta) matched to `buys` rows (tb,
+    * value) with tb in [ta, ta+W). Bucket width == window length W,
+    * so a qualifying tb lives in bucket(ta) or bucket(ta)+1 and in
+    * EXACTLY one of the two probe replicas — the equi-join on the
+    * bucket plus the exact residual filter needs no dedup pass.
+    * Left semantics: every view appears, zero-filled. All bucket
+    * arithmetic is integer (`div`) so the DuckDB oracle's direct
+    * IEJoin replay buckets identically. RangeJoinSpec pins the
+    * boundary semantics on planted timestamps; PlanQualitySpec pins
+    * the no-nested-loop plan. */
+  private[graft] def rangeJoinBinned(views: DataFrame, buys: DataFrame,
+                                     w: Long): DataFrame = {
+    val bb = buys.withColumn("bin", expr(s"tb div ${w}L"))
+    val hits = views
+      .select(col("event_id"), col("ta"),
+        explode(array(expr(s"ta div ${w}L"),
+                      expr(s"ta div ${w}L + 1L"))).as("bin"))
+      .join(bb, "bin")
+      .where(col("tb") >= col("ta") && col("tb") < col("ta") + lit(w))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+           round(sum(col("value")), 2).as("purchase_value"))
+    views.select(col("event_id"))
+      .join(hits, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+  }
 }
