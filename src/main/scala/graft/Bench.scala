@@ -112,19 +112,27 @@ object Bench {
     val floor = floors(2)
 
     // pass 2: sequential warm latencies — memoized artifacts are
-    // re-materialized so each number is attributable work
+    // re-materialized so each number is attributable work. The
+    // serial-stage snapshot is taken HERE (idle engine): under the
+    // 8-way concurrent passes, host contention inflates every task
+    // past the heavy-stage bar and a one-task 0.2 s scan reads as a
+    // serial suspect — only the idle pass isolates the PLAN's
+    // parallelism from the host's.
+    listener.snapshotFullAndReset()
     val seqT0 = System.nanoTime()
     val sequential = suite.map { case (name, fn) =>
       MemoBypass.get(name).foreach(clear => clear())
       name -> run1(name, fn)
     }
     val seqTotal = (System.nanoTime() - seqT0) / 1e9
+    listener.awaitQuiescent(maxWaitMs = 10000)
+    val seqSnap = listener.snapshotFullAndReset()
 
     // pass 3: 8-way concurrent throughput, three times (best wall
     // reported below; all walls published in `concurrent_walls`).
     def concurrentPass(): (Seq[(String, Double)], Double, Boolean,
-                           Map[String, Double], Map[String, Double]) = {
-      listener.snapshotAndReset()
+                           graft.bench.QueryMetricsListener.Snapshot) = {
+      listener.snapshotFullAndReset()
       val pool = Executors.newFixedThreadPool(8)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val t0 = System.nanoTime()
@@ -136,8 +144,7 @@ object Bench {
       // drop late events on a loaded host — poll to quiescence
       // (bounded) and record whether the bound was hit
       val drained = listener.awaitQuiescent(maxWaitMs = 10000)
-      val (sw, tt) = listener.snapshotAndReset()
-      (results, w, drained, sw, tt)
+      (results, w, drained, listener.snapshotFullAndReset())
     }
     // FIVE passes, MEDIAN wall reported (round-7 verdict item 3: the
     // shared host shows multi-second variance beats — same binary,
@@ -154,8 +161,19 @@ object Bench {
     }
     val walls = passes.map(_._2)
     val medianWall = walls.sorted.apply(walls.length / 2)
-    val (concurrent, wall, drained, stageWall, taskTime) =
+    val (concurrent, wall, drained, snap) =
       passes.minBy(p => math.abs(p._2 - medianWall))
+    val (stageWall, taskTime) = (snap.stageWall, snap.taskTime)
+    // serial-stage watchdog (round-8 verdict item 7): per query, the
+    // minimum effective parallelism (taskTime/stageWall) over stages
+    // with >= 0.5 s of task time, measured on the IDLE sequential
+    // pass. Entries < 4.0 on a 32-core host are AQE-coalesced (or
+    // file-layout-collapsed) serial stages — the q35b/q87b disease —
+    // and publish as `serial_suspects` so a regression cannot hide in
+    // per-query sums.
+    val heavyPar: Map[String, Double] =
+      seqSnap.heavyStagePar(listener.HeavyStageSec)
+    val suspects = heavyPar.filter(_._2 < 4.0).toSeq.sortBy(_._2)
 
     // train-INCLUSIVE wall (round-7 verdict item 2): one more
     // concurrent pass with every trained-model memo cleared first, so
@@ -190,6 +208,8 @@ object Bench {
       s""""queries_concurrent":${jmap(concurrent)},""" +
       s""""queries_stage_wall":${jmap(aligned(stageWall))},""" +
       s""""queries_task_time":${jmap(aligned(taskTime))},""" +
+      s""""queries_heavy_stage_par":${jmap(heavyPar.toSeq.sortBy(_._1))},""" +
+      s""""serial_suspects":${jmap(suspects)},""" +
       headline + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -203,6 +223,7 @@ object Bench {
       kv.sortBy(-_._2).take(10)
     println(s"""{"queries":${jmap(slowest10(sequential))},""" +
       s""""queries_concurrent":${jmap(slowest10(concurrent))},""" +
+      s""""serial_suspects":${jmap(suspects)},""" +
       s""""bench_full":"$outPath",""" +
       headline + "}")
     spark.stop()

@@ -27,16 +27,35 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   *    [[awaitQuiescent]] instead polls until both (a) every started
   *    job has ended and (b) two successive metric fingerprints are
   *    identical, bounded by `maxWaitMs`.
+  *
+  * Round-9 addition: PER-STAGE accounting, because the serial-stage
+  * signature (a CPU-heavy stage AQE-coalesced — or file-layout-
+  * collapsed — to ~1 task) hides inside per-query sums: a query with
+  * six healthy stages and one serial 5 s stage still shows an
+  * innocuous-looking aggregate ratio. [[Snapshot.heavyStagePar]]
+  * surfaces, per query, the minimum effective parallelism
+  * (taskTime / stageWall) over its stages with ≥ [[HeavyStageSec]] of
+  * task time — the exact signal that found q35b and q87b by hand in
+  * rounds 7-8, now emitted every bench run so a regression
+  * self-reports. Iterative operators (shard CC, perceptron epochs)
+  * do NOT false-positive: their per-stage task times sit far below
+  * the threshold; their cost is round count, not a serial stage.
   */
 final class QueryMetricsListener extends SparkListener {
+
+  /** A stage qualifies as "heavy" (worth a parallelism verdict) at
+    * this much total executor task time. Below it, stage wall is
+    * dominated by scheduling, and taskTime/wall is noise. */
+  val HeavyStageSec = 0.5
 
   private final case class JobMeta(group: String, execId: String,
                                    nStages: Int)
 
   private val jobMeta = TrieMap[Int, JobMeta]()
   private val stageJob = TrieMap[Int, Int]()
-  private val jobStageWall = TrieMap[Int, Double]()
-  private val jobTaskTime = TrieMap[Int, Double]()
+  private val stageWallM = TrieMap[Int, Double]()
+  private val stageTaskM = TrieMap[Int, Double]()
+  private val stageNTask = TrieMap[Int, Int]()
   private val jobsStarted = new java.util.concurrent.atomic.AtomicLong(0)
   private val jobsEnded = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -61,17 +80,18 @@ final class QueryMetricsListener extends SparkListener {
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
     val si = sc.stageInfo
     for {
-      jid <- stageJob.get(si.stageId)
       sub <- si.submissionTime
       done <- si.completionTime
-    } jobStageWall.updateWith(jid)(o => Some(o.getOrElse(0.0) + (done - sub) / 1e3))
+    } {
+      stageWallM.put(si.stageId, (done - sub) / 1e3)
+      stageNTask.put(si.stageId, si.numTasks)
+    }
   }
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-    for {
-      jid <- stageJob.get(te.stageId)
-      ti <- Option(te.taskInfo)
-    } jobTaskTime.updateWith(jid)(o => Some(o.getOrElse(0.0) + ti.duration / 1e3))
+    for (ti <- Option(te.taskInfo))
+      stageTaskM.updateWith(te.stageId)(o =>
+        Some(o.getOrElse(0.0) + ti.duration / 1e3))
 
   /** Resolve a job to its query group through the execution-id →
     * owning-group map (covers the broadcast-pool case where the
@@ -98,16 +118,37 @@ final class QueryMetricsListener extends SparkListener {
     }.toMap
   }
 
-  /** (stageWall, taskTime) per query group, then reset. */
-  def snapshotAndReset(): (Map[String, Double], Map[String, Double]) = {
+  import QueryMetricsListener.{Snapshot, StageRec}
+
+  def snapshot(): Snapshot = {
     val groups = resolvedGroups()
-    def agg(per: TrieMap[Int, Double]): Map[String, Double] =
-      per.toSeq
-        .groupBy { case (jid, _) => groups.getOrElse(jid, "") }
-        .map { case (g, kv) => g -> kv.map(_._2).sum }
-    val s = (agg(jobStageWall), agg(jobTaskTime))
+    def groupOf(sid: Int): String =
+      stageJob.get(sid).flatMap(groups.get).getOrElse("")
+    val recs: Seq[(String, StageRec)] = stageWallM.toSeq.map {
+      case (sid, wall) =>
+        groupOf(sid) -> StageRec(sid, wall,
+          stageTaskM.getOrElse(sid, 0.0), stageNTask.getOrElse(sid, 0))
+    }
+    val byGroup = recs.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).sortBy(_.stageId)
+    }
+    Snapshot(
+      byGroup.map { case (g, rs) => g -> rs.map(_.wall).sum },
+      byGroup.map { case (g, rs) => g -> rs.map(_.taskTime).sum },
+      byGroup)
+  }
+
+  /** (stageWall, taskTime) per query group, then reset — the
+    * pre-round-9 interface, kept for the simple callers. */
+  def snapshotAndReset(): (Map[String, Double], Map[String, Double]) = {
+    val s = snapshotFullAndReset()
+    (s.stageWall, s.taskTime)
+  }
+
+  def snapshotFullAndReset(): Snapshot = {
+    val s = snapshot()
     jobMeta.clear(); stageJob.clear()
-    jobStageWall.clear(); jobTaskTime.clear()
+    stageWallM.clear(); stageTaskM.clear(); stageNTask.clear()
     s
   }
 
@@ -118,8 +159,8 @@ final class QueryMetricsListener extends SparkListener {
   def awaitQuiescent(maxWaitMs: Long = 10000, pollMs: Long = 100): Boolean = {
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
     def fingerprint(): (Long, Long, Int, Int, Double, Double) =
-      (jobsStarted.get(), jobsEnded.get(), jobStageWall.size,
-        jobTaskTime.size, jobStageWall.values.sum, jobTaskTime.values.sum)
+      (jobsStarted.get(), jobsEnded.get(), stageWallM.size,
+        stageTaskM.size, stageWallM.values.sum, stageTaskM.values.sum)
     var prev = fingerprint()
     while (System.nanoTime() < deadline) {
       Thread.sleep(pollMs)
@@ -128,5 +169,31 @@ final class QueryMetricsListener extends SparkListener {
       prev = cur
     }
     false
+  }
+}
+
+object QueryMetricsListener {
+
+  /** One completed stage attributed to a query group. `par` =
+    * taskTime/wall — the effective number of cores the stage kept
+    * busy; ~1.0 on a 32-core host is the serial-stage signature. */
+  final case class StageRec(stageId: Int, wall: Double, taskTime: Double,
+                            nTasks: Int) {
+    def par: Double = if (wall > 0) taskTime / wall else Double.NaN
+  }
+
+  /** Per-query-group metrics for one measurement window. */
+  final case class Snapshot(stageWall: Map[String, Double],
+                            taskTime: Map[String, Double],
+                            stages: Map[String, Seq[StageRec]]) {
+    /** Minimum effective parallelism over each query's HEAVY stages
+      * (task time ≥ threshold); queries with no heavy stage are
+      * absent — their wall is scheduling, not a serial stage. */
+    def heavyStagePar(threshold: Double): Map[String, Double] =
+      stages.flatMap { case (g, ss) =>
+        val heavy = ss.filter(s => s.taskTime >= threshold && s.wall > 0)
+        if (heavy.isEmpty) None
+        else Some(g -> heavy.map(_.par).min)
+      }
   }
 }

@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -134,6 +135,16 @@ case class MisraGriesAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MgSummary] with UnaryLike[Expression] {
+
+  // update() casts the value straight to UTF8String, so a mistyped
+  // call (`mg_summary(bigint_col, k)`) must be rejected during
+  // ANALYSIS, not surface as an executor ClassCastException
+  // (AbstractDataType — the ExpectsInputTypes route — is private[sql]
+  // in Spark 4, so the check is declared directly)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): MgSummary = new MgSummary(capacity)
 

@@ -718,6 +718,10 @@ object Curation {
     * are one row -> broadcast. Per-doc sum is one shuffle on doc_id;
     * top-20 collapses to TakeOrderedAndProject. */
   def lmRarity(docsDf: DataFrame): DataFrame =
+    // (A scan-parallelism repartition pin was A/B'd here and REVERTED
+    // — same finding as q82: allocation-bound bigram explode under
+    // 32-way spread worsened the idle wall 0.74 → 1.09 s via GC; no
+    // stage reaches the 0.5 s heavy bar without it.)
     docBigrams(docsDf).join(lmVocab(docsDf), Seq("v", "w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("rarity_sum"))

@@ -108,10 +108,29 @@ object Dedup {
     * filtered to spans appearing in >= 2 distinct docs, in the two
     * physical shapes [[spanCoverage]] documents. Returns
     * (base(doc_id, text, toks, n), dupRows(doc_id, i, span)). */
-  private def tokenizedBase(docsDf: DataFrame): DataFrame =
-    docsDf
+  /** `spread=true` (the cross-doc span family): the local fixture is
+    * ONE parquet file → a one-partition scan, so the span explode
+    * (the family's CPU-heaviest per-row stage) would run in a single
+    * task however AQE is tuned. Pin the base to cluster parallelism
+    * on the stable doc key — at warehouse scale the table is
+    * thousands of files and the scan parallelizes by layout, making
+    * this one cheap extra exchange; at fixture scale it is what turns
+    * a serial tokenize+explode into 32 tasks (q83b idle wall
+    * 1.45 → 1.10 s measured). q84 passes `spread=false`: its work is
+    * document-local with NO downstream shuffle at all, so adding an
+    * exchange just to spread a 0.2 s scan would break its
+    * zero-shuffle design claim (PlanQualitySpec pin). */
+  private def tokenizedBase(docsDf: DataFrame,
+                            spread: Boolean = true): DataFrame = {
+    val base =
+      if (spread)
+        docsDf.repartition(
+          docsDf.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      else docsDf
+    base
       .withColumn("toks", graft.functions.Text.tokens(col("text")))
       .withColumn("n", size(col("toks")))
+  }
 
   private def dupSpanRows(docsDf: DataFrame, w: Int,
                           saltBuckets: Int): (DataFrame, DataFrame) = {
@@ -259,7 +278,7 @@ object Dedup {
     * the relational tail ([[applyRemoval]]) remains the CROSS-doc
     * path's shape, where shuffles are inherent. */
   def intraDocDedupApply(docsDf: DataFrame, w: Int = SpanW): DataFrame =
-    tokenizedBase(docsDf)
+    tokenizedBase(docsDf, spread = false)
       .withColumn("r", graft.functions.expressions.ArrayOps
         .intraDocDedup(col("toks"), w))
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
@@ -469,6 +488,16 @@ object Dedup {
     // the cluster's parallelism — explicit numPartitions is exempt
     // from AQE coalescing; hash on (doc_id, h) so one hot template
     // token still spreads its df rows across all tasks.
+    //
+    // (doc_id, h) is deliberate even though it does not satisfy the
+    // join's ClusteredDistribution(h): at pin-relevant scale the
+    // build side is broadcast (PlanQualitySpec pins BHJ + the probe's
+    // 32 partitions), so the pinned partitioning STREAMS through the
+    // join and a hot token's df rows stay spread across all tasks —
+    // repartition(h) alone would put each hot token's quadratic pair
+    // output in ONE task. If cand outgrows broadcast (huge corpora),
+    // the SMJ re-shuffle this keying triggers is byte-heavy enough
+    // that AQE sizes its parallelism correctly on its own.
     val probe = cand.repartition(
       base.sparkSession.sparkContext.defaultParallelism,
       col("doc_id"), col("h"))
@@ -506,6 +535,14 @@ object Dedup {
     minhashBases.computeIfAbsent(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), _ =>
         docs(s, dir)
+          // cache-layout pin: the one-file fixture scan is ONE
+          // partition, and a cached plan FREEZES that layout — every
+          // downstream map stage (band explode, set projection — the
+          // bulk of q87b's 40-stage DAG) would then run one task per
+          // scan of the cache. Repartition BEFORE caching so the
+          // cached layout is cluster-wide; a warehouse deployment gets
+          // the same effect from its bucketed persisted table.
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
                   graft.functions.expressions.ArrayOps
                     .wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
@@ -616,9 +653,20 @@ object Dedup {
     val okBuckets = corpB.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("c")).where(col("c") <= BucketCap)
       .select(col("band"), col("bh"))
+    // Pin the verified-pair stage's parallelism: the candidate list is
+    // BYTES-tiny (two longs per row) but each row costs a full
+    // sorted-merge over both docs' shingle sets, so AQE's byte-based
+    // coalescing runs the whole verify pass in one task (the q35b
+    // disease; BENCH_full r8 measured q87b at ~0.8 effective tasks on
+    // 32 cores). Explicit numPartitions is exempt from coalescing, and
+    // the set sides are broadcast at this stage's operating point
+    // (batch-candidate-bounded), so the pinned partitioning streams
+    // through both joins and the merge runs cluster-wide.
     val cand = bands.where(isBatch)
       .join(corpB.join(okBuckets, Seq("band", "bh")), Seq("band", "bh"))
       .select(col("doc_id"), col("corpus_id")).distinct()
+      .repartition(s.sparkContext.defaultParallelism,
+        col("doc_id"), col("corpus_id"))
     val sets = base.select(col("doc_id"), col("shx"), size(col("sh")).as("n"))
     cand
       .join(sets.select(col("doc_id"), col("shx").as("sh1"),
@@ -657,6 +705,9 @@ object Dedup {
           |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
+      // same verify-stage parallelism pin as the corpus probe above
+      .repartition(s.sparkContext.defaultParallelism,
+        col("doc1"), col("doc2"))
     val sets = base.select(col("doc_id"), col("shx"), size(col("sh")).as("n"))
     cand
       .join(sets.select(col("doc_id").as("doc1"), col("shx").as("sh1"),
@@ -701,11 +752,22 @@ object Dedup {
       .withColumn("fp", md5(col("text")))
       .join(corpusFp, Seq("fp"), "left_anti")
       .join(flagged, Seq("doc_id"), "left_anti")
+    // Materialize the step-3 survivors ONCE (pruned to the three
+    // output columns — no text). [[shardCC]] collects its edge list at
+    // DataFrame-CONSTRUCTION time, so without this barrier the whole
+    // corpusFp→flagged→window pipeline above runs TWICE: once under
+    // the collect, again under the final anti-join — measured as
+    // q87b's 40-stage DAG (half of BENCH_full r8's 9 s of task time
+    // was this recomputation). The checkpoint is batch-survivor-sized;
+    // at warehouse scale it is the persisted shard-survivors
+    // intermediate every incremental-ingest pipeline writes anyway.
     val exactKept = corpusSurvivors
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("fp")).orderBy(col("doc_id"))))
       .where(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .localCheckpoint()
     val ids = exactKept.select(col("doc_id"))
     val bp = batchInternalPairs(s, dir, numBands)
       .join(ids.select(col("doc_id").as("doc1")), "doc1")

@@ -174,6 +174,12 @@ object Search {
     * q79/q80 discipline. The per-doc top-k is a window over (doc_id)
     * — partition-parallel across docs. */
   def tfidfKeywords(s: SparkSession, dir: String, k: Int): DataFrame = {
+    // (A scan-parallelism repartition pin was A/B'd here and REVERTED:
+    // the explode/agg stages are allocation-bound, and spreading them
+    // across all 32 local cores raised GC pressure enough to WORSEN
+    // the idle wall 0.81 → 1.05 s. The one-task scan stays under the
+    // 0.5 s heavy-stage bar; at warehouse file counts the scan
+    // parallelizes by layout anyway.)
     val base = docs(s, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     val nDocs = base.agg(count(lit(1)).as("n_docs"))

@@ -136,6 +136,8 @@ object ScaleLab {
         val batch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
         val mode = rest.drop(2).headOption.getOrElse("auto")
         probeBpe(spark, dir, rounds, batch, mode)
+      case "stagepar" :: dir :: names =>
+        probeStagePar(spark, dir, names)
       case other =>
         System.err.println(s"unknown ScaleLab args: $other")
         sys.exit(2)
@@ -541,12 +543,6 @@ object ScaleLab {
     acc.get()
   }
 
-  /** q35b exact prefix-filtering join: candidate-stage pruning ratio +
-    * warm median-of-3 wall. `target` is a corpus dir, or `zipf:N` for
-    * a deterministic (fixed-seed) N-doc Zipf-token corpus — the DF
-    * distribution real text has and where the DF-ranked prefix must
-    * prune hard; the template `documents` corpus is the adversarial
-    * near-uniform-DF case, measured honestly next to it. */
   /** q99's naive-vs-binned range join at growing scale. Replicates the
     * events time axis (replica k shifts ts by k months, so event
     * DENSITY — and with it the binned join's per-bucket output — stays
@@ -592,6 +588,12 @@ object ScaleLab {
     }
   }
 
+  /** q35b exact prefix-filtering join: candidate-stage pruning ratio +
+    * warm median-of-3 wall. `target` is a corpus dir, or `zipf:N` for
+    * a deterministic (fixed-seed) N-doc Zipf-token corpus — the DF
+    * distribution real text has and where the DF-ranked prefix must
+    * prune hard; the template `documents` corpus is the adversarial
+    * near-uniform-DF case, measured honestly next to it. */
   private def probePrefixJoin(spark: SparkSession, target: String,
                               num: Int, den: Int): Unit = {
     import graft.operators.Dedup
@@ -623,6 +625,43 @@ object ScaleLab {
       f"prune_pct=${100.0 * (1 - cands.toDouble / totalPairs)}%.1f " +
       f"median=$median%.3f all=${fmtAll(times)}")
     base.unpersist()
+  }
+
+  /** Per-stage parallelism report for named SparkEntry queries (all
+    * queries when none named): one warm run, then one measured run
+    * with [[graft.bench.QueryMetricsListener]], printing each stage
+    * with ≥0.2 s task time as (task, wall, nTasks, par). The
+    * serial-stage signature — par ≈ 1 with multi-second task time on
+    * a 32-core host — is exactly what this surfaces; used to A/B the
+    * repartition pins (round-8 verdict items 1-2, 7). */
+  private def probeStagePar(spark: SparkSession, dir: String,
+                            names: List[String]): Unit = {
+    val listener = new graft.bench.QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val qs =
+      if (names.isEmpty) graft.SparkEntry.queries.keys.toList.sorted
+      else names
+    try qs.foreach { n =>
+      val fn = graft.SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query: $n"))
+      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      listener.snapshotFullAndReset()
+      spark.sparkContext.setJobGroup(n, n, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val w = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      listener.awaitQuiescent()
+      val snap = listener.snapshotFullAndReset()
+      val ss = snap.stages.getOrElse(n, Nil)
+      val minPar = snap.heavyStagePar(listener.HeavyStageSec).get(n)
+      println(f"STAGEPAR $n wall=$w%.3f stages=${ss.size}" +
+        minPar.map(p => f" heavy_min_par=$p%.2f").getOrElse(""))
+      ss.filter(_.taskTime >= 0.2).sortBy(-_.taskTime).take(8).foreach { r =>
+        println(f"  stage=${r.stageId} task=${r.taskTime}%.3f " +
+          f"wall=${r.wall}%.3f nTasks=${r.nTasks} par=${r.par}%.2f")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   private def probeRerank(spark: SparkSession, dir: String): Unit = {

@@ -130,4 +130,14 @@ class MisraGriesSpec extends AnyFunSuite {
     }
     results.foreach(r => assert(r == want))
   }
+
+  test("mistyped input is rejected at analysis, not as an executor CCE") {
+    import spark.implicits._
+    val nums = Seq(1L, 2L, 2L).toDF("v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      nums.agg(MisraGriesAgg.mgSummary(col("v"), 8)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"),
+      s"expected a type error naming STRING, got: ${e.getMessage}")
+  }
 }

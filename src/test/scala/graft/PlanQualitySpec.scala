@@ -303,14 +303,25 @@ class PlanQualitySpec extends AnyFunSuite {
     val saved = confs.map(k => k -> spark.conf.getOption(k))
     confs.foreach(k => spark.conf.set(k, "-1"))
     try {
-      val df = graft.operators.Dedup
-        .queries("q87b_incremental_keep")(spark, dir)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
+      // q87 (the probe) carries every corpus-proportional join of the
+      // incremental family in ONE inspectable plan; q87b's copy of the
+      // same pipeline now executes behind its survivor localCheckpoint
+      // (the double-compute fix), so its executed plan shows only the
+      // checkpoint scan + the final anti — assert the probe, then that
+      // q87b still evaluates end-to-end under the forced estimates.
+      val probe = graft.operators.Dedup
+        .queries("q87_incremental_neardup")(spark, dir)
+      probe.collect()
+      val p = probe.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastHashJoin"),
-        s"q87b broadcasts a corpus-proportional side under forced-large estimate:\n$p")
+        s"q87 broadcasts a corpus-proportional side under forced-large estimate:\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-        s"q87b lost its shuffle joins:\n$p")
+        s"q87 lost its shuffle joins:\n$p")
+      val keep = graft.operators.Dedup
+        .queries("q87b_incremental_keep")(spark, dir)
+      val kp = keep.queryExecution.executedPlan.toString
+      assert(!kp.contains("CartesianProduct"),
+        s"q87b degenerated to all-pairs under forced-large estimate:\n$kp")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
@@ -376,6 +387,27 @@ class PlanQualitySpec extends AnyFunSuite {
     chunks.collect()
     val cp = chunks.queryExecution.executedPlan.toString
     assert(!cp.contains("Exchange"), s"q86 chunking gained a shuffle:\n$cp")
+  }
+
+  test("q35b: candidate join streams the pinned probe partitioning (BHJ, explicit numPartitions)") {
+    // The serial-stage fix (round 8) hinges on two plan properties
+    // holding TOGETHER: (a) the pair join builds a hash table from the
+    // unpinned side and STREAMS the probe side, so (b) the probe's
+    // explicit REPARTITION_BY_NUM — exempt from AQE coalescing —
+    // is the partitioning the quadratic pair-explosion stage actually
+    // runs at. If (a) flipped to a sort-merge join, EnsureRequirements
+    // would insert a fresh coalescible shuffle on `h` and the pin
+    // would be dead code (the ADVICE r8 scenario) — this pin makes
+    // that regression loud.
+    val df = graft.operators.Dedup.queries("q35b_prefix_join")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"q35b candidate join no longer broadcasts+streams — the probe pin is bypassed:\n$p")
+    val n = spark.sparkContext.defaultParallelism
+    assert(p.contains("REPARTITION_BY_NUM") &&
+        p.matches("(?s).*hashpartitioning\\(doc_id[^)]*, h[^)]*, " + n + "\\).*"),
+      s"q35b probe side lost its explicit $n-partition pin:\n$p")
   }
 
   test("q84 intra-doc dedup is a bare scan: document-local work never shuffles") {
