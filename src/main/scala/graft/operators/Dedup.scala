@@ -143,7 +143,13 @@ object Dedup {
     val dupRows =
       if (saltBuckets <= 0) {
         val win = Window.partitionBy(col("span"))
+        // explicit span partitioning satisfies the window's required
+        // distribution (replacing its own exchange) while staying
+        // exempt from AQE coalescing, which otherwise runs the
+        // span-window stage ~4-way at fixture bytes (bench watchdog)
         spans
+          .repartition(
+            spans.sparkSession.sparkContext.defaultParallelism, col("span"))
           .withColumn("mn", min(col("doc_id")).over(win))
           .withColumn("mx", max(col("doc_id")).over(win))
           .where(col("mn") =!= col("mx"))
@@ -162,6 +168,13 @@ object Dedup {
   private[operators] def saltedRepeatKeys(rows: DataFrame, keyName: String,
                                           saltBuckets: Int): DataFrame =
     rows
+      // NOT repartition-pinned like the window branch: an explicit
+      // exchange on the grouping keys would satisfy the aggregate's
+      // distribution and make Catalyst SKIP the partial (map-side)
+      // min/max — shuffling raw span rows instead of one row per
+      // (key, salt) — which is the exact volume trade the salted
+      // design exists to win. The final-agg stage coalescing ~4-way
+      // at fixture bytes costs ~0.1 s of wall and is by-design.
       .groupBy(col(keyName),
         pmod(xxhash64(col("doc_id"), col("i")), lit(saltBuckets)).as("s"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))

@@ -514,7 +514,13 @@ object Relational {
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       val wAll =
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // window-parallelism pin: HashPartitioning(o_custkey, P)
+      // satisfies the window's required distribution, so this replaces
+      // (not adds to) the window's own exchange — but being explicit
+      // it is exempt from AQE coalescing, which otherwise runs the
+      // five-function sort+window stage ~4-way at fixture bytes
       t(s, dir, "orders")
+        .repartition(s.sparkContext.defaultParallelism, col("o_custkey"))
         .select(col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"),
           round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),

@@ -1456,6 +1456,15 @@ object Similarity {
       // Expand (x3 row multiplication), and an exact percentile in
       // the same agg buffers every value per group; this formulation
       // benched 41 s vs ~1 s at sf0.1.
+      // (A scan-parallelism repartition pin was A/B'd here and
+      // REVERTED: the bench watchdog flags this scan par=1.0 — one
+      // parquet row-group — but spreading it 32-way made the idle
+      // wall WORSE, 1.12 → 1.5 s, because percentile-sketch partial
+      // state is heavy: 32 accuracy-10000 summaries to build,
+      // compress, and merge cost more total CPU than one streaming
+      // pass. Sketches are the map-side-combine extreme — parallelism
+      // comes from file layout at warehouse scale, not from adding an
+      // exchange under a heavy-state aggregate.)
       val li = Tables.load(s, dir, "lineitem")
       // both exact distinct counts from ONE scan: tag-explode the two
       // keys, map-side partial dedupe, one shuffle of the distinct
