@@ -1,0 +1,515 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.functions.expressions.ArrayOps
+
+/** Persisted secondary indexes as CATALOG OBJECTS — the surface the
+  * reference PARSES and rejects (`CREATE INDEX`,
+  * `server/query/parser/parser.go:3942-4013`; its engine has no route
+  * for `CreateIndexStmt`). This engine goes further: the bucketed
+  * index MATERIALS the analytics operators already use as query-side
+  * intermediates (LSH band tables, BM25 postings, IVF cell
+  * assignments, SQ8 code tables) become durable objects the engine
+  * creates, lists, maintains across DML, and probes.
+  *
+  * Syntax (superset — the reference grammar plus USING):
+  * {{{
+  *   CREATE INDEX name ON [db.]table (keyCol, payloadCol) USING bands
+  *   CREATE INDEX name ON [db.]table (col, ...)            -- zonemap
+  *   SHOW INDEXES [ON [db.]table]
+  *   DROP INDEX name ON [db.]table
+  * }}}
+  * Kinds: `bands` (MinHash-LSH near-dup), `postings` (BM25 inverted
+  * index + doc-length carrier rows), `ivf` (cell routing over a
+  * codebook FROZEN at creation), `sq8` (8-bit scalar quantization
+  * against per-dimension [min,max] FROZEN at creation), `zonemap`
+  * (per-file min/max — the default when USING is omitted, i.e. for
+  * every reference-compatible statement).
+  *
+  * == Storage and maintenance model ==
+  *
+  * Everything lives on the filesystem —
+  * `<warehouse>/.graft-indexes/<db>.<table>/<index>/` holds
+  * `meta.json` plus `data/f=<md5(srcFile)>/` parquet shards, ONE SHARD
+  * PER BASE-TABLE DATA FILE. That granularity is the whole design:
+  *  - '''maintenance is a file diff''', not a log protocol. After any
+  *    mutation, [[sync]] lists the table's live data files, builds
+  *    shards for new files, and deletes shards whose source file is
+  *    gone. INSERT appends shards; MERGE/UPDATE/DELETE (copy-on-write
+  *    partition rewrites) swap exactly the rewritten partitions'
+  *    shards; OPTIMIZE/RESTORE fall out for free. Work is always
+  *    O(changed files), never O(table).
+  *  - '''restart survival is trivial''' — there is no in-memory
+  *    registry; every read goes through `meta.json` + the shard dirs.
+  *  - '''at 100 TB''' each shard build reads one parquet file and
+  *    writes one bounded shard — embarrassingly parallel across files,
+  *    and the probe side reads the shard set as one partitioned
+  *    parquet table (partition column `f` = source-file identity).
+  *
+  * Frozen-parameter contract: `ivf` centroids and `sq8` scales are
+  * computed once at CREATE and stored in `meta.json`, so shard
+  * contents depend only on (file contents, meta) — the property that
+  * makes the per-file diff sound. The trade (documented, standard for
+  * stored ANN indexes): drifted data quantizes against stale scales
+  * until the index is rebuilt (DROP + CREATE).
+  */
+object IndexManager {
+
+  /** Index kinds and the column arity each expects. */
+  private val TwoColKinds = Set("bands", "postings", "ivf", "sq8")
+  val Kinds: Set[String] = TwoColKinds + "zonemap"
+
+  // bands parameters — the q33 operating point (Dedup's constants)
+  private val ShingleK = 2
+  private val NumHashes = 32
+  private val NumBands = 8
+  private val BucketCap = 20
+  // ivf/sq8 defaults
+  private val DefaultIvfK = 32
+
+  final case class IndexMeta(name: String, table: String, kind: String,
+                             cols: Seq[String],
+                             params: Map[String, String]) {
+    def keyCol: String = cols.head
+    def payloadCol: String = cols(1)
+  }
+
+  // ---------------------------------------------------------------- paths
+
+  private def root(spark: SparkSession): Path =
+    new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),
+      ".graft-indexes")
+
+  private def fs(spark: SparkSession): FileSystem =
+    root(spark).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(spark: SparkSession, qualified: String): Path =
+    new Path(root(spark), qualified.toLowerCase)
+
+  private def indexDir(spark: SparkSession, qualified: String,
+                       name: String): Path =
+    new Path(tableDir(spark, qualified), name.toLowerCase)
+
+  private def fileHash(path: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  // ----------------------------------------------------------- meta JSON
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def metaJson(m: IndexMeta): String = {
+    val cols = m.cols.map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]")
+    val params = m.params.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    s"""{"name":"${esc(m.name)}","table":"${esc(m.table)}",""" +
+      s""""kind":"${m.kind}","cols":$cols,"params":$params}"""
+  }
+
+  private val fieldRe = """"(name|table|kind)":"((?:[^"\\]|\\.)*)"""".r
+  private val colsRe = """"cols":\[((?:[^\]])*)\]""".r
+  private val paramsRe = """"params":\{((?:[^}])*)\}""".r
+  private val kvRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+  private val strRe = """"((?:[^"\\]|\\.)*)"""".r
+
+  private def parseMeta(json: String): IndexMeta = {
+    val fields = fieldRe.findAllMatchIn(json)
+      .map(m => m.group(1) -> unesc(m.group(2))).toMap
+    val cols = colsRe.findFirstMatchIn(json).map(_.group(1)).toSeq
+      .flatMap(b => strRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
+    val params = paramsRe.findFirstMatchIn(json).map(_.group(1)).toSeq
+      .flatMap(b => kvRe.findAllMatchIn(b)
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2)))).toMap
+    IndexMeta(fields("name"), fields("table"), fields("kind"), cols, params)
+  }
+
+  private def writeMeta(spark: SparkSession, m: IndexMeta): Unit = {
+    val out = fs(spark).create(
+      new Path(indexDir(spark, m.table, m.name), "meta.json"), true)
+    out.write(metaJson(m).getBytes("UTF-8")); out.close()
+  }
+
+  private def readMeta(spark: SparkSession, dir: Path): Option[IndexMeta] = {
+    val f = new Path(dir, "meta.json")
+    val filesys = fs(spark)
+    if (!filesys.exists(f)) None
+    else {
+      val in = filesys.open(f)
+      try {
+        val bytes = new Array[Byte](filesys.getFileStatus(f).getLen.toInt)
+        in.readFully(bytes)
+        Some(parseMeta(new String(bytes, "UTF-8")))
+      } finally in.close()
+    }
+  }
+
+  // ------------------------------------------------------------- catalog
+
+  /** All indexes of one table (qualified `db.table`). */
+  def indexesOf(spark: SparkSession, qualified: String): Seq[IndexMeta] = {
+    val td = tableDir(spark, qualified)
+    val filesys = fs(spark)
+    if (!filesys.exists(td)) Seq.empty
+    else filesys.listStatus(td).toSeq.filter(_.isDirectory)
+      .flatMap(st => readMeta(spark, st.getPath))
+      .sortBy(_.name)
+  }
+
+  /** Every index under the warehouse (SHOW INDEXES with no table). */
+  def allIndexes(spark: SparkSession): Seq[IndexMeta] = {
+    val r = root(spark)
+    val filesys = fs(spark)
+    if (!filesys.exists(r)) Seq.empty
+    else filesys.listStatus(r).toSeq.filter(_.isDirectory)
+      .flatMap(td => filesys.listStatus(td.getPath).toSeq
+        .filter(_.isDirectory).flatMap(st => readMeta(spark, st.getPath)))
+      .sortBy(m => (m.table, m.name))
+  }
+
+  def indexMeta(spark: SparkSession, qualified: String,
+                name: String): Option[IndexMeta] =
+    readMeta(spark, indexDir(spark, qualified, name))
+
+  /** CREATE INDEX: validate, freeze data-dependent parameters, write
+    * meta, then [[sync]] builds one shard per live base file. */
+  def create(spark: SparkSession, name: String, qualified: String,
+             cols: Seq[String], kindOpt: Option[String],
+             ifNotExists: Boolean): String = {
+    val kind = kindOpt.map(_.toLowerCase).getOrElse("zonemap")
+    require(Kinds.contains(kind),
+      s"unknown index kind '$kind' (expected one of ${Kinds.toSeq.sorted.mkString(", ")})")
+    if (!spark.catalog.tableExists(qualified))
+      throw new IllegalArgumentException(s"table $qualified does not exist")
+    val schema = spark.table(qualified).schema
+    cols.foreach(c => require(schema.fieldNames.map(_.toLowerCase)
+        .contains(c.toLowerCase), s"column $c does not exist in $qualified"))
+    if (TwoColKinds.contains(kind)) {
+      require(cols.length == 2,
+        s"USING $kind expects (keyColumn, payloadColumn); got ${cols.length} column(s)")
+      val keyType = schema(schema.fieldNames.find(
+        _.equalsIgnoreCase(cols.head)).get).dataType
+      require(Seq("int", "bigint", "smallint", "tinyint")
+          .contains(keyType.simpleString),
+        s"USING $kind needs an integral key column; ${cols.head} is ${keyType.simpleString}")
+    } else require(cols.nonEmpty, "index needs at least one column")
+    if (indexMeta(spark, qualified, name).isDefined) {
+      if (ifNotExists) return s"Index $name already exists"
+      throw new IllegalArgumentException(
+        s"index $name already exists on $qualified")
+    }
+    val params: Map[String, String] = kind match {
+      case "ivf" => Map("k" -> DefaultIvfK.toString,
+        "centroids" -> encodeMatrix(
+          ivfCodebook(spark, qualified, cols.head, cols(1))))
+      case "sq8" =>
+        val (mn, mx) = sq8Scales(spark, qualified, cols(1))
+        Map("mn" -> encodeVector(mn), "mx" -> encodeVector(mx))
+      case "bands" => Map("shingleK" -> ShingleK.toString,
+        "numHashes" -> NumHashes.toString, "bands" -> NumBands.toString)
+      case _ => Map.empty
+    }
+    val meta = IndexMeta(name, qualified, kind, cols, params)
+    writeMeta(spark, meta)
+    sync(spark, qualified)
+    s"Index $name created"
+  }
+
+  def drop(spark: SparkSession, qualified: String, name: String,
+           ifExists: Boolean): String = {
+    val dir = indexDir(spark, qualified, name)
+    val filesys = fs(spark)
+    if (!filesys.exists(new Path(dir, "meta.json"))) {
+      if (ifExists) return s"Index $name does not exist"
+      throw new IllegalArgumentException(
+        s"index $name does not exist on $qualified")
+    }
+    filesys.delete(dir, true)
+    s"Index $name dropped"
+  }
+
+  /** DROP TABLE hygiene — a recreated table must not inherit stale
+    * index shards (same contract as Snapshots.purge). */
+  def purgeTable(spark: SparkSession, qualified: String): Unit = {
+    val td = tableDir(spark, qualified)
+    if (fs(spark).exists(td)) fs(spark).delete(td, true)
+  }
+
+  // -------------------------------------------------------- maintenance
+
+  /** File-diff maintenance: one call after ANY mutation of `qualified`
+    * brings every index up to date in O(changed files). No-op (one
+    * directory existence check) for tables with no indexes — the
+    * common DML path stays unburdened. */
+  def sync(spark: SparkSession, qualified: String): Unit = {
+    val metas = indexesOf(spark, qualified)
+    if (metas.isEmpty) return
+    val live: Map[String, String] = spark.table(qualified).inputFiles
+      .map(f => fileHash(f) -> f).toMap
+    val filesys = fs(spark)
+    metas.foreach { meta =>
+      val dataDir = new Path(indexDir(spark, qualified, meta.name), "data")
+      val have: Set[String] =
+        if (!filesys.exists(dataDir)) Set.empty
+        else filesys.listStatus(dataDir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("f=")).map(_.stripPrefix("f=")).toSet
+      (live.keySet -- have).toSeq.sorted.foreach { h =>
+        buildRows(spark, meta, readBaseFile(spark, qualified, live(h)))
+          .write.mode("overwrite").parquet(new Path(dataDir, s"f=$h").toString)
+      }
+      (have -- live.keySet).toSeq.sorted.foreach { h =>
+        filesys.delete(new Path(dataDir, s"f=$h"), true)
+      }
+    }
+  }
+
+  private def readBaseFile(spark: SparkSession, qualified: String,
+                           file: String): DataFrame =
+    spark.read.schema(spark.table(qualified).schema).parquet(file)
+
+  // ------------------------------------------------------ shard builders
+
+  /** The index rows for one slice of the base table (one file during
+    * maintenance; `limit(0)` of the table for the empty-index
+    * schema). Pure in (rows, meta) — the soundness condition of the
+    * per-file diff. */
+  private[engine] def buildRows(spark: SparkSession, meta: IndexMeta,
+                                src: DataFrame): DataFrame = meta.kind match {
+    case "bands" =>
+      val nh = meta.params("numHashes").toInt
+      val nb = meta.params("bands").toInt
+      src.select(col(meta.keyCol).cast("long").as("key"),
+          ArrayOps.wordShingles(Text.tokens(col(meta.payloadCol).cast("string")),
+            meta.params("shingleK").toInt).as("sh"))
+        .where(size(col("sh")) >= 1)
+        .withColumn("mh", ArrayOps.minhashSig(col("sh"), nh))
+        .select(col("key"),
+          posexplode(Text.lshBandKeys(col("mh"), nb, nh / nb))
+            .as(Seq("band", "bh")))
+        .select(col("band"), col("bh"), col("key"))
+    case "postings" =>
+      val toks = src.select(col(meta.keyCol).cast("long").as("key"),
+          Text.tokens(col(meta.payloadCol).cast("string")).as("t"))
+        .withColumn("dl", size(col("t")))
+      // term rows + ONE dl-carrier row per doc (w='', tf=0), so corpus
+      // stats (n_docs, avgdl) are computable from the index alone —
+      // including docs that match no query term
+      toks.select(col("key"), col("dl"), explode(col("t")).as("w"))
+        .groupBy(col("key"), col("dl"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("w"), col("key"), col("dl"), col("tf"))
+        .unionByName(toks.select(lit("").as("w"), col("key"), col("dl"),
+          lit(0L).as("tf")))
+    case "ivf" =>
+      val cents = decodeMatrix(meta.params("centroids"))
+      src.select(col(meta.keyCol).cast("long").as("key"),
+          col(meta.payloadCol).cast("array<double>").as("v"))
+        .where(col("v").isNotNull)
+        .withColumn("cell", element_at(
+          ArrayOps.ivfCells(col("v"), cents, 1), 1).getField("cell"))
+        .select(col("cell"), col("key"))
+    case "sq8" =>
+      val mn = decodeVector(meta.params("mn"))
+      val mx = decodeVector(meta.params("mx"))
+      val dim = mn.length
+      src.select(col(meta.keyCol).cast("long").as("key"),
+          col(meta.payloadCol).cast("array<double>").as("v"))
+        .where(col("v").isNotNull)
+        .withColumn("mnl", typedlit(mn)).withColumn("mxl", typedlit(mx))
+        // same quantizer expression as q94 (Similarity.sqAdcTopK):
+        // out-of-range values (data drift after the scales froze)
+        // CLAMP to [0,255] — the stored-index trade, documented above
+        .withColumn("codes", expr(
+          s"""transform(sequence(1, $dim), i ->
+             |  CASE WHEN element_at(mxl, i) = element_at(mnl, i) THEN 0
+             |  ELSE least(255, greatest(0, CAST(floor(
+             |    (element_at(v, i) - element_at(mnl, i)) * 255.0D
+             |      / (element_at(mxl, i) - element_at(mnl, i))) AS INT))) END)""".stripMargin))
+        .select(col("key"), col("codes"))
+    case "zonemap" =>
+      // one row per indexed column: textual + numeric min/max (the
+      // numeric pair is null for non-castable types); a probe prunes
+      // files whose [mn, mx] cannot contain the predicate value
+      meta.cols.map { c =>
+        src.agg(
+          lit(c).as("col"),
+          min(col(c)).cast("string").as("mn"),
+          max(col(c)).cast("string").as("mx"),
+          min(col(c).cast("double")).as("mn_num"),
+          max(col(c).cast("double")).as("mx_num"),
+          count(col(c)).as("n_rows"))
+      }.reduce(_ unionByName _)
+  }
+
+  /** Full index contents as a DataFrame; `f` is the source-file shard
+    * column (dropped — provenance is an implementation detail to
+    * probes). Empty-shard case returns the correct empty schema. */
+  def indexData(spark: SparkSession, qualified: String,
+                name: String): DataFrame = {
+    val meta = indexMeta(spark, qualified, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"index $name does not exist on $qualified"))
+    val dataDir = new Path(indexDir(spark, qualified, name), "data")
+    val filesys = fs(spark)
+    val shards =
+      if (!filesys.exists(dataDir)) Seq.empty
+      else filesys.listStatus(dataDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("f="))
+    if (shards.isEmpty)
+      buildRows(spark, meta, spark.table(qualified).limit(0))
+    else spark.read.parquet(dataDir.toString).drop("f")
+  }
+
+  // ------------------------------------------------------- probe faces
+
+  /** LSH near-dup candidate pairs straight from a `bands` index —
+    * the q33 candidate stage reading the PERSISTED band table instead
+    * of recomputing signatures (bucket caps and pair convention
+    * identical). */
+  def bandCandidates(spark: SparkSession, qualified: String,
+                     name: String): DataFrame = {
+    val bands = indexData(spark, qualified, name)
+    val buckets = bands.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("key")).as("ids"))
+      .where(size(col("ids")).between(2, BucketCap))
+    buckets.select(explode(expr(
+        """flatten(transform(ids, a ->
+          |  transform(filter(ids, b -> b > a),
+          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+  }
+
+  /** BM25 from a `postings` index: stats from the dl-carrier rows,
+    * scoring via the same [[graft.operators.Search.scorePostings]]
+    * kernel as the scan path — identical integer points. */
+  def bm25(spark: SparkSession, qualified: String, name: String,
+           p: graft.operators.Search.Bm25Params): DataFrame = {
+    val data = indexData(spark, qualified, name)
+    val stats = data.where(col("w") === "")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val postings = data.where(col("w").isin(p.terms: _*))
+      .select(col("key").as("doc_id"), col("dl"), col("w"), col("tf"))
+    graft.operators.Search.scorePostings(postings, stats, p)
+  }
+
+  /** Top-k cosine neighbors for `queryKeys` from an `ivf` index: the
+    * probe routes through the frozen codebook's cells, candidates are
+    * index rows in the probed cells, and only candidate vectors are
+    * fetched from the base table — the q41 shape over a persisted
+    * assignment table. */
+  def ivfNeighbors(spark: SparkSession, qualified: String, name: String,
+                   queryKeys: Seq[Long], k: Int,
+                   nprobe: Int = 4): DataFrame = {
+    val meta = indexMeta(spark, qualified, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"index $name does not exist on $qualified"))
+    val cents = decodeMatrix(meta.params("centroids"))
+    val base = spark.table(qualified)
+      .select(col(meta.keyCol).cast("long").as("key"),
+        col(meta.payloadCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    val q = broadcast(base.where(col("key").isin(queryKeys: _*))
+      .select(col("key").as("query_id"), col("v").as("qv"),
+        explode(transform(
+          slice(ArrayOps.ivfCells(col("v"), cents, nprobe), 1, nprobe),
+          s => s.getField("cell"))).as("cell")))
+    val cands = indexData(spark, qualified, name).join(q, Seq("cell"))
+      .where(col("key") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("key")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    cands.join(base, Seq("key"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+      .withColumn("cos", col("dot") /
+        (sqrt(expr("aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x)")) *
+         sqrt(expr("aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)"))))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("key").asc)))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("key").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Decoded vectors from an `sq8` index (frozen scales) — the ADC
+    * scoring input; the spec pins these against quantize-then-decode
+    * computed directly from the base table. */
+  def sq8Decoded(spark: SparkSession, qualified: String,
+                 name: String): DataFrame = {
+    val meta = indexMeta(spark, qualified, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"index $name does not exist on $qualified"))
+    val mn = decodeVector(meta.params("mn"))
+    val mx = decodeVector(meta.params("mx"))
+    indexData(spark, qualified, name)
+      .withColumn("mnl", typedlit(mn)).withColumn("mxl", typedlit(mx))
+      .withColumn("dv", expr(
+        s"""transform(sequence(1, ${mn.length}), i ->
+           |  element_at(mnl, i) + CAST(element_at(codes, i) AS DOUBLE)
+           |    * (element_at(mxl, i) - element_at(mnl, i)) / 255.0D)""".stripMargin))
+      .select(col("key"), col("dv"))
+  }
+
+  /** Files a `zonemap` index proves CANNOT contain `value` for an
+    * equality predicate on `column` — returned as the surviving shard
+    * hash set so callers can measure pruning. */
+  def zonemapPrune(spark: SparkSession, qualified: String, name: String,
+                   column: String, value: Double): DataFrame = {
+    val dataDir = new Path(indexDir(spark, qualified, name), "data")
+    spark.read.parquet(dataDir.toString)
+      .where(col("col") === column)
+      .where(col("mn_num").isNotNull &&
+        (col("mn_num") > value || col("mx_num") < value))
+      .select(col("f").as("prunable_shard"))
+  }
+
+  // ------------------------------------------------ frozen param helpers
+
+  /** Deterministic codebook frozen at CREATE: the first k vectors in
+    * key order (content-addressed enough for cell ROUTING — IVF
+    * recall depends on probe count, not centroid optimality; a Lloyd
+    * refinement can be layered the way q88 does for the query-side
+    * codebooks). */
+  private def ivfCodebook(spark: SparkSession, qualified: String,
+                          keyCol: String,
+                          vecCol: String): Seq[Seq[Double]] = {
+    val rows = spark.table(qualified)
+      .select(col(keyCol).cast("long").as("k"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .orderBy(col("k")).limit(DefaultIvfK)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(rows.nonEmpty, s"cannot build ivf codebook: $qualified has no vectors")
+    rows
+  }
+
+  private def sq8Scales(spark: SparkSession, qualified: String,
+                        vecCol: String): (Seq[Double], Seq[Double]) = {
+    val v = spark.table(qualified)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    val dim = v.select(size(col("v"))).head.getInt(0)
+    val aggs = (1 to dim).flatMap(i => Seq(
+      min(element_at(col("v"), i)).as(s"mn$i"),
+      max(element_at(col("v"), i)).as(s"mx$i")))
+    val row = v.agg(aggs.head, aggs.tail: _*).head
+    ((0 until dim).map(i => row.getDouble(2 * i)),
+     (0 until dim).map(i => row.getDouble(2 * i + 1)))
+  }
+
+  private def encodeVector(v: Seq[Double]): String = v.mkString(",")
+  private def decodeVector(s: String): Seq[Double] =
+    s.split(",").toSeq.map(_.toDouble)
+  private def encodeMatrix(m: Seq[Seq[Double]]): String =
+    m.map(encodeVector).mkString(";")
+  private def decodeMatrix(s: String): Seq[Seq[Double]] =
+    s.split(";").toSeq.map(decodeVector)
+}

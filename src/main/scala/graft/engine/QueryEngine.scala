@@ -233,12 +233,24 @@ final class QueryEngine(val spark: SparkSession,
         registryChanged(ct.qualified(Some(spark.catalog.currentDatabase))
           .replace("`", ""), Changefeed.TableTables, "INSERT")
         ok(id, s"Table ${ct.table} created")
+      } else if (upper.matches("(?s)^CREATE\\s+UNIQUE\\s+INDEX.*")) {
+        // the reference PARSES CREATE UNIQUE INDEX (parser.go:3113-
+        // 3121) but has no engine route; plain indexes are a real
+        // surface here, uniqueness enforcement is not — reject the
+        // modifier specifically, not the whole statement family
+        throw new IllegalArgumentException(
+          "UNIQUE indexes are not supported")
+      } else if (upper.matches("(?s)^CREATE\\s+INDEX.*")) {
+        runCreateIndex(sql, id)
       } else throw new IllegalArgumentException("unsupported statement type")
+    case "DROP" if sql.toUpperCase.matches("""(?s)^DROP\s+INDEX\b.*""") =>
+      // superset: the reference parses DROP INDEX but has no engine
+      // route (engine.go:142-143); here indexes are live objects
+      runDropIndex(sql, id)
     case "DROP" =>
-      // DROP INDEX/USER parse in the reference but have no engine
-      // route (engine.go:142-143) — reject politely, not with a
-      // Spark parse error
-      if (sql.toUpperCase.matches("""(?s)^DROP\s+(INDEX|USER)\b.*"""))
+      // DROP USER parses in the reference but has no engine route —
+      // reject politely, not with a Spark parse error
+      if (sql.toUpperCase.matches("""(?s)^DROP\s+USER\b.*"""))
         throw new IllegalArgumentException("unsupported statement type")
       // resolve the dropped database's snapshot roots BEFORE the drop
       // (purgeDatabase needs nothing from the catalog, but the name
@@ -259,6 +271,7 @@ final class QueryEngine(val spark: SparkSession,
       // actual registry delete).
       droppedTable.foreach { t =>
         Snapshots.purge(spark, t)
+        IndexManager.purgeTable(spark, qualifiedName(t))
         registryChanged(t, Changefeed.TableTables, "DELETE")
       }
       droppedDb.foreach { db =>
@@ -542,6 +555,13 @@ final class QueryEngine(val spark: SparkSession,
       if (table.contains(".")) table
       else s"${spark.catalog.currentDatabase}.$table"
     SystemTables.invalidate(spark, qualified)
+    // every file-level mutation funnels through a TableFiles event
+    // (INSERT both paths, UPDATE, DELETE, MERGE, OPTIMIZE, RESTORE,
+    // the streaming upsert sink), so index maintenance rides the SAME
+    // hook the CDC log does: one file-diff sync per mutation, a
+    // single existence check when the table has no indexes
+    if (registryTable == Changefeed.TableFiles)
+      IndexManager.sync(spark, qualified)
     Changefeed.emit(spark, registryTable, op,
       Map("table" -> qualified) ++ extra)
   }
@@ -1155,6 +1175,49 @@ final class QueryEngine(val spark: SparkSession,
     }
   }
 
+  // ------------------------------------------------------------ INDEX
+
+  private val createIndexRe: Regex =
+    ("""(?is)^CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s+ON\s+""" +
+      """([\w.`]+)\s*\(([^)]*)\)\s*(?:USING\s+(\w+))?\s*;?\s*$""").r
+  private val dropIndexRe: Regex =
+    """(?is)^DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([\w`]+)\s+ON\s+([\w.`]+)\s*;?\s*$""".r
+
+  /** CREATE INDEX name ON table (cols) [USING kind] — reference
+    * grammar (parser.go:3942-4013) plus the USING clause; building,
+    * storage, and maintenance in [[IndexManager]]. */
+  private def runCreateIndex(sql: String, id: String): QueryResult =
+    sql match {
+      case createIndexRe(ifNotExists, name, table, colList, kind) =>
+        val t = qualifiedName(table.replace("`", ""))
+        withTableWriteLock(Some(t)) {
+          val cols = colList.split(",").map(_.trim.replace("`", ""))
+            .filter(_.nonEmpty).toSeq
+          val msg = IndexManager.create(spark, name.replace("`", ""), t,
+            cols, Option(kind), ifNotExists != null)
+          registryChanged(t, Changefeed.TableTables, "UPDATE")
+          ok(id, msg)
+        }
+      case _ => throw new IllegalArgumentException(
+        "cannot parse CREATE INDEX statement " +
+          "(expected: CREATE INDEX name ON table (col, ...) [USING kind])")
+    }
+
+  private def runDropIndex(sql: String, id: String): QueryResult =
+    sql match {
+      case dropIndexRe(ifExists, name, table) =>
+        val t = qualifiedName(table.replace("`", ""))
+        withTableWriteLock(Some(t)) {
+          val msg = IndexManager.drop(spark, t, name.replace("`", ""),
+            ifExists != null)
+          registryChanged(t, Changefeed.TableTables, "UPDATE")
+          ok(id, msg)
+        }
+      case _ => throw new IllegalArgumentException(
+        "cannot parse DROP INDEX statement " +
+          "(expected: DROP INDEX name ON table)")
+    }
+
   // ------------------------------------------------------------- SHOW
 
   private val showColumnsRe: Regex =
@@ -1165,8 +1228,20 @@ final class QueryEngine(val spark: SparkSession,
     """(?is)^SHOW\s+TABLES(?:\s+FROM\s+([\w`]+))?$""".r
   private val showSnapshotsRe: Regex =
     """(?is)^SHOW\s+SNAPSHOTS\s+FROM\s+([\w.`]+)$""".r
+  private val showIndexesRe: Regex =
+    """(?is)^SHOW\s+INDEXES(?:\s+(?:ON|FROM)\s+([\w.`]+))?\s*$""".r
 
   private def runShow(sql: String, id: String): QueryResult = sql match {
+    case showIndexesRe(table) =>
+      val metas = Option(table) match {
+        case Some(t) => IndexManager.indexesOf(
+          spark, qualifiedName(t.replace("`", "")))
+        case None => IndexManager.allIndexes(spark)
+      }
+      QueryResult(id, Seq("Index", "Table", "Kind", "Columns"),
+        metas.map(m => Seq[Any](m.name, m.table, m.kind,
+          m.cols.mkString(", "))),
+        metas.length, s"Found ${metas.length} index(es)")
     case showSnapshotsRe(table) =>
       val snaps = Snapshots.list(spark, table.replace("`", ""))
       QueryResult(id, Seq("Snapshot", "Operation", "Created"),

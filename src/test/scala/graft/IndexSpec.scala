@@ -1,0 +1,275 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.{IndexManager, QueryEngine}
+import graft.functions.Text
+import graft.functions.expressions.ArrayOps
+
+/** Persisted index DDL (round-8 verdict item 3): CREATE/DROP/SHOW
+  * INDEX as live catalog objects, with file-diff maintenance across
+  * INSERT and MERGE and probe faces that read the stored materials.
+  *
+  * The load-bearing pins:
+  *  - index CONTENT == the same materials freshly computed from the
+  *    current table, after CREATE, after INSERT, and after a MERGE
+  *    that rewrites partitions (the verdict's "probe == scan-path
+  *    results after an append");
+  *  - frozen-parameter contract: sq8 codes of post-CREATE rows use
+  *    the scales frozen at creation, not recomputed ones;
+  *  - restart survival: a FRESH engine (no shared in-memory state —
+  *    IndexManager is stateless over the filesystem) lists and probes
+  *    the index.
+  */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val engine = new QueryEngine(spark)
+
+  private val Db = "idxdb"
+
+  private def freshDocs(name: String): String = {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.$name")
+    engine.execute(
+      s"""CREATE TABLE $Db.$name (doc_id int64 NOT NULL, text string,
+         |  src string) STORAGE filesystem PARTITION BY (src)""".stripMargin)
+    engine.execute(
+      s"""INSERT INTO $Db.$name VALUES
+         |  (1, 'the quick brown fox jumps over the lazy dog', 'web'),
+         |  (2, 'the quick brown fox jumps over the lazy cat', 'web'),
+         |  (3, 'spark query join planning at warehouse scale', 'book'),
+         |  (4, 'entirely different tokens about nothing shared', 'book'),
+         |  (5, 'the quick brown fox jumps over the lazy dog', 'crawl')""".stripMargin)
+    s"$Db.$name"
+  }
+
+  /** Expected bands rows computed directly from the CURRENT table —
+    * the scan path the index must always equal. */
+  private def scanBands(t: String): DataFrame =
+    spark.table(t)
+      .select(col("doc_id").as("key"),
+        ArrayOps.wordShingles(Text.tokens(col("text")), 2).as("sh"))
+      .where(size(col("sh")) >= 1)
+      .withColumn("mh", ArrayOps.minhashSig(col("sh"), 32))
+      .select(col("key"),
+        posexplode(Text.lshBandKeys(col("mh"), 8, 4)).as(Seq("band", "bh")))
+      .select(col("band"), col("bh"), col("key"))
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+      .sortBy(_.map(v => Option(v).map(_.toString).getOrElse("")).mkString("|"))
+
+  test("CREATE INDEX USING bands: listed, content == scan path, survives INSERT and MERGE") {
+    val t = freshDocs("docs1")
+    val r = engine.execute(s"CREATE INDEX b1 ON $t (doc_id, text) USING bands")
+    assert(r.message == "Index b1 created")
+
+    val li = engine.execute(s"SHOW INDEXES ON $t")
+    assert(li.columns == Seq("Index", "Table", "Kind", "Columns"))
+    assert(li.data.map(_.toList) ==
+      Seq(List("b1", t, "bands", "doc_id, text")))
+
+    assert(sortedRows(IndexManager.indexData(spark, t, "b1")) ==
+      sortedRows(scanBands(t)), "fresh index != scan-path bands")
+
+    // INSERT appends a new file -> the file-diff sync must index it
+    engine.execute(s"INSERT INTO $t VALUES " +
+      "(6, 'the quick brown fox jumps over the lazy dog', 'web')")
+    assert(sortedRows(IndexManager.indexData(spark, t, "b1")) ==
+      sortedRows(scanBands(t)), "post-INSERT index != scan-path bands")
+
+    // MERGE rewrites matched partitions (copy-on-write): the
+    // rewritten files' shards must swap, untouched partitions keep
+    // theirs
+    engine.execute(
+      s"""MERGE INTO $t AS d
+         |USING (VALUES (3, 'rewritten text about join planning', 'book'))
+         |  AS s(doc_id, text, src)
+         |ON d.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET text = s.text
+         |WHEN NOT MATCHED THEN INSERT (doc_id, text, src)
+         |  VALUES (s.doc_id, s.text, s.src)""".stripMargin)
+    assert(sortedRows(IndexManager.indexData(spark, t, "b1")) ==
+      sortedRows(scanBands(t)), "post-MERGE index != scan-path bands")
+
+    // probe face: candidate pairs from the stored bands find the
+    // planted near-dup group (1, 2, 5, 6 share the fox sentence)
+    val cands = IndexManager.bandCandidates(spark, t, "b1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 5L)) && cands.contains((1L, 6L)) &&
+      cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L),
+      "the all-different doc must not pair")
+  }
+
+  test("postings index: bm25 probe == scan-path scoring, across an append") {
+    val t = freshDocs("docs2")
+    engine.execute(s"CREATE INDEX p1 ON $t (doc_id, text) USING postings")
+    val params = graft.operators.Search.Bm25Params(
+      Seq("quick", "join", "tokens"), topN = 10)
+
+    def scanBm25(): DataFrame = {
+      val base = spark.table(t)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val stats = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val postings = base
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+        .where(col("w").isin(params.terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      graft.operators.Search.scorePostings(postings, stats, params)
+    }
+
+    assert(sortedRows(IndexManager.bm25(spark, t, "p1", params)) ==
+      sortedRows(scanBm25()))
+    engine.execute(s"INSERT INTO $t VALUES " +
+      "(7, 'quick join of tokens with tokens', 'web')")
+    assert(sortedRows(IndexManager.bm25(spark, t, "p1", params)) ==
+      sortedRows(scanBm25()), "post-INSERT bm25 probe != scan path")
+  }
+
+  private def freshVectors(name: String): String = {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.$name")
+    engine.execute(
+      s"""CREATE TABLE $Db.$name (vec_id int64 NOT NULL,
+         |  v list<float64>) STORAGE filesystem""".stripMargin)
+    val vals = (0 until 24).map { i =>
+      val vec = Seq(math.cos(i * 0.7), math.sin(i * 0.7),
+        (i % 5) * 0.2 - 0.4, 0.1 * i).map(x => f"$x%.4f").mkString(", ")
+      s"($i, array($vec))"
+    }.mkString(", ")
+    engine.execute(s"INSERT INTO $Db.$name VALUES $vals")
+    s"$Db.$name"
+  }
+
+  test("sq8 index: frozen scales quantize appended rows; decode matches direct computation") {
+    val t = freshVectors("vecs1")
+    engine.execute(s"CREATE INDEX s1 ON $t (vec_id, v) USING sq8")
+    val meta = IndexManager.indexMeta(spark, t, "s1").get
+    val mn = meta.params("mn").split(",").map(_.toDouble).toSeq
+    val mx = meta.params("mx").split(",").map(_.toDouble).toSeq
+
+    def directDecoded(): DataFrame =
+      spark.table(t)
+        .select(col("vec_id").as("key"), col("v"))
+        .withColumn("mnl", typedlit(mn)).withColumn("mxl", typedlit(mx))
+        .withColumn("codes", expr(
+          s"""transform(sequence(1, ${mn.length}), i ->
+             |  CASE WHEN element_at(mxl, i) = element_at(mnl, i) THEN 0
+             |  ELSE least(255, greatest(0, CAST(floor(
+             |    (element_at(v, i) - element_at(mnl, i)) * 255.0D
+             |      / (element_at(mxl, i) - element_at(mnl, i))) AS INT))) END)""".stripMargin))
+        .withColumn("dv", expr(
+          s"""transform(sequence(1, ${mn.length}), i ->
+             |  element_at(mnl, i) + CAST(element_at(codes, i) AS DOUBLE)
+             |    * (element_at(mxl, i) - element_at(mnl, i)) / 255.0D)""".stripMargin))
+        .select(col("key"), col("dv"))
+
+    assert(sortedRows(IndexManager.sq8Decoded(spark, t, "s1")) ==
+      sortedRows(directDecoded()))
+
+    // an appended OUT-OF-RANGE vector must clamp against the FROZEN
+    // scales (the stored-index drift contract), still matching the
+    // direct computation with those same frozen scales
+    engine.execute(s"INSERT INTO $t VALUES (99, array(9.0, -9.0, 9.0, -9.0))")
+    assert(sortedRows(IndexManager.sq8Decoded(spark, t, "s1")) ==
+      sortedRows(directDecoded()), "post-INSERT sq8 probe != frozen-scale path")
+    val clamped = IndexManager.indexData(spark, t, "s1")
+      .where(col("key") === 99L).select(col("codes")).head.getSeq[Int](0)
+    assert(clamped == Seq(255, 0, 255, 0), s"expected clamped codes, got $clamped")
+  }
+
+  test("ivf index: probe routes frozen cells; candidates match recomputed assignment") {
+    val t = freshVectors("vecs2")
+    engine.execute(s"CREATE INDEX i1 ON $t (vec_id, v) USING ivf")
+    val meta = IndexManager.indexMeta(spark, t, "i1").get
+    val cents = meta.params("centroids").split(";").toSeq
+      .map(_.split(",").toSeq.map(_.toDouble))
+
+    def directCells(): DataFrame =
+      spark.table(t).select(col("vec_id").as("key"), col("v"))
+        .withColumn("cell", element_at(
+          ArrayOps.ivfCells(col("v"), cents, 1), 1).getField("cell"))
+        .select(col("cell"), col("key"))
+
+    assert(sortedRows(IndexManager.indexData(spark, t, "i1")) ==
+      sortedRows(directCells()))
+    engine.execute(s"INSERT INTO $t VALUES (50, array(0.5, 0.5, 0.1, 0.9))")
+    assert(sortedRows(IndexManager.indexData(spark, t, "i1")) ==
+      sortedRows(directCells()), "post-INSERT ivf index != frozen-codebook path")
+
+    val nn = IndexManager.ivfNeighbors(spark, t, "i1",
+      queryKeys = Seq(0L), k = 3, nprobe = 8)
+    assert(nn.count() == 3)
+    assert(nn.where(col("neighbor_id") === 0L).count() == 0,
+      "query must not be its own neighbor")
+  }
+
+  test("zonemap default kind: per-file min/max rows; pruning identifies dead files") {
+    val t = freshDocs("docs3")
+    // reference-compatible statement (no USING) -> zonemap
+    engine.execute(s"CREATE INDEX z1 ON $t (doc_id)")
+    val data = IndexManager.indexData(spark, t, "z1")
+    assert(data.columns.toSeq ==
+      Seq("col", "mn", "mx", "mn_num", "mx_num", "n_rows"))
+    // one min/max row per base data file, whatever the write layout
+    val nFiles = spark.table(t).inputFiles.length.toLong
+    assert(data.count() == nFiles)
+    // doc_id=100 is outside every file's [mn, mx] -> all prunable
+    assert(IndexManager.zonemapPrune(spark, t, "z1", "doc_id", 100.0)
+      .count() == nFiles)
+    // doc_id=3: every file NOT containing it must be prunable (tight
+    // single-partition ranges here), and its own file must survive
+    val filesWith3 = spark.table(t).where(col("doc_id") === 3)
+      .select(input_file_name()).distinct().count()
+    assert(IndexManager.zonemapPrune(spark, t, "z1", "doc_id", 3.0)
+      .count() == nFiles - filesWith3)
+  }
+
+  test("restart survival: a fresh engine lists and probes the index from disk") {
+    val t = freshDocs("docs4")
+    engine.execute(s"CREATE INDEX b4 ON $t (doc_id, text) USING bands")
+    val fresh = new QueryEngine(spark) // no shared in-memory state
+    val li = fresh.execute(s"SHOW INDEXES ON $t")
+    assert(li.data.map(_.head) == Seq("b4"))
+    assert(sortedRows(IndexManager.indexData(spark, t, "b4")) ==
+      sortedRows(scanBands(t)))
+    // and maintenance still fires through the fresh engine
+    fresh.execute(s"INSERT INTO $t VALUES (9, 'spark query join text', 'web')")
+    assert(sortedRows(IndexManager.indexData(spark, t, "b4")) ==
+      sortedRows(scanBands(t)))
+  }
+
+  test("DDL edges: duplicate, unknown kind, UNIQUE, bad arity, DROP, table purge") {
+    val t = freshDocs("docs5")
+    engine.execute(s"CREATE INDEX e1 ON $t (doc_id, text) USING bands")
+    assertThrows[Exception](
+      engine.execute(s"CREATE INDEX e1 ON $t (doc_id, text) USING bands"))
+    assert(engine.execute(
+      s"CREATE INDEX IF NOT EXISTS e1 ON $t (doc_id, text) USING bands")
+      .message.contains("already exists"))
+    assertThrows[Exception](
+      engine.execute(s"CREATE INDEX e2 ON $t (doc_id, text) USING wavelet"))
+    assertThrows[Exception](
+      engine.execute(s"CREATE UNIQUE INDEX e3 ON $t (doc_id)"))
+    assertThrows[Exception](
+      engine.execute(s"CREATE INDEX e4 ON $t (doc_id) USING bands"))
+    assertThrows[Exception](
+      engine.execute(s"CREATE INDEX e5 ON $t (text, text) USING bands"))
+
+    assert(engine.execute(s"DROP INDEX e1 ON $t").message == "Index e1 dropped")
+    assertThrows[Exception](engine.execute(s"DROP INDEX e1 ON $t"))
+    assert(engine.execute(s"DROP INDEX IF EXISTS e1 ON $t")
+      .message.contains("does not exist"))
+
+    // DROP TABLE purges index storage: a recreated table starts clean
+    engine.execute(s"CREATE INDEX e6 ON $t (doc_id, text) USING bands")
+    engine.execute(s"DROP TABLE $t")
+    val t2 = freshDocs("docs5")
+    assert(engine.execute(s"SHOW INDEXES ON $t2").rowCount == 0)
+  }
+}
