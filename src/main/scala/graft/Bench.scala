@@ -62,6 +62,7 @@ object Bench {
     "q61_dedup_clusters" -> (() => graft.operators.Dedup.clearClusterMemo()),
     "q89_bpe_merges" -> (() => graft.operators.Curation.clearBpeMemo()),
     "q89b_bpe_vocab" -> (() => graft.operators.Curation.clearBpeMemo()),
+    "q89d_bpe_byte_merges" -> (() => graft.operators.Curation.clearBpeMemo()),
     "q88_kmeans_cells" -> (() => graft.operators.Similarity.clearLloydMemo()),
     "q88b_knn_ivf_lloyd" -> (() => graft.operators.Similarity.clearLloydMemo()),
     "q96_perceptron_weights" -> (() => graft.operators.Classifier.clearPerceptronMemo()),

@@ -639,4 +639,7 @@ object ArrayOps {
 
   def intraDocDedup(tokens: Column, w: Int): Column =
     GraftBridge.column(IntraDocDedupExpr(GraftBridge.expression(tokens), w))
+
+  def byteSymbols(s: Column): Column =
+    GraftBridge.column(ByteSymbolsExpr(GraftBridge.expression(s)))
 }

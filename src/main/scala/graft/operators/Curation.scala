@@ -93,6 +93,37 @@ object Curation {
         concat_ws("  ", split(col("tok"), "")), lit(" ")).as("w"),
         col("cnt"))
 
+  /** GPT-2-STYLE pre-tokenization for the byte-level trainer (q89d):
+    * letter runs, digit runs, punctuation runs — each optionally
+    * carrying ONE leading space — plus whitespace runs. Two deliberate
+    * deviations from GPT-2's exact pattern, both so the SAME regex
+    * replays in the DuckDB oracle (RE2): no English-contraction
+    * alternatives ('s|'t|… — an English-specific tokenizer choice),
+    * and no `\s+(?!\S)` lookahead (RE2 has none; the plain `\s+`
+    * fallback differs only on multi-space runs preceding a token,
+    * which the fixture corpus — single-space separated — never has). */
+  private[graft] val BytePreTokenRe =
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** The byte-level word table (q89d): pre-tokens from
+    * [[BytePreTokenRe]], symbols initialized to the 256 GPT-2-mapped
+    * UTF-8 BYTE symbols ([[graft.functions.expressions.ByteSymbolsExpr]])
+    * instead of characters. The byte remap guarantees no symbol is or
+    * contains a space, so the separator invariant — and with it the
+    * ENTIRE two-mode trainer, batching theorem included — carries
+    * over unchanged; the alphabet is total over bytes, which is the
+    * no-UNK property (pinned in BpeByteSpec). */
+  private def bpeByteWords(docsDf: DataFrame): DataFrame =
+    docsDf.select(explode(
+        regexp_extract_all(col("text"), lit(BytePreTokenRe), lit(0)))
+        .as("ptok"))
+      .where(length(col("ptok")) >= 1)
+      .groupBy(col("ptok")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        concat_ws("  ", graft.functions.expressions.ArrayOps
+          .byteSymbols(col("ptok"))), lit(" ")).as("w"),
+        col("cnt"))
+
   /** Adjacent symbol pairs of the current word table, counted by word
     * frequency (overlapping pairs count, the BPE convention). */
   private def bpePairs(words: DataFrame): DataFrame =
@@ -124,18 +155,20 @@ object Curation {
     * train once per JVM ("the memo IS the model store") — and the
     * cached word table is created once instead of per call. */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int),
+    (String, String, Int, String),
     (Seq[(Int, String, String, String, Long)], DataFrame, DataFrame)]()
 
   private[graft] def bpeMerges(s: SparkSession, dir: String,
-                               rounds: Int = BpeRounds)
+                               rounds: Int = BpeRounds,
+                               byteLevel: Boolean = false)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     // sessionUUID, not identityHashCode: identity hashes can collide
     // across two live sessions, serving one a DataFrame bound to the
     // other (round-7 ADVICE).
     val (m, fin, _) = bpeMemo.computeIfAbsent(
-      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, rounds),
-      _ => bpeTrain(s, dir, rounds))
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, rounds,
+        if (byteLevel) "byte" else "char"),
+      _ => bpeTrain(s, dir, rounds, byteLevel))
     (m, fin)
   }
 
@@ -238,10 +271,12 @@ object Curation {
     * All three produce bit-identical merge lists (pinned by
     * BpeBatchSpec + CurationSpec); the choice is purely a scale
     * switch. */
-  private def bpeTrain(s: SparkSession, dir: String, rounds: Int)
+  private def bpeTrain(s: SparkSession, dir: String, rounds: Int,
+                       byteLevel: Boolean = false)
       : (Seq[(Int, String, String, String, Long)], DataFrame, DataFrame) = {
     val mode = s.conf.getOption("spark.graft.bpe.mode").getOrElse("auto")
-    val base = bpeWords(docs(s, dir)).cache()
+    val base = (if (byteLevel) bpeByteWords(docs(s, dir))
+                else bpeWords(docs(s, dir))).cache()
     val local = mode match {
       case "local" => true
       case "distributed" => false
@@ -357,11 +392,90 @@ object Curation {
            sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
   }
 
+  /** q89d: byte-level BPE merge table — the GPT-2/LLaMA-family
+    * tokenizer shape (byte alphabet, no UNK) on the unchanged
+    * two-mode trainer. */
+  def bpeByteMergeTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir, byteLevel = true)._1
+      .toDF("round", "a", "b", "merged", "c")
+  }
+
+  /** q89e: ENCODE the corpus with the byte-level tokenizer. The join
+    * key is the pre-token's MAPPED byte-symbol rendering (not the raw
+    * pre-token): the trained word table stores words as mapped
+    * symbols, so re-mapping each document pre-token reproduces the
+    * exact key — and because the byte alphabet is total, every
+    * pre-token finds its row (the no-UNK join: an inner join loses
+    * nothing, which BpeByteSpec pins). */
+  def bpeByteEncodeCounts(s: SparkSession, dir: String): DataFrame = {
+    val fin = bpeMerges(s, dir, byteLevel = true)._2
+    val tokSyms = fin.select(
+      call_function("replace", col("w"), lit(" "), lit("")).as("mapped"),
+      size(split(trim(col("w")), "  ")).as("n_sym"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(
+        regexp_extract_all(col("text"), lit(BytePreTokenRe), lit(0)))
+        .as("ptok"))
+      .where(length(col("ptok")) >= 1)
+      .withColumn("mapped", concat_ws("",
+        graft.functions.expressions.ArrayOps.byteSymbols(col("ptok"))))
+      .join(tokSyms, "mapped")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pretokens"),
+           sum(col("n_sym")).cast("long").as("n_bpe_tokens"))
+  }
+
   /** DuckDB oracle CTE stack replaying [[bpeMerges]]: w0 = the word
     * table with the same separator invariant, then per round the pair
     * count / argmax / guarded replace. Empty-argmax rounds no-op in
     * both engines (scalar subqueries go NULL -> CASE keeps w). */
-  private def bpeCtes(rounds: Int): String = {
+  /** w0 body for the byte-level oracle. Byte extraction is spelled as
+    * `unicode(ptok[i])` — codepoint, not byte — which is CORRECT only
+    * while the corpus is single-byte (ASCII): DuckDB's RE2 has no
+    * byte-string split, and the driver fixture is ASCII by
+    * construction. True byte behavior on multi-byte/invalid input is
+    * pinned by BpeByteSpec against a from-scratch Scala reference,
+    * not by this oracle. The CASE is the generating formula of
+    * [[graft.functions.expressions.ByteSymbolsImpl.symbolTable]]
+    * (GPT-2 bytes_to_unicode): passthrough for printable non-space
+    * bytes, 256+rank for the 68 excluded ones (0-32 → rank b,
+    * 127-160 → 33+b-127, 173 → 67).  */
+  private def byteW0: String = {
+    val mapChar =
+      """CASE WHEN (unicode(ptok[i]) BETWEEN 33 AND 126)
+        |       OR (unicode(ptok[i]) BETWEEN 161 AND 172)
+        |       OR (unicode(ptok[i]) BETWEEN 174 AND 255) THEN ptok[i]
+        |     WHEN unicode(ptok[i]) <= 32 THEN chr(256 + unicode(ptok[i]))
+        |     WHEN unicode(ptok[i]) BETWEEN 127 AND 160
+        |       THEN chr(289 + unicode(ptok[i]) - 127)
+        |     ELSE chr(323) END""".stripMargin
+    s"""w0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(
+       |      list_transform(generate_series(1, length(ptok)),
+       |                     i -> $mapChar),
+       |      '  ') || ' ' AS w,
+       |    count(*) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(text, '$BytePreTokenRe'))
+       |        AS ptok FROM documents)
+       |  WHERE length(ptok) >= 1
+       |  GROUP BY ptok)""".stripMargin
+  }
+
+  private def charW0: String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(
+       |      list_transform(generate_series(1, length(tok)), i -> tok[i]),
+       |      '  ') || ' ' AS w,
+       |    count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) >= 1
+       |  GROUP BY tok)""".stripMargin
+
+  private def bpeCtes(rounds: Int): String = bpeCtes(rounds, charW0)
+
+  private def bpeCtes(rounds: Int, w0: String): String = {
     // every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
     // reference, and 8 chained rounds otherwise re-expand the whole
     // prefix per reference — exponential plan growth ("too many open
@@ -386,15 +500,7 @@ object Curation {
          |    ELSE w.w END AS w, w.cnt AS cnt
          |  FROM w$r w LEFT JOIN b$r g ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""w0 AS MATERIALIZED (
-       |  SELECT ' ' || array_to_string(
-       |      list_transform(generate_series(1, length(tok)), i -> tok[i]),
-       |      '  ') || ' ' AS w,
-       |    count(*) AS cnt
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
-       |        FROM documents)
-       |  WHERE length(tok) >= 1
-       |  GROUP BY tok),
+    s"""$w0,
        |$roundCtes""".stripMargin
   }
 
@@ -404,6 +510,41 @@ object Curation {
       .mkString("\nUNION ALL ")
     s"""WITH ${bpeCtes(rounds)}
        |$union""".stripMargin
+  }
+
+  def bpeByteMergesOracleSql(rounds: Int = BpeRounds): String = {
+    val union = (0 until rounds).map(r =>
+      s"SELECT $r AS round, a, b, a || b AS merged, c FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(rounds, byteW0)}
+       |$union""".stripMargin
+  }
+
+  def bpeByteEncodeOracleSql(rounds: Int = BpeRounds): String = {
+    val mapped =
+      """CASE WHEN (unicode(ptok[i]) BETWEEN 33 AND 126)
+        |       OR (unicode(ptok[i]) BETWEEN 161 AND 172)
+        |       OR (unicode(ptok[i]) BETWEEN 174 AND 255) THEN ptok[i]
+        |     WHEN unicode(ptok[i]) <= 32 THEN chr(256 + unicode(ptok[i]))
+        |     WHEN unicode(ptok[i]) BETWEEN 127 AND 160
+        |       THEN chr(289 + unicode(ptok[i]) - 127)
+        |     ELSE chr(323) END""".stripMargin
+    s"""WITH ${bpeCtes(rounds, byteW0)},
+       |enc AS (
+       |  SELECT replace(w, ' ', '') AS mapped,
+       |         len(string_split(trim(w), '  ')) AS n_sym
+       |  FROM w$rounds)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+       |  CAST(sum(e.n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id,
+       |        array_to_string(list_transform(
+       |          generate_series(1, length(ptok)), i -> $mapped), '') AS mapped
+       |      FROM (SELECT doc_id,
+       |              unnest(regexp_extract_all(text, '$BytePreTokenRe')) AS ptok
+       |            FROM documents)
+       |      WHERE length(ptok) >= 1) d
+       |JOIN enc e ON e.mapped = d.mapped
+       |GROUP BY d.doc_id""".stripMargin
   }
 
   def bpeVocabOracleSql(rounds: Int = BpeRounds): String =
@@ -460,6 +601,8 @@ object Curation {
     "q89_bpe_merges" -> ((s, dir) => bpeMergeTable(s, dir)),
     "q89b_bpe_vocab" -> ((s, dir) => bpeVocab(s, dir)),
     "q89c_bpe_encode" -> ((s, dir) => bpeEncodeCounts(s, dir)),
+    "q89d_bpe_byte_merges" -> ((s, dir) => bpeByteMergeTable(s, dir)),
+    "q89e_bpe_byte_encode" -> ((s, dir) => bpeByteEncodeCounts(s, dir)),
 
     "q57_vocab_topk" -> ((s, dir) =>
       // corpus vocabulary heavy hitters: document frequency of each
@@ -1128,6 +1271,8 @@ object Curation {
     "q89_bpe_merges" -> bpeMergesOracleSql(),
     "q89b_bpe_vocab" -> bpeVocabOracleSql(),
     "q89c_bpe_encode" -> bpeEncodeOracleSql(),
+    "q89d_bpe_byte_merges" -> bpeByteMergesOracleSql(),
+    "q89e_bpe_byte_encode" -> bpeByteEncodeOracleSql(),
 
     "q57_vocab_topk" ->
       """WITH t AS (
