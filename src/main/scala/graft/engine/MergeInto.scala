@@ -319,23 +319,30 @@ object MergeInto {
   }
 
   final case class PrunedPlan(overwrite: DataFrame, obsUpdated: Observation,
-                              inserts: DataFrame, obsInserted: Observation)
+                              inserts: DataFrame, obsInserted: Observation,
+                              obsParts: Option[Observation])
 
   /** The partition-scoped merge (the UPDATE/DELETE pruned-CoW shape,
-    * for MERGEs with NO DELETE clause and no SET on a partition
-    * column): the matched/update half runs as a LEFT join of ONLY the
-    * affected partitions (`restrictTo`) against the source — rows are
-    * never removed, so dynamic overwrite of exactly those partitions
-    * is sound — and the insert half is a LEFT ANTI of the source
-    * against the FULL target (any source row matching anything would
-    * have made its partition affected), appended rather than
-    * overwritten. At 100 TB a batch-sized upsert rewrites batch-many
-    * partitions instead of the corpus. */
+    * for MERGEs with no SET on a partition column): the matched half
+    * runs as a LEFT join of ONLY the affected partitions
+    * (`restrictTo`) against the source; matched rows are revised —
+    * or, when a DELETE clause wins, dropped — and exactly those
+    * partitions are dynamically overwritten. DELETE makes one
+    * partition-level hazard possible that UPDATE cannot: a partition
+    * whose every row is deleted produces NO output rows, so dynamic
+    * overwrite never touches it and the stale files would survive.
+    * `partCols` therefore drives a `survived`-partition observation on
+    * the REWRITE job itself (the runDelete discipline — no second
+    * scan); the engine drops affected-minus-survived partitions after
+    * the overwrite. The insert half is a LEFT ANTI of the source
+    * against the affected target slice (any source row matching
+    * anything would have made its partition affected), appended
+    * rather than overwritten. At 100 TB a batch-sized upsert rewrites
+    * batch-many partitions instead of the corpus. */
   def planPruned(spark: SparkSession, p: Parsed,
                  declaredOrder: Seq[String],
-                 srcRaw: DataFrame, restrictTo: Column): PrunedPlan = {
-    require(!p.matched.exists(_.sets.isEmpty),
-      "pruned merge path cannot carry DELETE clauses")
+                 srcRaw: DataFrame, restrictTo: Column,
+                 partCols: Seq[String] = Seq.empty): PrunedPlan = {
     val tgtBase = spark.table(p.table)
     val schema = tgtBase.schema
     val tCols = schema.fieldNames.toSeq
@@ -353,6 +360,11 @@ object MergeInto {
       p.matched.zipWithIndex.foldRight(lit(-1): Column) {
         case ((cl, i), acc) => when(applicable(cl.cond), lit(i)).otherwise(acc)
       }).otherwise(lit(-1))
+    val deleteIdxs = p.matched.zipWithIndex.collect {
+      case (Matched(_, None), i) => i }
+    val isDelete =
+      if (deleteIdxs.isEmpty) lit(false)
+      else midx.isInCollection(deleteIdxs)
     def updatedValue(c: String): Column = {
       val dt = schema(c).dataType
       p.matched.zipWithIndex.foldLeft(col(s"${p.tAlias}.$c")) {
@@ -366,10 +378,23 @@ object MergeInto {
       }.as(c)
     }
     val obsU = new Observation()
-    val overwrite = j
+    val overwrite0 = j
       .observe(obsU,
-        sum(when(isMatched && (midx >= 0), 1L).otherwise(0L)).as("updated"))
+        sum(when(isMatched && (midx >= 0) && !isDelete, 1L).otherwise(0L))
+          .as("updated"),
+        sum(when(isMatched && isDelete, 1L).otherwise(0L)).as("deleted"))
+      .where(!(isMatched && isDelete))
       .select(tCols.map(updatedValue): _*)
+    // survived partitions observed AFTER the delete filter: exactly
+    // the partitions the dynamic overwrite will write
+    val obsP =
+      if (partCols.isEmpty) None
+      else Some(new Observation())
+    val overwrite = obsP match {
+      case Some(o) => overwrite0.observe(o,
+        collect_set(struct(partCols.map(col): _*)).as("survived"))
+      case None => overwrite0
+    }
 
     // ---- insert half: source rows matching NO target row, appended.
     // The anti-join's target scan is pruned to the affected
@@ -398,6 +423,6 @@ object MergeInto {
       .where(col("__nidx") >= 0)
       .observe(obsI, count(lit(1)).as("inserted"))
       .select(tCols.map(insertValue): _*)
-    PrunedPlan(overwrite, obsU, inserts, obsI)
+    PrunedPlan(overwrite, obsU, inserts, obsI, obsP)
   }
 }

@@ -936,16 +936,19 @@ final class QueryEngine(val spark: SparkSession,
               "MERGE: a target row matched multiple source rows")
           }
         // partition-scoped path (the UPDATE/DELETE pruned-CoW shape):
-        // rows are only revised or appended, never removed, so the
-        // affected partitions can be dynamically overwritten and the
-        // inserts appended — a batch-sized upsert rewrites batch-many
-        // partitions, not the table. DELETE clauses, SETs on a
-        // partition column, and over-wide scopes fall back to the
-        // whole-table staged rewrite.
+        // matched rows are revised or (under a DELETE clause) dropped
+        // inside the affected partitions, which are dynamically
+        // overwritten; inserts append — a batch-sized upsert rewrites
+        // batch-many partitions, not the table. A DELETE that empties
+        // a whole partition leaves no output row to overwrite it, so
+        // the rewrite job observes the surviving partition set and
+        // emptied ones are dropped afterwards (the runDelete
+        // discipline). SETs on a partition column and over-wide
+        // scopes still fall back to the whole-table staged rewrite.
         val pruneEnabled = spark.conf
           .getOption("spark.graft.merge.prune").forall(_ != "off")
         val prunedScope: Option[Seq[Row]] =
-          if (parts.isEmpty || hasDelete || touchesPartCol || !pruneEnabled) None
+          if (parts.isEmpty || touchesPartCol || !pruneEnabled) None
           else {
             val rows = spark.table(t).alias(parsed.tAlias)
               .join(srcRaw.alias(parsed.sAlias), expr(parsed.onCond), "left_semi")
@@ -967,18 +970,38 @@ final class QueryEngine(val spark: SparkSession,
             guardDups(Some(restrict))
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
             val pruned = MergeInto.planPruned(spark, parsed, declaredOrder,
-              srcRaw, restrict)
-            val updated =
-              if (affected.isEmpty) 0L
+              srcRaw, restrict, if (hasDelete) parts else Seq.empty)
+            // the insert half's NOT-MATCHED anti-join is lazy over the
+            // live table; under a DELETE clause the overwrite removes
+            // rows first, so a deleted key would re-read as unmatched
+            // and resurrect as an insert — materialize the insert set
+            // against the PRE-overwrite table state
+            val insertsDf =
+              if (hasDelete) pruned.inserts.localCheckpoint()
+              else pruned.inserts
+            val (updated, deleted) =
+              if (affected.isEmpty) (0L, 0L)
               else {
                 preserveAffected(t, parts, affected)
                 withDynamicOverwrite(alignForInsert(t, pruned.overwrite)
                   .write.mode("overwrite").insertInto(t))
-                obsN(pruned.obsUpdated, "updated")
+                // a DELETE clause can empty a partition: no output row
+                // overwrote it, so drop affected-minus-survived
+                pruned.obsParts.foreach { o =>
+                  val survivedParts = o.get("survived") match {
+                    case rs: scala.collection.Seq[_] =>
+                      rs.map { case r: Row => r.toSeq }.toSet
+                    case _ => Set.empty[Seq[Any]]
+                  }
+                  dropEmptiedPartitions(t, parts,
+                    affected.filterNot(r => survivedParts.contains(r.toSeq)))
+                }
+                (obsN(pruned.obsUpdated, "updated"),
+                 obsN(pruned.obsUpdated, "deleted"))
               }
-            alignForInsert(t, pruned.inserts)
+            alignForInsert(t, insertsDf)
               .write.mode("append").insertInto(t)
-            (updated, 0L, obsN(pruned.obsInserted, "inserted"))
+            (updated, deleted, obsN(pruned.obsInserted, "inserted"))
           case None =>
             guardDups(None)
             val plan = MergeInto.plan(spark, parsed, declaredOrder,

@@ -347,6 +347,12 @@ object Dedup {
 
     "q61_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir, DefaultBands)),
 
+    "q61c_incremental_clusters" -> ((s, dir) =>
+      // incremental maintenance == full recompute (exact, incl. the
+      // cap-split case), so it shares q61's oracle — the q91/q55
+      // shared-oracle convention
+      incrementalClusters(s, dir, DefaultBands)),
+
     "q97_leakage_safe_split" -> ((s, dir) =>
       leakageSafeSplit(s, dir, DefaultBands)),
 
@@ -1071,6 +1077,143 @@ object Dedup {
       .withColumn("is_representative", col("doc_id") === col("cluster_id"))
   }
 
+  // ---- q61c: incremental cluster maintenance -----------------------
+
+  /** Pre-batch cluster labels — the corpus-only clustering, i.e. the
+    * state of the world before the q87 batch arrived. In production
+    * this is the PERSISTED label table every ingest cycle writes; the
+    * memo models that artifact (same contract as the banded corpus
+    * behind q87), so repeat runs measure the incremental work, not
+    * artifact rebuilds. */
+  private val preBatchMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  private def preBatchLabels(s: SparkSession, dir: String,
+                             numBands: Int): DataFrame =
+    preBatchMemo.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, numBands), _ => {
+        val rowsPerBand = NumHashes / numBands
+        val bandsC = shingleBase(s, dir).where(!isBatch).select(
+          col("doc_id"),
+          posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
+            .as(Seq("band", "bh")))
+        connectedComponents(verifiedPairs(s, dir, bucketPairs(bandsC)))
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      })
+
+  private[graft] def clearPreBatchMemo(): Unit = {
+    preBatchMemo.values.forEach(dropCheckpoint)
+    preBatchMemo.clear()
+  }
+
+  /** Bucket-local candidate pairs of a band table, capped — the
+    * lshCandidates pair kernel, factored for subset band tables. */
+  private def bucketPairs(bandsDf: DataFrame): DataFrame =
+    bandsDf.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, BucketCap))
+      .select(explode(expr(
+        """flatten(transform(ids, a ->
+          |  transform(filter(ids, b -> b > a),
+          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs at the q61/q33
+    * threshold — identical expressions to [[minhashPairs]], so every
+    * incremental edge decision matches the full recompute bit-exactly. */
+  private def verifiedPairs(s: SparkSession, dir: String,
+                            cand: DataFrame): DataFrame = {
+    val sets = shingleBase(s, dir)
+      .select(col("doc_id"), col("shx"), size(col("sh")).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc1"), col("shx").as("sh1"),
+                        col("n").as("n1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("shx").as("sh2"),
+                        col("n").as("n2")), "doc2")
+      .withColumn("inter", graft.functions.expressions.ArrayOps
+        .sortedIntersectCount(col("sh1"), col("sh2")))
+      .where(round(jaccard(col("inter"), col("n1"), col("n2")), 4) >= 0.1)
+      .select(col("doc1"), col("doc2"))
+  }
+
+  /** The affected scope + recomputed sub-graph behind
+    * [[incrementalClusters]], exposed so the boundedness property —
+    * corpus-side work is O(batch + affected clusters), never a corpus
+    * re-cluster — is directly testable. Returns (subIds, verified
+    * sub-pairs). */
+  private[graft] def incrementalClusterParts(s: SparkSession, dir: String,
+                                             numBands: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val rowsPerBand = NumHashes / numBands
+    val base = shingleBase(s, dir)
+    val bands = base.select(
+      col("doc_id"),
+      posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
+        .as(Seq("band", "bh")))
+    val old = preBatchLabels(s, dir, numBands)
+    // buckets the batch touches; corpus docs sharing them; those
+    // docs' whole components. Only these can gain or lose an edge:
+    // every NEW candidate has a batch member in its bucket, and every
+    // REMOVED candidate sits in a bucket the batch pushed over the
+    // cap — in both cases the bucket is touched. Corpus-corpus edges
+    // in untouched buckets are bit-stable (same members, same count,
+    // content-based verification), and a verified edge can never
+    // connect an affected to an unaffected component (the edge
+    // existed pre-batch, so its endpoints shared a component).
+    val touched = bands.where(isBatch)
+      .select(col("band"), col("bh")).distinct()
+    val touchedCorpus = bands.where(!isBatch)
+      .join(touched, Seq("band", "bh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val affLabels = old.join(touchedCorpus, Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val affDocs = old.join(affLabels, Seq("cluster_id"), "left_semi")
+      .select(col("doc_id"))
+    // touchedCorpus ∪ affDocs: a touched-bucket corpus doc may have
+    // had NO pre-batch pairs (absent from the label table) yet gain
+    // its first edge from the batch
+    val subIds = touchedCorpus
+      .union(affDocs)
+      .union(base.where(isBatch).select(col("doc_id")))
+      .distinct()
+    // full-corpus bucket sizes (at warehouse scale: persisted corpus
+    // bucket counts + batch counts — metadata, not a corpus scan);
+    // sub-bucket pair lists stay under the cap because they are
+    // subsets of capped buckets
+    val okBuckets = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c").between(2, BucketCap))
+      .select(col("band"), col("bh"))
+    val subBands = bands.join(subIds, Seq("doc_id"), "left_semi")
+      .join(okBuckets, Seq("band", "bh"), "left_semi")
+    (subIds, verifiedPairs(s, dir, bucketPairs(subBands)), affLabels)
+  }
+
+  /** q61c: INCREMENTAL cluster maintenance — the arriving q87 batch
+    * updates the persisted cluster labels without re-clustering the
+    * corpus (round-8 verdict item 6). Affected components (those
+    * owning a member of a batch-touched bucket) are re-clustered
+    * together with the batch from freshly generated+verified pairs;
+    * every other component's rows pass through from the label table
+    * untouched. The result is EXACTLY the full recompute — including
+    * the hard case where the batch pushes a bucket over the cap and
+    * an old component must SPLIT — so q61c shares q61's oracle, and
+    * IncrementalClusterSpec pins equality on planted join / bridge /
+    * first-edge / cap-split scenarios plus the boundedness of the
+    * recomputed scope. */
+  def incrementalClusters(s: SparkSession, dir: String,
+                          numBands: Int): DataFrame = {
+    val (_, subPairs, affLabels) = incrementalClusterParts(s, dir, numBands)
+    val old = preBatchLabels(s, dir, numBands)
+    val cc = shardCC(s, subPairs)
+    old.join(affLabels, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(cc.select(col("node").as("doc_id"),
+        col("label").as("cluster_id")))
+      .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+  }
+
   /** Min-label connected components over an undirected pair list
     * (columns: two numeric ids). Returns (node, label) with label =
     * the component's minimum id. Factored from the dedup pipeline so
@@ -1342,6 +1485,7 @@ object Dedup {
          |WHERE NOT EXISTS (SELECT 1 FROM bnonrep nr
          |                  WHERE nr.doc_id = b.doc_id)""".stripMargin,
     "q61_dedup_clusters" -> clustersOracleSql(DefaultBands),
+    "q61c_incremental_clusters" -> clustersOracleSql(DefaultBands),
     "q97_leakage_safe_split" -> leakageSafeSplitOracleSql(DefaultBands),
 
     "q61b_dedup_apply" ->

@@ -204,4 +204,56 @@ class MergeSpec extends AnyFunSuite {
     assert(rows("SELECT id, region, qty FROM mrg.ts ORDER BY id") == Seq(
       List(2L, "us", 99L), List(3L, "eu", 30L)))
   }
+
+  test("a merge WITH a DELETE clause is still partition-scoped: untouched partitions byte-identical") {
+    // round-8 verdict item 5: DELETE clauses previously forced the
+    // whole-table rewrite; now they ride the pruned path, with emptied
+    // partitions dropped via the observed survivor set
+    engine.execute("CREATE DATABASE IF NOT EXISTS mrg")
+    engine.execute("DROP TABLE IF EXISTS mrg.td")
+    engine.execute(
+      """CREATE TABLE mrg.td (id int64 NOT NULL, region string, qty int64)
+        |STORAGE filesystem PARTITION BY (region)""".stripMargin)
+    engine.execute(
+      "INSERT INTO mrg.td VALUES (1,'eu',10),(2,'us',20),(3,'eu',30),(4,'us',40)")
+    val euBefore = partFiles("mrg.td", "region=eu")
+    assert(euBefore.nonEmpty)
+    val r = engine.execute(
+      """MERGE INTO mrg.td t
+        |USING (VALUES (2, 0), (4, 99), (9, 90)) AS s(id, qty)
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.qty = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET qty = s.qty
+        |WHEN NOT MATCHED THEN INSERT (id, region, qty) VALUES (s.id, 'ap', s.qty)""".stripMargin)
+    assert(r.message == "MERGE 1 updated, 1 deleted, 1 inserted")
+    // only the us partition held matches: eu's files are byte-identical
+    assert(partFiles("mrg.td", "region=eu") == euBefore,
+      "a DELETE-clause merge rewrote an unaffected partition")
+    assert(rows("SELECT id, region, qty FROM mrg.td ORDER BY id") == Seq(
+      List(1L, "eu", 10L), List(3L, "eu", 30L),
+      List(4L, "us", 99L), List(9L, "ap", 90L)))
+  }
+
+  test("a DELETE-clause merge that empties a partition drops it") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS mrg")
+    engine.execute("DROP TABLE IF EXISTS mrg.te")
+    engine.execute(
+      """CREATE TABLE mrg.te (id int64 NOT NULL, region string, qty int64)
+        |STORAGE filesystem PARTITION BY (region)""".stripMargin)
+    engine.execute(
+      "INSERT INTO mrg.te VALUES (1,'eu',10),(2,'us',20),(3,'us',30)")
+    val r = engine.execute(
+      """MERGE INTO mrg.te t
+        |USING (VALUES (2), (3)) AS s(id)
+        |ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(r.message == "MERGE 0 updated, 2 deleted, 0 inserted")
+    assert(rows("SELECT id, region, qty FROM mrg.te ORDER BY id") == Seq(
+      List(1L, "eu", 10L)))
+    // the us partition is fully deleted: files gone, pruned reads fine
+    assert(partFiles("mrg.te", "region=us").isEmpty,
+      "emptied partition's files survived the merge")
+    assert(rows("SELECT count(*) AS n FROM mrg.te WHERE region = 'us'") ==
+      Seq(List(0L)))
+  }
 }
