@@ -895,7 +895,7 @@ object Dedup {
     val cap = s.conf.getOption("spark.graft.cc.localMaxEdges")
       .getOrElse("100000").toInt
     val edges = pairs.limit(cap + 1).collect()
-    if (edges.length > cap) connectedComponents(pairs)
+    if (edges.length > cap) connectedComponents(pairs, ccMaxRounds(s))
     else {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -1060,19 +1060,21 @@ object Dedup {
     clusterMemo.clear()
   }
 
+  /** spark.graft.cc.maxRounds: the convergence bound reaches the
+    * user at every CC entry point — the addressed non-convergence
+    * error tells them to raise it (default 16 = diameters to ~65k;
+    * deep chained-near-dup graphs need more). */
+  private def ccMaxRounds(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.cc.maxRounds")
+      .map(v => v.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
+        s"invalid spark.graft.cc.maxRounds: '$v' (need a positive int)")))
+      .getOrElse(16)
+
   private def computeClusters(s: SparkSession, dir: String,
                               numBands: Int): DataFrame = {
     val pairs = minhashPairs(s, dir, numBands)
       .select(col("doc1"), col("doc2"))
-    // spark.graft.cc.maxRounds: the convergence bound reaches the
-    // user here too — the addressed non-convergence error tells them
-    // to raise it, so the q61 entry point must expose it (default 16
-    // = diameters to ~65k; deep chained-near-dup graphs need more)
-    val maxRounds = s.conf.getOption("spark.graft.cc.maxRounds")
-      .map(v => v.trim.toIntOption.filter(_ > 0).getOrElse(sys.error(
-        s"invalid spark.graft.cc.maxRounds: '$v' (need a positive int)")))
-      .getOrElse(16)
-    connectedComponents(pairs, maxRounds)
+    connectedComponents(pairs, ccMaxRounds(s))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_representative", col("doc_id") === col("cluster_id"))
   }
@@ -1086,10 +1088,14 @@ object Dedup {
     * behind q87), so repeat runs measure the incremental work, not
     * artifact rebuilds. */
   private val preBatchMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int),
+      (DataFrame, DataFrame)]()
 
-  private def preBatchLabels(s: SparkSession, dir: String,
-                             numBands: Int): DataFrame =
+  /** (labels, corpus bucket counts) — both written at ingest time in
+    * production; the counts are what lets the batch's bucket-size
+    * check be a metadata join instead of a corpus-band re-count. */
+  private def preBatchState(s: SparkSession, dir: String,
+                            numBands: Int): (DataFrame, DataFrame) =
     preBatchMemo.computeIfAbsent(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, numBands), _ => {
         val rowsPerBand = NumHashes / numBands
@@ -1097,12 +1103,31 @@ object Dedup {
           col("doc_id"),
           posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
             .as(Seq("band", "bh")))
-        connectedComponents(verifiedPairs(s, dir, bucketPairs(bandsC)))
-          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        // both artifacts are checkpointed: they ARE tables in
+        // production, and the CC output's iterative-join lineage
+        // otherwise makes every downstream join's size ESTIMATE
+        // square per round (Spark's SizeInBytesOnly visitor multiplies
+        // through joins — measured BigInteger overflow on the 50x
+        // replica's 16-round-deep plan)
+        val labels =
+          connectedComponents(verifiedPairs(s, dir, bucketPairs(bandsC)),
+              ccMaxRounds(s))
+            .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+            .localCheckpoint()
+        val counts = bandsC.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("c0"))
+          .localCheckpoint()
+        (labels, counts)
       })
 
+  private def preBatchLabels(s: SparkSession, dir: String,
+                             numBands: Int): DataFrame =
+    preBatchState(s, dir, numBands)._1
+
   private[graft] def clearPreBatchMemo(): Unit = {
-    preBatchMemo.values.forEach(dropCheckpoint)
+    preBatchMemo.values.forEach { case (l, c) =>
+      dropCheckpoint(l); dropCheckpoint(c)
+    }
     preBatchMemo.clear()
   }
 
@@ -1177,12 +1202,17 @@ object Dedup {
       .union(affDocs)
       .union(base.where(isBatch).select(col("doc_id")))
       .distinct()
-    // full-corpus bucket sizes (at warehouse scale: persisted corpus
-    // bucket counts + batch counts — metadata, not a corpus scan);
-    // sub-bucket pair lists stay under the cap because they are
-    // subsets of capped buckets
-    val okBuckets = bands.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("c"))
+    // full-corpus bucket sizes = persisted corpus bucket counts (the
+    // pre-batch artifact) + batch counts — a metadata join, never a
+    // corpus-band re-count; sub-bucket pair lists stay under the cap
+    // because they are subsets of capped buckets
+    val corpusCounts = preBatchState(s, dir, numBands)._2
+    val batchCounts = bands.where(isBatch)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("cb"))
+    val okBuckets = corpusCounts
+      .join(batchCounts, Seq("band", "bh"), "full_outer")
+      .select(col("band"), col("bh"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("c"))
       .where(col("c").between(2, BucketCap))
       .select(col("band"), col("bh"))
     val subBands = bands.join(subIds, Seq("doc_id"), "left_semi")
@@ -1206,12 +1236,31 @@ object Dedup {
                           numBands: Int): DataFrame = {
     val (_, subPairs, affLabels) = incrementalClusterParts(s, dir, numBands)
     val old = preBatchLabels(s, dir, numBands)
-    val cc = shardCC(s, subPairs)
-    old.join(affLabels, Seq("cluster_id"), "left_anti")
-      .select(col("doc_id"), col("cluster_id"))
-      .unionByName(cc.select(col("node").as("doc_id"),
-        col("label").as("cluster_id")))
-      .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+    // Degenerate-scope guard: incremental maintenance wins when the
+    // batch touches FEW clusters (the fixture corpus: 4% — and the
+    // realistic web-dedup regime, where shards are temporally local).
+    // When the touched fraction is large (measured at 50x: a
+    // uniformly-sprinkled batch over a replica-densified giant
+    // component made 94% of the corpus "affected", and incremental =
+    // full recompute + scope overhead, 62 s vs 26 s), the full
+    // recompute IS the cheaper plan — take it. Both paths produce
+    // identical output, so the switch is invisible to the oracle.
+    // spark.graft.incclusters.fullFallback: affected-cluster fraction
+    // above which to fall back (1.0 disables — the spec uses that to
+    // pin the incremental path itself).
+    val frac = s.conf.getOption("spark.graft.incclusters.fullFallback")
+      .map(_.toDouble).getOrElse(0.5)
+    val totalClusters = old.select(col("cluster_id")).distinct().count()
+    if (totalClusters > 0 && affLabels.count() > frac * totalClusters)
+      dedupClusters(s, dir, numBands)
+    else {
+      val cc = shardCC(s, subPairs)
+      old.join(affLabels, Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+        .unionByName(cc.select(col("node").as("doc_id"),
+          col("label").as("cluster_id")))
+        .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+    }
   }
 
   /** Min-label connected components over an undirected pair list
@@ -1240,8 +1289,14 @@ object Dedup {
     if (reliable)
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable=true needs spark.sparkContext.setCheckpointDir(...)")
+    // dropOriginStats: checkpoint preserves the ORIGINAL plan's size
+    // statistics, and this loop's self-joins compound them ~12x per
+    // round — the estimate's exponent grows as 12^rounds and
+    // overflows BigInteger near round 9 (measured at 50x; see
+    // GraftBridge.dropOriginStats). Lineage AND stats both truncate.
     def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.dropOriginStats(
+        if (reliable) df.checkpoint(true) else df.localCheckpoint(true))
     // lineage truncation (not cache) everywhere in the loop: each
     // round's self-join would otherwise DOUBLE the logical plan, and
     // Catalyst re-analyzes the whole lineage per action — measured

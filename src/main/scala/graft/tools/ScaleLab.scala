@@ -138,6 +138,10 @@ object ScaleLab {
         probeBpe(spark, dir, rounds, batch, mode)
       case "stagepar" :: dir :: names =>
         probeStagePar(spark, dir, names)
+      case "incclusters" :: dir :: rest =>
+        probeIncClusters(spark, dir, rest.headOption.map(_.toInt).getOrElse(8))
+      case "indexsync" :: dir :: rest =>
+        probeIndexSync(spark, dir, rest.headOption.map(_.toInt).getOrElse(10))
       case other =>
         System.err.println(s"unknown ScaleLab args: $other")
         sys.exit(2)
@@ -353,6 +357,71 @@ object ScaleLab {
       timeMedian3(graft.operators.Search.tfidfKeywords(spark, dir, k))
     println(f"TFIDF_PROBE dir=$dir n=$n k=$k " +
       f"median=$median%.3f all=${fmtAll(times)}")
+  }
+
+  /** q61c vs q61 at scale: with the pre-batch label table warm (the
+    * persisted-artifact model), the incremental update should track
+    * the AFFECTED scope, not the corpus — while the full recompute
+    * pays pairs+CC over everything every time. Prints both walls plus
+    * the scope sizes that make the gap interpretable. */
+  private def probeIncClusters(spark: SparkSession, dir: String,
+                               bands: Int): Unit = {
+    import graft.operators.Dedup
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    // warm the persisted artifacts (pre-batch labels + shingle base) —
+    // the state an ingest pipeline holds when a shard arrives
+    Dedup.incrementalClusters(spark, dir, bands)
+      .write.format("noop").mode("overwrite").save()
+    val (mi, ti) = timeMedian3(Dedup.incrementalClusters(spark, dir, bands))
+    val (mf, tf) = timeMedian3 {
+      Dedup.clearClusterMemo()
+      Dedup.dedupClusters(spark, dir, bands)
+    }
+    val (subIds, subPairs, _) = Dedup.incrementalClusterParts(spark, dir, bands)
+    println(f"INCCLUSTERS_PROBE dir=$dir n=$n bands=$bands " +
+      f"inc_median=$mi%.3f inc_all=${fmtAll(ti)} " +
+      f"full_median=$mf%.3f full_all=${fmtAll(tf)} " +
+      f"affected_docs=${subIds.count()} sub_pairs=${subPairs.count()}")
+  }
+
+  /** Index maintenance at scale: load `documents` into an engine
+    * table, CREATE a bands index, append a `batchPct`% batch, and
+    * time the file-diff sync against a DROP+CREATE full rebuild. The
+    * claim under test: maintenance is O(changed files). */
+  private def probeIndexSync(spark: SparkSession, dir: String,
+                             batchPct: Int): Unit = {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS sl")
+    engine.execute("DROP TABLE IF EXISTS sl.idocs")
+    engine.execute(
+      """CREATE TABLE sl.idocs (doc_id int64 NOT NULL, text string)
+        |STORAGE filesystem""".stripMargin)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val batchN = n * batchPct / 100
+    docs.where(col("doc_id") % 100 >= batchPct)
+      .createOrReplaceTempView("sl_base")
+    docs.where(col("doc_id") % 100 < batchPct)
+      .createOrReplaceTempView("sl_batch")
+    engine.execute("INSERT INTO sl.idocs SELECT doc_id, text FROM sl_base")
+    val t0 = System.nanoTime()
+    engine.execute("CREATE INDEX ib ON sl.idocs (doc_id, text) USING bands")
+    val build = (System.nanoTime() - t0) / 1e9
+    // the append triggers the file-diff sync inside the INSERT
+    val t1 = System.nanoTime()
+    engine.execute("INSERT INTO sl.idocs SELECT doc_id, text FROM sl_batch")
+    val sync = (System.nanoTime() - t1) / 1e9
+    val rows = graft.engine.IndexManager
+      .indexData(spark, "sl.idocs", "ib").count()
+    // full rebuild for comparison
+    engine.execute("DROP INDEX ib ON sl.idocs")
+    val t2 = System.nanoTime()
+    engine.execute("CREATE INDEX ib ON sl.idocs (doc_id, text) USING bands")
+    val rebuild = (System.nanoTime() - t2) / 1e9
+    println(f"INDEXSYNC_PROBE dir=$dir n=$n batch~=$batchN " +
+      f"initial_build=$build%.3f insert_with_sync=$sync%.3f " +
+      f"full_rebuild=$rebuild%.3f index_rows=$rows")
   }
 
   private def probeCc(spark: SparkSession, dir: String, bands: Int): Unit = {

@@ -27,6 +27,31 @@ object GraftBridge {
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
 
+  /** Strip a checkpointed DataFrame's ORIGIN statistics.
+    * `Dataset.checkpoint`/`localCheckpoint` truncate lineage but
+    * PRESERVE the original plan's statistics inside the resulting
+    * LogicalRDD (so the optimizer keeps size knowledge). For an
+    * ITERATIVE computation whose per-round plan self-joins the
+    * previous round's checkpoint, that preservation compounds: each
+    * round's size ESTIMATE is a product of ~12 references to the
+    * previous round's, so the estimate's exponent grows as 12^rounds
+    * and Spark's SizeInBytesOnly visitor overflows BigInteger around
+    * round 9 (measured on the 50x-replica clustering). Rebuilding the
+    * LogicalRDD without originStats resets the estimate to the
+    * default; runtime (AQE) sizes are unaffected. No-op on
+    * non-LogicalRDD plans. */
+  def dropOriginStats(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.logicalPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        classic.Dataset.ofRows(ds.sparkSession,
+          lr.copy(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            ds.sparkSession, None, None))
+      case _ => df
+    }
+  }
+
   /** An isolated copy of the session that INHERITS its current state
     * (temp views, conf, current database) and diverges from there —
     * `newSession()` starts empty, which would hide server-registered

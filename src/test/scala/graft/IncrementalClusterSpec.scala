@@ -57,6 +57,9 @@ class IncrementalClusterSpec extends AnyFunSuite {
   test("planted dynamics: incremental == full recompute (join, first-edge, untouched, cap-split)") {
     Dedup.clearClusterMemo()
     Dedup.clearPreBatchMemo()
+    // the planted corpus touches 3 of its 4 clusters by design — pin
+    // the INCREMENTAL path itself, not the degenerate-scope fallback
+    spark.conf.set("spark.graft.incclusters.fullFallback", "1.0")
     val inc = Dedup.incrementalClusters(spark, plantedDir, Bands)
     val full = Dedup.dedupClusters(spark, plantedDir, Bands)
     val (gi, gf) = (sortedRows(inc), sortedRows(full))
@@ -76,6 +79,7 @@ class IncrementalClusterSpec extends AnyFunSuite {
       Dedup.incrementalClusterParts(spark, plantedDir, Bands)
     assert(subIds.collect().map(_.getLong(0)).toSet.contains(100L),
       "cap-bucket docs never became affected — pre-batch cluster missing")
+    spark.conf.unset("spark.graft.incclusters.fullFallback")
     Dedup.clearPreBatchMemo()
   }
 
