@@ -67,7 +67,11 @@ object Bench {
     "q88b_knn_ivf_lloyd" -> (() => graft.operators.Similarity.clearLloydMemo()),
     "q96_perceptron_weights" -> (() => graft.operators.Classifier.clearPerceptronMemo()),
     "q96b_perceptron_confusion" -> (() => graft.operators.Classifier.clearPerceptronMemo()),
-    "q96d_perceptron_incremental" -> (() => graft.operators.Classifier.clearIncMemo()))
+    "q96d_perceptron_incremental" -> (() => graft.operators.Classifier.clearIncMemo()),
+    // q61c: clear the maintained-label memo, NOT the pre-batch
+    // artifacts (labels/bands/counts of the ingested corpus) — those
+    // model persisted tables, the same contract as q87's banded corpus
+    "q61c_incremental_clusters" -> (() => graft.operators.Dedup.clearIncClustersMemo()))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -372,7 +372,13 @@ object ScaleLab {
     // the state an ingest pipeline holds when a shard arrives
     Dedup.incrementalClusters(spark, dir, bands)
       .write.format("noop").mode("overwrite").save()
-    val (mi, ti) = timeMedian3(Dedup.incrementalClusters(spark, dir, bands))
+    // per-run: clear the RESULT memo (each sample re-runs the
+    // maintenance), keep the pre-batch artifacts warm (they model
+    // persisted ingest tables)
+    val (mi, ti) = timeMedian3 {
+      Dedup.clearIncClustersMemo()
+      Dedup.incrementalClusters(spark, dir, bands)
+    }
     val (mf, tf) = timeMedian3 {
       Dedup.clearClusterMemo()
       Dedup.dedupClusters(spark, dir, bands)
