@@ -71,7 +71,8 @@ object Bench {
     // q61c: clear the maintained-label memo, NOT the pre-batch
     // artifacts (labels/bands/counts of the ingested corpus) — those
     // model persisted tables, the same contract as q87's banded corpus
-    "q61c_incremental_clusters" -> (() => graft.operators.Dedup.clearIncClustersMemo()))
+    "q61c_incremental_clusters" -> (() => graft.operators.Dedup.clearIncClustersMemo()),
+    "q61d_cluster_maintenance" -> (() => graft.operators.Dedup.clearMaintainMemo()))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

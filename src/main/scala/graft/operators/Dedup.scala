@@ -347,6 +347,11 @@ object Dedup {
 
     "q61_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir, DefaultBands)),
 
+    "q61d_cluster_maintenance" -> ((s, dir) =>
+      // three-wave ingest through the persisted-state maintainer;
+      // final labels == full recompute == q61's oracle
+      clusterMaintenanceReplay(s, dir, DefaultBands)),
+
     "q61c_incremental_clusters" -> ((s, dir) =>
       // incremental maintenance == full recompute (exact, incl. the
       // cap-split case), so it shares q61's oracle — the q91/q55
@@ -1304,6 +1309,163 @@ object Dedup {
     }
   }
 
+  // ---- q61d: multi-batch cluster-state maintenance ------------------
+
+  /** Persisted cluster state as a versioned directory —
+    * `<dir>/v<N>/{labels,bands,counts,sets}` parquet, latest = max N.
+    * A new version is written COMPLETELY before it becomes latest, so
+    * a reader never sees a half-written state (the poor-man's
+    * snapshot commit; at warehouse scale these are four bucketed
+    * tables under a real table format). */
+  private def latestVersion(s: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v")).flatMap(_.drop(1).toIntOption)
+      .sorted.lastOption
+  }
+
+  /** Apply ONE arriving batch of documents (doc_id, text — ids must
+    * be new) to the persisted cluster state at `stateDir`, the
+    * GENERALIZED q61c: same affected-component scope, same
+    * full-count bucket caps, same exactness argument, but against
+    * explicit persisted state instead of the %10 carve-out — so it
+    * composes into a streaming sink
+    * ([[graft.streaming.DocStream.clusterMaintenanceSink]]) and the
+    * maintained labels equal a full recompute over everything
+    * ingested so far (MaintainStateSpec). Returns the new label
+    * table. */
+  def maintainClusterState(s: SparkSession, stateDir: String,
+                           batch: DataFrame, numBands: Int): DataFrame = {
+    val rowsPerBand = NumHashes / numBands
+    val batchSets = batch
+      .select(col("doc_id"),
+        graft.functions.expressions.ArrayOps
+          .wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
+      .where(size(col("sh")) >= 1)
+      .withColumn("mh", graft.functions.expressions.ArrayOps
+        .minhashSig(col("sh"), NumHashes))
+      .withColumn("shx", graft.functions.expressions.ArrayOps
+        .sortedHashes(col("sh")))
+      .select(col("doc_id"), col("mh"), col("shx"),
+        size(col("sh")).as("n"))
+      .localCheckpoint()
+    val batchBands = batchSets.select(
+      col("doc_id"),
+      posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
+        .as(Seq("band", "bh")))
+      .select(col("doc_id"), col("band"), col("bh"))
+      .localCheckpoint()
+    val batchCounts = batchBands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("cb"))
+    def setsFor(df: DataFrame) =
+      df.select(col("doc_id"), col("shx"), col("n"))
+    def verify(cand: DataFrame, sets: DataFrame): DataFrame =
+      cand
+        .join(sets.select(col("doc_id").as("doc1"), col("shx").as("sh1"),
+          col("n").as("n1")), "doc1")
+        .join(sets.select(col("doc_id").as("doc2"), col("shx").as("sh2"),
+          col("n").as("n2")), "doc2")
+        .withColumn("inter", graft.functions.expressions.ArrayOps
+          .sortedIntersectCount(col("sh1"), col("sh2")))
+        .where(round(jaccard(col("inter"), col("n1"), col("n2")), 4) >= 0.1)
+        .select(col("doc1"), col("doc2"))
+
+    val (newLabels, newBands, newCounts, newSets) =
+      latestVersion(s, stateDir) match {
+        case None =>
+          // bootstrap: the first batch clusters against itself
+          val okB = batchCounts.where(col("cb").between(2, BucketCap))
+            .select(col("band"), col("bh"))
+          val pairs = verify(bucketPairs(
+            batchBands.join(okB, Seq("band", "bh"), "left_semi")),
+            setsFor(batchSets))
+          val labels = shardCC(s, pairs)
+            .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+          (labels, batchBands,
+            batchCounts.withColumnRenamed("cb", "c0"), setsFor(batchSets))
+        case Some(v) =>
+          val st = s"$stateDir/v$v"
+          val labels = s.read.parquet(s"$st/labels")
+          val bands = s.read.parquet(s"$st/bands")
+          val counts = s.read.parquet(s"$st/counts")
+          val sets = s.read.parquet(s"$st/sets")
+          val touched = batchBands.select(col("band"), col("bh")).distinct()
+          val touchedCorpus = bands
+            .join(touched, Seq("band", "bh"), "left_semi")
+            .select(col("doc_id")).distinct()
+          val affLabels = labels.join(touchedCorpus, Seq("doc_id"))
+            .select(col("cluster_id")).distinct().localCheckpoint()
+          val subIds = touchedCorpus
+            .union(labels.join(affLabels, Seq("cluster_id"), "left_semi")
+              .select(col("doc_id")))
+            .union(batchSets.select(col("doc_id")))
+            .distinct().localCheckpoint()
+          val okBuckets = counts
+            .join(batchCounts, Seq("band", "bh"), "full_outer")
+            .select(col("band"), col("bh"),
+              (coalesce(col("c0"), lit(0L)) +
+                coalesce(col("cb"), lit(0L))).as("c"))
+            .where(col("c").between(2, BucketCap))
+            .select(col("band"), col("bh"))
+          val allBands = bands.unionByName(batchBands)
+          val subBands = allBands.join(subIds, Seq("doc_id"), "left_semi")
+            .join(okBuckets, Seq("band", "bh"), "left_semi")
+          val allSets = sets.unionByName(setsFor(batchSets))
+          val cc = shardCC(s, verify(bucketPairs(subBands), allSets))
+          val updated = labels.join(affLabels, Seq("cluster_id"), "left_anti")
+            .select(col("doc_id"), col("cluster_id"))
+            .unionByName(cc.select(col("node").as("doc_id"),
+              col("label").as("cluster_id")))
+          val mergedCounts = counts
+            .join(batchCounts, Seq("band", "bh"), "full_outer")
+            .select(col("band"), col("bh"),
+              (coalesce(col("c0"), lit(0L)) +
+                coalesce(col("cb"), lit(0L))).as("c0"))
+          (updated, allBands, mergedCounts, allSets)
+      }
+    val next = latestVersion(s, stateDir).map(_ + 1).getOrElse(0)
+    val out = s"$stateDir/v$next"
+    newLabels.write.mode("overwrite").parquet(s"$out/labels")
+    newBands.write.mode("overwrite").parquet(s"$out/bands")
+    newCounts.write.mode("overwrite").parquet(s"$out/counts")
+    newSets.write.mode("overwrite").parquet(s"$out/sets")
+    s.read.parquet(s"$out/labels")
+  }
+
+  /** q61d: the multi-batch maintenance path under the driver's oracle
+    * gate — ingest the corpus in three waves (doc_id mod 3) through
+    * [[maintainClusterState]] on a fresh state dir; the final label
+    * table equals the full recompute whatever the arrival order, so
+    * it shares q61's oracle. Memoized like every derived-artifact
+    * query (MemoBypass clears it for the attributable sequential
+    * timing). */
+  private val maintainMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  def clearMaintainMemo(): Unit = {
+    maintainMemo.values.forEach(dropCheckpoint)
+    maintainMemo.clear()
+  }
+
+  def clusterMaintenanceReplay(s: SparkSession, dir: String,
+                               numBands: Int): DataFrame =
+    maintainMemo.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, numBands), _ => {
+        val state = java.nio.file.Files
+          .createTempDirectory("graft_q61d_state").toString
+        val d = docs(s, dir)
+        var labels: DataFrame = null
+        for (w <- 0 until 3)
+          labels = maintainClusterState(s, state,
+            d.where(pmod(col("doc_id"), lit(3)) === w)
+              .select(col("doc_id"), col("text")), numBands)
+        labels
+          .withColumn("is_representative", col("doc_id") === col("cluster_id"))
+          .localCheckpoint()
+      })
+
   /** Min-label connected components over an undirected pair list
     * (columns: two numeric ids). Returns (node, label) with label =
     * the component's minimum id. Factored from the dedup pipeline so
@@ -1582,6 +1744,7 @@ object Dedup {
          |                  WHERE nr.doc_id = b.doc_id)""".stripMargin,
     "q61_dedup_clusters" -> clustersOracleSql(DefaultBands),
     "q61c_incremental_clusters" -> clustersOracleSql(DefaultBands),
+    "q61d_cluster_maintenance" -> clustersOracleSql(DefaultBands),
     "q97_leakage_safe_split" -> leakageSafeSplitOracleSql(DefaultBands),
 
     "q61b_dedup_apply" ->

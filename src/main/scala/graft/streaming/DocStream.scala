@@ -308,4 +308,27 @@ object DocStream {
                                        least(${SpanW}L, x - st.prev))),
                   st -> st.acc)""").as("covered_tokens"))
   }
+
+  /** Streaming cluster maintenance — the online face of q61c/q61d:
+    * each micro-batch of arriving documents updates the persisted
+    * cluster state at `stateDir` through
+    * [[graft.operators.Dedup.maintainClusterState]] (affected
+    * components only; exactness argument there), so the label table
+    * is continuously equal to a full re-cluster of everything
+    * ingested. foreachBatch is at-least-once under retries; the
+    * versioned state commit makes a replay observable (a duplicate
+    * version with duplicate doc ids) rather than corrupting —
+    * exactly-once label contents need the upstream's batch ids
+    * de-duplicated first (UpsertStream discussion applies). */
+  def clusterMaintenanceSink(stream: DataFrame, stateDir: String,
+                             numBands: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup.maintainClusterState(
+            batch.sparkSession, stateDir,
+            batch.select(col("doc_id"), col("text")), numBands)
+        ()
+    }
 }
