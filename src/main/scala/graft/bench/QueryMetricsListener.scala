@@ -53,9 +53,14 @@ final class QueryMetricsListener extends SparkListener {
 
   private val jobMeta = TrieMap[Int, JobMeta]()
   private val stageJob = TrieMap[Int, Int]()
-  private val stageWallM = TrieMap[Int, Double]()
-  private val stageTaskM = TrieMap[Int, Double]()
-  private val stageNTask = TrieMap[Int, Int]()
+  // keyed by (stageId, attemptNumber): a retried stage must not mix
+  // attempt A's task time with attempt B's wall — put-by-stageId let a
+  // genuinely serial retried stage read as parallel (taskTime summed
+  // across attempts over the LAST attempt's wall) and dodge the
+  // serial_suspects watchdog
+  private val stageWallM = TrieMap[(Int, Int), Double]()
+  private val stageTaskM = TrieMap[(Int, Int), Double]()
+  private val stageNTask = TrieMap[(Int, Int), Int]()
   private val jobsStarted = new java.util.concurrent.atomic.AtomicLong(0)
   private val jobsEnded = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -83,14 +88,14 @@ final class QueryMetricsListener extends SparkListener {
       sub <- si.submissionTime
       done <- si.completionTime
     } {
-      stageWallM.put(si.stageId, (done - sub) / 1e3)
-      stageNTask.put(si.stageId, si.numTasks)
+      stageWallM.put((si.stageId, si.attemptNumber), (done - sub) / 1e3)
+      stageNTask.put((si.stageId, si.attemptNumber), si.numTasks)
     }
   }
 
   override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
     for (ti <- Option(te.taskInfo))
-      stageTaskM.updateWith(te.stageId)(o =>
+      stageTaskM.updateWith((te.stageId, te.stageAttemptId))(o =>
         Some(o.getOrElse(0.0) + ti.duration / 1e3))
 
   /** Resolve a job to its query group through the execution-id →
@@ -125,9 +130,9 @@ final class QueryMetricsListener extends SparkListener {
     def groupOf(sid: Int): String =
       stageJob.get(sid).flatMap(groups.get).getOrElse("")
     val recs: Seq[(String, StageRec)] = stageWallM.toSeq.map {
-      case (sid, wall) =>
+      case (key @ (sid, _), wall) =>
         groupOf(sid) -> StageRec(sid, wall,
-          stageTaskM.getOrElse(sid, 0.0), stageNTask.getOrElse(sid, 0))
+          stageTaskM.getOrElse(key, 0.0), stageNTask.getOrElse(key, 0))
     }
     val byGroup = recs.groupBy(_._1).map { case (g, rs) =>
       g -> rs.map(_._2).sortBy(_.stageId)

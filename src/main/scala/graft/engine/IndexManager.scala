@@ -115,22 +115,37 @@ object IndexManager {
       s""""kind":"${m.kind}","cols":$cols,"params":$params}"""
   }
 
-  private val fieldRe = """"(name|table|kind)":"((?:[^"\\]|\\.)*)"""".r
-  private val colsRe = """"cols":\[((?:[^\]])*)\]""".r
-  private val paramsRe = """"params":\{((?:[^}])*)\}""".r
-  private val kvRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
-  private val strRe = """"((?:[^"\\]|\\.)*)"""".r
-
+  /** Real JSON parse (Jackson, already on the Spark classpath) — the
+    * hand-rolled regexes broke on a param literally named "kind" or a
+    * column containing ']'; structural parsing cannot. Parsed meta is
+    * validated against [[Kinds]] so a corrupt/drifted file fails
+    * loudly instead of building shards of an unknown kind. */
   private def parseMeta(json: String): IndexMeta = {
-    val fields = fieldRe.findAllMatchIn(json)
-      .map(m => m.group(1) -> unesc(m.group(2))).toMap
-    val cols = colsRe.findFirstMatchIn(json).map(_.group(1)).toSeq
-      .flatMap(b => strRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
-    val params = paramsRe.findFirstMatchIn(json).map(_.group(1)).toSeq
-      .flatMap(b => kvRe.findAllMatchIn(b)
-        .map(m => unesc(m.group(1)) -> unesc(m.group(2)))).toMap
-    IndexMeta(fields("name"), fields("table"), fields("kind"), cols, params)
+    import scala.jdk.CollectionConverters._
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def str(f: String): String = {
+      val v = node.get(f)
+      require(v != null && v.isTextual, s"index meta.json missing field '$f'")
+      v.asText()
+    }
+    val colsNode = node.get("cols")
+    require(colsNode != null && colsNode.isArray,
+      "index meta.json missing array field 'cols'")
+    val cols = colsNode.elements().asScala.map(_.asText()).toSeq
+    val paramsNode = node.get("params")
+    require(paramsNode != null && paramsNode.isObject,
+      "index meta.json missing object field 'params'")
+    val params = paramsNode.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    val m = IndexMeta(str("name"), str("table"), str("kind"), cols, params)
+    require(Kinds.contains(m.kind),
+      s"index meta.json has unknown kind '${m.kind}'")
+    m
   }
+
+  /** Test hook: serialize + parse without touching the filesystem. */
+  private[graft] def roundTripMetaForTest(m: IndexMeta): IndexMeta =
+    parseMeta(metaJson(m))
 
   private def writeMeta(spark: SparkSession, m: IndexMeta): Unit = {
     val out = fs(spark).create(
@@ -192,6 +207,18 @@ object IndexManager {
     val schema = spark.table(qualified).schema
     cols.foreach(c => require(schema.fieldNames.map(_.toLowerCase)
         .contains(c.toLowerCase), s"column $c does not exist in $qualified"))
+    // Partition columns live in directory names, not in the parquet
+    // files [[sync]] reads per-shard — an index over one would build
+    // with null keys/values (bands: null-key candidates; ivf/sq8:
+    // every row dropped; zonemap: null min/max that never prunes) and
+    // return WRONG probe results with no error. Reject at CREATE:
+    // partition pruning already covers these columns for free.
+    val partCols = spark.catalog.listColumns(qualified).collect()
+      .filter(_.isPartition).map(_.name.toLowerCase).toSet
+    cols.foreach(c => require(!partCols.contains(c.toLowerCase),
+      s"column $c is a partition column of $qualified — it is not stored " +
+        "in the data files, so an index shard would see only nulls; " +
+        "partition pruning already serves predicates on it"))
     if (TwoColKinds.contains(kind)) {
       require(cols.length == 2,
         s"USING $kind expects (keyColumn, payloadColumn); got ${cols.length} column(s)")
@@ -219,7 +246,10 @@ object IndexManager {
     }
     val meta = IndexMeta(name, qualified, kind, cols, params)
     writeMeta(spark, meta)
-    sync(spark, qualified)
+    // fail-fast: a CREATE whose initial build breaks should error at
+    // the user, not leave a silently-stale index behind
+    try sync(spark, qualified, failFast = true)
+    catch { case e: Exception => drop(spark, qualified, name, ifExists = true); throw e }
     s"Index $name created"
   }
 
@@ -249,7 +279,8 @@ object IndexManager {
     * brings every index up to date in O(changed files). No-op (one
     * directory existence check) for tables with no indexes — the
     * common DML path stays unburdened. */
-  def sync(spark: SparkSession, qualified: String): Unit = {
+  def sync(spark: SparkSession, qualified: String,
+           failFast: Boolean = false): Unit = {
     val metas = indexesOf(spark, qualified)
     if (metas.isEmpty) return
     val live: Map[String, String] = spark.table(qualified).inputFiles
@@ -257,19 +288,68 @@ object IndexManager {
     val filesys = fs(spark)
     metas.foreach { meta =>
       val dataDir = new Path(indexDir(spark, qualified, meta.name), "data")
-      val have: Set[String] =
-        if (!filesys.exists(dataDir)) Set.empty
-        else filesys.listStatus(dataDir).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("f=")).map(_.stripPrefix("f=")).toSet
-      (live.keySet -- have).toSeq.sorted.foreach { h =>
-        buildRows(spark, meta, readBaseFile(spark, qualified, live(h)))
-          .write.mode("overwrite").parquet(new Path(dataDir, s"f=$h").toString)
-      }
-      (have -- live.keySet).toSeq.sorted.foreach { h =>
-        filesys.delete(new Path(dataDir, s"f=$h"), true)
+      try {
+        val have: Set[String] =
+          if (!filesys.exists(dataDir)) Set.empty
+          else filesys.listStatus(dataDir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("f=")).map(_.stripPrefix("f=")).toSet
+        (live.keySet -- have).toSeq.sorted.foreach { h =>
+          buildRows(spark, meta, readBaseFile(spark, qualified, live(h)))
+            .write.mode("overwrite").parquet(new Path(dataDir, s"f=$h").toString)
+        }
+        (have -- live.keySet).toSeq.sorted.foreach { h =>
+          filesys.delete(new Path(dataDir, s"f=$h"), true)
+        }
+        clearStale(spark, qualified, meta.name)
+      } catch {
+        case e: Exception if !failFast =>
+          // An index-maintenance failure (schema drift vs frozen
+          // ivf/sq8 meta, a corrupt base file) must NOT fail a DML
+          // that already committed, and must not be silent either:
+          // mark the index STALE (probes refuse with an addressed
+          // error), log, move on. The file diff is idempotent, so the
+          // next successful sync rebuilds exactly the missing shards
+          // and clears the marker — self-healing.
+          markStale(spark, qualified, meta.name, e.getMessage)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"index ${meta.name} on $qualified failed maintenance and " +
+              s"is marked stale: ${e.getMessage}")
       }
     }
   }
+
+  // --------------------------------------------------------- stale marker
+
+  private def staleFile(spark: SparkSession, qualified: String,
+                        name: String): Path =
+    new Path(indexDir(spark, qualified, name), "STALE")
+
+  private def markStale(spark: SparkSession, qualified: String,
+                        name: String, why: String): Unit = {
+    val out = fs(spark).create(staleFile(spark, qualified, name), true)
+    out.write(Option(why).getOrElse("").getBytes("UTF-8")); out.close()
+  }
+
+  private def clearStale(spark: SparkSession, qualified: String,
+                         name: String): Unit = {
+    val f = staleFile(spark, qualified, name)
+    val filesys = fs(spark)
+    if (filesys.exists(f)) filesys.delete(f, false)
+  }
+
+  /** True if the last maintenance pass for this index failed — shard
+    * contents may be missing or stale relative to the base table. */
+  def isStale(spark: SparkSession, qualified: String,
+              name: String): Boolean =
+    fs(spark).exists(staleFile(spark, qualified, name))
+
+  private def requireFresh(spark: SparkSession, qualified: String,
+                           name: String): Unit =
+    if (isStale(spark, qualified, name))
+      throw new IllegalStateException(
+        s"index $name on $qualified is STALE (last maintenance failed); " +
+          "probing would return wrong results — run any DML on the table " +
+          "(or IndexManager.sync) to heal, or DROP and re-CREATE the index")
 
   private def readBaseFile(spark: SparkSession, qualified: String,
                            file: String): DataFrame =
@@ -339,12 +419,15 @@ object IndexManager {
       // numeric pair is null for non-castable types); a probe prunes
       // files whose [mn, mx] cannot contain the predicate value
       meta.cols.map { c =>
+        // try_cast, not cast: under ANSI semantics a plain cast of a
+        // non-numeric string THROWS mid-shard-build; the zonemap
+        // contract is "numeric pair is null for non-castable types"
         src.agg(
           lit(c).as("col"),
           min(col(c)).cast("string").as("mn"),
           max(col(c)).cast("string").as("mx"),
-          min(col(c).cast("double")).as("mn_num"),
-          max(col(c).cast("double")).as("mx_num"),
+          min(expr(s"try_cast(`$c` AS DOUBLE)")).as("mn_num"),
+          max(expr(s"try_cast(`$c` AS DOUBLE)")).as("mx_num"),
           count(col(c)).as("n_rows"))
       }.reduce(_ unionByName _)
   }
@@ -357,6 +440,7 @@ object IndexManager {
     val meta = indexMeta(spark, qualified, name).getOrElse(
       throw new IllegalArgumentException(
         s"index $name does not exist on $qualified"))
+    requireFresh(spark, qualified, name)
     val dataDir = new Path(indexDir(spark, qualified, name), "data")
     val filesys = fs(spark)
     val shards =
@@ -463,6 +547,7 @@ object IndexManager {
     * hash set so callers can measure pruning. */
   def zonemapPrune(spark: SparkSession, qualified: String, name: String,
                    column: String, value: Double): DataFrame = {
+    requireFresh(spark, qualified, name)
     val dataDir = new Path(indexDir(spark, qualified, name), "data")
     spark.read.parquet(dataDir.toString)
       .where(col("col") === column)

@@ -559,11 +559,25 @@ final class QueryEngine(val spark: SparkSession,
     // (INSERT both paths, UPDATE, DELETE, MERGE, OPTIMIZE, RESTORE,
     // the streaming upsert sink), so index maintenance rides the SAME
     // hook the CDC log does: one file-diff sync per mutation, a
-    // single existence check when the table has no indexes
-    if (registryTable == Changefeed.TableFiles)
-      IndexManager.sync(spark, qualified)
+    // single existence check when the table has no indexes. The CDC
+    // event is emitted FIRST — the table mutation has already
+    // committed by the time this hook runs, so an index-maintenance
+    // failure must neither fail the DML nor swallow the event (sync
+    // itself never throws here: a broken shard build marks the index
+    // STALE and the next successful sync heals it).
     Changefeed.emit(spark, registryTable, op,
       Map("table" -> qualified) ++ extra)
+    if (registryTable == Changefeed.TableFiles)
+      // belt-and-braces: sync marks a failing index STALE and returns,
+      // but a catastrophic failure BEFORE the per-index loop (e.g. a
+      // corrupt meta.json failing the index listing itself) must also
+      // not fail the already-committed DML
+      try IndexManager.sync(spark, qualified)
+      catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"index maintenance for $qualified failed: ${e.getMessage}")
+      }
   }
 
   private def toResult(id: String, df: DataFrame, msg: String = ""): QueryResult = {

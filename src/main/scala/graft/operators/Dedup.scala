@@ -1295,7 +1295,11 @@ object Dedup {
     // above which to fall back (1.0 disables — the spec uses that to
     // pin the incremental path itself).
     val frac = s.conf.getOption("spark.graft.incclusters.fullFallback")
-      .map(_.toDouble).getOrElse(0.5)
+      .map(v => v.trim.toDoubleOption.filter(f => f >= 0.0 && f <= 1.0)
+        .getOrElse(sys.error(
+          s"invalid spark.graft.incclusters.fullFallback: '$v' " +
+            "(need a fraction in [0, 1]; 1.0 disables the fallback)")))
+      .getOrElse(0.5)
     val totalClusters = old.select(col("cluster_id")).distinct().count()
     if (totalClusters > 0 && affLabels.count() > frac * totalClusters)
       dedupClusters(s, dir, numBands)

@@ -67,4 +67,46 @@ class BenchListenerSpec extends AnyFunSuite {
       assert(sw2.isEmpty && tt2.isEmpty)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("stage retries: attempts accounted separately — a serial retried stage cannot dodge the watchdog") {
+    import org.apache.spark.scheduler._
+    val listener = new graft.bench.QueryMetricsListener
+    // synthetic events, fed directly (no bus): one job, one stage that
+    // runs twice (attempt 0 fetch-failed and was resubmitted as
+    // attempt 1), each attempt 10 s wall with ONE 10 s task — a
+    // genuinely serial stage. The pre-fix put-by-stageId keyed wall to
+    // the LAST attempt (10 s) while task time summed across attempts
+    // (20 s), reading par=2.0; correct accounting reads par=1.0 per
+    // attempt and 20 s total wall.
+    def stageInfo(attempt: Int): StageInfo = {
+      val si = new StageInfo(7, attempt, "s7", 1, Seq.empty, Seq.empty,
+        "details", null, Seq.empty, None, 0, false, 0)
+      si.submissionTime = Some(0L)
+      si.completionTime = Some(10000L)
+      si
+    }
+    val props = new java.util.Properties()
+    props.setProperty("spark.jobGroup.id", "retryq")
+    listener.onJobStart(SparkListenerJobStart(1, 0L, Seq(stageInfo(0)), props))
+    def taskEnd(attempt: Int): SparkListenerTaskEnd = {
+      val ti = new TaskInfo(100L + attempt, 0, 0, 0, 0L, "exec1", "host1",
+        TaskLocality.PROCESS_LOCAL, false)
+      ti.finishTime = 10000L // duration = 10 s
+      SparkListenerTaskEnd(7, attempt, "ResultTask",
+        org.apache.spark.Success, ti, null, null)
+    }
+    listener.onTaskEnd(taskEnd(0))
+    listener.onStageCompleted(SparkListenerStageCompleted(stageInfo(0)))
+    listener.onTaskEnd(taskEnd(1))
+    listener.onStageCompleted(SparkListenerStageCompleted(stageInfo(1)))
+    listener.onJobEnd(SparkListenerJobEnd(1, 20000L, JobSucceeded))
+
+    val snap = listener.snapshot()
+    assert(math.abs(snap.stageWall("retryq") - 20.0) < 1e-9,
+      s"both attempts' wall must count: ${snap.stageWall}")
+    assert(math.abs(snap.taskTime("retryq") - 20.0) < 1e-9)
+    val par = snap.heavyStagePar(0.5)("retryq")
+    assert(math.abs(par - 1.0) < 1e-9,
+      s"serial retried stage must read par=1.0, not attempt-mixed: $par")
+  }
 }

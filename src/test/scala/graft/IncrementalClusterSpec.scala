@@ -98,6 +98,24 @@ class IncrementalClusterSpec extends AnyFunSuite {
     Dedup.clearPreBatchMemo()
   }
 
+  test("fullFallback conf is validated: garbage and out-of-range values fail addressed") {
+    for (bad <- Seq("yes", "-0.2", "1.5")) {
+      Dedup.clearClusterMemo()
+      Dedup.clearPreBatchMemo()
+      Dedup.clearIncClustersMemo()
+      spark.conf.set("spark.graft.incclusters.fullFallback", bad)
+      try {
+        val e = intercept[RuntimeException](
+          Dedup.incrementalClusters(spark, plantedDir, Bands))
+        assert(e.getMessage.contains("spark.graft.incclusters.fullFallback"),
+          s"error for '$bad' not addressed: ${e.getMessage}")
+      } finally {
+        spark.conf.unset("spark.graft.incclusters.fullFallback")
+        Dedup.clearPreBatchMemo()
+      }
+    }
+  }
+
   test("real fixture: incremental == full recompute at the test SF") {
     Dedup.clearClusterMemo()
     Dedup.clearPreBatchMemo()

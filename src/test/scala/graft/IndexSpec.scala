@@ -272,4 +272,87 @@ class IndexSpec extends AnyFunSuite {
     val t2 = freshDocs("docs5")
     assert(engine.execute(s"SHOW INDEXES ON $t2").rowCount == 0)
   }
+
+  // ---------------------------------------------- round-10 advice pins
+
+  private def indexPath(t: String, name: String, file: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s".graft-indexes/${t.toLowerCase}/$name/$file")
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("partition columns rejected at CREATE: shards read data files where they are absent") {
+    val t = freshDocs("docs6")
+    // zonemap directly on the partition column
+    val e = intercept[Exception](engine.execute(s"CREATE INDEX p1 ON $t (src)"))
+    assert(e.getMessage.contains("partition column"))
+    // two-col kind with a partition payload
+    val e2 = intercept[Exception](
+      engine.execute(s"CREATE INDEX p2 ON $t (doc_id, src) USING bands"))
+    assert(e2.getMessage.contains("partition column"))
+    // mixed zonemap column list: any partition member poisons it
+    val e3 = intercept[Exception](
+      engine.execute(s"CREATE INDEX p3 ON $t (text, src)"))
+    assert(e3.getMessage.contains("partition column"))
+    // non-partition columns still index fine
+    engine.execute(s"CREATE INDEX p4 ON $t (text)")
+    assert(engine.execute(s"SHOW INDEXES ON $t").data.map(_.head) == Seq("p4"))
+  }
+
+  test("STALE marker: probes refuse with an addressed error; the next successful sync heals") {
+    val t = freshDocs("docs7")
+    engine.execute(s"CREATE INDEX s1 ON $t (doc_id, text) USING bands")
+    // simulate a failed maintenance pass via the documented marker file
+    val marker = indexPath(t, "s1", "STALE")
+    val out = hadoopFs(marker).create(marker, true)
+    out.write("simulated shard-build failure".getBytes("UTF-8")); out.close()
+    assert(IndexManager.isStale(spark, t, "s1"))
+    val err = intercept[IllegalStateException](
+      IndexManager.indexData(spark, t, "s1"))
+    assert(err.getMessage.contains("STALE"))
+    assert(intercept[IllegalStateException](
+      IndexManager.zonemapPrune(spark, t, "s1", "doc_id", 1.0))
+      .getMessage.contains("STALE"))
+    // any DML reruns the idempotent file diff; success clears the marker
+    engine.execute(s"INSERT INTO $t VALUES (10, 'heal the index now', 'web')")
+    assert(!IndexManager.isStale(spark, t, "s1"))
+    assert(sortedRows(IndexManager.indexData(spark, t, "s1")) ==
+      sortedRows(scanBands(t)))
+  }
+
+  test("broken index maintenance cannot fail a committed DML or drop its CDC event") {
+    val t = freshDocs("docs8")
+    engine.execute(s"CREATE INDEX c1 ON $t (doc_id, text) USING bands")
+    // corrupt meta.json: the index LISTING itself now throws inside
+    // sync — the catastrophic path that runs before the per-index loop
+    val meta = indexPath(t, "c1", "meta.json")
+    val out = hadoopFs(meta).create(meta, true)
+    out.write("{this is not json".getBytes("UTF-8")); out.close()
+    val before = engine.execute(
+      "SELECT count(*) FROM system.cdc_log").data.head.head
+      .asInstanceOf[Long]
+    // the INSERT commits, returns success, and emits its CDC event
+    engine.execute(s"INSERT INTO $t VALUES (11, 'corrupt meta survives', 'web')")
+    assert(spark.table(t).count() == 6)
+    val after = engine.execute(
+      "SELECT count(*) FROM system.cdc_log").data.head.head
+      .asInstanceOf[Long]
+    assert(after > before, "CDC event for the committed DML must exist")
+    // hygiene: a corrupt catalog object is removable
+    hadoopFs(meta).delete(indexPath(t, "c1", ""), true)
+  }
+
+  test("meta.json round-trips hostile names: a param named 'kind', quotes and ']' in values") {
+    // the regex parser this replaced corrupted on exactly these
+    val m = IndexManager.IndexMeta("i\"x]", "db.t]bl", "zonemap",
+      Seq("a]b", "c\"d"), Map("kind" -> "tro]jan", "k\"2" -> "v\\2"))
+    val parsed = IndexManager.roundTripMetaForTest(m)
+    assert(parsed == m)
+    // unknown kind in a (hand-edited) meta file fails loudly
+    val bad = m.copy(kind = "wavelet")
+    assert(intercept[Exception](IndexManager.roundTripMetaForTest(bad))
+      .getMessage.contains("unknown kind"))
+  }
 }
