@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Classifier, Curation, Dedup, Multimodal, Relational, Search, Similarity, TextAnalysis}
+import graft.operators.{Classifier, Curation, Dedup, IndexedOps, Multimodal, Relational, Search, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ Curation.queries ++
-      Search.queries ++ Classifier.queries
+      Search.queries ++ Classifier.queries ++ IndexedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ Curation.oracleSql ++
-      Search.oracleSql ++ Classifier.oracleSql
+      Search.oracleSql ++ Classifier.oracleSql ++ IndexedOps.oracleSql
 }

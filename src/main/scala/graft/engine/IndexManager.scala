@@ -233,18 +233,8 @@ object IndexManager {
       throw new IllegalArgumentException(
         s"index $name already exists on $qualified")
     }
-    val params: Map[String, String] = kind match {
-      case "ivf" => Map("k" -> DefaultIvfK.toString,
-        "centroids" -> encodeMatrix(
-          ivfCodebook(spark, qualified, cols.head, cols(1))))
-      case "sq8" =>
-        val (mn, mx) = sq8Scales(spark, qualified, cols(1))
-        Map("mn" -> encodeVector(mn), "mx" -> encodeVector(mx))
-      case "bands" => Map("shingleK" -> ShingleK.toString,
-        "numHashes" -> NumHashes.toString, "bands" -> NumBands.toString)
-      case _ => Map.empty
-    }
-    val meta = IndexMeta(name, qualified, kind, cols, params)
+    val meta = IndexMeta(name, qualified, kind, cols,
+      defaultParams(spark, qualified, kind, cols))
     writeMeta(spark, meta)
     // fail-fast: a CREATE whose initial build breaks should error at
     // the user, not leave a silently-stale index behind
@@ -459,8 +449,14 @@ object IndexManager {
     * of recomputing signatures (bucket caps and pair convention
     * identical). */
   def bandCandidates(spark: SparkSession, qualified: String,
-                     name: String): DataFrame = {
-    val bands = indexData(spark, qualified, name)
+                     name: String): DataFrame =
+    bandRowsToCandidates(indexData(spark, qualified, name))
+
+  /** Band rows (band, bh, key) → capped bucket-local candidate pairs —
+    * shared by the persisted-index probe and the scan-path fallback of
+    * [[graft.engine.QueryEngine.nearDupCandidates]]; identical pair
+    * convention to `Dedup.lshCandidatePairs`. */
+  private[engine] def bandRowsToCandidates(bands: DataFrame): DataFrame = {
     val buckets = bands.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("key")).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
@@ -472,12 +468,47 @@ object IndexManager {
       .distinct()
   }
 
+  /** Scan-path computation of what a `kind` index would contain for
+    * the CURRENT table — the fallback the index-aware faces use when
+    * no index exists. Same [[buildRows]] builder, so index-present and
+    * index-absent answers are identical by construction. */
+  private[engine] def scanRows(spark: SparkSession, qualified: String,
+                               kind: String, cols: Seq[String]): DataFrame =
+    buildRows(spark,
+      IndexMeta("__scan", qualified, kind, cols,
+        defaultParams(spark, qualified, kind, cols)),
+      spark.table(qualified))
+
+  /** The data-dependent parameters a `kind` index freezes at CREATE —
+    * also what the scan-path fallback computes on the fly, so both
+    * paths quantize/route identically against the CURRENT table. */
+  private[engine] def defaultParams(spark: SparkSession, qualified: String,
+                                    kind: String,
+                                    cols: Seq[String]): Map[String, String] =
+    kind match {
+      case "ivf" => Map("k" -> DefaultIvfK.toString,
+        "centroids" -> encodeMatrix(
+          ivfCodebook(spark, qualified, cols.head, cols(1))))
+      case "sq8" =>
+        val (mn, mx) = sq8Scales(spark, qualified, cols(1))
+        Map("mn" -> encodeVector(mn), "mx" -> encodeVector(mx))
+      case "bands" => Map("shingleK" -> ShingleK.toString,
+        "numHashes" -> NumHashes.toString, "bands" -> NumBands.toString)
+      case _ => Map.empty
+    }
+
   /** BM25 from a `postings` index: stats from the dl-carrier rows,
     * scoring via the same [[graft.operators.Search.scorePostings]]
     * kernel as the scan path — identical integer points. */
   def bm25(spark: SparkSession, qualified: String, name: String,
-           p: graft.operators.Search.Bm25Params): DataFrame = {
-    val data = indexData(spark, qualified, name)
+           p: graft.operators.Search.Bm25Params): DataFrame =
+    bm25Over(indexData(spark, qualified, name), p)
+
+  /** BM25 over postings-index-shaped rows (key, dl, w, tf + the dl-
+    * carrier rows at w="") — works identically over [[indexData]] and
+    * the [[scanRows]] fallback. */
+  private[engine] def bm25Over(data: DataFrame,
+                               p: graft.operators.Search.Bm25Params): DataFrame = {
     val stats = data.where(col("w") === "")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val postings = data.where(col("w").isin(p.terms: _*))
@@ -496,17 +527,30 @@ object IndexManager {
     val meta = indexMeta(spark, qualified, name).getOrElse(
       throw new IllegalArgumentException(
         s"index $name does not exist on $qualified"))
-    val cents = decodeMatrix(meta.params("centroids"))
+    ivfNeighborsOver(spark, qualified, meta.keyCol, meta.payloadCol,
+      decodeMatrix(meta.params("centroids")),
+      indexData(spark, qualified, name), queryKeys, k, nprobe)
+  }
+
+  /** IVF probe over cell-assignment rows (cell, key) and an explicit
+    * codebook — shared by the persisted-index path ([[indexData]] +
+    * frozen centroids) and the scan fallback ([[scanRows]] + a
+    * freshly-computed codebook). */
+  private[engine] def ivfNeighborsOver(spark: SparkSession, qualified: String,
+                                       keyCol: String, payloadCol: String,
+                                       cents: Seq[Seq[Double]],
+                                       cells: DataFrame, queryKeys: Seq[Long],
+                                       k: Int, nprobe: Int): DataFrame = {
     val base = spark.table(qualified)
-      .select(col(meta.keyCol).cast("long").as("key"),
-        col(meta.payloadCol).cast("array<double>").as("v"))
+      .select(col(keyCol).cast("long").as("key"),
+        col(payloadCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
     val q = broadcast(base.where(col("key").isin(queryKeys: _*))
       .select(col("key").as("query_id"), col("v").as("qv"),
         explode(transform(
           slice(ArrayOps.ivfCells(col("v"), cents, nprobe), 1, nprobe),
           s => s.getField("cell"))).as("cell")))
-    val cands = indexData(spark, qualified, name).join(q, Seq("cell"))
+    val cands = cells.join(q, Seq("cell"))
       .where(col("key") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("key")).distinct()
     import org.apache.spark.sql.expressions.Window
@@ -563,6 +607,13 @@ object IndexManager {
     * recall depends on probe count, not centroid optimality; a Lloyd
     * refinement can be layered the way q88 does for the query-side
     * codebooks). */
+  /** Scan-fallback codebook for the index-aware ANN face — the same
+    * deterministic first-k-by-key codebook [[create]] freezes. */
+  private[engine] def scanIvfCodebook(spark: SparkSession, qualified: String,
+                                      keyCol: String,
+                                      vecCol: String): Seq[Seq[Double]] =
+    ivfCodebook(spark, qualified, keyCol, vecCol)
+
   private def ivfCodebook(spark: SparkSession, qualified: String,
                           keyCol: String,
                           vecCol: String): Seq[Seq[Double]] = {

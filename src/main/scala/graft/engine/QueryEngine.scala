@@ -758,6 +758,71 @@ final class QueryEngine(val spark: SparkSession,
     } }
   }
 
+  // ------------------------------------------- index-aware analytic faces
+
+  /** The persisted index this face would ride: right kind, matching
+    * (key, payload) columns, not STALE. */
+  private def preferredIndex(table: String, kind: String,
+                             cols: Seq[String]): Option[IndexManager.IndexMeta] = {
+    val q = qualifiedName(table)
+    IndexManager.indexesOf(spark, q).find(m =>
+      m.kind == kind &&
+        m.cols.map(_.toLowerCase) == cols.map(_.toLowerCase) &&
+        !IndexManager.isStale(spark, q, m.name))
+  }
+
+  /** LSH near-dup candidate pairs for an engine table — rides a
+    * matching `bands` index when one exists (reads the persisted band
+    * table instead of re-shingling the corpus), else computes the
+    * identical band rows from a scan. Both paths share
+    * IndexManager's builders, so the answer is the same by
+    * construction (AnalyticFacesSpec pins it). */
+  def nearDupCandidates(table: String, keyCol: String,
+                        textCol: String): DataFrame = {
+    val q = qualifiedName(table)
+    val rows = preferredIndex(table, "bands", Seq(keyCol, textCol)) match {
+      case Some(m) => IndexManager.indexData(spark, q, m.name)
+      case None => IndexManager.scanRows(spark, q, "bands", Seq(keyCol, textCol))
+    }
+    IndexManager.bandRowsToCandidates(rows)
+  }
+
+  /** BM25 top-k for an engine table — rides a matching `postings`
+    * index when one exists (probe reads only the query terms' slice
+    * of the persisted inverted index), else builds the postings from
+    * a scan. Identical integer points either way. */
+  def bm25Search(table: String, keyCol: String, textCol: String,
+                 p: graft.operators.Search.Bm25Params): DataFrame = {
+    val q = qualifiedName(table)
+    val rows = preferredIndex(table, "postings", Seq(keyCol, textCol)) match {
+      case Some(m) => IndexManager.indexData(spark, q, m.name)
+      case None => IndexManager.scanRows(spark, q, "postings", Seq(keyCol, textCol))
+    }
+    IndexManager.bm25Over(rows, p)
+  }
+
+  /** Top-k cosine ANN for an engine table — rides a matching `ivf`
+    * index (persisted cell assignments + frozen codebook) when one
+    * exists, else assigns cells on the fly against the same
+    * deterministic codebook. NOTE the semantic trade both ways: the
+    * index path answers against centroids frozen at CREATE, the scan
+    * path against centroids of the current table — identical until
+    * the first post-CREATE mutation of the first k keys. */
+  def annNeighbors(table: String, keyCol: String, vecCol: String,
+                   queryKeys: Seq[Long], k: Int,
+                   nprobe: Int = 4): DataFrame = {
+    val q = qualifiedName(table)
+    preferredIndex(table, "ivf", Seq(keyCol, vecCol)) match {
+      case Some(m) =>
+        IndexManager.ivfNeighbors(spark, q, m.name, queryKeys, k, nprobe)
+      case None =>
+        val cents = IndexManager.scanIvfCodebook(spark, q, keyCol, vecCol)
+        IndexManager.ivfNeighborsOver(spark, q, keyCol, vecCol, cents,
+          IndexManager.scanRows(spark, q, "ivf", Seq(keyCol, vecCol)),
+          queryKeys, k, nprobe)
+    }
+  }
+
   // ------------------------------------------------- UPDATE / DELETE (CoW)
 
   private val deleteRe: Regex =

@@ -583,8 +583,10 @@ object Dedup {
             .sortedHashes(col("sh")))
           .cache())
 
-  private def lshCandidates(s: SparkSession, dir: String,
-                            numBands: Int): DataFrame = {
+  /** LSH candidate pairs from the scan path: band keys computed from
+    * the corpus, then bucket-local capped pair generation. */
+  private def lshCandidatePairs(s: SparkSession, dir: String,
+                                numBands: Int): DataFrame = {
     val rowsPerBand = NumHashes / numBands
     val base = shingleBase(s, dir)
     val bands = base.select(
@@ -595,14 +597,23 @@ object Dedup {
     val buckets = bands.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
-    val cand = buckets
+    buckets
       .select(explode(expr(
         """flatten(transform(ids, a ->
           |  transform(filter(ids, b -> b > a),
           |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
-    val sets = base.select(col("doc_id"), col("shx"), size(col("sh")).as("n"))
+  }
+
+  /** Exact shingle-set overlap for an arbitrary (doc1, doc2) candidate
+    * frame — the verify stage shared by the scan path and the
+    * persisted-index path (IndexManager.bandCandidates feeds the SAME
+    * pair convention, so verification is source-agnostic). */
+  private[graft] def withSetOverlap(s: SparkSession, dir: String,
+                                    cand: DataFrame): DataFrame = {
+    val sets = shingleBase(s, dir)
+      .select(col("doc_id"), col("shx"), size(col("sh")).as("n"))
     cand
       .join(sets.select(col("doc_id").as("doc1"), col("shx").as("sh1"), col("n").as("n1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("shx").as("sh2"), col("n").as("n2")), "doc2")
@@ -610,12 +621,23 @@ object Dedup {
         .sortedIntersectCount(col("sh1"), col("sh2")))
   }
 
-  def minhashPairs(s: SparkSession, dir: String, numBands: Int): DataFrame =
-    lshCandidates(s, dir, numBands)
+  private def lshCandidates(s: SparkSession, dir: String,
+                            numBands: Int): DataFrame =
+    withSetOverlap(s, dir, lshCandidatePairs(s, dir, numBands))
+
+  /** Jaccard-verified near-dup pairs over an externally-supplied
+    * candidate set — q33's verify+threshold stage, reusable against
+    * index-sourced candidates (q100_index_bands). */
+  private[graft] def jaccardVerifiedPairs(s: SparkSession, dir: String,
+                                          cand: DataFrame): DataFrame =
+    withSetOverlap(s, dir, cand)
       .select(
         col("doc1"), col("doc2"),
         round(jaccard(col("inter"), col("n1"), col("n2")), 4).as("jaccard"))
       .where(col("jaccard") >= 0.1)
+
+  def minhashPairs(s: SparkSession, dir: String, numBands: Int): DataFrame =
+    jaccardVerifiedPairs(s, dir, lshCandidatePairs(s, dir, numBands))
 
   /** Containment verifier (q81): |A∩B|/|A| and /|B| over the LSH
     * candidates — the ASYMMETRIC near-dup measure that catches a
