@@ -379,13 +379,22 @@ object IndexManager {
         .unionByName(toks.select(lit("").as("w"), col("key"), col("dl"),
           lit(0L).as("tf")))
     case "ivf" =>
+      // COVERING index: the vector rides in the shard next to its cell
+      // assignment, rows sorted by cell within each shard — so a probe
+      // filtered to its nprobe cells reads only those cells' row
+      // groups (parquet min/max stats on `cell`) and never touches the
+      // base table for candidate vectors. The storage trade (the index
+      // duplicates the vector column) is the classic one: at 100 TB a
+      // probe that re-scans the corpus for candidate payloads costs
+      // the full scan the index exists to avoid.
       val cents = decodeMatrix(meta.params("centroids"))
       src.select(col(meta.keyCol).cast("long").as("key"),
           col(meta.payloadCol).cast("array<double>").as("v"))
         .where(col("v").isNotNull)
         .withColumn("cell", element_at(
           ArrayOps.ivfCells(col("v"), cents, 1), 1).getField("cell"))
-        .select(col("cell"), col("key"))
+        .select(col("cell"), col("key"), col("v"))
+        .sortWithinPartitions(col("cell"))
     case "sq8" =>
       val mn = decodeVector(meta.params("mn"))
       val mx = decodeVector(meta.params("mx"))
@@ -532,29 +541,44 @@ object IndexManager {
       indexData(spark, qualified, name), queryKeys, k, nprobe)
   }
 
-  /** IVF probe over cell-assignment rows (cell, key) and an explicit
+  /** IVF probe over covering cell rows (cell, key, v) and an explicit
     * codebook — shared by the persisted-index path ([[indexData]] +
     * frozen centroids) and the scan fallback ([[scanRows]] + a
-    * freshly-computed codebook). */
+    * freshly-computed codebook).
+    *
+    * Probe I/O shape: query vectors come from the base table under a
+    * pushed-down `key IN (...)` filter (tiny read); the probed cell
+    * ids (≤ |queries|·nprobe) are collected and pushed as a
+    * `cell IN (...)` filter on the covering rows — on the persisted
+    * path that's a parquet scan whose cell-sorted row groups prune by
+    * min/max stats, so candidate vectors are read from exactly the
+    * probed cells and the base table is never re-scanned. */
   private[engine] def ivfNeighborsOver(spark: SparkSession, qualified: String,
                                        keyCol: String, payloadCol: String,
                                        cents: Seq[Seq[Double]],
                                        cells: DataFrame, queryKeys: Seq[Long],
                                        k: Int, nprobe: Int): DataFrame = {
-    val base = spark.table(qualified)
+    val q = broadcast(spark.table(qualified)
       .select(col(keyCol).cast("long").as("key"),
         col(payloadCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
-    val q = broadcast(base.where(col("key").isin(queryKeys: _*))
+      .where(col("key").isin(queryKeys: _*))
       .select(col("key").as("query_id"), col("v").as("qv"),
         explode(transform(
           slice(ArrayOps.ivfCells(col("v"), cents, nprobe), 1, nprobe),
           s => s.getField("cell"))).as("cell")))
-    val cands = cells.join(q, Seq("cell"))
+    // bounded collect: ≤ |queryKeys| · nprobe cell ids — the handle
+    // that turns the candidate fetch into a pushed-down index filter
+    val probedCells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cands = cells.where(col("cell").isin(probedCells: _*))
+      .join(q, Seq("cell"))
       .where(col("key") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("key")).distinct()
+      // one cell per key and distinct cells per query ⇒ no dup pairs;
+      // dropDuplicates is the defensive pin of that invariant
+      .dropDuplicates("query_id", "key")
     import org.apache.spark.sql.expressions.Window
-    cands.join(base, Seq("key"))
+    cands
       .withColumn("dot", expr(
         "aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
       .withColumn("cos", col("dot") /

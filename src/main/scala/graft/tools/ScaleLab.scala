@@ -142,6 +142,8 @@ object ScaleLab {
         probeIncClusters(spark, dir, rest.headOption.map(_.toInt).getOrElse(8))
       case "indexsync" :: dir :: rest =>
         probeIndexSync(spark, dir, rest.headOption.map(_.toInt).getOrElse(10))
+      case "indexprobe" :: dir :: Nil =>
+        probeIndexProbe(spark, dir)
       case other =>
         System.err.println(s"unknown ScaleLab args: $other")
         sys.exit(2)
@@ -428,6 +430,66 @@ object ScaleLab {
     println(f"INDEXSYNC_PROBE dir=$dir n=$n batch~=$batchN " +
       f"initial_build=$build%.3f insert_with_sync=$sync%.3f " +
       f"full_rebuild=$rebuild%.3f index_rows=$rows")
+  }
+
+  /** Probe-vs-recompute A/B for the index-aware analytic faces
+    * (round-9 verdict "Next #1"'s measurement half): load the corpus
+    * into an engine table, CREATE the bands/postings/ivf indexes
+    * (timing the one-time build), then warm-median-3 each face WITH
+    * its index (probe reads only the stored materials) and again
+    * AFTER DROP INDEX (scan fallback re-derives them from the
+    * corpus). AnalyticFacesSpec pins the two answers equal; this
+    * measures what that equality COSTS each way. */
+  private def probeIndexProbe(spark: SparkSession, dir: String): Unit = {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS sl")
+    engine.execute("DROP TABLE IF EXISTS sl.pdocs")
+    engine.execute("CREATE TABLE sl.pdocs (doc_id int64, text string) STORAGE filesystem")
+    engine.execute(
+      s"INSERT INTO sl.pdocs SELECT doc_id, text FROM parquet.`$dir/documents.parquet`")
+    engine.execute("DROP TABLE IF EXISTS sl.pvecs")
+    engine.execute("CREATE TABLE sl.pvecs (vec_id int64, embedding list<float32>) STORAGE filesystem")
+    engine.execute(
+      s"INSERT INTO sl.pvecs SELECT vec_id, embedding FROM parquet.`$dir/embeddings.parquet`")
+    val nDocs = spark.table("sl.pdocs").count()
+    val nVecs = spark.table("sl.pvecs").count()
+
+    def buildOne(ddl: String): Double = {
+      val t0 = System.nanoTime()
+      engine.execute(ddl)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val bBands = buildOne("CREATE INDEX pb ON sl.pdocs (doc_id, text) USING bands")
+    val bPost = buildOne("CREATE INDEX pp ON sl.pdocs (doc_id, text) USING postings")
+    val bIvf = buildOne("CREATE INDEX pi ON sl.pvecs (vec_id, embedding) USING ivf")
+
+    def faces: Seq[(String, () => DataFrame)] = Seq(
+      "bands" -> (() => engine.nearDupCandidates("sl.pdocs", "doc_id", "text")),
+      "bm25" -> (() => engine.bm25Search("sl.pdocs", "doc_id", "text",
+        graft.operators.Search.DefaultQuery)),
+      "ivf" -> (() => engine.annNeighbors("sl.pvecs", "vec_id", "embedding",
+        0L until 10L, 5, 4)))
+    def measure(tag: String): Map[String, Double] =
+      faces.map { case (name, f) =>
+        val (median, times) = timeMedian3(f())
+        println(f"INDEXPROBE_LEG face=$name path=$tag " +
+          f"median=$median%.3f all=${fmtAll(times)}")
+        name -> median
+      }.toMap
+
+    val withIx = measure("index")
+    engine.execute("DROP INDEX pb ON sl.pdocs")
+    engine.execute("DROP INDEX pp ON sl.pdocs")
+    engine.execute("DROP INDEX pi ON sl.pvecs")
+    val scan = measure("scan")
+    val ratios = faces.map { case (name, _) =>
+      f"$name=${scan(name) / withIx(name)}%.1fx" }.mkString(" ")
+    println(f"INDEXPROBE dir=$dir docs=$nDocs vecs=$nVecs " +
+      f"build_bands=$bBands%.3f build_postings=$bPost%.3f build_ivf=$bIvf%.3f " +
+      f"probe_bands=${withIx("bands")}%.3f scan_bands=${scan("bands")}%.3f " +
+      f"probe_bm25=${withIx("bm25")}%.3f scan_bm25=${scan("bm25")}%.3f " +
+      f"probe_ivf=${withIx("ivf")}%.3f scan_ivf=${scan("ivf")}%.3f " +
+      s"speedup: $ratios")
   }
 
   private def probeCc(spark: SparkSession, dir: String, bands: Int): Unit = {

@@ -190,11 +190,14 @@ class IndexSpec extends AnyFunSuite {
     val cents = meta.params("centroids").split(";").toSeq
       .map(_.split(",").toSeq.map(_.toDouble))
 
+    // covering-index contract: the shard carries the vector next to
+    // its cell assignment so probes never re-scan the base table
     def directCells(): DataFrame =
-      spark.table(t).select(col("vec_id").as("key"), col("v"))
+      spark.table(t).select(col("vec_id").as("key"),
+          col("v").cast("array<double>").as("v"))
         .withColumn("cell", element_at(
           ArrayOps.ivfCells(col("v"), cents, 1), 1).getField("cell"))
-        .select(col("cell"), col("key"))
+        .select(col("cell"), col("key"), col("v"))
 
     assert(sortedRows(IndexManager.indexData(spark, t, "i1")) ==
       sortedRows(directCells()))
