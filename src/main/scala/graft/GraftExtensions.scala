@@ -45,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MisraGriesAgg(exprs.head, intLit(exprs(1), "mg_summary capacity"))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RankToTopKRule)
+    ext.injectOptimizerRule(session => new graft.plans.ZonemapPruneRule(session))
     ext.injectParser((_, delegate) => new graft.engine.GraftSqlParser(delegate))
   }
 }

@@ -93,6 +93,10 @@ object IndexManager {
                        name: String): Path =
     new Path(tableDir(spark, qualified), name.toLowerCase)
 
+  /** Shard key for a base-table data file — exposed so the SELECT-path
+    * zonemap rule can address bounds rows by live-file identity. */
+  private[graft] def fileHashFor(path: String): String = fileHash(path)
+
   private def fileHash(path: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes("UTF-8"))
@@ -283,9 +287,29 @@ object IndexManager {
           if (!filesys.exists(dataDir)) Set.empty
           else filesys.listStatus(dataDir).toSeq.map(_.getPath.getName)
             .filter(_.startsWith("f=")).map(_.stripPrefix("f=")).toSet
-        (live.keySet -- have).toSeq.sorted.foreach { h =>
-          buildRows(spark, meta, readBaseFile(spark, qualified, live(h)))
-            .write.mode("overwrite").parquet(new Path(dataDir, s"f=$h").toString)
+        val missing = (live.keySet -- have).toSeq.sorted
+        // Shard builds are independent per file — run them as
+        // CONCURRENT Spark jobs (bounded pool) instead of a serial
+        // driver loop: a 200-file CREATE INDEX was 200 sequential
+        // ~0.2 s jobs (36 s measured at the 50× zonemap probe) when
+        // the cluster could run them all at once. Any build failure
+        // propagates out of Await and hits the stale-marking catch
+        // exactly like the serial loop's did.
+        if (missing.nonEmpty) {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          val par = math.min(math.max(1,
+            spark.conf.getOption("spark.graft.index.sync.parallelism")
+              .flatMap(_.toIntOption).getOrElse(8)), missing.size)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          try Await.result(
+            Future.sequence(missing.map { h => Future {
+              buildRows(spark, meta, readBaseFile(spark, qualified, live(h)))
+                .write.mode("overwrite")
+                .parquet(new Path(dataDir, s"f=$h").toString)
+            } }), scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
         }
         (have -- live.keySet).toSeq.sorted.foreach { h =>
           filesys.delete(new Path(dataDir, s"f=$h"), true)
@@ -609,6 +633,62 @@ object IndexManager {
            |    * (element_at(mxl, i) - element_at(mnl, i)) / 255.0D)""".stripMargin))
       .select(col("key"), col("dv"))
   }
+
+  /** Per-file numeric zonemap bounds for the SELECT-path pruning rule:
+    * fileHash → (lowercased column → (mn_num, mx_num)), unioned over
+    * every FRESH zonemap index on `qualified` that covers any of
+    * `cols`. Files without a bounds row simply don't appear (the rule
+    * keeps them — pruning needs positive evidence). Empty map when no
+    * usable zonemap exists, so callers can bail without a job. */
+  private[graft] def zonemapFileBounds(
+      spark: SparkSession, qualified: String,
+      cols: Set[String]): Map[String, Map[String, (Double, Double)]] = {
+    val metas = indexesOf(spark, qualified).filter(m =>
+      m.kind == "zonemap" && !isStale(spark, qualified, m.name) &&
+        m.cols.exists(c => cols.contains(c.toLowerCase)))
+    if (metas.isEmpty) return Map.empty
+    val filesys = fs(spark)
+    // Planning-time cost control: reading the bounds is a (small)
+    // Spark job, and the rule plans EVERY filtered SELECT on the
+    // table — memoize per shard-listing fingerprint. Shard dirs are
+    // recreated (new parquet part names inside, fresh modtimes) on
+    // every sync, so (name, modtime) of the data dirs' children is a
+    // faithful version key; a fingerprint change evicts atomically.
+    val fp = metas.map { m =>
+      val dataDir = new Path(indexDir(spark, qualified, m.name), "data")
+      val listing =
+        if (!filesys.exists(dataDir)) "absent"
+        else filesys.listStatus(dataDir).toSeq
+          .map(s => s"${s.getPath.getName}@${s.getModificationTime}")
+          .sorted.mkString(",")
+      s"${m.name}[$listing]"
+    }.mkString(";")
+    val cacheKey = (spark.conf.get("spark.sql.warehouse.dir"),
+      qualified.toLowerCase, cols.toSeq.sorted.mkString(","))
+    val cached = boundsCache.get(cacheKey)
+    if (cached != null && cached._1 == fp) return cached._2
+    val rows = metas.flatMap { m =>
+      val dataDir = new Path(indexDir(spark, qualified, m.name), "data")
+      if (!filesys.exists(dataDir)) Seq.empty
+      else spark.read.parquet(dataDir.toString)
+        .where(lower(col("col")).isin(cols.toSeq: _*))
+        .where(col("mn_num").isNotNull && col("mx_num").isNotNull)
+        .select(col("f").cast("string"), lower(col("col")),
+          col("mn_num"), col("mx_num"))
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getString(1),
+          r.getDouble(2), r.getDouble(3)))
+    }
+    val out = rows.groupBy(_._1).map { case (f, rs) =>
+      f -> rs.map(r => r._2 -> (r._3, r._4)).toMap
+    }
+    boundsCache.put(cacheKey, (fp, out))
+    out
+  }
+
+  private val boundsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String),
+    (String, Map[String, Map[String, (Double, Double)]])]()
 
   /** Files a `zonemap` index proves CANNOT contain `value` for an
     * equality predicate on `column` — returned as the surviving shard

@@ -144,6 +144,8 @@ object ScaleLab {
         probeIndexSync(spark, dir, rest.headOption.map(_.toInt).getOrElse(10))
       case "indexprobe" :: dir :: Nil =>
         probeIndexProbe(spark, dir)
+      case "zonemap" :: dir :: Nil =>
+        probeZonemap(spark, dir)
       case other =>
         System.err.println(s"unknown ScaleLab args: $other")
         sys.exit(2)
@@ -490,6 +492,60 @@ object ScaleLab {
       f"probe_bm25=${withIx("bm25")}%.3f scan_bm25=${scan("bm25")}%.3f " +
       f"probe_ivf=${withIx("ivf")}%.3f scan_ivf=${scan("ivf")}%.3f " +
       s"speedup: $ratios")
+  }
+
+  /** SELECT-path zonemap file skipping A/B (round-10): ingest the
+    * corpus id-sorted (range shuffle ⇒ each parquet file holds a
+    * contiguous disjoint id range — the layout a warehouse's
+    * cluster-by produces), CREATE a zonemap index, then time a point
+    * SELECT with the pruning rule ON vs OFF and report the file
+    * counts each plan read. */
+  private def probeZonemap(spark: SparkSession, dir: String): Unit = {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS sl")
+    engine.execute("DROP TABLE IF EXISTS sl.zdocs")
+    engine.execute("CREATE TABLE sl.zdocs (doc_id int64, text string) STORAGE filesystem")
+    // a warehouse-shaped file count: the id-sorted insert range-
+    // shuffles into ~200 files, each holding a contiguous id range
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try engine.execute(
+      s"""INSERT INTO sl.zdocs SELECT doc_id, text
+         |FROM parquet.`$dir/documents.parquet` ORDER BY doc_id""".stripMargin)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+    val nFiles = spark.table("sl.zdocs").inputFiles.length
+    val t0 = System.nanoTime()
+    engine.execute("CREATE INDEX zp ON sl.zdocs (doc_id)")
+    val build = (System.nanoTime() - t0) / 1e9
+    val q = "SELECT count(*) AS n, sum(length(text)) AS b " +
+      "FROM sl.zdocs WHERE doc_id >= 1000 AND doc_id < 1050"
+    def filesRead(): Long = spark.sql(q).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length.toLong
+    }.sum
+    def leg(): (Double, Seq[Double], Long, Seq[Any]) = {
+      val f = filesRead()
+      val r = spark.sql(q).collect()(0).toSeq
+      val (m, ts) = timeMedian3(spark.sql(q))
+      (m, ts, f, r)
+    }
+    val (mOn, tsOn, fOn, rOn) = leg()
+    spark.conf.set("spark.graft.zonemap.select.enabled", "false")
+    val (mOff, tsOff, fOff, rOff) = leg()
+    spark.conf.set("spark.graft.zonemap.select.enabled", "true")
+    require(rOn == rOff, s"pruned result differs: $rOn vs $rOff")
+    println(f"ZONEMAP_PROBE dir=$dir files=$nFiles build=$build%.3f " +
+      f"pruned_files=$fOn full_files=$fOff " +
+      f"pruned=$mOn%.3f all=${fmtAll(tsOn)} " +
+      f"full=$mOff%.3f all=${fmtAll(tsOff)} speedup=${mOff / mOn}%.1fx")
   }
 
   private def probeCc(spark: SparkSession, dir: String, bands: Int): Unit = {
