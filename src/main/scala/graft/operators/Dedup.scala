@@ -1337,12 +1337,27 @@ object Dedup {
 
   // ---- q61d: multi-batch cluster-state maintenance ------------------
 
-  /** Persisted cluster state as a versioned directory —
-    * `<dir>/v<N>/{labels,bands,counts,sets}` parquet, latest = max N.
-    * A new version is written COMPLETELY before it becomes latest, so
-    * a reader never sees a half-written state (the poor-man's
-    * snapshot commit; at warehouse scale these are four bucketed
-    * tables under a real table format). */
+  /** Persisted cluster state, two tiers by write pattern:
+    *  - `<dir>/v<N>/{labels,counts}` — VERSIONED tables rewritten per
+    *    wave (labels are the product; counts are bucket-space-bounded
+    *    aggregates), latest = max N. A version is staged under
+    *    `_tmp_v<N>` and RENAMED into place only complete, so a reader
+    *    never sees a half-written version.
+    *  - `<dir>/{bands,sets}/w=<N>` — APPEND-ONLY per-wave deltas (a
+    *    doc's band rows and shingle set never change after ingest);
+    *    version N's view is the union of waves w ≤ N via partition
+    *    pruning on `w`. Round 9 rewrote the FULL accumulated
+    *    bands/sets every wave — O(corpus ingested so far) of write
+    *    amplification per commit that at 100 TB ingest cadence is the
+    *    whole cost; deltas make each commit O(batch) for those two.
+    * The four writes are independent and run as concurrent jobs —
+    * round 9's ~4 serial driver commits per wave were q61d's entire
+    * 6.25 s wall (task time 0.27 s).
+    * Retention: [[expireClusterState]] keeps the last
+    * spark.graft.clusterstate.retain versions (default 10); wave
+    * deltas are cumulative state shared by every version and are
+    * never expired. At warehouse scale these are bucketed tables
+    * under a real table format. */
   private def latestVersion(s: SparkSession, dir: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1377,12 +1392,14 @@ object Dedup {
       .select(col("doc_id"), col("mh"), col("shx"),
         size(col("sh")).as("n"))
       .localCheckpoint()
+    // no checkpoint: a projection of the CHECKPOINTED batchSets —
+    // each of its ~4 uses re-derives from materialized rows for less
+    // than a dedicated job barrier costs per wave
     val batchBands = batchSets.select(
       col("doc_id"),
       posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
         .as(Seq("band", "bh")))
       .select(col("doc_id"), col("band"), col("bh"))
-      .localCheckpoint()
     val batchCounts = batchBands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("cb"))
     def setsFor(df: DataFrame) =
@@ -1413,16 +1430,25 @@ object Dedup {
             batchCounts.withColumnRenamed("cb", "c0"), setsFor(batchSets))
         case Some(v) =>
           val st = s"$stateDir/v$v"
+          def waves(name: String): DataFrame = s.read
+            .option("basePath", s"$stateDir/$name")
+            .parquet(s"$stateDir/$name")
+            .where(col("w") <= v).drop("w") // stray post-crash deltas excluded
           val labels = s.read.parquet(s"$st/labels")
-          val bands = s.read.parquet(s"$st/bands")
+          val bands = waves("bands")
           val counts = s.read.parquet(s"$st/counts")
-          val sets = s.read.parquet(s"$st/sets")
+          val sets = waves("sets")
           val touched = batchBands.select(col("band"), col("bh")).distinct()
           val touchedCorpus = bands
             .join(touched, Seq("band", "bh"), "left_semi")
             .select(col("doc_id")).distinct()
+          // affLabels is NOT checkpointed: it is evaluated exactly
+          // once, inside subIds' checkpoint — and `updated` below
+          // anti-joins on subIds instead (equivalent: affected-cluster
+          // docs ⊆ subIds by construction, batch docs are new ids not
+          // in labels), saving a job barrier per wave
           val affLabels = labels.join(touchedCorpus, Seq("doc_id"))
-            .select(col("cluster_id")).distinct().localCheckpoint()
+            .select(col("cluster_id")).distinct()
           val subIds = touchedCorpus
             .union(labels.join(affLabels, Seq("cluster_id"), "left_semi")
               .select(col("doc_id")))
@@ -1440,7 +1466,7 @@ object Dedup {
             .join(okBuckets, Seq("band", "bh"), "left_semi")
           val allSets = sets.unionByName(setsFor(batchSets))
           val cc = shardCC(s, verify(bucketPairs(subBands), allSets))
-          val updated = labels.join(affLabels, Seq("cluster_id"), "left_anti")
+          val updated = labels.join(subIds, Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("cluster_id"))
             .unionByName(cc.select(col("node").as("doc_id"),
               col("label").as("cluster_id")))
@@ -1449,15 +1475,57 @@ object Dedup {
             .select(col("band"), col("bh"),
               (coalesce(col("c0"), lit(0L)) +
                 coalesce(col("cb"), lit(0L))).as("c0"))
-          (updated, allBands, mergedCounts, allSets)
+          // bands/sets are returned as the BATCH DELTA — the
+          // accumulated view is reassembled from the wave dirs
+          (updated, batchBands, mergedCounts, setsFor(batchSets))
       }
     val next = latestVersion(s, stateDir).map(_ + 1).getOrElse(0)
+    val tmp = s"$stateDir/_tmp_v$next"
     val out = s"$stateDir/v$next"
-    newLabels.write.mode("overwrite").parquet(s"$out/labels")
-    newBands.write.mode("overwrite").parquet(s"$out/bands")
-    newCounts.write.mode("overwrite").parquet(s"$out/counts")
-    newSets.write.mode("overwrite").parquet(s"$out/sets")
+    // one commit = four independent concurrent jobs: two O(batch)
+    // deltas + the versioned labels/counts, then an atomic-ish rename
+    // makes the version visible only complete
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(Seq(
+        Future { newBands.write.mode("overwrite")
+          .parquet(s"$stateDir/bands/w=$next") },
+        Future { newSets.write.mode("overwrite")
+          .parquet(s"$stateDir/sets/w=$next") },
+        Future { newCounts.write.mode("overwrite").parquet(s"$tmp/counts") },
+        Future { newLabels.write.mode("overwrite").parquet(s"$tmp/labels") }
+      )), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsys.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    val retain = s.conf.getOption("spark.graft.clusterstate.retain")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(10)
+    expireClusterState(s, stateDir, retain)
     s.read.parquet(s"$out/labels")
+  }
+
+  /** Keep only the newest `keepLast` state VERSIONS under `stateDir`
+    * (mirrors Snapshots' expire semantics); wave deltas are shared
+    * cumulative state and are never touched. Returns the number of
+    * versions removed. Runs automatically after every
+    * [[maintainClusterState]] commit (spark.graft.clusterstate.retain,
+    * default 10) so an always-on ingest cannot grow the state dir
+    * unboundedly in versions. */
+  def expireClusterState(s: SparkSession, stateDir: String,
+                         keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(p)) return 0
+    val versions = fsys.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v")).flatMap(_.drop(1).toIntOption).sorted
+    val drop = versions.dropRight(keepLast)
+    drop.foreach(n => fsys.delete(new org.apache.hadoop.fs.Path(p, s"v$n"), true))
+    drop.size
   }
 
   /** q61d: the multi-batch maintenance path under the driver's oracle

@@ -146,6 +146,32 @@ object ScaleLab {
         probeIndexProbe(spark, dir)
       case "zonemap" :: dir :: Nil =>
         probeZonemap(spark, dir)
+      case "maintain" :: dir :: rest =>
+        // q61d end-to-end replay (3 waves over a fresh state dir),
+        // memo cleared per sample — the bench-sequential number
+        // without the 6-minute full suite around it
+        val bands = rest.headOption.map(_.toInt).getOrElse(8)
+        val (m, ts) = timeMedian3 {
+          graft.operators.Dedup.clearMaintainMemo()
+          graft.operators.Dedup.clusterMaintenanceReplay(spark, dir, bands)
+        }
+        println(f"MAINTAIN_PROBE dir=$dir bands=$bands median=$m%.3f " +
+          f"all=${fmtAll(ts)}")
+        // per-wave breakdown on a fresh state dir (one cold pass)
+        val state = java.nio.file.Files
+          .createTempDirectory("graft_maintain_probe").toString
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        for (w <- 0 until 3) {
+          val t0 = System.nanoTime()
+          val labels = graft.operators.Dedup.maintainClusterState(spark,
+            state, d.where(pmod(col("doc_id"), lit(3)) === w), bands)
+          val tc = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          labels.write.format("noop").mode("overwrite").save()
+          val tr = (System.nanoTime() - t1) / 1e9
+          println(f"MAINTAIN_WAVE w=$w commit=$tc%.3f readback=$tr%.3f")
+        }
       case other =>
         System.err.println(s"unknown ScaleLab args: $other")
         sys.exit(2)

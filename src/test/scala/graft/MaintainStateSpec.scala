@@ -73,6 +73,35 @@ class MaintainStateSpec extends AnyFunSuite {
     }
   }
 
+  test("retention: version count stays bounded across 10 waves; latest reads unaffected") {
+    import spark.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("maintain_retain").toString
+    spark.conf.set("spark.graft.clusterstate.retain", "3")
+    try {
+      val t = "the quick brown fox jumps over the lazy dog"
+      var all = Seq.empty[(Long, String)]
+      for (w <- 0 until 10) {
+        val wave = Seq((w * 2L, s"$t ${w}a"), (w * 2L + 1, s"$t ${w}b"))
+        all = all ++ wave
+        val got = Dedup.maintainClusterState(spark, state,
+          wave.toDF("doc_id", "text"), Bands)
+        val versions = new java.io.File(state).listFiles()
+          .map(_.getName).filter(_.startsWith("v"))
+        assert(versions.length <= 3,
+          s"wave $w left ${versions.length} versions: ${versions.toSeq}")
+        // the maintained state still equals the full recompute —
+        // expiry must never touch the cumulative wave deltas
+        assert(sortedRows(got) ==
+          sortedRows(fullLabels(all.toDF("doc_id", "text"))),
+          s"state diverged after expiry at wave $w")
+      }
+      // wave deltas for every wave survive (cumulative state)
+      assert(new java.io.File(s"$state/bands").listFiles()
+        .count(_.getName.startsWith("w=")) == 10)
+    } finally spark.conf.unset("spark.graft.clusterstate.retain")
+  }
+
   test("q61d replay equals q61's full clustering (the shared oracle's claim)") {
     Dedup.clearMaintainMemo()
     Dedup.clearClusterMemo()
