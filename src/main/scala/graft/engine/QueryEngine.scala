@@ -989,6 +989,58 @@ final class QueryEngine(val spark: SparkSession,
     }
   }
 
+  /** Engine-routed append — the programmatic face a streaming
+    * foreachBatch sink commits through
+    * ([[graft.streaming.EventsStream.engineIngest]]). A native
+    * `.toTable` streaming sink appends files straight under the table
+    * location, BYPASSING the mutation funnel: no CDC event, and —
+    * worse — no index file-diff sync, so every persisted index
+    * silently lacks the streamed rows without even a STALE marker
+    * (probes would return confidently wrong results). This path takes
+    * the per-table write lock, snapshots if configured, inserts with
+    * columns resolved to the table's declared order BY NAME
+    * (case-insensitive, like the binary-ingest path — `insertInto` is
+    * positional and would silently shuffle columns otherwise), and
+    * fires the same registryChanged hook every DML rides. Row count
+    * comes from an Observation on the write itself — no second pass
+    * over the batch. */
+  def appendBatch(table: String, batch: DataFrame): QueryResult = {
+    val t = qualifiedName(table)
+    val info = executions.register(s"STREAM-APPEND $t")
+    executions.run(info) {
+      withTableWriteLock(Some(t)) {
+        if (Snapshots.enabled(spark) && Snapshots.onInsert(spark))
+          Snapshots.create(spark, t, "INSERT")
+        val byLower = batch.columns.map(c => c.toLowerCase -> c).toMap
+        val ordered = spark.table(t).schema.fieldNames.toSeq.map { f =>
+          byLower.get(f.toLowerCase) match {
+            case Some(c) => col(s"`$c`").as(f)
+            case None => throw new IllegalArgumentException(
+              s"appendBatch: batch has no column for $t.$f " +
+                s"(batch columns: ${batch.columns.mkString(", ")})")
+          }
+        }
+        val obs = org.apache.spark.sql.Observation()
+        batch.select(ordered: _*).observe(obs, count(lit(1)).as("n"))
+          .write.insertInto(t)
+        val n = obs.get("n") match {
+          case x: Long => x
+          case x: java.lang.Long => x.longValue()
+          case _ => 0L
+        }
+        // the batch DataFrame is bound to the CALLER's session (a
+        // foreachBatch micro-batch session is a clone): the write
+        // refreshed THAT session's file index, not this engine's —
+        // refresh here or the index sync below diffs against a stale
+        // file listing and misses the rows it exists to index
+        spark.catalog.refreshTable(t)
+        registryChanged(t, Changefeed.TableFiles, "INSERT",
+          Map("rows" -> n.toString))
+        QueryResult(info.id, Seq.empty, Seq.empty, n, s"INSERT $n")
+      }
+    }
+  }
+
   private def executeMerge(parsed: MergeInto.Parsed, id: String,
                            sourceOverride: Option[DataFrame]): QueryResult = {
     val t = parsed.table

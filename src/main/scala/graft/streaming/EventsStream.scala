@@ -149,6 +149,29 @@ object EventsStream {
       .toTable(destTable)
   }
 
+  /** Index-maintaining variant of [[ingest]]: each micro-batch commits
+    * through [[graft.engine.QueryEngine.appendBatch]], so the append
+    * rides the FULL mutation funnel — per-table write lock, CDC
+    * TableFiles event, and persisted-index file-diff sync — once per
+    * micro-batch. Use this (never a raw `.toTable`) when the
+    * destination carries CREATE INDEX objects: a native-sink append
+    * adds files no sync ever sees, leaving every index silently
+    * missing the streamed rows. Sync is O(files in the batch) per
+    * batch (IndexManager diffs file hashes), so index freshness costs
+    * the batch, not the table. foreachBatch is at-least-once under
+    * retries: a replayed batch re-appends its rows (same caveat as
+    * the reference's chunked ingest); revision-keyed exactly-once
+    * table contents are [[UpsertStream]]'s job — that sink already
+    * rides the funnel via MERGE. */
+  def engineIngest(stream: DataFrame, engine: graft.engine.QueryEngine,
+                   destTable: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) engine.appendBatch(destTable, batch)
+        ()
+    }
+
   /** Append change-feed over a catalog table — the CDC analog of the
     * reference's Astha bus (server/astha: SQLite triggers →
     * __cdc_log → polling consumer → subscribers reacting to new

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.{IndexManager, QueryEngine}
+import graft.functions.Text
+import graft.functions.expressions.ArrayOps
+
+/** Streaming index maintenance (round-9 verdict item 5): a streaming
+  * ingest keeps persisted indexes fresh per micro-batch by committing
+  * through the engine's mutation funnel
+  * ([[graft.streaming.EventsStream.engineIngest]] →
+  * [[QueryEngine.appendBatch]] → registryChanged → IndexManager.sync).
+  *
+  * Load-bearing pins:
+  *  - after EVERY micro-batch, index content == the same materials
+  *    freshly computed from the current table (probe == scan-path,
+  *    the same contract IndexSpec pins for batch DML);
+  *  - each micro-batch emits exactly one CDC TableFiles event with its
+  *    row count — downstream consumers see streamed appends like any
+  *    other INSERT;
+  *  - the raw `.toTable`-shaped bypass is the documented counter-case:
+  *    files appended OUTSIDE the funnel are invisible to the index
+  *    until the next funnel-riding mutation syncs them (this is why
+  *    engineIngest exists).
+  */
+class StreamingIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val engine = new QueryEngine(spark)
+
+  private val Db = "sidxdb"
+
+  private def freshDocs(name: String): String = {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.$name")
+    engine.execute(
+      s"""CREATE TABLE $Db.$name (doc_id int64 NOT NULL, text string,
+         |  src string) STORAGE filesystem""".stripMargin)
+    s"$Db.$name"
+  }
+
+  private def scanBands(t: String): DataFrame =
+    spark.table(t)
+      .select(col("doc_id").as("key"),
+        ArrayOps.wordShingles(Text.tokens(col("text")), 2).as("sh"))
+      .where(size(col("sh")) >= 1)
+      .withColumn("mh", ArrayOps.minhashSig(col("sh"), 32))
+      .select(col("key"),
+        posexplode(Text.lshBandKeys(col("mh"), 8, 4)).as(Seq("band", "bh")))
+      .select(col("band"), col("bh"), col("key"))
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+      .sortBy(_.map(v => Option(v).map(_.toString).getOrElse("")).mkString("|"))
+
+  private def cdcCount(): Long =
+    engine.execute("SELECT count(*) FROM system.cdc_log")
+      .data.head.head.asInstanceOf[Long]
+
+  test("engineIngest: index == scan path after every micro-batch; one CDC event each") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = freshDocs("sdocs1")
+    engine.execute(s"INSERT INTO $t VALUES " +
+      "(1, 'the quick brown fox jumps over the lazy dog', 'web')")
+    engine.execute(s"CREATE INDEX sb1 ON $t (doc_id, text) USING bands")
+    assert(sortedRows(IndexManager.indexData(spark, t, "sb1")) ==
+      sortedRows(scanBands(t)), "fresh index != scan path")
+
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDF().toDF("doc_id", "text", "src")
+    val ck = java.nio.file.Files
+      .createTempDirectory("sidx_ck").toString
+    val q = graft.streaming.EventsStream.engineIngest(stream, engine, t)
+      .option("checkpointLocation", ck).start()
+    try {
+      val before = cdcCount()
+      input.addData(
+        (2L, "the quick brown fox jumps over the lazy cat", "web"),
+        (3L, "spark query join planning at warehouse scale", "book"))
+      q.processAllAvailable()
+      assert(spark.table(t).count() == 3)
+      assert(sortedRows(IndexManager.indexData(spark, t, "sb1")) ==
+        sortedRows(scanBands(t)), "post-batch-1 index != scan path")
+      assert(cdcCount() == before + 1,
+        "micro-batch 1 must emit exactly one TableFiles event")
+
+      input.addData(
+        (4L, "the quick brown fox jumps over the lazy dog", "crawl"))
+      q.processAllAvailable()
+      assert(sortedRows(IndexManager.indexData(spark, t, "sb1")) ==
+        sortedRows(scanBands(t)), "post-batch-2 index != scan path")
+      assert(cdcCount() == before + 2)
+
+      // probe face over streamed state: the planted near-dup group
+      // (1, 2, 4 share the fox sentence) pairs; the unrelated doc
+      // never does
+      val cands = IndexManager.bandCandidates(spark, t, "sb1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands.contains((1L, 4L)) && cands.contains((1L, 2L)))
+      assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+    } finally q.stop()
+  }
+
+  test("appendBatch resolves columns by name and rejects missing ones") {
+    import spark.implicits._
+    val t = freshDocs("sdocs2")
+    // scrambled column order + different case must land correctly
+    val scrambled = Seq(("web", "by-name resolution works", 7L))
+      .toDF("SRC", "Text", "DOC_ID")
+    val r = engine.appendBatch(t, scrambled)
+    assert(r.rowCount == 1 && r.message == "INSERT 1")
+    val row = spark.table(t).collect().head
+    assert(row.getAs[Long]("doc_id") == 7L &&
+      row.getAs[String]("text") == "by-name resolution works" &&
+      row.getAs[String]("src") == "web")
+    val missing = Seq((8L, "no src column")).toDF("doc_id", "text")
+    val e = intercept[Exception](engine.appendBatch(t, missing))
+    // the addressed error may arrive wrapped by the execution manager
+    assert(e.getMessage.contains("src") ||
+      Option(e.getCause).exists(_.getMessage.contains("src")))
+    assert(spark.table(t).count() == 1, "failed append must not commit rows")
+  }
+
+  test("bypass counter-case: files appended outside the funnel stay invisible until the next funnel mutation") {
+    import spark.implicits._
+    val t = freshDocs("sdocs3")
+    engine.execute(s"INSERT INTO $t VALUES " +
+      "(1, 'the quick brown fox jumps over the lazy dog', 'web')")
+    engine.execute(s"CREATE INDEX sb3 ON $t (doc_id, text) USING bands")
+    // raw append, no funnel (what a native .toTable sink does)
+    Seq((2L, "the quick brown fox jumps over the lazy cat", "web"))
+      .toDF("doc_id", "text", "src").write.insertInto(t)
+    spark.catalog.refreshTable(t)
+    assert(spark.table(t).count() == 2)
+    val idxKeys = IndexManager.indexData(spark, t, "sb3")
+      .select("key").distinct().as[Long].collect().toSet
+    assert(idxKeys == Set(1L),
+      s"bypass-appended doc must be missing from the index, got $idxKeys")
+    // the next funnel-riding mutation heals via the file diff
+    engine.appendBatch(t,
+      Seq((3L, "spark query join planning at warehouse scale", "book"))
+        .toDF("doc_id", "text", "src"))
+    assert(sortedRows(IndexManager.indexData(spark, t, "sb3")) ==
+      sortedRows(scanBands(t)), "funnel mutation must heal the bypass gap")
+  }
+}
