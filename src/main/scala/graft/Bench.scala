@@ -58,7 +58,7 @@ object Bench {
     * foreign memo would leave it cold for the concurrent passes,
     * whose timings assume every memo is warm (the
     * memoized_in_concurrent contract). The JSON flags the set. */
-  private val MemoBypass: Map[String, () => Unit] = Map(
+  private[graft] val MemoBypass: Map[String, () => Unit] = Map(
     "q61_dedup_clusters" -> (() => graft.operators.Dedup.clearClusterMemo()),
     "q89_bpe_merges" -> (() => graft.operators.Curation.clearBpeMemo()),
     "q89b_bpe_vocab" -> (() => graft.operators.Curation.clearBpeMemo()),

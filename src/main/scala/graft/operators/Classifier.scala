@@ -42,12 +42,13 @@ import graft.functions.Text
   * boundary noise), which is what gives the separation a real margin.
   *
   * Scale shape: the feature table is built once (one corpus pass +
-  * one count shuffle) and persisted across epochs — at 100 TB it
-  * would be a materialized table bucketed by shard. Each epoch is ONE
-  * Spark job: repartition by shard, sortWithinPartitions (external
-  * sort — a shard never has to fit in memory), one streaming fold per
-  * shard, and an S-row collect (the bounded-collect contract; compare
-  * Lloyd's k rows). Epoch count is a small constant — the q89
+  * one count shuffle), then repartitioned by shard and externally
+  * sorted ONCE (a shard never has to fit in memory) and cached in
+  * that layout — at 100 TB it would be a materialized table bucketed
+  * and sorted by (shard, doc_id). Each epoch is then ONE single-stage
+  * Spark job: one streaming fold per shard over the cached sorted
+  * partitions, and an S-row collect (the bounded-collect contract;
+  * compare Lloyd's k rows). Epoch count is a small constant — the q89
   * merge-per-round hazard does not apply. More shards = more
   * parallelism and a coarser mix; S is the only knob.
   */
@@ -159,17 +160,27 @@ object Classifier {
   private def mixEpochs(s: SparkSession, exDf: DataFrame,
                         init: Seq[Long], epochs: Int): Seq[Long] = {
       import s.implicits._
-      val ex = exDf.persist()
+      // The shard layout is epoch-INVARIANT — only the seed vector
+      // changes between rounds — so shuffle + external-sort ONCE and
+      // cache the sorted partitions (a cached partition replays rows
+      // in stored order, so the per-shard doc_id fold order is
+      // preserved). Every epoch is then a single-stage job: cache
+      // scan -> streaming fold -> S-row collect. Before this, each
+      // epoch re-ran the repartition+sort (two stages + a shuffle per
+      // epoch): with ~0.2 s of task time against multi-second walls,
+      // the operator's cost IS the per-epoch stage floor, and this
+      // halves it. At 100 TB the cached form is the same materialized
+      // shard-bucketed table the scale note above calls for.
+      val ex = exDf.repartition(S, col("sh"))
+        .sortWithinPartitions(col("sh"), col("doc_id"))
+        .select(col("sh"), col("y"), col("x"))
+        .as[(Long, Long, Seq[Long])]
+        .persist()
       try {
         var w = init
         for (_ <- 0 until epochs) {
           val seed = w.toArray
-          // one epoch = one job: each shard folds its docs in doc_id
-          // order (sort is external — shards stream, never collect)
-          val perShard = ex.repartition(S, col("sh"))
-            .sortWithinPartitions(col("sh"), col("doc_id"))
-            .select(col("sh"), col("y"), col("x"))
-            .as[(Long, Long, Seq[Long])]
+          val perShard = ex
             .mapPartitions { it =>
               val out =
                 scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]

@@ -146,6 +146,8 @@ object ScaleLab {
         probeIndexProbe(spark, dir)
       case "zonemap" :: dir :: Nil =>
         probeZonemap(spark, dir)
+      case "fullsuite" :: dir :: rest =>
+        probeFullSuite(spark, dir, rest.headOption)
       case "maintain" :: dir :: rest =>
         // q61d end-to-end replay (3 waves over a fresh state dir),
         // memo cleared per sample — the bench-sequential number
@@ -233,9 +235,46 @@ object ScaleLab {
     embReps.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // relational tables, so the FULL suite runs at the replica scale
+    // (round-9 verdict item 6). Dimensions are copied verbatim and the
+    // fact tables grow by disjoint key ranges against them — the
+    // realistic growth shape (10x the orders against the same customer
+    // base), and the one that keeps every dim join broadcast-able at
+    // any factor. orders/lineitem share ONE key offset so the
+    // order->line join degree distribution is preserved exactly.
+    // events grow by USERS (ids offset per replica): more keys with
+    // the same per-key volume, so per-user window/session state does
+    // not inflate with the factor (10x-fatter users would probe state
+    // skew, not scale).
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val orderOffset = orders.agg(max("o_orderkey")).collect()(0).getLong(0) + 1
+    def offsetReps(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      (0 until factor).map { r =>
+        shifts.foldLeft(df) { case (d, (c, off)) =>
+          d.withColumn(c, col(c) + lit(r * off)) }
+      }.reduce(_ unionAll _).repartition(32)
+    offsetReps(orders, Map("o_orderkey" -> orderOffset))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    offsetReps(spark.read.parquet(s"$src/lineitem.parquet"),
+      Map("l_orderkey" -> orderOffset))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val Seq(eventOffset, userOffset) = events
+      .agg(max("event_id"), max("user_id")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long] + 1)
+    offsetReps(events,
+      Map("event_id" -> eventOffset, "user_id" -> userOffset))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"REPLICATE done: $out x$factor " +
       s"docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
-      s"vecs=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+      s"vecs=${spark.read.parquet(s"$out/embeddings.parquet").count()} " +
+      s"lines=${spark.read.parquet(s"$out/lineitem.parquet").count()} " +
+      s"events=${spark.read.parquet(s"$out/events.parquet").count()}")
   }
 
   /** The shared probe protocol: materialize `df` through the noop
@@ -518,6 +557,62 @@ object ScaleLab {
       f"probe_bm25=${withIx("bm25")}%.3f scan_bm25=${scan("bm25")}%.3f " +
       f"probe_ivf=${withIx("ivf")}%.3f scan_ivf=${scan("ivf")}%.3f " +
       s"speedup: $ratios")
+  }
+
+  /** Full-suite scale point (round-9 verdict item 6): run EVERY
+    * SparkEntry query once, warm, sequentially, at the given
+    * (replicated) scale dir, with the bench's metrics listener
+    * attached — per-query wall + heavy-stage parallelism + serial
+    * suspects, exactly the idle-pass protocol Bench uses, minus the
+    * concurrent passes (a scale probe measures the PLANS' growth, not
+    * host throughput). Output: one JSON line (slowest-15 + suspects)
+    * and the full per-query record at `outPath` (default
+    * /tmp/FULLSUITE_<basename>.json) for the SCALING.md table. */
+  private def probeFullSuite(spark: SparkSession, dir: String,
+                             outPathOpt: Option[String]): Unit = {
+    val outPath = outPathOpt.getOrElse(
+      s"/tmp/FULLSUITE_${new java.io.File(dir).getName}.json")
+    val listener = new graft.bench.QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def run1(name: String,
+             fn: (SparkSession, String) => DataFrame): Double = {
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[fullsuite] $name failed: ${e.getMessage}")
+      }
+      finally spark.sparkContext.clearJobGroup()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val suite = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    suite.foreach { case (n, f) => run1(s"warmup-$n", f) }
+    listener.snapshotFullAndReset()
+    val t0 = System.nanoTime()
+    val sequential = suite.map { case (name, fn) =>
+      graft.Bench.MemoBypass.get(name).foreach(clear => clear())
+      name -> run1(name, fn)
+    }
+    val total = (System.nanoTime() - t0) / 1e9
+    listener.awaitQuiescent(maxWaitMs = 15000)
+    val snap = listener.snapshotFullAndReset()
+    val heavyPar = snap.heavyStagePar(listener.HeavyStageSec)
+    val suspects = heavyPar.filter(_._2 < 4.0).toSeq.sortBy(_._2)
+    def r3(v: Double): String = f"$v%.3f"
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    val full = s"""{"dir":"$dir","sequential_total":${r3(total)},""" +
+      s""""n_queries":${suite.length},""" +
+      s""""queries":${jmap(sequential)},""" +
+      s""""queries_heavy_stage_par":${jmap(heavyPar.toSeq.sortBy(_._1))},""" +
+      s""""serial_suspects":${jmap(suspects)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"probe":"fullsuite","dir":"$dir",""" +
+      s""""sequential_total":${r3(total)},""" +
+      s""""slowest":${jmap(sequential.sortBy(-_._2).take(15))},""" +
+      s""""serial_suspects":${jmap(suspects)},"full":"$outPath"}""")
   }
 
   /** SELECT-path zonemap file skipping A/B (round-10): ingest the
