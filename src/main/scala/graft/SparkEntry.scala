@@ -12,20 +12,36 @@ import graft.operators.{Classifier, Curation, Dedup, IndexedOps, Multimodal, Rel
   */
 object SparkEntry {
 
+  /** A queries/oracle pair contributed by one operator module. */
+  final case class Module(
+      name: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracleSql: Map[String, String])
+
+  /** Single registry of operator modules. SparkEntry.queries/oracleSql
+    * AND ContractSpec's uniqueness guard both derive from this list, so
+    * adding a module here is the only step — the guard cannot drift. */
+  val modules: Seq[Module] = Seq(
+    Module("Relational", Relational.queries, Relational.oracleSql),
+    Module("TextAnalysis", TextAnalysis.queries, TextAnalysis.oracleSql),
+    Module("Dedup", Dedup.queries, Dedup.oracleSql),
+    Module("Similarity", Similarity.queries, Similarity.oracleSql),
+    Module("Multimodal", Multimodal.queries, Multimodal.oracleSql),
+    Module("Curation", Curation.queries, Curation.oracleSql),
+    Module("Search", Search.queries, Search.oracleSql),
+    Module("Classifier", Classifier.queries, Classifier.oracleSql),
+    Module("IndexedOps", IndexedOps.queries, IndexedOps.oracleSql))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.queries("q7_join_multiway")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Curation.queries ++
-      Search.queries ++ Classifier.queries ++ IndexedOps.queries
+    modules.map(_.queries).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ Multimodal.oracleSql ++ Curation.oracleSql ++
-      Search.oracleSql ++ Classifier.oracleSql ++ IndexedOps.oracleSql
+    modules.map(_.oracleSql).reduce(_ ++ _)
 }

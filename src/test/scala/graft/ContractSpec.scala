@@ -16,15 +16,15 @@ class ContractSpec extends AnyFunSuite {
 
   test("query names are unique across operator modules") {
     // Map ++ silently overwrites duplicate keys — a name collision
-    // between modules would shadow one operator's entry entirely
-    val all = Seq(
-      graft.operators.Relational.queries, graft.operators.TextAnalysis.queries,
-      graft.operators.Dedup.queries, graft.operators.Similarity.queries,
-      graft.operators.Multimodal.queries, graft.operators.Curation.queries,
-      graft.operators.Search.queries, graft.operators.Classifier.queries)
-    val names = all.flatMap(_.keys)
+    // between modules would shadow one operator's entry entirely.
+    // The module list comes from SparkEntry.modules (the same registry
+    // that builds SparkEntry.queries), so a new module cannot skip this
+    // guard by omission.
+    val names = SparkEntry.modules.flatMap(_.queries.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
     assert(names.size == SparkEntry.queries.size)
+    // And the registry must actually be what SparkEntry serves.
+    assert(names.toSet == SparkEntry.queries.keySet)
   }
 }

@@ -113,6 +113,46 @@ class ZonemapSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("lossy Int/Long→Float cast predicates keep matching files (r10 hole)") {
+    // Spark 4's own comparison coercion promotes long-vs-float to
+    // DOUBLE (verified: `Filter (cast(id AS DOUBLE) = cast(floatLit AS
+    // DOUBLE))`), but an EXPLICIT `CAST(col AS FLOAT)` predicate still
+    // reaches the rule, and cast-to-float rounds each row by up to
+    // half a FLOAT ulp — 2^16 at magnitude 2^40. A file whose only
+    // value is 2^40 + 2^16 must NOT be pruned for the literal
+    // float(2^40): the row's cast value ties-to-even onto the literal.
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.t6")
+    engine.execute(
+      s"""CREATE TABLE $Db.t6 (id int64 NOT NULL, v string)
+         |STORAGE filesystem""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.t6 VALUES (1099511693312, 'near')") // 2^40 + 2^16
+    engine.execute(s"INSERT INTO $Db.t6 VALUES (5, 'far')")
+    engine.execute(s"CREATE INDEX zi ON $Db.t6 (id)")
+
+    val q = s"SELECT v FROM $Db.t6 WHERE CAST(id AS FLOAT) = CAST(1099511627776 AS FLOAT)" // 2^40
+    val df = spark.sql(q)
+    assert(rows(df) == Seq(Seq("near")), "float-rounded match must survive pruning")
+    // ...while pruning through the float cast still works: the file
+    // holding only 5 is provably empty even under the float envelope.
+    assert(scanFileCount(df) == 1L,
+      "far file should still prune under the float-widened envelope")
+
+    // The ADVICE int-column example: cast(16777217 AS FLOAT) == 16777216f.
+    engine.execute(s"DROP TABLE IF EXISTS $Db.t7")
+    engine.execute(
+      s"""CREATE TABLE $Db.t7 (k int32 NOT NULL, v string)
+         |STORAGE filesystem""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.t7 VALUES (16777217, 'edge')")
+    engine.execute(s"INSERT INTO $Db.t7 VALUES (1, 'low')")
+    engine.execute(s"CREATE INDEX zi ON $Db.t7 (k)")
+    val df2 = spark.sql(
+      s"SELECT v FROM $Db.t7 WHERE CAST(k AS FLOAT) = CAST(16777216 AS FLOAT)")
+    assert(rows(df2) == Seq(Seq("edge")),
+      "int value one past float precision must survive pruning")
+    assert(scanFileCount(df2) == 1L, "low file still prunes")
+  }
+
   test("exact file-min boundary value survives (one-ulp envelope)") {
     val t = freshTable("t5")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
