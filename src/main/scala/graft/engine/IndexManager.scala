@@ -634,15 +634,22 @@ object IndexManager {
       .select(col("key"), col("dv"))
   }
 
-  /** Per-file numeric zonemap bounds for the SELECT-path pruning rule:
-    * fileHash → (lowercased column → (mn_num, mx_num)), unioned over
+  /** One column's zonemap envelope for one file: numeric [mn, mx]
+    * (double-rounded true extrema; absent for non-castable values) and
+    * textual [mn, mx] (exact for string columns — for numeric columns
+    * it is a rendering and must not be used for ordering). */
+  final case class ZoneBounds(num: Option[(Double, Double)],
+                              str: Option[(String, String)])
+
+  /** Per-file zonemap bounds for the SELECT-path pruning rule:
+    * fileHash → (lowercased column → [[ZoneBounds]]), unioned over
     * every FRESH zonemap index on `qualified` that covers any of
     * `cols`. Files without a bounds row simply don't appear (the rule
     * keeps them — pruning needs positive evidence). Empty map when no
     * usable zonemap exists, so callers can bail without a job. */
   private[graft] def zonemapFileBounds(
       spark: SparkSession, qualified: String,
-      cols: Set[String]): Map[String, Map[String, (Double, Double)]] = {
+      cols: Set[String]): Map[String, Map[String, ZoneBounds]] = {
     val metas = indexesOf(spark, qualified).filter(m =>
       m.kind == "zonemap" && !isStale(spark, qualified, m.name) &&
         m.cols.exists(c => cols.contains(c.toLowerCase)))
@@ -665,30 +672,44 @@ object IndexManager {
     }.mkString(";")
     val cacheKey = (spark.conf.get("spark.sql.warehouse.dir"),
       qualified.toLowerCase, cols.toSeq.sorted.mkString(","))
-    val cached = boundsCache.get(cacheKey)
+    val cached = boundsCache.synchronized(boundsCache.get(cacheKey))
     if (cached != null && cached._1 == fp) return cached._2
     val rows = metas.flatMap { m =>
       val dataDir = new Path(indexDir(spark, qualified, m.name), "data")
       if (!filesys.exists(dataDir)) Seq.empty
       else spark.read.parquet(dataDir.toString)
         .where(lower(col("col")).isin(cols.toSeq: _*))
-        .where(col("mn_num").isNotNull && col("mx_num").isNotNull)
+        .where(col("mn_num").isNotNull || col("mn").isNotNull)
         .select(col("f").cast("string"), lower(col("col")),
-          col("mn_num"), col("mx_num"))
+          col("mn_num"), col("mx_num"), col("mn"), col("mx"))
         .collect().toSeq
-        .map(r => (r.getString(0), r.getString(1),
-          r.getDouble(2), r.getDouble(3)))
+        .map(r => (r.getString(0), r.getString(1), ZoneBounds(
+          num = if (r.isNullAt(2) || r.isNullAt(3)) None
+                else Some((r.getDouble(2), r.getDouble(3))),
+          str = if (r.isNullAt(4) || r.isNullAt(5)) None
+                else Some((r.getString(4), r.getString(5))))))
     }
     val out = rows.groupBy(_._1).map { case (f, rs) =>
-      f -> rs.map(r => r._2 -> (r._3, r._4)).toMap
+      f -> rs.map(r => r._2 -> r._3).toMap
     }
-    boundsCache.put(cacheKey, (fp, out))
+    boundsCache.synchronized(boundsCache.put(cacheKey, (fp, out)))
     out
   }
 
-  private val boundsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String),
-    (String, Map[String, Map[String, (Double, Double)]])]()
+  /** Bounded LRU (access-order): a long-lived server session planning
+    * over many tables/column sets must not accumulate per-file bounds
+    * maps in driver memory forever — including for dropped tables. A
+    * capacity eviction only costs the next query of that key one small
+    * re-read; correctness rides the fingerprint, not residency. */
+  private val BoundsCacheCap = 256
+  private val boundsCache = new java.util.LinkedHashMap[
+      (String, String, String),
+      (String, Map[String, Map[String, ZoneBounds]])](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String, String),
+          (String, Map[String, Map[String, ZoneBounds]])]): Boolean =
+      size() > BoundsCacheCap
+  }
 
   /** Files a `zonemap` index proves CANNOT contain `value` for an
     * equality predicate on `column` — returned as the surviving shard

@@ -1,12 +1,11 @@
 package graft.plans
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{CatalogFileIndex, HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
 
 import graft.engine.IndexManager
@@ -28,12 +27,22 @@ import graft.engine.IndexManager
   * Iceberg manifest pruning / Hyperspace's file-filter indexes).
   *
   * Soundness envelope (everything else passes through untouched):
-  *  - only unpartitioned `HadoopFsRelation` catalog scans (partition
-  *    columns aren't in the files, so their zonemaps would be null —
-  *    and partitioned tables already get Catalyst partition pruning);
-  *  - only deterministic conjuncts of {=, <, <=, >, >=, IN} between
+  *  - `HadoopFsRelation` catalog scans, partitioned or not. On a
+  *    partitioned table only DATA-column conjuncts contribute zonemap
+  *    evidence (partition columns aren't in the files — CREATE INDEX
+  *    rejects them); static partition filters are applied first via
+  *    CatalogFileIndex.filterPartitions (the same API Spark's own
+  *    PruneFileSourcePartitions uses, which otherwise would not run on
+  *    a relation this rule has rewritten), and dynamic partition
+  *    pruning still composes through ZonemapPrunedFileIndex's
+  *    listFiles delegation;
+  *  - deterministic conjuncts of {=, <, <=, >, >=, IN} between
   *    the indexed column (bare, or under a provably MONOTONE widening
   *    cast) and a foldable numeric literal;
+  *  - the same conjunct shapes plus LIKE-prefix (StartsWith) between a
+  *    bare DEFAULT-collation string column and a string literal,
+  *    tested against the exact textual bounds in UTF-8 byte order
+  *    (the order the min/max that built the bounds used);
   *  - bounds are compared after one-ulp widening (`Math.nextDown`/
   *    `nextUp`) because mn_num/mx_num are the true extrema rounded to
   *    DOUBLE — an int64 min above 2^53 may round up, and pruning must
@@ -68,8 +77,12 @@ final class ZonemapPruneRule(session: SparkSession)
   /** The pruned replacement relation, or None when nothing prunes. */
   private def pruned(cond: Expression, l: LogicalRelation,
                      rel: HadoopFsRelation): Option[LogicalRelation] = {
-    if (rel.partitionSchema.nonEmpty) return None
-    val constrained = extractPreds(splitConjunctivePredicates(cond))
+    // Partition columns live in directory names, not data files — a
+    // zonemap cannot exist for them (rejected at CREATE INDEX), so
+    // only data-column conjuncts contribute evidence.
+    val partCols = rel.partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    val constrained =
+      extractPreds(splitConjunctivePredicates(cond)) -- partCols
     if (constrained.isEmpty) return None
     val cat = l.catalogTable.get
     val qualified = cat.identifier.database
@@ -78,7 +91,23 @@ final class ZonemapPruneRule(session: SparkSession)
     val bounds =
       IndexManager.zonemapFileBounds(session, qualified, constrained.keySet)
     if (bounds.isEmpty) return None
-    val live = rel.location.inputFiles
+    // The listing to prune. A partitioned catalog table still carries
+    // its lazy CatalogFileIndex at this point (PruneFileSourcePartitions
+    // runs AFTER every injectable optimizer batch), so apply the static
+    // partition filters ourselves through the same filterPartitions API
+    // Spark's rule uses — zonemap evidence then only has to carry the
+    // partition-surviving files, and the replacement index keeps good
+    // stats. Dynamic partition pruning still composes: the wrapper
+    // forwards runtime partition filters to this listing's listFiles.
+    val base: org.apache.spark.sql.execution.datasources.FileIndex =
+      rel.location match {
+        case c: CatalogFileIndex =>
+          val pf = partitionConjuncts(cond, partCols)
+          try c.filterPartitions(pf)
+          catch { case _: Exception => c.filterPartitions(Nil) }
+        case other => other
+      }
+    val live = base.inputFiles
     val maxFiles = session.conf
       .getOption("spark.graft.zonemap.select.maxFiles")
       .map(_.toInt).getOrElse(1000000)
@@ -88,21 +117,34 @@ final class ZonemapPruneRule(session: SparkSession)
         case None => true // no evidence -> keep
         case Some(colBounds) =>
           !constrained.exists { case (c, preds) =>
-            colBounds.get(c).exists { case (mn, mx) =>
-              preds.exists(_.provablyEmpty(mn, mx)) } }
+            colBounds.get(c).exists(b =>
+              preds.exists(_.provablyEmpty(b))) }
       }
     }
+    // No zonemap evidence pruned anything: leave the relation alone
+    // (for a CatalogFileIndex, Spark's own PruneFileSourcePartitions
+    // then does the partition pruning it is looking for).
     if (survivors.length == live.length) return None
     logInfo(s"zonemap pruning $qualified: ${live.length} -> " +
       s"${survivors.length} files for $cond")
-    val loc = new InMemoryFileIndex(session,
-      survivors.map(new Path(_)).toIndexedSeq, rel.options,
-      Some(rel.dataSchema))
+    val loc = new ZonemapPrunedFileIndex(base, survivors.toSet)
     val newRel = l.copy(relation = rel.copy(location = loc)(session))
     newRel.setTagValue(Examined, true)
     newRel.setTagValue(PrunedTo, survivors.length)
     Some(newRel)
   }
+
+  /** Deterministic conjuncts over partition columns only — safe to
+    * hand to CatalogFileIndex.filterPartitions. Subquery-bearing
+    * predicates (incl. dynamic pruning) are excluded; they are served
+    * at runtime through the wrapper's listFiles delegation. */
+  private def partitionConjuncts(cond: Expression,
+                                 partCols: Set[String]): Seq[Expression] =
+    splitConjunctivePredicates(cond).filter { p =>
+      p.deterministic && p.references.nonEmpty &&
+        p.references.forall(a => partCols.contains(a.name.toLowerCase)) &&
+        !p.exists(_.isInstanceOf[PlanExpression[_]])
+    }
 
   /** lowercased column → usable predicates; only conjuncts inside the
     * soundness envelope contribute. */
@@ -121,13 +163,26 @@ final class ZonemapPruneRule(session: SparkSession)
       case LessThanOrEqual(NumLit(v), ZonemapCol(c, f)) => Seq(c -> adapt(f, Ge(v)))
       case In(ZonemapCol(c, f), vs) if vs.forall(NumLit.unapply(_).isDefined) =>
         Seq(c -> adapt(f, InSet(vs.map(NumLit.unapply(_).get))))
+      case EqualTo(StrCol(c), StrLit(v)) => Seq(c -> SEq(v))
+      case EqualTo(StrLit(v), StrCol(c)) => Seq(c -> SEq(v))
+      case GreaterThan(StrCol(c), StrLit(v)) => Seq(c -> SGt(v))
+      case GreaterThan(StrLit(v), StrCol(c)) => Seq(c -> SLt(v))
+      case GreaterThanOrEqual(StrCol(c), StrLit(v)) => Seq(c -> SGe(v))
+      case GreaterThanOrEqual(StrLit(v), StrCol(c)) => Seq(c -> SLe(v))
+      case LessThan(StrCol(c), StrLit(v)) => Seq(c -> SLt(v))
+      case LessThan(StrLit(v), StrCol(c)) => Seq(c -> SGt(v))
+      case LessThanOrEqual(StrCol(c), StrLit(v)) => Seq(c -> SLe(v))
+      case LessThanOrEqual(StrLit(v), StrCol(c)) => Seq(c -> SGe(v))
+      case In(StrCol(c), vs) if vs.forall(StrLit.unapply(_).isDefined) =>
+        Seq(c -> SIn(vs.map(StrLit.unapply(_).get)))
+      case StartsWith(StrCol(c), StrLit(p)) => Seq(c -> SPrefix(p))
       case _ => Seq.empty
     }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2) }
 
   /** Predicates reached through a lossy →FLOAT cast compare against
     * float-rounded row values, so their emptiness tests must run over
     * the float-rounded (and float-ulp-widened) bounds envelope. */
-  private def adapt(viaFloat: Boolean, p: Pred): Pred =
+  private def adapt(viaFloat: Boolean, p: NumPred): NumPred =
     if (viaFloat) ViaFloat(p) else p
 }
 
@@ -140,37 +195,46 @@ object ZonemapPruneRule {
   /** Surviving file count after pruning — observable by specs. */
   val PrunedTo: TreeNodeTag[Int] = TreeNodeTag[Int]("graft.zonemap.prunedTo")
 
-  /** Zonemap-provable emptiness tests over a file's true-value range
-    * [MN, MX], given only the DOUBLE-rounded (mn, mx). One-ulp
-    * widening: mn ∈ {nextUp(MN'), MN', nextDown? } — round-to-nearest
+  /** Zonemap-provable emptiness test over one file's [[ZoneBounds]].
+    * Numeric predicates consult the numeric envelope, string
+    * predicates the textual one; a predicate whose envelope side is
+    * absent proves nothing (the file is kept). */
+  private[plans] sealed trait Pred {
+    def provablyEmpty(b: IndexManager.ZoneBounds): Boolean
+  }
+
+  /** Numeric tests over a file's true-value range [MN, MX], given only
+    * the DOUBLE-rounded (mn, mx). One-ulp widening: round-to-nearest
     * guarantees MN ≥ nextDown(mn) and MX ≤ nextUp(mx), so tests are
     * phrased against that widened envelope. */
-  private[plans] sealed trait Pred {
-    def provablyEmpty(mn: Double, mx: Double): Boolean
+  private[plans] sealed trait NumPred extends Pred {
+    def emptyOn(mn: Double, mx: Double): Boolean
+    final def provablyEmpty(b: IndexManager.ZoneBounds): Boolean =
+      b.num.exists { case (mn, mx) => emptyOn(mn, mx) }
   }
-  private[plans] final case class Eq(v: Double) extends Pred {
-    def provablyEmpty(mn: Double, mx: Double): Boolean =
+  private[plans] final case class Eq(v: Double) extends NumPred {
+    def emptyOn(mn: Double, mx: Double): Boolean =
       Math.nextDown(mn) > v || Math.nextUp(mx) < v
   }
-  private[plans] final case class Gt(v: Double) extends Pred {
-    def provablyEmpty(mn: Double, mx: Double): Boolean =
+  private[plans] final case class Gt(v: Double) extends NumPred {
+    def emptyOn(mn: Double, mx: Double): Boolean =
       Math.nextUp(mx) <= v
   }
-  private[plans] final case class Ge(v: Double) extends Pred {
-    def provablyEmpty(mn: Double, mx: Double): Boolean =
+  private[plans] final case class Ge(v: Double) extends NumPred {
+    def emptyOn(mn: Double, mx: Double): Boolean =
       Math.nextUp(mx) < v
   }
-  private[plans] final case class Lt(v: Double) extends Pred {
-    def provablyEmpty(mn: Double, mx: Double): Boolean =
+  private[plans] final case class Lt(v: Double) extends NumPred {
+    def emptyOn(mn: Double, mx: Double): Boolean =
       Math.nextDown(mn) >= v
   }
-  private[plans] final case class Le(v: Double) extends Pred {
-    def provablyEmpty(mn: Double, mx: Double): Boolean =
+  private[plans] final case class Le(v: Double) extends NumPred {
+    def emptyOn(mn: Double, mx: Double): Boolean =
       Math.nextDown(mn) > v
   }
-  private[plans] final case class InSet(vs: Seq[Double]) extends Pred {
-    def provablyEmpty(mn: Double, mx: Double): Boolean =
-      vs.forall(v => Eq(v).provablyEmpty(mn, mx))
+  private[plans] final case class InSet(vs: Seq[Double]) extends NumPred {
+    def emptyOn(mn: Double, mx: Double): Boolean =
+      vs.forall(v => Eq(v).emptyOn(mn, mx))
   }
 
   /** Envelope adapter for predicates over `cast(intCol AS FLOAT)` /
@@ -184,11 +248,88 @@ object ZonemapPruneRule {
     * (bounds are double-rounded extrema), nextDown(mn.toFloat) /
     * nextUp(mx.toFloat) — float-space neighbors — bound it soundly.
     * Double→Float overflow saturates to ±Infinity, which only widens. */
-  private[plans] final case class ViaFloat(p: Pred) extends Pred {
-    def provablyEmpty(mn: Double, mx: Double): Boolean =
-      p.provablyEmpty(
+  private[plans] final case class ViaFloat(p: NumPred) extends NumPred {
+    def emptyOn(mn: Double, mx: Double): Boolean =
+      p.emptyOn(
         Math.nextDown(mn.toFloat).toDouble,
         Math.nextUp(mx.toFloat).toDouble)
+  }
+
+  /** String tests over the EXACT textual [mn, mx] (no rounding, no
+    * widening). Ordering is unsigned UTF-8 byte lexicographic — the
+    * same total order UTF8String.compareTo imposes, which is the order
+    * the min/max aggregates that BUILT the bounds used. Java
+    * String.compareTo (UTF-16 code units) disagrees with it above the
+    * BMP, so comparisons run over raw UTF-8 bytes. */
+  private[plans] sealed trait StrPred extends Pred {
+    def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean
+    final def provablyEmpty(b: IndexManager.ZoneBounds): Boolean =
+      b.str.exists { case (mn, mx) => emptyOn(utf8(mn), utf8(mx)) }
+  }
+  private[plans] final case class SEq(v: Array[Byte]) extends StrPred {
+    def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean =
+      cmpUtf8(v, mn) < 0 || cmpUtf8(v, mx) > 0
+  }
+  private[plans] final case class SGt(v: Array[Byte]) extends StrPred {
+    def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean =
+      cmpUtf8(mx, v) <= 0
+  }
+  private[plans] final case class SGe(v: Array[Byte]) extends StrPred {
+    def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean =
+      cmpUtf8(mx, v) < 0
+  }
+  private[plans] final case class SLt(v: Array[Byte]) extends StrPred {
+    def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean =
+      cmpUtf8(mn, v) >= 0
+  }
+  private[plans] final case class SLe(v: Array[Byte]) extends StrPred {
+    def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean =
+      cmpUtf8(mn, v) > 0
+  }
+  private[plans] final case class SIn(vs: Seq[Array[Byte]]) extends StrPred {
+    def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean =
+      vs.forall(v => SEq(v).emptyOn(mn, mx))
+  }
+
+  /** `col LIKE 'p%'` (Catalyst simplifies it to StartsWith): matching
+    * strings lie in [p, nextPrefix(p)) byte-lexicographically, so a
+    * file is empty when mx < p or mn ≥ nextPrefix(p). When p is all
+    * 0xff bytes there is no upper prefix bound — only the lower test
+    * applies. */
+  private[plans] final case class SPrefix(p: Array[Byte]) extends StrPred {
+    def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean =
+      cmpUtf8(mx, p) < 0 ||
+        nextPrefix(p).exists(np => cmpUtf8(mn, np) >= 0)
+  }
+
+  private[plans] def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Unsigned byte lexicographic, shorter-is-smaller on equal prefix —
+    * exactly UTF8String's binary comparison. */
+  private[plans] def cmpUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Smallest byte string strictly greater than every string with
+    * prefix `p`: increment the last non-0xff byte, truncate after it.
+    * None when p is empty or all 0xff. */
+  private[plans] def nextPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
   }
 
   /** The indexed column: a bare numeric attribute, or one under a
@@ -253,6 +394,28 @@ object ZonemapPruneRule {
         case _ if rank(from) > 0 && rank(to) > 0 => rank(from) <= rank(to)
         case _ => false
       }
+  }
+
+  /** A bare string attribute under the DEFAULT (UTF8_BINARY)
+    * collation — any other collation orders differently from the
+    * byte-lexicographic bounds, and casts to/from string are not
+    * order-preserving, so only the bare default-collated column is
+    * admitted. */
+  private object StrCol {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference if a.dataType == StringType =>
+        Some(a.name.toLowerCase)
+      case _ => None
+    }
+  }
+
+  /** A non-null default-collation string literal as UTF-8 bytes. */
+  private object StrLit {
+    def unapply(e: Expression): Option[Array[Byte]] = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+          if s != null => Some(s.getBytes.clone())
+      case _ => None
+    }
   }
 
   /** A foldable numeric literal as a double. Int64 literals above

@@ -153,6 +153,83 @@ class ZonemapSelectSpec extends AnyFunSuite {
     assert(scanFileCount(df2) == 1L, "low file still prunes")
   }
 
+  test("data-column predicates prune files on a PARTITIONED table (r10 Next #4)") {
+    // Partition pruning serves p; zonemap must additionally skip files
+    // WITHIN the surviving partitions on data-column predicates — the
+    // dominant warehouse layout at scale.
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.pt")
+    engine.execute(
+      s"""CREATE TABLE $Db.pt (id int64 NOT NULL, v string, p string)
+         |STORAGE filesystem PARTITION BY (p)""".stripMargin)
+    // 4 inserts × 2 partitions = 8 files; ids of insert i: 'a' gets
+    // [i*100, i*100+4], 'b' gets [i*100+5, i*100+9]
+    for (i <- 0 until 4) {
+      val a = (0 until 5).map(k => s"(${i * 100 + k}, 'row ${i * 100 + k}', 'a')")
+      val b = (5 until 10).map(k => s"(${i * 100 + k}, 'row ${i * 100 + k}', 'b')")
+      engine.execute(s"INSERT INTO $Db.pt VALUES ${(a ++ b).mkString(", ")}")
+    }
+    val total = spark.table(s"$Db.pt").inputFiles.length.toLong
+    assert(total >= 8, s"fixture must span multiple files per partition, got $total")
+    engine.execute(s"CREATE INDEX zi ON $Db.pt (id)")
+
+    // data-only predicate: survives only insert-1's 'b' file
+    val q1 = s"SELECT id, v, p FROM $Db.pt WHERE id = 105"
+    val df1 = spark.sql(q1)
+    assert(rows(df1) == withRuleOff(rows(spark.sql(q1))), "results must match")
+    assert(rows(df1) == Seq(Seq(105L, "row 105", "b")))
+    assert(scanFileCount(df1) < total,
+      s"expected file skipping on partitioned table, read ${scanFileCount(df1)}/$total")
+
+    // partition + data predicate: partition filter composes with zonemap
+    val q2 = s"SELECT id FROM $Db.pt WHERE p = 'a' AND id = 102"
+    val df2 = spark.sql(q2)
+    assert(rows(df2) == Seq(Seq(102L)))
+    assert(rows(df2) == withRuleOff(rows(spark.sql(q2))))
+    assert(scanFileCount(df2) == 1L,
+      s"partition pruning + zonemap should reach 1 file, got ${scanFileCount(df2)}")
+
+    // partition-only predicate: rule must leave the relation to
+    // Spark's own partition pruning (identical results, 4 'b' files)
+    val q3 = s"SELECT count(*) AS n FROM $Db.pt WHERE p = 'b'"
+    assert(spark.sql(q3).collect()(0).getLong(0) == 20L)
+  }
+
+  test("string-column bounds prune files (eq, range, LIKE-prefix)") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.st")
+    engine.execute(
+      s"""CREATE TABLE $Db.st (id int64 NOT NULL, s string)
+         |STORAGE filesystem""".stripMargin)
+    // three files with disjoint lexicographic ranges
+    engine.execute(s"INSERT INTO $Db.st VALUES " +
+      (0 until 8).map(i => s"($i, 'apple$i')").mkString(", "))
+    engine.execute(s"INSERT INTO $Db.st VALUES " +
+      (10 until 18).map(i => s"($i, 'banana${i - 10}')").mkString(", "))
+    engine.execute(s"INSERT INTO $Db.st VALUES " +
+      (20 until 28).map(i => s"($i, 'cherry${i - 20}')").mkString(", "))
+    engine.execute(s"CREATE INDEX zs ON $Db.st (s)")
+    val total = spark.table(s"$Db.st").inputFiles.length.toLong
+    assert(total >= 3)
+
+    for (pred <- Seq("s = 'banana3'", "s < 'b'", "s >= 'cherry'",
+                     "s LIKE 'banana%'", "s IN ('apple1', 'apple5')")) {
+      val q = s"SELECT id, s FROM $Db.st WHERE $pred"
+      val df = spark.sql(q)
+      val (fullFiles, fullRows) = withRuleOff {
+        val d = spark.sql(q); (scanFileCount(d), rows(d))
+      }
+      assert(fullFiles == total, s"$pred: kill switch must not prune")
+      assert(scanFileCount(df) < total,
+        s"$pred: expected string pruning, read ${scanFileCount(df)}/$total")
+      assert(rows(df) == fullRows, s"$pred: pruned results differ")
+      assert(rows(df).nonEmpty, s"$pred: fixture should match rows")
+    }
+    // boundary: exact min of a file must survive
+    assert(spark.sql(s"SELECT count(*) AS n FROM $Db.st WHERE s = 'apple0'")
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("exact file-min boundary value survives (one-ulp envelope)") {
     val t = freshTable("t5")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
