@@ -86,8 +86,8 @@ final class QueryEngine(val spark: SparkSession,
   def execute(sql: String, onStart: String => Unit): QueryResult = {
     val info = executions.register(sql)
     onStart(info.id)
-    executions.run(info)(route(rewriteSysFuncs(
-      sql.trim.stripSuffix(";").trim), info.id))
+    executions.run(info)(route(rewriteIndexProbes(rewriteSysFuncs(
+      sql.trim.stripSuffix(";").trim)), info.id))
   }
 
   /** SELECT-family statements streamed through `sink` with bounded
@@ -101,7 +101,8 @@ final class QueryEngine(val spark: SparkSession,
     * the truncation message are still populated. */
   def executeStreamed(sql0: String, onStart: String => Unit = _ => ())
                      (sink: (Seq[String], Iterator[Seq[Any]]) => Unit): QueryResult = {
-    val sql = rewriteSysFuncs(sql0.trim.stripSuffix(";").trim)
+    val sql = rewriteIndexProbes(rewriteSysFuncs(
+      sql0.trim.stripSuffix(";").trim))
     if (!Set("SELECT", "WITH", "VALUES", "TABLE").contains(head(sql)))
       execute(sql0, onStart)
     else {
@@ -145,6 +146,123 @@ final class QueryEngine(val spark: SparkSession,
           "date_format(current_timestamp(), 'HH:mm:ss')")
         .replaceAll("(?i)\\bGENERATE_UUID\\b(\\(\\))?", "uuid()")
     }
+
+  /** SQL statement face for the persisted-index probes (r10 verdict
+    * "Next #5"): an `INDEX_PROBE(...)` table function in FROM position
+    * is rewritten to a temp view over the engine's index-aware
+    * analytic faces, so protocol clients (HTTP / pg-wire / native /
+    * REPL) reach the indexes with SQL text alone — the way every
+    * reference query arrives (server/query/engine.go:108). Because the
+    * result is an ordinary view reference, the probe composes with any
+    * surrounding SELECT (WHERE / JOIN / ORDER BY / EXPLAIN).
+    *
+    * Forms (args may be bare identifiers or 'quoted'):
+    *   INDEX_PROBE(t, 'neardup', keyCol, textCol)
+    *     → (doc1, doc2) LSH candidate pairs (rides a `bands` index)
+    *   INDEX_PROBE(t, 'bm25', keyCol, textCol, 'space separated terms'[, k])
+    *     → BM25 top-k (rides a `postings` index)
+    *   INDEX_PROBE(t, 'ann', keyCol, vecCol, 'key1 key2 …'[, k[, nprobe]])
+    *     → (query_id, neighbor_id, cosine) (rides an `ivf` index)
+    *
+    * Each face falls back to the identical scan-path computation when
+    * no matching fresh index exists — same answer, no index required. */
+  private def rewriteIndexProbes(sql: String): String = {
+    if (!sql.toUpperCase.contains("INDEX_PROBE")) return sql
+    // only a match OUTSIDE string literals is a probe call (an odd
+    // number of quotes before it means it sits inside one)
+    val m = """(?i)\bINDEX_PROBE\s*\(""".r.findAllMatchIn(sql)
+      .find(mm => sql.substring(0, mm.start).count(_ == '\'') % 2 == 0)
+      .getOrElse(return sql)
+    // scan to the matching ')' respecting single-quoted literals
+    var i = m.end
+    var depth = 1
+    val n = sql.length
+    while (i < n && depth > 0) {
+      sql.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < n && (sql.charAt(i) != '\'' ||
+            (i + 1 < n && sql.charAt(i + 1) == '\''))) {
+            if (sql.charAt(i) == '\'') i += 2 else i += 1
+          }
+          i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ => i += 1
+      }
+    }
+    require(depth == 0, "INDEX_PROBE: unbalanced parentheses")
+    val argStr = sql.substring(m.end, i - 1)
+    val args = splitTopLevelArgs(argStr).map(stripArg)
+    require(args.length >= 2,
+      "INDEX_PROBE needs at least (table, kind)")
+    val view = "graft_probe_" + java.security.MessageDigest
+      .getInstance("MD5").digest(argStr.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val df = args(1).toLowerCase match {
+      case "neardup" =>
+        require(args.length == 4,
+          "INDEX_PROBE(t, 'neardup', keyCol, textCol)")
+        nearDupCandidates(args(0), args(2), args(3))
+      case "bm25" =>
+        require(args.length == 5 || args.length == 6,
+          "INDEX_PROBE(t, 'bm25', keyCol, textCol, 'terms'[, k])")
+        val k = if (args.length == 6) args(5).toInt else 15
+        bm25Search(args(0), args(2), args(3),
+          graft.operators.Search.Bm25Params(
+            args(4).trim.split("\\s+").toSeq.filter(_.nonEmpty), k))
+      case "ann" =>
+        require(args.length >= 5 && args.length <= 7,
+          "INDEX_PROBE(t, 'ann', keyCol, vecCol, 'keys'[, k[, nprobe]])")
+        val keys = args(4).trim.split("[,\\s]+").toSeq
+          .filter(_.nonEmpty).map(_.toLong)
+        val k = if (args.length >= 6) args(5).toInt else 5
+        val np = if (args.length >= 7) args(6).toInt else 4
+        annNeighbors(args(0), args(2), args(3), keys, k, np)
+      case other => throw new IllegalArgumentException(
+        s"INDEX_PROBE kind '$other' (expected neardup, bm25 or ann)")
+    }
+    df.createOrReplaceTempView(view)
+    // recurse: several probes may appear in one statement
+    rewriteIndexProbes(sql.substring(0, m.start) + view + sql.substring(i))
+  }
+
+  /** Top-level comma split of an argument list, ignoring commas inside
+    * single-quoted literals and nested parens. */
+  private def splitTopLevelArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inQ = false
+        }
+      } else c match {
+        case '\'' => inQ = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** An INDEX_PROBE argument: 'quoted' (with '' escape), `backticked`,
+    * or a bare token. */
+  private def stripArg(a: String): String =
+    if (a.length >= 2 && a.head == '\'' && a.last == '\'')
+      a.substring(1, a.length - 1).replace("''", "'")
+    else a.replace("`", "")
 
   /** Apply `f` to the segments of `sql` OUTSIDE single-quoted string
     * literals ('' is the escape) — shared by the sys-function and

@@ -40,12 +40,17 @@ object IndexedOps {
 
   private val Db = "idxq"
 
-  /** One engine-table + index setup per (session, fixture dir); table
-    * names carry a dir tag so different SFs coexist in one warehouse.
-    * computeIfAbsent keeps concurrent bench passes from racing the
-    * DDL; every query then just probes. */
-  private val setupMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  /** One engine-table + index setup per (session, warehouse, fixture
+    * dir); table names carry a dir tag so different SFs coexist in one
+    * warehouse. computeIfAbsent keeps concurrent bench passes from
+    * racing the DDL; every query then just probes. The session level
+    * is a WEAK-keyed map — a static strong reference would leak every
+    * stopped SparkSession for the life of a server embedding the
+    * library (r10 verdict "Next #7"); per-session state dies with the
+    * session, and the inner (warehouse, dir) map holds only strings. */
+  private val setupMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]]())
 
   private[graft] def clearSetupMemo(): Unit = setupMemo.clear()
 
@@ -72,7 +77,10 @@ object IndexedOps {
     * from the fixture through the engine (rides the CDC/index-sync
     * funnel), CREATE INDEX bands+postings / ivf. */
   private def ensure(s: SparkSession, dir: String): (String, String) =
-    setupMemo.computeIfAbsent((s, dir), { _ =>
+    setupMemo.computeIfAbsent(s, _ =>
+        new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]())
+      .computeIfAbsent(
+        (s.conf.get("spark.sql.warehouse.dir"), dir), { _ =>
       val tag = dirTag(dir)
       val docs = s"$Db.docs_$tag"
       val vecs = s"$Db.vecs_$tag"

@@ -253,6 +253,22 @@ class HttpApiSpec extends AnyFunSuite {
     } finally secured.stop()
   }
 
+  test("INDEX_PROBE answers q33's question over HTTP, SQL only") {
+    post("/query", """{"query": "CREATE DATABASE IF NOT EXISTS httpip"}""")
+    post("/query", """{"query": "DROP TABLE IF EXISTS httpip.docs"}""")
+    post("/query",
+      """{"query": "CREATE TABLE httpip.docs (doc_id int64, text string) STORAGE filesystem"}""")
+    post("/query", """{"query": "INSERT INTO httpip.docs VALUES (1, 'one two three four five six seven eight nine ten'), (2, 'one two three four five six seven eight nine ten'), (3, 'different content with no overlap in shingles anywhere here')"}""")
+    val (ci, _) = post("/query",
+      """{"query": "CREATE INDEX bix ON httpip.docs (doc_id, text) USING bands"}""")
+    assert(ci == 200)
+    val (code, body) = post("/query",
+      """{"query": "SELECT doc1, doc2 FROM INDEX_PROBE(httpip.docs, 'neardup', doc_id, text) ORDER BY doc1, doc2"}""")
+    assert(code == 200, body)
+    assert(body.contains(""""columns":["doc1","doc2"]"""), body)
+    assert(body.contains(""""data":[[1,2]]"""), body)
+  }
+
   test("Json helpers round-trip escapes") {
     assert(Json.strField("""{"query": "SELECT '\n\"x\"' AS s"}""", "query")
       .contains("SELECT '\n\"x\"' AS s"))

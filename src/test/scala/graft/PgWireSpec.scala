@@ -464,4 +464,30 @@ class PgWireSpec extends AnyFunSuite {
       sock2.close()
     } finally secured.stop()
   }
+
+  test("INDEX_PROBE answers q33's question over the wire, SQL only") {
+    // full lifecycle through simple queries: table -> rows -> index ->
+    // probe, no programmatic engine face involved (r10 verdict Next #5)
+    val c = new Client(ssl = false)
+    c.query("CREATE DATABASE IF NOT EXISTS pgwip")
+    c.query("DROP TABLE IF EXISTS pgwip.docs")
+    assert(tagOf(c.query(
+      "CREATE TABLE pgwip.docs (doc_id int64, text string) STORAGE filesystem"))
+      == "CREATE TABLE")
+    c.query("INSERT INTO pgwip.docs VALUES " +
+      "(1, 'alpha beta gamma delta epsilon zeta eta theta iota kappa'), " +
+      "(2, 'alpha beta gamma delta epsilon zeta eta theta iota kappa'), " +
+      "(3, 'nothing like the others at all in any way whatsoever today')")
+    val ciTag = tagOf(c.query(
+      "CREATE INDEX bix ON pgwip.docs (doc_id, text) USING bands"))
+    assert(ciTag == "OK" || ciTag.startsWith("CREATE"), ciTag)
+    val msgs = c.query(
+      "SELECT doc1, doc2 FROM INDEX_PROBE(pgwip.docs, 'neardup', doc_id, text) " +
+        "ORDER BY doc1, doc2")
+    val dataRows = msgs.filter(_._1 == 'D').map(m => rowValues(m._2))
+    assert(dataRows == Seq(Seq("1", "2")),
+      s"expected the duplicate pair over the wire, got $dataRows")
+    assert(tagOf(msgs) == "SELECT 1")
+    c.close()
+  }
 }
