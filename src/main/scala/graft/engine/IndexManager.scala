@@ -62,6 +62,17 @@ object IndexManager {
   private val TwoColKinds = Set("bands", "postings", "ivf", "sq8")
   val Kinds: Set[String] = TwoColKinds + "zonemap"
 
+  /** Shard FORMAT version per kind, stamped into meta params as
+    * "fmt" at CREATE. Bump when a kind's shard schema changes (ivf
+    * went (cell, key) → covering (cell, key, v) in round 10): an old
+    * shard under a new build would fail every probe with a bare
+    * missing-column AnalysisException. [[sync]] migrates a
+    * version-mismatched index by wiping and rebuilding its shards;
+    * [[indexData]] refuses an unmigrated one with an addressed error. */
+  private val ShardFormats: Map[String, String] = Map("ivf" -> "2")
+  private def shardFormat(kind: String): String =
+    ShardFormats.getOrElse(kind, "1")
+
   // bands parameters — the q33 operating point (Dedup's constants)
   private val ShingleK = 2
   private val NumHashes = 32
@@ -238,7 +249,8 @@ object IndexManager {
         s"index $name already exists on $qualified")
     }
     val meta = IndexMeta(name, qualified, kind, cols,
-      defaultParams(spark, qualified, kind, cols))
+      defaultParams(spark, qualified, kind, cols) +
+        ("fmt" -> shardFormat(kind)))
     writeMeta(spark, meta)
     // fail-fast: a CREATE whose initial build breaks should error at
     // the user, not leave a silently-stale index behind
@@ -280,9 +292,23 @@ object IndexManager {
     val live: Map[String, String] = spark.table(qualified).inputFiles
       .map(f => fileHash(f) -> f).toMap
     val filesys = fs(spark)
-    metas.foreach { meta =>
-      val dataDir = new Path(indexDir(spark, qualified, meta.name), "data")
+    metas.foreach { meta0 =>
+      val dataDir = new Path(indexDir(spark, qualified, meta0.name), "data")
       try {
+        // format migration: a version-mismatched index (persisted by an
+        // older build whose shard schema differed) is wiped here and
+        // rebuilt in full by the file diff below — self-healing, same
+        // contract as a missing-shard rebuild.
+        val meta =
+          if (meta0.params.getOrElse("fmt", "1") == shardFormat(meta0.kind))
+            meta0
+          else {
+            if (filesys.exists(dataDir)) filesys.delete(dataDir, true)
+            val m = meta0.copy(params =
+              meta0.params + ("fmt" -> shardFormat(meta0.kind)))
+            writeMeta(spark, m)
+            m
+          }
         val have: Set[String] =
           if (!filesys.exists(dataDir)) Set.empty
           else filesys.listStatus(dataDir).toSeq.map(_.getPath.getName)
@@ -324,9 +350,9 @@ object IndexManager {
           // error), log, move on. The file diff is idempotent, so the
           // next successful sync rebuilds exactly the missing shards
           // and clears the marker — self-healing.
-          markStale(spark, qualified, meta.name, e.getMessage)
+          markStale(spark, qualified, meta0.name, e.getMessage)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"index ${meta.name} on $qualified failed maintenance and " +
+            s"index ${meta0.name} on $qualified failed maintenance and " +
               s"is marked stale: ${e.getMessage}")
       }
     }
@@ -464,6 +490,13 @@ object IndexManager {
       throw new IllegalArgumentException(
         s"index $name does not exist on $qualified"))
     requireFresh(spark, qualified, name)
+    if (meta.params.getOrElse("fmt", "1") != shardFormat(meta.kind))
+      throw new IllegalStateException(
+        s"index $name on $qualified was persisted in an older shard " +
+          s"format (v${meta.params.getOrElse("fmt", "1")}, current " +
+          s"v${shardFormat(meta.kind)}); run any DML on the table (or " +
+          "IndexManager.sync) to migrate it in place, or DROP and " +
+          s"re-CREATE index $name")
     val dataDir = new Path(indexDir(spark, qualified, name), "data")
     val filesys = fs(spark)
     val shards =

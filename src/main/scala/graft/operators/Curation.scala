@@ -1064,15 +1064,26 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val base = docsDf
       .withColumn("h", md5(concat(lit(seed), col("text")).cast("binary")))
-      .withColumn("band", bandCol)
+      .withColumn("band", bandCol.cast("long"))
       .withColumn("bkt", substring(col("h"), 1, 2))
     val counts = base.groupBy(col("band"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
-    val wo = Window.orderBy(col("band"), col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("off", coalesce(sum(col("cnt")).over(wo), lit(0L)))
-      .select(col("band"), col("bkt"), col("off"))
+    // The offsets are METADATA-sized by contract (curriculum bands ×
+    // 256 hash buckets — a few thousand rows), so the prefix sums are
+    // computed on the driver: a cumulative-sum window over them would
+    // need a single partition and logs WindowExec's "No Partition
+    // Defined" performance warning on every run, sending readers
+    // hunting a scale bug that isn't there (this replaces a GLOBAL
+    // sort of the corpus — that's the scale win). Ordering matches the
+    // former Window.orderBy(band, bkt): band numeric, bkt ASCII hex.
+    import base.sparkSession.implicits._
+    val cRows = counts.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var acc = 0L
+    val offsets = cRows.map { case (band, bkt, cnt) =>
+      val off = acc; acc += cnt; (band, bkt, off)
+    }.toSeq.toDF("band", "bkt", "off")
     val wb = Window.partitionBy(col("band"), col("bkt"))
       .orderBy(col("h"), col("doc_id"))
     base.join(broadcast(offsets), Seq("band", "bkt"))

@@ -212,6 +212,52 @@ class IndexSpec extends AnyFunSuite {
       "query must not be its own neighbor")
   }
 
+  test("shard format versioning: old-format ivf index refuses probes, sync migrates in place") {
+    val t = freshVectors("vecs3")
+    engine.execute(s"CREATE INDEX i1 ON $t (vec_id, v) USING ivf")
+    assert(IndexManager.indexMeta(spark, t, "i1").get.params("fmt") == "2")
+    val before = IndexManager.ivfNeighbors(spark, t, "i1",
+      queryKeys = Seq(0L), k = 3, nprobe = 8).collect().map(_.toSeq).toSeq
+
+    // simulate an index persisted by a pre-round-10 build: meta with
+    // no fmt stamp, shards in the old (cell, key) non-covering schema
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val idxDir = new org.apache.hadoop.fs.Path(
+      s"$wh/.graft-indexes/${t.toLowerCase}/i1")
+    val fs = idxDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(idxDir, "meta.json")
+    val metaIn = fs.open(metaPath)
+    val metaBytes = new Array[Byte](fs.getFileStatus(metaPath).getLen.toInt)
+    metaIn.readFully(metaBytes); metaIn.close()
+    val oldJson = new String(metaBytes, "UTF-8").replace("\"fmt\":\"2\",", "")
+    assert(!oldJson.contains("fmt"), oldJson)
+    val out = fs.create(metaPath, true)
+    out.write(oldJson.getBytes("UTF-8")); out.close()
+    val dataDir = new org.apache.hadoop.fs.Path(idxDir, "data")
+    val shard = fs.listStatus(dataDir).map(_.getPath.getName)
+      .find(_.startsWith("f=")).get
+    // strip the covering column v from one shard — the old layout
+    val shardPath = new org.apache.hadoop.fs.Path(dataDir, shard).toString
+    val oldRows = spark.read.parquet(shardPath).select("cell", "key")
+    val tmp = shardPath + ".old"
+    oldRows.write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(shardPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(shardPath))
+
+    val e = intercept[IllegalStateException](
+      IndexManager.indexData(spark, t, "i1"))
+    assert(e.getMessage.contains("older shard format") &&
+      e.getMessage.contains("DROP"), e.getMessage)
+
+    // sync migrates: shards wiped + rebuilt, meta restamped, probe works
+    IndexManager.sync(spark, t)
+    assert(IndexManager.indexMeta(spark, t, "i1").get.params("fmt") == "2")
+    val after = IndexManager.ivfNeighbors(spark, t, "i1",
+      queryKeys = Seq(0L), k = 3, nprobe = 8).collect().map(_.toSeq).toSeq
+    assert(after == before, "migrated probe must equal the pre-tamper answer")
+  }
+
   test("zonemap default kind: per-file min/max rows; pruning identifies dead files") {
     val t = freshDocs("docs3")
     // reference-compatible statement (no USING) -> zonemap
