@@ -40,8 +40,29 @@ object GraftServer {
     f.toString
   }
 
+  /** The serving tiers + housekeeping started by [[startTiers]];
+    * `stop()` tears everything down (specs boot a server from a yml
+    * config without `main`'s terminal join). */
+  final case class Running(http: Option[HttpApi], pg: Option[PgWireServer],
+                           native: Option[NativeServer],
+                           retention: java.util.concurrent.ScheduledExecutorService) {
+    def stop(): Unit = {
+      retention.shutdown()
+      native.foreach(_.stop()); pg.foreach(_.stop()); http.foreach(_.stop())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    // `--config ranger-server.yml` loads the reference-shaped YAML
+    // deployment file (server/config/config.go); a positional arg
+    // registers a test-data dir's tables. All file settings become
+    // spark confs BEFORE the session builds — one source of truth.
+    val cfgPath = args.sliding(2).collectFirst {
+      case Array("--config", p) => p }
+    val dirArg = args.filterNot(_.startsWith("--"))
+      .filterNot(a => cfgPath.contains(a)).headOption
+    val cfg = cfgPath.map(ServerConfig.load).getOrElse(ServerConfig())
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-server")
       .config("spark.sql.shuffle.partitions",
@@ -53,10 +74,27 @@ object GraftServer {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.scheduler.allocation.file", allocationFile(8))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    args.headOption.foreach(dir => graft.sources.Tables.registerAll(spark, dir))
+    cfg.sparkConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel(
+      if (cfgPath.isDefined) cfg.logLevel.toUpperCase else "WARN")
+    dirArg.foreach(dir => graft.sources.Tables.registerAll(spark, dir))
 
+    val running = startTiers(spark)
+    println("graft-server listening:" +
+      running.http.map(h => s" http=${h.boundPort}").getOrElse("") +
+      running.pg.map(p => s" pgwire=${p.boundPort}").getOrElse("") +
+      running.native.map(n => s" native=${n.boundPort}").getOrElse(""))
+    sys.addShutdownHook {
+      running.stop()
+      spark.stop()
+    }
+    Thread.currentThread().join() // serve until killed
+  }
+
+  /** Boot the protocol tiers + CDC retention from the session's confs
+    * (which [[main]] seeds from the YAML config when given). */
+  def startTiers(spark: SparkSession): Running = {
     val engine = new QueryEngine(spark)
     // spark.graft.auth.enabled=true turns on the reference's auth
     // middleware defaults on all three tiers; HTTP bearer tokens come
@@ -79,9 +117,10 @@ object GraftServer {
     def port(proto: String, dflt: Int): Int =
       spark.conf.getOption(s"spark.graft.server.$proto.port") match {
         case None => dflt
-        case Some(v) => v.trim.toIntOption.filter(p => p > 0 && p <= 65535)
+        case Some(v) => v.trim.toIntOption.filter(p => p >= 0 && p <= 65535)
           .getOrElse(sys.error(
-            s"invalid spark.graft.server.$proto.port: '$v' (need 1-65535)"))
+            s"invalid spark.graft.server.$proto.port: '$v' " +
+              "(need 0-65535; 0 binds an ephemeral port)"))
       }
     val httpPort = port("http", 2847)
     val pgPort = port("pgwire", 2848)
@@ -115,16 +154,6 @@ object GraftServer {
       }, intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       e
     }
-    println("graft-server listening:" +
-      http.map(_ => s" http=$httpPort").getOrElse("") +
-      pg.map(_ => s" pgwire=$pgPort").getOrElse("") +
-      native.map(_ => s" native=$nativePort").getOrElse("") +
-      (if (auth.isDefined) " (auth enabled)" else ""))
-    sys.addShutdownHook {
-      retention.shutdown()
-      native.foreach(_.stop()); pg.foreach(_.stop()); http.foreach(_.stop())
-      spark.stop()
-    }
-    Thread.currentThread().join() // serve until killed
+    Running(http, pg, native, retention)
   }
 }
