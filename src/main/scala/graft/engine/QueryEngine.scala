@@ -948,6 +948,19 @@ final class QueryEngine(val spark: SparkSession,
   private val updateRe: Regex =
     """(?is)^UPDATE\s+([\w.`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
 
+  /** True when Catalyst proves `df` empty at PLANNING time (its
+    * optimized plan folds to an empty LocalRelation). Used to detect
+    * survivor filters that collapse — `DELETE FROM t` (no WHERE, or
+    * WHERE 1=1) makes `not(matched)` constant-false, the empty
+    * relation swallows the CollectMetrics node, and the Observation
+    * count is silently lost ("key not found: matched"). */
+  private def provablyEmptyPlan(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
   private def runDelete(sql: String, id: String): QueryResult = sql match {
     case deleteRe(table, cond) =>
       val t = table.replace("`", "")
@@ -955,7 +968,17 @@ final class QueryEngine(val spark: SparkSession,
       val matched = coalesce(condExpr, lit(false))
       val parts = partitionColumns(t)
       val n: Long = withTableWriteLock(Some(t)) {
-        if (parts.nonEmpty) {
+        if (provablyEmptyPlan(spark.table(t).where(not(matched)))) {
+          // whole-table delete: every row provably matches, so count
+          // once and rewrite to empty — the normal survivors path
+          // would lose its observed count to the plan collapse above
+          val total = spark.table(t).count()
+          if (total > 0) {
+            if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "DELETE")
+            stagedRewrite(t, spark.table(t).limit(0))
+          }
+          total
+        } else if (parts.nonEmpty) {
           // ONE scoping job gives the affected partitions AND the
           // matched count (round 2 ran a full-predicate count plus a
           // separate distinct — two scans; the judge's finding)

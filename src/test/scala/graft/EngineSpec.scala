@@ -252,6 +252,40 @@ class EngineSpec extends AnyFunSuite {
     engine.execute("DROP TABLE d2.kv")
   }
 
+  test("unconditional DELETE (no WHERE / WHERE 1=1) truncates with a correct count") {
+    // regression: the survivors filter not(true) folds to an empty
+    // relation, Catalyst eliminates the CollectMetrics node with it,
+    // and the observed count threw "key not found: matched"
+    engine.execute("CREATE DATABASE IF NOT EXISTS d2")
+    engine.execute("DROP TABLE IF EXISTS d2.trunc")
+    engine.execute(
+      "CREATE TABLE d2.trunc (k int64 NOT NULL, v string) STORAGE filesystem")
+    engine.execute("INSERT INTO d2.trunc VALUES (1,'a'),(2,'b'),(3,'c')")
+    val del = engine.execute("DELETE FROM d2.trunc")
+    assert(del.message == "DELETE 3")
+    assert(engine.execute("SELECT count(*) AS c FROM d2.trunc").data.head.head == 0L)
+    // table stays writable after the truncate
+    engine.execute("INSERT INTO d2.trunc VALUES (9,'z')")
+    assert(engine.execute("SELECT count(*) AS c FROM d2.trunc").data.head.head == 1L)
+    val del2 = engine.execute("DELETE FROM d2.trunc WHERE 1 = 1")
+    assert(del2.message == "DELETE 1")
+
+    // partitioned layout takes the same whole-table path
+    engine.execute("DROP TABLE IF EXISTS d2.truncp")
+    engine.execute(
+      """CREATE TABLE d2.truncp (k int64 NOT NULL, v string, p string)
+        |STORAGE filesystem PARTITION BY (p)""".stripMargin)
+    engine.execute(
+      "INSERT INTO d2.truncp VALUES (1,'a','x'),(2,'b','y'),(3,'c','y')")
+    val del3 = engine.execute("DELETE FROM d2.truncp")
+    assert(del3.message == "DELETE 3")
+    assert(engine.execute("SELECT count(*) AS c FROM d2.truncp").data.head.head == 0L)
+    engine.execute("INSERT INTO d2.truncp VALUES (5,'e','x')")
+    assert(engine.execute("SELECT k FROM d2.truncp").data == Seq(Seq(5L)))
+    engine.execute("DROP TABLE d2.trunc")
+    engine.execute("DROP TABLE d2.truncp")
+  }
+
   test("batch insertData validates with ranger-style addressed errors") {
     engine.execute("CREATE DATABASE IF NOT EXISTS d3")
     engine.execute(
