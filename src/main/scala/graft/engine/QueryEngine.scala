@@ -264,6 +264,15 @@ final class QueryEngine(val spark: SparkSession,
       a.substring(1, a.length - 1).replace("''", "'")
     else a.replace("`", "")
 
+  /** SELECT-family statement → DataFrame with the engine's statement
+    * rewrites applied (sys functions, INDEX_PROBE, time travel) — the
+    * programmatic face of the SQL surface for callers that want the
+    * PLAN, not collected rows (SparkEntry's oracle-gated queries ride
+    * it so the rewrite machinery itself sits inside the gate). */
+  def selectDataFrame(sql: String): DataFrame =
+    spark.sql(rewriteTimeTravel(rewriteIndexProbes(rewriteSysFuncs(
+      sql.trim.stripSuffix(";").trim))))
+
   /** Apply `f` to the segments of `sql` OUTSIDE single-quoted string
     * literals ('' is the escape) — shared by the sys-function and
     * time-travel rewrites so neither ever touches literal text. */

@@ -93,6 +93,7 @@ object IndexedOps {
         s"INSERT INTO $docs SELECT doc_id, text FROM parquet.`$dir/documents.parquet`")
       engine.execute(s"CREATE INDEX bands_ix ON $docs (doc_id, text) USING bands")
       engine.execute(s"CREATE INDEX post_ix ON $docs (doc_id, text) USING postings")
+      engine.execute(s"CREATE INDEX zm_ix ON $docs (doc_id, text)") // zonemap
       engine.execute(s"DROP TABLE IF EXISTS $vecs")
       dropLeftovers(s, vecs)
       engine.execute(s"CREATE TABLE $vecs (vec_id int64, embedding list<float32>) STORAGE filesystem")
@@ -130,6 +131,30 @@ object IndexedOps {
       val engine = new QueryEngine(s)
       engine.annNeighbors(vecs, "vec_id", "embedding", IvfQueryKeys,
         IvfK, IvfNprobe)
+    }),
+    // Zonemap SELECT-path pruning inside the gate (r11): point/range
+    // and string-prefix SELECTs over the engine table plan through
+    // ZonemapPruneRule (GraftExtensions is registered in Verify/Bench),
+    // so the file-skipping rewrite itself is oracle-checked — a prune
+    // soundness bug becomes a hash mismatch, not just a spec failure.
+    "q101_zonemap_select" -> ((s, dir) => {
+      val (docs, _) = ensure(s, dir)
+      new QueryEngine(s).selectDataFrame(
+        s"SELECT doc_id, text FROM $docs WHERE doc_id BETWEEN 100 AND 199")
+    }),
+    "q101b_zonemap_string" -> ((s, dir) => {
+      val (docs, _) = ensure(s, dir)
+      new QueryEngine(s).selectDataFrame(
+        s"SELECT doc_id FROM $docs WHERE text LIKE 'the %'")
+    }),
+    // q72's question through the SQL statement face: INDEX_PROBE is
+    // rewritten at the engine boundary, so the parse/rewrite machinery
+    // sits inside the oracle gate alongside the probe it serves
+    "q102_probe_sql" -> ((s, dir) => {
+      val (docs, _) = ensure(s, dir)
+      new QueryEngine(s).selectDataFrame(
+        s"SELECT * FROM INDEX_PROBE($docs, 'bm25', doc_id, text, " +
+          s"'${Search.DefaultQuery.terms.mkString(" ")}', ${Search.DefaultQuery.topN})")
     })
   )
 
@@ -137,7 +162,12 @@ object IndexedOps {
     // same statements as q33/q72 — identical output IS the contract
     "q100_index_bands" -> Dedup.minhashOracleSql(8),
     "q100b_index_bm25" -> Search.bm25OracleSql(Search.DefaultQuery),
-    "q100c_index_ivf" -> ivfIndexOracleSql
+    "q100c_index_ivf" -> ivfIndexOracleSql,
+    "q101_zonemap_select" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 199",
+    "q101b_zonemap_string" ->
+      "SELECT doc_id FROM documents WHERE text LIKE 'the %'",
+    "q102_probe_sql" -> Search.bm25OracleSql(Search.DefaultQuery)
   )
 
   /** DuckDB replay of the frozen-codebook IVF probe. Conventions
