@@ -970,6 +970,87 @@ final class QueryEngine(val spark: SparkSession,
       case _ => false
     }
 
+  /** The files of `t` the SELECT-path zonemap rule cannot rule out
+    * for `cond` — the FILE-level CoW scope (r11). The rule already
+    * runs on this plan (GraftExtensions), so the scan's listing IS
+    * the zonemap-pruned set; equal to all files when no usable
+    * evidence exists, and soundness is inherited: a file is excluded
+    * only on positive per-file proof that no row matches. */
+  private def zonemapScope(t: String, condExpr: Column): Seq[String] =
+    spark.table(t).where(condExpr).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  /** FILE-level copy-on-write commit: replace exactly `replaced`
+    * files of `t` with `replacement`'s rows. Untouched files keep
+    * their paths (snapshot manifests keep resolving to them — the
+    * archive-else-live contract); replaced files a snapshot
+    * references are RENAMED into the archive, the rest deleted. The
+    * replacement is durably staged before any live file moves, and
+    * staging is kept on failure for repair — the [[stagedRewrite]]
+    * contract at file granularity. At warehouse scale this is the
+    * difference between a point DELETE rewriting one file and
+    * rewriting 100 TB. */
+  private def fileLevelRewrite(t: String, replaced: Seq[String],
+                               replacement: DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val loc = new org.apache.hadoop.fs.Path(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(tableIdent(t))
+        .location.toString))
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val staging = new org.apache.hadoop.fs.Path(
+      warehouse, s".graft-staging-${java.util.UUID.randomUUID()}")
+    val fs = staging.getFileSystem(conf)
+    var committed = false
+    try {
+      replacement.write.mode("overwrite").parquet(staging.toString)
+      Snapshots.preserveExact(spark, t, replaced)
+      replaced.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      fs.listStatus(staging).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }.foreach { st =>
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(loc, s"cow-$stamp-${st.getPath.getName}"))
+      }
+      committed = true
+    } finally {
+      if (committed) {
+        try fs.delete(staging, true) catch { case _: Exception => () }
+      } // on failure: keep staging — the durable copy for repair
+    }
+    spark.catalog.refreshTable(t)
+  }
+
+  /** Matched-count + file-level rewrite over only the scope files:
+    * shared by DELETE (shape = drop matched) and UPDATE (shape =
+    * apply SET). Returns the observed matched count. */
+  private def fileLevelDml(t: String, scope: Seq[String],
+                           matched: Column,
+                           shape: DataFrame => DataFrame): Long = {
+    val cand = spark.read.schema(spark.table(t).schema).parquet(scope: _*)
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = cand.observe(obs,
+      sum(when(matched, 1L).otherwise(0L)).as("matched"))
+    fileLevelRewrite(t, scope, shape(observed))
+    obs.get("matched") match {
+      case n: Long => n
+      case n: java.lang.Long => n.longValue()
+      case _ => 0L
+    }
+  }
+
   private def runDelete(sql: String, id: String): QueryResult = sql match {
     case deleteRe(table, cond) =>
       val t = table.replace("`", "")
@@ -1038,10 +1119,18 @@ final class QueryEngine(val spark: SparkSession,
           if (spark.table(t).where(condExpr).isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "DELETE")
-            val (survivors, observedN) = withMatchedCount(t, matched,
-              _.where(not(matched)))
-            stagedRewrite(t, survivors)
-            observedN()
+            val all = spark.table(t).inputFiles
+            val scope = zonemapScope(t, condExpr)
+            if (scope.nonEmpty && scope.length < all.length) {
+              // FILE-level CoW: zonemap evidence clears the other
+              // files — they are not read, not rewritten, not moved
+              fileLevelDml(t, scope, matched, _.where(not(matched)))
+            } else {
+              val (survivors, observedN) = withMatchedCount(t, matched,
+                _.where(not(matched)))
+              stagedRewrite(t, survivors)
+              observedN()
+            }
           }
         }
       }
@@ -1098,9 +1187,17 @@ final class QueryEngine(val spark: SparkSession,
           if (spark.table(t).where(condExpr).isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "UPDATE")
-            val (df, observedN) = withMatchedCount(t, matched, applySet)
-            stagedRewrite(t, df)
-            observedN()
+            val all = spark.table(t).inputFiles
+            val scope = zonemapScope(t, condExpr)
+            if (scope.nonEmpty && scope.length < all.length) {
+              // FILE-level CoW: only files that can hold matched rows
+              // are rewritten (SET applied); the rest stay untouched
+              fileLevelDml(t, scope, matched, applySet)
+            } else {
+              val (df, observedN) = withMatchedCount(t, matched, applySet)
+              stagedRewrite(t, df)
+              observedN()
+            }
           }
         }
       }

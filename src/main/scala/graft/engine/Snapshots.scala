@@ -211,6 +211,24 @@ object Snapshots {
       listDataFiles(fs, loc).filter(referenced), move = true)
   }
 
+  /** Move exactly the given live files into the archive when a
+    * snapshot references them — the FILE-level CoW DML scope (r11):
+    * the caller replaces only these files, every other manifest entry
+    * keeps resolving to its still-live table file. Unreferenced
+    * inputs are left for the caller to delete. Call AFTER the
+    * replacement data is durably staged (renames, no data movement). */
+  def preserveExact(spark: SparkSession, t: String,
+                    absFiles: Seq[String]): Unit = {
+    val (db, table, loc) = resolve(spark, t)
+    val fs = fsOf(spark, loc)
+    val root = base(spark, db, table)
+    val referenced = referencedFiles(fs, root)
+    if (referenced.isEmpty) return
+    val rels = absFiles.map(f => relativize(loc, new Path(f)))
+      .filter(referenced)
+    preserveFiles(spark, fs, loc, root, rels, move = true)
+  }
+
   /** Copy referenced files under the given directories into the
     * archive — the partition-pruned DML scope. Copies (not renames)
     * because the pending overwrite still READS the live files. */

@@ -146,6 +146,8 @@ object ScaleLab {
         probeIndexProbe(spark, dir)
       case "zonemap" :: dir :: Nil =>
         probeZonemap(spark, dir)
+      case "filecow" :: dir :: Nil =>
+        probeFileCow(spark, dir)
       case "fullsuite" :: dir :: rest =>
         probeFullSuite(spark, dir, rest.headOption)
       case "maintain" :: dir :: rest =>
@@ -664,6 +666,128 @@ object ScaleLab {
     spark.conf.set("spark.graft.zonemap.select.enabled", "true")
     require(rOn == rOff, s"pruned result differs: $rOn vs $rOff")
     println(f"ZONEMAP_PROBE dir=$dir files=$nFiles build=$build%.3f " +
+      f"pruned_files=$fOn full_files=$fOff " +
+      f"pruned=$mOn%.3f all=${fmtAll(tsOn)} " +
+      f"full=$mOff%.3f all=${fmtAll(tsOff)} speedup=${mOff / mOn}%.1fx")
+
+    // ---- r11 legs: the partitioned and string-sorted layouts ----
+    probeZonemapLeg(spark, engine, "ZONEMAP_PART",
+      create = """CREATE TABLE sl.zpdocs (doc_id int64, text string,
+                 |p string) STORAGE filesystem PARTITION BY (p)""".stripMargin,
+      table = "sl.zpdocs",
+      insert = s"""INSERT INTO sl.zpdocs SELECT doc_id, text,
+                  |CAST(pmod(doc_id, 8) AS STRING) AS p
+                  |FROM parquet.`$dir/documents.parquet` ORDER BY doc_id""".stripMargin,
+      indexCols = "(doc_id)",
+      // data-column range UNDER a partition filter: partition pruning
+      // serves p, zonemap must skip files WITHIN the partition
+      query = "SELECT count(*) AS n, sum(length(text)) AS b FROM sl.zpdocs " +
+        "WHERE p = '3' AND doc_id >= 1000 AND doc_id < 1400")
+    probeZonemapLeg(spark, engine, "ZONEMAP_STR",
+      create = "CREATE TABLE sl.zsdocs (doc_id int64, text string) STORAGE filesystem",
+      table = "sl.zsdocs",
+      // text-sorted layout — the warehouse sort-key case where string
+      // bounds are tight per file (random text would pin full-range
+      // bounds on every file and prune nothing, honestly)
+      insert = s"""INSERT INTO sl.zsdocs SELECT doc_id, text
+                  |FROM parquet.`$dir/documents.parquet` ORDER BY text""".stripMargin,
+      indexCols = "(text)",
+      query = "SELECT count(*) AS n FROM sl.zsdocs WHERE text LIKE 'the q%'")
+  }
+
+  /** FILE-level CoW DML A/B (r11): a point DELETE/UPDATE on a
+    * 200-file zonemap-indexed table rewrites 1 file; with the rule
+    * kill-switched the same statement rewrites all 200. The wall gap
+    * IS the CoW story — at 100 TB the full path rewrites the table. */
+  private def probeFileCow(spark: SparkSession, dir: String): Unit = {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS sl")
+    // lineitem, not documents: the CoW story is REWRITE I/O, so the
+    // probe needs a table where rewriting all files costs real time
+    // (50x lineitem = 30M rows); documents at this SF is 25k rows and
+    // fixed per-statement overheads drown the signal
+    def build(name: String): Unit = {
+      engine.execute(s"DROP TABLE IF EXISTS sl.$name")
+      engine.execute(
+        s"""CREATE TABLE sl.$name (l_orderkey int64, l_quantity float64,
+           |l_returnflag string, l_shipdate timestamp) STORAGE filesystem""".stripMargin)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevCoalesce = spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "200")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try engine.execute(
+        s"""INSERT INTO sl.$name SELECT l_orderkey, l_quantity, l_returnflag,
+           |l_shipdate FROM parquet.`$dir/lineitem.parquet`
+           |ORDER BY l_orderkey""".stripMargin)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+      }
+      engine.execute(s"CREATE INDEX zc ON sl.$name (l_orderkey)")
+    }
+    def timedDelete(name: String, id: Long): (Double, Long, Long) = {
+      val before = spark.table(s"sl.$name").inputFiles.toSet
+      val t0 = System.nanoTime()
+      val r = engine.execute(s"DELETE FROM sl.$name WHERE l_orderkey = $id")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = spark.table(s"sl.$name").inputFiles.toSet
+      (sec, r.rowCount, (before -- after).size.toLong)
+    }
+    build("cow")
+    val (tOn, nOn, replacedOn) = timedDelete("cow", 1000L)
+    build("cow")
+    spark.conf.set("spark.graft.zonemap.select.enabled", "false")
+    val (tOff, nOff, replacedOff) = try timedDelete("cow", 1000L)
+      finally spark.conf.set("spark.graft.zonemap.select.enabled", "true")
+    require(nOn == nOff, s"matched counts differ: $nOn vs $nOff")
+    println(f"FILECOW_PROBE dir=$dir deleted=$nOn " +
+      f"filelevel=$tOn%.3f replaced=$replacedOn " +
+      f"fullrewrite=$tOff%.3f replaced_full=$replacedOff " +
+      f"speedup=${tOff / tOn}%.1fx")
+  }
+
+  /** One zonemap A/B leg: build table+index with a 200-file layout,
+    * time the query pruned vs kill-switched, pin identical results. */
+  private def probeZonemapLeg(spark: SparkSession,
+                              engine: graft.engine.QueryEngine,
+                              tag: String, create: String, table: String,
+                              insert: String, indexCols: String,
+                              query: String): Unit = {
+    engine.execute(s"DROP TABLE IF EXISTS $table")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    engine.execute(create)
+    try engine.execute(insert)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+    val nFiles = spark.table(table).inputFiles.length
+    val t0 = System.nanoTime()
+    engine.execute(s"CREATE INDEX zl ON $table $indexCols")
+    val build = (System.nanoTime() - t0) / 1e9
+    def filesRead(): Long = spark.sql(query).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length.toLong
+    }.sum
+    def leg(): (Double, Seq[Double], Long, Seq[Any]) = {
+      val f = filesRead()
+      val r = spark.sql(query).collect()(0).toSeq
+      val (m, ts) = timeMedian3(spark.sql(query))
+      (m, ts, f, r)
+    }
+    val (mOn, tsOn, fOn, rOn) = leg()
+    spark.conf.set("spark.graft.zonemap.select.enabled", "false")
+    val (mOff, tsOff, fOff, rOff) = leg()
+    spark.conf.set("spark.graft.zonemap.select.enabled", "true")
+    require(rOn == rOff, s"$tag pruned result differs: $rOn vs $rOff")
+    println(f"$tag files=$nFiles build=$build%.3f " +
       f"pruned_files=$fOn full_files=$fOff " +
       f"pruned=$mOn%.3f all=${fmtAll(tsOn)} " +
       f"full=$mOff%.3f all=${fmtAll(tsOff)} speedup=${mOff / mOn}%.1fx")

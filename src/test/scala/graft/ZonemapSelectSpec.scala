@@ -230,6 +230,35 @@ class ZonemapSelectSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("pruned-scan stats unlock a broadcast join (kept-file sizeInBytes)") {
+    // ZonemapPrunedFileIndex reports the KEPT files' size, so a
+    // 1-of-N-files point lookup should broadcast where the unpruned
+    // stats would sort-merge — the join-strategy payoff of planning-
+    // time file skipping at warehouse scale.
+    val t = freshTable("tb")
+    engine.execute(s"CREATE INDEX zi ON $Db.tb (id)")
+    val full = spark.table(t).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    val one = full / spark.table(t).inputFiles.length
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // threshold between one file's size and the whole table's
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (full min (one * 2)).toString)
+    try {
+      val q = s"""SELECT a.id, b.v FROM $t a
+                 |JOIN (SELECT id, v FROM $t WHERE id = 105) b ON a.id = b.id""".stripMargin
+      def joinNodes(sql: String): String =
+        spark.sql(sql).queryExecution.executedPlan.toString
+      val pruned = joinNodes(q)
+      assert(pruned.contains("BroadcastHashJoin"),
+        s"pruned point lookup should broadcast:\n$pruned")
+      val unpruned = withRuleOff(joinNodes(q))
+      assert(!unpruned.contains("BroadcastHashJoin"),
+        s"kill-switched stats should NOT broadcast (threshold sanity):\n$unpruned")
+      // and the broadcast plan returns the right row
+      assert(rows(spark.sql(q)) == Seq(Seq(105L, "row 105")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("exact file-min boundary value survives (one-ulp envelope)") {
     val t = freshTable("t5")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
