@@ -973,18 +973,18 @@ final class QueryEngine(val spark: SparkSession,
   /** The files of `t` the SELECT-path zonemap rule cannot rule out
     * for `cond` — the FILE-level CoW scope (r11). The rule already
     * runs on this plan (GraftExtensions), so the scan's listing IS
-    * the zonemap-pruned set; equal to all files when no usable
-    * evidence exists, and soundness is inherited: a file is excluded
-    * only on positive per-file proof that no row matches. */
-  private def zonemapScope(t: String, condExpr: Column): Seq[String] =
-    spark.table(t).where(condExpr).queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.inputFiles.toSeq
-          case _ => Seq.empty[String]
-        }
-    }.flatten
+    * the zonemap-pruned set and soundness is inherited: a file is
+    * excluded only on positive per-file proof that no row matches.
+    * Some only when the rule actually pruned (PrunedTo tag) — None
+    * means no usable evidence and callers take their coarser path. */
+  private def zonemapScope(t: String, condExpr: Column): Option[Seq[String]] =
+    spark.table(t).where(condExpr).queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.getTagValue(graft.plans.ZonemapPruneRule.PrunedTo).isDefined =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }
 
   /** FILE-level copy-on-write commit: replace exactly `replaced`
     * files of `t` with `replacement`'s rows. Untouched files keep
@@ -996,7 +996,8 @@ final class QueryEngine(val spark: SparkSession,
     * contract at file granularity. At warehouse scale this is the
     * difference between a point DELETE rewriting one file and
     * rewriting 100 TB. */
-  private def fileLevelRewrite(t: String, replaced: Seq[String],
+  private def fileLevelRewrite(t: String, parts: Seq[String],
+                               replaced: Seq[String],
                                replacement: DataFrame): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val loc = new org.apache.hadoop.fs.Path(new java.net.URI(
@@ -1009,20 +1010,27 @@ final class QueryEngine(val spark: SparkSession,
     val fs = staging.getFileSystem(conf)
     var committed = false
     try {
-      replacement.write.mode("overwrite").parquet(staging.toString)
+      // partitioned: staging mirrors the table's partition-dir layout
+      // (same Spark path encoding), so each staged file renames into
+      // its row's partition directory
+      val w = replacement.write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+        .parquet(staging.toString)
       Snapshots.preserveExact(spark, t, replaced)
       replaced.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         if (fs.exists(p)) fs.delete(p, false)
       }
       val stamp = java.util.UUID.randomUUID().toString.take(8)
-      fs.listStatus(staging).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")
-      }.foreach { st =>
-        fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(loc, s"cow-$stamp-${st.getPath.getName}"))
+      stagedDataFiles(fs, staging).foreach { st =>
+        val rel = st.toString.stripPrefix(staging.toString)
+          .stripPrefix("/")
+        val dst = new org.apache.hadoop.fs.Path(loc,
+          if (rel.contains("/"))
+            rel.substring(0, rel.lastIndexOf('/')) + s"/cow-$stamp-${st.getName}"
+          else s"cow-$stamp-${st.getName}")
+        fs.mkdirs(dst.getParent)
+        fs.rename(st, dst)
       }
       committed = true
     } finally {
@@ -1030,20 +1038,81 @@ final class QueryEngine(val spark: SparkSession,
         try fs.delete(staging, true) catch { case _: Exception => () }
       } // on failure: keep staging — the durable copy for repair
     }
+    // a partition whose last file was deleted (nothing staged back)
+    // must leave the catalog, matching the partition-scoped path's
+    // dropEmptiedPartitions behavior
+    if (parts.nonEmpty) dropEmptyPartitionDirs(t, replaced, loc, fs)
     spark.catalog.refreshTable(t)
+  }
+
+  /** Recursively list staged data files (partitioned staging nests
+    * them under partition dirs). */
+  private def stagedDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith("."))
+        out += f.getPath
+    }
+    out.result()
+  }
+
+  /** Drop catalog partitions whose directory holds no data files any
+    * more after a file-level commit — only dirs that LOST a file are
+    * candidates. Specs parse from the dir names (Spark's own
+    * escaping), so this matches exactly what the table layout says. */
+  private def dropEmptyPartitionDirs(t: String, replaced: Seq[String],
+                                     loc: org.apache.hadoop.fs.Path,
+                                     fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val locStr = loc.toString
+    val touchedDirs = replaced.map(f =>
+      new org.apache.hadoop.fs.Path(f).getParent).distinct
+      .filter(_.toString.startsWith(locStr))
+      .filterNot(_.toString == locStr)
+    val emptied = touchedDirs.filter { d =>
+      !fs.exists(d) || !fs.listStatus(d).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val specs = emptied.flatMap { d =>
+      val rel = d.toString.stripPrefix(locStr).stripPrefix("/")
+      val kvs = rel.split("/").toSeq.filter(_.contains("="))
+      if (kvs.isEmpty) None
+      else Some(kvs.map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> ExternalCatalogUtils.unescapePathName(v)
+      }.toMap)
+    }
+    if (specs.nonEmpty)
+      spark.sessionState.catalog.dropPartitions(tableIdent(t), specs,
+        ignoreIfNotExists = true, purge = false, retainData = false)
   }
 
   /** Matched-count + file-level rewrite over only the scope files:
     * shared by DELETE (shape = drop matched) and UPDATE (shape =
-    * apply SET). Returns the observed matched count. */
-  private def fileLevelDml(t: String, scope: Seq[String],
+    * apply SET). Returns the observed matched count. Candidates are
+    * read with the table's basePath so partition-column values
+    * materialize from the directory names. */
+  private def fileLevelDml(t: String, parts: Seq[String], scope: Seq[String],
                            matched: Column,
                            shape: DataFrame => DataFrame): Long = {
-    val cand = spark.read.schema(spark.table(t).schema).parquet(scope: _*)
+    val locStr = spark.sessionState.catalog
+      .getTableMetadata(tableIdent(t)).location.toString
+    val schema = spark.table(t).schema
+    val cand = spark.read.schema(schema)
+      .option("basePath", locStr).parquet(scope: _*)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val obs = new org.apache.spark.sql.Observation()
     val observed = cand.observe(obs,
       sum(when(matched, 1L).otherwise(0L)).as("matched"))
-    fileLevelRewrite(t, scope, shape(observed))
+    fileLevelRewrite(t, parts, scope, shape(observed))
     obs.get("matched") match {
       case n: Long => n
       case n: java.lang.Long => n.longValue()
@@ -1058,6 +1127,7 @@ final class QueryEngine(val spark: SparkSession,
       val matched = coalesce(condExpr, lit(false))
       val parts = partitionColumns(t)
       val n: Long = withTableWriteLock(Some(t)) {
+        lazy val fScope = zonemapScope(t, condExpr)
         if (provablyEmptyPlan(spark.table(t).where(not(matched)))) {
           // whole-table delete: every row provably matches, so count
           // once and rewrite to empty — the normal survivors path
@@ -1068,6 +1138,18 @@ final class QueryEngine(val spark: SparkSession,
             stagedRewrite(t, spark.table(t).limit(0))
           }
           total
+        } else if (parts.nonEmpty && fScope.isDefined) {
+          // FILE-level CoW within partitions (r11): zonemap evidence
+          // narrows a data-column predicate to specific files ACROSS
+          // partition dirs — rewrite those, leave sibling files in the
+          // same partitions untouched (the partition-scoped path
+          // below rewrites whole partitions)
+          val scope = fScope.get
+          if (scope.isEmpty || spark.table(t).where(condExpr).isEmpty) 0L
+          else {
+            if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "DELETE")
+            fileLevelDml(t, parts, scope, matched, _.where(not(matched)))
+          }
         } else if (parts.nonEmpty) {
           // ONE scoping job gives the affected partitions AND the
           // matched count (round 2 ran a full-predicate count plus a
@@ -1119,17 +1201,16 @@ final class QueryEngine(val spark: SparkSession,
           if (spark.table(t).where(condExpr).isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "DELETE")
-            val all = spark.table(t).inputFiles
-            val scope = zonemapScope(t, condExpr)
-            if (scope.nonEmpty && scope.length < all.length) {
-              // FILE-level CoW: zonemap evidence clears the other
-              // files — they are not read, not rewritten, not moved
-              fileLevelDml(t, scope, matched, _.where(not(matched)))
-            } else {
-              val (survivors, observedN) = withMatchedCount(t, matched,
-                _.where(not(matched)))
-              stagedRewrite(t, survivors)
-              observedN()
+            fScope match {
+              case Some(scope) if scope.nonEmpty =>
+                // FILE-level CoW: zonemap evidence clears the other
+                // files — they are not read, not rewritten, not moved
+                fileLevelDml(t, parts, scope, matched, _.where(not(matched)))
+              case _ =>
+                val (survivors, observedN) = withMatchedCount(t, matched,
+                  _.where(not(matched)))
+                stagedRewrite(t, survivors)
+                observedN()
             }
           }
         }
@@ -1164,7 +1245,20 @@ final class QueryEngine(val spark: SparkSession,
       // statements take the whole-table path
       val touchesPartCol = assigns.exists { case (c, _) => parts.contains(c) }
       val n: Long = withTableWriteLock(Some(t)) {
-        if (parts.nonEmpty) {
+        // an UPDATE rewriting a partition column can MOVE rows across
+        // partition dirs — only the whole-table path handles that
+        lazy val fScope =
+          if (touchesPartCol) None else zonemapScope(t, condExpr)
+        if (parts.nonEmpty && fScope.isDefined) {
+          // FILE-level CoW within partitions (r11): only files that
+          // can hold matched rows are rewritten with SET applied
+          val scope = fScope.get
+          if (scope.isEmpty || spark.table(t).where(condExpr).isEmpty) 0L
+          else {
+            if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "UPDATE")
+            fileLevelDml(t, parts, scope, matched, applySet)
+          }
+        } else if (parts.nonEmpty) {
           // one scoping job: affected partitions + matched count
           val scope = scopeAffected(t, parts, condExpr)
           if (scope.affected.isEmpty) 0L
@@ -1187,16 +1281,15 @@ final class QueryEngine(val spark: SparkSession,
           if (spark.table(t).where(condExpr).isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "UPDATE")
-            val all = spark.table(t).inputFiles
-            val scope = zonemapScope(t, condExpr)
-            if (scope.nonEmpty && scope.length < all.length) {
-              // FILE-level CoW: only files that can hold matched rows
-              // are rewritten (SET applied); the rest stay untouched
-              fileLevelDml(t, scope, matched, applySet)
-            } else {
-              val (df, observedN) = withMatchedCount(t, matched, applySet)
-              stagedRewrite(t, df)
-              observedN()
+            fScope match {
+              case Some(scope) if scope.nonEmpty =>
+                // FILE-level CoW: only files that can hold matched
+                // rows are rewritten (SET applied); the rest stay
+                fileLevelDml(t, parts, scope, matched, applySet)
+              case _ =>
+                val (df, observedN) = withMatchedCount(t, matched, applySet)
+                stagedRewrite(t, df)
+                observedN()
             }
           }
         }

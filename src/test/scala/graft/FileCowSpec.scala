@@ -97,6 +97,68 @@ class FileCowSpec extends AnyFunSuite {
     assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 35L)
   }
 
+  test("PARTITIONED table: data-column DELETE rewrites one file, siblings in the partition survive") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.pd")
+    engine.execute(
+      s"""CREATE TABLE $Db.pd (id int64 NOT NULL, v string, p string)
+         |STORAGE filesystem PARTITION BY (p)""".stripMargin)
+    // 3 inserts × 2 partitions = 6 files; insert i holds ids
+    // [i*100, i*100+4] in 'a' and [i*100+5, i*100+9] in 'b'
+    for (i <- 0 until 3) {
+      val a = (0 until 5).map(k => s"(${i * 100 + k}, 'row ${i * 100 + k}', 'a')")
+      val b = (5 until 10).map(k => s"(${i * 100 + k}, 'row ${i * 100 + k}', 'b')")
+      engine.execute(s"INSERT INTO $Db.pd VALUES ${(a ++ b).mkString(", ")}")
+    }
+    engine.execute(s"CREATE INDEX zi ON $Db.pd (id)")
+    val before = files(s"$Db.pd")
+    assert(before.size >= 6)
+
+    // id=103 lives only in insert-1's 'a' file
+    val del = engine.execute(s"DELETE FROM $Db.pd WHERE id = 103")
+    assert(del.message == "DELETE 1")
+    val after = files(s"$Db.pd")
+    assert((before intersect after).size == before.size - 1,
+      s"one file replaced\nbefore=$before\nafter=$after")
+    // the replacement landed INSIDE the partition dir
+    assert(after.exists(f => f.contains("p=a") && f.contains("cow-")),
+      s"replacement must live in p=a: $after")
+    assert(engine.execute(s"SELECT count(*) AS n FROM $Db.pd").data.head.head == 29L)
+    assert(engine.execute(
+      s"SELECT v FROM $Db.pd WHERE id = 102").data == Seq(Seq("row 102")))
+    assert(engine.execute(
+      s"SELECT count(*) AS n FROM $Db.pd WHERE p = 'b'").data.head.head == 15L)
+
+    // file-level UPDATE on a data column inside a partition
+    val up = engine.execute(s"UPDATE $Db.pd SET v = 'fixed' WHERE id = 205")
+    assert(up.message == "UPDATE 1")
+    assert(engine.execute(s"SELECT v FROM $Db.pd WHERE id = 205").data == Seq(Seq("fixed")))
+    assert(engine.execute(s"SELECT v FROM $Db.pd WHERE id = 206").data == Seq(Seq("row 206")))
+
+    // partition-column SET falls back to the safe path, still correct
+    val mv = engine.execute(s"UPDATE $Db.pd SET p = 'b' WHERE id = 0")
+    assert(mv.message == "UPDATE 1")
+    assert(engine.execute(
+      s"SELECT p FROM $Db.pd WHERE id = 0").data == Seq(Seq("b")))
+  }
+
+  test("PARTITIONED table: a partition emptied file-by-file leaves the catalog") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.pe")
+    engine.execute(
+      s"""CREATE TABLE $Db.pe (id int64 NOT NULL, v string, p string)
+         |STORAGE filesystem PARTITION BY (p)""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.pe VALUES (1, 'a', 'x'), (100, 'b', 'y')")
+    engine.execute(s"CREATE INDEX zi ON $Db.pe (id)")
+    val del = engine.execute(s"DELETE FROM $Db.pe WHERE id = 100")
+    assert(del.message == "DELETE 1")
+    val partsShown = spark.sql(s"SHOW PARTITIONS $Db.pe")
+      .collect().map(_.getString(0)).toSeq
+    assert(partsShown == Seq("p=x"),
+      s"emptied partition should drop from the catalog, got $partsShown")
+    assert(engine.execute(s"SELECT count(*) AS n FROM $Db.pe").data.head.head == 1L)
+  }
+
   test("zonemap maintenance rides the file-level commit (prune stays fresh)") {
     val t = freshTable("m1")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
