@@ -243,8 +243,13 @@ object MergeInto {
     * resolving `p.source` (the programmatic/streaming entry). */
   def plan(spark: SparkSession, p: Parsed,
            declaredOrder: Seq[String] = Seq.empty,
-           sourceOverride: Option[DataFrame] = None): Plan = {
-    val tgtBase = spark.table(p.table)
+           sourceOverride: Option[DataFrame] = None,
+           targetOverride: Option[DataFrame] = None): Plan = {
+    // targetOverride = the FILE-level CoW slice (r11): the caller has
+    // proven (zonemap key bounds) that every source match lives in
+    // these rows, so the merge runs against them alone and rows
+    // outside the slice stay byte-untouched on disk
+    val tgtBase = targetOverride.getOrElse(spark.table(p.table))
     val schema = tgtBase.schema
     val tCols = schema.fieldNames.toSeq
     val insertOrder = if (declaredOrder.nonEmpty) declaredOrder else tCols

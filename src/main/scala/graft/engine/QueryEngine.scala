@@ -1095,6 +1095,79 @@ final class QueryEngine(val spark: SparkSession,
         ignoreIfNotExists = true, purge = false, retainData = false)
   }
 
+  /** MERGE file-level scope: extract the ON condition's target=source
+    * equi pairs from the ANALYZED join (coercion casts or non-attr
+    * sides just drop that pair — a subset of pairs still yields a
+    * sound SUPERSET scope), bound each source key with one small agg,
+    * and ask the zonemap for the target files that can intersect those
+    * bounds. Some((files, predicate)) only when evidence actually
+    * pruned; None falls back to the whole-table merge. */
+  /** Small-source key-set cap for the IN-set scope predicate; above
+    * it the scope falls back to [min, max] bounds. IN is the precise
+    * form (an upsert touching ids {3, 9e9} has a min/max range that
+    * covers the whole table but an IN-set that prunes to two files). */
+  private val MergeScopeInCap = 1000
+
+  private def mergeFileScope(t: String, p: MergeInto.Parsed,
+                             src: DataFrame): Option[(Seq[String], Column)] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, AttributeSet, Cast => CCast, EqualTo => CEq, Expression}
+      val analyzed = spark.table(t).alias(p.tAlias)
+        .join(src.alias(p.sAlias), expr(p.onCond), "inner")
+        .queryExecution.analyzed
+      val joinInfo = analyzed.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.isDefined =>
+          (j.condition.get, AttributeSet(j.left.output),
+            AttributeSet(j.right.output))
+      }
+      val (cond, tOut, sOut) = joinInfo.getOrElse(return None)
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      // a side is usable when it is an attribute, possibly under the
+      // coercion cast the analyzer inserted; bounds are then computed
+      // in the comparison's OWN type (the cast target), so the scope
+      // predicate replays the join's exact comparison semantics —
+      // whether the rule can prune through it is the rule's own sound
+      // envelope to decide
+      def attrOf(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case c: CCast => c.child match {
+          case a: AttributeReference => Some(a)
+          case _ => None
+        }
+        case _ => None
+      }
+      val pairs = conjuncts(cond).flatMap {
+        case eq @ CEq(l, r) =>
+          (attrOf(l), attrOf(r)) match {
+            case (Some(a), Some(b)) if tOut.contains(a) && sOut.contains(b) =>
+              Seq((a.name, b.name, l.dataType))
+            case (Some(b), Some(a)) if tOut.contains(a) && sOut.contains(b) =>
+              Seq((a.name, b.name, l.dataType))
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+      if (pairs.isEmpty) return None
+      val pred = pairs.map { case (tk, sk, dt) =>
+        // precise form first: the distinct source keys, capped
+        val keys = src.select(col(sk).cast(dt).as("k")).distinct()
+          .limit(MergeScopeInCap + 1).collect().map(_.get(0)).toSeq
+        if (keys.contains(null)) return None
+        if (keys.length <= MergeScopeInCap) col(tk).isin(keys: _*)
+        else {
+          val r = src.agg(min(col(sk).cast(dt)).as("mn"),
+            max(col(sk).cast(dt)).as("mx")).collect()(0)
+          if (r.isNullAt(0) || r.isNullAt(1)) return None
+          col(tk) >= lit(r.get(0)) && col(tk) <= lit(r.get(1))
+        }
+      }.reduce(_ && _)
+      zonemapScope(t, pred).map(files => (files, pred))
+    } catch { case _: Exception => None }
+
   /** Matched-count + file-level rewrite over only the scope files:
     * shared by DELETE (shape = drop matched) and UPDATE (shape =
     * apply SET). Returns the observed matched count. Candidates are
@@ -1474,13 +1547,41 @@ final class QueryEngine(val spark: SparkSession,
               .write.mode("append").insertInto(t)
             (updated, deleted, obsN(pruned.obsInserted, "inserted"))
           case None =>
-            guardDups(None)
-            val plan = MergeInto.plan(spark, parsed, declaredOrder,
-              Some(srcRaw))
-            if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
-            stagedRewrite(t, plan.result)
-            (obsN(plan.obs, "updated"), obsN(plan.obs, "deleted"),
-             obsN(plan.obs, "inserted"))
+            // FILE-level CoW merge (r11, unpartitioned targets): the
+            // source's equi-key bounds give a target predicate, and
+            // zonemap evidence narrows the merge to the files that can
+            // hold matches — the Delta/Iceberg dynamic-file-pruning
+            // move. Matched rows can only live in scope files (any
+            // match satisfies t.k ∈ [min(s.k), max(s.k)]), so merging
+            // the slice alone is exact; inserts land in the staged
+            // replacement files.
+            val fScope =
+              if (parts.nonEmpty || !pruneEnabled) None
+              else mergeFileScope(t, parsed, srcRaw)
+            fScope match {
+              case Some((scope, keyPred)) =>
+                guardDups(Some(keyPred))
+                if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
+                // empty scope = no target file can match any source
+                // key: a pure-insert merge against an empty slice
+                val cand =
+                  if (scope.isEmpty) spark.table(t).limit(0)
+                  else spark.read.schema(spark.table(t).schema)
+                    .parquet(scope: _*)
+                val plan = MergeInto.plan(spark, parsed, declaredOrder,
+                  Some(srcRaw), targetOverride = Some(cand))
+                fileLevelRewrite(t, Seq.empty, scope, plan.result)
+                (obsN(plan.obs, "updated"), obsN(plan.obs, "deleted"),
+                 obsN(plan.obs, "inserted"))
+              case _ =>
+                guardDups(None)
+                val plan = MergeInto.plan(spark, parsed, declaredOrder,
+                  Some(srcRaw))
+                if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
+                stagedRewrite(t, plan.result)
+                (obsN(plan.obs, "updated"), obsN(plan.obs, "deleted"),
+                 obsN(plan.obs, "inserted"))
+            }
         }
       }
     }

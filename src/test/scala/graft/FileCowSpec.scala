@@ -159,6 +159,64 @@ class FileCowSpec extends AnyFunSuite {
     assert(engine.execute(s"SELECT count(*) AS n FROM $Db.pe").data.head.head == 1L)
   }
 
+  test("MERGE with narrow source keys rewrites only candidate files") {
+    val t = freshTable("mg1")
+    engine.execute(s"CREATE INDEX zi ON $t (id)")
+    val before = files(t)
+    // source touches ids 100-102 (insert-1's file) + one new id
+    val m = engine.execute(
+      s"""MERGE INTO $t AS tg
+         |USING (SELECT * FROM (VALUES (100, 'u100'), (102, 'u102'),
+         |  (9000, 'new')) AS v(id, v)) AS s
+         |ON tg.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(m.message == "MERGE 2 updated, 0 deleted, 1 inserted", m.message)
+    val after = files(t)
+    // only files holding key rows (ids 100/102 — VALUES chunking may
+    // split them across two files) are replaced; every other original
+    // file keeps its path (inserts ride the staged files)
+    val replaced = before -- after
+    assert(replaced.nonEmpty && replaced.size <= 2,
+      s"expected <=2 replaced files\nbefore=$before\nafter=$after")
+    assert(engine.execute(s"SELECT v FROM $t WHERE id = 100").data == Seq(Seq("u100")))
+    assert(engine.execute(s"SELECT v FROM $t WHERE id = 101").data == Seq(Seq("row 101")))
+    assert(engine.execute(s"SELECT v FROM $t WHERE id = 9000").data == Seq(Seq("new")))
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 41L)
+  }
+
+  test("MERGE whose keys miss every file is a pure append (no file replaced)") {
+    val t = freshTable("mg2")
+    engine.execute(s"CREATE INDEX zi ON $t (id)")
+    val before = files(t)
+    val m = engine.execute(
+      s"""MERGE INTO $t AS tg
+         |USING (SELECT * FROM (VALUES (5000, 'a'), (5001, 'b')) AS v(id, v)) AS s
+         |ON tg.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(m.message == "MERGE 0 updated, 0 deleted, 2 inserted", m.message)
+    assert((before -- files(t)).isEmpty, "no original file may be replaced")
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 42L)
+    // and the appended rows are findable (index synced over new file)
+    assert(engine.execute(s"SELECT v FROM $t WHERE id = 5001").data == Seq(Seq("b")))
+  }
+
+  test("MERGE with a DELETE clause stays exact under file-level scope") {
+    val t = freshTable("mg3")
+    engine.execute(s"CREATE INDEX zi ON $t (id)")
+    val m = engine.execute(
+      s"""MERGE INTO $t AS tg
+         |USING (SELECT * FROM (VALUES (200, 0), (201, 1)) AS v(id, del)) AS s
+         |ON tg.id = s.id
+         |WHEN MATCHED AND s.del = 1 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = 'kept'""".stripMargin)
+    assert(m.message == "MERGE 1 updated, 1 deleted, 0 inserted", m.message)
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t WHERE id = 201").data.head.head == 0L)
+    assert(engine.execute(s"SELECT v FROM $t WHERE id = 200").data == Seq(Seq("kept")))
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 39L)
+  }
+
   test("zonemap maintenance rides the file-level commit (prune stays fresh)") {
     val t = freshTable("m1")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
