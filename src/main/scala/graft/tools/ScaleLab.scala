@@ -745,6 +745,35 @@ object ScaleLab {
       f"filelevel=$tOn%.3f replaced=$replacedOn " +
       f"fullrewrite=$tOff%.3f replaced_full=$replacedOff " +
       f"speedup=${tOff / tOn}%.1fx")
+
+    // MERGE leg: a 3-key upsert — the streaming/batch upsert shape
+    def timedMerge(name: String): (Double, Long, Long) = {
+      val before = spark.table(s"sl.$name").inputFiles.toSet
+      val t0 = System.nanoTime()
+      val r = engine.execute(
+        s"""MERGE INTO sl.$name AS tg
+           |USING (SELECT * FROM (VALUES (1000, CAST(99.0 AS DOUBLE)),
+           |  (500000, CAST(88.0 AS DOUBLE)),
+           |  (-7, CAST(1.0 AS DOUBLE))) AS v(k, q)) AS s
+           |ON tg.l_orderkey = s.k
+           |WHEN MATCHED THEN UPDATE SET l_quantity = s.q
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_quantity,
+           |  l_returnflag, l_shipdate) VALUES (s.k, s.q, 'N', NULL)""".stripMargin)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = spark.table(s"sl.$name").inputFiles.toSet
+      (sec, r.rowCount, (before -- after).size.toLong)
+    }
+    build("cowm")
+    val (mOn, mnOn, mrOn) = timedMerge("cowm")
+    build("cowm")
+    spark.conf.set("spark.graft.zonemap.select.enabled", "false")
+    val (mOff, mnOff, mrOff) = try timedMerge("cowm")
+      finally spark.conf.set("spark.graft.zonemap.select.enabled", "true")
+    require(mnOn == mnOff, s"merge counts differ: $mnOn vs $mnOff")
+    println(f"FILECOW_MERGE dir=$dir touched=$mnOn " +
+      f"filelevel=$mOn%.3f replaced=$mrOn " +
+      f"fullrewrite=$mOff%.3f replaced_full=$mrOff " +
+      f"speedup=${mOff / mOn}%.1fx")
   }
 
   /** One zonemap A/B leg: build table+index with a 200-file layout,
