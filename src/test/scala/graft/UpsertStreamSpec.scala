@@ -80,6 +80,40 @@ class UpsertStreamSpec extends AnyFunSuite {
     assert(after1 == Seq(List(1L, "a2", 2L), List(5L, "e", 1L)))
   }
 
+  test("micro-batch upserts ride the FILE-level CoW path on an indexed table") {
+    // a zonemap on the key lets each per-batch MERGE replace only the
+    // files holding that batch's keys — a micro-batch against a big
+    // table must not rewrite the table (r11 file-level merge scope)
+    engine.execute("CREATE DATABASE IF NOT EXISTS ups")
+    engine.execute("DROP TABLE IF EXISTS ups.fc")
+    engine.execute(
+      "CREATE TABLE ups.fc (id int64 NOT NULL, val string, ver int64) STORAGE filesystem")
+    for (base <- Seq(0L, 100L, 200L, 300L)) {
+      val vals = (base until base + 5L)
+        .map(i => s"($i, 'v$i', 1)").mkString(", ")
+      engine.execute(s"INSERT INTO ups.fc VALUES $vals")
+    }
+    engine.execute("CREATE INDEX zi ON ups.fc (id)")
+    val before = spark.table("ups.fc").inputFiles.toSet
+    assert(before.size >= 4)
+
+    val (src, ckpt) = (tmp("ups_fc_src"), tmp("ups_fc_ckpt"))
+    writeJson(src, "b1.json", Seq(row(102, "updated", 9), row(9000, "new", 1)))
+    runUpsert(src, ckpt, "ups.fc")
+
+    val after = spark.table("ups.fc").inputFiles.toSet
+    val replaced = before -- after
+    assert(replaced.nonEmpty && replaced.size <= 1,
+      s"micro-batch should replace only the file holding id=102\n" +
+        s"before=$before\nafter=$after")
+    assert(engine.execute("SELECT val, ver FROM ups.fc WHERE id = 102")
+      .data == Seq(Seq("updated", 9L)))
+    assert(engine.execute("SELECT val FROM ups.fc WHERE id = 9000")
+      .data == Seq(Seq("new")))
+    assert(engine.execute("SELECT count(*) AS n FROM ups.fc")
+      .data.head.head == 21L)
+  }
+
   test("latestPerKey collapses duplicates deterministically by version") {
     import spark.implicits._
     val batch = Seq((7L, "x", 1L), (7L, "y", 3L), (7L, "z", 2L),
