@@ -669,10 +669,14 @@ object IndexManager {
 
   /** One column's zonemap envelope for one file: numeric [mn, mx]
     * (double-rounded true extrema; absent for non-castable values) and
-    * textual [mn, mx] (exact for string columns — for numeric columns
-    * it is a rendering and must not be used for ordering). */
+    * textual [mn, mx] as RAW UTF-8 bytes (exact for string columns —
+    * for numeric columns it is a rendering and must not be used for
+    * ordering). Bytes, not java.lang.String: a string value carrying
+    * invalid UTF-8 (parquet BINARY is read permissively) would decode
+    * to U+FFFD through Row.getString and the corrupted bound could
+    * unsoundly prune a file whose rows match. */
   final case class ZoneBounds(num: Option[(Double, Double)],
-                              str: Option[(String, String)])
+                              str: Option[(Array[Byte], Array[Byte])])
 
   /** Per-file zonemap bounds for the SELECT-path pruning rule:
     * fileHash → (lowercased column → [[ZoneBounds]]), unioned over
@@ -714,13 +718,14 @@ object IndexManager {
         .where(lower(col("col")).isin(cols.toSeq: _*))
         .where(col("mn_num").isNotNull || col("mn").isNotNull)
         .select(col("f").cast("string"), lower(col("col")),
-          col("mn_num"), col("mx_num"), col("mn"), col("mx"))
+          col("mn_num"), col("mx_num"),
+          col("mn").cast("binary"), col("mx").cast("binary"))
         .collect().toSeq
         .map(r => (r.getString(0), r.getString(1), ZoneBounds(
           num = if (r.isNullAt(2) || r.isNullAt(3)) None
                 else Some((r.getDouble(2), r.getDouble(3))),
           str = if (r.isNullAt(4) || r.isNullAt(5)) None
-                else Some((r.getString(4), r.getString(5))))))
+                else Some((r.getAs[Array[Byte]](4), r.getAs[Array[Byte]](5))))))
     }
     val out = rows.groupBy(_._1).map { case (f, rs) =>
       f -> rs.map(r => r._2 -> r._3).toMap

@@ -976,9 +976,12 @@ final class QueryEngine(val spark: SparkSession,
     * the zonemap-pruned set and soundness is inherited: a file is
     * excluded only on positive per-file proof that no row matches.
     * Some only when the rule actually pruned (PrunedTo tag) — None
-    * means no usable evidence and callers take their coarser path. */
-  private def zonemapScope(t: String, condExpr: Column): Option[Seq[String]] =
-    spark.table(t).where(condExpr).queryExecution.optimizedPlan.collectFirst {
+    * means no usable evidence and callers take their coarser path.
+    * Takes the FILTERED DataFrame so callers reuse one QueryExecution
+    * for the scope AND the emptiness probe (a plan build per use was
+    * the review's hot-DML-path finding). */
+  private def zonemapScope(filtered: DataFrame): Option[Seq[String]] =
+    filtered.queryExecution.optimizedPlan.collectFirst {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation
           if l.getTagValue(graft.plans.ZonemapPruneRule.PrunedTo).isDefined =>
         l.relation.asInstanceOf[
@@ -1017,9 +1020,17 @@ final class QueryEngine(val spark: SparkSession,
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
         .parquet(staging.toString)
       Snapshots.preserveExact(spark, t, replaced)
+      // Hadoop FileSystem signals failure by RETURN VALUE, not
+      // exception (rename returns false on an existing dst or a
+      // cross-device move; delete on permissions) — a silently failed
+      // move must abort the commit so the staging copy survives for
+      // repair instead of being deleted as "committed"
       replaced.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        if (fs.exists(p)) fs.delete(p, false)
+        if (fs.exists(p) && !fs.delete(p, false))
+          throw new java.io.IOException(
+            s"file-level commit: could not delete replaced file $p " +
+              "(replacement is staged under " + staging + ")")
       }
       val stamp = java.util.UUID.randomUUID().toString.take(8)
       stagedDataFiles(fs, staging).foreach { st =>
@@ -1029,8 +1040,13 @@ final class QueryEngine(val spark: SparkSession,
           if (rel.contains("/"))
             rel.substring(0, rel.lastIndexOf('/')) + s"/cow-$stamp-${st.getName}"
           else s"cow-$stamp-${st.getName}")
-        fs.mkdirs(dst.getParent)
-        fs.rename(st, dst)
+        if (!fs.mkdirs(dst.getParent) && !fs.exists(dst.getParent))
+          throw new java.io.IOException(
+            s"file-level commit: could not create ${dst.getParent}")
+        if (!fs.rename(st, dst))
+          throw new java.io.IOException(
+            s"file-level commit: could not move $st into place " +
+              "(replacement is staged under " + staging + ")")
       }
       committed = true
     } finally {
@@ -1053,9 +1069,7 @@ final class QueryEngine(val spark: SparkSession,
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith("."))
+      if (f.isFile && Snapshots.isDataFileName(f.getPath.getName))
         out += f.getPath
     }
     out.result()
@@ -1075,11 +1089,8 @@ final class QueryEngine(val spark: SparkSession,
       .filter(_.toString.startsWith(locStr))
       .filterNot(_.toString == locStr)
     val emptied = touchedDirs.filter { d =>
-      !fs.exists(d) || !fs.listStatus(d).exists { st =>
-        val n = st.getPath.getName
-        st.isFile && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")
-      }
+      !fs.exists(d) || !fs.listStatus(d).exists(st =>
+        st.isFile && Snapshots.isDataFileName(st.getPath.getName))
     }
     val specs = emptied.flatMap { d =>
       val rel = d.toString.stripPrefix(locStr).stripPrefix("/")
@@ -1165,7 +1176,7 @@ final class QueryEngine(val spark: SparkSession,
           col(tk) >= lit(r.get(0)) && col(tk) <= lit(r.get(1))
         }
       }.reduce(_ && _)
-      zonemapScope(t, pred).map(files => (files, pred))
+      zonemapScope(spark.table(t).where(pred)).map(files => (files, pred))
     } catch { case _: Exception => None }
 
   /** Matched-count + file-level rewrite over only the scope files:
@@ -1200,7 +1211,8 @@ final class QueryEngine(val spark: SparkSession,
       val matched = coalesce(condExpr, lit(false))
       val parts = partitionColumns(t)
       val n: Long = withTableWriteLock(Some(t)) {
-        lazy val fScope = zonemapScope(t, condExpr)
+        lazy val filteredDf = spark.table(t).where(condExpr)
+        lazy val fScope = zonemapScope(filteredDf)
         if (provablyEmptyPlan(spark.table(t).where(not(matched)))) {
           // whole-table delete: every row provably matches, so count
           // once and rewrite to empty — the normal survivors path
@@ -1218,7 +1230,7 @@ final class QueryEngine(val spark: SparkSession,
           // same partitions untouched (the partition-scoped path
           // below rewrites whole partitions)
           val scope = fScope.get
-          if (scope.isEmpty || spark.table(t).where(condExpr).isEmpty) 0L
+          if (scope.isEmpty || filteredDf.isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "DELETE")
             fileLevelDml(t, parts, scope, matched, _.where(not(matched)))
@@ -1271,7 +1283,7 @@ final class QueryEngine(val spark: SparkSession,
           // unpartitioned: a bounded existence probe guards the rewrite
           // (a DELETE matching nothing must not rewrite the table), then
           // ONE pass both counts matches and writes survivors
-          if (spark.table(t).where(condExpr).isEmpty) 0L
+          if (filteredDf.isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "DELETE")
             fScope match {
@@ -1320,13 +1332,14 @@ final class QueryEngine(val spark: SparkSession,
       val n: Long = withTableWriteLock(Some(t)) {
         // an UPDATE rewriting a partition column can MOVE rows across
         // partition dirs — only the whole-table path handles that
+        lazy val filteredDf = spark.table(t).where(condExpr)
         lazy val fScope =
-          if (touchesPartCol) None else zonemapScope(t, condExpr)
+          if (touchesPartCol) None else zonemapScope(filteredDf)
         if (parts.nonEmpty && fScope.isDefined) {
           // FILE-level CoW within partitions (r11): only files that
           // can hold matched rows are rewritten with SET applied
           val scope = fScope.get
-          if (scope.isEmpty || spark.table(t).where(condExpr).isEmpty) 0L
+          if (scope.isEmpty || filteredDf.isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "UPDATE")
             fileLevelDml(t, parts, scope, matched, applySet)
@@ -1351,7 +1364,7 @@ final class QueryEngine(val spark: SparkSession,
             }
           }
         } else {
-          if (spark.table(t).where(condExpr).isEmpty) 0L
+          if (filteredDf.isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "UPDATE")
             fScope match {

@@ -81,17 +81,21 @@ object Snapshots {
     s.substring(b.length + 1)
   }
 
-  /** Relative paths of the table's data files (recursive; parquet
-    * only — commit markers and hidden files are not data). */
+  /** The engine-wide data-file naming contract — ONE definition so
+    * snapshot manifests, file-level CoW commits and emptied-partition
+    * cleanup can never disagree about what counts as table data
+    * (commit markers and hidden files are not data). */
+  private[engine] def isDataFileName(name: String): Boolean =
+    name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
+
+  /** Relative paths of the table's data files (recursive). */
   private def listDataFiles(fs: FileSystem, loc: Path): Seq[String] = {
     if (!fs.exists(loc)) return Seq.empty
     val out = Seq.newBuilder[String]
     val it = fs.listFiles(loc, true)
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(".parquet") &&
-          !name.startsWith("_") && !name.startsWith("."))
+      if (f.isFile && isDataFileName(f.getPath.getName))
         out += relativize(loc, f.getPath)
     }
     out.result()

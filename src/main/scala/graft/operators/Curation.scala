@@ -1077,7 +1077,11 @@ object Curation {
     // sort of the corpus — that's the scale win). Ordering matches the
     // former Window.orderBy(band, bkt): band numeric, bkt ASCII hex.
     import base.sparkSession.implicits._
+    // null band/bkt rows never joined back in the window version
+    // either (equi-join keys) — drop them instead of NPE-ing in
+    // getLong/sortBy on a corpus with null text
     val cRows = counts.collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))
     var acc = 0L

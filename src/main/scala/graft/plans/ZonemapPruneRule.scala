@@ -258,13 +258,16 @@ object ZonemapPruneRule {
   /** String tests over the EXACT textual [mn, mx] (no rounding, no
     * widening). Ordering is unsigned UTF-8 byte lexicographic — the
     * same total order UTF8String.compareTo imposes, which is the order
-    * the min/max aggregates that BUILT the bounds used. Java
-    * String.compareTo (UTF-16 code units) disagrees with it above the
-    * BMP, so comparisons run over raw UTF-8 bytes. */
+    * the min/max aggregates that BUILT the bounds used. Bounds arrive
+    * as RAW bytes (never through java.lang.String, whose UTF-16
+    * decode both disagrees with byte order above the BMP and corrupts
+    * invalid-UTF-8 values to U+FFFD), and the literal side is the raw
+    * UTF8String payload — both sides compare in the engine's own
+    * binary space. */
   private[plans] sealed trait StrPred extends Pred {
     def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean
     final def provablyEmpty(b: IndexManager.ZoneBounds): Boolean =
-      b.str.exists { case (mn, mx) => emptyOn(utf8(mn), utf8(mx)) }
+      b.str.exists { case (mn, mx) => emptyOn(mn, mx) }
   }
   private[plans] final case class SEq(v: Array[Byte]) extends StrPred {
     def emptyOn(mn: Array[Byte], mx: Array[Byte]): Boolean =
@@ -301,9 +304,6 @@ object ZonemapPruneRule {
       cmpUtf8(mx, p) < 0 ||
         nextPrefix(p).exists(np => cmpUtf8(mn, np) >= 0)
   }
-
-  private[plans] def utf8(s: String): Array[Byte] =
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   /** Unsigned byte lexicographic, shorter-is-smaller on equal prefix —
     * exactly UTF8String's binary comparison. */

@@ -125,13 +125,19 @@ object GraftServer {
     val httpPort = port("http", 2847)
     val pgPort = port("pgwire", 2848)
     val nativePort = port("native", 2849)
+    // bind address from the config file's server.host (an operator
+    // setting 127.0.0.1 expects loopback-only exposure on every tier)
+    val host = spark.conf.getOption("spark.graft.server.host")
+      .getOrElse("0.0.0.0")
     val http = if (enabled("http"))
-      Some(new HttpApi(engine, httpPort, auth).start()) else None
+      Some(new HttpApi(engine, httpPort, auth, host).start()) else None
     val pg = if (enabled("pgwire")) {
-      val s = new PgWireServer(engine, pgPort, auth = auth); s.start(); Some(s)
+      val s = new PgWireServer(engine, pgPort, auth = auth, host = host)
+      s.start(); Some(s)
     } else None
     val native = if (enabled("native")) {
-      val s = new NativeServer(engine, nativePort, auth = auth); s.start(); Some(s)
+      val s = new NativeServer(engine, nativePort, auth = auth, host = host)
+      s.start(); Some(s)
     } else None
     // CDC retention: with no AsthaScheduler consuming (subscriber
     // cleanup is cursor-driven), a long-running server would grow

@@ -20,9 +20,10 @@ import graft.engine.QueryEngine
   * Connect would provide the JDBC analog — out of scope (SURVEY §3.3).
   */
 final class HttpApi(engine: QueryEngine, port: Int = 0,
-                    auth: Option[AuthProvider] = None) {
+                    auth: Option[AuthProvider] = None,
+                    host: String = "0.0.0.0") {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
   def boundPort: Int = server.getAddress.getPort

@@ -4,9 +4,13 @@ package graft.server
   * (`server/config/config.go:8-30` + `ranger-server.yml`): `server:`
   * (host/port + per-protocol enable flags), `log:` (level, file
   * rotation knobs), `storage:` (data_path → warehouse dir, catalog
-  * type), `query:` (engine knobs), `auth:`. Every field maps onto a
-  * spark conf the engine already honors — the file is the deployment
-  * face, not a second config system.
+  * type), `query:` (engine knobs), `auth:`. Live settings map onto
+  * spark confs the engine honors (host binds all three tiers, ports,
+  * enable flags, warehouse dir, auth, shuffle partitions, log level);
+  * the log ROTATION knobs (file_path/max_size/max_backups/max_age/
+  * cleanup) and storage.catalog.type are parsed for reference parity
+  * and carried on the config object but not enforced — Spark's
+  * log4j2 owns file rotation here.
   *
   * Unknown keys are ignored (the reference's yaml.Unmarshal behavior);
   * missing keys fall back to the same defaults the reference's
@@ -115,7 +119,11 @@ object ServerConfig {
       logCleanup = bool(true, "log", "cleanup"),
       dataPath = optStr("storage", "data_path"),
       catalogType = str("json", "storage", "catalog", "type"),
-      shufflePartitions = node("query", "shuffle_partitions").map(_.asInt()),
+      shufflePartitions = node("query", "shuffle_partitions").map { n =>
+        require(n.canConvertToInt && n.asInt() > 0,
+          s"query.shuffle_partitions: '${n.asText()}' is not a positive integer")
+        n.asInt()
+      },
       authEnabled = bool(false, "auth", "enabled"),
       authTokens = node("auth", "tokens").toSeq.flatMap { n =>
         import scala.jdk.CollectionConverters._

@@ -22,7 +22,8 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849,
                          maxConnections: Int = 100,
                          auth: Option[graft.server.AuthProvider] = None,
                          breaker: graft.server.CircuitBreaker =
-                           new graft.server.CircuitBreaker()) {
+                           new graft.server.CircuitBreaker(),
+                         host: String = "0.0.0.0") {
 
   @volatile private var server: ServerSocket = _
   private val running = new AtomicBoolean(false)
@@ -35,7 +36,8 @@ final class NativeServer(engine: QueryEngine, port: Int = 2849,
   def boundPort: Int = server.getLocalPort
 
   def start(): Unit = {
-    server = new ServerSocket(port)
+    server = new ServerSocket(port, 50,
+      java.net.InetAddress.getByName(host))
     running.set(true)
     val acceptor = new Thread(() => {
       while (running.get()) {

@@ -31,7 +31,8 @@ import graft.engine.{QueryAnalyzer, QueryEngine}
   */
 final class PgWireServer(engine: QueryEngine, port: Int = 2848,
                          maxConnections: Int = 100,
-                         auth: Option[graft.server.AuthProvider] = None) {
+                         auth: Option[graft.server.AuthProvider] = None,
+                         host: String = "0.0.0.0") {
 
   private val active = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -54,7 +55,8 @@ final class PgWireServer(engine: QueryEngine, port: Int = 2848,
   def boundPort: Int = server.getLocalPort
 
   def start(): Unit = {
-    server = new ServerSocket(port)
+    server = new ServerSocket(port, 50,
+      java.net.InetAddress.getByName(host))
     running.set(true)
     val t = new Thread(() => {
       while (running.get()) {

@@ -94,6 +94,26 @@ class ServerConfigSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       ServerConfig.load("/nonexistent/ranger-server.yml"))
     assert(e3.getMessage.contains("does not exist"))
+    val e4 = intercept[IllegalArgumentException](
+      ServerConfig.fromYaml("query:\n  shuffle_partitions: many\n"))
+    assert(e4.getMessage.contains("many"))
+  }
+
+  test("server.host binds the tiers (loopback config is loopback-only)") {
+    val spark = TestSpark.spark
+    val engine = new graft.engine.QueryEngine(spark)
+    val api = new graft.server.HttpApi(engine, 0, None, "127.0.0.1").start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val r = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:${api.boundPort}/health")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      // and the config file's server.host reaches the conf the tiers read
+      val c = ServerConfig.fromYaml("server:\n  host: 127.0.0.1\n")
+      assert(c.sparkConfs("spark.graft.server.host") == "127.0.0.1")
+    } finally api.stop()
   }
 
   test("tiers boot from a file-shaped config (ephemeral ports, native off)") {

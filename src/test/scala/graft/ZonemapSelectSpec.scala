@@ -259,6 +259,37 @@ class ZonemapSelectSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("invalid-UTF-8 string values keep exact byte bounds (no U+FFFD corruption)") {
+    // parquet BINARY reads permissively: a string value can carry
+    // bytes that are not valid UTF-8. Bounds must round-trip as RAW
+    // bytes — decoding through java.lang.String would corrupt the min
+    // [0xC3, 0x61] to [0xEF,0xBF,0xBD, 0x61] (U+FFFD), which sorts
+    // ABOVE 'é' [0xC3,0xA9] and would wrongly prune the file for
+    // `s < 'é'` even though its row matches.
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.ut")
+    engine.execute(
+      s"CREATE TABLE $Db.ut (id int64, s string) STORAGE filesystem")
+    engine.execute(s"INSERT INTO $Db.ut VALUES (1, 'row one')")
+    // append a raw file whose only string is the invalid byte pair
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"$Db.ut")).location.toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Seq((100L, Array(0xC3.toByte, 0x61.toByte))).toDF("id", "b")
+      .select(col("id"), col("b").cast("string").as("s"))
+      .coalesce(1).write.mode("append").parquet(loc)
+    spark.catalog.refreshTable(s"$Db.ut")
+    engine.execute(s"CREATE INDEX zs ON $Db.ut (s)")
+
+    val q = s"SELECT id FROM $Db.ut WHERE s < 'é'"
+    val pruned = rows(spark.sql(q))
+    val full = withRuleOff(rows(spark.sql(q)))
+    assert(pruned == full, s"byte-exact bounds must not lose the row: $pruned vs $full")
+    assert(pruned.contains(Seq(100L)),
+      s"the invalid-UTF-8 row sorts below 'é' in byte order: $pruned")
+  }
+
   test("exact file-min boundary value survives (one-ulp envelope)") {
     val t = freshTable("t5")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
