@@ -148,6 +148,8 @@ object ScaleLab {
         probeZonemap(spark, dir)
       case "filecow" :: dir :: Nil =>
         probeFileCow(spark, dir)
+      case "zorderprune" :: dir :: Nil =>
+        probeZorderPrune(spark, dir)
       case "fullsuite" :: dir :: rest =>
         probeFullSuite(spark, dir, rest.headOption)
       case "maintain" :: dir :: rest =>
@@ -774,6 +776,58 @@ object ScaleLab {
       f"filelevel=$mOn%.3f replaced=$mrOn " +
       f"fullrewrite=$mOff%.3f replaced_full=$mrOff " +
       f"speedup=${mOff / mOn}%.1fx")
+  }
+
+  /** The layout lever (r11): zonemap bounds only bite when files are
+    * CLUSTERED by the predicate column. A hash-shuffled table prunes
+    * nothing; `OPTIMIZE ... ZORDER BY (col)` re-clusters it (index
+    * file-diff rides the rewrite) and the same point query then reads
+    * one file — the "your table doesn't prune? ZORDER it" story. */
+  private def probeZorderPrune(spark: SparkSession, dir: String): Unit = {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS sl")
+    engine.execute("DROP TABLE IF EXISTS sl.zz")
+    engine.execute(
+      """CREATE TABLE sl.zz (l_orderkey int64, l_quantity float64)
+        |STORAGE filesystem""".stripMargin)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // hash order destroys key clustering — every file's [mn, mx]
+    // spans ~the whole key range
+    try engine.execute(
+      s"""INSERT INTO sl.zz SELECT l_orderkey, l_quantity
+         |FROM parquet.`$dir/lineitem.parquet`
+         |ORDER BY md5(CAST(l_orderkey AS STRING))""".stripMargin)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+    engine.execute("CREATE INDEX zp ON sl.zz (l_orderkey)")
+    val q = "SELECT count(*) AS n FROM sl.zz WHERE l_orderkey = 1000"
+    def filesRead(): Long = spark.sql(q).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length.toLong
+    }.sum
+    val totalBefore = spark.table("sl.zz").inputFiles.length
+    val readBefore = filesRead()
+    val rowsBefore = spark.sql(q).collect()(0).getLong(0)
+    // keep a multi-file layout after compaction so the zordered side
+    // demonstrates SELECTIVE pruning, not a single-file collapse
+    spark.conf.set("spark.graft.optimize.targetFileBytes",
+      (4L * 1024 * 1024).toString)
+    try engine.execute("OPTIMIZE sl.zz ZORDER BY (l_orderkey)")
+    finally spark.conf.unset("spark.graft.optimize.targetFileBytes")
+    val totalAfter = spark.table("sl.zz").inputFiles.length
+    val readAfter = filesRead()
+    val rowsAfter = spark.sql(q).collect()(0).getLong(0)
+    require(rowsBefore == rowsAfter, s"$rowsBefore vs $rowsAfter")
+    println(s"ZORDER_PRUNE dir=$dir shuffled=$readBefore/$totalBefore " +
+      s"zordered=$readAfter/$totalAfter rows=$rowsAfter")
   }
 
   /** One zonemap A/B leg: build table+index with a 200-file layout,

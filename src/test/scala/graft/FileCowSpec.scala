@@ -217,6 +217,28 @@ class FileCowSpec extends AnyFunSuite {
     assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 39L)
   }
 
+  test("OPTIMIZE compacts accumulated cow files; zonemap survives the rewrite") {
+    // every point DML adds a small cow- file — the compaction story
+    // closes the lifecycle: OPTIMIZE bin-packs them and the index
+    // file-diff re-derives shards for the new layout
+    val t = freshTable("oc1")
+    engine.execute(s"CREATE INDEX zi ON $t (id)")
+    for (id <- Seq(5L, 105L, 205L, 305L))
+      engine.execute(s"DELETE FROM $t WHERE id = $id")
+    assert(files(t).count(_.contains("cow-")) >= 3,
+      s"file-level deletes should accumulate cow files: ${files(t)}")
+    engine.execute(s"OPTIMIZE $t")
+    assert(files(t).size < 8, s"compaction should shrink the file count: ${files(t)}")
+    // data intact, index fresh, pruning still live
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 36L)
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t WHERE id = 105")
+      .data.head.head == 0L)
+    assert(engine.execute(s"SELECT v FROM $t WHERE id = 306").data == Seq(Seq("row 306")))
+    // and file-level DML keeps working on the compacted layout
+    engine.execute(s"DELETE FROM $t WHERE id = 306")
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 35L)
+  }
+
   test("zonemap maintenance rides the file-level commit (prune stays fresh)") {
     val t = freshTable("m1")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
