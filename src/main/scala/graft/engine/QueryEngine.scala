@@ -1568,6 +1568,12 @@ final class QueryEngine(val spark: SparkSession,
             // match satisfies t.k ∈ [min(s.k), max(s.k)]), so merging
             // the slice alone is exact; inserts land in the staged
             // replacement files.
+            // partitioned targets stay on the partition-scoped path:
+            // a MERGE insert can mint a NEW partition value, and a
+            // file-level commit would move its dir into place without
+            // registering the partition in the catalog (rows invisible
+            // to catalog-tracked listings); the dynamic-overwrite path
+            // registers partitions as a side effect of insertInto
             val fScope =
               if (parts.nonEmpty || !pruneEnabled) None
               else mergeFileScope(t, parsed, srcRaw)
