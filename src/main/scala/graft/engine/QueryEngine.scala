@@ -1019,6 +1019,17 @@ final class QueryEngine(val spark: SparkSession,
       val w = replacement.write.mode("overwrite")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
         .parquet(staging.toString)
+      // pre-mutation abort: a row landing in the NULL partition
+      // (__HIVE_DEFAULT_PARTITION__) cannot be registered by ADD
+      // PARTITION — bail out BEFORE any live file moves so the caller
+      // can fall back to the whole-table path (nothing to repair:
+      // only staging was written, and it is removed here)
+      if (parts.nonEmpty && stagedDataFiles(fs, staging).exists(
+          _.toString.contains("__HIVE_DEFAULT_PARTITION__"))) {
+        fs.delete(staging, true)
+        throw new FileLevelAbort(
+          "replacement rows include a null partition value")
+      }
       Snapshots.preserveExact(spark, t, replaced)
       // Hadoop FileSystem signals failure by RETURN VALUE, not
       // exception (rename returns false on an existing dst or a
@@ -1033,12 +1044,15 @@ final class QueryEngine(val spark: SparkSession,
               "(replacement is staged under " + staging + ")")
       }
       val stamp = java.util.UUID.randomUUID().toString.take(8)
+      val stagedDirs = Set.newBuilder[String]
       stagedDataFiles(fs, staging).foreach { st =>
         val rel = st.toString.stripPrefix(staging.toString)
           .stripPrefix("/")
+        val relDir =
+          if (rel.contains("/")) rel.substring(0, rel.lastIndexOf('/')) else ""
+        if (relDir.nonEmpty) stagedDirs += relDir
         val dst = new org.apache.hadoop.fs.Path(loc,
-          if (rel.contains("/"))
-            rel.substring(0, rel.lastIndexOf('/')) + s"/cow-$stamp-${st.getName}"
+          if (relDir.nonEmpty) s"$relDir/cow-$stamp-${st.getName}"
           else s"cow-$stamp-${st.getName}")
         if (!fs.mkdirs(dst.getParent) && !fs.exists(dst.getParent))
           throw new java.io.IOException(
@@ -1049,6 +1063,10 @@ final class QueryEngine(val spark: SparkSession,
               "(replacement is staged under " + staging + ")")
       }
       committed = true
+      // a MERGE insert (or a SET on a partition column) can mint a
+      // partition value the catalog has never seen — register every
+      // staged dir so catalog-tracked listings can find its rows
+      if (parts.nonEmpty) registerPartitionDirs(t, stagedDirs.result())
     } finally {
       if (committed) {
         try fs.delete(staging, true) catch { case _: Exception => () }
@@ -1059,6 +1077,26 @@ final class QueryEngine(val spark: SparkSession,
     // dropEmptiedPartitions behavior
     if (parts.nonEmpty) dropEmptyPartitionDirs(t, replaced, loc, fs)
     spark.catalog.refreshTable(t)
+  }
+
+  /** Register partition dirs a file-level commit staged into (ADD IF
+    * NOT EXISTS — pre-existing ones are no-ops). Specs parse from the
+    * dir names, Spark's own path encoding. */
+  private def registerPartitionDirs(t: String, relDirs: Set[String]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val specs = relDirs.toSeq.flatMap { rel =>
+      val kvs = rel.split("/").toSeq.filter(_.contains("="))
+      if (kvs.isEmpty) None
+      else Some(kvs.map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> ExternalCatalogUtils.unescapePathName(v)
+      })
+    }
+    specs.foreach { kvs =>
+      val spec = kvs.map { case (k, v) =>
+        s"`$k`='${v.replace("'", "''")}'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION ($spec)")
+    }
   }
 
   /** Recursively list staged data files (partitioned staging nests
@@ -1105,6 +1143,11 @@ final class QueryEngine(val spark: SparkSession,
       spark.sessionState.catalog.dropPartitions(tableIdent(t), specs,
         ignoreIfNotExists = true, purge = false, retainData = false)
   }
+
+  /** Pre-mutation abort from [[fileLevelRewrite]]: the commit found a
+    * shape it cannot represent (null partition value) BEFORE touching
+    * any live file — callers fall back to the whole-table path. */
+  private final class FileLevelAbort(why: String) extends Exception(why)
 
   /** MERGE file-level scope: extract the ON condition's target=source
     * equi pairs from the ANALYZED join (coercion casts or non-attr
@@ -1233,7 +1276,13 @@ final class QueryEngine(val spark: SparkSession,
           if (scope.isEmpty || filteredDf.isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "DELETE")
-            fileLevelDml(t, parts, scope, matched, _.where(not(matched)))
+            try fileLevelDml(t, parts, scope, matched, _.where(not(matched)))
+            catch { case _: FileLevelAbort =>
+              val (survivors, observedN) = withMatchedCount(t, matched,
+                _.where(not(matched)))
+              stagedRewrite(t, survivors)
+              observedN()
+            }
           }
         } else if (parts.nonEmpty) {
           // ONE scoping job gives the affected partitions AND the
@@ -1290,7 +1339,13 @@ final class QueryEngine(val spark: SparkSession,
               case Some(scope) if scope.nonEmpty =>
                 // FILE-level CoW: zonemap evidence clears the other
                 // files — they are not read, not rewritten, not moved
-                fileLevelDml(t, parts, scope, matched, _.where(not(matched)))
+                try fileLevelDml(t, parts, scope, matched, _.where(not(matched)))
+                catch { case _: FileLevelAbort =>
+                  val (survivors, observedN) = withMatchedCount(t, matched,
+                    _.where(not(matched)))
+                  stagedRewrite(t, survivors)
+                  observedN()
+                }
               case _ =>
                 val (survivors, observedN) = withMatchedCount(t, matched,
                   _.where(not(matched)))
@@ -1342,7 +1397,12 @@ final class QueryEngine(val spark: SparkSession,
           if (scope.isEmpty || filteredDf.isEmpty) 0L
           else {
             if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "UPDATE")
-            fileLevelDml(t, parts, scope, matched, applySet)
+            try fileLevelDml(t, parts, scope, matched, applySet)
+            catch { case _: FileLevelAbort =>
+              val (df, observedN) = withMatchedCount(t, matched, applySet)
+              stagedRewrite(t, df)
+              observedN()
+            }
           }
         } else if (parts.nonEmpty) {
           // one scoping job: affected partitions + matched count
@@ -1371,7 +1431,12 @@ final class QueryEngine(val spark: SparkSession,
               case Some(scope) if scope.nonEmpty =>
                 // FILE-level CoW: only files that can hold matched
                 // rows are rewritten (SET applied); the rest stay
-                fileLevelDml(t, parts, scope, matched, applySet)
+                try fileLevelDml(t, parts, scope, matched, applySet)
+                catch { case _: FileLevelAbort =>
+                  val (df, observedN) = withMatchedCount(t, matched, applySet)
+                  stagedRewrite(t, df)
+                  observedN()
+                }
               case _ =>
                 val (df, observedN) = withMatchedCount(t, matched, applySet)
                 stagedRewrite(t, df)
@@ -1504,6 +1569,37 @@ final class QueryEngine(val spark: SparkSession,
         // scopes still fall back to the whole-table staged rewrite.
         val pruneEnabled = spark.conf
           .getOption("spark.graft.merge.prune").forall(_ != "off")
+        // FINEST scope first: file-level from the source's equi-key
+        // bounds + zonemap evidence (works on partitioned targets too
+        // — inserts that mint a new partition value register it, and
+        // a null partition value aborts pre-mutation to the coarser
+        // paths); then partition-level; then the whole table
+        val fileScope =
+          if (!pruneEnabled) None else mergeFileScope(t, parsed, srcRaw)
+        val fileLevelResult: Option[(Long, Long, Long)] = fileScope.flatMap {
+          case (scope, keyPred) =>
+            try {
+              guardDups(Some(keyPred))
+              if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
+              val locStr = spark.sessionState.catalog
+                .getTableMetadata(tableIdent(t)).location.toString
+              val schema = spark.table(t).schema
+              // empty scope = no target file can match any source
+              // key: a pure-insert merge against an empty slice
+              val cand =
+                if (scope.isEmpty) spark.table(t).limit(0)
+                else spark.read.schema(schema).option("basePath", locStr)
+                  .parquet(scope: _*)
+                  .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+              val plan = MergeInto.plan(spark, parsed, declaredOrder,
+                Some(srcRaw), targetOverride = Some(cand))
+              fileLevelRewrite(t, parts, scope, plan.result)
+              Some((obsN(plan.obs, "updated"), obsN(plan.obs, "deleted"),
+                obsN(plan.obs, "inserted")))
+            } catch { case _: FileLevelAbort => None }
+        }
+        if (fileLevelResult.isDefined) fileLevelResult.get
+        else {
         val prunedScope: Option[Seq[Row]] =
           if (parts.isEmpty || touchesPartCol || !pruneEnabled) None
           else {
@@ -1560,47 +1656,14 @@ final class QueryEngine(val spark: SparkSession,
               .write.mode("append").insertInto(t)
             (updated, deleted, obsN(pruned.obsInserted, "inserted"))
           case None =>
-            // FILE-level CoW merge (r11, unpartitioned targets): the
-            // source's equi-key bounds give a target predicate, and
-            // zonemap evidence narrows the merge to the files that can
-            // hold matches — the Delta/Iceberg dynamic-file-pruning
-            // move. Matched rows can only live in scope files (any
-            // match satisfies t.k ∈ [min(s.k), max(s.k)]), so merging
-            // the slice alone is exact; inserts land in the staged
-            // replacement files.
-            // partitioned targets stay on the partition-scoped path:
-            // a MERGE insert can mint a NEW partition value, and a
-            // file-level commit would move its dir into place without
-            // registering the partition in the catalog (rows invisible
-            // to catalog-tracked listings); the dynamic-overwrite path
-            // registers partitions as a side effect of insertInto
-            val fScope =
-              if (parts.nonEmpty || !pruneEnabled) None
-              else mergeFileScope(t, parsed, srcRaw)
-            fScope match {
-              case Some((scope, keyPred)) =>
-                guardDups(Some(keyPred))
-                if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
-                // empty scope = no target file can match any source
-                // key: a pure-insert merge against an empty slice
-                val cand =
-                  if (scope.isEmpty) spark.table(t).limit(0)
-                  else spark.read.schema(spark.table(t).schema)
-                    .parquet(scope: _*)
-                val plan = MergeInto.plan(spark, parsed, declaredOrder,
-                  Some(srcRaw), targetOverride = Some(cand))
-                fileLevelRewrite(t, Seq.empty, scope, plan.result)
-                (obsN(plan.obs, "updated"), obsN(plan.obs, "deleted"),
-                 obsN(plan.obs, "inserted"))
-              case _ =>
-                guardDups(None)
-                val plan = MergeInto.plan(spark, parsed, declaredOrder,
-                  Some(srcRaw))
-                if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
-                stagedRewrite(t, plan.result)
-                (obsN(plan.obs, "updated"), obsN(plan.obs, "deleted"),
-                 obsN(plan.obs, "inserted"))
-            }
+            guardDups(None)
+            val plan = MergeInto.plan(spark, parsed, declaredOrder,
+              Some(srcRaw))
+            if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
+            stagedRewrite(t, plan.result)
+            (obsN(plan.obs, "updated"), obsN(plan.obs, "deleted"),
+             obsN(plan.obs, "inserted"))
+        }
         }
       }
     }

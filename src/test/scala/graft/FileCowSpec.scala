@@ -217,6 +217,45 @@ class FileCowSpec extends AnyFunSuite {
     assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 39L)
   }
 
+  test("PARTITIONED MERGE: file-level upsert registers a freshly minted partition") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.pm")
+    engine.execute(
+      s"""CREATE TABLE $Db.pm (id int64 NOT NULL, v string, p string)
+         |STORAGE filesystem PARTITION BY (p)""".stripMargin)
+    for (i <- 0 until 3) {
+      val a = (0 until 5).map(k => s"(${i * 100 + k}, 'row ${i * 100 + k}', 'a')")
+      val b = (5 until 10).map(k => s"(${i * 100 + k}, 'row ${i * 100 + k}', 'b')")
+      engine.execute(s"INSERT INTO $Db.pm VALUES ${(a ++ b).mkString(", ")}")
+    }
+    engine.execute(s"CREATE INDEX zi ON $Db.pm (id)")
+    val before = files(s"$Db.pm")
+
+    // upsert: one matched row in p=a, one insert into a NEW partition
+    val m = engine.execute(
+      s"""MERGE INTO $Db.pm AS tg
+         |USING (SELECT * FROM (VALUES (103, 'u103', 'a'),
+         |  (9000, 'new', 'z')) AS s(id, v, p)) AS s
+         |ON tg.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)""".stripMargin)
+    assert(m.message == "MERGE 1 updated, 0 deleted, 1 inserted", m.message)
+    val after = files(s"$Db.pm")
+    val replaced = before -- after
+    assert(replaced.size == 1 && replaced.head.contains("p=a"),
+      s"only the matched file in p=a may be replaced: $replaced")
+    // the new partition is REGISTERED: catalog-tracked listing sees it
+    val partsShown = spark.sql(s"SHOW PARTITIONS $Db.pm")
+      .collect().map(_.getString(0)).toSet
+    assert(partsShown.contains("p=z"), s"minted partition must register: $partsShown")
+    assert(engine.execute(s"SELECT v FROM $Db.pm WHERE id = 9000").data == Seq(Seq("new")))
+    assert(engine.execute(s"SELECT v FROM $Db.pm WHERE id = 103").data == Seq(Seq("u103")))
+    assert(engine.execute(s"SELECT count(*) AS n FROM $Db.pm").data.head.head == 31L)
+    // untouched partition intact
+    assert(engine.execute(s"SELECT count(*) AS n FROM $Db.pm WHERE p = 'b'")
+      .data.head.head == 15L)
+  }
+
   test("OPTIMIZE compacts accumulated cow files; zonemap survives the rewrite") {
     // every point DML adds a small cow- file — the compaction story
     // closes the lifecycle: OPTIMIZE bin-packs them and the index
