@@ -60,7 +60,7 @@ object IndexManager {
 
   /** Index kinds and the column arity each expects. */
   private val TwoColKinds = Set("bands", "postings", "ivf", "sq8")
-  val Kinds: Set[String] = TwoColKinds + "zonemap"
+  val Kinds: Set[String] = TwoColKinds + "zonemap" + "bloom"
 
   /** Shard FORMAT version per kind, stamped into meta params as
     * "fmt" at CREATE. Bump when a kind's shard schema changes (ivf
@@ -243,6 +243,18 @@ object IndexManager {
           .contains(keyType.simpleString),
         s"USING $kind needs an integral key column; ${cols.head} is ${keyType.simpleString}")
     } else require(cols.nonEmpty, "index needs at least one column")
+    if (kind == "bloom") cols.foreach { c =>
+      // the probe hashes either a LONG (integral columns, exact under
+      // widening-cast equality) or raw UTF-8 bytes (strings); any
+      // other type has no sound shared representation with its
+      // predicate literals (float equality re-rounds, date/timestamp
+      // literals arrive in internal units) — reject at CREATE
+      val dt = schema(schema.fieldNames.find(
+        _.equalsIgnoreCase(c)).get).dataType.simpleString
+      require(Seq("tinyint", "smallint", "int", "bigint", "string")
+          .contains(dt),
+        s"USING bloom supports integral and string columns; $c is $dt")
+    }
     if (indexMeta(spark, qualified, name).isDefined) {
       if (ifNotExists) return s"Index $name already exists"
       throw new IllegalArgumentException(
@@ -463,6 +475,25 @@ object IndexManager {
              |    (element_at(v, i) - element_at(mnl, i)) * 255.0D
              |      / (element_at(mxl, i) - element_at(mnl, i))) AS INT))) END)""".stripMargin))
         .select(col("key"), col("codes"))
+    case "bloom" =>
+      // one row per indexed column: a Bloom membership filter over the
+      // file's non-null values — the equality/IN evidence for columns
+      // whose min/max cannot prune (high-cardinality, unclustered).
+      // Integral columns hash their exact LONG value, strings their
+      // raw UTF-8 bytes; the planning-time probe replays the same
+      // representation ([[graft.plans.ZonemapPruneRule]]).
+      val items = meta.params("expectedItems").toLong
+      val fpp = meta.params("fpp").toDouble
+      meta.cols.map { c =>
+        val dt = src.schema.fields.find(_.name.equalsIgnoreCase(c)).get
+          .dataType.simpleString
+        val in = if (dt == "string") col(c) else col(c).cast("long")
+        src.agg(
+          lit(c).as("col"),
+          graft.functions.expressions.BloomAgg.bloomAgg(in, items, fpp)
+            .as("bloom"),
+          count(col(c)).as("n_rows"))
+      }.reduce(_ unionByName _)
     case "zonemap" =>
       // one row per indexed column: textual + numeric min/max (the
       // numeric pair is null for non-castable types); a probe prunes
@@ -560,6 +591,23 @@ object IndexManager {
         Map("mn" -> encodeVector(mn), "mx" -> encodeVector(mx))
       case "bands" => Map("shingleK" -> ShingleK.toString,
         "numHashes" -> NumHashes.toString, "bands" -> NumBands.toString)
+      case "bloom" =>
+        // freeze per-file sizing at CREATE (the data-dependent-params
+        // contract): expected items = current rows-per-file with 1.5×
+        // headroom for growth. Drift past it only RAISES the false-
+        // positive rate (weaker pruning) — never a false negative, so
+        // soundness does not depend on the estimate. fpp is validated
+        // here so a bad conf fails the CREATE, not a probe.
+        val tbl = spark.table(qualified)
+        val files = math.max(1L, tbl.inputFiles.length.toLong)
+        val rows = tbl.count()
+        val per = math.min(8L * 1024 * 1024,
+          math.max(1024L, rows / files + (rows / files) / 2))
+        val fpp = spark.conf.getOption("spark.graft.index.bloom.fpp")
+          .map(_.toDouble).getOrElse(0.03)
+        require(fpp > 0.0 && fpp < 0.5,
+          s"spark.graft.index.bloom.fpp must be in (0, 0.5), got $fpp")
+        Map("expectedItems" -> per.toString, "fpp" -> fpp.toString)
       case _ => Map.empty
     }
 
@@ -667,28 +715,35 @@ object IndexManager {
       .select(col("key"), col("dv"))
   }
 
-  /** One column's zonemap envelope for one file: numeric [mn, mx]
-    * (double-rounded true extrema; absent for non-castable values) and
-    * textual [mn, mx] as RAW UTF-8 bytes (exact for string columns —
-    * for numeric columns it is a rendering and must not be used for
-    * ordering). Bytes, not java.lang.String: a string value carrying
-    * invalid UTF-8 (parquet BINARY is read permissively) would decode
-    * to U+FFFD through Row.getString and the corrupted bound could
-    * unsoundly prune a file whose rows match. */
-  final case class ZoneBounds(num: Option[(Double, Double)],
-                              str: Option[(Array[Byte], Array[Byte])])
+  /** One column's file-skipping evidence for one file: the zonemap
+    * envelope — numeric [mn, mx] (double-rounded true extrema; absent
+    * for non-castable values) and textual [mn, mx] as RAW UTF-8 bytes
+    * (exact for string columns — for numeric columns it is a rendering
+    * and must not be used for ordering) — plus, when a `bloom` index
+    * covers the column, the file's Bloom membership filter (equality/
+    * IN evidence; `mightContain == false` proves absence). Bytes, not
+    * java.lang.String: a string value carrying invalid UTF-8 (parquet
+    * BINARY is read permissively) would decode to U+FFFD through
+    * Row.getString and the corrupted bound could unsoundly prune a
+    * file whose rows match. */
+  final case class ZoneBounds(
+      num: Option[(Double, Double)],
+      str: Option[(Array[Byte], Array[Byte])],
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
 
-  /** Per-file zonemap bounds for the SELECT-path pruning rule:
+  /** Per-file skipping evidence for the SELECT-path pruning rule:
     * fileHash → (lowercased column → [[ZoneBounds]]), unioned over
-    * every FRESH zonemap index on `qualified` that covers any of
-    * `cols`. Files without a bounds row simply don't appear (the rule
-    * keeps them — pruning needs positive evidence). Empty map when no
-    * usable zonemap exists, so callers can bail without a job. */
+    * every FRESH `zonemap` and `bloom` index on `qualified` that
+    * covers any of `cols`. Files without an evidence row simply don't
+    * appear (the rule keeps them — pruning needs positive evidence).
+    * Empty map when no usable index exists, so callers can bail
+    * without a job. */
   private[graft] def zonemapFileBounds(
       spark: SparkSession, qualified: String,
       cols: Set[String]): Map[String, Map[String, ZoneBounds]] = {
     val metas = indexesOf(spark, qualified).filter(m =>
-      m.kind == "zonemap" && !isStale(spark, qualified, m.name) &&
+      (m.kind == "zonemap" || m.kind == "bloom") &&
+        !isStale(spark, qualified, m.name) &&
         m.cols.exists(c => cols.contains(c.toLowerCase)))
     if (metas.isEmpty) return Map.empty
     val filesys = fs(spark)
@@ -714,6 +769,15 @@ object IndexManager {
     val rows = metas.flatMap { m =>
       val dataDir = new Path(indexDir(spark, qualified, m.name), "data")
       if (!filesys.exists(dataDir)) Seq.empty
+      else if (m.kind == "bloom")
+        spark.read.parquet(dataDir.toString)
+          .where(lower(col("col")).isin(cols.toSeq: _*))
+          .select(col("f").cast("string"), lower(col("col")), col("bloom"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), ZoneBounds(
+            num = None, str = None,
+            bloom = Option(r.getAs[Array[Byte]](2)).map(
+              org.apache.spark.util.sketch.BloomFilter.readFrom))))
       else spark.read.parquet(dataDir.toString)
         .where(lower(col("col")).isin(cols.toSeq: _*))
         .where(col("mn_num").isNotNull || col("mn").isNotNull)
@@ -727,8 +791,14 @@ object IndexManager {
           str = if (r.isNullAt(4) || r.isNullAt(5)) None
                 else Some((r.getAs[Array[Byte]](4), r.getAs[Array[Byte]](5))))))
     }
+    // one file+column can carry evidence from BOTH kinds — merge,
+    // preferring whichever side each index actually populated
     val out = rows.groupBy(_._1).map { case (f, rs) =>
-      f -> rs.map(r => r._2 -> r._3).toMap
+      f -> rs.groupBy(_._2).map { case (c, es) =>
+        c -> es.map(_._3).reduce((a, b) => ZoneBounds(
+          num = a.num.orElse(b.num), str = a.str.orElse(b.str),
+          bloom = a.bloom.orElse(b.bloom)))
+      }
     }
     boundsCache.synchronized(boundsCache.put(cacheKey, (fp, out)))
     out

@@ -88,12 +88,13 @@ object IndexedOps {
       engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
       engine.execute(s"DROP TABLE IF EXISTS $docs")
       dropLeftovers(s, docs)
-      engine.execute(s"CREATE TABLE $docs (doc_id int64, text string) STORAGE filesystem")
+      engine.execute(s"CREATE TABLE $docs (doc_id int64, text string, source string) STORAGE filesystem")
       engine.execute(
-        s"INSERT INTO $docs SELECT doc_id, text FROM parquet.`$dir/documents.parquet`")
+        s"INSERT INTO $docs SELECT doc_id, text, source FROM parquet.`$dir/documents.parquet`")
       engine.execute(s"CREATE INDEX bands_ix ON $docs (doc_id, text) USING bands")
       engine.execute(s"CREATE INDEX post_ix ON $docs (doc_id, text) USING postings")
       engine.execute(s"CREATE INDEX zm_ix ON $docs (doc_id, text)") // zonemap
+      engine.execute(s"CREATE INDEX bl_ix ON $docs (source) USING bloom")
       engine.execute(s"DROP TABLE IF EXISTS $vecs")
       dropLeftovers(s, vecs)
       engine.execute(s"CREATE TABLE $vecs (vec_id int64, embedding list<float32>) STORAGE filesystem")
@@ -155,6 +156,19 @@ object IndexedOps {
       new QueryEngine(s).selectDataFrame(
         s"SELECT * FROM INDEX_PROBE($docs, 'bm25', doc_id, text, " +
           s"'${Search.DefaultQuery.terms.mkString(" ")}', ${Search.DefaultQuery.topN})")
+    }),
+    // Bloom-index SELECT path inside the gate (r11): equality and IN
+    // on an unclustered string column plan through the file-skipping
+    // rule's bloom evidence (min/max proves nothing here — `source`
+    // values interleave across every file), so a membership-probe
+    // soundness bug becomes a hash mismatch. The IN carries a value
+    // present in NO file: bloom evidence must drop it without
+    // dropping rows of the present one.
+    "q103_bloom_select" -> ((s, dir) => {
+      val (docs, _) = ensure(s, dir)
+      new QueryEngine(s).selectDataFrame(
+        s"SELECT doc_id, source FROM $docs " +
+          "WHERE source IN ('src7', 'src_absent')")
     })
   )
 
@@ -167,7 +181,10 @@ object IndexedOps {
       "SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 199",
     "q101b_zonemap_string" ->
       "SELECT doc_id FROM documents WHERE text LIKE 'the %'",
-    "q102_probe_sql" -> Search.bm25OracleSql(Search.DefaultQuery)
+    "q102_probe_sql" -> Search.bm25OracleSql(Search.DefaultQuery),
+    "q103_bloom_select" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE source IN ('src7', 'src_absent')")
   )
 
   /** DuckDB replay of the frozen-codebook IVF probe. Conventions

@@ -81,8 +81,9 @@ final class ZonemapPruneRule(session: SparkSession)
     // zonemap cannot exist for them (rejected at CREATE INDEX), so
     // only data-column conjuncts contribute evidence.
     val partCols = rel.partitionSchema.fieldNames.map(_.toLowerCase).toSet
+    val conjuncts = splitConjunctivePredicates(cond)
     val constrained =
-      extractPreds(splitConjunctivePredicates(cond)) -- partCols
+      (extractPreds(conjuncts) |+| extractBloomPreds(conjuncts)) -- partCols
     if (constrained.isEmpty) return None
     val cat = l.catalogTable.get
     val qualified = cat.identifier.database
@@ -179,11 +180,40 @@ final class ZonemapPruneRule(session: SparkSession)
       case _ => Seq.empty
     }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2) }
 
+  /** Bloom-servable conjuncts — equality/IN between an integral
+    * column (bare, or under an exact WIDENING integral cast: the
+    * compared long value is the column's own value) and an integral
+    * literal, or the string shapes [[StrCol]]/[[StrLit]] admit. A
+    * separate pass so the same conjunct can contribute BOTH its range
+    * pred (zonemap evidence) and its membership pred (bloom evidence)
+    * — either suffices to drop a file. */
+  private def extractBloomPreds(
+      conjuncts: Seq[Expression]): Map[String, Seq[Pred]] =
+    conjuncts.flatMap {
+      case EqualTo(LongCol(c), LongLit(v)) => Seq(c -> (BEqLong(v): Pred))
+      case EqualTo(LongLit(v), LongCol(c)) => Seq(c -> (BEqLong(v): Pred))
+      case In(LongCol(c), vs) if vs.forall(LongLit.unapply(_).isDefined) =>
+        Seq(c -> (BInLong(vs.map(LongLit.unapply(_).get)): Pred))
+      case EqualTo(StrCol(c), StrLit(v)) => Seq(c -> (BEqBytes(v): Pred))
+      case EqualTo(StrLit(v), StrCol(c)) => Seq(c -> (BEqBytes(v): Pred))
+      case In(StrCol(c), vs) if vs.forall(StrLit.unapply(_).isDefined) =>
+        Seq(c -> (BInBytes(vs.map(StrLit.unapply(_).get)): Pred))
+      case _ => Seq.empty
+    }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2) }
+
   /** Predicates reached through a lossy →FLOAT cast compare against
     * float-rounded row values, so their emptiness tests must run over
     * the float-rounded (and float-ulp-widened) bounds envelope. */
   private def adapt(viaFloat: Boolean, p: NumPred): NumPred =
     if (viaFloat) ViaFloat(p) else p
+
+  /** Union of per-column pred maps. */
+  private implicit final class PredMapOps(
+      private val a: Map[String, Seq[Pred]]) {
+    def |+|(b: Map[String, Seq[Pred]]): Map[String, Seq[Pred]] =
+      (a.keySet ++ b.keySet).map(c =>
+        c -> (a.getOrElse(c, Nil) ++ b.getOrElse(c, Nil))).toMap
+  }
 }
 
 object ZonemapPruneRule {
@@ -305,6 +335,30 @@ object ZonemapPruneRule {
         nextPrefix(p).exists(np => cmpUtf8(mn, np) >= 0)
   }
 
+  /** Bloom membership tests ([[graft.engine.IndexManager]] `bloom`
+    * shards): `mightContain == false` is POSITIVE evidence no row in
+    * the file holds the value (a Bloom filter has no false negatives),
+    * so equality is provably empty; IN is provably empty only when
+    * EVERY member is absent. Representation mirrors the build side
+    * exactly — integral columns probe the long value, strings the raw
+    * UTF-8 bytes. A file without bloom evidence proves nothing. */
+  private[plans] final case class BEqLong(v: Long) extends Pred {
+    def provablyEmpty(b: IndexManager.ZoneBounds): Boolean =
+      b.bloom.exists(bf => !bf.mightContainLong(v))
+  }
+  private[plans] final case class BInLong(vs: Seq[Long]) extends Pred {
+    def provablyEmpty(b: IndexManager.ZoneBounds): Boolean =
+      b.bloom.exists(bf => vs.forall(v => !bf.mightContainLong(v)))
+  }
+  private[plans] final case class BEqBytes(v: Array[Byte]) extends Pred {
+    def provablyEmpty(b: IndexManager.ZoneBounds): Boolean =
+      b.bloom.exists(bf => !bf.mightContainBinary(v))
+  }
+  private[plans] final case class BInBytes(vs: Seq[Array[Byte]]) extends Pred {
+    def provablyEmpty(b: IndexManager.ZoneBounds): Boolean =
+      b.bloom.exists(bf => vs.forall(v => !bf.mightContainBinary(v)))
+  }
+
   /** Unsigned byte lexicographic, shorter-is-smaller on equal prefix —
     * exactly UTF8String's binary comparison. */
   private[plans] def cmpUtf8(a: Array[Byte], b: Array[Byte]): Int = {
@@ -394,6 +448,44 @@ object ZonemapPruneRule {
         case _ if rank(from) > 0 && rank(to) > 0 => rank(from) <= rank(to)
         case _ => false
       }
+  }
+
+  /** An integral column whose compared value IS the column's own long
+    * value: bare, or under an exact WIDENING integral cast (int→long
+    * etc. — injective, so `cast(col) = lit` holds iff
+    * `col.toLong == lit.toLong`, the value the bloom build hashed).
+    * Non-integral sources/targets (float re-rounds, date/timestamp
+    * literals are in internal units) are not admitted. */
+  private object LongCol {
+    private def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    private def width(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 4; case LongType => 8; case _ => 0
+    }
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference if integral(a.dataType) =>
+        Some(a.name.toLowerCase)
+      case c: Cast if integral(c.dataType) => c.child match {
+        case a: AttributeReference if integral(a.dataType) &&
+            width(a.dataType) <= width(c.dataType) =>
+          Some(a.name.toLowerCase)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** A non-null integral literal — its long value is exact. */
+  private object LongLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(null, _) => None
+      case Literal(v: Number, ByteType | ShortType | IntegerType |
+          LongType) => Some(v.longValue())
+      case _ => None
+    }
   }
 
   /** A bare string attribute under the DEFAULT (UTF8_BINARY)
