@@ -144,6 +144,8 @@ object ScaleLab {
         probeIndexSync(spark, dir, rest.headOption.map(_.toInt).getOrElse(10))
       case "indexprobe" :: dir :: Nil =>
         probeIndexProbe(spark, dir)
+      case "bloomprune" :: dir :: Nil =>
+        probeBloomPrune(spark, dir)
       case "zonemap" :: dir :: Nil =>
         probeZonemap(spark, dir)
       case "filecow" :: dir :: Nil =>
@@ -832,6 +834,75 @@ object ScaleLab {
 
   /** One zonemap A/B leg: build table+index with a 200-file layout,
     * time the query pruned vs kill-switched, pin identical results. */
+  /** Bloom-index file skipping A/B/C (r11): a point SELECT on a
+    * HASH-LAID-OUT high-cardinality string key — the layout where
+    * every file spans the whole value range, so zonemap bounds are
+    * provably blind and membership evidence is the only planning-time
+    * lever. C0 = no pruning (kill switch), C1 = zonemap index only
+    * (expected: reads every file), C2 = + bloom index (expected: reads
+    * the 1-2 files actually holding the value). At 100 TB C2-vs-C0 is
+    * a point lookup that opens a couple of footers instead of
+    * scheduling a task per file. */
+  private def probeBloomPrune(spark: SparkSession, dir: String): Unit = {
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS sl")
+    engine.execute("DROP TABLE IF EXISTS sl.bdocs")
+    engine.execute(
+      "CREATE TABLE sl.bdocs (doc_id int64, src string, text string) STORAGE filesystem")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // DISTRIBUTE BY a hash: ids (and so src values) scatter across all
+    // 200 files — the unclustered layout the probe is about
+    try engine.execute(
+      s"""INSERT INTO sl.bdocs
+         |SELECT doc_id, concat('u', CAST(doc_id AS STRING)) AS src, text
+         |FROM parquet.`$dir/documents.parquet`
+         |DISTRIBUTE BY pmod(hash(doc_id), 200)""".stripMargin)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+    val nFiles = spark.table("sl.bdocs").inputFiles.length
+    // probe the lexicographic MEDIAN value: every file's [min, max]
+    // covers it (probing the global min/max would let the zonemap
+    // prune by accident and overstate C1)
+    val total = spark.table("sl.bdocs").count()
+    val probeKey = spark.table("sl.bdocs").selectExpr("src")
+      .orderBy("src").offset((total / 2).toInt).limit(1)
+      .collect()(0).getString(0)
+    val q = s"SELECT count(*) AS n, sum(length(text)) AS b " +
+      s"FROM sl.bdocs WHERE src = '$probeKey'"
+    def filesRead(): Long = spark.sql(q).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length.toLong
+    }.sum
+    def leg(): (Double, Seq[Double], Long, Seq[Any]) = {
+      val f = filesRead()
+      val r = spark.sql(q).collect()(0).toSeq
+      val (m, ts) = timeMedian3(spark.sql(q))
+      (m, ts, f, r)
+    }
+    spark.conf.set("spark.graft.zonemap.select.enabled", "false")
+    val (m0, ts0, f0, r0) = leg()
+    spark.conf.set("spark.graft.zonemap.select.enabled", "true")
+    engine.execute("CREATE INDEX bz ON sl.bdocs (src)") // zonemap
+    val (m1, _, f1, r1) = leg()
+    val t0 = System.nanoTime()
+    engine.execute("CREATE INDEX bb ON sl.bdocs (src) USING bloom")
+    val build = (System.nanoTime() - t0) / 1e9
+    val (m2, ts2, f2, r2) = leg()
+    require(r0 == r1 && r1 == r2, s"pruned result differs: $r0 / $r1 / $r2")
+    println(f"BLOOM_PRUNE dir=$dir files=$nFiles bloom_build=$build%.3f " +
+      f"full_files=$f0 zonemap_files=$f1 bloom_files=$f2 " +
+      f"full=$m0%.3f all=${fmtAll(ts0)} zonemap=$m1%.3f " +
+      f"bloom=$m2%.3f all=${fmtAll(ts2)} speedup=${m0 / m2}%.1fx")
+  }
+
   private def probeZonemapLeg(spark: SparkSession,
                               engine: graft.engine.QueryEngine,
                               tag: String, create: String, table: String,
