@@ -405,7 +405,11 @@ object IndexManager {
 
   private def readBaseFile(spark: SparkSession, qualified: String,
                            file: String): DataFrame =
-    spark.read.schema(spark.table(qualified).schema).parquet(file)
+    // `file` is a listing string — decode (FsPaths) or a shard build
+    // over an escaped partition dir fails PATH_NOT_FOUND and marks
+    // the index stale on every sync
+    spark.read.schema(spark.table(qualified).schema)
+      .parquet(FsPaths.readable(file))
 
   // ------------------------------------------------------ shard builders
 
@@ -731,6 +735,19 @@ object IndexManager {
       str: Option[(Array[Byte], Array[Byte])],
       bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
 
+  /** Cheap metadata-only check: does `qualified` carry ANY fresh
+    * file-skipping index (zonemap or bloom)? Callers that must run
+    * Spark jobs just to BUILD a prunable predicate (the MERGE
+    * file-scope's source key collection) gate on this first — a
+    * table with no evidence can never prune, so the jobs would be
+    * pure added latency (every micro-batch of a streaming upsert
+    * into an unindexed table). */
+  private[graft] def hasSkipEvidence(spark: SparkSession,
+                                     qualified: String): Boolean =
+    indexesOf(spark, qualified).exists(m =>
+      (m.kind == "zonemap" || m.kind == "bloom") &&
+        !isStale(spark, qualified, m.name))
+
   /** Per-file skipping evidence for the SELECT-path pruning rule:
     * fileHash → (lowercased column → [[ZoneBounds]]), unioned over
     * every FRESH `zonemap` and `bloom` index on `qualified` that
@@ -769,8 +786,29 @@ object IndexManager {
     val rows = metas.flatMap { m =>
       val dataDir = new Path(indexDir(spark, qualified, m.name), "data")
       if (!filesys.exists(dataDir)) Seq.empty
-      else if (m.kind == "bloom")
-        spark.read.parquet(dataDir.toString)
+      else if (m.kind == "bloom") {
+        // Bloom shards are ~1.2·expectedItems BYTES per (file, column)
+        // — not the ~100-byte zonemap rows the planning cache was
+        // sized for. Collecting a million-file table's filters to the
+        // driver would be a planning-time memory blow-up at exactly
+        // the scale the feature targets, so cap the bytes (one
+        // metadata call) and skip the index's evidence past it: the
+        // zonemap rows still contribute, correctness never depended
+        // on bloom evidence being present.
+        val cap = spark.conf
+          .getOption("spark.graft.zonemap.select.bloom.maxBytes")
+          .flatMap(_.toLongOption).getOrElse(256L * 1024 * 1024)
+        val bytes =
+          try filesys.getContentSummary(dataDir).getLength
+          catch { case _: Exception => Long.MaxValue }
+        if (bytes > cap) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"bloom index ${m.name} on $qualified holds $bytes shard " +
+              s"bytes > spark.graft.zonemap.select.bloom.maxBytes=$cap; " +
+              "skipping its planning-time evidence (raise the cap or " +
+              "lower fpp/expectedItems to re-enable)")
+          Seq.empty
+        } else spark.read.parquet(dataDir.toString)
           .where(lower(col("col")).isin(cols.toSeq: _*))
           .select(col("f").cast("string"), lower(col("col")), col("bloom"))
           .collect().toSeq
@@ -778,6 +816,7 @@ object IndexManager {
             num = None, str = None,
             bloom = Option(r.getAs[Array[Byte]](2)).map(
               org.apache.spark.util.sketch.BloomFilter.readFrom))))
+      }
       else spark.read.parquet(dataDir.toString)
         .where(lower(col("col")).isin(cols.toSeq: _*))
         .where(col("mn_num").isNotNull || col("mn").isNotNull)

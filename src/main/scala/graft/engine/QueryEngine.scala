@@ -1019,13 +1019,25 @@ final class QueryEngine(val spark: SparkSession,
       val w = replacement.write.mode("overwrite")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
         .parquet(staging.toString)
+      // one recursive listing, reused by the abort check and the move
+      // loop (each listing is a full tree walk — round trips on an
+      // object store)
+      val staged = stagedDataFiles(fs, staging)
+        .map(st => st -> st.toString.stripPrefix(staging.toString)
+          .stripPrefix("/"))
       // pre-mutation abort: a row landing in the NULL partition
-      // (__HIVE_DEFAULT_PARTITION__) cannot be registered by ADD
-      // PARTITION — bail out BEFORE any live file moves so the caller
-      // can fall back to the whole-table path (nothing to repair:
-      // only staging was written, and it is removed here)
-      if (parts.nonEmpty && stagedDataFiles(fs, staging).exists(
-          _.toString.contains("__HIVE_DEFAULT_PARTITION__"))) {
+      // (a dir segment named <col>=__HIVE_DEFAULT_PARTITION__) cannot
+      // be registered by the catalog — bail out BEFORE any live file
+      // moves so the caller can fall back to the whole-table path
+      // (nothing to repair: only staging was written, and it is
+      // removed here). Segment-exact on the RELATIVE path: a
+      // warehouse path that merely CONTAINS the sentinel as a
+      // substring must not disable file-level CoW. (A string
+      // partition VALUE equal to the sentinel escapes to the same dir
+      // name — genuinely ambiguous with null, so it aborts too.)
+      if (parts.nonEmpty && staged.exists { case (_, rel) =>
+            rel.split("/").dropRight(1)
+              .exists(_.endsWith("=__HIVE_DEFAULT_PARTITION__")) }) {
         fs.delete(staging, true)
         throw new FileLevelAbort(
           "replacement rows include a null partition value")
@@ -1037,7 +1049,7 @@ final class QueryEngine(val spark: SparkSession,
       // move must abort the commit so the staging copy survives for
       // repair instead of being deleted as "committed"
       replaced.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
+        val p = FsPaths.fromListing(f)
         if (fs.exists(p) && !fs.delete(p, false))
           throw new java.io.IOException(
             s"file-level commit: could not delete replaced file $p " +
@@ -1045,9 +1057,7 @@ final class QueryEngine(val spark: SparkSession,
       }
       val stamp = java.util.UUID.randomUUID().toString.take(8)
       val stagedDirs = Set.newBuilder[String]
-      stagedDataFiles(fs, staging).foreach { st =>
-        val rel = st.toString.stripPrefix(staging.toString)
-          .stripPrefix("/")
+      staged.foreach { case (st, rel) =>
         val relDir =
           if (rel.contains("/")) rel.substring(0, rel.lastIndexOf('/')) else ""
         if (relDir.nonEmpty) stagedDirs += relDir
@@ -1079,24 +1089,39 @@ final class QueryEngine(val spark: SparkSession,
     spark.catalog.refreshTable(t)
   }
 
-  /** Register partition dirs a file-level commit staged into (ADD IF
-    * NOT EXISTS — pre-existing ones are no-ops). Specs parse from the
-    * dir names, Spark's own path encoding. */
+  /** Register partition dirs a file-level commit staged into,
+    * straight through the catalog API (ignoreIfExists — pre-existing
+    * ones are no-ops, same injection-proof route as the sibling
+    * dropEmptyPartitionDirs). Specs parse from the dir names, Spark's
+    * own path encoding; a SQL round-trip here would have to re-escape
+    * arbitrary partition VALUES (quotes, backslashes) into statement
+    * text — and it would run AFTER the commit moved live files, where
+    * a parse error strands an unregistered partition. */
   private def registerPartitionDirs(t: String, relDirs: Set[String]): Unit = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val specs = relDirs.toSeq.flatMap { rel =>
+    import org.apache.spark.sql.catalyst.catalog.{CatalogTablePartition, ExternalCatalogUtils}
+    val meta = spark.sessionState.catalog.getTableMetadata(tableIdent(t))
+    val partitions = relDirs.toSeq.sorted.flatMap { rel =>
       val kvs = rel.split("/").toSeq.filter(_.contains("="))
       if (kvs.isEmpty) None
-      else Some(kvs.map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        k -> ExternalCatalogUtils.unescapePathName(v)
-      })
+      else {
+        val spec = kvs.map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> ExternalCatalogUtils.unescapePathName(v)
+        }.toMap
+        // locationUri = None: the catalog derives the DEFAULT
+        // partition path itself — which is exactly where the staged
+        // layout put the files (partitionBy uses the same escaping).
+        // Passing an explicit URI here is a trap: an escaped dir name
+        // (p=O%27Brien) encodes its literal '%' in URI form, and any
+        // later Path(uri.toString) round-trip lands on a
+        // doubly-escaped, nonexistent directory.
+        Some(CatalogTablePartition(spec,
+          meta.storage.copy(locationUri = None)))
+      }
     }
-    specs.foreach { kvs =>
-      val spec = kvs.map { case (k, v) =>
-        s"`$k`='${v.replace("'", "''")}'" }.mkString(", ")
-      spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION ($spec)")
-    }
+    if (partitions.nonEmpty)
+      spark.sessionState.catalog.createPartitions(tableIdent(t), partitions,
+        ignoreIfExists = true)
   }
 
   /** Recursively list staged data files (partitioned staging nests
@@ -1123,7 +1148,7 @@ final class QueryEngine(val spark: SparkSession,
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val locStr = loc.toString
     val touchedDirs = replaced.map(f =>
-      new org.apache.hadoop.fs.Path(f).getParent).distinct
+      FsPaths.fromListing(f).getParent).distinct
       .filter(_.toString.startsWith(locStr))
       .filterNot(_.toString == locStr)
     val emptied = touchedDirs.filter { d =>
@@ -1165,6 +1190,14 @@ final class QueryEngine(val spark: SparkSession,
   private def mergeFileScope(t: String, p: MergeInto.Parsed,
                              src: DataFrame): Option[(Seq[String], Column)] =
     try {
+      // evidence first: collecting source keys costs Spark jobs, and
+      // without a fresh zonemap/bloom index they cannot buy anything
+      // (the streaming-upsert hot path runs this per micro-batch)
+      val ident = spark.sessionState.catalog.getTableMetadata(tableIdent(t))
+        .identifier
+      val qualified = ident.database
+        .getOrElse(spark.catalog.currentDatabase) + "." + ident.table
+      if (!IndexManager.hasSkipEvidence(spark, qualified)) return None
       import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, AttributeSet, Cast => CCast, EqualTo => CEq, Expression}
       val analyzed = spark.table(t).alias(p.tAlias)
         .join(src.alias(p.sAlias), expr(p.onCond), "inner")
@@ -1230,11 +1263,12 @@ final class QueryEngine(val spark: SparkSession,
   private def fileLevelDml(t: String, parts: Seq[String], scope: Seq[String],
                            matched: Column,
                            shape: DataFrame => DataFrame): Long = {
-    val locStr = spark.sessionState.catalog
-      .getTableMetadata(tableIdent(t)).location.toString
+    val locStr = FsPaths.readable(spark.sessionState.catalog
+      .getTableMetadata(tableIdent(t)).location.toString)
     val schema = spark.table(t).schema
     val cand = spark.read.schema(schema)
-      .option("basePath", locStr).parquet(scope: _*)
+      .option("basePath", locStr)
+      .parquet(scope.map(FsPaths.readable): _*)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val obs = new org.apache.spark.sql.Observation()
     val observed = cand.observe(obs,
@@ -1576,20 +1610,28 @@ final class QueryEngine(val spark: SparkSession,
         // paths); then partition-level; then the whole table
         val fileScope =
           if (!pruneEnabled) None else mergeFileScope(t, parsed, srcRaw)
+        // one snapshot per MERGE statement, whichever path commits —
+        // the file-level attempt snapshots BEFORE it can abort to the
+        // coarser paths, which must not snapshot again
+        var snapped = false
+        def snapOnce(): Unit =
+          if (Snapshots.enabled(spark) && !snapped) {
+            Snapshots.create(spark, t, "MERGE"); snapped = true
+          }
         val fileLevelResult: Option[(Long, Long, Long)] = fileScope.flatMap {
           case (scope, keyPred) =>
             try {
               guardDups(Some(keyPred))
-              if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
-              val locStr = spark.sessionState.catalog
-                .getTableMetadata(tableIdent(t)).location.toString
+              snapOnce()
+              val locStr = FsPaths.readable(spark.sessionState.catalog
+                .getTableMetadata(tableIdent(t)).location.toString)
               val schema = spark.table(t).schema
               // empty scope = no target file can match any source
               // key: a pure-insert merge against an empty slice
               val cand =
                 if (scope.isEmpty) spark.table(t).limit(0)
                 else spark.read.schema(schema).option("basePath", locStr)
-                  .parquet(scope: _*)
+                  .parquet(scope.map(FsPaths.readable): _*)
                   .select(schema.fieldNames.map(col).toIndexedSeq: _*)
               val plan = MergeInto.plan(spark, parsed, declaredOrder,
                 Some(srcRaw), targetOverride = Some(cand))
@@ -1621,7 +1663,7 @@ final class QueryEngine(val spark: SparkSession,
             // matches only exist in affected partitions — the guard's
             // target scan is pruned to them
             guardDups(Some(restrict))
-            if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
+            snapOnce()
             val pruned = MergeInto.planPruned(spark, parsed, declaredOrder,
               srcRaw, restrict, if (hasDelete) parts else Seq.empty)
             // the insert half's NOT-MATCHED anti-join is lazy over the
@@ -1659,7 +1701,7 @@ final class QueryEngine(val spark: SparkSession,
             guardDups(None)
             val plan = MergeInto.plan(spark, parsed, declaredOrder,
               Some(srcRaw))
-            if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "MERGE")
+            snapOnce()
             stagedRewrite(t, plan.result)
             (obsN(plan.obs, "updated"), obsN(plan.obs, "deleted"),
              obsN(plan.obs, "inserted"))

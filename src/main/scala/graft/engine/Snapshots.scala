@@ -228,7 +228,11 @@ object Snapshots {
     val root = base(spark, db, table)
     val referenced = referencedFiles(fs, root)
     if (referenced.isEmpty) return
-    val rels = absFiles.map(f => relativize(loc, new Path(f)))
+    // absFiles are LISTING strings (URI-encoded) — decode to the
+    // on-disk path before relativizing, or a file in an escaped
+    // partition dir (p=O%27Brien) never matches the manifest's rel
+    // and silently skips archiving
+    val rels = absFiles.map(f => relativize(loc, FsPaths.fromListing(f)))
       .filter(referenced)
     preserveFiles(spark, fs, loc, root, rels, move = true)
   }

@@ -177,6 +177,26 @@ final class ZonemapPruneRule(session: SparkSession)
       case In(StrCol(c), vs) if vs.forall(StrLit.unapply(_).isDefined) =>
         Seq(c -> SIn(vs.map(StrLit.unapply(_).get)))
       case StartsWith(StrCol(c), StrLit(p)) => Seq(c -> SPrefix(p))
+      // OptimizeIn rewrites In → InSet past 10 values IN THE SAME
+      // fixed point this rule runs in, so IN-list pruning must read
+      // both forms (the MERGE file scope's ≤1000-key IN-set predicate
+      // arrives here exclusively as InSet). Null elements are dropped:
+      // `col IN (..., NULL)` is never TRUE via the null, so testing
+      // the non-null members is exact — and a set of ONLY nulls is
+      // never TRUE at all, which the vacuous forall correctly prunes.
+      case org.apache.spark.sql.catalyst.expressions.InSet(
+            ZonemapCol(c, f), hs) if hs.forall(v =>
+              v == null || v.isInstanceOf[Number] || v.isInstanceOf[Decimal]) =>
+        Seq(c -> adapt(f, InSet(hs.toSeq.filter(_ != null).map {
+          case d: Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        })))
+      case org.apache.spark.sql.catalyst.expressions.InSet(StrCol(c), hs)
+          if hs.forall(v => v == null ||
+            v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]) =>
+        Seq(c -> SIn(hs.toSeq.filter(_ != null).map(
+          _.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .getBytes.clone())))
       case _ => Seq.empty
     }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2) }
 
@@ -198,6 +218,21 @@ final class ZonemapPruneRule(session: SparkSession)
       case EqualTo(StrLit(v), StrCol(c)) => Seq(c -> (BEqBytes(v): Pred))
       case In(StrCol(c), vs) if vs.forall(StrLit.unapply(_).isDefined) =>
         Seq(c -> (BInBytes(vs.map(StrLit.unapply(_).get)): Pred))
+      // the InSet forms (OptimizeIn rewrites In past 10 values);
+      // null-element semantics as in extractPreds
+      case org.apache.spark.sql.catalyst.expressions.InSet(LongCol(c), hs)
+          if hs.forall(v => v == null || v.isInstanceOf[java.lang.Byte] ||
+            v.isInstanceOf[java.lang.Short] ||
+            v.isInstanceOf[java.lang.Integer] ||
+            v.isInstanceOf[java.lang.Long]) =>
+        Seq(c -> (BInLong(hs.toSeq.filter(_ != null)
+          .map(_.asInstanceOf[Number].longValue())): Pred))
+      case org.apache.spark.sql.catalyst.expressions.InSet(StrCol(c), hs)
+          if hs.forall(v => v == null ||
+            v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]) =>
+        Seq(c -> (BInBytes(hs.toSeq.filter(_ != null).map(
+          _.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .getBytes.clone())): Pred))
       case _ => Seq.empty
     }.groupBy(_._1).map { case (c, ps) => c -> ps.map(_._2) }
 

@@ -121,6 +121,21 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(0), Seq(402)))
   }
 
+  test("IN past OptimizeIn's threshold (InSet form) still prunes") {
+    // >10 literals: Catalyst rewrites In → InSet in the same optimizer
+    // fixed point the rule runs in, so the rule must read both forms
+    val t = interleavedTable("t3b")
+    engine.execute(s"CREATE INDEX bi ON $t (s) USING bloom")
+    val total = spark.table(t).inputFiles.length.toLong
+    val absent = (0 until 10).map(i => s"'ghost_$i'")
+    val q = s"SELECT k FROM $t WHERE s IN " +
+      s"('apple_0', 'zebra_2', ${absent.mkString(", ")})"
+    val df = spark.sql(q)
+    assert(scanFileCount(df) < total,
+      s"InSet shape must prune, read ${scanFileCount(df)}/$total")
+    assert(rows(df) == Seq(Seq(0), Seq(402)))
+  }
+
   test("absent value prunes every file and returns the correct empty result") {
     val t = interleavedTable("t4")
     engine.execute(s"CREATE INDEX bi ON $t (s) USING bloom")
@@ -155,6 +170,24 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(rows(df) == Seq(Seq(999)))
     assert(scanFileCount(df) < spark.table(t).inputFiles.length,
       "pre-existing files should prune for the new value")
+  }
+
+  test("bloom evidence scopes file-level CoW DML (point DELETE rewrites one file)") {
+    // the DML scoping rides the same rule as SELECT pruning, so a
+    // DELETE keyed on an unclustered high-cardinality value — where
+    // zonemap bounds prove nothing — rewrites only the file that can
+    // hold the row
+    val t = interleavedTable("t6")
+    engine.execute(s"CREATE INDEX bi ON $t (s) USING bloom")
+    val before = spark.table(t).inputFiles.toSet
+    val del = engine.execute(s"DELETE FROM $t WHERE s = 'grape_1'")
+    assert(del.message == "DELETE 1", del.message)
+    val after = spark.table(t).inputFiles.toSet
+    assert((before intersect after).size == before.size - 1,
+      s"exactly one file replaced\nbefore=$before\nafter=$after")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").collect()(0).getLong(0) == 14L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t WHERE s = 'grape_0'")
+      .collect()(0).getLong(0) == 1L)
   }
 
   test("CREATE INDEX USING bloom rejects unsupported column types") {

@@ -217,6 +217,57 @@ class FileCowSpec extends AnyFunSuite {
     assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 39L)
   }
 
+  test("MERGE with >10 source keys (InSet form) still rides file-level scope") {
+    // OptimizeIn rewrites the scope's IN predicate to InSet past 10
+    // values — the rule must read that form or every 11..1000-key
+    // MERGE silently degrades to the whole-table rewrite
+    val t = freshTable("mg4")
+    engine.execute(s"CREATE INDEX zi ON $t (id)")
+    val before = files(t)
+    val keys = (100 to 109).map(i => s"($i, 'u$i')") :+ "(205, 'u205')" :+ "(9000, 'new')"
+    val m = engine.execute(
+      s"""MERGE INTO $t AS tg
+         |USING (SELECT * FROM (VALUES ${keys.mkString(", ")}) AS v(id, v)) AS s
+         |ON tg.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(m.message == "MERGE 11 updated, 0 deleted, 1 inserted", m.message)
+    // keys live in the 100- and 200-range files only: the 0- and
+    // 300-range files must keep their exact paths
+    val survivors = before intersect files(t)
+    assert(survivors.size >= 2,
+      s"12-key merge must stay file-scoped\nbefore=$before\nafter=${files(t)}")
+    assert(engine.execute(s"SELECT v FROM $t WHERE id = 205").data == Seq(Seq("u205")))
+    assert(engine.execute(s"SELECT v FROM $t WHERE id = 305").data == Seq(Seq("row 305")))
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 41L)
+  }
+
+  test("MERGE inserting a NULL partition value aborts to the coarser path, once-snapshotted") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.pnull")
+    engine.execute(
+      s"""CREATE TABLE $Db.pnull (id int64 NOT NULL, v string, p string)
+         |STORAGE filesystem PARTITION BY (p)""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.pnull VALUES (1, 'one', 'a'), (2, 'two', 'b')")
+    engine.execute(s"CREATE INDEX zi ON $Db.pnull (id)")
+    val m = engine.execute(
+      s"""MERGE INTO $Db.pnull AS tg
+         |USING (SELECT * FROM (VALUES (1, 'u1', 'a'),
+         |  (9000, 'ghost', CAST(NULL AS STRING))) AS s(id, v, p)) AS s
+         |ON tg.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)""".stripMargin)
+    assert(m.message == "MERGE 1 updated, 0 deleted, 1 inserted", m.message)
+    assert(engine.execute(s"SELECT v FROM $Db.pnull WHERE id = 1").data == Seq(Seq("u1")))
+    assert(engine.execute(s"SELECT v FROM $Db.pnull WHERE id = 9000").data == Seq(Seq("ghost")))
+    assert(engine.execute(s"SELECT count(*) AS n FROM $Db.pnull").data.head.head == 3L)
+    // the aborted file-level attempt must not leave a SECOND snapshot
+    // for the same statement
+    val snaps = engine.execute(s"SHOW SNAPSHOTS FROM $Db.pnull").data
+    assert(snaps.count(_.exists(_ == "MERGE")) == 1,
+      s"one MERGE statement, one snapshot: $snaps")
+  }
+
   test("PARTITIONED MERGE: file-level upsert registers a freshly minted partition") {
     engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
     engine.execute(s"DROP TABLE IF EXISTS $Db.pm")
@@ -254,6 +305,45 @@ class FileCowSpec extends AnyFunSuite {
     // untouched partition intact
     assert(engine.execute(s"SELECT count(*) AS n FROM $Db.pm WHERE p = 'b'")
       .data.head.head == 15L)
+  }
+
+  test("minted partition VALUES with quotes/backslashes register exactly") {
+    // registration goes through the catalog API, not SQL text — a
+    // value like O'Brien\x must neither fail the post-commit
+    // registration nor register corrupted
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.pq")
+    engine.execute(
+      s"""CREATE TABLE $Db.pq (id int64 NOT NULL, v string, p string)
+         |STORAGE filesystem PARTITION BY (p)""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.pq VALUES (1, 'one', 'plain')")
+    engine.execute(s"CREATE INDEX zi ON $Db.pq (id)")
+    val tricky = """O'Brien\x"""
+    val m = engine.execute(
+      s"""MERGE INTO $Db.pq AS tg
+         |USING (SELECT 9000 AS id, 'new' AS v,
+         |  concat('O', chr(39), 'Brien', chr(92), 'x') AS p) AS s
+         |ON tg.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)""".stripMargin)
+    assert(m.message == "MERGE 0 updated, 0 deleted, 1 inserted", m.message)
+    // the row is reachable through a catalog-tracked partition read
+    assert(engine.execute(
+      s"SELECT v FROM $Db.pq WHERE p = concat('O', chr(39), 'Brien', chr(92), 'x')")
+      .data == Seq(Seq("new")))
+    val registered = spark.sessionState.catalog.listPartitions(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"$Db.pq"))
+      .map(_.spec("p")).toSet
+    assert(registered.contains(tricky),
+      s"exact value must register, got $registered")
+    // ...and the post-DML index sync must have read the new file
+    // through the registered location (a URI-encoding slip here
+    // surfaces as a stale-marked index)
+    assert(!graft.engine.IndexManager.isStale(spark, s"$Db.pq", "zi"),
+      "index sync must succeed over the minted partition's location")
+    // a further write exercises the synced index's listing once more
+    engine.execute(s"INSERT INTO $Db.pq VALUES (2, 'two', 'plain')")
+    assert(engine.execute(s"SELECT count(*) AS n FROM $Db.pq").data.head.head == 3L)
   }
 
   test("OPTIMIZE compacts accumulated cow files; zonemap survives the rewrite") {

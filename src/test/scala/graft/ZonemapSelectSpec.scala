@@ -80,6 +80,24 @@ class ZonemapSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("IN past OptimizeIn's threshold (InSet form) still prunes") {
+    // 12 literals: Catalyst rewrites In → InSet above
+    // spark.sql.optimizer.inSetConversionThreshold (default 10) in the
+    // same fixed point the rule runs in; the IN-list envelope must
+    // read both forms (the MERGE file scope's ≤1000-key predicate
+    // arrives exclusively as InSet)
+    val t = freshTable("t1b")
+    engine.execute(s"CREATE INDEX zi ON $t (id)")
+    val total = spark.table(t).inputFiles.length.toLong
+    val q = s"SELECT id, v FROM $t WHERE id IN " +
+      "(5, 6, 7, 8, 9, 105, 106, 107, 108, 109, 205, 206)"
+    val df = spark.sql(q)
+    assert(scanFileCount(df) < total,
+      s"InSet shape must prune, read ${scanFileCount(df)}/$total")
+    assert(rows(df) == withRuleOff(rows(spark.sql(q))))
+    assert(rows(df).size == 12)
+  }
+
   test("predicate satisfiable by every file prunes nothing") {
     val t = freshTable("t2")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
