@@ -778,6 +778,41 @@ object ScaleLab {
       f"filelevel=$mOn%.3f replaced=$mrOn " +
       f"fullrewrite=$mOff%.3f replaced_full=$mrOff " +
       f"speedup=${mOff / mOn}%.1fx")
+
+    // MULTI-KEY MERGE leg: 100 distinct keys — past OptimizeIn's
+    // 10-literal threshold, so the scope predicate reaches the rule
+    // as InSet (the form every 11..1000-key upsert batch takes; a
+    // rule that only reads In silently pays the whole-table path
+    // here). Keys cluster in a handful of files; the bulk must keep
+    // their paths.
+    def timedMergeWide(name: String): (Double, Long, Long) = {
+      val before = spark.table(s"sl.$name").inputFiles.toSet
+      val vals = (0 until 100)
+        .map(i => s"(${1000 + i * 7}, CAST(${50 + i} AS DOUBLE))")
+        .mkString(", ")
+      val t0 = System.nanoTime()
+      val r = engine.execute(
+        s"""MERGE INTO sl.$name AS tg
+           |USING (SELECT * FROM (VALUES $vals) AS v(k, q)) AS s
+           |ON tg.l_orderkey = s.k
+           |WHEN MATCHED THEN UPDATE SET l_quantity = s.q
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_quantity,
+           |  l_returnflag, l_shipdate) VALUES (s.k, s.q, 'N', NULL)""".stripMargin)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = spark.table(s"sl.$name").inputFiles.toSet
+      (sec, r.rowCount, (before -- after).size.toLong)
+    }
+    build("cowmw")
+    val (wOn, wnOn, wrOn) = timedMergeWide("cowmw")
+    build("cowmw")
+    spark.conf.set("spark.graft.zonemap.select.enabled", "false")
+    val (wOff, wnOff, wrOff) = try timedMergeWide("cowmw")
+      finally spark.conf.set("spark.graft.zonemap.select.enabled", "true")
+    require(wnOn == wnOff, s"wide-merge counts differ: $wnOn vs $wnOff")
+    println(f"FILECOW_MERGE_100KEY dir=$dir touched=$wnOn " +
+      f"filelevel=$wOn%.3f replaced=$wrOn " +
+      f"fullrewrite=$wOff%.3f replaced_full=$wrOff " +
+      f"speedup=${wOff / wOn}%.1fx")
   }
 
   /** The layout lever (r11): zonemap bounds only bite when files are
