@@ -784,9 +784,46 @@ object IndexManager {
     val cached = boundsCache.synchronized(boundsCache.get(cacheKey))
     if (cached != null && cached._1 == fp) return cached._2
     val rows = metas.flatMap { m =>
-      val dataDir = new Path(indexDir(spark, qualified, m.name), "data")
-      if (!filesys.exists(dataDir)) Seq.empty
-      else if (m.kind == "bloom") {
+      // a concurrent sync (another session's DML) deletes/rebuilds
+      // shard dirs between this listing and the read — the planning
+      // path takes no lock by design, so a torn read must DEGRADE,
+      // not fail the query. Returning partial/no evidence is always
+      // sound: evidence is per-file and base files are immutable
+      // under CoW (a replaced file gets a NEW path, so a surviving
+      // shard row can never describe different rows than it did).
+      // The memo fingerprint was taken from the pre-change listing,
+      // so the next query re-reads the settled state.
+      try readEvidenceRows(spark, qualified, m, cols, filesys)
+      catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass).debug(
+            s"skip-evidence read for ${m.name} on $qualified lost a " +
+              s"race with maintenance (${e.getMessage}); planning " +
+              "without it")
+          Seq.empty
+      }
+    }
+    // one file+column can carry evidence from BOTH kinds — merge,
+    // preferring whichever side each index actually populated
+    val out = rows.groupBy(_._1).map { case (f, rs) =>
+      f -> rs.groupBy(_._2).map { case (c, es) =>
+        c -> es.map(_._3).reduce((a, b) => ZoneBounds(
+          num = a.num.orElse(b.num), str = a.str.orElse(b.str),
+          bloom = a.bloom.orElse(b.bloom)))
+      }
+    }
+    boundsCache.synchronized(boundsCache.put(cacheKey, (fp, out)))
+    out
+  }
+
+  /** One index's evidence rows: (fileHash, column, bounds). */
+  private def readEvidenceRows(
+      spark: SparkSession, qualified: String, m: IndexMeta,
+      cols: Set[String],
+      filesys: FileSystem): Seq[(String, String, ZoneBounds)] = {
+    val dataDir = new Path(indexDir(spark, qualified, m.name), "data")
+    if (!filesys.exists(dataDir)) Seq.empty
+    else if (m.kind == "bloom") {
         // Bloom shards are ~1.2·expectedItems BYTES per (file, column)
         // — not the ~100-byte zonemap rows the planning cache was
         // sized for. Collecting a million-file table's filters to the
@@ -829,18 +866,6 @@ object IndexManager {
                 else Some((r.getDouble(2), r.getDouble(3))),
           str = if (r.isNullAt(4) || r.isNullAt(5)) None
                 else Some((r.getAs[Array[Byte]](4), r.getAs[Array[Byte]](5))))))
-    }
-    // one file+column can carry evidence from BOTH kinds — merge,
-    // preferring whichever side each index actually populated
-    val out = rows.groupBy(_._1).map { case (f, rs) =>
-      f -> rs.groupBy(_._2).map { case (c, es) =>
-        c -> es.map(_._3).reduce((a, b) => ZoneBounds(
-          num = a.num.orElse(b.num), str = a.str.orElse(b.str),
-          bloom = a.bloom.orElse(b.bloom)))
-      }
-    }
-    boundsCache.synchronized(boundsCache.put(cacheKey, (fp, out)))
-    out
   }
 
   /** Bounded LRU (access-order): a long-lived server session planning

@@ -33,6 +33,33 @@ object QueryEngine {
     * this. */
   private val tableWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Monotone per-table commit counter, bumped by every lock-holding
+    * statement. A SESSION's relation cache can hold a listing taken
+    * DURING another session's copy-on-write commit window (old file
+    * already deleted, replacement not yet renamed in) — silently
+    * missing rows, no error. Readers compare the table's commit
+    * version against the last version their session refreshed at and
+    * re-list only when a commit actually happened — cross-session
+    * coherence without paying a file listing per query. */
+  private val commitVersions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[engine] def bumpCommitVersion(key: String): Unit =
+    commitVersions.merge(key, 1L, (a, b) => a + b)
+  private[engine] def commitVersion(key: String): Long = {
+    val v = commitVersions.get(key)
+    if (v == null) 0L else v.longValue()
+  }
+  /** session → (table key → commit version its cache reflects).
+    * Weak-keyed: state dies with the session. */
+  private val seenVersions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]())
+  private[engine] def seenMap(s: org.apache.spark.sql.SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] =
+    seenVersions.computeIfAbsent(s, _ =>
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+
   private[engine] def writeLock(key: String): Object =
     tableWriteLocks.computeIfAbsent(key, _ => new Object)
 }
@@ -775,8 +802,74 @@ final class QueryEngine(val spark: SparkSession,
       val r = toResult(id, spark.sql(rewriteSystemNames(sql)))
       r.copy(message =
         s"System query executed successfully, ${r.rowCount} rows returned")
-    } else toResult(id, spark.sql(sql))
+    } else collectWithTornReadRetry(id, sql)
   }
+
+  /** Statement-level read coherence. There is no transaction log to
+    * version the file set, so a SELECT racing a copy-on-write commit
+    * can list the table DURING the delete-then-rename window — a
+    * torn listing that silently misses rows (or reads a deleted
+    * file). The engine therefore executes a SELECT under the SAME
+    * per-table locks its writers hold (sorted acquisition across the
+    * statement's tables, so multi-table statements cannot deadlock),
+    * after a version-gated listing refresh — the single-node
+    * serializable-per-statement semantics the reference's per-table
+    * storage manager provides, at the cost of writers briefly waiting
+    * on in-flight reads of their table. Uncontended lock acquisition
+    * and the version check are nanoseconds, and the steady state
+    * (no DML) never re-lists — the hot analytics path is unchanged.
+    * A bounded FILE_NOT_FOUND retry stays as the backstop for writers
+    * OUTSIDE this JVM (another process on the warehouse), which the
+    * locks cannot see. */
+  private def collectWithTornReadRetry(id: String, sql: String): QueryResult = {
+    var left = 3
+    while (true) {
+      try return collectCoherently(id, sql)
+      catch {
+        case e: Exception if left > 1 && isTornRead(e) =>
+          left -= 1
+          spark.sql(sql).queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+                if l.catalogTable.isDefined =>
+              l.catalogTable.get.identifier
+          }.distinct.foreach { i =>
+            try spark.sessionState.catalog.refreshTable(i)
+            catch { case _: Exception => () }
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def collectCoherently(id: String, sql: String): QueryResult = {
+    // analysis (outside the locks) only DISCOVERS the referenced
+    // tables; the listing it may have cached is re-validated under
+    // the locks by the version check
+    val tables = spark.sql(sql).queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.catalogTable.isDefined =>
+        val ct = l.catalogTable.get
+        ct.identifier.database.getOrElse(spark.catalog.currentDatabase) +
+          "." + ct.identifier.table
+    }.distinct.sorted
+    def locked[A](keys: Seq[String])(body: => A): A = keys match {
+      case Seq() => body
+      case k +: rest =>
+        QueryEngine.writeLock(lockKey(k)).synchronized(locked(rest)(body))
+    }
+    locked(tables) {
+      tables.foreach(ensureFreshListing)
+      toResult(id, spark.sql(sql))
+    }
+  }
+
+  private def isTornRead(e: Throwable): Boolean =
+    e != null && (
+      e.isInstanceOf[java.io.FileNotFoundException] ||
+        (e.getMessage != null &&
+          (e.getMessage.contains("FAILED_READ_FILE") ||
+           e.getMessage.contains("PATH_NOT_FOUND"))) ||
+        isTornRead(e.getCause))
 
   private def runExplain(sql: String, id: String): QueryResult =
     toResult(id, spark.sql(sql))
@@ -793,12 +886,47 @@ final class QueryEngine(val spark: SparkSession,
     if (table.contains(".")) table
     else s"${spark.catalog.currentDatabase}.$table"
 
+  private def lockKey(qualified: String): String =
+    spark.conf.get("spark.sql.warehouse.dir") + "#" + qualified.toLowerCase
+
+  /** Refresh this session's cached relation iff another statement
+    * committed to the table since the session last refreshed —
+    * version-gated so the steady state (no DML) never re-lists.
+    * Callers must hold the table's write lock, so the refreshed
+    * listing cannot be torn by an in-flight commit. */
+  private def ensureFreshListing(qualified: String): Unit = {
+    val key = lockKey(qualified)
+    val v = QueryEngine.commitVersion(key)
+    val seen = QueryEngine.seenMap(spark)
+    val s = seen.get(key)
+    if (s == null || s.longValue() != v) {
+      try spark.catalog.refreshTable(qualified)
+      catch { case _: Exception => () }
+      seen.put(key, v)
+    }
+  }
+
   private def withTableWriteLock[A](table: Option[String])(body: => A): A =
     table match {
       case Some(t) =>
-        QueryEngine.writeLock(
-          spark.conf.get("spark.sql.warehouse.dir") + "#" +
-            qualifiedName(t).toLowerCase).synchronized(body)
+        val key = QueryEngine.writeLock(lockKey(qualifiedName(t)))
+        key.synchronized {
+          // a commit from ANOTHER session refreshes only that
+          // session's relation cache — this session's scans would
+          // otherwise plan over replaced files (FNF, or silently
+          // torn rows, under concurrent CoW)
+          ensureFreshListing(qualifiedName(t))
+          try body
+          finally {
+            // bump AFTER the statement: readers waiting on this lock
+            // then see the new version and re-list. Bumped even on
+            // failure — a partial commit may have moved files, and an
+            // extra refresh is only a re-list
+            QueryEngine.bumpCommitVersion(lockKey(qualifiedName(t)))
+            QueryEngine.seenMap(spark).put(lockKey(qualifiedName(t)),
+              QueryEngine.commitVersion(lockKey(qualifiedName(t))))
+          }
+        }
       case None => body
     }
 

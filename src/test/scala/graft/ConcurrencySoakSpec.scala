@@ -54,6 +54,47 @@ class ConcurrencySoakSpec extends AnyFunSuite {
     root.execute("DROP TABLE soak.shared")
   }
 
+  test("file-level CoW DML races: concurrent point DMLs + pruned reads stay exact") {
+    // six sessions hammer ONE zonemap-indexed table: each worker
+    // point-UPDATEs its own disjoint id (file-level CoW commits
+    // serialize on the global per-table write lock; index sync and
+    // the planning-time bounds cache are shared state) while reading
+    // other workers' ranges through the pruning rule. The invariant
+    // is exactness: every write lands, no read sees a torn table.
+    val root = new QueryEngine(spark)
+    root.execute("CREATE DATABASE IF NOT EXISTS soak")
+    root.execute("DROP TABLE IF EXISTS soak.cow")
+    root.execute("CREATE TABLE soak.cow (id int64 NOT NULL, n int32) STORAGE filesystem")
+    // one file per 100-range so point DMLs are genuinely file-scoped
+    (0 until 6).foreach { r =>
+      val vals = (r * 100 until r * 100 + 10).map(i => s"($i, 0)").mkString(", ")
+      root.execute(s"INSERT INTO soak.cow VALUES $vals")
+    }
+    root.execute("CREATE INDEX zi ON soak.cow (id)")
+
+    val workers = (0 until 6).map { w =>
+      Future {
+        val e = root.newConnectionEngine()
+        (1 to 4).foreach { i =>
+          e.execute(s"UPDATE soak.cow SET n = n + 1 WHERE id = ${w * 100 + i}")
+          // read a neighbor's range through the pruning rule
+          val other = ((w + 1) % 6) * 100
+          val c = e.execute(
+            s"SELECT count(*) AS c FROM soak.cow WHERE id >= $other AND id < ${other + 10}")
+          assert(c.data.head.head == 10L, s"torn read in [$other, ${other + 10})")
+        }
+        w
+      }
+    }
+    assert(Await.result(Future.sequence(workers), 300.seconds).sorted == (0 until 6))
+    // every write landed exactly once
+    val total = root.execute("SELECT sum(n) AS s, count(*) AS c FROM soak.cow")
+    assert(total.data.head == Seq(24L, 60L), s"lost update: ${total.data}")
+    // the index survived 24 syncs from 6 sessions — still fresh & pruning
+    assert(!graft.engine.IndexManager.isStale(spark, "soak.cow", "zi"))
+    root.execute("DROP TABLE soak.cow")
+  }
+
   test("FAIR pools: a heavy scan does not starve a short query") {
     val root = new QueryEngine(spark)
     // 48 short tasks on 4 cores: under FIFO the earlier job's queued
