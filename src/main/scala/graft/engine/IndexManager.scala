@@ -793,13 +793,20 @@ object IndexManager {
       // shard row can never describe different rows than it did).
       // The memo fingerprint was taken from the pre-change listing,
       // so the next query re-reads the settled state.
+      // NonFatal: an InterruptedException (query cancellation) must
+      // propagate, not be degraded into "plan without evidence".
+      // WARN, not debug: a DETERMINISTIC failure here (corrupt shard)
+      // memoizes empty evidence under the unchanged fingerprint —
+      // correct results, but pruning stays off until the next sync
+      // rewrites the shards, and the operator should see why.
       try readEvidenceRows(spark, qualified, m, cols, filesys)
       catch {
-        case e: Exception =>
-          org.slf4j.LoggerFactory.getLogger(getClass).debug(
-            s"skip-evidence read for ${m.name} on $qualified lost a " +
-              s"race with maintenance (${e.getMessage}); planning " +
-              "without it")
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"skip-evidence read for ${m.name} on $qualified failed " +
+              s"(${e.getMessage}); planning without it — if this " +
+              "repeats on an idle table, the index shards are damaged: " +
+              "run IndexManager.sync or DROP and re-CREATE the index")
           Seq.empty
       }
     }

@@ -19,20 +19,24 @@ import graft.types.IcebergTypes
   * them natively — parquet tables get the same semantics by rewrite).
   */
 object QueryEngine {
-  /** Write serialization per table: concurrent INSERTs into one
-    * parquet table race on the shared `_temporary` staging directory
-    * (FileOutputCommitter deletes it when the first job commits,
-    * losing the others' files), and a CoW rewrite racing an append
-    * can drop the append. The reference funnels every write through
-    * its per-table storage manager (server/storage/storage.go:
-    * 500-528); here a per-table JVM lock gives the same
+  /** Per-table read-write lock. WRITE side: concurrent INSERTs into
+    * one parquet table race on the shared `_temporary` staging
+    * directory (FileOutputCommitter deletes it when the first job
+    * commits, losing the others' files), and a CoW rewrite racing an
+    * append can drop the append. The reference funnels every write
+    * through its per-table storage manager (server/storage/storage.go:
+    * 500-528); here the exclusive side gives the same
     * single-writer-per-table semantics across connection engines,
     * which share this JVM — held by INSERT (statement + batch API),
-    * UPDATE, DELETE, OPTIMIZE, RESTORE, and ALTER. Reads never take
-    * it. On a real cluster the Iceberg commit protocol replaces
-    * this. */
-  private val tableWriteLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    * UPDATE, DELETE, MERGE, OPTIMIZE, RESTORE, and ALTER. READ side:
+    * engine SELECTs hold it for statement-level coherence (a commit
+    * mid-statement would tear the listing) — SHARED, so concurrent
+    * analytics on one table still run in parallel; only a writer
+    * excludes them. FAIR mode so a steady reader stream cannot
+    * starve a writer. On a real cluster the Iceberg commit protocol
+    * replaces this. */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
 
   /** Monotone per-table commit counter, bumped by every lock-holding
     * statement. A SESSION's relation cache can hold a listing taken
@@ -60,8 +64,20 @@ object QueryEngine {
     seenVersions.computeIfAbsent(s, _ =>
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
 
-  private[engine] def writeLock(key: String): Object =
-    tableWriteLocks.computeIfAbsent(key, _ => new Object)
+  private[engine] def rwLock(key: String)
+      : java.util.concurrent.locks.ReentrantReadWriteLock =
+    tableLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+
+  private[engine] def withWriteLock[A](key: String)(body: => A): A = {
+    val l = rwLock(key).writeLock(); l.lock()
+    try body finally l.unlock()
+  }
+
+  private[engine] def withReadLock[A](key: String)(body: => A): A = {
+    val l = rwLock(key).readLock(); l.lock()
+    try body finally l.unlock()
+  }
 }
 
 final class QueryEngine(val spark: SparkSession,
@@ -142,7 +158,29 @@ final class QueryEngine(val spark: SparkSession,
           registerSystemQueries()
           rewritten = rewriteSystemNames(rewritten)
         }
-        val df = spark.sql(rewritten)
+        // statement-level coherence for the streamed path too: hold
+        // the referenced tables' READ locks while refreshing and
+        // PLANNING, so the cursor never starts from a listing taken
+        // inside a commit window. The locks are released before
+        // iteration — a cursor is client-paced and must not block
+        // writers indefinitely, so (as with any cursor without MVCC
+        // snapshots) a commit racing an IN-FLIGHT stream can still
+        // fail it; re-issue the statement.
+        val df = {
+          val tables = if (SystemTables.isSystemQuery(rewritten)) Nil
+                       else referencedTables(rewritten)
+          def locked[A](keys: Seq[String])(body: => A): A = keys match {
+            case Seq() => body
+            case k +: rest =>
+              QueryEngine.withReadLock(lockKey(k))(locked(rest)(body))
+          }
+          locked(tables) {
+            tables.foreach(ensureFreshListing)
+            val d = spark.sql(rewritten)
+            d.queryExecution.executedPlan // force planning (lists files)
+            d
+          }
+        }
         val cols = df.columns.toSeq
         import scala.jdk.CollectionConverters._
         val rows = df.toLocalIterator().asScala
@@ -826,16 +864,14 @@ final class QueryEngine(val spark: SparkSession,
     while (true) {
       try return collectCoherently(id, sql)
       catch {
-        case e: Exception if left > 1 && isTornRead(e) =>
+        case e: Exception if left > 1 && isTornRead(e, 0) =>
           left -= 1
-          spark.sql(sql).queryExecution.analyzed.collect {
-            case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-                if l.catalogTable.isDefined =>
-              l.catalogTable.get.identifier
-          }.distinct.foreach { i =>
-            try spark.sessionState.catalog.refreshTable(i)
+          // best-effort refresh; a concurrent DDL can fail the
+          // re-analysis, which must not replace the original error
+          try referencedTables(sql).foreach { q =>
+            try spark.catalog.refreshTable(q)
             catch { case _: Exception => () }
-          }
+          } catch { case _: Exception => () }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -845,17 +881,11 @@ final class QueryEngine(val spark: SparkSession,
     // analysis (outside the locks) only DISCOVERS the referenced
     // tables; the listing it may have cached is re-validated under
     // the locks by the version check
-    val tables = spark.sql(sql).queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if l.catalogTable.isDefined =>
-        val ct = l.catalogTable.get
-        ct.identifier.database.getOrElse(spark.catalog.currentDatabase) +
-          "." + ct.identifier.table
-    }.distinct.sorted
+    val tables = referencedTables(sql)
     def locked[A](keys: Seq[String])(body: => A): A = keys match {
       case Seq() => body
       case k +: rest =>
-        QueryEngine.writeLock(lockKey(k)).synchronized(locked(rest)(body))
+        QueryEngine.withReadLock(lockKey(k))(locked(rest)(body))
     }
     locked(tables) {
       tables.foreach(ensureFreshListing)
@@ -863,13 +893,15 @@ final class QueryEngine(val spark: SparkSession,
     }
   }
 
-  private def isTornRead(e: Throwable): Boolean =
-    e != null && (
+  /** Depth-bounded cause walk — cyclic cause chains exist in the
+    * wild (initCause loops from wrapping frameworks). */
+  private def isTornRead(e: Throwable, depth: Int): Boolean =
+    e != null && depth < 10 && (
       e.isInstanceOf[java.io.FileNotFoundException] ||
         (e.getMessage != null &&
           (e.getMessage.contains("FAILED_READ_FILE") ||
            e.getMessage.contains("PATH_NOT_FOUND"))) ||
-        isTornRead(e.getCause))
+        isTornRead(e.getCause, depth + 1))
 
   private def runExplain(sql: String, id: String): QueryResult =
     toResult(id, spark.sql(sql))
@@ -900,17 +932,33 @@ final class QueryEngine(val spark: SparkSession,
     val seen = QueryEngine.seenMap(spark)
     val s = seen.get(key)
     if (s == null || s.longValue() != v) {
-      try spark.catalog.refreshTable(qualified)
+      // record the version only when the refresh SUCCEEDED — a
+      // swallowed failure must not make the gate skip every later
+      // attempt and pin the session on a stale listing
+      try { spark.catalog.refreshTable(qualified); seen.put(key, v) }
       catch { case _: Exception => () }
-      seen.put(key, v)
     }
   }
+
+  /** Catalog tables a statement reads, INCLUDING inside subquery
+    * expressions (IN/EXISTS/scalar) — plan.collect alone skips
+    * subquery plans, which would leave those tables unlocked and
+    * never refreshed. Returned qualified and sorted (the lock
+    * acquisition order). */
+  private def referencedTables(sql: String): Seq[String] =
+    spark.sql(sql).queryExecution.analyzed.collectWithSubqueries {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.catalogTable.isDefined =>
+        val ct = l.catalogTable.get
+        ct.identifier.database.getOrElse(spark.catalog.currentDatabase) +
+          "." + ct.identifier.table
+    }.distinct.sorted
 
   private def withTableWriteLock[A](table: Option[String])(body: => A): A =
     table match {
       case Some(t) =>
-        val key = QueryEngine.writeLock(lockKey(qualifiedName(t)))
-        key.synchronized {
+        val key = lockKey(qualifiedName(t))
+        QueryEngine.withWriteLock(key) {
           // a commit from ANOTHER session refreshes only that
           // session's relation cache — this session's scans would
           // otherwise plan over replaced files (FNF, or silently
@@ -921,10 +969,12 @@ final class QueryEngine(val spark: SparkSession,
             // bump AFTER the statement: readers waiting on this lock
             // then see the new version and re-list. Bumped even on
             // failure — a partial commit may have moved files, and an
-            // extra refresh is only a re-list
-            QueryEngine.bumpCommitVersion(lockKey(qualifiedName(t)))
-            QueryEngine.seenMap(spark).put(lockKey(qualifiedName(t)),
-              QueryEngine.commitVersion(lockKey(qualifiedName(t))))
+            // extra refresh is only a re-list. The writer's own cache
+            // was refreshed by its commit machinery, so it marks the
+            // new version seen.
+            QueryEngine.bumpCommitVersion(key)
+            QueryEngine.seenMap(spark).put(key,
+              QueryEngine.commitVersion(key))
           }
         }
       case None => body
