@@ -742,11 +742,15 @@ object IndexManager {
     * table with no evidence can never prune, so the jobs would be
     * pure added latency (every micro-batch of a streaming upsert
     * into an unindexed table). */
+  private def isSkipEvidenceIndex(spark: SparkSession, qualified: String,
+                                  m: IndexMeta): Boolean =
+    (m.kind == "zonemap" || m.kind == "bloom") &&
+      !isStale(spark, qualified, m.name)
+
   private[graft] def hasSkipEvidence(spark: SparkSession,
                                      qualified: String): Boolean =
-    indexesOf(spark, qualified).exists(m =>
-      (m.kind == "zonemap" || m.kind == "bloom") &&
-        !isStale(spark, qualified, m.name))
+    indexesOf(spark, qualified)
+      .exists(isSkipEvidenceIndex(spark, qualified, _))
 
   /** Per-file skipping evidence for the SELECT-path pruning rule:
     * fileHash → (lowercased column → [[ZoneBounds]]), unioned over
@@ -759,8 +763,7 @@ object IndexManager {
       spark: SparkSession, qualified: String,
       cols: Set[String]): Map[String, Map[String, ZoneBounds]] = {
     val metas = indexesOf(spark, qualified).filter(m =>
-      (m.kind == "zonemap" || m.kind == "bloom") &&
-        !isStale(spark, qualified, m.name) &&
+      isSkipEvidenceIndex(spark, qualified, m) &&
         m.cols.exists(c => cols.contains(c.toLowerCase)))
     if (metas.isEmpty) return Map.empty
     val filesys = fs(spark)

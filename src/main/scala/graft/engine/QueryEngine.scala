@@ -169,12 +169,7 @@ final class QueryEngine(val spark: SparkSession,
         val df = {
           val tables = if (SystemTables.isSystemQuery(rewritten)) Nil
                        else referencedTables(rewritten)
-          def locked[A](keys: Seq[String])(body: => A): A = keys match {
-            case Seq() => body
-            case k +: rest =>
-              QueryEngine.withReadLock(lockKey(k))(locked(rest)(body))
-          }
-          locked(tables) {
+          withReadLocks(tables) {
             tables.foreach(ensureFreshListing)
             val d = spark.sql(rewritten)
             d.queryExecution.executedPlan // force planning (lists files)
@@ -882,16 +877,21 @@ final class QueryEngine(val spark: SparkSession,
     // tables; the listing it may have cached is re-validated under
     // the locks by the version check
     val tables = referencedTables(sql)
-    def locked[A](keys: Seq[String])(body: => A): A = keys match {
-      case Seq() => body
-      case k +: rest =>
-        QueryEngine.withReadLock(lockKey(k))(locked(rest)(body))
-    }
-    locked(tables) {
+    withReadLocks(tables) {
       tables.foreach(ensureFreshListing)
       toResult(id, spark.sql(sql))
     }
   }
+
+  /** Nested acquisition of the tables' SHARED locks. Callers pass the
+    * [[referencedTables]] output, which is sorted — the one
+    * acquisition order, so multi-table readers cannot deadlock. */
+  private def withReadLocks[A](sortedTables: Seq[String])(body: => A): A =
+    sortedTables match {
+      case Seq() => body
+      case t +: rest =>
+        QueryEngine.withReadLock(lockKey(t))(withReadLocks(rest)(body))
+    }
 
   /** Depth-bounded cause walk — cyclic cause chains exist in the
     * wild (initCause loops from wrapping frameworks). */
@@ -957,13 +957,14 @@ final class QueryEngine(val spark: SparkSession,
   private def withTableWriteLock[A](table: Option[String])(body: => A): A =
     table match {
       case Some(t) =>
-        val key = lockKey(qualifiedName(t))
+        val q = qualifiedName(t)
+        val key = lockKey(q)
         QueryEngine.withWriteLock(key) {
           // a commit from ANOTHER session refreshes only that
           // session's relation cache — this session's scans would
           // otherwise plan over replaced files (FNF, or silently
           // torn rows, under concurrent CoW)
-          ensureFreshListing(qualifiedName(t))
+          ensureFreshListing(q)
           try body
           finally {
             // bump AFTER the statement: readers waiting on this lock
