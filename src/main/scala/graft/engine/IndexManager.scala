@@ -234,11 +234,16 @@ object IndexManager {
       s"column $c is a partition column of $qualified — it is not stored " +
         "in the data files, so an index shard would see only nulls; " +
         "partition pruning already serves predicates on it"))
+    // addressed lookup even though existence was validated above —
+    // a future reordering must fail with the table+column named, not
+    // a bare NoSuchElementException
+    def fieldOf(c: String) = schema.fieldNames.find(_.equalsIgnoreCase(c))
+      .map(schema(_)).getOrElse(throw new IllegalArgumentException(
+        s"column $c does not exist in $qualified"))
     if (TwoColKinds.contains(kind)) {
       require(cols.length == 2,
         s"USING $kind expects (keyColumn, payloadColumn); got ${cols.length} column(s)")
-      val keyType = schema(schema.fieldNames.find(
-        _.equalsIgnoreCase(cols.head)).get).dataType
+      val keyType = fieldOf(cols.head).dataType
       require(Seq("int", "bigint", "smallint", "tinyint")
           .contains(keyType.simpleString),
         s"USING $kind needs an integral key column; ${cols.head} is ${keyType.simpleString}")
@@ -249,8 +254,7 @@ object IndexManager {
       // other type has no sound shared representation with its
       // predicate literals (float equality re-rounds, date/timestamp
       // literals arrive in internal units) — reject at CREATE
-      val dt = schema(schema.fieldNames.find(
-        _.equalsIgnoreCase(c)).get).dataType.simpleString
+      val dt = fieldOf(c).dataType.simpleString
       require(Seq("tinyint", "smallint", "int", "bigint", "string")
           .contains(dt),
         s"USING bloom supports integral and string columns; $c is $dt")

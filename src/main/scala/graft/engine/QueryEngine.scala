@@ -69,14 +69,76 @@ object QueryEngine {
     tableLocks.computeIfAbsent(key,
       _ => new java.util.concurrent.locks.ReentrantReadWriteLock(true))
 
-  private[engine] def withWriteLock[A](key: String)(body: => A): A = {
-    val l = rwLock(key).writeLock(); l.lock()
+  /** Current write holder of a table lock, for addressable timeout
+    * errors and the `system_locks` view — the RW lock itself does not
+    * expose its owner. */
+  private[engine] final case class WriteHold(thread: String, sinceMs: Long)
+  private val writeHolders =
+    new java.util.concurrent.ConcurrentHashMap[String, WriteHold]()
+
+  /** A wedged writer must not hang every reader forever with no
+    * trace: acquisition is tryLock with a timeout (`timeoutMs` <= 0 =
+    * wait forever, the pre-round-12 behavior) and failure is an
+    * addressed error naming the table and the current write holder. */
+  private def acquire(l: java.util.concurrent.locks.Lock, key: String,
+                      mode: String, timeoutMs: Long): Unit = {
+    if (timeoutMs <= 0) { l.lock(); return }
+    val ok = try l.tryLock(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+             catch { case e: InterruptedException =>
+               Thread.currentThread().interrupt()
+               throw new IllegalStateException(
+                 s"interrupted waiting for $mode lock on ${tableOfKey(key)}", e) }
+    if (!ok) {
+      val holder = Option(writeHolders.get(key)).map(h =>
+        s"; write lock held by thread ${h.thread} for " +
+          s"${(System.currentTimeMillis() - h.sinceMs) / 1000}s").getOrElse("")
+      throw new IllegalStateException(
+        s"timed out after ${timeoutMs / 1000}s waiting for $mode lock " +
+          s"on ${tableOfKey(key)}$holder (statement not executed; " +
+          "see system.locks, or raise spark.graft.lock.timeoutSec)")
+    }
+  }
+
+  private def tableOfKey(key: String): String =
+    key.split("#", 2) match { case Array(_, t) => t; case _ => key }
+
+  private[engine] def withWriteLock[A](key: String, timeoutMs: Long = -1)
+                                      (body: => A): A = {
+    val rw = rwLock(key)
+    acquire(rw.writeLock(), key, "write", timeoutMs)
+    // reentrant acquisition must not clobber (or clear) the OUTER
+    // hold's record — bookkeeping only at the 0<->1 transitions
+    val outermost = rw.getWriteHoldCount == 1
+    if (outermost) writeHolders.put(key,
+      WriteHold(Thread.currentThread().getName, System.currentTimeMillis()))
+    try body finally {
+      if (outermost) writeHolders.remove(key)
+      rw.writeLock().unlock()
+    }
+  }
+
+  private[engine] def withReadLock[A](key: String, timeoutMs: Long = -1)
+                                     (body: => A): A = {
+    val l = rwLock(key).readLock()
+    acquire(l, key, "read", timeoutMs)
     try body finally l.unlock()
   }
 
-  private[engine] def withReadLock[A](key: String)(body: => A): A = {
-    val l = rwLock(key).readLock(); l.lock()
-    try body finally l.unlock()
+  /** `system_locks` rows: one per table whose lock object exists —
+    * (lock key, write holder thread or null, held-for seconds or
+    * null, active readers, queued waiters). */
+  private[engine] def lockRows(): Seq[(String, String, java.lang.Long, Int, Int)] = {
+    import scala.jdk.CollectionConverters._
+    tableLocks.entrySet().asScala.toSeq.map { e =>
+      val rw = e.getValue
+      val h = Option(writeHolders.get(e.getKey))
+      (e.getKey,
+        h.map(_.thread).orNull,
+        h.map(x => java.lang.Long.valueOf(
+          (System.currentTimeMillis() - x.sinceMs) / 1000)).orNull,
+        rw.getReadLockCount,
+        rw.getQueueLength)
+    }.sortBy(_._1)
   }
 }
 
@@ -822,7 +884,7 @@ final class QueryEngine(val spark: SparkSession,
     * the registered flat names. */
   private def rewriteSystemNames(sql: String): String =
     mapOutsideQuotes(sql)(_.replaceAll(
-      "(?i)\\bsystem\\.(tables|columns|databases|queries|snapshots|cdc_log)\\b",
+      "(?i)\\bsystem\\.(tables|columns|databases|queries|snapshots|cdc_log|locks|scans)\\b",
       "system_$1"))
 
   private def runSelect(sql0: String, id: String): QueryResult = {
@@ -877,10 +939,21 @@ final class QueryEngine(val spark: SparkSession,
     // tables; the listing it may have cached is re-validated under
     // the locks by the version check
     val tables = referencedTables(sql)
-    withReadLocks(tables) {
+    // locks are held only through listing refresh + PLANNING (the
+    // streamed path's discipline): the plan's file listing is then
+    // fixed, so a commit during row collection cannot TEAR it — at
+    // worst it deletes a listed file mid-read, which surfaces as
+    // FILE_NOT_FOUND and the caller retries. Holding the FAIR lock
+    // through a long analytic collection would let one queued writer
+    // head-of-line-block every subsequent reader of a hot table for
+    // the whole collection (the round-11 advice finding).
+    val df = withReadLocks(tables) {
       tables.foreach(ensureFreshListing)
-      toResult(id, spark.sql(sql))
+      val d = spark.sql(sql)
+      d.queryExecution.executedPlan // force planning (lists files)
+      d
     }
+    toResult(id, df)
   }
 
   /** Nested acquisition of the tables' SHARED locks. Callers pass the
@@ -890,8 +963,17 @@ final class QueryEngine(val spark: SparkSession,
     sortedTables match {
       case Seq() => body
       case t +: rest =>
-        QueryEngine.withReadLock(lockKey(t))(withReadLocks(rest)(body))
+        QueryEngine.withReadLock(lockKey(t), lockTimeoutMs)(
+          withReadLocks(rest)(body))
     }
+
+  /** Lock-acquisition budget; a statement that cannot get its table
+    * lock within it fails addressably instead of hanging forever
+    * behind a wedged writer. Conf-able per session; <= 0 waits
+    * forever. */
+  private def lockTimeoutMs: Long =
+    spark.conf.getOption("spark.graft.lock.timeoutSec")
+      .flatMap(_.trim.toLongOption).map(_ * 1000).getOrElse(600000L)
 
   /** Depth-bounded cause walk — cyclic cause chains exist in the
     * wild (initCause loops from wrapping frameworks). */
@@ -904,7 +986,51 @@ final class QueryEngine(val spark: SparkSession,
         isTornRead(e.getCause, depth + 1))
 
   private def runExplain(sql: String, id: String): QueryResult =
-    toResult(id, spark.sql(sql))
+    """(?is)^EXPLAIN\s+SKIPPING\s+(.*)$""".r.findFirstMatchIn(sql) match {
+      case Some(m) => runExplainSkipping(m.group(1), id)
+      case None => toResult(id, spark.sql(sql))
+    }
+
+  /** `EXPLAIN SKIPPING <select>` — the file-skipping report for one
+    * statement (round-11 verdict "Next #5"): one row per catalog
+    * relation with files total / files read / evidence kinds
+    * (partition, zonemap, bloom). PLANS the statement (the zonemap
+    * rule runs and leaves its evidence tag) but executes nothing.
+    * Relations the rule had no evidence for report their full listing
+    * with evidence 'none'. */
+  private def runExplainSkipping(sel: String, id: String): QueryResult = {
+    // sys-function and INDEX_PROBE rewrites already ran in execute();
+    // time travel is a SELECT-path rewrite, applied here
+    val rewritten = rewriteTimeTravel(sel)
+    val tables = referencedTables(rewritten)
+    val plan = withReadLocks(tables) {
+      tables.foreach(ensureFreshListing)
+      spark.sql(rewritten).queryExecution.optimizedPlan
+    }
+    val rows: Seq[Seq[Any]] = plan.collectWithSubqueries {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.catalogTable.isDefined =>
+        val ct = l.catalogTable.get
+        val name = ct.identifier.database
+          .getOrElse(spark.catalog.currentDatabase) + "." + ct.identifier.table
+        l.getTagValue(graft.plans.ZonemapPruneRule.EvidenceTag) match {
+          case Some(e) =>
+            Seq[Any](name, e.filesTotal.toLong, e.filesRead.toLong, e.kinds)
+          case None =>
+            // no skip evidence consulted — the scan reads its whole
+            // (partition-pruned) listing; a CatalogFileIndex here means
+            // no partition filter survived either, so inputFiles is the
+            // full table (one cached listing — EXPLAIN is diagnostics)
+            val files = try l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.length.toLong
+              catch { case _: Exception => -1L }
+            Seq[Any](name, files, files, "none")
+        }
+    }
+    QueryResult(id, Seq("table_name", "files_total", "files_read", "evidence"),
+      rows, rows.length, s"Found ${rows.length} scan(s)")
+  }
 
   // ------------------------------------------------------------- INSERT
 
@@ -959,7 +1085,7 @@ final class QueryEngine(val spark: SparkSession,
       case Some(t) =>
         val q = qualifiedName(t)
         val key = lockKey(q)
-        QueryEngine.withWriteLock(key) {
+        QueryEngine.withWriteLock(key, lockTimeoutMs) {
           // a commit from ANOTHER session refreshes only that
           // session's relation cache — this session's scans would
           // otherwise plan over replaced files (FNF, or silently
@@ -1750,7 +1876,19 @@ final class QueryEngine(val spark: SparkSession,
     val t = parsed.table
     val declaredOrder = tableProps(t).get("graft.columns")
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
-    val srcRaw = MergeInto.resolveSource(spark, parsed, sourceOverride)
+    val srcRaw0 = MergeInto.resolveSource(spark, parsed, sourceOverride)
+    // a non-deterministic source (rand()/uuid()-derived keys)
+    // re-evaluates per job: the file-scope key collection, the
+    // multi-match guard, and the merge join would each see DIFFERENT
+    // rows — a genuine match could fall outside the collected scope
+    // and resurrect as a duplicate insert. Materialize ONCE so every
+    // consumer reads the same rows; deterministic sources (the
+    // streaming-upsert hot path) skip the checkpoint entirely.
+    val srcRaw =
+      if (srcRaw0.queryExecution.analyzed
+            .collectWithSubqueries { case n => n }
+            .forall(_.expressions.forall(_.deterministic))) srcRaw0
+      else srcRaw0.localCheckpoint()
     def obsN(obs: org.apache.spark.sql.Observation, k: String): Long =
       obs.get(k) match {
         case x: Long => x

@@ -74,6 +74,30 @@ object SystemTables {
     columnsView(spark, tables).createOrReplaceTempView("system_columns")
     snapshotsView(spark).createOrReplaceTempView("system_snapshots")
     Changefeed.view(spark).createOrReplaceTempView("system_cdc_log")
+    locksView(spark).createOrReplaceTempView("system_locks")
+    ScanStats.view(spark).createOrReplaceTempView("system_scans")
+  }
+
+  /** Live per-table lock state (`system.locks`): the first question
+    * when statements stall is "who holds the lock" — one row per
+    * table whose lock object exists, with the write holder's thread,
+    * hold age, active reader count, and queued waiters. */
+  private def locksView(spark: SparkSession): DataFrame = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val rows = QueryEngine.lockRows().collect {
+      case (key, holder, heldSec, readers, queued)
+          if key.startsWith(warehouse + "#") =>
+        Row(key.split("#", 2).last, holder, heldSec,
+          readers.toLong, queued.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("table_name", StringType),
+        StructField("write_holder", StringType),
+        StructField("write_held_sec", LongType),
+        StructField("active_readers", LongType),
+        StructField("queued_waiters", LongType))))
   }
 
   /** Warehouse-wide snapshot inventory (manifest-based store): one row

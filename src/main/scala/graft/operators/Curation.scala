@@ -1062,6 +1062,22 @@ object Curation {
   private[operators] def globalOrderBy(docsDf: DataFrame, bandCol: Column,
                                        seed: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the band is a SORT KEY: cast("long") on a fractional type would
+    // silently truncate and MERGE previously distinct bands (the old
+    // Window.orderBy version ordered any orderable type exactly) —
+    // reject non-integral band expressions instead of mis-sorting
+    val bandType = docsDf.select(bandCol.as("band")).schema.head.dataType
+    bandType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"globalOrderBy: band expression must be integral, got " +
+          s"${other.simpleString} — bucket boundaries are order " +
+          "boundaries, so a lossy cast would merge distinct bands; " +
+          "discretize the expression explicitly first")
+    }
     val base = docsDf
       .withColumn("h", md5(concat(lit(seed), col("text")).cast("binary")))
       .withColumn("band", bandCol.cast("long"))
@@ -1079,8 +1095,16 @@ object Curation {
     import base.sparkSession.implicits._
     // null band/bkt rows never joined back in the window version
     // either (equi-join keys) — drop them instead of NPE-ing in
-    // getLong/sortBy on a corpus with null text
-    val cRows = counts.collect()
+    // getLong/sortBy on a corpus with null text. The collect is
+    // guarded: band×bucket cardinality past the metadata-size
+    // contract fails loudly instead of OOMing the driver.
+    val maxOffsetRows = 262144
+    val rawRows = counts.limit(maxOffsetRows + 1).collect()
+    if (rawRows.length > maxOffsetRows) throw new IllegalStateException(
+      s"globalOrderBy: band x bucket cardinality exceeds $maxOffsetRows " +
+        "— the offset table is driver-side by contract (curriculum " +
+        "bands x 256 hash buckets); coarsen the band expression")
+    val cRows = rawRows
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))

@@ -82,8 +82,9 @@ final class ZonemapPruneRule(session: SparkSession)
     // only data-column conjuncts contribute evidence.
     val partCols = rel.partitionSchema.fieldNames.map(_.toLowerCase).toSet
     val conjuncts = splitConjunctivePredicates(cond)
-    val constrained =
-      (extractPreds(conjuncts) |+| extractBloomPreds(conjuncts)) -- partCols
+    val rangePreds = extractPreds(conjuncts) -- partCols
+    val bloomPreds = extractBloomPreds(conjuncts) -- partCols
+    val constrained = rangePreds |+| bloomPreds
     if (constrained.isEmpty) return None
     val cat = l.catalogTable.get
     val qualified = cat.identifier.database
@@ -122,16 +123,36 @@ final class ZonemapPruneRule(session: SparkSession)
               preds.exists(_.provablyEmpty(b))) }
       }
     }
+    // evidence families CONSULTED for this relation, for system.scans
+    // / EXPLAIN SKIPPING — partition pruning counts when static
+    // partition conjuncts were actually applied to the listing
+    val kinds = (
+      (if (rel.location.isInstanceOf[CatalogFileIndex] &&
+           partitionConjuncts(cond, partCols).nonEmpty) Seq("partition")
+       else Seq.empty) ++
+      (if (rangePreds.nonEmpty) Seq("zonemap") else Seq.empty) ++
+      (if (bloomPreds.nonEmpty) Seq("bloom") else Seq.empty)).mkString("+")
+    val evidence = graft.engine.ScanStats.Evidence(
+      qualified, live.length, survivors.length, kinds)
+    graft.engine.ScanStats.record(
+      Option(session.sparkContext.getLocalProperty("spark.jobGroup.id"))
+        .getOrElse("-"), evidence)
     // No zonemap evidence pruned anything: leave the relation alone
     // (for a CatalogFileIndex, Spark's own PruneFileSourcePartitions
-    // then does the partition pruning it is looking for).
-    if (survivors.length == live.length) return None
+    // then does the partition pruning it is looking for). The tag
+    // still lands so EXPLAIN SKIPPING reports the consulted-but-
+    // ineffective evidence.
+    if (survivors.length == live.length) {
+      l.setTagValue(EvidenceTag, evidence)
+      return None
+    }
     logInfo(s"zonemap pruning $qualified: ${live.length} -> " +
       s"${survivors.length} files for $cond")
     val loc = new ZonemapPrunedFileIndex(base, survivors.toSet)
     val newRel = l.copy(relation = rel.copy(location = loc)(session))
     newRel.setTagValue(Examined, true)
     newRel.setTagValue(PrunedTo, survivors.length)
+    newRel.setTagValue(EvidenceTag, evidence)
     Some(newRel)
   }
 
@@ -259,6 +280,13 @@ object ZonemapPruneRule {
 
   /** Surviving file count after pruning — observable by specs. */
   val PrunedTo: TreeNodeTag[Int] = TreeNodeTag[Int]("graft.zonemap.prunedTo")
+
+  /** Full skip-evidence record (files total/read + consulted kinds)
+    * for the relation — `EXPLAIN SKIPPING` reads it off the optimized
+    * plan; set even when nothing pruned, so "evidence consulted but
+    * ineffective" is visible too. */
+  val EvidenceTag: TreeNodeTag[graft.engine.ScanStats.Evidence] =
+    TreeNodeTag[graft.engine.ScanStats.Evidence]("graft.zonemap.evidence")
 
   /** Zonemap-provable emptiness test over one file's [[ZoneBounds]].
     * Numeric predicates consult the numeric envelope, string

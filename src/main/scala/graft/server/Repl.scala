@@ -154,7 +154,15 @@ object Repl {
     * the file's rows land through the engine's INSERT funnel (so CDC
     * and index maintenance ride along), parquet-only like the
     * reference. The target table must exist (the reference's COPY
-    * needs that too); --overwrite replaces its contents first. */
+    * needs that too); --overwrite replaces its contents first.
+    *
+    * The INSERT's `parquet.\`file\`` read executes WHERE THE ENGINE
+    * RUNS: local-filesystem existence is only checked for the embedded
+    * backend (a remote server reads its OWN filesystem — a client-side
+    * check would validate the wrong machine). --overwrite is staged:
+    * the source must open and match the target's column arity
+    * SERVER-side before the DELETE runs, so a bad file cannot strand
+    * an emptied table. */
   private def importFile(b: Backend, file: String,
                          flags: Map[String, String],
                          out: String => Unit): Int = {
@@ -162,7 +170,8 @@ object Repl {
     if (table.isEmpty) { out("ERROR: import needs --table <name>"); return 1 }
     val ns = flags.getOrElse("namespace", "default")
     val qualified = if (table.contains(".")) table else s"$ns.$table"
-    require(new java.io.File(file).exists, s"file $file does not exist")
+    if (b.isInstanceOf[EngineBackend])
+      require(new java.io.File(file).exists, s"file $file does not exist")
     if (!file.toLowerCase.endsWith(".parquet")) {
       out("ERROR: supported format: parquet (the reference's COPY ... FORMAT PARQUET)")
       return 1
@@ -176,8 +185,25 @@ object Repl {
       out(s"ERROR: table $qualified does not exist — CREATE TABLE it first")
       return 1
     }
-    if (flags.get("overwrite").contains("true"))
+    if (flags.get("overwrite").contains("true")) {
+      // validate BEFORE the destructive step, on the machine that will
+      // execute the INSERT: the file must open as parquet there, and
+      // its column count must match the target's (INSERT .. SELECT *
+      // binds positionally) — a failure here leaves the table intact
+      val (srcCols, _, _) =
+        try b.run(s"SELECT * FROM $src WHERE 1=0")
+        catch { case e: Exception =>
+          out(s"ERROR: cannot read $file on the server: ${e.getMessage}")
+          return 1
+        }
+      val (_, tCols, _) = b.run(s"SHOW COLUMNS FROM $qualified")
+      if (tCols.nonEmpty && srcCols.length != tCols.length) {
+        out(s"ERROR: $file has ${srcCols.length} column(s) but " +
+          s"$qualified has ${tCols.length} — not overwriting")
+        return 1
+      }
       b.run(s"DELETE FROM $qualified")
+    }
     val (_, _, msg) = b.run(s"INSERT INTO $qualified SELECT * FROM $src")
     out(if (msg.nonEmpty) msg else s"imported $file into $qualified")
     0

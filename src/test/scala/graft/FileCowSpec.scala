@@ -185,6 +185,30 @@ class FileCowSpec extends AnyFunSuite {
     assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 41L)
   }
 
+  test("MERGE from a NON-DETERMINISTIC source materializes it once (no duplicate inserts)") {
+    // a rand()-derived key set would re-evaluate per job: the
+    // file-scope key collection could see keys the merge join does
+    // not — a genuine match outside the scope resurrects as a
+    // duplicate insert (the round-11 advice finding). The engine now
+    // localCheckpoints such sources; every key must land exactly once.
+    val t = freshTable("mnd")
+    engine.execute(s"CREATE INDEX zi ON $t (id)")
+    for (round <- 1 to 3) {
+      val m = engine.execute(
+        s"""MERGE INTO $t AS tg
+           |USING (SELECT CAST(floor(rand() * 400) AS BIGINT) AS id,
+           |              'upserted' AS v) AS s
+           |ON tg.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v)""".stripMargin)
+      assert(m.rowCount == 1, s"round $round: ${m.message}")
+      val dups = engine.execute(
+        s"SELECT id FROM $t GROUP BY id HAVING count(*) > 1")
+      assert(dups.rowCount == 0,
+        s"round $round: duplicate keys after merge: ${dups.data}")
+    }
+  }
+
   test("MERGE whose keys miss every file is a pure append (no file replaced)") {
     val t = freshTable("mg2")
     engine.execute(s"CREATE INDEX zi ON $t (id)")

@@ -65,6 +65,28 @@ class HttpApiSpec extends AnyFunSuite {
     post("/query", """{"query": "DROP TABLE hapi.t"}""")
   }
 
+  test("EXPLAIN SKIPPING and system.scans round-trip over HTTP") {
+    assert(post("/query", """{"query": "CREATE DATABASE IF NOT EXISTS hapi"}""")._1 == 200)
+    post("/query", """{"query": "DROP TABLE IF EXISTS hapi.sk"}""")
+    assert(post("/query",
+      """{"query": "CREATE TABLE hapi.sk (id int64 NOT NULL, v string) STORAGE filesystem"}""")._1 == 200)
+    for (base <- Seq(0, 100, 200, 300)) {
+      val vals = (base until base + 5).map(i => s"($i, 'r$i')").mkString(", ")
+      assert(post("/query", s"""{"query": "INSERT INTO hapi.sk VALUES $vals"}""")._1 == 200)
+    }
+    assert(post("/query", """{"query": "CREATE INDEX zsk ON hapi.sk (id)"}""")._1 == 200)
+    val (code, body) = post("/query",
+      """{"query": "EXPLAIN SKIPPING SELECT * FROM hapi.sk WHERE id = 102"}""")
+    assert(code == 200, body)
+    assert(body.contains(""""columns":["table_name","files_total","files_read","evidence"]"""), body)
+    assert(body.contains("zonemap"), body)
+    // and the executed SELECT leaves a system.scans row behind
+    assert(post("/query", """{"query": "SELECT * FROM hapi.sk WHERE id = 102"}""")._1 == 200)
+    val (c2, b2) = post("/query",
+      """{"query": "SELECT table_name, evidence FROM system.scans WHERE table_name = 'hapi.sk'"}""")
+    assert(c2 == 200 && b2.contains("zonemap"), b2)
+  }
+
   test("errors surface as JSON with HTTP 400") {
     val (code, body) = post("/query", """{"query": "PRAGMA version"}""")
     assert(code == 400 && body.contains("not allowed"))

@@ -102,6 +102,34 @@ class ReplSpec extends AnyFunSuite {
     assert(c5 == 1 && o5.head.contains("parquet"), o5.mkString("|"))
   }
 
+  test("import --overwrite validates the source BEFORE the destructive delete") {
+    import spark.implicits._
+    run("catalog", "create-namespace", "clidb")
+    run("query", "DROP TABLE IF EXISTS clidb.ow")
+    run("query", "CREATE TABLE clidb.ow (id int64 NOT NULL, name string) STORAGE filesystem")
+    run("query", "INSERT INTO clidb.ow VALUES (1, 'keep')")
+
+    // arity-mismatched source: the overwrite must FAIL without
+    // emptying the table (the round-11 advice finding: DELETE-then-
+    // INSERT stranded an empty table when the INSERT failed)
+    val bad = java.nio.file.Files.createTempDirectory("cli_ow").toString + "/bad.parquet"
+    Seq((10L, "x", 1.0)).toDF("id", "name", "extra").coalesce(1).write.parquet(bad)
+    val (c, o) = runF(
+      Map("table" -> "ow", "namespace" -> "clidb", "overwrite" -> "true"),
+      "import", bad)
+    assert(c == 1 && o.exists(_.contains("not overwriting")), o.mkString("|"))
+    val (_, kept) = run("query", "SELECT count(*) AS n FROM clidb.ow")
+    assert(kept.exists(_.contains("| 1")), kept.mkString("\n"))
+
+    // unreadable source path: same contract (fails server-side, table intact)
+    val (c2, o2) = runF(
+      Map("table" -> "ow", "namespace" -> "clidb", "overwrite" -> "true"),
+      "import", "/nonexistent/nope.parquet")
+    assert(c2 == 1, o2.mkString("|"))
+    val (_, kept2) = run("query", "SELECT count(*) AS n FROM clidb.ow")
+    assert(kept2.exists(_.contains("| 1")), kept2.mkString("\n"))
+  }
+
   test("unknown command prints usage and fails") {
     val (c, o) = run("frobnicate")
     assert(c == 1)

@@ -26,6 +26,21 @@ class GlobalOrderEdgeSpec extends AnyFunSuite {
     assert(!out.map(_.getLong(0)).contains(2L))
   }
 
+  test("fractional band expressions are rejected, not truncate-merged") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    // a double band under cast("long") would silently merge bands 0.4
+    // and 0.6 into band 0 — the r11 advice finding; the guard rejects
+    val e = intercept[IllegalArgumentException] {
+      Curation.globalOrderBy(docs, col("doc_id") / 2.0, seed = "s")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // integral widths other than long still pass (exact conversion)
+    val ok = Curation.globalOrderBy(docs,
+      (col("doc_id") % 2).cast("int"), seed = "s").collect()
+    assert(ok.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("positions stay a permutation across bands") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, s"doc number $i words"))
