@@ -671,7 +671,11 @@ object IndexManager {
                                        cents: Seq[Seq[Double]],
                                        cells: DataFrame, queryKeys: Seq[Long],
                                        k: Int, nprobe: Int): DataFrame = {
-    val q = broadcast(spark.table(qualified)
+    // the hint goes on the JOIN INPUT below, not here: `q` also feeds
+    // the probed-cell collect, where a broadcast hint has no join to
+    // attach to and Catalyst drops it with a HintErrorLogger warning —
+    // a silently-ignored hint is how a plan regression hides
+    val q = spark.table(qualified)
       .select(col(keyCol).cast("long").as("key"),
         col(payloadCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
@@ -679,13 +683,13 @@ object IndexManager {
       .select(col("key").as("query_id"), col("v").as("qv"),
         explode(transform(
           slice(ArrayOps.ivfCells(col("v"), cents, nprobe), 1, nprobe),
-          s => s.getField("cell"))).as("cell")))
+          s => s.getField("cell"))).as("cell"))
     // bounded collect: ≤ |queryKeys| · nprobe cell ids — the handle
     // that turns the candidate fetch into a pushed-down index filter
     val probedCells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val cands = cells.where(col("cell").isin(probedCells: _*))
-      .join(q, Seq("cell"))
+      .join(broadcast(q), Seq("cell"))
       .where(col("key") =!= col("query_id"))
       // one cell per key and distinct cells per query ⇒ no dup pairs;
       // dropDuplicates is the defensive pin of that invariant

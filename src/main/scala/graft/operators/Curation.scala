@@ -179,10 +179,12 @@ object Curation {
   def clearBpeMemo(): Unit = {
     bpeMemo.values.forEach { case (_, fin, base) =>
       base.unpersist()
-      try org.apache.spark.sql.GraftBridge.plan(fin).foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
+      try withRddLogSilenced {
+        org.apache.spark.sql.GraftBridge.plan(fin).foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
       } catch { case _: Throwable => () }
     }
     bpeMemo.clear()
@@ -275,8 +277,8 @@ object Curation {
                        byteLevel: Boolean = false)
       : (Seq[(Int, String, String, String, Long)], DataFrame, DataFrame) = {
     val mode = s.conf.getOption("spark.graft.bpe.mode").getOrElse("auto")
-    val base = (if (byteLevel) bpeByteWords(docs(s, dir))
-                else bpeWords(docs(s, dir))).cache()
+    val base = cacheOnce(if (byteLevel) bpeByteWords(docs(s, dir))
+                else bpeWords(docs(s, dir)))
     val local = mode match {
       case "local" => true
       case "distributed" => false

@@ -396,7 +396,7 @@ object Dedup {
         .select(col("doc_id"),
                 graft.functions.expressions.SimHash64Expr
                   .simhash64(Text.tokens(col("text"))).as("simhash"))
-        .cache()
+        .transform(cacheOnce)
       val banded = fp.select(col("doc_id"), col("simhash"),
         explode(expr(
           """transform(sequence(0, 3),
@@ -581,7 +581,7 @@ object Dedup {
           // pairs as candidates).
           .withColumn("shx", graft.functions.expressions.ArrayOps
             .sortedHashes(col("sh")))
-          .cache())
+          .transform(cacheOnce))
 
   /** LSH candidate pairs from the scan path: band keys computed from
     * the corpus, then bucket-local capped pair generation. */
@@ -1080,10 +1080,12 @@ object Dedup {
     * exits; for reliable checkpoints the unpersist is a no-op on the
     * files and merely drops any cached partitions). */
   private def dropCheckpoint(df: DataFrame): Unit =
-    try org.apache.spark.sql.GraftBridge.plan(df).foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
+    try withRddLogSilenced {
+      org.apache.spark.sql.GraftBridge.plan(df).foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     } catch { case _: Throwable => () }
 
   def clearClusterMemo(): Unit = {
