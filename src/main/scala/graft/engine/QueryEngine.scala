@@ -617,17 +617,20 @@ final class QueryEngine(val spark: SparkSession,
   /** Z-order clustering column: each input column is normalized to a
     * B-bit rank (numeric by min-max range; date/timestamp via an
     * explicit epoch-number conversion first — Spark 4's ANSI cast
-    * rejects date/timestamp_ntz → double; strings by hash — equal
-    * values cluster, ranges do not), and the ranks' bits are
-    * interleaved so files written in z-value order are simultaneously
-    * clustered in EVERY listed dimension — the data-skipping layout
-    * Iceberg/Delta expose as rewrite with zorder. B = min(16, 63/k)
-    * so every interleaved bit fits a non-negative long for ANY column
-    * count (16-bit ranks with k>3 would push bits past position 62 —
-    * sign-bit flips would scramble the sort order silently). The
-    * min/max normalization stats are one bounded 1-row aggregate over
-    * the table (a maintenance-job cost, like the compaction rewrite
-    * itself). */
+    * rejects date/timestamp_ntz → double; strings by their first 7
+    * UTF-8 bytes read as a big-endian integer, which preserves
+    * byte-lexicographic ORDER, so string dimensions cluster by range
+    * and LIKE-prefix too — the r11 hash ranks preserved only equality
+    * clustering, leaving the string zonemap bounds' range/prefix
+    * pruning unfed), and the ranks' bits are interleaved so files
+    * written in z-value order are simultaneously clustered in EVERY
+    * listed dimension — the data-skipping layout Iceberg/Delta expose
+    * as rewrite with zorder. B = min(16, 63/k) so every interleaved
+    * bit fits a non-negative long for ANY column count (16-bit ranks
+    * with k>3 would push bits past position 62 — sign-bit flips would
+    * scramble the sort order silently). The min/max normalization
+    * stats are one bounded 1-row aggregate over the table (a
+    * maintenance-job cost, like the compaction rewrite itself). */
   private def zorderColumn(df: DataFrame, cols: Seq[String]): Column = {
     import org.apache.spark.sql.types._
     val k = cols.length
@@ -641,44 +644,44 @@ final class QueryEngine(val spark: SparkSession,
         "degenerate well before; cluster on the few columns queries " +
         "actually filter by")
     val Bits = math.min(16, 63 / k)
-    // per-type range expression: Some(numeric Column) for range-
-    // normalizable types, None for hash-clustered ones; anything that
-    // is neither (binary, nested, …) is an addressed error, matching
-    // the partitioned-table require below.
-    val rangeExpr: Seq[Option[Column]] = cols.map { c =>
+    // per-type ORDER-PRESERVING numeric expression, min-max normalized
+    // below; anything outside the list (binary, nested, …) is an
+    // addressed error, matching the partitioned-table require below.
+    val rangeExpr: Seq[Column] = cols.map { c =>
       df.schema(c).dataType match {
-        case _: StringType => None
-        case DateType => Some(unix_date(col(c)).cast("double"))
-        case _: TimestampType => Some(unix_micros(col(c)).cast("double"))
+        case _: StringType =>
+          // first 7 UTF-8 bytes, zero-padded, as a big-endian integer:
+          // monotone in byte-lexicographic order (UTF8String's order,
+          // the order the zonemap string bounds compare in), 56 bits
+          // fits a signed long through conv(). Resolution past 7 bytes
+          // is lost — far finer than the B-bit rank anyway.
+          conv(hex(call_function("rpad",
+            substring(encode(col(c), "UTF-8"), 1, 7),
+            lit(7), lit(Array[Byte](0)))), 16, 10).cast("double")
+        case DateType => unix_date(col(c)).cast("double")
+        case _: TimestampType => unix_micros(col(c)).cast("double")
         case TimestampNTZType =>
-          Some(unix_micros(col(c).cast("timestamp")).cast("double"))
-        case BooleanType => Some(col(c).cast("int").cast("double"))
-        case _: NumericType => Some(col(c).cast("double"))
+          unix_micros(col(c).cast("timestamp")).cast("double")
+        case BooleanType => col(c).cast("int").cast("double")
+        case _: NumericType => col(c).cast("double")
         case other => throw new IllegalArgumentException(
           s"ZORDER BY column `$c` has unsupported type ${other.simpleString} " +
             "(supported: numeric, string, boolean, date, timestamp)")
       }
     }
-    val named = cols.zip(rangeExpr).collect { case (c, Some(e)) => c -> e }
-    val statRow = if (named.nonEmpty) {
-      val aggs = named.flatMap { case (c, e) =>
-        Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c")) }
-      Some(df.agg(aggs.head, aggs.tail: _*).collect()(0))
-    } else None
-    val ranks: Seq[Column] = cols.zip(rangeExpr).map {
-      case (c, Some(e)) =>
-        val r = statRow.get
-        // all-NULL column → min/max are null; rank everything 0
-        val mn = Option(r.getAs[java.lang.Double](s"mn_$c"))
-          .fold(0.0)(_.doubleValue)
-        val mx = Option(r.getAs[java.lang.Double](s"mx_$c"))
-          .fold(0.0)(_.doubleValue)
-        val span = if (mx > mn) mx - mn else 1.0
-        least(lit((1 << Bits) - 1), greatest(lit(0),
-          floor((coalesce(e, lit(mn)) - lit(mn))
-            / lit(span) * lit((1 << Bits) - 1)).cast("long")))
-      case (c, None) =>
-        pmod(xxhash64(col(c)), lit(1L << Bits))
+    val aggs = cols.zip(rangeExpr).flatMap { case (c, e) =>
+      Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c")) }
+    val statRow = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val ranks: Seq[Column] = cols.zip(rangeExpr).map { case (c, e) =>
+      // all-NULL column → min/max are null; rank everything 0
+      val mn = Option(statRow.getAs[java.lang.Double](s"mn_$c"))
+        .fold(0.0)(_.doubleValue)
+      val mx = Option(statRow.getAs[java.lang.Double](s"mx_$c"))
+        .fold(0.0)(_.doubleValue)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit((1 << Bits) - 1), greatest(lit(0),
+        floor((coalesce(e, lit(mn)) - lit(mn))
+          / lit(span) * lit((1 << Bits) - 1)).cast("long")))
     }
     // interleave: bit i of rank j lands at position i*k + j (< 63 by
     // the Bits bound above)

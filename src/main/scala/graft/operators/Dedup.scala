@@ -504,7 +504,8 @@ object Dedup {
       .withColumn("p",
         (col("n") - expr(s"($num*n+${den - 1}) div $den") + 1).cast("int"))
       .select(col("doc_id"), col("n"),
-              explode(slice(col("toks"), lit(1), col("p"))).as("h"))
+              posexplode(slice(col("toks"), lit(1), col("p"))))
+      .select(col("doc_id"), col("n"), col("pos"), col("col").as("h"))
     // The self-join's OUTPUT is quadratic in per-token df while its
     // INPUT bytes are tiny, so AQE's byte-based coalescing would run
     // the whole pair explosion (+ the distinct and the verify merge
@@ -525,10 +526,27 @@ object Dedup {
     val probe = cand.repartition(
       base.sparkSession.sparkContext.defaultParallelism,
       col("doc_id"), col("h"))
+    // POSITIONAL filtering (Xiao et al. VLDB'08, PPJoin): a match on
+    // the token at 0-based prefix positions (p in x, q in y) bounds
+    // the whole overlap — common tokens BEFORE the match ≤ min(p, q)
+    // (both lists share one global DF order), common tokens AFTER it
+    // ≤ min(nx-p-1, ny-q-1), plus the match itself. J ≥ num/den needs
+    // overlap ≥ ceil(num·(nx+ny)/(num+den)); a true pair satisfies
+    // the bound at EVERY shared prefix token (the bound is an upper
+    // envelope of the true overlap), so filtering each joined row
+    // before the distinct loses no pair — it only stops the padding
+    // tokens of long docs from pairing with the prefixes of short
+    // ones, the dominant surviving-candidate class on Zipf corpora
+    // after the length filter.
+    val positional =
+      least(col("a.pos"), col("b.pos")) + lit(1) +
+        least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1) >=
+      expr(s"($num*(a.n + b.n) + ${num + den - 1}) div ${num + den}")
     probe.as("a").join(cand.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
           && least(col("a.n"), col("b.n")) * den
-             >= greatest(col("a.n"), col("b.n")) * num)
+             >= greatest(col("a.n"), col("b.n")) * num
+          && positional)
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
   }

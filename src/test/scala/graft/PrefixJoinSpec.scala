@@ -86,4 +86,43 @@ class PrefixJoinSpec extends AnyFunSuite {
       s"prefix+length filters should prune >90% on Zipf data " +
         s"($candidates of $totalPairs)")
   }
+
+  test("positional bound theorem: the filter never loses a true pair, and it prunes") {
+    // Adversarial-for-positional corpus: long docs whose TAIL overlaps
+    // short docs' PREFIX. The prefix+length filters admit these (the
+    // shared token is in both prefixes once DF-ranked, lengths within
+    // ratio), but the positional upper bound
+    //   min(p, q) + 1 + min(nx-p-1, ny-q-1)
+    // proves the overlap cannot reach ceil(t(nx+ny)/(1+t)) — so the
+    // verify join shrinks while results stay EXACTLY brute force.
+    val rng = new scala.util.Random(61)
+    val vocab = (0 until 40).map("v" + _)
+    val corpus: Seq[(Long, String)] = (0 until 120).map { i =>
+      val start = (i % 10) * 3
+      val len = 10 + rng.nextInt(3)
+      (i.toLong,
+        (0 until len).map(j => vocab((start + j) % 40)).distinct.mkString(" "))
+    } ++ Seq(
+      (8001L, "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"),
+      (8002L, "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"))
+    val brute = bruteForce(corpus, 9, 10)
+    assert(brute.contains((8001L, 8002L)))
+    // completeness at several thresholds — the theorem's actual claim
+    for ((num, den) <- Seq((9, 10), (4, 5), (3, 5)))
+      assert(runJoin(corpus, num, den) == bruteForce(corpus, num, den),
+        s"positional filter lost pairs at t=$num/$den")
+
+    // and it PRUNES: candidates with the positional conjunct stay
+    // strictly below the quadratic floor the overlap-structure implies
+    import graft.functions.expressions.ArrayOps
+    val base = corpus.toDF("doc_id", "text").select(col("doc_id"),
+      array_distinct(ArrayOps.sortedHashes(
+        array_distinct(graft.functions.Text.tokens(col("text"))))).as("hs"))
+    val cands = Dedup.prefixCandidatePairs(base, 9, 10)
+      .as[(Long, Long)].collect().toSet
+    assert(brute.subsetOf(cands), "candidates must cover all true pairs")
+    val totalPairs = corpus.size.toLong * (corpus.size - 1) / 2
+    assert(cands.size < totalPairs / 4,
+      s"positional+prefix+length should prune hard (${cands.size} of $totalPairs)")
+  }
 }

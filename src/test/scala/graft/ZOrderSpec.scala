@@ -67,6 +67,47 @@ class ZOrderSpec extends AnyFunSuite {
     engine.execute("DROP TABLE zo.t")
   }
 
+  test("zorder string ranks are byte-prefix: LIKE-prefix pruning improves after the rewrite") {
+    // r11 used hash ranks for strings (equality clustering only); the
+    // byte-prefix ranks preserve lexicographic ORDER, so after ZORDER
+    // the per-file string [min, max] bounds narrow and the zonemap
+    // rule's LIKE-prefix / range envelope actually prunes files.
+    val engine = new graft.engine.QueryEngine(spark)
+    engine.execute("CREATE DATABASE IF NOT EXISTS zo")
+    engine.execute("DROP TABLE IF EXISTS zo.s")
+    engine.execute("CREATE TABLE zo.s (id int64, name string) STORAGE filesystem")
+    import spark.implicits._
+    // names span 26 alphabetic prefixes, hash-scattered through files
+    val data = (0L until 20000L)
+      .map(i => (i, s"${('a' + ((i * 7919) % 26).toInt).toChar}name${i % 1000}"))
+      .toDF("id", "name").repartition(8)
+    data.write.insertInto("zo.s")
+    engine.execute("CREATE INDEX zs ON zo.s (name)") // zonemap
+
+    def filesRead(pred: String): (Long, Long) = {
+      val r = engine.execute(s"EXPLAIN SKIPPING SELECT * FROM zo.s WHERE $pred")
+      (r.data.head(1).asInstanceOf[Long], r.data.head(2).asInstanceOf[Long])
+    }
+    val (totalBefore, readBefore) = filesRead("name LIKE 'm%'")
+    assert(totalBefore >= 4, s"fixture should span files, got $totalBefore")
+    assert(readBefore == totalBefore,
+      s"precondition: scattered layout should not prune ($readBefore/$totalBefore)")
+
+    spark.conf.set("spark.graft.optimize.targetFileBytes", "16384")
+    try engine.execute("OPTIMIZE zo.s ZORDER BY (name)")
+    finally spark.conf.unset("spark.graft.optimize.targetFileBytes")
+
+    val (totalAfter, readAfter) = filesRead("name LIKE 'm%'")
+    assert(totalAfter > 1, s"want multiple files after rewrite, got $totalAfter")
+    assert(readAfter < totalAfter,
+      s"LIKE-prefix should prune after ZORDER ($readAfter/$totalAfter)")
+    // and results are exact: the pruned scan equals the full predicate
+    val n = engine.execute(
+      "SELECT count(*) AS n FROM zo.s WHERE name LIKE 'm%'").data.head.head
+    assert(n == (0L until 20000L).count(i => (i * 7919) % 26 == 12).toLong, n)
+    engine.execute("DROP TABLE zo.s")
+  }
+
   test("zorder on a partitioned table clusters WITHIN partitions; partition cols rejected") {
     val engine = new graft.engine.QueryEngine(spark)
     engine.execute("CREATE DATABASE IF NOT EXISTS zo")
