@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MisraGriesAgg(exprs.head, intLit(exprs(1), "mg_summary capacity"))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RankToTopKRule)
+    // commit-log resolution FIRST: the zonemap rule then prunes within
+    // the manifest's (snapshot-consistent) listing
+    ext.injectOptimizerRule(session => new graft.plans.CommitLogRule(session))
     ext.injectOptimizerRule(session => new graft.plans.ZonemapPruneRule(session))
     ext.injectParser((_, delegate) => new graft.engine.GraftSqlParser(delegate))
   }

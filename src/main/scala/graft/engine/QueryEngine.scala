@@ -64,6 +64,12 @@ object QueryEngine {
     seenVersions.computeIfAbsent(s, _ =>
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
 
+  /** Torn-read (FILE_NOT_FOUND) retry attempts across every engine in
+    * this JVM. Observability for the cross-process story: the 2-JVM
+    * soak asserts the commit-log steady path never needs the retry. */
+  private[graft] val tornReadRetries =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private[engine] def rwLock(key: String)
       : java.util.concurrent.locks.ReentrantReadWriteLock =
     tableLocks.computeIfAbsent(key,
@@ -926,6 +932,7 @@ final class QueryEngine(val spark: SparkSession,
       catch {
         case e: Exception if left > 1 && isTornRead(e, 0) =>
           left -= 1
+          QueryEngine.tornReadRetries.incrementAndGet()
           // best-effort refresh; a concurrent DDL can fail the
           // re-analysis, which must not replace the original error
           try referencedTables(sql).foreach { q =>
@@ -1083,6 +1090,34 @@ final class QueryEngine(val spark: SparkSession,
           "." + ct.identifier.table
     }.distinct.sorted
 
+  /** Per-statement buffer of table-relative paths a file-level CoW
+    * commit RETIRED (commit-log tables leave replaced files in place;
+    * the publish hook below records them). Thread-local: one writer
+    * statement per thread, but the engine serves tables concurrently. */
+  private val pendingRetired =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]()
+
+  private def commitLogEnabled(t: String): Boolean =
+    spark.conf.getOption("spark.graft.commitlog.enabled")
+      .forall(_.toBoolean) &&
+      (try CommitLog.enabled(spark.sessionState.catalog
+        .getTableMetadata(tableIdent(t)).properties)
+       catch { case _: Exception => false })
+
+  /** OUT-OF-PROCESS commit point for commit-log tables: publish the
+    * post-statement file set (+ this statement's retirements) as the
+    * next manifest version, via atomic rename — a reader in ANY
+    * process then resolves one consistent listing. No-op for ordinary
+    * tables, or when the statement changed no files. */
+  private def publishCommitLog(qualified: String): Unit = {
+    if (!commitLogEnabled(qualified)) return
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(tableIdent(qualified))
+        .location)
+    CommitLog.publish(spark, loc,
+      Option(pendingRetired.get()).map(_.toSeq).getOrElse(Seq.empty))
+  }
+
   private def withTableWriteLock[A](table: Option[String])(body: => A): A =
     table match {
       case Some(t) =>
@@ -1094,8 +1129,16 @@ final class QueryEngine(val spark: SparkSession,
           // otherwise plan over replaced files (FNF, or silently
           // torn rows, under concurrent CoW)
           ensureFreshListing(q)
-          try body
-          finally {
+          val prevBuf = pendingRetired.get()
+          pendingRetired.set(
+            scala.collection.mutable.ArrayBuffer.empty[String])
+          try {
+            val r = body
+            publishCommitLog(q)
+            r
+          } finally {
+            if (prevBuf == null) pendingRetired.remove()
+            else pendingRetired.set(prevBuf)
             // bump AFTER the statement: readers waiting on this lock
             // then see the new version and re-list. Bumped even on
             // failure — a partial commit may have moved files, and an
@@ -1350,7 +1393,21 @@ final class QueryEngine(val spark: SparkSession,
         throw new FileLevelAbort(
           "replacement rows include a null partition value")
       }
-      Snapshots.preserveExact(spark, t, replaced)
+      val clEnabled = commitLogEnabled(t)
+      // commit-log tables RETIRE replaced files in place (a reader in
+      // another process on the previous manifest keeps resolving
+      // them; the manifest filter hides them from every newer read) —
+      // so the snapshot archive must COPY, not rename, and nothing is
+      // deleted here. GC runs at later commits, after the grace
+      // window. Ordinary tables keep the delete-now contract.
+      Snapshots.preserveExact(spark, t, replaced, move = !clEnabled)
+      if (clEnabled) {
+        val buf = pendingRetired.get()
+        replaced.foreach { f =>
+          CommitLog.relativize(loc, FsPaths.fromListing(f))
+            .foreach(rel => if (buf != null) buf += rel)
+        }
+      } else
       // Hadoop FileSystem signals failure by RETURN VALUE, not
       // exception (rename returns false on an existing dst or a
       // cross-device move; delete on permissions) — a silently failed

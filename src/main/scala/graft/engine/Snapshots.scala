@@ -220,9 +220,12 @@ object Snapshots {
     * the caller replaces only these files, every other manifest entry
     * keeps resolving to its still-live table file. Unreferenced
     * inputs are left for the caller to delete. Call AFTER the
-    * replacement data is durably staged (renames, no data movement). */
+    * replacement data is durably staged (renames, no data movement).
+    * `move = false` COPIES instead: commit-log tables retire replaced
+    * files IN PLACE (cross-process readers on an older manifest still
+    * resolve them), so the live path must survive the archive. */
   def preserveExact(spark: SparkSession, t: String,
-                    absFiles: Seq[String]): Unit = {
+                    absFiles: Seq[String], move: Boolean = true): Unit = {
     val (db, table, loc) = resolve(spark, t)
     val fs = fsOf(spark, loc)
     val root = base(spark, db, table)
@@ -234,7 +237,7 @@ object Snapshots {
     // and silently skips archiving
     val rels = absFiles.map(f => relativize(loc, FsPaths.fromListing(f)))
       .filter(referenced)
-    preserveFiles(spark, fs, loc, root, rels, move = true)
+    preserveFiles(spark, fs, loc, root, rels, move = move)
   }
 
   /** Copy referenced files under the given directories into the

@@ -153,6 +153,11 @@ final class ZonemapPruneRule(session: SparkSession)
     newRel.setTagValue(Examined, true)
     newRel.setTagValue(PrunedTo, survivors.length)
     newRel.setTagValue(EvidenceTag, evidence)
+    // preserve the commit-log rule's marker (same fixed point): a copy
+    // that drops it makes CommitLogRule re-wrap this relation every
+    // iteration — see the matching block in CommitLogRule.resolve
+    l.getTagValue(CommitLogRule.Applied)
+      .foreach(newRel.setTagValue(CommitLogRule.Applied, _))
     Some(newRel)
   }
 

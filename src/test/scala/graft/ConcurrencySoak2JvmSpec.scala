@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{CommitLog, QueryEngine}
+
+/** The round-12 headline contract: a SECOND JVM (a real spawned
+  * process with its own Spark session and its own catalog, sharing
+  * ONLY the warehouse directory) runs file-level copy-on-write point
+  * UPDATEs through the engine while THIS process reads the table.
+  * With the commit log on, every read must be snapshot-consistent —
+  *  - no torn read ever (row count and key set invariant under CoW),
+  *  - ZERO FILE_NOT_FOUND retries (the backstop counter stays flat:
+  *    retired files outlive the commits that replaced them),
+  *  - the final read observes the writer's last committed value.
+  * The in-JVM locks play no part across processes — the atomic
+  * manifest rename is the only coordination, which is the point. */
+class ConcurrencySoak2JvmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val engine = new QueryEngine(spark)
+
+  private val Iters = 10
+
+  test("two-JVM soak: cross-process CoW DML with zero torn reads and zero FNF retries") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS soak2")
+    engine.execute("DROP TABLE IF EXISTS soak2.t")
+    engine.execute(
+      """CREATE TABLE soak2.t (id int64 NOT NULL, v string)
+        |STORAGE filesystem SETTINGS commitlog=true""".stripMargin)
+    (0 until 4).foreach { r =>
+      val vals = (r * 100 until r * 100 + 10)
+        .map(i => s"($i, 'row $i')").mkString(", ")
+      engine.execute(s"INSERT INTO soak2.t VALUES $vals")
+    }
+    engine.execute("CREATE INDEX zi ON soak2.t (id)") // file-CoW evidence
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("soak2.t")).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val v0 = CommitLog.currentVersion(fs, loc)
+    assert(v0 >= 4L)
+
+    // child JVM: same classpath, the JDK17 opens Spark needs, its own
+    // working dir (own metastore state — only the warehouse is shared)
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val workDir = java.nio.file.Files.createTempDirectory("soak2_child").toFile
+    val cmd = (Seq("java", "-Xmx3g") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.SoakWriter",
+      spark.conf.get("spark.sql.warehouse.dir"),
+      loc.toString,
+      Iters.toString)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(workDir)
+    pb.redirectErrorStream(true)
+    val retriesBefore = QueryEngine.tornReadRetries.get()
+    val proc = pb.start()
+    val childOut = new StringBuilder
+    val pump = new Thread(() => {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = br.readLine()
+      while (line != null) {
+        childOut.synchronized { childOut ++= line += '\n' }
+        line = br.readLine()
+      }
+    })
+    pump.setDaemon(true); pump.start()
+
+    // read CONCURRENTLY with the child's whole lifetime (startup, the
+    // DML burst, shutdown): every read must see a consistent snapshot
+    var reads = 0
+    var readsAboveV0 = 0
+    val seenVs = collection.mutable.Set[String]()
+    val allowed = (1 to Iters).map(i => s"w$i").toSet + "row 105"
+    while (proc.isAlive) {
+      val r = engine.execute(
+        "SELECT count(*) AS n, count(DISTINCT id) AS d FROM soak2.t")
+      assert(r.data.head == Seq(40L, 40L),
+        s"TORN READ at read #$reads: ${r.data.head}")
+      val v = engine.execute("SELECT v FROM soak2.t WHERE id = 105")
+      assert(v.rowCount == 1, s"key 105 torn at read #$reads: ${v.data}")
+      val value = v.data.head.head.toString
+      assert(allowed.contains(value), s"impossible value $value")
+      seenVs += value
+      if (CommitLog.currentVersion(fs, loc) > v0) readsAboveV0 += 1
+      reads += 1
+    }
+    pump.join(5000)
+    val out = childOut.synchronized(childOut.toString)
+    assert(proc.exitValue() == 0, s"writer failed:\n${out.takeRight(3000)}")
+    assert(out.contains(s"SOAK_WRITER_DONE $Iters"), out.takeRight(500))
+    assert(readsAboveV0 > 0,
+      s"soak never overlapped the writer's commits ($reads reads)")
+    // the writer's commits were observed mid-flight (not just at the end)
+    assert(seenVs.size > 1, s"reads saw only $seenVs over $reads reads")
+
+    // zero FNF retries: the steady path never needed the backstop
+    assert(QueryEngine.tornReadRetries.get() == retriesBefore,
+      "commit-log reads must not rely on the FILE_NOT_FOUND retry")
+
+    // post-soak: this process observes the writer's LAST committed value
+    engine.execute("SELECT 1 AS one") // any statement; next read resolves fresh
+    val fin = engine.execute("SELECT v FROM soak2.t WHERE id = 105")
+    assert(fin.data == Seq(Seq(s"w$Iters")), fin.data.toString)
+    assert(CommitLog.currentVersion(fs, loc) >= v0 + Iters)
+    // retired files accumulated in place (grace default 300s — no GC)
+    val m = CommitLog.current(fs, loc).get
+    assert(m.retired.nonEmpty, "cross-process CoW must retire, not delete")
+  }
+}
