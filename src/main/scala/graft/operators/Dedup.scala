@@ -474,17 +474,49 @@ object Dedup {
     val base = docsDf.select(col("doc_id"),
         array_distinct(ArrayOps.sortedHashes(
           array_distinct(Text.tokens(col("text"))))).as("hs"))
-    val pairs = prefixCandidatePairs(base, num, den)
-    val f1 = base.select(col("doc_id").as("doc1"), col("hs").as("h1"),
-                         size(col("hs")).as("n1"))
-    val f2 = base.select(col("doc_id").as("doc2"), col("hs").as("h2"),
-                         size(col("hs")).as("n2"))
-    pairs.join(f1, "doc1").join(f2, "doc2")
+    // EXACT-DUPLICATE GROUPING (r12): Jaccard is a function of the
+    // token SET alone, so the quadratic candidate + verify stages run
+    // once per DISTINCT set — docs group by their exact set (grouped
+    // BY THE ARRAY, not a hash of it: a 64-bit hash collision would
+    // silently merge different sets), the min doc_id represents the
+    // group, and pairs expand afterwards. Real corpora are full of
+    // exact duplicates (that is why exact dedup exists), and template
+    // corpora are ~all duplicates: at a 10× replicated corpus this is
+    // the difference between verifying 100× the pairs and 1×. The
+    // expansion's output is the same pair set either way — intra-group
+    // pairs ARE duplicates (J = 1.0 ≥ t always), cross-group pairs
+    // inherit the representative pair's exact jaccard.
+    // null/empty sets never enter the ungrouped algorithm (no tokens,
+    // no candidates) — they must not form an intra group either
+    val nonEmpty = base.where(col("hs").isNotNull && size(col("hs")) > 0)
+    val reps = nonEmpty.groupBy(col("hs")).agg(min(col("doc_id")).as("rep"))
+    val m = nonEmpty.join(reps, "hs").select(col("doc_id"), col("rep"))
+    val repBase = reps.select(col("rep").as("doc_id"), col("hs"))
+    val pairs = prefixCandidatePairs(repBase, num, den)
+    val f1 = repBase.select(col("doc_id").as("doc1"), col("hs").as("h1"),
+                            size(col("hs")).as("n1"))
+    val f2 = repBase.select(col("doc_id").as("doc2"), col("hs").as("h2"),
+                            size(col("hs")).as("n2"))
+    val repPairs = pairs.join(f1, "doc1").join(f2, "doc2")
       .withColumn("inter", ArrayOps.sortedIntersectCount(col("h1"), col("h2")))
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .where(col("inter") * den >= col("uni") * num)
       .select(col("doc1"), col("doc2"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+    // expansion: every (a, b) with a's set ~ b's set, a < b — exactly
+    // the pairs the ungrouped join emitted
+    val cross = repPairs
+      .join(m.as("ma"), col("ma.rep") === col("doc1"))
+      .join(m.as("mb"), col("mb.rep") === col("doc2"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc1"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc2"),
+        col("jaccard"))
+    val intra = m.as("a").join(m.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Candidate stage only (doc1, doc2 distinct pairs): DF-ranked

@@ -87,6 +87,37 @@ class PrefixJoinSpec extends AnyFunSuite {
         s"($candidates of $totalPairs)")
   }
 
+  test("exact-duplicate grouping: replicated docs expand exactly, empty sets stay out") {
+    // the r12 restructure runs candidates+verify once per DISTINCT
+    // token set and expands — a replicated corpus (the 10x scale
+    // replica, template corpora) must produce byte-identical pairs to
+    // brute force, including intra-group (J=1.0) and cross-group
+    // near-dup pairs, and docs with no tokens must not pair at all
+    val protoA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val protoB = "alpha beta gamma delta epsilon zeta eta theta iota lambda xi"
+    val corpus: Seq[(Long, String)] =
+      (0 until 5).map(i => (i.toLong, protoA)) ++          // group A x5
+      (10 until 13).map(i => (i.toLong, protoB)) ++        // group B x3
+      Seq((20L, "totally unrelated content here")) ++
+      Seq((21L, null.asInstanceOf[String])) ++             // null set
+      Seq((23L, protoA.split(" ").reverse.mkString(" ")))  // same SET as A
+    val brute = bruteForce(corpus.filter(_._2 != null), 9, 10)
+    val got = runJoin(corpus, 9, 10)
+    assert(got == brute, s"got=$got\nbrute=$brute")
+    // group A (+23, same set) has C(6,2)=15 intra pairs, all present
+    assert((0 until 5).combinations(2).forall(p =>
+      got.contains((p(0).toLong, p(1).toLong))))
+    assert(got.contains((0L, 23L)))
+    // a null-text doc (null token set) appears nowhere — it never
+    // enters the ungrouped algorithm, so it must not form a group
+    assert(!got.exists { case (a, b) => a == 21L || b == 21L })
+    // jaccard values: intra pairs are exactly 1.0
+    val j = Dedup.prefixSimilarityJoin(corpus.toDF("doc_id", "text"), 9, 10)
+      .where(col("doc1") === 0L && col("doc2") === 1L)
+      .select("jaccard").collect()
+    assert(j.head.getDouble(0) == 1.0)
+  }
+
   test("positional bound theorem: the filter never loses a true pair, and it prunes") {
     // Adversarial-for-positional corpus: long docs whose TAIL overlaps
     // short docs' PREFIX. The prefix+length filters admit these (the
