@@ -40,14 +40,28 @@ import org.apache.spark.sql.SparkSession
   * across processes are DETECTED (the loser's rename fails and the
   * commit retries over the merged listing, bounded), not prevented —
   * single-writer-per-table across processes remains the deployment
-  * contract, as in the reference's one-server model. */
+  * contract, as in the reference's one-server model.
+  *
+  * Whole-table rewrites (OPTIMIZE, RESTORE, fallback DML paths) go
+  * through Spark's own overwrite, which truncates the table location —
+  * including this log. The post-statement publish then restarts at
+  * version 1. That is benign for readers (ANY version change triggers
+  * their re-list; the filter always uses the CURRENT manifest) but it
+  * means versions are monotone only BETWEEN whole-table rewrites, and
+  * a cross-process reader racing the overwrite itself can still hit
+  * the FILE_NOT_FOUND retry — retirement protects the file-level CoW
+  * steady path, not full-table maintenance ops. */
 object CommitLog {
 
   private val DirName = "_graft_log"
 
   final case class Retired(rel: String, version: Long, atMs: Long)
+  /** `stamp` is a fresh UUID per written manifest: version NUMBERS can
+    * restart at 1 after a whole-table overwrite truncates the log, so
+    * readers gate their re-list on the stamp, which never repeats. */
   final case class Manifest(version: Long, files: Seq[String],
-                            retired: Seq[Retired])
+                            retired: Seq[Retired],
+                            stamp: String = "")
 
   def enabled(props: Map[String, String]): Boolean =
     props.get("graft.settings.commitlog").exists(_.equalsIgnoreCase("true"))
@@ -68,6 +82,7 @@ object CommitLog {
   private def render(m: Manifest): String = {
     val sb = new StringBuilder
     sb ++= s"version\t${m.version}\n"
+    sb ++= s"stamp\t${m.stamp}\n"
     m.files.sorted.foreach(f => sb ++= s"file\t${enc(f)}\n")
     m.retired.sortBy(_.rel).foreach(r =>
       sb ++= s"retired\t${enc(r.rel)}\t${r.version}\t${r.atMs}\n")
@@ -76,18 +91,20 @@ object CommitLog {
 
   private def parse(text: String): Manifest = {
     var version = 0L
+    var stamp = ""
     val files = Seq.newBuilder[String]
     val retired = Seq.newBuilder[Retired]
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
       line.split("\t") match {
         case Array("version", v) => version = v.toLong
+        case Array("stamp", u) => stamp = u
         case Array("file", f) => files += dec(f)
         case Array("retired", f, v, ms) =>
           retired += Retired(dec(f), v.toLong, ms.toLong)
         case _ => () // forward compatibility: unknown lines ignored
       }
     }
-    Manifest(version, files.result(), retired.result())
+    Manifest(version, files.result(), retired.result(), stamp)
   }
 
   // --------------------------------------------------------------- read
@@ -197,7 +214,8 @@ object CommitLog {
       // readers' version gate then never re-lists for them either
       if (prevV > 0 && newlyRetired.isEmpty && expired.isEmpty &&
           live.toSet == prev.files.toSet) return prevV
-      val next = Manifest(prevV + 1, live, retired)
+      val next = Manifest(prevV + 1, live, retired,
+        java.util.UUID.randomUUID().toString)
       val tmp = new Path(dir, s".${manifestName(next.version)}.${
         java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = fs.create(tmp, false)

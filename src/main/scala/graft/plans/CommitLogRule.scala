@@ -47,15 +47,18 @@ final class CommitLogRule(session: SparkSession) extends Rule[LogicalPlan] {
       val v = CommitLog.currentVersion(fs, loc)
       if (v <= 0L) return None // no commit yet: plain listing is the truth
       val m = CommitLog.read(fs, loc, v).getOrElse(return None)
-      // a version bump means files were added/retired since this
-      // session's listing was built — re-list ONCE per version, in
-      // place (the shared index), so the manifest filter below always
-      // filters a superset of its files (grace-window contract)
+      // a manifest change means files were added/retired since this
+      // session's listing was built — re-list ONCE per manifest, in
+      // place (the shared index), so the filter below always filters a
+      // superset of its files (grace-window contract). Gated on the
+      // manifest's UUID STAMP, not the version number: a whole-table
+      // overwrite truncates the log and restarts numbering, and a
+      // reader that saw the OLD v1 must still re-list for the NEW v1.
       val seen = seenMap(session)
       val key = loc.toString
-      if (Option(seen.get(key)).forall(_.longValue != v)) {
+      if (!Option(seen.get(key)).contains(m.stamp)) {
         try rel.location.refresh() catch { case _: Exception => () }
-        seen.put(key, java.lang.Long.valueOf(v))
+        seen.put(key, m.stamp)
       }
       val wrapped = new ManifestFileIndex(rel.location, loc, m.files.toSet)
       val newRel = l.copy(relation = rel.copy(location = wrapped)(session))
@@ -82,14 +85,14 @@ object CommitLogRule {
   private[plans] val Applied =
     TreeNodeTag[Boolean]("graft.commitlog.applied")
 
-  /** session → (table location → manifest version its listing
+  /** session → (table location → STAMP of the manifest its listing
     * reflects). Weak-keyed: state dies with the session. */
   private val seenVersions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]())
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
 
   private def seenMap(s: SparkSession)
-      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] =
+      : java.util.concurrent.ConcurrentHashMap[String, String] =
     seenVersions.computeIfAbsent(s, _ =>
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+      new java.util.concurrent.ConcurrentHashMap[String, String]())
 }

@@ -129,6 +129,25 @@ class CommitLogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.commitlog.enabled")
   }
 
+  test("manifest stamps never repeat across a log reset (reader re-list gate)") {
+    // a whole-table overwrite truncates the log and version numbering
+    // restarts at 1 — a reader that re-list-gated on the NUMBER would
+    // skip the refresh for the new v1 and silently filter a stale
+    // listing; the gate is the per-manifest UUID stamp instead
+    val t = freshTable("m4", ranges = 2)
+    val loc = locOf(t)
+    val m1 = CommitLog.current(fs, loc).get
+    assert(m1.stamp.nonEmpty)
+    fs.delete(CommitLog.logDir(loc), true) // simulate the truncation
+    engine.execute(s"INSERT INTO $t VALUES (999, 'z')")
+    val m2 = CommitLog.current(fs, loc).get
+    assert(m2.version == 1L, s"numbering restarts, got v${m2.version}")
+    assert(m2.stamp.nonEmpty && m2.stamp != m1.stamp,
+      "stamps must differ across the reset")
+    // and reads stay exact through the reset
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 21L)
+  }
+
   test("snapshots compose: VERSION AS OF resolves across a retiring commit") {
     val t = freshTable("m3")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
