@@ -22,12 +22,20 @@ import org.apache.spark.sql.types.StructType
 final class ZonemapPrunedFileIndex(underlying: FileIndex,
                                    keep: Set[String]) extends FileIndex {
 
-  /** `inputFiles` strings and `listFiles` Path.toString render the
-    * same file differently (`file:///x` vs `file:/x`) — canonicalize
-    * both sides through Hadoop Path before comparing. */
-  private val keepNorm: Set[String] = keep.map(s => new Path(s).toString)
+  /** `inputFiles` strings and `listFiles` Path renderings disagree
+    * twice over: scheme shape (`file:///x` vs `file:/x`) AND encoding —
+    * listing strings are URI-ENCODED (an escaped partition dir
+    * `r=o%27brien` prints as `r=o%2527brien`) while FileStatus paths
+    * render single-encoded. Comparing `Path(s).toString` against
+    * `p.toString` therefore silently drops every file under an escaped
+    * partition dir from listFiles (r12 bug: a zonemap-pruned point
+    * SELECT into such a partition returned EMPTY). Canonicalize BOTH
+    * sides to the decoded on-disk path: FsPaths.fromListing for the
+    * listing strings, `toUri.getPath` for the runtime Paths. */
+  private val keepNorm: Set[String] =
+    keep.map(s => graft.engine.FsPaths.fromListing(s).toUri.getPath)
 
-  private def kept(p: Path): Boolean = keepNorm(p.toString)
+  private def kept(p: Path): Boolean = keepNorm(p.toUri.getPath)
 
   override def rootPaths: Seq[Path] = underlying.rootPaths
 
@@ -39,7 +47,8 @@ final class ZonemapPrunedFileIndex(underlying: FileIndex,
       .filter(_.files.nonEmpty)
 
   override def inputFiles: Array[String] =
-    underlying.inputFiles.filter(s => keepNorm(new Path(s).toString))
+    underlying.inputFiles.filter(s =>
+      keepNorm(graft.engine.FsPaths.fromListing(s).toUri.getPath))
 
   override def refresh(): Unit = underlying.refresh()
 

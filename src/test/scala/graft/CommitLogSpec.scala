@@ -129,6 +129,43 @@ class CommitLogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.commitlog.enabled")
   }
 
+  test("PARTITIONED table: retirement inside partition dirs, manifest rels round-trip") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.pt")
+    engine.execute(
+      s"""CREATE TABLE $Db.pt (id int64 NOT NULL, v string, r string)
+         |STORAGE filesystem PARTITION BY (r)
+         |SETTINGS commitlog=true""".stripMargin)
+    // two partitions x two id-range files each; partition value with a
+    // quote exercises the escaped-dir encoding end to end
+    for (r <- Seq("emea", "o'brien"); base <- Seq(0, 100)) {
+      val off = if (r == "emea") 0 else 1000
+      val vals = (base + off until base + off + 10)
+        .map(i => s"($i, 'row $i', '${r.replace("'", "''")}')").mkString(", ")
+      engine.execute(s"INSERT INTO $Db.pt VALUES $vals")
+    }
+    engine.execute(s"CREATE INDEX zi ON $Db.pt (id)")
+    val loc = locOf(s"$Db.pt")
+    val before = CommitLog.current(fs, loc).get
+    assert(before.files.size >= 4)
+    assert(before.files.exists(_.contains("r=")), before.files.toString)
+
+    val del = engine.execute(s"DELETE FROM $Db.pt WHERE id = 1105")
+    assert(del.message == "DELETE 1", del.message)
+    val after = CommitLog.current(fs, loc).get
+    assert(after.retired.nonEmpty, "partitioned CoW must retire in place")
+    after.retired.foreach { r =>
+      assert(r.rel.contains("r="), s"retired rel should live in a partition dir: ${r.rel}")
+      assert(fs.exists(new Path(loc, r.rel)), s"retired ${r.rel} must stay on disk")
+    }
+    // reads exact across both partitions, retired rows invisible
+    assert(engine.execute(s"SELECT count(*) AS n FROM $Db.pt").data.head.head == 39L)
+    assert(engine.execute(
+      s"SELECT count(*) AS n FROM $Db.pt WHERE r = 'o''brien'").data.head.head == 19L)
+    assert(engine.execute(
+      s"SELECT v FROM $Db.pt WHERE id = 1104").data == Seq(Seq("row 1104")))
+  }
+
   test("manifest stamps never repeat across a log reset (reader re-list gate)") {
     // a whole-table overwrite truncates the log and version numbering
     // restarts at 1 — a reader that re-list-gated on the NUMBER would

@@ -80,6 +80,35 @@ class ZonemapSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("ESCAPED partition dirs: pruned point SELECT still finds the row (r12 regression)") {
+    // listing strings are URI-encoded while listFiles' FileStatus
+    // paths render single-encoded: the pruned index's keep-set
+    // comparison silently dropped every file under an escaped
+    // partition dir (r=o%27brien), so a zonemap-pruned point SELECT
+    // into that partition returned EMPTY — wrong results, no error
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.esc")
+    engine.execute(
+      s"""CREATE TABLE $Db.esc (id int64 NOT NULL, v string, r string)
+         |STORAGE filesystem PARTITION BY (r)""".stripMargin)
+    for (r <- Seq("emea", "o'brien"); base <- Seq(0, 100)) {
+      val off = if (r == "emea") 0 else 1000
+      val vals = (base + off until base + off + 10)
+        .map(i => s"($i, 'row $i', '${r.replace("'", "''")}')").mkString(", ")
+      engine.execute(s"INSERT INTO $Db.esc VALUES $vals")
+    }
+    engine.execute(s"CREATE INDEX zi ON $Db.esc (id)")
+    // point lookups into BOTH partitions; the escaped one is the pin
+    assert(engine.execute(s"SELECT v FROM $Db.esc WHERE id = 1105").data
+      == Seq(Seq("row 1105")))
+    assert(engine.execute(s"SELECT v FROM $Db.esc WHERE id = 5").data
+      == Seq(Seq("row 5")))
+    // and it PRUNED (not a fallback to the full listing)
+    val skip = engine.execute(
+      s"EXPLAIN SKIPPING SELECT * FROM $Db.esc WHERE id = 1105").data.head
+    assert(skip(2).asInstanceOf[Long] < skip(1).asInstanceOf[Long], skip.toString)
+  }
+
   test("IN past OptimizeIn's threshold (InSet form) still prunes") {
     // 12 literals: Catalyst rewrites In → InSet above
     // spark.sql.optimizer.inSetConversionThreshold (default 10) in the
