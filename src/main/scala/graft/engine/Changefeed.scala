@@ -41,7 +41,7 @@ object Changefeed {
   val TableFiles = "table_files"
 
   def enabled(spark: SparkSession): Boolean =
-    spark.conf.getOption("spark.graft.cdc.enabled").forall(_.toBoolean)
+    spark.conf.getOption("spark.graft.cdc.enabled").forall(v => v.trim.toBooleanOption.getOrElse(true))
 
   def dir(spark: SparkSession): Path =
     new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")), ".graft-cdc")

@@ -16,8 +16,11 @@ import org.apache.spark.sql.SparkSession
   * Layout, under `<tableLocation>/_graft_log/` (a `_`-prefixed dir —
   * invisible to Spark's own file listings):
   *   v<version>.manifest   one per commit; the commit point IS the
-  *                         rename onto this name (rename fails if it
-  *                         exists → concurrent-commit detection)
+  *                         exclusive publish onto this name — link(2)
+  *                         on the local FS, rename + stamp readback
+  *                         elsewhere (see [[commitManifest]]) — so an
+  *                         existing destination means a detected
+  *                         concurrent commit
   *
   * Manifest format (line-based, URL-encoded rel paths — partition
   * dirs can carry any character):
@@ -124,7 +127,10 @@ object CommitLog {
 
   def read(fs: FileSystem, tableLocation: Path, v: Long): Option[Manifest] = {
     if (v <= 0) return None
-    val p = new Path(logDir(tableLocation), manifestName(v))
+    readPath(fs, new Path(logDir(tableLocation), manifestName(v)))
+  }
+
+  private def readPath(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     try {
@@ -183,7 +189,13 @@ object CommitLog {
     val dir = logDir(tableLocation)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val grace = graceMs(spark)
-    var attempts = 3
+    // enough head-room for an N-writer collision burst: each loser
+    // re-lists and retries, so N writers converge in ≤ N rounds; the
+    // budget is conf'd for soak tests and pathological deployments
+    val maxAttempts = spark.conf.getOption(
+      "spark.graft.commitlog.publishAttempts")
+      .flatMap(_.trim.toIntOption).getOrElse(10)
+    var attempts = maxAttempts
     while (true) {
       val prevV = currentVersion(fs, tableLocation)
       val prev = read(fs, tableLocation, prevV)
@@ -194,9 +206,16 @@ object CommitLog {
         .groupBy(_.rel).map(_._2.minBy(_.atMs)).toSeq
       // GC: out-of-grace entries leave disk AND the log; a reader on
       // a manifest that old has had `grace` ms to finish — raise
-      // spark.graft.commitlog.graceMs if statements can run longer
+      // spark.graft.commitlog.graceMs if statements can run longer.
+      // `atMs` was stamped by the RETIRING process's clock; cross-
+      // process skew would otherwise shorten another reader's
+      // effective grace, so a skew allowance is subtracted from the
+      // elapsed time (round-12 advice: clock-sync is part of the
+      // deployment contract only up to maxSkewMs)
+      val skew = spark.conf.getOption("spark.graft.commitlog.maxSkewMs")
+        .flatMap(_.trim.toLongOption).getOrElse(10000L)
       val (expired, kept) = retiredAll.partition(r =>
-        now - r.atMs > grace)
+        now - r.atMs - skew > grace)
       expired.foreach { r =>
         val p = new Path(tableLocation, r.rel)
         try { if (fs.exists(p)) fs.delete(p, false) }
@@ -220,17 +239,61 @@ object CommitLog {
         java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = fs.create(tmp, false)
       out.write(render(next).getBytes("UTF-8")); out.close()
-      // THE commit point: rename onto the versioned name is atomic on
-      // a posix fs / HDFS; an existing destination fails the rename
-      if (fs.rename(tmp, new Path(dir, manifestName(next.version))))
+      if (commitManifest(fs, tmp, new Path(dir, manifestName(next.version)),
+          next.stamp))
         return next.version
       try fs.delete(tmp, false) catch { case _: Exception => () }
       attempts -= 1
+      publishRetries.incrementAndGet()
       if (attempts <= 0) throw new java.io.IOException(
-        s"commit log: lost the version race at $tableLocation three " +
-          "times — another process is committing concurrently; " +
-          "cross-process writers must be serialized by deployment")
+        s"commit log: lost the version race at $tableLocation " +
+          s"$maxAttempts times — writer contention exceeds the retry " +
+          "budget (spark.graft.commitlog.publishAttempts); reduce " +
+          "concurrent writers per table or raise the budget")
+      // jittered backoff de-synchronizes a collision burst: losers
+      // re-list at different times instead of re-colliding in lockstep
+      Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(5L * (maxAttempts - attempts)))
     }
     0L // unreachable
+  }
+
+  /** Lost-version-race retries across all publishes in this JVM —
+    * soak tests assert the bound, system tables surface it. */
+  val publishRetries = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** THE commit point. HDFS `rename` is atomic and FAILS on an existing
+    * destination — the detection the protocol advertises — but
+    * RawLocalFileSystem delegates to File#renameTo, which on POSIX
+    * OVERWRITES an existing destination: two processes publishing the
+    * same next version would both "succeed" and one manifest (with its
+    * retirement entries) would be silently lost, resurrecting the
+    * files it retired as live on the next publish (round-12 advice,
+    * medium). On the local FS the commit is therefore link(2)
+    * ([[java.nio.file.Files.createLink]]), which is atomic AND
+    * exclusive — the loser gets EEXIST. On every other FS the rename
+    * result is readback-verified against the manifest's unique stamp,
+    * turning a silently-clobbered publish into a detected retry in all
+    * but the (rename .. readback) window; on stores with no exclusive
+    * primitive at all (S3A), single-writer-per-table remains the
+    * deployment contract. */
+  private[graft] def commitManifest(fs: FileSystem, tmp: Path, dst: Path,
+                                    stamp: String): Boolean = {
+    val local = "file".equalsIgnoreCase(
+      Option(fs.getUri.getScheme).getOrElse(""))
+    def renameVerify(): Boolean =
+      fs.rename(tmp, dst) && readPath(fs, dst).exists(_.stamp == stamp)
+    if (local) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => renameVerify()
+      }
+    } else renameVerify()
   }
 }

@@ -240,7 +240,7 @@ final class QueryEngine(val spark: SparkSession,
           withReadLocks(tables) {
             tables.foreach(ensureFreshListing)
             val d = spark.sql(rewritten)
-            d.queryExecution.executedPlan // force planning (lists files)
+            pinScanListings(d.queryExecution.executedPlan)
             d
           }
         }
@@ -949,9 +949,10 @@ final class QueryEngine(val spark: SparkSession,
     // tables; the listing it may have cached is re-validated under
     // the locks by the version check
     val tables = referencedTables(sql)
-    // locks are held only through listing refresh + PLANNING (the
-    // streamed path's discipline): the plan's file listing is then
-    // fixed, so a commit during row collection cannot TEAR it — at
+    // locks are held only through listing refresh + planning + a
+    // forced listing of EVERY scan (pinScanListings — planning alone
+    // leaves CatalogFileIndex scans unlisted): the plan's file listing
+    // is then fixed, so a commit during row collection cannot TEAR it — at
     // worst it deletes a listed file mid-read, which surfaces as
     // FILE_NOT_FOUND and the caller retries. Holding the FAIR lock
     // through a long analytic collection would let one queued writer
@@ -960,10 +961,36 @@ final class QueryEngine(val spark: SparkSession,
     val df = withReadLocks(tables) {
       tables.foreach(ensureFreshListing)
       val d = spark.sql(sql)
-      d.queryExecution.executedPlan // force planning (lists files)
+      pinScanListings(d.queryExecution.executedPlan)
       d
     }
     toResult(id, df)
+  }
+
+  /** Materializes every file-scan's listing while the caller still
+    * holds the tables' read locks. Forcing `executedPlan` alone is NOT
+    * enough: an InMemoryFileIndex-backed scan listed at analysis, but a
+    * partitioned table kept on CatalogFileIndex (no partition filter /
+    * no zonemap prune) defers listing to
+    * `FileSourceScanExec.selectedPartitions`, which is lazy and would
+    * otherwise run at EXECUTION time — after the lock is gone, where a
+    * same-JVM CoW delete-then-rename window can be listed live and
+    * silently drop rows with no FILE_NOT_FOUND for the retry backstop
+    * to catch (round-12 advice, high). `selectedPartitions` memoizes,
+    * and dynamic partition pruning filters FROM it, so forcing it here
+    * fixes the listing for the statement. AQE roots are leaf nodes, so
+    * the walk descends into `inputPlan` explicitly; subquery plans are
+    * walked via `subqueriesAll`. */
+  private def pinScanListings(
+      plan: org.apache.spark.sql.execution.SparkPlan): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    plan.foreach {
+      case a: AdaptiveSparkPlanExec => pinScanListings(a.inputPlan)
+      case f: FileSourceScanLike => val _ = f.selectedPartitions
+      case _ => ()
+    }
+    plan.subqueriesAll.foreach(pinScanListings)
   }
 
   /** Nested acquisition of the tables' SHARED locks. Callers pass the
@@ -1099,7 +1126,7 @@ final class QueryEngine(val spark: SparkSession,
 
   private def commitLogEnabled(t: String): Boolean =
     spark.conf.getOption("spark.graft.commitlog.enabled")
-      .forall(_.toBoolean) &&
+      .forall(v => v.trim.toBooleanOption.getOrElse(true)) &&
       (try CommitLog.enabled(spark.sessionState.catalog
         .getTableMetadata(tableIdent(t)).properties)
        catch { case _: Exception => false })

@@ -39,7 +39,7 @@ object Snapshots {
 
   /** Disable with spark.graft.snapshots.enabled=false. */
   def enabled(spark: SparkSession): Boolean =
-    spark.conf.getOption("spark.graft.snapshots.enabled").forall(_.toBoolean)
+    spark.conf.getOption("spark.graft.snapshots.enabled").forall(v => v.trim.toBooleanOption.getOrElse(true))
 
   /** Keep-last-N retention cap, enforced at create time (the ADVICE
     * unbounded-growth finding; Iceberg's expire_snapshots analog). */
@@ -56,7 +56,7 @@ object Snapshots {
     * that path exists to avoid; destructive ops keep versioning
     * regardless, so no data-losing operation is ever unversioned. */
   def onInsert(spark: SparkSession): Boolean =
-    spark.conf.getOption("spark.graft.snapshots.oninsert").exists(_.toBoolean)
+    spark.conf.getOption("spark.graft.snapshots.oninsert").exists(v => v.trim.toBooleanOption.getOrElse(false))
 
   private def base(spark: SparkSession, db: String, table: String): Path =
     new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),

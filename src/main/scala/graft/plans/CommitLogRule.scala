@@ -27,7 +27,7 @@ final class CommitLogRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!session.conf.getOption("spark.graft.commitlog.enabled")
-          .forall(_.toBoolean)) return plan
+          .forall(v => v.trim.toBooleanOption.getOrElse(true))) return plan
     plan.transformUp {
       case l: LogicalRelation
           if l.catalogTable.isDefined &&

@@ -62,7 +62,7 @@ final class ZonemapPruneRule(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!session.conf.getOption("spark.graft.zonemap.select.enabled")
-          .forall(_.toBoolean)) return plan
+          .forall(v => v.trim.toBooleanOption.getOrElse(true))) return plan
     plan.transformUp {
       case f @ Filter(cond, l: LogicalRelation)
           if l.catalogTable.isDefined &&

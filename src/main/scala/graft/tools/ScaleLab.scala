@@ -765,10 +765,11 @@ object ScaleLab {
       .map(_.retired.length).getOrElse(0)
     // GC under an expired grace: one more commit collects them
     spark.conf.set("spark.graft.commitlog.graceMs", "1")
+    spark.conf.set("spark.graft.commitlog.maxSkewMs", "0")
     try {
       Thread.sleep(5)
       engine.execute("UPDATE sl.clc SET l_quantity = 0.5 WHERE l_orderkey = 2000")
-    } finally spark.conf.unset("spark.graft.commitlog.graceMs")
+    } finally { spark.conf.unset("spark.graft.commitlog.graceMs"); spark.conf.unset("spark.graft.commitlog.maxSkewMs") }
     val afterGc = graft.engine.CommitLog.current(fs, loc)
       .map(_.retired.length).getOrElse(0)
     println(f"COMMITLOG_PROBE dir=$dir rounds=$Rounds " +

@@ -97,8 +97,9 @@ class CommitLogSpec extends AnyFunSuite {
     assert(retired.nonEmpty)
     Thread.sleep(5) // make the retirement strictly older than "now"
     spark.conf.set("spark.graft.commitlog.graceMs", "1")
+    spark.conf.set("spark.graft.commitlog.maxSkewMs", "0")
     try engine.execute(s"UPDATE $t SET v = 'x' WHERE id = 305")
-    finally spark.conf.unset("spark.graft.commitlog.graceMs")
+    finally { spark.conf.unset("spark.graft.commitlog.graceMs"); spark.conf.unset("spark.graft.commitlog.maxSkewMs") }
     val after = CommitLog.current(fs, loc).get
     retired.foreach(r => assert(!fs.exists(new Path(loc, r.rel)),
       s"expired ${r.rel} should be GC'd"))
@@ -183,6 +184,64 @@ class CommitLogSpec extends AnyFunSuite {
       "stamps must differ across the reset")
     // and reads stay exact through the reset
     assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 21L)
+  }
+
+  test("commit point is exclusive: publishing onto an existing version cannot clobber it") {
+    // RawLocalFileSystem.rename delegates to File#renameTo, which on
+    // POSIX OVERWRITES an existing destination — the round-12 advice
+    // lost-manifest race. The commit point is link(2) on the local FS:
+    // the loser gets a detected failure and the winner's manifest
+    // (with its retirement entries) survives bit-for-bit.
+    val t = freshTable("m5", ranges = 1)
+    val loc = locOf(t)
+    val dir = CommitLog.logDir(loc)
+    val dst = new Path(dir, f"v${99L}%012d.manifest")
+    def writeTmp(tag: String): Path = {
+      val p = new Path(dir, s".race.$tag.tmp")
+      val out = fs.create(p, true)
+      out.write(s"version\t99\nstamp\t$tag\n".getBytes("UTF-8")); out.close()
+      p
+    }
+    assert(CommitLog.commitManifest(fs, writeTmp("winner"), dst, "winner"))
+    val winner = CommitLog.read(fs, loc, 99L).get
+    assert(winner.stamp == "winner")
+    val loserTmp = writeTmp("loser")
+    assert(!CommitLog.commitManifest(fs, loserTmp, dst, "loser"),
+      "second publish of the same version must be DETECTED, not absorbed")
+    assert(CommitLog.read(fs, loc, 99L).get.stamp == "winner",
+      "the committed manifest must survive the losing attempt unchanged")
+    fs.delete(loserTmp, false); fs.delete(dst, false)
+  }
+
+  test("8 concurrent publishers: no lost retirements, dense versions, bounded retries") {
+    // cross-process collisions simulated by bypassing the in-JVM write
+    // lock: 8 threads race CommitLog.publish on one table. Every
+    // loser's retry must MERGE over the winner's manifest, so all 8
+    // retirement entries survive and versions advance by exactly 1 per
+    // publish (round-12 verdict Next #4, in-JVM leg; the 2-process leg
+    // is ConcurrencySoak2JvmSpec).
+    val t = freshTable("m6", ranges = 2)
+    val loc = locOf(t)
+    val v0 = CommitLog.currentVersion(fs, loc)
+    val before = CommitLog.publishRetries.get()
+    val rels = (0 until 8).map(i => s"ghost-$i.parquet")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = rels.map { rel =>
+      new Thread(() =>
+        try CommitLog.publish(spark, loc, Seq(rel))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"publishes must all land within the retry budget: ${errs}")
+    val fin = CommitLog.current(fs, loc).get
+    assert(fin.version == v0 + 8,
+      s"8 non-noop publishes must advance exactly 8 versions, got ${fin.version - v0}")
+    val retained = fin.retired.map(_.rel).toSet
+    rels.foreach(r => assert(retained.contains(r),
+      s"retirement $r lost in the race — the clobber bug"))
+    val retries = CommitLog.publishRetries.get() - before
+    assert(retries <= 8L * 10, s"retries must stay bounded, got $retries")
+    info(s"publish retries across the 8-writer burst: $retries")
   }
 
   test("snapshots compose: VERSION AS OF resolves across a retiring commit") {

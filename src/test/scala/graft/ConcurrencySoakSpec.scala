@@ -95,6 +95,50 @@ class ConcurrencySoakSpec extends AnyFunSuite {
     root.execute("DROP TABLE soak.cow")
   }
 
+  test("CatalogFileIndex regime: full scans of a PARTITIONED table stay exact under partition CoW") {
+    // the round-12 advice (high): a partitioned table with NO
+    // partition filter and NO zonemap evidence keeps its scan on
+    // CatalogFileIndex, whose FileSourceScanExec.selectedPartitions
+    // lists at EXECUTION time — if that happens after the read lock is
+    // released, a same-JVM CoW delete-then-rename window is listed
+    // live and rows silently vanish (no FNF, no retry). The fix pins
+    // every scan's listing under the lock (pinScanListings); the
+    // invariant here is every concurrent full count is EXACT while a
+    // writer keeps rewriting one partition.
+    val root = new QueryEngine(spark)
+    root.execute("CREATE DATABASE IF NOT EXISTS soak")
+    root.execute("DROP TABLE IF EXISTS soak.part")
+    root.execute(
+      """CREATE TABLE soak.part (id int64 NOT NULL, n int32, p string)
+        |STORAGE filesystem PARTITION BY (p)""".stripMargin)
+    for (p <- Seq("a", "b", "c", "d")) {
+      val off = p.head - 'a'
+      val vals = (off * 100 until off * 100 + 25)
+        .map(i => s"($i, 0, '$p')").mkString(", ")
+      root.execute(s"INSERT INTO soak.part VALUES $vals")
+    }
+    val writer = Future {
+      val e = root.newConnectionEngine()
+      (1 to 12).foreach { i =>
+        e.execute(s"UPDATE soak.part SET n = $i WHERE p = 'b'")
+      }
+    }
+    val readers = (0 until 4).map { _ =>
+      Future {
+        val e = root.newConnectionEngine()
+        (1 to 12).foreach { _ =>
+          val c = e.execute("SELECT count(*) AS c FROM soak.part")
+          assert(c.data.head.head == 100L,
+            s"torn partitioned read: saw ${c.data.head.head} of 100 rows")
+        }
+      }
+    }
+    Await.result(Future.sequence(readers :+ writer), 300.seconds)
+    assert(root.execute("SELECT count(*) AS c, max(n) AS m FROM soak.part")
+      .data.head == Seq(100L, 12))
+    root.execute("DROP TABLE soak.part")
+  }
+
   test("FAIR pools: a heavy scan does not starve a short query") {
     val root = new QueryEngine(spark)
     // 48 short tasks on 4 cores: under FIFO the earlier job's queued
