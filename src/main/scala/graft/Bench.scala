@@ -105,6 +105,26 @@ object Bench {
 
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // calm-host guard (round-12 verdict Next #9): the r12 driver bench
+    // ran under external load and published a 24.9 s wall plus
+    // spurious serial suspects. Wait (bounded) for the 1-min loadavg
+    // to fall below half the cores before measuring, and publish the
+    // load either way so a still-loaded run is self-identifying.
+    val cores = Runtime.getRuntime.availableProcessors
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadWaitSec = sys.env.get("SPARK_GRAFT_BENCH_LOADWAIT")
+      .flatMap(_.toIntOption).getOrElse(180)
+    val calmT0 = System.nanoTime()
+    var hostLoad = loadavg
+    while (hostLoad > cores / 2.0 &&
+           (System.nanoTime() - calmT0) / 1e9 < loadWaitSec) {
+      System.err.println(
+        f"[bench] host loadavg $hostLoad%.1f > ${cores / 2}: waiting for calm")
+      Thread.sleep(15000)
+      hostLoad = loadavg
+    }
+
     // pass 1: full-suite warm-up (unmeasured) — warms the codegen
     // cache for every query shape, not just two representatives
     suite.foreach { case (n, f) => run1(s"warmup-$n", f) }
@@ -161,11 +181,27 @@ object Bench {
     // projections, cluster labels — "the model store") stay warm
     // across passes by design. gc() between passes keeps a major
     // collection from landing mid-pass (observed 3s -> 9s outliers).
-    val passes = (1 to 5).map { _ =>
+    val passes = scala.collection.mutable.ArrayBuffer.from((1 to 5).map { _ =>
       System.gc()
       concurrentPass()
+    })
+    // re-run protocol (round-12 verdict Next #9): a transient load
+    // burst that inflated some of the five walls must not set the
+    // committed median — keep adding passes (bounded) until the
+    // median sits within 2x of the best wall, so BENCH_r{N}.json is
+    // calm-host by construction (or visibly failed to be, via
+    // `extra_passes` at its cap and the spread still wide)
+    var extraPasses = 0
+    while (extraPasses < 4 && {
+      val ws = passes.map(_._2).toSeq
+      ws.sorted.apply(ws.length / 2) > 2.0 * ws.min
+    }) {
+      extraPasses += 1
+      System.err.println(s"[bench] wall spread > 2x best: extra pass $extraPasses")
+      System.gc()
+      passes += concurrentPass()
     }
-    val walls = passes.map(_._2)
+    val walls = passes.map(_._2).toSeq
     val medianWall = walls.sorted.apply(walls.length / 2)
     val (concurrent, wall, drained, snap) =
       passes.minBy(p => math.abs(p._2 - medianWall))
@@ -207,6 +243,8 @@ object Bench {
       s""""concurrent_wall_best":${r3(walls.min)},""" +
       s""""concurrent_wall_train_inclusive":${r3(trainInclusiveWall)},""" +
       s""""concurrent_walls":[${walls.map(r3).mkString(",")}],""" +
+      s""""host_load_at_start":${r3(hostLoad)},""" +
+      s""""extra_passes":$extraPasses,""" +
       s""""sched_floor_sec":${r3(floor)},"n_queries":${suite.length},"sf":"$sfDir""""
 
     // full record → file (complete per-query maps, all four units)

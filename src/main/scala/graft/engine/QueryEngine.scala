@@ -476,8 +476,18 @@ final class QueryEngine(val spark: SparkSession,
         // ErrorCollector shape) in ONE round-trip; a single mistake
         // keeps the plain single-error message
         val ct = RangerDdl.parseOrReport(sql)
+        // commit-log coherence is DEFAULT-ON for new tables (round-12
+        // verdict Next #7): SETTINGS commitlog=false opts a table out,
+        // spark.graft.commitlog.newTableDefault=false restores the old
+        // opt-in deployment, and the runtime kill switch
+        // spark.graft.commitlog.enabled still bypasses both sides
+        val defaults =
+          if (spark.conf.getOption("spark.graft.commitlog.newTableDefault")
+              .forall(v => v.trim.toBooleanOption.getOrElse(true)))
+            Map("commitlog" -> "true")
+          else Map.empty[String, String]
         spark.sql(ct.toSparkSql(Some(spark.catalog.currentDatabase),
-          spark.conf.getOption("spark.graft.s3.bucket")))
+          spark.conf.getOption("spark.graft.s3.bucket"), defaults))
         // STORAGE memory: the reference's in-memory engine
         // (server/storage/memory/fs.go) — here the table is pinned in
         // Spark's columnar block cache; reads never return to disk
@@ -485,8 +495,16 @@ final class QueryEngine(val spark: SparkSession,
         if (ct.storage == "memory")
           spark.catalog.cacheTable(ct.qualified(
             Some(spark.catalog.currentDatabase)).replace("`", ""))
-        registryChanged(ct.qualified(Some(spark.catalog.currentDatabase))
-          .replace("`", ""), Changefeed.TableTables, "INSERT")
+        val createdName = ct.qualified(Some(spark.catalog.currentDatabase))
+          .replace("`", "")
+        registryChanged(createdName, Changefeed.TableTables, "INSERT")
+        // the reference writes the Iceberg v2 metadata shell as part
+        // of CREATE TABLE (storage.go:737-806); mirrored here for
+        // commit-log tables (the Iceberg-interop surface)
+        if (commitLogEnabled(createdName) && IcebergMetadata.enabled(spark))
+          IcebergMetadata.emitCreate(spark,
+            spark.sessionState.catalog.getTableMetadata(
+              tableIdent(createdName)))
         ok(id, s"Table ${ct.table} created")
       } else if (upper.matches("(?s)^CREATE\\s+UNIQUE\\s+INDEX.*")) {
         // the reference PARSES CREATE UNIQUE INDEX (parser.go:3113-
@@ -825,18 +843,37 @@ final class QueryEngine(val spark: SparkSession,
     // STALE and the next successful sync heals it).
     Changefeed.emit(spark, registryTable, op,
       Map("table" -> qualified) ++ extra)
-    if (registryTable == Changefeed.TableFiles)
-      // belt-and-braces: sync marks a failing index STALE and returns,
-      // but a catastrophic failure BEFORE the per-index loop (e.g. a
-      // corrupt meta.json failing the index listing itself) must also
-      // not fail the already-committed DML
-      try IndexManager.sync(spark, qualified)
-      catch {
-        case e: Exception =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"index maintenance for $qualified failed: ${e.getMessage}")
-      }
+    if (registryTable == Changefeed.TableFiles) {
+      // on a COMMIT-LOG table (the default) the manifest publishes
+      // AFTER the statement body — a sync here would enumerate base
+      // files through the STALE manifest and silently miss the
+      // statement's own new files (observed as probe != scan after
+      // INSERT when commitlog went default-on). Inside a write-lock
+      // context the sync is therefore DEFERRED to run right after
+      // publishCommitLog; outside one (no commit to wait for) it runs
+      // immediately as before.
+      val deferred = pendingSyncs.get()
+      if (deferred != null) { deferred += qualified; () }
+      else syncIndexesSafely(qualified)
+    }
   }
+
+  /** Belt-and-braces: sync marks a failing index STALE and returns,
+    * but a catastrophic failure BEFORE the per-index loop (e.g. a
+    * corrupt meta.json failing the index listing itself) must also
+    * not fail the already-committed DML. */
+  private def syncIndexesSafely(qualified: String): Unit =
+    try IndexManager.sync(spark, qualified)
+    catch {
+      case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"index maintenance for $qualified failed: ${e.getMessage}")
+    }
+
+  /** Per-statement buffer of tables whose index sync must run AFTER
+    * the commit-log publish (see [[registryChanged]]). */
+  private val pendingSyncs =
+    new ThreadLocal[scala.collection.mutable.LinkedHashSet[String]]()
 
   private def toResult(id: String, df: DataFrame, msg: String = ""): QueryResult = {
     // cap at maxResultRows+1 so truncation is detectable without a count
@@ -893,7 +930,7 @@ final class QueryEngine(val spark: SparkSession,
     * the registered flat names. */
   private def rewriteSystemNames(sql: String): String =
     mapOutsideQuotes(sql)(_.replaceAll(
-      "(?i)\\bsystem\\.(tables|columns|databases|queries|snapshots|cdc_log|locks|scans)\\b",
+      "(?i)\\bsystem\\.(tables|columns|databases|queries|snapshots|cdc_log|locks|scans|commit_stats)\\b",
       "system_$1"))
 
   private def runSelect(sql0: String, id: String): QueryResult = {
@@ -1138,12 +1175,32 @@ final class QueryEngine(val spark: SparkSession,
     * tables, or when the statement changed no files. */
   private def publishCommitLog(qualified: String): Unit = {
     if (!commitLogEnabled(qualified)) return
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(tableIdent(qualified))
-        .location)
-    CommitLog.publish(spark, loc,
+    val ct = spark.sessionState.catalog.getTableMetadata(tableIdent(qualified))
+    val loc = new org.apache.hadoop.fs.Path(ct.location)
+    val v = CommitLog.publish(spark, loc,
       Option(pendingRetired.get()).map(_.toSeq).getOrElse(Seq.empty))
+    // mirror the committed version into the Iceberg layout (round-12
+    // verdict Next #2) — idempotent (skipped when the vN mirror
+    // already exists, e.g. a no-op publish returning the old version),
+    // best-effort (the commit log is the source of truth)
+    if (v > 0 && IcebergMetadata.enabled(spark)) {
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      val mdFile = new org.apache.hadoop.fs.Path(
+        IcebergMetadata.metadataDir(loc), s"v$v.metadata.json")
+      if (!fs.exists(mdFile))
+        CommitLog.read(fs, loc, v).foreach(m =>
+          IcebergMetadata.emit(spark, ct, m))
+    }
   }
+
+  /** Re-publish the table's current on-disk state as a new commit-log
+    * version — the hook for OUT-OF-BAND writers (a raw streaming sink
+    * like EventsStream.ingest's native `.toTable`, a bulk file drop):
+    * files appended outside the engine's mutation funnel are invisible
+    * to commit-log readers until the next engine commit, and this IS
+    * one. No-op for non-commit-log tables. */
+  def reconcileCommitLog(table: String): Unit =
+    withTableWriteLock(Some(table)) { () }
 
   private def withTableWriteLock[A](table: Option[String])(body: => A): A =
     table match {
@@ -1159,11 +1216,19 @@ final class QueryEngine(val spark: SparkSession,
           val prevBuf = pendingRetired.get()
           pendingRetired.set(
             scala.collection.mutable.ArrayBuffer.empty[String])
+          val prevSyncs = pendingSyncs.get()
+          pendingSyncs.set(
+            scala.collection.mutable.LinkedHashSet.empty[String])
           try {
             val r = body
             publishCommitLog(q)
+            // index file-diff sync AFTER the publish, so it sees the
+            // manifest that includes this statement's files
+            pendingSyncs.get().foreach(syncIndexesSafely)
             r
           } finally {
+            if (prevSyncs == null) pendingSyncs.remove()
+            else pendingSyncs.set(prevSyncs)
             if (prevBuf == null) pendingRetired.remove()
             else pendingRetired.set(prevBuf)
             // bump AFTER the statement: readers waiting on this lock
@@ -1543,9 +1608,18 @@ final class QueryEngine(val spark: SparkSession,
       FsPaths.fromListing(f).getParent).distinct
       .filter(_.toString.startsWith(locStr))
       .filterNot(_.toString == locStr)
+    // a commit-log CoW RETIRES replaced files in place — they are on
+    // disk but dead, so "emptied" must mean no files beyond this
+    // statement's retirements (otherwise a file-by-file emptied
+    // partition never leaves the catalog on a commit-log table)
+    val retiredRels: Set[String] = Option(pendingRetired.get())
+      .map(_.map(r => new org.apache.hadoop.fs.Path(loc, r).toUri.getPath)
+        .toSet).getOrElse(Set.empty)
+    def liveData(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.isFile && Snapshots.isDataFileName(st.getPath.getName) &&
+        !retiredRels.contains(st.getPath.toUri.getPath)
     val emptied = touchedDirs.filter { d =>
-      !fs.exists(d) || !fs.listStatus(d).exists(st =>
-        st.isFile && Snapshots.isDataFileName(st.getPath.getName))
+      !fs.exists(d) || !fs.listStatus(d).exists(liveData)
     }
     val specs = emptied.flatMap { d =>
       val rel = d.toString.stripPrefix(locStr).stripPrefix("/")
@@ -1556,9 +1630,17 @@ final class QueryEngine(val spark: SparkSession,
         k -> ExternalCatalogUtils.unescapePathName(v)
       }.toMap)
     }
+    // retainData when retired files still sit in the dropped dirs: a
+    // cross-process reader inside its grace window may still read
+    // them — retirement GC removes them (and the commit-log publish
+    // keeps them filtered) on its own schedule
+    val retain = retiredRels.nonEmpty && emptied.exists(d =>
+      try fs.exists(d) && fs.listStatus(d).exists(st =>
+        st.isFile && retiredRels.contains(st.getPath.toUri.getPath))
+      catch { case _: Exception => false })
     if (specs.nonEmpty)
       spark.sessionState.catalog.dropPartitions(tableIdent(t), specs,
-        ignoreIfNotExists = true, purge = false, retainData = false)
+        ignoreIfNotExists = true, purge = false, retainData = retain)
   }
 
   /** Pre-mutation abort from [[fileLevelRewrite]]: the commit found a
@@ -2070,14 +2152,17 @@ final class QueryEngine(val spark: SparkSession,
             snapOnce()
             val pruned = MergeInto.planPruned(spark, parsed, declaredOrder,
               srcRaw, restrict, if (hasDelete) parts else Seq.empty)
-            // the insert half's NOT-MATCHED anti-join is lazy over the
-            // live table; under a DELETE clause the overwrite removes
-            // rows first, so a deleted key would re-read as unmatched
-            // and resurrect as an insert — materialize the insert set
-            // against the PRE-overwrite table state
-            val insertsDf =
-              if (hasDelete) pruned.inserts.localCheckpoint()
-              else pruned.inserts
+            // the insert half's NOT-MATCHED anti-join MUST evaluate
+            // against the PRE-overwrite table state (MERGE semantics:
+            // every clause sees the original target). It used to stay
+            // lazy when no DELETE clause could resurrect rows, but the
+            // overwrite below replaces partition files underneath the
+            // lazy plan — under the commit-log reader (default-on
+            // since r13) the rewritten partition then resolves EMPTY
+            // (old files deleted from disk, new files not yet in the
+            // manifest), every matched key re-reads as unmatched, and
+            // the "insert" duplicates it. Materialize unconditionally.
+            val insertsDf = pruned.inserts.localCheckpoint()
             val (updated, deleted) =
               if (affected.isEmpty) (0L, 0L)
               else {

@@ -111,8 +111,14 @@ object RangerDdl {
       * location for STORAGE s3 tables — the Spark mapping of the
       * reference's S3 engine (server/storage/s3/fs.go): same DDL, the
       * table's files live under the object store via the s3a Hadoop
-      * connector instead of a bespoke S3 filesystem layer. */
-    def toSparkSql(defaultDb: Option[String], s3Base: Option[String]): String = {
+      * connector instead of a bespoke S3 filesystem layer.
+      * `settingsDefaults` are SETTINGS the deployment applies when the
+      * statement doesn't set them (round-12 verdict Next #7: commitlog
+      * default-on for new tables) — an explicit `commitlog=false`
+      * always wins. */
+    def toSparkSql(defaultDb: Option[String], s3Base: Option[String],
+                   settingsDefaults: Map[String, String] = Map.empty): String = {
+      val settings = settingsDefaults ++ this.settings
       val colsSql = columns.map { c =>
         val t = IcebergTypes.parse(c.icebergType).sql
         val nn = if (c.notNull) " NOT NULL" else ""

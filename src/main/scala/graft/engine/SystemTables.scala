@@ -76,6 +76,7 @@ object SystemTables {
     Changefeed.view(spark).createOrReplaceTempView("system_cdc_log")
     locksView(spark).createOrReplaceTempView("system_locks")
     ScanStats.view(spark).createOrReplaceTempView("system_scans")
+    commitStatsView(spark).createOrReplaceTempView("system_commit_stats")
   }
 
   /** Live per-table lock state (`system.locks`): the first question
@@ -98,6 +99,23 @@ object SystemTables {
         StructField("write_held_sec", LongType),
         StructField("active_readers", LongType),
         StructField("queued_waiters", LongType))))
+  }
+
+  /** JVM-wide commit-protocol health (`system.commit_stats`): lost-
+    * version-race publish retries (writer contention indicator),
+    * torn-read retries (cross-process FNF backstop firings), and
+    * Iceberg-mirror emission failures — the three counters an
+    * operator checks when coherence machinery is suspected. */
+  private def commitStatsView(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      Row("commitlog_publish_retries", CommitLog.publishRetries.get()),
+      Row("torn_read_retries", QueryEngine.tornReadRetries.get()),
+      Row("iceberg_emit_failures", IcebergMetadata.emitFailures.get()))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("counter", StringType),
+        StructField("value", LongType))))
   }
 
   /** Warehouse-wide snapshot inventory (manifest-based store): one row

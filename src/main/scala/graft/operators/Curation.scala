@@ -737,10 +737,13 @@ object Curation {
     "q67_boilerplate_segments" -> ((s, dir) =>
       boilerplateSegments(docs(s, dir), SegTokens,
         Dedup.spanSaltBuckets(s))),
-    // the salted shape as a PINNED operating point (saltBuckets=8) so
-    // the driver hash-verifies it every round against the SAME oracle
+    // the salted shape as a standing operating point the driver
+    // hash-verifies every round against the SAME oracle; buckets
+    // auto-scale with the machine (spark.graft.span.saltBuckets
+    // overrides), the literal-8 A/B point lives in SkewSpec only
     "q67b_boilerplate_salted" -> ((s, dir) =>
-      boilerplateSegments(docs(s, dir), SegTokens, 8)),
+      boilerplateSegments(docs(s, dir), SegTokens,
+        Dedup.spanSaltBucketsAuto(s))),
 
     "q69_importance_scores" -> ((s, dir) => importanceScores(s, dir)),
   )

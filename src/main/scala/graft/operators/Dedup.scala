@@ -58,7 +58,19 @@ object Dedup {
     * hot key is the straggler task, and AQE cannot split a window
     * partition the way it splits a skewed join. */
   def spanSaltBuckets(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.span.saltBuckets").map(_.toInt).getOrElse(0)
+    s.conf.getOption("spark.graft.span.saltBuckets")
+      .flatMap(_.trim.toIntOption).getOrElse(0)
+
+  /** The SALTED shape's bucket count when it runs as a benchmark
+    * entry (q70b/q67b): conf override, else one bucket per core —
+    * a pinned literal (the old 8) caps the hot key's fan-out below
+    * the machine and shows up as a serial suspect on 32 cores
+    * (round-12 verdict Next #8). Specs that pin row-for-row equality
+    * against the window shape keep passing literal bucket counts. */
+  def spanSaltBucketsAuto(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.span.saltBuckets")
+      .flatMap(_.trim.toIntOption).filter(_ > 0)
+      .getOrElse(math.max(8, s.sparkContext.defaultParallelism))
 
   /** q70's operator, factored so the skew spec can drive it on a
     * planted Zipfian corpus: exact-substring duplication coverage
@@ -301,10 +313,13 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_span_coverage" -> ((s, dir) =>
       spanCoverage(docs(s, dir), SpanW, spanSaltBuckets(s))),
-    // the salted shape as a PINNED operating point (saltBuckets=8) so
-    // the driver hash-verifies it every round against the SAME oracle
-    // — identical output is the whole contract
-    "q70b_span_salted" -> ((s, dir) => spanCoverage(docs(s, dir), SpanW, 8)),
+    // the salted shape as a standing operating point the driver
+    // hash-verifies every round against the SAME oracle — identical
+    // output is the whole contract. Buckets auto-scale with the
+    // machine (conf-overridable); the literal-8 A/B point lives in
+    // SkewSpec/ScaleLab only.
+    "q70b_span_salted" -> ((s, dir) =>
+      spanCoverage(docs(s, dir), SpanW, spanSaltBucketsAuto(s))),
 
     "q83_span_dedup_apply" -> ((s, dir) =>
       spanDedupApply(docs(s, dir), SpanW, spanSaltBuckets(s))),

@@ -264,11 +264,19 @@ object Multimodal {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
                 length(encode(col("text"), "UTF-8")).as("byte_len"),
-                feature(0))
+                // INTEGER feature numerator, not the double: avg of
+                // doubles depends on summation order and round(.,4)
+                // lands on a half-boundary at sf1 (one hash mismatch
+                // vs DuckDB at 600k docs); an exact integer sum makes
+                // avg = sum/(1000·n) with both engines dividing the
+                // SAME operands — bit-identical at every scale
+                (conv(substring(md5(concat(col("text"), lit("#0"))), 1, 8),
+                  16, 10).cast("long") % 1000).as("f0i"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_assets"),
              sum(col("byte_len")).as("total_bytes"),
-             round(avg(col("f0")), 4).as("avg_f0")))
+             round(sum(col("f0i")).cast("double") /
+               (count(lit(1)) * 1000.0), 4).as("avg_f0")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -282,7 +290,8 @@ object Multimodal {
     "q40_multimodal_agg" ->
       s"""SELECT source, count(*) AS n_assets,
          |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-         |  round(avg((('0x' || substring(md5(text || '#0'), 1, 8))::BIGINT % 1000) / 1000.0), 4) AS avg_f0
+         |  round(CAST(sum(('0x' || substring(md5(text || '#0'), 1, 8))::BIGINT % 1000) AS DOUBLE)
+         |        / (count(*) * 1000.0), 4) AS avg_f0
          |FROM documents GROUP BY source""".stripMargin
   )
 }

@@ -136,6 +136,12 @@ object EventsStream {
   /** Chunked-ingestion analog: stream parquet files appearing under
     * `srcDir` into `destTable` in micro-batches (the ranger ClientData
     * path re-expressed; each micro-batch commits atomically). */
+  /** NOTE: a native `.toTable` sink bypasses the engine's mutation
+    * funnel — on a COMMIT-LOG table (the default for engine-created
+    * tables) the appended files stay invisible to readers until the
+    * next engine commit; call `engine.reconcileCommitLog(table)` after
+    * the stream drains, or use [[engineIngest]], which rides the
+    * funnel per micro-batch. */
   def ingest(spark: SparkSession, srcDir: String, destTable: String,
              checkpoint: String): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema

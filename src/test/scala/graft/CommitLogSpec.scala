@@ -110,14 +110,39 @@ class CommitLogSpec extends AnyFunSuite {
     assert(engine.execute(s"SELECT v FROM $t WHERE id = 305").data == Seq(Seq("x")))
   }
 
-  test("tables without the setting never write a log; kill switch disables both sides") {
+  test("commit log is DEFAULT-ON for new tables; commitlog=false and both kill switches opt out") {
     engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    // round-12 verdict Next #7: a table created with no SETTINGS gets
+    // the commit log (out-of-process coherence is the default story)
     engine.execute(s"DROP TABLE IF EXISTS $Db.plain")
     engine.execute(
       s"CREATE TABLE $Db.plain (id int64, v string) STORAGE filesystem")
     engine.execute(s"INSERT INTO $Db.plain VALUES (1, 'a')")
-    assert(CommitLog.currentVersion(fs, locOf(s"$Db.plain")) == 0L)
+    assert(CommitLog.currentVersion(fs, locOf(s"$Db.plain")) == 1L,
+      "new tables must default to the commit log")
+    assert(engine.execute(s"SELECT count(*) AS c FROM $Db.plain")
+      .data.head.head == 1L)
 
+    // explicit SETTINGS commitlog=false always wins over the default
+    engine.execute(s"DROP TABLE IF EXISTS $Db.optout")
+    engine.execute(
+      s"""CREATE TABLE $Db.optout (id int64, v string)
+         |STORAGE filesystem SETTINGS commitlog=false""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.optout VALUES (1, 'a')")
+    assert(CommitLog.currentVersion(fs, locOf(s"$Db.optout")) == 0L,
+      "commitlog=false must opt the table out")
+
+    // deployment-level default restore (new-table behavior only)
+    spark.conf.set("spark.graft.commitlog.newTableDefault", "false")
+    try {
+      engine.execute(s"DROP TABLE IF EXISTS $Db.legacy")
+      engine.execute(
+        s"CREATE TABLE $Db.legacy (id int64, v string) STORAGE filesystem")
+      engine.execute(s"INSERT INTO $Db.legacy VALUES (1, 'a')")
+      assert(CommitLog.currentVersion(fs, locOf(s"$Db.legacy")) == 0L)
+    } finally spark.conf.unset("spark.graft.commitlog.newTableDefault")
+
+    // runtime kill switch stops publishing even for opted-in tables
     spark.conf.set("spark.graft.commitlog.enabled", "false")
     try {
       engine.execute(s"DROP TABLE IF EXISTS $Db.off")
@@ -242,6 +267,47 @@ class CommitLogSpec extends AnyFunSuite {
     val retries = CommitLog.publishRetries.get() - before
     assert(retries <= 8L * 10, s"retries must stay bounded, got $retries")
     info(s"publish retries across the 8-writer burst: $retries")
+  }
+
+  test("commit log composes with OPTIMIZE ZORDER: log restarts, reads exact, next DML publishes") {
+    // a whole-table maintenance rewrite truncates the table location
+    // (log included); the post-statement publish must restart the log
+    // over the rewritten layout and every subsequent read and commit
+    // must stay exact (round-12 verdict Next #4, composition leg)
+    val t = freshTable("m7")
+    val loc = locOf(t)
+    engine.execute(s"CREATE INDEX zi ON $t (id)")
+    engine.execute(s"DELETE FROM $t WHERE id = 105")
+    val preStamp = CommitLog.current(fs, loc).get
+    assert(preStamp.retired.nonEmpty)
+    engine.execute(s"OPTIMIZE $t ZORDER BY (id, v)")
+    val post = CommitLog.current(fs, loc).get
+    assert(post.stamp != preStamp.stamp, "rewrite must re-publish the log")
+    assert(post.retired.isEmpty,
+      "the rewritten layout has no retired files — the old log is gone")
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 39L)
+    // next DML publishes again: either file-level CoW (version bumps
+    // on the same log) or a whole-table rewrite (the log truncates and
+    // restarts at 1 — UPDATE after ZORDER may not be file-scopable on
+    // the re-clustered layout); the STAMP always moves and reads stay
+    // exact — that's the composition contract
+    engine.execute(s"UPDATE $t SET v = 'z' WHERE id = 205")
+    val next = CommitLog.current(fs, loc).get
+    assert(next.stamp != post.stamp, "the DML must re-publish")
+    assert(next.version == post.version + 1 || next.version == 1L,
+      s"unexpected version sequence: ${post.version} -> ${next.version}")
+    assert(engine.execute(s"SELECT v FROM $t WHERE id = 205").data == Seq(Seq("z")))
+    assert(engine.execute(s"SELECT count(*) AS n FROM $t").data.head.head == 39L)
+    // scan file set == manifest file set after the composition
+    val scanned = spark.table(t).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }.flatten.toSet
+      .map((s: String) => graft.engine.FsPaths.fromListing(s).toUri.getPath)
+    assert(scanned == next.files.toSet
+      .map((r: String) => new Path(loc, r).toUri.getPath))
   }
 
   test("snapshots compose: VERSION AS OF resolves across a retiring commit") {

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.engine.{CommitLog, IcebergMetadata, QueryEngine}
+
+/** Iceberg-compatible metadata export (round-12 verdict Next #2): every
+  * commit-log publish mirrors into the standard static-table layout —
+  * vN.metadata.json + version-hint.text + Avro manifest list/manifest —
+  * matching the reference's CREATE-time metadata
+  * (/root/reference/server/storage/storage.go:749-787) and its Avro
+  * record layouts (server/metadata/iceberg/avro_schemas.go). The
+  * container has no iceberg jar and DuckDB cannot download its iceberg
+  * extension (zero egress), so the external-reader assertion is
+  * from-scratch: plain Jackson over the JSON, the generic Avro reader
+  * (schema FROM THE FILE HEADER, not the writer's constant) over the
+  * manifests. */
+class IcebergMetadataSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val engine = new QueryEngine(spark)
+  private val om = new ObjectMapper()
+
+  private val Db = "icedb"
+
+  private def fs = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def locOf(t: String): Path = new Path(
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
+
+  private def readJson(p: Path) = {
+    val in = fs.open(p)
+    try om.readTree(in) finally in.close()
+  }
+
+  private def mdDir(loc: Path) = IcebergMetadata.metadataDir(loc)
+
+  private def hint(loc: Path): Long = {
+    val in = fs.open(new Path(mdDir(loc), "version-hint.text"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
+  test("CREATE writes the v0 shell; commits mirror vN + hint; uuid is stable") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.t1")
+    engine.execute(
+      s"""CREATE TABLE $Db.t1 (id int64 NOT NULL, v string, ts timestamptz)
+         |STORAGE filesystem ORDER BY (id)
+         |SETTINGS commitlog=true""".stripMargin)
+    val loc = locOf(s"$Db.t1")
+    // creation shell (reference storage.go:737-806): no snapshots yet
+    val v0 = readJson(new Path(mdDir(loc), "v0.metadata.json"))
+    assert(v0.get("format-version").asInt == 2)
+    assert(v0.get("snapshots").size == 0)
+    assert(v0.get("current-snapshot-id").asLong == -1L)
+    val uuid = v0.get("table-uuid").asText
+    assert(uuid.nonEmpty)
+    assert(hint(loc) == 0L)
+
+    engine.execute(s"INSERT INTO $Db.t1 VALUES (1, 'a', SYS_TIMESTAMP)")
+    engine.execute(s"INSERT INTO $Db.t1 VALUES (2, 'b', SYS_TIMESTAMP)")
+    assert(hint(loc) == 2L)
+    val v2 = readJson(new Path(mdDir(loc), s"v2.metadata.json"))
+    assert(v2.get("table-uuid").asText == uuid, "uuid must carry forward")
+    assert(v2.get("current-snapshot-id").asLong == 2L)
+    assert(v2.get("snapshots").size == 2)
+    assert(v2.get("last-sequence-number").asLong == 2L)
+    // schema round-trip: names, iceberg spec types, required, unique ids
+    val fields = v2.get("schemas").get(0).get("fields")
+    val byName = (0 until fields.size).map(i => fields.get(i))
+      .map(f => f.get("name").asText -> f).toMap
+    assert(byName("id").get("type").asText == "long")
+    assert(byName("id").get("required").asBoolean)
+    assert(byName("v").get("type").asText == "string")
+    assert(byName("ts").get("type").asText == "timestamptz")
+    val ids = (0 until fields.size).map(i => fields.get(i).get("id").asInt)
+    assert(ids.distinct.size == ids.size && ids.forall(_ > 0))
+    // sort order mirrors ORDER BY (id)
+    val order = v2.get("sort-orders").get(0)
+    assert(v2.get("default-sort-order-id").asInt == 1)
+    assert(order.get("fields").get(0).get("source-id").asInt ==
+      byName("id").get("id").asInt)
+    // snapshot-log grows with commits; metadata-log references v1
+    assert(v2.get("snapshot-log").size == 2)
+    assert(v2.get("metadata-log").size >= 1)
+  }
+
+  test("manifest list + manifest resolve EXACTLY the commit-log live files, with row counts") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.t2")
+    engine.execute(
+      s"""CREATE TABLE $Db.t2 (id int64 NOT NULL, v string)
+         |STORAGE filesystem SETTINGS commitlog=true""".stripMargin)
+    (0 until 3).foreach { r =>
+      val vals = (r * 100 until r * 100 + 10)
+        .map(i => s"($i, 'row $i')").mkString(", ")
+      engine.execute(s"INSERT INTO $Db.t2 VALUES $vals")
+    }
+    engine.execute(s"CREATE INDEX zi ON $Db.t2 (id)")
+    engine.execute(s"DELETE FROM $Db.t2 WHERE id = 105") // retiring CoW commit
+    val loc = locOf(s"$Db.t2")
+    val cur = CommitLog.current(fs, loc).get
+    assert(cur.retired.nonEmpty)
+    val md = readJson(new Path(mdDir(loc), s"v${cur.version}.metadata.json"))
+    val snap = md.get("snapshots").get(md.get("snapshots").size - 1)
+    assert(snap.get("snapshot-id").asLong == cur.version)
+    assert(snap.get("summary").get("operation").asText == "overwrite")
+
+    // ---- external-reader path: header-schema Avro readback
+    val list = IcebergMetadata.readAvro(fs,
+      new Path(snap.get("manifest-list").asText))
+    assert(list.size == 1)
+    val mf = list.head
+    assert(mf.get("added_snapshot_id").asInstanceOf[Long] == cur.version)
+    assert(mf.get("added_files_count").asInstanceOf[Int] == cur.files.size)
+    assert(mf.get("deleted_files_count").asInstanceOf[Int] == cur.retired.size)
+    val manifestLen = fs.getFileStatus(
+      new Path(mf.get("manifest_path").toString)).getLen
+    assert(mf.get("manifest_length").asInstanceOf[Long] == manifestLen)
+
+    val entries = IcebergMetadata.readAvro(fs,
+      new Path(mf.get("manifest_path").toString))
+    val listed = entries.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("file_path").toString).toSet
+    val expected = cur.files.map(r => new Path(loc, r).toString).toSet
+    assert(listed == expected,
+      s"manifest files must equal the commit-log live set\n  extra=${
+        listed -- expected}\n  missing=${expected -- listed}")
+    // retired files are NOT in the manifest
+    cur.retired.foreach(r =>
+      assert(!listed.contains(new Path(loc, r.rel).toString)))
+    // row counts: per-file counts sum to the table's live rows
+    val totalRows = entries.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum
+    assert(totalRows == 29L, s"expected 29 live rows, manifests say $totalRows")
+    entries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[
+        org.apache.avro.generic.GenericRecord]
+      assert(df.get("file_format").toString == "PARQUET")
+      assert(df.get("file_size_in_bytes").asInstanceOf[Long] > 0L)
+    }
+  }
+
+  test("partitioned table: identity spec with source-ids, partition values per data file") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.pt")
+    engine.execute(
+      s"""CREATE TABLE $Db.pt (id int64 NOT NULL, v string, r string)
+         |STORAGE filesystem PARTITION BY (r)
+         |SETTINGS commitlog=true""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.pt VALUES (1, 'x', 'emea'), (2, 'y', 'o''brien')")
+    val loc = locOf(s"$Db.pt")
+    val cur = CommitLog.current(fs, loc).get
+    val md = readJson(new Path(mdDir(loc), s"v${cur.version}.metadata.json"))
+    val spec = md.get("partition-specs").get(0)
+    val pf = spec.get("fields").get(0)
+    assert(pf.get("name").asText == "r")
+    assert(pf.get("transform").asText == "identity")
+    val fields = md.get("schemas").get(0).get("fields")
+    val rId = (0 until fields.size).map(fields.get)
+      .find(_.get("name").asText == "r").get.get("id").asInt
+    assert(pf.get("source-id").asInt == rId)
+    assert(pf.get("field-id").asInt == 1000)
+
+    val snap = md.get("snapshots").get(md.get("snapshots").size - 1)
+    val mf = IcebergMetadata.readAvro(fs,
+      new Path(snap.get("manifest-list").asText)).head
+    val entries = IcebergMetadata.readAvro(fs,
+      new Path(mf.get("manifest_path").toString))
+    val partVals = entries.map { e =>
+      val m = e.get("data_file").asInstanceOf[
+        org.apache.avro.generic.GenericRecord]
+        .get("partition").asInstanceOf[java.util.Map[Any, Any]]
+      m.entrySet().iterator().next().getValue.toString
+    }.toSet
+    assert(partVals == Set("emea", "o'brien"),
+      s"partition values must round-trip the escaped dir names: $partVals")
+  }
+
+  test("snapshot retention is bounded and dropped snapshots' files are GC'd") {
+    spark.conf.set("spark.graft.iceberg.keepSnapshots", "3")
+    try {
+      engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+      engine.execute(s"DROP TABLE IF EXISTS $Db.t3")
+      engine.execute(
+        s"""CREATE TABLE $Db.t3 (id int64, v string)
+           |STORAGE filesystem SETTINGS commitlog=true""".stripMargin)
+      (1 to 6).foreach(i =>
+        engine.execute(s"INSERT INTO $Db.t3 VALUES ($i, 'r$i')"))
+      val loc = locOf(s"$Db.t3")
+      val md = readJson(new Path(mdDir(loc), s"v${hint(loc)}.metadata.json"))
+      assert(md.get("snapshots").size == 3, "retention must bound snapshots")
+      assert(md.get("snapshot-log").size <= 3)
+      // old manifest lists are gone from disk, the kept ones resolve
+      val files = fs.listStatus(mdDir(loc)).map(_.getPath.getName)
+      assert(files.count(_.startsWith("snap-")) == 3,
+        s"dropped snapshots' manifest lists must be GC'd: ${files.toSeq}")
+      val snaps = md.get("snapshots")
+      (0 until snaps.size).foreach { i =>
+        assert(fs.exists(new Path(snaps.get(i).get("manifest-list").asText)))
+      }
+      // metadata files beyond the keep window are GC'd too
+      assert(files.count(_.endsWith(".metadata.json")) <= 4)
+    } finally spark.conf.unset("spark.graft.iceberg.keepSnapshots")
+  }
+
+  test("kill switch: no mirror when spark.graft.iceberg.enabled=false") {
+    spark.conf.set("spark.graft.iceberg.enabled", "false")
+    try {
+      engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+      engine.execute(s"DROP TABLE IF EXISTS $Db.t4")
+      engine.execute(
+        s"""CREATE TABLE $Db.t4 (id int64, v string)
+           |STORAGE filesystem SETTINGS commitlog=true""".stripMargin)
+      engine.execute(s"INSERT INTO $Db.t4 VALUES (1, 'a')")
+      val loc = locOf(s"$Db.t4")
+      assert(!fs.exists(mdDir(loc)), "kill switch must stop the mirror")
+      // the commit log itself is unaffected
+      assert(CommitLog.currentVersion(fs, loc) == 1L)
+    } finally spark.conf.unset("spark.graft.iceberg.enabled")
+  }
+
+  test("emission is O(changed files): row-count sidecar carries unchanged files forward") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.t5")
+    engine.execute(
+      s"""CREATE TABLE $Db.t5 (id int64, v string)
+         |STORAGE filesystem SETTINGS commitlog=true""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.t5 VALUES (1, 'a'), (2, 'b')")
+    val loc = locOf(s"$Db.t5")
+    val sidecar = new Path(mdDir(loc), ".rowcounts.tsv")
+    assert(fs.exists(sidecar))
+    val t1 = fs.getFileStatus(sidecar).getModificationTime
+    engine.execute(s"INSERT INTO $Db.t5 VALUES (3, 'c')")
+    // the sidecar was rewritten with the new file added and the old
+    // file's count carried (not re-footer-read — asserted by content:
+    // both files present with correct counts)
+    val in = fs.open(sidecar)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    // first INSERT wrote one file per VALUES row (2), second added 1
+    assert(lines.size == 3, s"sidecar should track all live files: $lines")
+    val counts = lines.map(_.split("\t")).map(a => a(2).toLong)
+    assert(counts.sum == 3L && counts.forall(_ == 1L),
+      s"per-file counts wrong: $counts")
+    assert(fs.getFileStatus(sidecar).getModificationTime >= t1)
+  }
+}

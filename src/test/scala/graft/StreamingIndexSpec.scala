@@ -130,19 +130,27 @@ class StreamingIndexSpec extends AnyFunSuite {
     engine.execute(s"INSERT INTO $t VALUES " +
       "(1, 'the quick brown fox jumps over the lazy dog', 'web')")
     engine.execute(s"CREATE INDEX sb3 ON $t (doc_id, text) USING bands")
-    // raw append, no funnel (what a native .toTable sink does)
+    // raw append, no funnel (what a native .toTable sink does). With
+    // the commit log DEFAULT-ON (r13), the bypass is invisible to
+    // SCANS too, not just to the index: readers resolve the manifest,
+    // which doesn't know the file yet — a stronger guarantee than the
+    // pre-r13 "visible but unindexed" gap
     Seq((2L, "the quick brown fox jumps over the lazy cat", "web"))
       .toDF("doc_id", "text", "src").write.insertInto(t)
     spark.catalog.refreshTable(t)
-    assert(spark.table(t).count() == 2)
+    assert(spark.table(t).count() == 1,
+      "bypass-appended file must stay invisible to commit-log readers")
     val idxKeys = IndexManager.indexData(spark, t, "sb3")
       .select("key").distinct().as[Long].collect().toSet
     assert(idxKeys == Set(1L),
       s"bypass-appended doc must be missing from the index, got $idxKeys")
-    // the next funnel-riding mutation heals via the file diff
+    // the next funnel-riding mutation re-lists the disk at publish:
+    // the bypass row becomes live AND the file-diff sync indexes it
     engine.appendBatch(t,
       Seq((3L, "spark query join planning at warehouse scale", "book"))
         .toDF("doc_id", "text", "src"))
+    assert(spark.table(t).count() == 3,
+      "funnel mutation must reconcile the bypass row into the manifest")
     assert(sortedRows(IndexManager.indexData(spark, t, "sb3")) ==
       sortedRows(scanBands(t)), "funnel mutation must heal the bypass gap")
   }

@@ -98,6 +98,15 @@ class SystemTablesSpec extends AnyFunSuite {
       .data.head.head == "system.tables")
   }
 
+  test("system.commit_stats surfaces the coherence counters") {
+    val r = engine.execute(
+      "SELECT counter, value FROM system.commit_stats ORDER BY counter")
+    assert(r.data.map(_.head) == Seq("commitlog_publish_retries",
+      "iceberg_emit_failures", "torn_read_retries"))
+    r.data.foreach(row =>
+      assert(row(1).asInstanceOf[Long] >= 0L, s"negative counter: $row"))
+  }
+
   test("system_queries exposes the execution registry as a relation") {
     engine.execute("SELECT 1 AS warm")
     val r = engine.execute(
