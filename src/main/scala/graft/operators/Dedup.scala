@@ -1369,10 +1369,8 @@ object Dedup {
 
   private def computeIncrementalClusters(s: SparkSession, dir: String,
                                          numBands: Int): DataFrame = {
-    val (_, subPairs, affLabels) = incrementalClusterParts(s, dir, numBands)
-    val old = preBatchLabels(s, dir, numBands)
     // Degenerate-scope guard: incremental maintenance wins when the
-    // batch touches FEW clusters (the fixture corpus: 4% — and the
+    // batch touches FEW docs (the fixture corpus: 4% — and the
     // realistic web-dedup regime, where shards are temporally local).
     // When the touched fraction is large (measured at 50x: a
     // uniformly-sprinkled batch over a replica-densified giant
@@ -1380,7 +1378,7 @@ object Dedup {
     // full recompute + scope overhead, 62 s vs 26 s), the full
     // recompute IS the cheaper plan — take it. Both paths produce
     // identical output, so the switch is invisible to the oracle.
-    // spark.graft.incclusters.fullFallback: affected-cluster fraction
+    // spark.graft.incclusters.fullFallback: affected-doc fraction
     // above which to fall back (1.0 disables — the spec uses that to
     // pin the incremental path itself).
     val frac = s.conf.getOption("spark.graft.incclusters.fullFallback")
@@ -1389,6 +1387,38 @@ object Dedup {
           s"invalid spark.graft.incclusters.fullFallback: '$v' " +
             "(need a fraction in [0, 1]; 1.0 disables the fallback)")))
       .getOrElse(0.5)
+    // r13 PRE-gate, on DOC fraction: the round-12 gate compared
+    // affected-CLUSTER count to the labeled-cluster total, which
+    // under-fires on singleton-heavy corpora — at the measured 10×
+    // point the batch touched 86% of DOCS while the cluster fraction
+    // stayed under the bar, so the incremental path ran (21 s) where
+    // the full recompute was cheaper (14 s). The cost driver is the
+    // affected-DOC count (the recompute scope), and a LOWER BOUND on
+    // it — touched-bucket corpus docs + the batch — is countable from
+    // the memoized corpus band table with one semi-join: no component
+    // machinery, no pair generation, so the gate costs a fraction of
+    // the scope chain it avoids building.
+    if (frac < 1.0) {
+      val rowsPerBand = NumHashes / numBands
+      val base = shingleBase(s, dir)
+      val (_, _, corpusBands) = preBatchState(s, dir, numBands)
+      val batchBands = base.where(isBatch).select(
+        col("doc_id"),
+        posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
+          .as(Seq("band", "bh")))
+      val touched = batchBands.select(col("band"), col("bh")).distinct()
+      val touchedCorpusN = corpusBands
+        .join(touched, Seq("band", "bh"), "left_semi")
+        .select(col("doc_id")).distinct().count()
+      val batchN = base.where(isBatch).count()
+      val totalN = base.count()
+      if (totalN > 0 && touchedCorpusN + batchN > frac * totalN)
+        return dedupClusters(s, dir, numBands)
+    }
+    val (_, subPairs, affLabels) = incrementalClusterParts(s, dir, numBands)
+    val old = preBatchLabels(s, dir, numBands)
+    // component-blow-up backstop: few touched DOCS can still drag in
+    // most LABELED CLUSTERS via giant components — the original gate
     val totalClusters = old.select(col("cluster_id")).distinct().count()
     if (totalClusters > 0 && affLabels.count() > frac * totalClusters)
       dedupClusters(s, dir, numBands)

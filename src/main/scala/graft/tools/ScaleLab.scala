@@ -453,7 +453,11 @@ object ScaleLab {
     // maintenance), keep the pre-batch artifacts warm (they model
     // persisted ingest tables)
     val (mi, ti) = timeMedian3 {
+      // clear BOTH memos: when the doc-fraction fallback fires, the
+      // incremental call IS a full recompute — a warm cluster memo
+      // would time only the gate and overstate the win
       Dedup.clearIncClustersMemo()
+      Dedup.clearClusterMemo()
       Dedup.incrementalClusters(spark, dir, bands)
     }
     val (mf, tf) = timeMedian3 {
