@@ -197,8 +197,8 @@ final class QueryEngine(val spark: SparkSession,
   def execute(sql: String, onStart: String => Unit): QueryResult = {
     val info = executions.register(sql)
     onStart(info.id)
-    executions.run(info)(route(rewriteIndexProbes(rewriteSysFuncs(
-      sql.trim.stripSuffix(";").trim)), info.id))
+    executions.run(info)(route(rewriteIcebergScans(rewriteIndexProbes(
+      rewriteSysFuncs(sql.trim.stripSuffix(";").trim))), info.id))
   }
 
   /** SELECT-family statements streamed through `sink` with bounded
@@ -212,8 +212,8 @@ final class QueryEngine(val spark: SparkSession,
     * the truncation message are still populated. */
   def executeStreamed(sql0: String, onStart: String => Unit = _ => ())
                      (sink: (Seq[String], Iterator[Seq[Any]]) => Unit): QueryResult = {
-    val sql = rewriteIndexProbes(rewriteSysFuncs(
-      sql0.trim.stripSuffix(";").trim))
+    val sql = rewriteIcebergScans(rewriteIndexProbes(rewriteSysFuncs(
+      sql0.trim.stripSuffix(";").trim)))
     if (!Set("SELECT", "WITH", "VALUES", "TABLE").contains(head(sql)))
       execute(sql0, onStart)
     else {
@@ -294,6 +294,27 @@ final class QueryEngine(val spark: SparkSession,
     *
     * Each face falls back to the identical scan-path computation when
     * no matching fresh index exists — same answer, no index required. */
+  /** `ICEBERG_SCAN('<table dir>')` in FROM position — a static read
+    * of any Iceberg table directory ([[graft.sources.IcebergStatic]]:
+    * graft's own mirror OR a reference-written layout), registered as
+    * a per-path temp view. The rewrite is textual like INDEX_PROBE's:
+    * quote-aware, recursing so several scans in one statement work. */
+  private def rewriteIcebergScans(sql: String): String = {
+    if (!sql.toUpperCase.contains("ICEBERG_SCAN")) return sql
+    val m = """(?i)\bICEBERG_SCAN\s*\(\s*'((?:[^']|'')*)'\s*\)""".r
+      .findAllMatchIn(sql)
+      .find(mm => sql.substring(0, mm.start).count(_ == '\'') % 2 == 0)
+      .getOrElse(return sql)
+    val dir = m.group(1).replace("''", "'")
+    val view = "graft_iceberg_" + java.security.MessageDigest
+      .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    graft.sources.IcebergStatic.read(spark, dir)
+      .createOrReplaceTempView(view)
+    rewriteIcebergScans(
+      sql.substring(0, m.start) + view + sql.substring(m.end))
+  }
+
   private def rewriteIndexProbes(sql: String): String = {
     if (!sql.toUpperCase.contains("INDEX_PROBE")) return sql
     // only a match OUTSIDE string literals is a probe call (an odd

@@ -5,7 +5,8 @@ recursive-CTE q61 family, the quadratic exact joins) are DUCKDB-
 infeasible at 50k docs and must report as 'oracle timeout' instead of
 wedging the whole pass or OOMing the host.
 
-Usage: oracle_check_bounded.py <sfDir> <outDir> [timeoutSec] [skipDone.log]
+Usage: oracle_check_bounded.py <sfDir> <outDir> [timeoutSec] [skipDone.log] [skipPrefixes]
+  skipPrefixes: comma list; matching statements report as oracle-infeasible.
   skipDone.log: a prior partial run's output; statements already ok/FAIL
   there are skipped (resume).
 """
@@ -38,7 +39,7 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir, timeout_sec=900, skip_log=None):
+def main(sf_dir, out_dir, timeout_sec=900, skip_log=None, skip_prefixes=None):
     done = set()
     if skip_log and os.path.exists(skip_log):
         for line in open(skip_log):
@@ -57,6 +58,11 @@ def main(sf_dir, out_dir, timeout_sec=900, skip_log=None):
     for name in sorted(oracle):
         if name in done:
             n_skip += 1
+            continue
+        if skip_prefixes and any(name.startswith(px) for px in skip_prefixes):
+            print(f"FAIL {name}: oracle infeasible at this scale (skipped by policy)",
+                  flush=True)
+            n_bad += 1
             continue
         sql = oracle[name]
         timer = threading.Timer(timeout_sec, con.interrupt)
@@ -103,4 +109,5 @@ def main(sf_dir, out_dir, timeout_sec=900, skip_log=None):
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
                   int(sys.argv[3]) if len(sys.argv) > 3 else 900,
-                  sys.argv[4] if len(sys.argv) > 4 else None))
+                  sys.argv[4] if len(sys.argv) > 4 else None,
+                  sys.argv[5].split(",") if len(sys.argv) > 5 else None))
