@@ -38,12 +38,22 @@ import org.apache.spark.sql.SparkSession
   * no FNF, no lock. The filter side lives in
   * [[graft.plans.CommitLogRule]].
   *
-  * Opt-in per table: `CREATE TABLE ... SETTINGS commitlog=true` (the
-  * property `graft.settings.commitlog`). Writer-writer conflicts
-  * across processes are DETECTED (the loser's rename fails and the
-  * commit retries over the merged listing, bounded), not prevented —
-  * single-writer-per-table across processes remains the deployment
-  * contract, as in the reference's one-server model.
+  * Default-on for new tables since r13 (`SETTINGS commitlog=false`
+  * opts out; the property is `graft.settings.commitlog`).
+  * Writer-writer COMMIT conflicts across processes are DETECTED (the
+  * loser's exclusive publish fails and retries over the merged
+  * listing, bounded), but concurrent cross-process DML on ONE table
+  * is outside the contract for a reason beyond the version race:
+  * publish derives liveness from a DISK LISTING, so a peer writer's
+  * in-flight replacement file (visible on disk before the peer's
+  * retirements publish) lists as live alongside the file it replaces
+  * — a reader can transiently see the replaced rows twice (observed
+  * in the 4-writer soak; self-heals at the peer's publish). Fixing
+  * that requires Iceberg-style metadata-tree commits where a file
+  * becomes visible ONLY via its committing snapshot, never by
+  * listing. Single-writer-per-table across processes therefore
+  * remains the deployment contract, as in the reference's one-server
+  * model; any number of processes may write DISJOINT tables.
   *
   * Whole-table rewrites (OPTIMIZE, RESTORE, fallback DML paths) go
   * through Spark's own overwrite, which truncates the table location —

@@ -19,6 +19,12 @@ import graft.engine.QueryEngine
 object SoakWriter {
   def main(args: Array[String]): Unit = {
     val Array(warehouse, tableLoc, iters) = args.take(3)
+    val key = if (args.length > 3) args(3).toLong else 105L
+    // qualified table name must match the PARENT's: the persisted
+    // index store is keyed by it, and without the index the UPDATE
+    // loses file-level CoW and truncates the table mid-statement
+    val table = if (args.length > 4) args(4) else "soak2.t"
+    val Array(db, bare) = table.split("\\.", 2)
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-soak-writer")
@@ -30,15 +36,15 @@ object SoakWriter {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      spark.sql("CREATE DATABASE IF NOT EXISTS soak2")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       spark.sql(
-        s"""CREATE TABLE IF NOT EXISTS soak2.t (id BIGINT, v STRING)
+        s"""CREATE TABLE IF NOT EXISTS $db.$bare (id BIGINT, v STRING)
            |USING parquet LOCATION '$tableLoc'
            |TBLPROPERTIES ('graft.settings.commitlog'='true')""".stripMargin)
       val engine = new QueryEngine(spark)
       for (i <- 1 to iters.toInt) {
         val r = engine.execute(
-          s"UPDATE soak2.t SET v = 'w$i' WHERE id = 105")
+          s"UPDATE $db.$bare SET v = 'w$i' WHERE id = $key")
         require(r.rowCount == 1, s"iteration $i updated ${r.rowCount} rows")
       }
       println(s"SOAK_WRITER_DONE $iters")

@@ -116,4 +116,101 @@ class ConcurrencySoak2JvmSpec extends AnyFunSuite {
     val m = CommitLog.current(fs, loc).get
     assert(m.retired.nonEmpty, "cross-process CoW must retire, not delete")
   }
+
+  test("four-JVM soak: N processes write DISJOINT tables; reads stay exact everywhere") {
+    // round-12 verdict Next #4, scoped to the deployment contract:
+    // single-writer-PER-TABLE across processes (see CommitLog's
+    // scaladoc — a listing-based publish cannot isolate a PEER
+    // writer's in-flight files on the SAME table, which the first cut
+    // of this test demonstrated as transient duplicate rows; the
+    // same-table N-writer COMMIT protocol is covered in-JVM by
+    // CommitLogSpec's 8-publisher burst). Here four real processes
+    // each CoW-update their own table while this process reads all
+    // four: every read exact, zero FNF retries, every writer's last
+    // value observed.
+    val N = 4
+    val ItersN = 5
+    engine.execute("CREATE DATABASE IF NOT EXISTS soak4")
+    val tables = (0 until N).map(w => s"soak4.t$w")
+    tables.foreach { t =>
+      engine.execute(s"DROP TABLE IF EXISTS $t")
+      engine.execute(
+        s"""CREATE TABLE $t (id int64 NOT NULL, v string)
+           |STORAGE filesystem SETTINGS commitlog=true""".stripMargin)
+      (0 until 4).foreach { r =>
+        val vals = (r * 100 until r * 100 + 10)
+          .map(i => s"($i, 'row $i')").mkString(", ")
+        engine.execute(s"INSERT INTO $t VALUES $vals")
+      }
+      engine.execute(s"CREATE INDEX zi ON $t (id)")
+    }
+    def locOf(t: String) = new Path(spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
+    val fs = locOf(tables.head)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val v0s = tables.map(t => CommitLog.currentVersion(fs, locOf(t)))
+
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val retriesBefore = QueryEngine.tornReadRetries.get()
+    val procs = tables.map { t =>
+      val workDir =
+        java.nio.file.Files.createTempDirectory(s"soak4_$t").toFile
+      val pb = new ProcessBuilder((Seq("java", "-Xmx3g") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.SoakWriter",
+        spark.conf.get("spark.sql.warehouse.dir"),
+        locOf(t).toString, ItersN.toString, "105", t)): _*)
+      pb.directory(workDir)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new StringBuilder
+      val pump = new Thread(() => {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line = br.readLine()
+        while (line != null) {
+          out.synchronized { out ++= line += '\n' }
+          line = br.readLine()
+        }
+      })
+      pump.setDaemon(true); pump.start()
+      (t, proc, out, pump)
+    }
+    var reads = 0
+    while (procs.exists(_._2.isAlive)) {
+      val t = tables(reads % N)
+      val r = engine.execute(
+        s"SELECT count(*) AS n, count(DISTINCT id) AS d FROM $t")
+      assert(r.data.head == Seq(40L, 40L),
+        s"TORN READ of $t at read #$reads: ${r.data.head}")
+      reads += 1
+    }
+    procs.foreach { case (t, proc, out, pump) =>
+      pump.join(5000)
+      val o = out.synchronized(out.toString)
+      assert(proc.exitValue() == 0, s"writer of $t failed:\n${o.takeRight(2000)}")
+      assert(o.contains(s"SOAK_WRITER_DONE $ItersN"), o.takeRight(300))
+    }
+    engine.execute("SELECT 1 AS one")
+    tables.zip(v0s).foreach { case (t, v0) =>
+      assert(CommitLog.currentVersion(fs, locOf(t)) >= v0 + ItersN,
+        s"$t lost a commit")
+      assert(engine.execute(s"SELECT v FROM $t WHERE id = 105")
+        .data == Seq(Seq(s"w$ItersN")), s"$t last value lost")
+      assert(engine.execute(s"SELECT count(*) AS n FROM $t")
+        .data.head.head == 40L)
+    }
+    assert(QueryEngine.tornReadRetries.get() == retriesBefore,
+      "4-process soak must not rely on the FILE_NOT_FOUND retry")
+  }
 }
