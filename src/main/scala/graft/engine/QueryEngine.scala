@@ -592,6 +592,20 @@ final class QueryEngine(val spark: SparkSession,
       }
       alterTarget.foreach(t =>
         registryChanged(t, Changefeed.TableTables, "UPDATE"))
+      // metadata-only ALTERs change no files, so the commit-log
+      // publish no-ops and the Iceberg mirror would keep serving the
+      // OLD schema — re-emit the current version with the new one
+      alterTarget.map(qualifiedName).foreach { q =>
+        if (commitLogEnabled(q) && IcebergMetadata.enabled(spark))
+          try {
+            val ct2 = spark.sessionState.catalog
+              .getTableMetadata(tableIdent(q))
+            val loc = new org.apache.hadoop.fs.Path(ct2.location)
+            val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+            CommitLog.current(fs, loc).foreach(m =>
+              IcebergMetadata.emit(spark, ct2, m))
+          } catch { case _: Exception => () }
+      }
       altered
     case "INSERT" => runInsert(sql, id)
     case "UPDATE" => runUpdate(sql, id)

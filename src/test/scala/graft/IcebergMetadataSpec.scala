@@ -209,6 +209,28 @@ class IcebergMetadataSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.iceberg.keepSnapshots")
   }
 
+  test("metadata-only ALTER re-emits the mirror with the new schema at the same version") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.t6")
+    engine.execute(
+      s"""CREATE TABLE $Db.t6 (id int64 NOT NULL, v string)
+         |STORAGE filesystem SETTINGS commitlog=true""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.t6 VALUES (1, 'a')")
+    val loc = locOf(s"$Db.t6")
+    val v = hint(loc)
+    engine.execute(s"ALTER TABLE $Db.t6 ADD COLUMN score float64")
+    assert(hint(loc) == v, "metadata-only ALTER must not mint a version")
+    val md = readJson(new Path(mdDir(loc), s"v$v.metadata.json"))
+    val fields = md.get("schemas").get(0).get("fields")
+    val names = (0 until fields.size).map(i =>
+      fields.get(i).get("name").asText)
+    assert(names.contains("score"),
+      s"mirror must carry the ALTERed schema, got $names")
+    assert((0 until fields.size).map(fields.get)
+      .find(_.get("name").asText == "score").get
+      .get("type").asText == "double")
+  }
+
   test("kill switch: no mirror when spark.graft.iceberg.enabled=false") {
     spark.conf.set("spark.graft.iceberg.enabled", "false")
     try {
