@@ -1234,7 +1234,29 @@ object Dedup {
       dropCheckpoint(l); dropCheckpoint(c); dropCheckpoint(b)
     }
     preBatchMemo.clear()
+    batchBandsMemo.values.forEach(dropCheckpoint)
+    batchBandsMemo.clear()
   }
+
+  /** The BATCH's band rows, shared by the r13 doc-fraction fallback
+    * gate and the scope chain — computing them means shingling +
+    * minhashing the batch, and doing that twice cost q61c ~1.2 s of
+    * pure overhead at sf0.1. Batch-sized; lifecycle = preBatchState's
+    * (both model the persisted ingest tables an arriving shard joins). */
+  private val batchBandsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  private def batchBandsOf(s: SparkSession, dir: String,
+                           numBands: Int): DataFrame =
+    batchBandsMemo.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, numBands), _ => {
+        val rowsPerBand = NumHashes / numBands
+        shingleBase(s, dir).where(isBatch).select(
+          col("doc_id"),
+          posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
+            .as(Seq("band", "bh")))
+          .localCheckpoint()
+      })
 
   /** Bucket-local candidate pairs of a band table, capped — the
     * lshCandidates pair kernel, factored for subset band tables. */
@@ -1275,15 +1297,12 @@ object Dedup {
   private[graft] def incrementalClusterParts(s: SparkSession, dir: String,
                                              numBands: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val rowsPerBand = NumHashes / numBands
     val base = shingleBase(s, dir)
     val (old, corpusCounts, corpusBands) = preBatchState(s, dir, numBands)
     // per-shard work reads the PERSISTED corpus band table; only the
-    // batch's own bands are computed here (batch-sized explode)
-    val batchBands = base.where(isBatch).select(
-      col("doc_id"),
-      posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
-        .as(Seq("band", "bh")))
+    // batch's own bands are computed (batch-sized explode, memoized —
+    // the fallback gate consumed them already)
+    val batchBands = batchBandsOf(s, dir, numBands)
     val bands = corpusBands.unionByName(batchBands)
     // buckets the batch touches; corpus docs sharing them; those
     // docs' whole components. Only these can gain or lose an edge:
@@ -1399,13 +1418,9 @@ object Dedup {
     // machinery, no pair generation, so the gate costs a fraction of
     // the scope chain it avoids building.
     if (frac < 1.0) {
-      val rowsPerBand = NumHashes / numBands
       val base = shingleBase(s, dir)
       val (_, _, corpusBands) = preBatchState(s, dir, numBands)
-      val batchBands = base.where(isBatch).select(
-        col("doc_id"),
-        posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
-          .as(Seq("band", "bh")))
+      val batchBands = batchBandsOf(s, dir, numBands)
       val touched = batchBands.select(col("band"), col("bh")).distinct()
       val touchedCorpusN = corpusBands
         .join(touched, Seq("band", "bh"), "left_semi")
