@@ -301,15 +301,18 @@ final class QueryEngine(val spark: SparkSession,
     * quote-aware, recursing so several scans in one statement work. */
   private def rewriteIcebergScans(sql: String): String = {
     if (!sql.toUpperCase.contains("ICEBERG_SCAN")) return sql
-    val m = """(?i)\bICEBERG_SCAN\s*\(\s*'((?:[^']|'')*)'\s*\)""".r
-      .findAllMatchIn(sql)
-      .find(mm => sql.substring(0, mm.start).count(_ == '\'') % 2 == 0)
-      .getOrElse(return sql)
+    val m =
+      """(?i)\bICEBERG_SCAN\s*\(\s*'((?:[^']|'')*)'\s*(?:,\s*(\d+)\s*)?\)""".r
+        .findAllMatchIn(sql)
+        .find(mm => sql.substring(0, mm.start).count(_ == '\'') % 2 == 0)
+        .getOrElse(return sql)
     val dir = m.group(1).replace("''", "'")
+    val snapId = Option(m.group(2)).map(_.toLong)
     val view = "graft_iceberg_" + java.security.MessageDigest
-      .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+      .getInstance("MD5").digest(
+        (dir + snapId.fold("")("@" + _)).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    graft.sources.IcebergStatic.read(spark, dir)
+    graft.sources.IcebergStatic.read(spark, dir, snapId)
       .createOrReplaceTempView(view)
     rewriteIcebergScans(
       sql.substring(0, m.start) + view + sql.substring(m.end))

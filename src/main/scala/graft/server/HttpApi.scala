@@ -122,6 +122,27 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
     }
   }
 
+  /** Iceberg-REST `metadata-location`: the ACTUAL current
+    * vN.metadata.json when the table carries the r13 metadata mirror
+    * (a real Iceberg reader can fetch and parse it), else the table
+    * location (pre-mirror behavior). */
+  private def metadataLocation(loc: java.net.URI): String = {
+    try {
+      val dir = new org.apache.hadoop.fs.Path(loc)
+      val fs = dir.getFileSystem(engine.spark.sessionState.newHadoopConf())
+      val md = graft.engine.IcebergMetadata.metadataDir(dir)
+      val hintP = new org.apache.hadoop.fs.Path(md, "version-hint.text")
+      if (!fs.exists(hintP)) loc.toString
+      else {
+        val in = fs.open(hintP)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        val mdFile = new org.apache.hadoop.fs.Path(md, s"v$v.metadata.json")
+        if (fs.exists(mdFile)) mdFile.toString else loc.toString
+      }
+    } catch { case _: Exception => loc.toString }
+  }
+
   /** Field names/types from request JSON are interpolated into engine
     * SQL — reject anything outside \w+ names and parseable Iceberg
     * types (the charset check additionally bans quotes/backticks/
@@ -177,9 +198,10 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
                 s"$n $ty${if (req) " NOT NULL" else ""}" }.mkString(", ")
               engine.execute(s"CREATE TABLE $ns.$t ($cols) STORAGE FILESYSTEM")
               (200, Json.obj(
-                "metadata-location" -> Json.str(catalog.getTableMetadata(
-                  org.apache.spark.sql.catalyst.TableIdentifier(t, Some(ns)))
-                  .location.toString),
+                "metadata-location" -> Json.str(metadataLocation(
+                  catalog.getTableMetadata(
+                    org.apache.spark.sql.catalyst.TableIdentifier(
+                      t, Some(ns))).location)),
                 "metadata" -> Json.obj("format-version" -> "2")))
           }
         case ("POST", tableRe(ns, t)) =>
@@ -206,8 +228,8 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
               }
             }
             (200, Json.obj(
-              "metadata-location" -> Json.str(catalog.getTableMetadata(ident)
-                .location.toString),
+              "metadata-location" -> Json.str(metadataLocation(
+                catalog.getTableMetadata(ident).location)),
               "metadata" -> Json.obj("format-version" -> "2")))
           }
         case ("DELETE", tableRe(ns, t)) =>
@@ -290,7 +312,9 @@ final class HttpApi(engine: QueryEngine, port: Int = 0,
                 "snapshot-id" -> si.id.toString,
                 "timestamp-ms" -> si.createdAtMs.toString,
                 "summary" -> Json.obj("operation" -> Json.str(si.operation))))
-            (200, Json.obj("metadata" -> Json.obj(
+            (200, Json.obj(
+              "metadata-location" -> Json.str(metadataLocation(meta.location)),
+              "metadata" -> Json.obj(
               "format-version" -> "2",
               "location" -> Json.str(meta.location.toString),
               "current-schema-id" -> "0",

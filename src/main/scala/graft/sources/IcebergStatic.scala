@@ -35,11 +35,14 @@ import org.apache.spark.sql.types._
   * snapshot read — no catalog entry, no commit-log coupling; point it
   * at a foreign table dir and query.
   *
-  * SQL face: `ICEBERG_SCAN('<table dir>')` in FROM position (the
-  * engine rewrite registers a temp view per distinct path). */
+  * SQL face: `ICEBERG_SCAN('<table dir>'[, <snapshot-id>])` in FROM
+  * position (the engine rewrite registers a temp view per distinct
+  * path@snapshot); the optional snapshot id time-travels within the
+  * metadata's retained snapshots window. */
 object IcebergStatic {
 
-  def read(spark: SparkSession, tableDir: String): DataFrame = {
+  def read(spark: SparkSession, tableDir: String,
+           snapshotId: Option[Long] = None): DataFrame = {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(dir), s"no such table directory: $tableDir")
@@ -50,9 +53,13 @@ object IcebergStatic {
     val om = new ObjectMapper()
     val metadata = currentMetadata(fs, mdDir, om)
     val schema = metadata.flatMap(schemaOf)
-    val files = liveFiles(spark, fs, dir, mdDir, metadata, om)
+    val files = liveFiles(spark, fs, dir, mdDir, metadata, om, snapshotId)
     require(files.nonEmpty,
-      s"iceberg table at $tableDir resolves no data files")
+      snapshotId match {
+        case Some(id) => s"iceberg table at $tableDir has no snapshot " +
+          s"$id within the retained window"
+        case None => s"iceberg table at $tableDir resolves no data files"
+      })
     val reader = schema match {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
@@ -155,7 +162,19 @@ object IcebergStatic {
 
   private def liveFiles(spark: SparkSession, fs: FileSystem, dir: Path,
                         mdDir: Path, md: Option[JsonNode],
-                        om: ObjectMapper): Seq[String] = {
+                        om: ObjectMapper,
+                        snapshotId: Option[Long] = None): Seq[String] = {
+    // an explicit snapshot id must resolve from the retained snapshots
+    // array — no fallback guessing for time travel
+    snapshotId.foreach { id =>
+      val snap = md.flatMap(m => nodes(m.get("snapshots"))
+        .find(s => Option(s.get("snapshot-id")).exists(_.asLong == id)))
+      return snap.flatMap(s => Option(s.get("manifest-list")).map(_.asText))
+        .map(lp => manifestRecords(fs, new Path(lp), om)
+          .flatMap(r => str(r, "manifest_path"))
+          .flatMap(mp => dataFilePaths(fs, new Path(mp), om)))
+        .getOrElse(Seq.empty)
+    }
     // 1. the current snapshot's manifest list
     val fromSnapshot = for {
       m <- md

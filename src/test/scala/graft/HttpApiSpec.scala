@@ -150,7 +150,12 @@ class HttpApiSpec extends AnyFunSuite {
         |{"id":1,"name":"id","required":true,"type":"int64"},
         |{"id":2,"name":"v","required":false,"type":"string"}]}}""".stripMargin)
     assert(cc == 200, cb)
+    // REST-created tables are commit-logged (default-on) and carry the
+    // r13 Iceberg metadata mirror: metadata-location points at a REAL
+    // vN.metadata.json an external Iceberg reader can fetch
     assert(cb.contains("metadata-location"))
+    assert(cb.contains(".metadata.json"),
+      s"metadata-location should reference the mirror file: $cb")
     // discoverable through the read slice with the declared types
     val (gc, gb) = get("/v1/namespaces/restw/tables/t1")
     assert(gc == 200)
@@ -158,6 +163,11 @@ class HttpApiSpec extends AnyFunSuite {
     // usable through the engine (same catalog, dialect bookkeeping)
     assert(post("/query",
       """{"query":"INSERT INTO restw.t1 VALUES (1, 'x')"}""")._1 == 200)
+    // after the first commit, GET serves the committed version's file
+    val (gc2, gb2) = get("/v1/namespaces/restw/tables/t1")
+    assert(gc2 == 200)
+    assert(gb2.contains("v1.metadata.json"),
+      s"GET should serve the committed mirror version: ${gb2.take(400)}")
     // rename within the namespace
     assert(post("/v1/tables/rename",
       """{"source":{"namespace":["restw"],"name":"t1"},

@@ -115,6 +115,26 @@ class IcebergStaticSpec extends AnyFunSuite {
     assert(all.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("ICEBERG_SCAN snapshot time travel reads a retained older version") {
+    engine.execute("CREATE DATABASE IF NOT EXISTS isdb")
+    engine.execute("DROP TABLE IF EXISTS isdb.tt")
+    engine.execute(
+      "CREATE TABLE isdb.tt (id int64 NOT NULL, v string) STORAGE filesystem")
+    engine.execute("INSERT INTO isdb.tt VALUES (1, 'a')") // snapshot 1
+    engine.execute("INSERT INTO isdb.tt VALUES (2, 'b')") // snapshot 2
+    val loc = locOf("isdb.tt").toString.replace("'", "''")
+    assert(engine.execute(
+      s"SELECT count(*) AS n FROM ICEBERG_SCAN('$loc')").data.head.head == 2L)
+    val old = engine.execute(
+      s"SELECT id FROM ICEBERG_SCAN('$loc', 1)")
+    assert(old.data == Seq(Seq(1L)),
+      s"snapshot 1 must see only the first insert: ${old.data}")
+    // an id outside the retained window fails addressably
+    val err = intercept[Exception](
+      engine.execute(s"SELECT * FROM ICEBERG_SCAN('$loc', 999)"))
+    assert(err.getMessage.contains("no snapshot 999"), err.getMessage)
+  }
+
   test("ICEBERG_SCAN('<dir>') SQL face: standalone and joined to a catalog table") {
     engine.execute("CREATE DATABASE IF NOT EXISTS isdb")
     engine.execute("DROP TABLE IF EXISTS isdb.t2")
