@@ -828,7 +828,11 @@ object Curation {
         .crossJoin(broadcast(totals))
         .select(col("w"),
                 (col("ct") * col("tr") - col("cr") * col("tt")).as("wt"))
-      toks.join(vocab.select(col("w"), col("wt")), Seq("w"))
+      // toks is the exploded token INSTANCE stream — never a
+      // broadcast build side (GraftBridge.neverBroadcast); the vocab
+      // stays AQE-broadcastable when it truly fits
+      org.apache.spark.sql.GraftBridge.neverBroadcast(toks)
+        .join(vocab.select(col("w"), col("wt")), Seq("w"))
         .groupBy(col("doc_id"))
         .agg(sum(col("wt")).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -870,7 +874,13 @@ object Curation {
     // — same finding as q82: allocation-bound bigram explode under
     // 32-way spread worsened the idle wall 0.74 → 1.09 s via GC; no
     // stage reaches the 0.5 s heavy bar without it.)
-    docBigrams(docsDf).join(lmVocab(docsDf), Seq("v", "w"))
+    // the INSTANCE stream must never be a broadcast build side: its
+    // static size estimate is the compressed doc scan's (Generate
+    // keeps the child's bytes), and at 10x Catalyst happily planned a
+    // driver-side HashedRelation of EVERY bigram (BuildLeft) — the LM
+    // side stays free for AQE to broadcast when it truly fits
+    org.apache.spark.sql.GraftBridge.neverBroadcast(docBigrams(docsDf))
+      .join(lmVocab(docsDf), Seq("v", "w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("r")).as("rarity_sum"))
       .withColumn("rarity_avg_milli", expr("rarity_sum div n_bigrams"))

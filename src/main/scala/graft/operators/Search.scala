@@ -186,7 +186,12 @@ object Search {
     val tf = base.select(col("doc_id"), explode(col("toks")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val scored = tf
+    // tf is the per-(doc, term) INSTANCE table — ban it from being a
+    // broadcast build (see GraftBridge.neverBroadcast: Generate's
+    // static estimate is the compressed scan's bytes, and at 10x the
+    // planner built a driver HashedRelation of it); dfreq stays
+    // AQE-broadcastable when the vocab truly fits
+    val scored = org.apache.spark.sql.GraftBridge.neverBroadcast(tf)
       .join(dfreq, "w")
       .crossJoin(broadcast(nDocs))
       .withColumn("pts", floor(expr("1000000.0d") * col("tf") *

@@ -52,6 +52,28 @@ object GraftBridge {
     }
   }
 
+  /** Pin a DataFrame as NEVER-the-broadcast-build-side of any join it
+    * feeds (catalyst's internal NO_BROADCAST_HASH strategy hint — the
+    * one AQE's DynamicJoinSelection itself attaches to shuffle-heavy
+    * sides; there is no public `df.hint` spelling for it). Unlike
+    * `hint("shuffle_hash")`/`hint("merge")`, it does NOT pick the
+    * join strategy: the static plan falls out of broadcast because
+    * THIS side is banned, and AQE remains free to broadcast the OTHER
+    * side at runtime when its real bytes fit. Exists because static
+    * size estimates of Generate (explode) output equal the CHILD's
+    * bytes — a well-compressed document scan "fits" the broadcast
+    * threshold while its exploded token/bigram stream is corpus-sized,
+    * and the driver would collect all of it (q82/q85/q69 at 10x). */
+  def neverBroadcast(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.ResolvedHint(
+        ds.logicalPlan,
+        org.apache.spark.sql.catalyst.plans.logical.HintInfo(
+          strategy = Some(
+            org.apache.spark.sql.catalyst.plans.logical.NO_BROADCAST_HASH))))
+  }
+
   /** An isolated copy of the session that INHERITS its current state
     * (temp views, conf, current database) and diverges from there —
     * `newSession()` starts empty, which would hide server-registered
