@@ -213,8 +213,43 @@ object Bench {
     // file-layout-collapsed) serial stages — the q35b/q87b disease —
     // and publish as `serial_suspects` so a regression cannot hide in
     // per-query sums.
-    val heavyPar: Map[String, Double] =
+    val heavyParRaw: Map[String, Double] =
       seqSnap.heavyStagePar(listener.HeavyStageSec)
+    // suspect RETRY (round-13): the sequential pass runs once and is
+    // not load-guarded mid-run — a host burst stretches stage walls
+    // and a genuinely-parallel query reads par ~1 (observed: q96
+    // family + q94 flagged at 0.99 under loadavg 12, absent on a calm
+    // host). A PLAN defect is serial on every attempt; a load
+    // artifact clears on retry. Re-run each flagged query alone (gc +
+    // brief calm wait first) and keep the MAX par across attempts —
+    // only persistent entries publish.
+    val heavyPar: Map[String, Double] = heavyParRaw.map { case (q, p0) =>
+      var p = p0
+      var attempts = 0
+      while (p < 4.0 && attempts < 2) {
+        attempts += 1
+        System.gc()
+        var waited = 0
+        while (loadavg > cores / 2 && waited < 60) {
+          Thread.sleep(5000); waited += 5
+        }
+        suite.find(_._1 == q).foreach { case (name, fn) =>
+          MemoBypass.get(name).foreach(clear => clear())
+          listener.snapshotFullAndReset()
+          run1(name, fn)
+          listener.awaitQuiescent(maxWaitMs = 10000)
+          // a retry with NO heavy stage at all means the original
+          // heavy reading was load inflation — publish as 999 (the
+          // sentinel for "not heavy when idle"), not a fake ratio
+          val par = listener.snapshotFullAndReset()
+            .heavyStagePar(listener.HeavyStageSec).getOrElse(name, 999.0)
+          if (par > p) p = par
+        }
+      }
+      if (attempts > 0)
+        System.err.println(f"[bench] suspect retry $q: par $p0%.2f -> $p%.2f ($attempts attempts)")
+      q -> p
+    }
     val suspects = heavyPar.filter(_._2 < 4.0).toSeq.sortBy(_._2)
 
     // train-INCLUSIVE wall (round-7 verdict item 2): one more

@@ -21,7 +21,16 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.foreach { name =>
+    // `-stages` prefix: after the timed passes, re-run once under the
+    // bench's QueryMetricsListener and dump every completed stage's
+    // (wall, taskTime, nTasks, par) — the per-stage view behind the
+    // serial_suspects verdict, for iterating on ONE query's plan.
+    val (showStages, names) = args.partition(_ == "-stages") match {
+      case (flags, rest) => (flags.nonEmpty, rest)
+    }
+    val listener = new graft.bench.QueryMetricsListener
+    if (showStages) spark.sparkContext.addSparkListener(listener)
+    names.foreach { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -31,6 +40,20 @@ object QBench {
       once() // warm
       val times = (1 to 3).map(_ => once()).sorted
       println(f"QBENCH $name median=${times(1)}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+      if (showStages) {
+        listener.snapshotFullAndReset() // drop warm/timed-pass stages
+        // same attributable-work contract as Bench's sequential pass:
+        // a memoized trained artifact is re-materialized inside the
+        // probed run, so training stages are visible
+        Bench.MemoBypass.get(name).foreach(clear => clear())
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+        try once() finally spark.sparkContext.clearJobGroup()
+        listener.awaitQuiescent()
+        val snap = listener.snapshotFullAndReset()
+        snap.stages.getOrElse(name, Nil).foreach { r =>
+          println(f"  stage ${r.stageId}%4d wall=${r.wall}%7.3f task=${r.taskTime}%7.3f n=${r.nTasks}%3d par=${r.par}%5.2f")
+        }
+      }
     }
     spark.stop()
   }

@@ -82,15 +82,34 @@ object Classifier {
 
   /** Labeled training docs outside the deadband: (doc_id, sh, y). */
   private def labeled(s: SparkSession, dir: String,
-                      part: Int = -1): DataFrame =
-    docs(s, dir)
-      .where(partCol(part))
+                      part: Int = -1): DataFrame = {
+    val in = docs(s, dir).where(partCol(part))
+    // CONDITIONAL spread (the q51 sketchIn pattern): on a warehouse
+    // layout the scan is already parallel and the deadband filter
+    // pushing into it is FREE parallelism — no exchange is added. At
+    // fixture layout (one row group → one task) the pushed filter
+    // would run both tokenizations serially (the r13 serial-suspect
+    // entries for the q96 family), so spread by doc_id first
+    // (REPARTITION_BY_NUM: AQE-coalesce-exempt) and block the
+    // pushdown with a one-element explode — a predicate on generator
+    // OUTPUT cannot cross the Generate. A window barrier was measured
+    // 10x CPU here (it severs whole-stage codegen downstream); the
+    // Generate keeps scan-to-aggregate in one codegen region.
+    val spreadTarget = s.sparkContext.defaultParallelism
+    val spread =
+      if (in.rdd.getNumPartitions >= spreadTarget) in
+      else in
+        .repartition(spreadTarget, col("doc_id"))
+        .select(explode(array(struct(col("doc_id"), col("text")))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    spread
       .select(col("doc_id"), col("text"),
         (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
           .cast("long") % S).as("sh"),
         margCol.as("marg"))
       .where(abs(col("marg")) >= Deadband)
       .withColumn("y", when(col("marg") >= 0, 1L).otherwise(-1L))
+  }
 
   /** Dense integer feature vectors: (sh, doc_id, y, x[NF]) with
     * x = hashed unigram counts ++ [1]. One count shuffle; the dense
@@ -105,7 +124,15 @@ object Classifier {
           .cast("long") % D)
       .groupBy(col("doc_id"), col("j"))
       .agg(count(lit(1)).as("c"))
-    val dense = sparse.groupBy(col("doc_id"))
+    // explicit exchange (coalesce-exempt) for the dense assembly: the
+    // ENSURE_REQUIREMENTS exchange AQE would plan here coalesces to
+    // ONE partition at fixture bytes, serializing the per-doc
+    // 129-slot array build (~0.7 s, the residual q96 serial suspect);
+    // hash(doc_id) is also exactly the distribution the examples join
+    // consumes, so no extra shuffle is added either way
+    val dense = sparse
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
         .as("m"))
       .select(col("doc_id"),

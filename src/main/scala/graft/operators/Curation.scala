@@ -768,9 +768,13 @@ object Curation {
   def boilerplateSegments(docsDf: DataFrame, segTokens: Int = SegTokens,
                           saltBuckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // no `size(toks) >= segTokens` guard: spanKeys returns an EMPTY
+    // array for short docs so the posexplode drops them anyway, and
+    // the explicit filter pushed (as size(split(text)) >= k) below
+    // the exchange into the serial fixture scan while splitting the
+    // branches' canonical plans (see Dedup.dupSpanRows)
     val segs = docsDf
       .withColumn("toks", Text.tokens(col("text")))
-      .where(size(col("toks")) >= segTokens)
       .select(col("doc_id"), size(col("toks")).as("tk"),
         posexplode(graft.functions.expressions.ArrayOps
           .spanKeys(col("toks"), segTokens)))

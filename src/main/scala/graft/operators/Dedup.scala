@@ -148,7 +148,17 @@ object Dedup {
                           saltBuckets: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val base = tokenizedBase(docsDf)
-    val spans = base.where(col("n") >= w)
+    // no `where(n >= w)` guard: spanKeys returns an EMPTY array for
+    // short docs, so the posexplode already drops them. The explicit
+    // filter was worse than redundant — Catalyst substituted it to
+    // `size(split(text)) >= w` and pushed it below the repartition
+    // into the one-task fixture scan (tokenizing every doc serially,
+    // ~0.5 s), and the differing pushed filters made the three
+    // consumers' exchanges non-canonical so the scan ran THREE times.
+    // Filter-free, all branches share one ReusedExchange and the
+    // serial scan stage is a pure 0.6 MB read (bench serial-suspect
+    // watchdog, round-13).
+    val spans = base
       .select(col("doc_id"), posexplode(graft.functions.expressions.ArrayOps
         .spanKeys(col("toks"), w)))
       .toDF("doc_id", "i", "span")

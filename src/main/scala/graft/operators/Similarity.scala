@@ -1468,17 +1468,33 @@ object Similarity {
       // stays under the parallel win). At warehouse scale the scan
       // already exceeds the target and NO exchange is added — the pin
       // can never shuffle a 100-TB table.
+      // ONE narrow scan for the whole query: project to the four
+      // needed columns BEFORE the conditional widen so the fixture's
+      // one-row-group serial stage is a pure column read + 4-column
+      // shuffle write (not 16), and hang BOTH branches (sketches AND
+      // exact distincts) off the same exchange — the exact-distinct
+      // branch previously re-scanned lineitem and ran its tag-explode
+      // + partial dedupe as a second ~1 s serial stage (the r13 bench
+      // serial_suspects entry).
       val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+                col("l_extendedprice"))
       val sketchTarget = s.conf.getOption("spark.graft.sketch.minParts")
         .flatMap(_.trim.toIntOption)
         .getOrElse(math.max(2, s.sparkContext.defaultParallelism / 4))
+      // HASH repartition (not round-robin): repartition(n) sorts every
+      // partition before the exchange (sortBeforeRepartition, for
+      // retry determinism) — at fixture layout that sort runs INSIDE
+      // the one-task scan stage and was most of its 0.6 s; hashing on
+      // the 200k-distinct order key spreads just as evenly with a
+      // pure hash+write serial stage.
       val sketchIn =
         if (li.rdd.getNumPartitions >= sketchTarget) li
-        else li.repartition(sketchTarget)
+        else li.repartition(sketchTarget, col("l_orderkey"))
       // both exact distinct counts from ONE scan: tag-explode the two
       // keys, map-side partial dedupe, one shuffle of the distinct
       // pairs (was two scans, two shuffles, and an extra join)
-      val exactDistincts = li.select(col("l_returnflag"),
+      val exactDistincts = sketchIn.select(col("l_returnflag"),
           explode(array(
             struct(lit(0).as("tag"), col("l_orderkey").as("key")),
             struct(lit(1).as("tag"), col("l_partkey").as("key")))).as("tk"))
