@@ -584,6 +584,19 @@ object ScaleLab {
                              outPathOpt: Option[String]): Unit = {
     val outPath = outPathOpt.getOrElse(
       s"/tmp/FULLSUITE_${new java.io.File(dir).getName}.json")
+    // calm-host guard (Bench's round-13 protocol): a shared-host load
+    // burst inflates every stage wall and the probe publishes bogus
+    // walls + dozens of false serial suspects (observed: 433 s vs
+    // 209 s for identical code at 10x under loadavg 9). Wait, bounded.
+    val cores = Runtime.getRuntime.availableProcessors
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    var waited = 0
+    while (loadavg > cores / 4 && waited < 300) {
+      System.err.println(
+        f"[fullsuite] host loadavg $loadavg%.1f > ${cores / 4}: waiting")
+      Thread.sleep(15000); waited += 15
+    }
     val listener = new graft.bench.QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
     def run1(name: String,
