@@ -1288,6 +1288,76 @@ object Similarity {
        |  WHERE c.vec_id <> p.query_id),
        |$duckRankTail""".stripMargin
 
+  /** HARD-NEGATIVE MINING (q104/q104b): for each anchor vector, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * negatives that sit closest to the decision boundary, i.e. the
+    * pairs a contrastive/triplet embedding trainer actually wants
+    * (easy negatives teach nothing; the hardest ones carry the
+    * gradient). Anchors are the bounded query set (vec_id <
+    * NumQueries, a broadcast literal's worth); candidates are the
+    * rest of the corpus.
+    *
+    * Scale shape (brute): one corpus pass against broadcast anchors,
+    * label inequality fused into the join condition (evaluated before
+    * the dot product — wrong-label rows never pay the 64-mult
+    * kernel... the other way around: SAME-label rows are skipped
+    * before scoring), then per-anchor top-k through the custom
+    * [[graft.plans.TopKPerKey]] operator: bounded per-partition heaps
+    * + a k-row-per-key merge — no window sort exchange, no hot
+    * anchor partition streaming the whole corpus through one reducer.
+    * The IVF variant (q104b) scans only the anchors' probed cells —
+    * the 100-TB path, same contract as q41. */
+  def hardNegativesBrute(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(emb(s, dir))
+    val q = broadcast(
+      n.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+                col("ve").as("qve"), col("nrm").as("qnrm")))
+    val scored = n.where(col("vec_id") >= NumQueries)
+      .join(q, col("label") =!= col("qlabel"))
+      .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("label").as("neg_label"), col("cosine"))
+    graft.plans.TopKPerKey(scored, keys = Seq("query_id"),
+        orderBy = Seq("cosine" -> true, "neighbor_id" -> false), k = TopK)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+              round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** q104b: the celled scale path — hard negatives searched only in
+    * the anchors' `nprobe` nearest IVF cells (the q41 codebook and
+    * assignment, so the oracle replays cell-for-cell). Approximate in
+    * the same sense as every IVF probe: a hard negative outside the
+    * probed cells is missed; the measured recall story is q92's. */
+  def hardNegativesIvf(s: SparkSession, dir: String,
+                       p: AnnParams): DataFrame = {
+    val cents = sampledCodebook(s, dir, p.ivfK)
+    val n = normed(emb(s, dir))
+    val assigned = n.withColumn("cbd",
+      graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents,
+        p.ivfProbe))
+    val corpus = assigned
+      .withColumn("cell", element_at(col("cbd"), 1).getField("cell"))
+      .drop("cbd")
+      .where(col("vec_id") >= NumQueries)
+    val probeCells = transform(slice(col("cbd"), 1, p.ivfProbe),
+      c => c.getField("cell"))
+    val q = broadcast(
+      assigned.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+                col("ve").as("qve"), col("nrm").as("qnrm"),
+                explode(probeCells).as("cell")))
+    val scored = corpus.join(q, Seq("cell"))
+      .where(col("label") =!= col("qlabel"))
+      .withColumn("cosine", dotExpr / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("label").as("neg_label"), col("cosine"))
+    graft.plans.TopKPerKey(scored, keys = Seq("query_id"),
+        orderBy = Seq("cosine" -> true, "neighbor_id" -> false), k = TopK)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+              round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Exact top-k cosine (q36): corpus scanned once, queries broadcast.
     * Also the GROUND TRUTH side of [[annRecall]]. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -1347,8 +1417,66 @@ object Similarity {
        |  WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id),
        |$duckRankTail""".stripMargin
 
+  /** Shared rank tail of the hard-negative oracles — q36's tail plus
+    * the carried neg_label column. */
+  private val duckNegRankTail =
+    """ranked AS (
+      |  SELECT query_id, neighbor_id, neg_label, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, neg_label, round(cosine, 4) AS cosine
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
+  private def hardNegOracleSql: String =
+    s"""WITH $duckNormedCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    d.label AS neg_label,
+       |    list_dot_product(q.ve, d.ve) / (q.nrm * d.nrm) AS cosine
+       |  FROM n q, n d
+       |  WHERE q.vec_id < $NumQueries AND d.vec_id >= $NumQueries
+       |    AND d.label <> q.label),
+       |$duckNegRankTail""".stripMargin
+
+  /** q104b replay: q41's codebook + cell-assignment CTEs with the
+    * label-inequality predicate and anchor-excluded corpus. */
+  private def hardNegIvfOracleSql(p: AnnParams): String =
+    s"""WITH $duckNormedCte,
+       |cents AS (
+       |  SELECT list(struct_pack(cid := r, cve := ve) ORDER BY r) AS cl
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r, ve
+       |        FROM n WHERE vec_id BETWEEN 100 AND ${100 + p.ivfK - 1})),
+       |assigned AS (
+       |  SELECT vec_id, label, ve, nrm,
+       |    list_sort(list_transform(cl, c -> struct_pack(
+       |      d := list_sum(list_transform(generate_series(1, 64),
+       |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
+       |      cell := c.cid))) AS cbd
+       |  FROM n, cents),
+       |corpus AS (
+       |  SELECT vec_id, label, ve, nrm, cbd[1].cell AS cell FROM assigned
+       |  WHERE vec_id >= $NumQueries),
+       |probes AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, ve AS qve,
+       |    nrm AS qnrm,
+       |    unnest(list_transform(cbd[1:${p.ivfProbe}], s2 -> s2.cell)) AS cell
+       |  FROM assigned WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+       |    list_dot_product(p.qve, c.ve) / (p.qnrm * c.nrm) AS cosine
+       |  FROM probes p JOIN corpus c ON c.cell = p.cell
+       |  WHERE c.label <> p.qlabel),
+       |$duckNegRankTail""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_knn_brute" -> ((s, dir) => knnBrute(s, dir)),
+
+    "q104_hard_negatives" -> ((s, dir) => hardNegativesBrute(s, dir)),
+    // the celled scale path at the default (k=16, probe=2) operating
+    // point — its oracle replays the same codebook + cell assignment
+    "q104b_hard_negatives_ivf" -> ((s, dir) =>
+      hardNegativesIvf(s, dir, AnnParams.Default)),
 
     "q92_ann_recall" -> ((s, dir) => annRecall(s, dir, AnnParams.Default)),
     // the cost/recall knob made visible: probe=1 scans a quarter of
@@ -1564,6 +1692,8 @@ object Similarity {
     "q65_ivfpq_knn" -> ivfPqOracleSql(AnnParams.Default),
     "q65b_ivfpq_p2" -> ivfPqOracleSql(AnnParams(ivfProbe = 2)),
     "q36_knn_brute" -> bruteOracleSql,
+    "q104_hard_negatives" -> hardNegOracleSql,
+    "q104b_hard_negatives_ivf" -> hardNegIvfOracleSql(AnnParams.Default),
     "q92_ann_recall" -> annRecallOracleSql(AnnParams.Default),
     "q92b_ann_recall_p1" -> annRecallOracleSql(AnnParams(ivfProbe = 1)),
 

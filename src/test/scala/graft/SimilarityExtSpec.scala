@@ -345,4 +345,64 @@ class SimilarityExtSpec extends AnyFunSuite {
     assert(math.abs(refined(1)(0) - 1.015) < 1e-4)
     assert(refined(1)(1) == 0.0)
   }
+
+  test("hard negatives: every row is wrong-label, top-k, and matches the window formulation") {
+    import org.apache.spark.sql.functions._
+    val anchors = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") < 10).select(col("vec_id"), col("label"))
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toMap
+    val rows = Similarity.queries("q104_hard_negatives")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // k rows per anchor, every negative carries a label != the anchor's
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.length <= 5))
+    rows.foreach { r =>
+      assert(r.getAs[Number](2).longValue != anchors(r.getLong(0)),
+        s"same-label negative for anchor ${r.getLong(0)}: $r")
+      assert(r.getLong(1) >= 10, "anchors must not appear as negatives")
+    }
+    // the TopKPerKey plan == the window+row_number formulation, row for row
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    val brute = Similarity.queries("q36_knn_brute")(spark, dir)
+    // reference: rank brute-style but with the label filter, via window
+    import org.apache.spark.sql.expressions.Window
+    val n = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ve"))
+      .withColumn("nrm", sqrt(graft.functions.expressions.ArrayOps
+        .dotProduct(col("ve"), col("ve"))))
+    val q = n.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+              col("ve").as("qve"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val ref = n.where(col("vec_id") >= 10)
+      .join(q, col("label") =!= col("qlabel"))
+      .withColumn("cosine", graft.functions.expressions.ArrayOps
+        .dotProduct(col("qve"), col("ve")) / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("label").as("neg_label"), col("cosine"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+              round(col("cosine"), 4).as("cosine"))
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == ref)
+    val _ = (labels, brute)
+  }
+
+  test("hard negatives IVF: subset semantics and useful recall vs exact") {
+    val exact = Similarity.queries("q104_hard_negatives")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val celled = Similarity.queries("q104b_hard_negatives_ivf")(spark, dir)
+      .collect()
+    assert(celled.nonEmpty)
+    assert(celled.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    val recall = celled.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(exact).size.toDouble / exact.size
+    info(f"hard-negative IVF recall@5: $recall%.2f")
+    assert(recall >= 0.3, s"recall too low: $recall")
+  }
 }
