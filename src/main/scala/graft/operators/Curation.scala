@@ -49,6 +49,20 @@ object Curation {
   /** Per-source token budget for q63's mixture cut. */
   private val TokenBudgetPerSource = 600
 
+  /** q105's corpus-wide token target. Small enough that every source
+    * is OVERSUBSCRIBED at sf0.01+ (the regime where temperature
+    * weights actually decide anything); the op degrades gracefully to
+    * keep-everything for sources whose weighted share exceeds their
+    * size. */
+  private val MixTargetTokens = 20000L
+
+  /** Fixed-point scale for the temperature weights (the repo-wide
+    * integer trick): floor(sqrt(n) * 2^20) is bit-identical across
+    * engines because IEEE sqrt is correctly rounded and the 2^20
+    * scale is exact, so the weight SUM is an order-independent
+    * integer — the one property a double sum lacks. */
+  private val MixWeightScale = 1L << 20
+
   /** Training-sequence length (tokens) for q66's packing stats. */
   private val SeqLen = 512
 
@@ -682,6 +696,49 @@ object Curation {
         .where(col("cum") <= TokenBudgetPerSource)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("tk")).as("tokens_kept"))
+    }),
+
+    "q105_temperature_mix" -> ((s, dir) => {
+      // TEMPERATURE-WEIGHTED MIXTURE (the mT5/Llama multilingual
+      // recipe): each source's token budget is proportional to
+      // n_s^alpha with alpha = 0.5 — small sources get upweighted
+      // RELATIVE share, big ones get subsampled — then docs fill each
+      // budget in deterministic content-hash order (q63's cut). The
+      // whole weight computation is integer fixed-point
+      // (floor(sqrt(n)*2^20), cross-multiplied budgets) so the oracle
+      // replays it bit-for-bit: no double SUM whose order could
+      // differ between engines.
+      //
+      // Scale: per-source token counts are one partial-agg pass
+      // (sources = a handful of groups); budgets are a broadcast-tiny
+      // table; the budget cut is q63's per-source window — each
+      // source's stream is an independent partition, and at 100 TB
+      // the cumulative cut prunes everything past the budget.
+      import org.apache.spark.sql.expressions.Window
+      val tk = docs(s, dir)
+        .withColumn("tk", size(Text.tokens(col("text"))))
+      val weights = tk.groupBy(col("source"))
+        .agg(sum(col("tk")).as("n_s"))
+        .withColumn("w",
+          floor(sqrt(col("n_s").cast("double")) * MixWeightScale)
+            .cast("long"))
+      val budgets = weights
+        .crossJoin(broadcast(weights.agg(sum(col("w")).as("tw"))))
+        .select(col("source"),
+          expr(s"CAST(($MixTargetTokens * w) DIV tw AS BIGINT)")
+            .as("budget_tokens"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tk.withColumn("cum", sum(col("tk")).over(w))
+        .join(broadcast(budgets), Seq("source"))
+        .where(col("cum") <= col("budget_tokens"))
+        .groupBy(col("source"))
+        .agg(first(col("budget_tokens")).as("budget_tokens"),
+             count(lit(1)).as("n_kept"),
+             sum(col("tk")).as("tokens_kept"))
+        .select(col("source"), col("budget_tokens"), col("n_kept"),
+                col("tokens_kept"))
     }),
 
     "q66_sequence_packing" -> ((s, dir) => {
@@ -1379,6 +1436,35 @@ object Curation {
          |SELECT source, count(*) AS n_kept,
          |  CAST(sum(tk) AS BIGINT) AS tokens_kept
          |FROM c WHERE cum <= $TokenBudgetPerSource GROUP BY source""".stripMargin,
+
+    "q105_temperature_mix" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, md5(text) AS h,
+         |    len(string_split(text, ' ')) AS tk
+         |  FROM documents),
+         |ns AS (
+         |  SELECT source, CAST(sum(tk) AS BIGINT) AS n_s FROM t
+         |  GROUP BY source),
+         |wt AS (
+         |  SELECT source,
+         |    CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * $MixWeightScale)
+         |         AS BIGINT) AS w
+         |  FROM ns),
+         |b AS (
+         |  SELECT source,
+         |    CAST(($MixTargetTokens * w) // (SELECT sum(w) FROM wt)
+         |         AS BIGINT) AS budget_tokens
+         |  FROM wt),
+         |c AS (
+         |  SELECT t.source, tk, b.budget_tokens,
+         |    sum(tk) OVER (PARTITION BY t.source ORDER BY h, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum
+         |  FROM t JOIN b ON b.source = t.source)
+         |SELECT source, budget_tokens, count(*) AS n_kept,
+         |  CAST(sum(tk) AS BIGINT) AS tokens_kept
+         |FROM c WHERE cum <= budget_tokens
+         |GROUP BY source, budget_tokens""".stripMargin,
 
     "q66_sequence_packing" ->
       s"""WITH t AS (

@@ -402,6 +402,36 @@ object Dedup {
              sum(col("n_chars")).as("kept_chars"))
     }),
 
+    "q61e_dedup_keep_best" -> ((s, dir) => {
+      // KEEP-BEST representative policy: instead of q61b's min-id
+      // representative, each near-dup cluster keeps its LONGEST
+      // member (most tokens, tie-break min doc_id) — the policy real
+      // corpus builds use, since the longest near-duplicate usually
+      // subsumes the truncated copies. Argmax rides an integer
+      // struct-max (token count, negated id), so the choice is exact
+      // and engine-independent.
+      //
+      // Scale: cluster labels are OUTPUT-sized (docs that paired),
+      // the per-cluster argmax groups that small table, and the
+      // corpus scans once into a left-anti against the dropped set —
+      // the q61b shape with one extra tiny aggregate.
+      val tk = docs(s, dir)
+        .withColumn("tk", size(Text.tokens(col("text"))).cast("long"))
+      val members = dedupClusters(s, dir, DefaultBands)
+        .select(col("doc_id"), col("cluster_id"))
+        .join(tk.select(col("doc_id"), col("tk")), Seq("doc_id"))
+      val best = members.groupBy(col("cluster_id"))
+        .agg(max(struct(col("tk"), (-col("doc_id")).as("negid"))).as("m"))
+        .select(col("cluster_id"), (-col("m.negid")).as("keep_id"))
+      val dropped = members.join(best, Seq("cluster_id"))
+        .where(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"))
+      tk.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+             sum(col("tk")).as("kept_tokens"))
+    }),
+
     "q34_simhash" -> ((s, dir) =>
       // 64-bit SimHash fingerprints via the native Catalyst expression
       // (one O(N) codegen'd loop per row; see SimHash64Expr). The md5
@@ -1981,6 +2011,35 @@ object Dedup {
          |FROM documents d LEFT JOIN nonrep nr ON nr.doc_id = d.doc_id
          |WHERE nr.doc_id IS NULL
          |GROUP BY d.source""".stripMargin,
+
+    "q61e_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes(DefaultBands)},
+         |edges AS (
+         |  SELECT doc1 AS u, doc2 AS v FROM pairs
+         |  UNION SELECT doc2, doc1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+         |  WHERE e.v <> r.u),
+         |lab AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |tkt AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT l.doc_id,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |                       ORDER BY t.tk DESC, l.doc_id ASC) AS rn
+         |  FROM lab l JOIN tkt t ON t.doc_id = l.doc_id),
+         |dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+         |SELECT t.source, count(*) AS n_kept,
+         |  CAST(sum(t.tk) AS BIGINT) AS kept_tokens
+         |FROM tkt t LEFT JOIN dropped dr ON dr.doc_id = t.doc_id
+         |WHERE dr.doc_id IS NULL
+         |GROUP BY t.source""".stripMargin,
 
     "q34_simhash" ->
       s"WITH $duckSimhashCte\nSELECT doc_id, source, simhash FROM fp",

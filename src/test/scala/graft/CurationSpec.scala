@@ -367,4 +367,35 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(enc == refEnc, "trained-tokenizer encode diverges from reference")
   }
+
+  test("q105 temperature mix: alpha=0.5 upweights small sources, budgets bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Curation
+      .queries("q105_temperature_mix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // kept tokens never exceed the budget; budgets sum to <= the target
+    rows.foreach { case (src, budget, _, kept) =>
+      assert(kept <= budget, s"$src kept $kept > budget $budget")
+    }
+    assert(rows.map(_._2).sum <= 20000L)
+    // temperature property: the SMALLEST source's budget share must
+    // exceed its token share, the LARGEST source's must be below it
+    // (sqrt flattens the distribution toward uniform)
+    val ns = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("tk", size(split(col("text"), " ")))
+      .groupBy(col("source")).agg(sum(col("tk")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalN = ns.values.sum.toDouble
+    val totalB = rows.map(_._2).sum.toDouble
+    val smallest = ns.minBy(_._2)._1
+    val largest = ns.maxBy(_._2)._1
+    def budgetShare(src: String) =
+      rows.find(_._1 == src).get._2 / totalB
+    def tokenShare(src: String) = ns(src) / totalN
+    assert(budgetShare(smallest) > tokenShare(smallest),
+      s"smallest source not upweighted: ${budgetShare(smallest)} vs ${tokenShare(smallest)}")
+    assert(budgetShare(largest) < tokenShare(largest),
+      s"largest source not downweighted: ${budgetShare(largest)} vs ${tokenShare(largest)}")
+  }
 }

@@ -218,6 +218,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.values.sum == total - nonRep,
       s"kept ${kept.values.sum} != $total - $nonRep")
     assert(nonRep > 0, "no duplicates found — apply test is vacuous")
+
+    // q61e keep-best: same kept COUNT as the min-id policy (one
+    // survivor per cluster either way), and each cluster's survivor
+    // is its longest member (tie min id) — checked against the
+    // cluster table directly
+    import org.apache.spark.sql.functions._
+    val keptBest = Dedup.queries("q61e_dedup_keep_best")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBest.values.sum == kept.values.sum,
+      "keep-best must keep exactly one doc per cluster, like min-id")
+    val tk = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = Dedup.queries("q61_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values
+    // expected survivors under keep-longest
+    val expectedSurvivors = byCluster.map(ms =>
+      ms.map(_._1).maxBy(id => (tk(id), -id))).toSet
+    val keptTokens = Dedup.queries("q61e_dedup_keep_best")(spark, dir)
+      .collect().map(r => r.getLong(2)).sum
+    val allDocTokens = tk.values.sum
+    val droppedTokens = byCluster.flatMap(ms => ms.map(_._1))
+      .filterNot(expectedSurvivors).map(tk).sum
+    assert(keptTokens == allDocTokens - droppedTokens,
+      "keep-best kept-token total diverges from the per-cluster argmax")
   }
 }
 
