@@ -96,18 +96,27 @@ object Classifier {
     // 10x CPU here (it severs whole-stage codegen downstream); the
     // Generate keeps scan-to-aggregate in one codegen region.
     val spreadTarget = s.sparkContext.defaultParallelism
+    // both branches emit (doc_id, text, marg); marg is computed INSIDE
+    // the barrier struct so the deadband filter and the label
+    // projection reference the generated FIELD — evaluated once per
+    // row — instead of each re-deriving the two tokenizations (the
+    // filter and the projection are separate codegen expressions, so
+    // cross-referencing the raw formula re-ran it per consumer)
     val spread =
-      if (in.rdd.getNumPartitions >= spreadTarget) in
+      if (in.rdd.getNumPartitions >= spreadTarget)
+        in.select(col("doc_id"), col("text"), margCol.as("marg"))
       else in
         .repartition(spreadTarget, col("doc_id"))
-        .select(explode(array(struct(col("doc_id"), col("text")))).as("r"))
-        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+        .select(explode(array(struct(
+          col("doc_id"), col("text"), margCol.as("marg")))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+                col("r.marg").as("marg"))
     spread
+      .where(abs(col("marg")) >= Deadband)
       .select(col("doc_id"), col("text"),
         (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
           .cast("long") % S).as("sh"),
-        margCol.as("marg"))
-      .where(abs(col("marg")) >= Deadband)
+        col("marg"))
       .withColumn("y", when(col("marg") >= 0, 1L).otherwise(-1L))
   }
 
