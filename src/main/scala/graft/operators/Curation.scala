@@ -829,8 +829,16 @@ object Curation {
     // array for short docs so the posexplode drops them anyway, and
     // the explicit filter pushed (as size(split(text)) >= k) below
     // the exchange into the serial fixture scan while splitting the
-    // branches' canonical plans (see Dedup.dupSpanRows)
+    // branches' canonical plans (see Dedup.dupSpanRows).
+    // Spread BEFORE tokenizing (the tokenizedBase pattern, round-13):
+    // this was the one span-family entry without it, so the per-doc
+    // tokenize+spanKeys hashing ran at file-layout parallelism (1 task
+    // at fixture, par ~3.8 at 10x) instead of cluster width; both
+    // consumers (repeat-key aggregate + join-back) also now share one
+    // ReusedExchange instead of re-scanning.
     val segs = docsDf
+      .repartition(
+        docsDf.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), size(col("toks")).as("tk"),
         posexplode(graft.functions.expressions.ArrayOps
