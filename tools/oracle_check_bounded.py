@@ -64,6 +64,14 @@ def main(sf_dir, out_dir, timeout_sec=900, skip_log=None, skip_prefixes=None):
                   flush=True)
             n_bad += 1
             continue
+        # spark-output existence FIRST: a subset Verify dump leaves most
+        # queries without output, and running their oracles anyway cost
+        # up to timeout_sec each (the heavy span/minhash statements made
+        # a 10-query subset check take 90+ minutes)
+        if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+            print(f"FAIL {name}: no spark output", flush=True)
+            n_bad += 1
+            continue
         sql = oracle[name]
         timer = threading.Timer(timeout_sec, con.interrupt)
         timer.start()
