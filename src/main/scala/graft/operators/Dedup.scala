@@ -1532,7 +1532,15 @@ object Dedup {
   def maintainClusterState(s: SparkSession, stateDir: String,
                            batch: DataFrame, numBands: Int): DataFrame = {
     val rowsPerBand = NumHashes / numBands
+    // spread the batch BEFORE the featurize (the tokenizedBase
+    // pattern): shingle+minhash+sorted-hash extraction is the
+    // heaviest per-doc compute in the wave, and without the explicit
+    // exchange it runs at the arriving batch's file-layout
+    // parallelism (the q61d 10x probe showed it as the wave's
+    // narrow stage). One cheap exchange of (doc_id, text), then the
+    // localCheckpoint below materializes the featurized rows wide.
     val batchSets = batch
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.expressions.ArrayOps
           .wordShingles(Text.tokens(col("text")), ShingleK).as("sh"))
