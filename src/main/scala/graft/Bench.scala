@@ -222,33 +222,62 @@ object Bench {
     // host). A PLAN defect is serial on every attempt; a load
     // artifact clears on retry. Re-run each flagged query alone (gc +
     // brief calm wait first) and keep the MAX par across attempts —
-    // only persistent entries publish.
-    val heavyPar: Map[String, Double] = heavyParRaw.map { case (q, p0) =>
+    // only persistent entries publish. Round-14 hardening (r13
+    // ADVICE): a FAILED retry run proves nothing and keeps the
+    // original reading; a retry with no heavy stage clears the
+    // suspect only when the retried wall is itself small (a
+    // multi-second query with no >=0.5 s stage would be a listener
+    // anomaly, not evidence of parallelism) — cleared queries publish
+    // under `retry_cleared`, never as fake ratios in the par map.
+    val retryCleared = scala.collection.mutable.ArrayBuffer[String]()
+    def retryRun(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] retry $name failed: ${e.getMessage}"); false }
+        finally spark.sparkContext.clearJobGroup()
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val heavyPar: Map[String, Double] = heavyParRaw.flatMap { case (q, p0) =>
       var p = p0
+      var cleared = false
       var attempts = 0
-      while (p < 4.0 && attempts < 2) {
+      while (p < 4.0 && !cleared && attempts < 2) {
         attempts += 1
         System.gc()
         var waited = 0
-        while (loadavg > cores / 2 && waited < 60) {
+        while (loadavg > cores / 2.0 && waited < loadWaitSec) {
           Thread.sleep(5000); waited += 5
         }
         suite.find(_._1 == q).foreach { case (name, fn) =>
           MemoBypass.get(name).foreach(clear => clear())
           listener.snapshotFullAndReset()
-          run1(name, fn)
+          val (retryWall, retryOk) = retryRun(name, fn)
           listener.awaitQuiescent(maxWaitMs = 10000)
-          // a retry with NO heavy stage at all means the original
-          // heavy reading was load inflation — publish as 999 (the
-          // sentinel for "not heavy when idle"), not a fake ratio
-          val par = listener.snapshotFullAndReset()
-            .heavyStagePar(listener.HeavyStageSec).getOrElse(name, 999.0)
-          if (par > p) p = par
+          val parOpt = listener.snapshotFullAndReset()
+            .heavyStagePar(listener.HeavyStageSec).get(name)
+          if (!retryOk) {
+            System.err.println(
+              f"[bench] suspect retry $q: run FAILED — keeping par $p0%.2f")
+          } else parOpt match {
+            case Some(par) => if (par > p) p = par
+            case None =>
+              if (retryWall < 4.0 * listener.HeavyStageSec) cleared = true
+              else System.err.println(
+                f"[bench] suspect retry $q: no heavy stage but wall " +
+                f"$retryWall%.2f s — keeping par $p%.2f")
+          }
         }
       }
       if (attempts > 0)
-        System.err.println(f"[bench] suspect retry $q: par $p0%.2f -> $p%.2f ($attempts attempts)")
-      q -> p
+        System.err.println(f"[bench] suspect retry $q: par $p0%.2f -> " +
+          (if (cleared) "cleared (not heavy when idle)" else f"$p%.2f") +
+          s" ($attempts attempts)")
+      if (cleared) { retryCleared += q; None } else Some(q -> p)
     }
     val suspects = heavyPar.filter(_._2 < 4.0).toSeq.sortBy(_._2)
 
@@ -288,6 +317,8 @@ object Bench {
       s""""queries_stage_wall":${jmap(aligned(stageWall))},""" +
       s""""queries_task_time":${jmap(aligned(taskTime))},""" +
       s""""queries_heavy_stage_par":${jmap(heavyPar.toSeq.sortBy(_._1))},""" +
+      s""""retry_cleared":[${
+        retryCleared.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""serial_suspects":${jmap(suspects)},""" +
       headline + "}"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -31,10 +31,12 @@ import org.apache.spark.sql.types._
   * reference's published schemas (avro_schemas.go `manifest_entry` /
   * `manifest_file_info`) — real Avro container files here, where the
   * reference still writes JSON bodies behind a `.avro` name
-  * (metadata.go:131-146 "TODO: Implement proper Avro format"); like
-  * the reference's, they omit the spec's per-field `field-id` props,
-  * which strict Iceberg readers require (documented interop bound;
-  * the JSON side is the part catalogs and engines parse first).
+  * (metadata.go:131-146 "TODO: Implement proper Avro format"). Since
+  * round 14 every Avro field also carries the Iceberg spec's
+  * `field-id` prop (and the partition map its key-id/value-id), so
+  * id-resolving readers can map the manifests; the remaining interop
+  * bound is the partition MAP layout itself (the reference's shape)
+  * vs the spec's r102 partition struct.
   *
   * Scale: emission is O(changed files) — per-file row counts come
   * from a parquet-footer read ONLY for files not already in the
@@ -140,32 +142,40 @@ object IcebergMetadata {
 
   // ------------------------------------------------------ avro schemas
 
-  // the reference's record layouts (avro_schemas.go), minus doc noise
+  // the reference's record layouts (avro_schemas.go), minus doc noise.
+  // Round 14: every field carries the Iceberg spec's `field-id` prop
+  // (manifest_entry 0/1/3/4/2, data_file 134/100-104, manifest_file
+  // 500-514 — the published spec assignments) so strict Avro readers
+  // that resolve by id, not name, can map the manifests. The one
+  // residual deviation stays documented: `partition` is a string map
+  // (the reference's shape, avro_schemas.go) rather than the spec's
+  // r102 partition struct — its key-id/value-id use 141/142, the first
+  // unassigned data_file ids after sort_order_id (140).
   private val ManifestEntrySchema =
     """{"type":"record","name":"manifest_entry","namespace":"org.apache.iceberg","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":"long"},
-      |{"name":"data_sequence_number","type":"long"},
-      |{"name":"file_sequence_number","type":"long"},
-      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |{"name":"content","type":"int"},
-      |{"name":"file_path","type":"string"},
-      |{"name":"file_format","type":"string"},
-      |{"name":"partition","type":{"type":"map","values":"string"}},
-      |{"name":"record_count","type":"long"},
-      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":"long","field-id":1},
+      |{"name":"data_sequence_number","type":"long","field-id":3},
+      |{"name":"file_sequence_number","type":"long","field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"data_file","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"map","values":"string","key-id":141,"value-id":142}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""".stripMargin
       .replace("\n", "")
 
   private val ManifestListSchema =
     """{"type":"record","name":"manifest_file","namespace":"org.apache.iceberg","fields":[
-      |{"name":"manifest_path","type":"string"},
-      |{"name":"manifest_length","type":"long"},
-      |{"name":"partition_spec_id","type":"int"},
-      |{"name":"added_snapshot_id","type":"long"},
-      |{"name":"added_files_count","type":"int"},
-      |{"name":"deleted_files_count","type":"int"},
-      |{"name":"added_rows_count","type":"long"},
-      |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}]}""".stripMargin
       .replace("\n", "")
 
   // -------------------------------------------------------------- emit

@@ -589,12 +589,17 @@ object ScaleLab {
     // walls + dozens of false serial suspects (observed: 433 s vs
     // 209 s for identical code at 10x under loadavg 9). Wait, bounded.
     val cores = Runtime.getRuntime.availableProcessors
+    // floating division with a floor of 1.0 (r13 ADVICE): integer
+    // cores/4 is 0 on a <4-core host, forcing the full wait on any
+    // nonzero load; getSystemLoadAverage may return -1.0 on
+    // unsupported platforms — then the guard is a deliberate no-op.
+    val calmBar = math.max(1.0, cores / 4.0)
     def loadavg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     var waited = 0
-    while (loadavg > cores / 4 && waited < 300) {
+    while (loadavg > calmBar && waited < 300) {
       System.err.println(
-        f"[fullsuite] host loadavg $loadavg%.1f > ${cores / 4}: waiting")
+        f"[fullsuite] host loadavg $loadavg%.1f > $calmBar%.1f: waiting")
       Thread.sleep(15000); waited += 15
     }
     val listener = new graft.bench.QueryMetricsListener
@@ -621,7 +626,50 @@ object ScaleLab {
     val total = (System.nanoTime() - t0) / 1e9
     listener.awaitQuiescent(maxWaitMs = 15000)
     val snap = listener.snapshotFullAndReset()
-    val heavyPar = snap.heavyStagePar(listener.HeavyStageSec)
+    val heavyParRaw = snap.heavyStagePar(listener.HeavyStageSec)
+    // suspect calm-retry (round-14, parity with Bench's round-13
+    // protocol): the sequential pass is not load-guarded mid-run, so
+    // a co-tenant burst can flag genuinely-parallel queries. Re-run
+    // each flagged query alone (gc + bounded calm wait) and keep the
+    // MAX measured par; a retry with no heavy stage AND a small wall
+    // clears the suspect (published under `retry_cleared`, never as a
+    // fake ratio). A failed retry keeps the original reading.
+    val retryCleared = scala.collection.mutable.ArrayBuffer[String]()
+    val heavyPar: Map[String, Double] = heavyParRaw.flatMap { case (q, p0) =>
+      var p = p0
+      var cleared = false
+      var attempts = 0
+      while (p < 4.0 && !cleared && attempts < 2) {
+        attempts += 1
+        System.gc()
+        var w2 = 0
+        while (loadavg > calmBar * 2 && w2 < 120) { Thread.sleep(5000); w2 += 5 }
+        suite.find(_._1 == q).foreach { case (name, fn) =>
+          graft.Bench.MemoBypass.get(name).foreach(clear => clear())
+          listener.snapshotFullAndReset()
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
+          val rt0 = System.nanoTime()
+          val ok =
+            try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[fullsuite] retry $name failed: ${e.getMessage}"); false }
+            finally spark.sparkContext.clearJobGroup()
+          val retryWall = (System.nanoTime() - rt0) / 1e9
+          listener.awaitQuiescent(maxWaitMs = 15000)
+          val parOpt = listener.snapshotFullAndReset()
+            .heavyStagePar(listener.HeavyStageSec).get(name)
+          if (!ok) ()
+          else parOpt match {
+            case Some(par) => if (par > p) p = par
+            case None => if (retryWall < 4.0 * listener.HeavyStageSec) cleared = true
+          }
+        }
+      }
+      if (attempts > 0)
+        System.err.println(f"[fullsuite] suspect retry $q: par $p0%.2f -> " +
+          (if (cleared) "cleared" else f"$p%.2f") + s" ($attempts attempts)")
+      if (cleared) { retryCleared += q; None } else Some(q -> p)
+    }
     val suspects = heavyPar.filter(_._2 < 4.0).toSeq.sortBy(_._2)
     def r3(v: Double): String = f"$v%.3f"
     def jmap(kv: Seq[(String, Double)]): String =
@@ -631,6 +679,8 @@ object ScaleLab {
       s""""n_queries":${suite.length},""" +
       s""""queries":${jmap(sequential)},""" +
       s""""queries_heavy_stage_par":${jmap(heavyPar.toSeq.sortBy(_._1))},""" +
+      s""""retry_cleared":[${
+        retryCleared.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""serial_suspects":${jmap(suspects)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

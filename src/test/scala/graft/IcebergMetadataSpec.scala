@@ -144,6 +144,30 @@ class IcebergMetadataSpec extends AnyFunSuite {
       assert(df.get("file_format").toString == "PARQUET")
       assert(df.get("file_size_in_bytes").asInstanceOf[Long] > 0L)
     }
+
+    // spec `field-id` props (round 14): strict Iceberg readers resolve
+    // fields by id, not name — assert the EMBEDDED container-file
+    // schemas carry the published spec assignments (manifest_entry
+    // 0/1/3/4/2, data_file 134/100-104, manifest_file 500-514; the
+    // partition map's key-id/value-id use 141/142, first free ids)
+    def fid(s: org.apache.avro.Schema, name: String): Int =
+      s.getField(name).getObjectProp("field-id").asInstanceOf[Number].intValue
+    val es = entries.head.getSchema
+    assert(fid(es, "status") == 0 && fid(es, "snapshot_id") == 1 &&
+      fid(es, "data_sequence_number") == 3 && fid(es, "file_sequence_number") == 4 &&
+      fid(es, "data_file") == 2)
+    val dfs = es.getField("data_file").schema()
+    assert(fid(dfs, "file_path") == 100 && fid(dfs, "file_format") == 101 &&
+      fid(dfs, "partition") == 102 && fid(dfs, "record_count") == 103 &&
+      fid(dfs, "file_size_in_bytes") == 104 && fid(dfs, "content") == 134)
+    val pm = dfs.getField("partition").schema()
+    assert(pm.getObjectProp("key-id").asInstanceOf[Number].intValue == 141)
+    assert(pm.getObjectProp("value-id").asInstanceOf[Number].intValue == 142)
+    val ls = mf.getSchema
+    assert(fid(ls, "manifest_path") == 500 && fid(ls, "manifest_length") == 501 &&
+      fid(ls, "partition_spec_id") == 502 && fid(ls, "added_snapshot_id") == 503 &&
+      fid(ls, "added_files_count") == 504 && fid(ls, "deleted_files_count") == 506 &&
+      fid(ls, "added_rows_count") == 512 && fid(ls, "deleted_rows_count") == 514)
   }
 
   test("partitioned table: identity spec with source-ids, partition values per data file") {
