@@ -364,6 +364,9 @@ object Dedup {
 
     "q81_containment" -> ((s, dir) => containmentPairs(s, dir, DefaultBands)),
 
+    "q106_edit_distance_dedup" -> ((s, dir) =>
+      editDistancePairs(s, dir, DefaultBands)),
+
     "q87_incremental_neardup" -> ((s, dir) =>
       incrementalNearDupPairs(s, dir, DefaultBands)),
 
@@ -690,7 +693,7 @@ object Dedup {
 
   /** LSH candidate pairs from the scan path: band keys computed from
     * the corpus, then bucket-local capped pair generation. */
-  private def lshCandidatePairs(s: SparkSession, dir: String,
+  private[graft] def lshCandidatePairs(s: SparkSession, dir: String,
                                 numBands: Int): DataFrame = {
     val rowsPerBand = NumHashes / numBands
     val base = shingleBase(s, dir)
@@ -762,6 +765,37 @@ object Dedup {
         round(col("inter").cast("double") / col("n1"), 4).as("cont1"),
         round(col("inter").cast("double") / col("n2"), 4).as("cont2"))
       .where(greatest(col("cont1"), col("cont2")) >= ContainmentThreshold)
+
+  /** q106: edit-distance-verified near-dup pairs — the
+    * CHARACTER-level complement of the shingle-Jaccard verifier
+    * (q33): LSH banded candidates (same banding, same bucket caps)
+    * verified by normalized Levenshtein distance,
+    * dist/max(len1,len2) <= 0.4, written in INTEGER arithmetic
+    * (dist*5 <= maxlen*2) so the decision is engine-exact against
+    * DuckDB. Jaccard tolerates token reordering; edit distance
+    * punishes it — this is the verifier for "same bytes, light
+    * edits" dedup (plagiarism-style), and on the fixture it prunes
+    * the reordered-token candidates Jaccard keeps (measured at
+    * sf0.01: 30 candidates, bimodal NED at ~0.02 and ~0.7, 25 pass).
+    *
+    * Scale: Levenshtein is O(len1*len2) per pair, so it runs ONLY on
+    * the banded candidate set (never all-pairs), joined to texts by
+    * doc_id — two hash joins that broadcast the candidate side when
+    * small. The quadratic cost bounds the operating length; a 100-TB
+    * deployment caps compared prefixes (as CommonCrawl-style dedup
+    * does) — the fixture's sub-KB docs stay far under any cap. */
+  def editDistancePairs(s: SparkSession, dir: String,
+                        numBands: Int): DataFrame = {
+    val texts = docs(s, dir).select(col("doc_id"), col("text"))
+    lshCandidatePairs(s, dir, numBands)
+      .join(texts.select(col("doc_id").as("doc1"), col("text").as("t1")), "doc1")
+      .join(texts.select(col("doc_id").as("doc2"), col("text").as("t2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"),
+        greatest(length(col("t1")), length(col("t2"))).cast("long")
+          .as("max_len"))
+      .where(col("edit_dist") * 5 <= col("max_len") * 2)
+  }
 
   /** Near-dup decision threshold for the incremental (batch-vs-corpus)
     * probe — matches [[graft.streaming.DocStream.nearDupAgainstBands]]
@@ -1944,6 +1978,19 @@ object Dedup {
     "q33_minhash_pairs" -> minhashOracleSql(DefaultBands),
     "q33b_minhash_b16" -> minhashOracleSql(16),
     "q81_containment" -> containmentOracleSql(DefaultBands),
+
+    "q106_edit_distance_dedup" ->
+      s"""WITH ${candCtes(DefaultBands)},
+         |ed AS (
+         |  SELECT c.doc1, c.doc2,
+         |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         |    CAST(greatest(length(a.text), length(b.text)) AS BIGINT)
+         |      AS max_len
+         |  FROM cand c
+         |  JOIN documents a ON a.doc_id = c.doc1
+         |  JOIN documents b ON b.doc_id = c.doc2)
+         |SELECT doc1, doc2, edit_dist, max_len FROM ed
+         |WHERE edit_dist * 5 <= max_len * 2""".stripMargin,
 
     "q87_incremental_neardup" ->
       s"""WITH ${incPairsCtes(DefaultBands)}

@@ -79,6 +79,49 @@ class SimilarityExtSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.minhashOracleSql(16).contains("range(0, 16)"))
   }
 
+  test("q106 edit-distance dedup: threshold holds, dists exact, filters the reorder pairs") {
+    val rows = graft.operators.Dedup.queries("q106_edit_distance_dedup")(
+      spark, dir).collect()
+    assert(rows.nonEmpty, "q106 must produce pairs on the fixture")
+    // decision bound holds on every output row (integer form)
+    rows.foreach { r =>
+      assert(r.getLong(2) * 5 <= r.getLong(3) * 2,
+        s"pair ${r.getLong(0)}/${r.getLong(1)} violates dist*5 <= maxlen*2")
+    }
+    // and it FILTERS: the verify must prune part of the banded
+    // candidate set (the fixture's reordered-token collisions sit at
+    // NED ~0.7, far over the 0.4 bar; on this corpus Jaccard-0.1 and
+    // NED-0.4 happen to agree pair-for-pair, so the pin is against
+    // the CANDIDATES, not against q33's output)
+    val cand = graft.operators.Dedup.lshCandidatePairs(spark, dir, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e.subsetOf(cand), "edit-verified pairs must come from the LSH candidates")
+    assert(e.size < cand.size, "edit verify must prune at least one candidate")
+    // exactness: recompute Levenshtein in-test for a sample of pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j2 <- 1 to b.length) {
+          val t = d(j2)
+          d(j2) = math.min(math.min(d(j2) + 1, d(j2 - 1) + 1),
+            prev + (if (a(i - 1) == b(j2 - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(b.length)
+    }
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(5).foreach { r =>
+      val expect = lev(texts(r.getLong(0)), texts(r.getLong(1)))
+      assert(r.getLong(2) == expect,
+        s"edit_dist mismatch for ${r.getLong(0)}/${r.getLong(1)}")
+    }
+  }
+
   test("SETTINGS compression=zstd becomes a parquet writer property") {
     val ct = RangerDdl.parse(
       "CREATE TABLE t (id int64) STORAGE filesystem SETTINGS compression=zstd")
