@@ -790,11 +790,43 @@ object Dedup {
     lshCandidatePairs(s, dir, numBands)
       .join(texts.select(col("doc_id").as("doc1"), col("text").as("t1")), "doc1")
       .join(texts.select(col("doc_id").as("doc2"), col("text").as("t2")), "doc2")
+      .withColumn("max_len",
+        greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      // exact length prune: dist >= |len1 - len2|, so a pair whose
+      // length gap alone exceeds the bar cannot pass (26% of the 10x
+      // candidate set) — the oracle needs no mirror, pruned pairs
+      // fail its distance bar by the same inequality
+      .where((col("max_len")
+          - least(length(col("t1")), length(col("t2"))).cast("long")) * 5
+        <= col("max_len") * 2)
+      // spread before the DP: candidate rows are tiny in BYTES but
+      // each carries an O(len1*len2) Levenshtein — AQE coalesced the
+      // join output to 2 tasks at 10x (260k pairs, 224 s of task
+      // time, par 1.6). REPARTITION_BY_NUM is AQE-coalesce-exempt —
+      // and the key must be doc1 ALONE: the candidate distinct
+      // upstream already hash-partitions on (doc1, doc2), broadcast
+      // joins preserve it, so a (doc1, doc2) repartition is elided as
+      // redundant by EnsureRequirements and the DP stays in the
+      // coalesced 2-task stage (measured; the plan pin is
+      // PlanQualitySpec's).
+      .repartition(s.sparkContext.defaultParallelism, col("doc1"))
+      // one-element explode barrier (SCALING.md round 13): the filter
+      // below references the computed distance, and without the
+      // Generate Catalyst pushes compute + filter back through the
+      // exchange into the 2-task join stage. The per-row THRESHOLD
+      // makes the DP banded (O(k*len) instead of O(len^2), -1 beyond
+      // the bar); for every KEPT row dist <= floor(0.4*max_len), where
+      // the banded result equals the exact distance — so the oracle's
+      // plain levenshtein + the same integer bar keeps the identical
+      // set and values.
+      .select(col("doc1"), col("doc2"), col("max_len"),
+        explode(array(struct(expr(
+          "levenshtein(t1, t2, cast(max_len * 2 div 5 as int))")
+          .as("d")))).as("e"))
       .select(col("doc1"), col("doc2"),
-        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"),
-        greatest(length(col("t1")), length(col("t2"))).cast("long")
-          .as("max_len"))
-      .where(col("edit_dist") * 5 <= col("max_len") * 2)
+        col("e.d").cast("long").as("edit_dist"), col("max_len"))
+      .where(col("edit_dist") >= 0 &&
+        col("edit_dist") * 5 <= col("max_len") * 2)
   }
 
   /** Near-dup decision threshold for the incremental (batch-vs-corpus)
