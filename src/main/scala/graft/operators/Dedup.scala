@@ -788,6 +788,19 @@ object Dedup {
                         numBands: Int): DataFrame = {
     val texts = docs(s, dir).select(col("doc_id"), col("text"))
     lshCandidatePairs(s, dir, numBands)
+      // spread FIRST: candidate rows are tiny in BYTES but each will
+      // carry an O(len1*len2) Levenshtein — AQE coalesces the
+      // distinct's exchange to 2 tasks at 10x and, without this,
+      // joins + DP all ride those 2 tasks (260k pairs, 224 s of task
+      // time, par 1.6, measured). REPARTITION_BY_NUM is
+      // AQE-coalesce-exempt — and the key must be doc1 ALONE: the
+      // candidate distinct already hash-partitions on (doc1, doc2)
+      // and broadcast joins preserve partitioning, so a (doc1, doc2)
+      // repartition is elided as redundant by EnsureRequirements.
+      // Placed BEFORE the text joins so the joins, the length prune,
+      // and the DP share one cluster-wide stage (the plan pin is
+      // PlanQualitySpec's).
+      .repartition(s.sparkContext.defaultParallelism, col("doc1"))
       .join(texts.select(col("doc_id").as("doc1"), col("text").as("t1")), "doc1")
       .join(texts.select(col("doc_id").as("doc2"), col("text").as("t2")), "doc2")
       .withColumn("max_len",
@@ -799,16 +812,12 @@ object Dedup {
       .where((col("max_len")
           - least(length(col("t1")), length(col("t2"))).cast("long")) * 5
         <= col("max_len") * 2)
-      // spread before the DP: candidate rows are tiny in BYTES but
-      // each carries an O(len1*len2) Levenshtein — AQE coalesced the
-      // join output to 2 tasks at 10x (260k pairs, 224 s of task
-      // time, par 1.6). REPARTITION_BY_NUM is AQE-coalesce-exempt —
-      // and the key must be doc1 ALONE: the candidate distinct
-      // upstream already hash-partitions on (doc1, doc2), broadcast
-      // joins preserve it, so a (doc1, doc2) repartition is elided as
-      // redundant by EnsureRequirements and the DP stays in the
-      // coalesced 2-task stage (measured; the plan pin is
-      // PlanQualitySpec's).
+      // belt for the SMJ regime: if the text side ever outgrows
+      // broadcast, the doc2-side join re-partitions the stream on
+      // doc2 and AQE may coalesce it — this second spread (same key,
+      // so ELIDED as redundant whenever the broadcast regime kept the
+      // pre-join width) guarantees the DP its own wide stage either
+      // way.
       .repartition(s.sparkContext.defaultParallelism, col("doc1"))
       // one-element explode barrier (SCALING.md round 13): the filter
       // below references the computed distance, and without the

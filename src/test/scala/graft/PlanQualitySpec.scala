@@ -488,4 +488,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q99 range join degenerated to a nested loop:\n$p")
     assert(!p.contains("CartesianProduct"), s"q99 went all-pairs:\n$p")
   }
+
+  test("q106: Levenshtein DP runs above its own spread exchange, banded, behind the barrier") {
+    // the 10x forensic (SCALING.md round 14 / commit history): the
+    // candidate distinct already partitions on (doc1, doc2), broadcast
+    // joins preserve it, and AQE coalesces that tiny exchange to 2
+    // tasks — so without a DISTINCT-keyed REPARTITION_BY_NUM the
+    // O(len^2) DP serializes (224 s of task time in 2 tasks). Pin:
+    // a REPARTITION_BY_NUM exchange exists, the levenshtein sits in a
+    // Generate (the pushdown barrier) with its per-row threshold (the
+    // banded-DP form), and the plan keeps the threshold filter above
+    // the Generate rather than pushed into the join stage.
+    val df = graft.operators.Dedup.queries("q106_edit_distance_dedup")(spark, dir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"q106 lost its spread exchange (DP will serialize at scale):\n$p")
+    assert(p.contains("Generate explode(array(struct(d, levenshtein"),
+      s"q106 levenshtein must live inside the Generate barrier:\n$p")
+    assert(p.contains("levenshtein(t1") && p.contains("Some(cast"),
+      s"q106 levenshtein lost its per-row threshold (banded DP):\n$p")
+  }
 }
