@@ -1469,8 +1469,145 @@ object Similarity {
        |  WHERE c.label <> p.qlabel),
        |$duckNegRankTail""".stripMargin
 
+  // ---- q107: MMR-diversified retrieval ------------------------------
+
+  /** MMR trade-off weights, written as EXPLICIT literal PAIRS (never
+    * `1 - lambda`: 1.0 - 0.7 is 0.30000000000000004 in binary — the
+    * oracle interpolates these constants' decimal text and DuckDB
+    * parses to nearest, so both engines must start from the same
+    * decimal). q107 runs the relevance-leaning default; q107b the
+    * balanced point (more diversity pressure) on the same generated
+    * oracle. */
+  private val MmrDefault = (0.7, 0.3)
+  private val MmrBalanced = (0.5, 0.5)
+  private val MmrCandK = 20
+
+  /** q107: maximal-marginal-relevance re-ranking — the standard
+    * diversified-retrieval pass over ANN candidates (few-shot example
+    * selection, dedup-aware RAG): per query, greedily pick TopK of the
+    * top-[[MmrCandK]] cosine candidates maximizing
+    * `lambda*rel - penalty*max_sim_to_already_selected`, ties to the
+    * lower neighbor_id. Round 1 has no selected set, so its score is
+    * `lambda*rel` (empty max = 0) and the first pick equals q36's
+    * top-1 (spec pin).
+    *
+    * Shape: candidate generation is the existing brute path (swap in
+    * the IVF path at warehouse scale — same contract as q104/q104b);
+    * the greedy runs as [[TopK]] UNROLLED rounds of tiny joins over
+    * the candidate table (bounded NumQueries x MmrCandK rows,
+    * localCheckpoint'd once — the "ship the model" bounded contract),
+    * never a per-row UDF and never a driver-side loop over data: each
+    * round is (anti-join | max-sim agg | top-1 per key), all
+    * per-query-group operators that scale with the query batch. The
+    * DuckDB oracle unrolls the same five steps (the perceptron
+    * oracle's unrolled-CTE pattern), so selection is hash-compared
+    * end-to-end. */
+  def mmrDiversify(s: SparkSession, dir: String,
+                   weights: (Double, Double)): DataFrame = {
+    import graft.functions.expressions.ArrayOps.dotProduct
+    val (mmrLambda, mmrPenalty) = weights
+    val n = normed(emb(s, dir))
+    val q = broadcast(n.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("ve").as("qve"),
+              col("nrm").as("qnrm")))
+    val scored = n.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("rel", dotExpr / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("rel"), col("ve"), col("nrm"))
+    val cand = graft.plans.TopKPerKey(scored, keys = Seq("query_id"),
+        orderBy = Seq("rel" -> true, "neighbor_id" -> false), k = MmrCandK)
+      .localCheckpoint()
+    val outCols = Seq(col("query_id"), col("neighbor_id"), col("rel"),
+      col("ve"), col("nrm"), col("mmr"), col("rank"))
+    var selected = graft.plans.TopKPerKey(
+        cand.withColumn("mmr", lit(mmrLambda) * col("rel")),
+        keys = Seq("query_id"),
+        orderBy = Seq("mmr" -> true, "neighbor_id" -> false), k = 1)
+      .withColumn("rank", lit(1))
+      .select(outCols: _*)
+    for (t <- 2 to TopK) {
+      val selV = selected.select(col("query_id"),
+        col("ve").as("sve"), col("nrm").as("snrm"))
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = remaining.join(selV, Seq("query_id"))
+        .withColumn("sim",
+          dotProduct(col("ve"), col("sve")) / (col("nrm") * col("snrm")))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val pick = graft.plans.TopKPerKey(
+          remaining.join(ms, Seq("query_id", "neighbor_id"))
+            .withColumn("mmr",
+              lit(mmrLambda) * col("rel") - lit(mmrPenalty) * col("maxsim")),
+          keys = Seq("query_id"),
+          orderBy = Seq("mmr" -> true, "neighbor_id" -> false), k = 1)
+        .withColumn("rank", lit(t))
+        .select(outCols: _*)
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("query_id"), col("rank").cast("long").as("rank"),
+      col("neighbor_id"), round(col("rel"), 4).as("rel"),
+      round(col("mmr"), 4).as("mmr"))
+  }
+
+  /** q107/q107b oracle: the same five greedy steps unrolled as CTEs,
+    * at the given weight pair. */
+  private def mmrOracleSql(weights: (Double, Double)): String = {
+    val (mmrLambda, mmrPenalty) = weights
+    val steps = (2 to TopK).map { t =>
+      s"""m$t AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    max(list_dot_product(c.ve, s.ve) / (c.nrm * s.nrm)) AS maxsim
+         |  FROM cand c JOIN p${t - 1} s ON s.query_id = c.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM p${t - 1} x
+         |    WHERE x.query_id = c.query_id
+         |      AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY c.query_id, c.neighbor_id),
+         |w$t AS (
+         |  SELECT c.*, $mmrLambda * c.rel - $mmrPenalty * m.maxsim AS mmr
+         |  FROM cand c JOIN m$t m
+         |    ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id),
+         |s$t AS (
+         |  SELECT query_id, neighbor_id, rel, ve, nrm, mmr, $t AS rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY mmr DESC, neighbor_id ASC) AS rn FROM w$t)
+         |  WHERE rn = 1),
+         |p$t AS (SELECT * FROM p${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckNormedCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    list_dot_product(q.ve, d.ve) / (q.nrm * d.nrm) AS rel,
+       |    d.ve AS ve, d.nrm AS nrm
+       |  FROM n q, n d
+       |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, rel, ve, nrm
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rel DESC, neighbor_id ASC) AS rn FROM scored)
+       |  WHERE rn <= $MmrCandK),
+       |s1 AS (
+       |  SELECT query_id, neighbor_id, rel, ve, nrm, mmr, 1 AS rank
+       |  FROM (SELECT *, $mmrLambda * rel AS mmr, row_number() OVER (
+       |          PARTITION BY query_id
+       |          ORDER BY $mmrLambda * rel DESC, neighbor_id ASC) AS rn
+       |        FROM cand)
+       |  WHERE rn = 1),
+       |p1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  round(rel, 4) AS rel, round(mmr, 4) AS mmr
+       |FROM p$TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_knn_brute" -> ((s, dir) => knnBrute(s, dir)),
+
+    "q107_mmr_diversify" -> ((s, dir) => mmrDiversify(s, dir, MmrDefault)),
+    // balanced operating point: heavier diversity penalty, same
+    // generated oracle — the q33b/q37b parameterization convention
+    "q107b_mmr_balanced" -> ((s, dir) => mmrDiversify(s, dir, MmrBalanced)),
 
     "q104_hard_negatives" -> ((s, dir) => hardNegativesBrute(s, dir)),
     // the celled scale path at the default (k=16, probe=2) operating
@@ -1692,6 +1829,8 @@ object Similarity {
     "q65_ivfpq_knn" -> ivfPqOracleSql(AnnParams.Default),
     "q65b_ivfpq_p2" -> ivfPqOracleSql(AnnParams(ivfProbe = 2)),
     "q36_knn_brute" -> bruteOracleSql,
+    "q107_mmr_diversify" -> mmrOracleSql(MmrDefault),
+    "q107b_mmr_balanced" -> mmrOracleSql(MmrBalanced),
     "q104_hard_negatives" -> hardNegOracleSql,
     "q104b_hard_negatives_ivf" -> hardNegIvfOracleSql(AnnParams.Default),
     "q92_ann_recall" -> annRecallOracleSql(AnnParams.Default),

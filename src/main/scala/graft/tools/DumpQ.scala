@@ -21,6 +21,12 @@ object DumpQ {
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.queries(name)(spark, sfDir)
       .write.mode("overwrite").parquet(out)
+    // the query's oracle SQL lands beside the dump so a scale-point
+    // DuckDB compare needs no full Verify run for oracle_sql.json
+    graft.SparkEntry.oracleSql.get(name).foreach { sql =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$out.oracle.sql"),
+        sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(s"DUMPQ $name -> $out")
     spark.stop()
   }

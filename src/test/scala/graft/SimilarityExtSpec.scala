@@ -122,6 +122,56 @@ class SimilarityExtSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 MMR: exact greedy replay, rank-1 is the top hit, and it actually diversifies") {
+    val rows = Similarity.queries("q107_mmr_diversify")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(r => (r._1, r._2))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.map(_._2).toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L)),
+      "each of the 10 queries must get ranks 1..5")
+    // independent greedy replay from raw vectors (same double ops in
+    // the same order as the operator's dot/norm/combine arithmetic)
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = embs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    for (qid <- 0L until 10L) {
+      val rel = embs.keys.filter(_ != qid).map(d =>
+        d -> dot(embs(qid), embs(d)) / (nrm(qid) * nrm(d))).toSeq
+      val cand = rel.sortBy { case (d, c) => (-c, d) }.take(20)
+      var sel = Vector.empty[(Long, Double)] // (id, mmr)
+      for (_ <- 1 to 5) {
+        val pick = cand.filterNot(c => sel.exists(_._1 == c._1)).map { case (d, c) =>
+          val pen = if (sel.isEmpty) 0.0
+            else sel.map(s => dot(embs(d), embs(s._1)) / (nrm(d) * nrm(s._1))).max
+          (d, 0.7 * c - 0.3 * pen)
+        }.minBy { case (d, m) => (-m, d) }
+        sel :+= pick
+      }
+      val got = byQ(qid).sortBy(_._2).map(r => (r._3, r._5))
+      val want = sel.map { case (d, m) =>
+        (d, BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      assert(got.map(_._1).toSeq == want.map(_._1),
+        s"q$qid selection order mismatch: got ${got.map(_._1).toSeq} want ${want.map(_._1)}")
+      // rank 1 is the plain cosine top-1
+      assert(got.head._1 == cand.head._1, s"q$qid rank-1 must be the top hit")
+    }
+    // diversification is real on this corpus: at least one query's
+    // selected SET differs from its plain top-5 (measured: 9 of 10)
+    val divergent = (0L until 10L).count { qid =>
+      val rel = embs.keys.filter(_ != qid).map(d =>
+        d -> dot(embs(qid), embs(d)) / (nrm(qid) * nrm(d))).toSeq
+      val top5 = rel.sortBy { case (d, c) => (-c, d) }.take(5).map(_._1).toSet
+      byQ(qid).map(_._3).toSet != top5
+    }
+    assert(divergent >= 1, "MMR never diverged from plain top-5 — no diversification happening")
+  }
+
   test("SETTINGS compression=zstd becomes a parquet writer property") {
     val ct = RangerDdl.parse(
       "CREATE TABLE t (id int64) STORAGE filesystem SETTINGS compression=zstd")
