@@ -280,6 +280,46 @@ case class IvfCellsExpr(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** q107's greedy MMR selection as ONE per-row kernel: candidates for
+  * one query arrive as `array<struct<id long, rel double,
+  * ve array<double>, nrm double>>` (collect_list order — the kernel is
+  * input-order independent because the argmax tie-break is total:
+  * mmr desc, then id asc) and the full k-round greedy runs in-row,
+  * returning `array<struct<id, rel, mmr, rank>>` in selection order.
+  *
+  * Why an expression and not k rounds of joins: the round formulation
+  * measured 5.5 s of WALL at every scale (≈30 AQE-replanned tiny
+  * stages of driver coordination — flat in corpus size but serial in
+  * the DAG scheduler under concurrency), while the kernel form is one
+  * groupBy shuffle plus a map stage, parallel in the number of
+  * queries — the shape a million-query batch needs. Arithmetic
+  * mirrors the unrolled-CTE oracle term for term: sim =
+  * sequential-dot / (nrm*nrm), mmr = lam*rel - pen*maxsim, round 1
+  * mmr = lam*rel (empty max = 0). */
+case class MmrSelectExpr(child: Expression, k: Int, lam: Double, pen: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rel", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "mmr_select"
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.mmrSelect(input.asInstanceOf[ArrayData], k, lam, pen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ArrayOpsImpl.mmrSelect($c, $k, ${lam}D, ${pen}D)")
+
+  override protected def withNewChildInternal(newChild: Expression): MmrSelectExpr =
+    copy(child = newChild)
+}
+
 /** Companion class => Java static forwarders for generated code. */
 class ArrayOpsImpl private ()
 
@@ -554,6 +594,74 @@ object ArrayOpsImpl {
     acc
   }
 
+  /** Greedy MMR over one query's candidate structs — see
+    * [[MmrSelectExpr]]. Input-order independent (total tie-break);
+    * incremental per-candidate max-to-selected equals the oracle's
+    * per-round max over the full selected set (max is associative
+    * over the same finite sims). */
+  def mmrSelect(cands: ArrayData, k: Int, lam: Double, pen: Double): ArrayData = {
+    val n = cands.numElements()
+    val ids = new Array[Long](n)
+    val rels = new Array[Double](n)
+    val nrms = new Array[Double](n)
+    val ves = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val r = cands.getStruct(i, 4)
+      ids(i) = r.getLong(0)
+      rels(i) = r.getDouble(1)
+      val va = r.getArray(2)
+      val d = va.numElements()
+      val v = new Array[Double](d)
+      var j = 0
+      while (j < d) { v(j) = va.getDouble(j); j += 1 }
+      ves(i) = v
+      nrms(i) = r.getDouble(3)
+      i += 1
+    }
+    val m = math.min(math.max(k, 0), n)
+    val used = new Array[Boolean](n)
+    val maxsim = new Array[Double](n)
+    val out = new Array[AnyRef](m)
+    var s = 0
+    while (s < m) {
+      var best = -1
+      var bestMmr = 0.0
+      var c = 0
+      while (c < n) {
+        if (!used(c)) {
+          val mmr = if (s == 0) lam * rels(c)
+                    else lam * rels(c) - pen * maxsim(c)
+          val cmp = if (best < 0) 1 else java.lang.Double.compare(mmr, bestMmr)
+          if (cmp > 0 || (cmp == 0 && ids(c) < ids(best))) {
+            best = c; bestMmr = mmr
+          }
+        }
+        c += 1
+      }
+      used(best) = true
+      out(s) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ids(best), rels(best), bestMmr, s + 1))
+      val bv = ves(best)
+      val bn = nrms(best)
+      var c2 = 0
+      while (c2 < n) {
+        if (!used(c2)) {
+          val v = ves(c2)
+          val d = math.min(v.length, bv.length)
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += v(j) * bv(j); j += 1 }
+          val sim = acc / (nrms(c2) * bn)
+          if (s == 0 || sim > maxsim(c2)) maxsim(c2) = sim
+        }
+        c2 += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def ivfCells(v: ArrayData, cents: Array[Array[Double]], top: Int): ArrayData = {
     val dim = v.numElements()
     val vec = new Array[Double](dim)
@@ -642,4 +750,7 @@ object ArrayOps {
 
   def byteSymbols(s: Column): Column =
     GraftBridge.column(ByteSymbolsExpr(GraftBridge.expression(s)))
+
+  def mmrSelect(cands: Column, k: Int, lam: Double, pen: Double): Column =
+    GraftBridge.column(MmrSelectExpr(GraftBridge.expression(cands), k, lam, pen))
 }
