@@ -143,11 +143,31 @@ object Changefeed {
       s"""{"id":$id,"table":"${esc(table)}","operation":"${esc(operation)}","data":$fields,"timestamp_ms":${System.currentTimeMillis()}}"""
     }
     // temp + rename: the streaming file source and the poller must
-    // never observe a half-written event
+    // never observe a half-written event.
+    // Bounded retry around the create+write: Hadoop's RawLocalFileSystem
+    // SHELLS OUT to chmod inside create() (Shell.run via setPermission),
+    // and under fork pressure (several writer JVMs + host load) that
+    // exec can transiently fail — observed killing a soak writer
+    // mid-run. A transient fs hiccup must not fail the DML that
+    // already committed; durability semantics are preserved because
+    // the LAST attempt still throws.
     val tmp = new Path(d, s".evt-$id.json.tmp")
-    val out = fs.create(tmp, true)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try {
+        val out = fs.create(tmp, true)
+        out.write(json.getBytes("UTF-8"))
+        out.close()
+        done = true
+      } catch {
+        case e: java.io.IOException if attempt < 3 =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"changefeed emit attempt $attempt failed (${e.getMessage}); retrying")
+          Thread.sleep(50L * attempt)
+      }
+    }
     fs.rename(tmp, new Path(d, f"evt-$id%016d.json"))
   }
 
