@@ -162,7 +162,14 @@ object Changefeed {
         out.close()
         done = true
       } catch {
-        case e: java.io.IOException if attempt < 3 =>
+        // never retry on an interrupted thread: a cancelled statement's
+        // interrupt surfaces as InterruptedIOException/
+        // ClosedByInterruptException and must propagate immediately
+        // (the statement is dying; re-driving I/O on an interrupted
+        // thread risks partially-flushed state), exactly as before the
+        // retry existed
+        case e: java.io.IOException
+            if attempt < 3 && !Thread.currentThread().isInterrupted =>
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"changefeed emit attempt $attempt failed (${e.getMessage}); retrying")
           Thread.sleep(50L * attempt)
