@@ -96,7 +96,7 @@ object Bench {
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       finally spark.sparkContext.clearJobGroup()
@@ -237,7 +237,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] retry $name failed: ${e.getMessage}"); false }
         finally spark.sparkContext.clearJobGroup()
       ((System.nanoTime() - t0) / 1e9, ok)
@@ -288,9 +288,15 @@ object Bench {
     // headline cannot silently improve by moving work into memos; a
     // serving deployment reads the memoized wall, a cold-start
     // pipeline this one.
-    MemoBypass.values.foreach(clear => clear())
-    System.gc()
-    val trainInclusiveWall = concurrentPass()._2
+    // median-of-3 (round-14 verdict item 8): a single cold pass swung
+    // 11.3-19.7 s across rounds on host noise alone — round-over-round
+    // comparison needs a stable estimator. Memos are re-cleared before
+    // every pass so each one retrains.
+    val trainInclusiveWall = (1 to 3).map { _ =>
+      MemoBypass.values.foreach(clear => clear())
+      System.gc()
+      concurrentPass()._2
+    }.sorted.apply(1)
 
     def r3(v: Double): String = f"$v%.3f"
     def jmap(kv: Seq[(String, Double)]): String =
@@ -306,6 +312,7 @@ object Bench {
       s""""sequential_total":${r3(seqTotal)},"concurrent_wall":${r3(wall)},""" +
       s""""concurrent_wall_best":${r3(walls.min)},""" +
       s""""concurrent_wall_train_inclusive":${r3(trainInclusiveWall)},""" +
+      s""""train_inclusive_estimator":"median_of_3",""" +
       s""""concurrent_walls":[${walls.map(r3).mkString(",")}],""" +
       s""""host_load_at_start":${r3(hostLoad)},""" +
       s""""extra_passes":$extraPasses,""" +

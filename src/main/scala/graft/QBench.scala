@@ -51,7 +51,7 @@ object QBench {
         listener.awaitQuiescent()
         val snap = listener.snapshotFullAndReset()
         snap.stages.getOrElse(name, Nil).foreach { r =>
-          println(f"  stage ${r.stageId}%4d wall=${r.wall}%7.3f task=${r.taskTime}%7.3f n=${r.nTasks}%3d par=${r.par}%5.2f")
+          println(f"  stage ${r.stageId}%4d wall=${r.wall}%7.3f task=${r.taskTime}%7.3f n=${r.nTasks}%3d par=${r.par}%5.2f  ${r.name.take(70)}")
         }
       }
     }

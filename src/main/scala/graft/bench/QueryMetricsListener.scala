@@ -61,6 +61,7 @@ final class QueryMetricsListener extends SparkListener {
   private val stageWallM = TrieMap[(Int, Int), Double]()
   private val stageTaskM = TrieMap[(Int, Int), Double]()
   private val stageNTask = TrieMap[(Int, Int), Int]()
+  private val stageNameM = TrieMap[(Int, Int), String]()
   private val jobsStarted = new java.util.concurrent.atomic.AtomicLong(0)
   private val jobsEnded = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -90,6 +91,7 @@ final class QueryMetricsListener extends SparkListener {
     } {
       stageWallM.put((si.stageId, si.attemptNumber), (done - sub) / 1e3)
       stageNTask.put((si.stageId, si.attemptNumber), si.numTasks)
+      stageNameM.put((si.stageId, si.attemptNumber), si.name)
     }
   }
 
@@ -132,7 +134,8 @@ final class QueryMetricsListener extends SparkListener {
     val recs: Seq[(String, StageRec)] = stageWallM.toSeq.map {
       case (key @ (sid, _), wall) =>
         groupOf(sid) -> StageRec(sid, wall,
-          stageTaskM.getOrElse(key, 0.0), stageNTask.getOrElse(key, 0))
+          stageTaskM.getOrElse(key, 0.0), stageNTask.getOrElse(key, 0),
+          stageNameM.getOrElse(key, ""))
     }
     val byGroup = recs.groupBy(_._1).map { case (g, rs) =>
       g -> rs.map(_._2).sortBy(_.stageId)
@@ -153,7 +156,7 @@ final class QueryMetricsListener extends SparkListener {
   def snapshotFullAndReset(): Snapshot = {
     val s = snapshot()
     jobMeta.clear(); stageJob.clear()
-    stageWallM.clear(); stageTaskM.clear(); stageNTask.clear()
+    stageWallM.clear(); stageTaskM.clear(); stageNTask.clear(); stageNameM.clear()
     s
   }
 
@@ -183,7 +186,7 @@ object QueryMetricsListener {
     * taskTime/wall — the effective number of cores the stage kept
     * busy; ~1.0 on a 32-core host is the serial-stage signature. */
   final case class StageRec(stageId: Int, wall: Double, taskTime: Double,
-                            nTasks: Int) {
+                            nTasks: Int, name: String = "") {
     def par: Double = if (wall > 0) taskTime / wall else Double.NaN
   }
 

@@ -154,22 +154,36 @@ object Changefeed {
     val tmp = new Path(d, s".evt-$id.json.tmp")
     var attempt = 0
     var done = false
+    // never retry a cancellation: a cancelled statement's interrupt can
+    // surface either as the thread's interrupt flag OR as a typed
+    // exception with the flag already CLEARED (Hadoop code commonly
+    // catches InterruptedException and rethrows InterruptedIOException
+    // without re-interrupting) — exclude both forms. SocketTimeoutException
+    // extends InterruptedIOException but is a genuine transient (matters
+    // only if a remote FS is ever wired in), so it stays retryable.
+    def isCancellation(e: java.io.IOException): Boolean = e match {
+      case _: java.net.SocketTimeoutException => false
+      case _: java.io.InterruptedIOException => true
+      case _: java.nio.channels.ClosedByInterruptException => true
+      case _ => Thread.currentThread().isInterrupted
+    }
     while (!done) {
       attempt += 1
       try {
         val out = fs.create(tmp, true)
-        out.write(json.getBytes("UTF-8"))
-        out.close()
-        done = true
+        try {
+          out.write(json.getBytes("UTF-8"))
+          out.close() // close failure after a clean write is still a failed attempt
+          done = true
+        } finally {
+          // a write/close failure mid-attempt must not leak the stream's
+          // fd before the retry re-creates the same path; the secondary
+          // close failure is ignored so it can't mask the primary exception
+          if (!done) { try out.close() catch { case _: java.io.IOException => () } }
+        }
       } catch {
-        // never retry on an interrupted thread: a cancelled statement's
-        // interrupt surfaces as InterruptedIOException/
-        // ClosedByInterruptException and must propagate immediately
-        // (the statement is dying; re-driving I/O on an interrupted
-        // thread risks partially-flushed state), exactly as before the
-        // retry existed
         case e: java.io.IOException
-            if attempt < 3 && !Thread.currentThread().isInterrupted =>
+            if attempt < 3 && !isCancellation(e) =>
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"changefeed emit attempt $attempt failed (${e.getMessage}); retrying")
           Thread.sleep(50L * attempt)

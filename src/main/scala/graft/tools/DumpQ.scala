@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One-query result dump: `runMain graft.tools.DumpQ <query> <sfDir>
   * <outParquetDir>` — the Verify contract for a single query, for
   * scale-point oracle comparisons (sf1 confirmations) without paying
-  * the full 151-query dump. */
+  * the full Verify dump of every query. */
 object DumpQ {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir, out) = args.take(3)
