@@ -367,6 +367,11 @@ object Dedup {
     "q106_edit_distance_dedup" -> ((s, dir) =>
       editDistancePairs(s, dir, DefaultBands)),
 
+    // the capped-prefix operating point a 100-TB deployment runs —
+    // the verifier compares left(text, EditPrefixCap) in both engines
+    "q106b_edit_distance_capped" -> ((s, dir) =>
+      editDistancePairs(s, dir, DefaultBands, Some(EditPrefixCap))),
+
     "q87_incremental_neardup" -> ((s, dir) =>
       incrementalNearDupPairs(s, dir, DefaultBands)),
 
@@ -783,10 +788,20 @@ object Dedup {
     * doc_id — two hash joins that broadcast the candidate side when
     * small. The quadratic cost bounds the operating length; a 100-TB
     * deployment caps compared prefixes (as CommonCrawl-style dedup
-    * does) — the fixture's sub-KB docs stay far under any cap. */
-  def editDistancePairs(s: SparkSession, dir: String,
-                        numBands: Int): DataFrame = {
-    val texts = docs(s, dir).select(col("doc_id"), col("text"))
+    * does) — q106b ([[EditPrefixCap]]) IS that operating point,
+    * oracle-pinned: both engines compare the first `cap` characters
+    * with the same integer bar over the CAPPED lengths, so the
+    * decision a capped deployment makes is hash-checked, not prose.
+    * Candidates stay full-document LSH bands (the sketch is already
+    * length-bounded); only the quadratic verifier is capped. */
+  def editDistancePairs(s: SparkSession, dir: String, numBands: Int,
+                        prefixCap: Option[Int] = None): DataFrame = {
+    val texts0 = docs(s, dir).select(col("doc_id"), col("text"))
+    val texts = prefixCap match {
+      case Some(cap) => texts0.select(col("doc_id"),
+        substring(col("text"), 1, cap).as("text"))
+      case None => texts0
+    }
     lshCandidatePairs(s, dir, numBands)
       // spread FIRST: candidate rows are tiny in BYTES but each will
       // carry an O(len1*len2) Levenshtein — AQE coalesces the
@@ -843,6 +858,11 @@ object Dedup {
     * so the batch entry and its streaming face agree on what counts
     * as a duplicate. */
   private val IncThreshold = 0.5
+
+  /** q106b's compared-prefix cap (characters). 200 deliberately bites
+    * on the ~300-char fixture docs so the capped decision is exercised
+    * (not vacuously equal to q106); a production cap is KBs. */
+  private[graft] val EditPrefixCap = 200
 
   /** The "new batch" carve-out for q87: a deterministic tenth of the
     * corpus plays the freshly-crawled shard, the rest the ingested
@@ -1570,21 +1590,68 @@ object Dedup {
     *    aggregates), latest = max N. A version is staged under
     *    `_tmp_v<N>` and RENAMED into place only complete, so a reader
     *    never sees a half-written version.
-    *  - `<dir>/{bands,sets}/w=<N>` — APPEND-ONLY per-wave deltas (a
-    *    doc's band rows and shingle set never change after ingest);
-    *    version N's view is the union of waves w ≤ N via partition
-    *    pruning on `w`. Round 9 rewrote the FULL accumulated
+    *  - `<dir>/{bands,sets}/w=<N>/{bb,sb}=<k>` — APPEND-ONLY per-wave
+    *    deltas (a doc's band rows and shingle set never change after
+    *    ingest); version N's view is the union of waves w ≤ N via
+    *    partition pruning on `w`. Round 9 rewrote the FULL accumulated
     *    bands/sets every wave — O(corpus ingested so far) of write
     *    amplification per commit that at 100 TB ingest cadence is the
     *    whole cost; deltas make each commit O(batch) for those two.
+    *    Round 15 added the second partition level — a HASH BUCKET
+    *    (bands by `pmod(hash(band,bh),B)`, sets by
+    *    `pmod(hash(doc_id),B)`, B = spark.graft.clusterstate.buckets
+    *    pinned per state dir in `_buckets`) — because the round-14
+    *    maintainwin probe measured the per-wave accumulated-state
+    *    SCAN as the incremental path's one linear-in-corpus term
+    *    (task time 148→231 s over 10 constant-size waves). Each
+    *    state table serves exactly ONE access pattern so its
+    *    bucketing prunes the read:
+    *      bands — by KEY: the versioned `counts` table (one row per
+    *        (band,bh) ever seen) is joined to the batch's keys to
+    *        find the COLLIDING keys first; their distinct bucket ids
+    *        (a ≤B-int collect) drive partition-pruned reads, so a
+    *        batch that collides with nothing reads nothing — the
+    *        production regime, where arriving content near-dups
+    *        recent content, scans O(collisions), not O(corpus);
+    *      sets — by DOC: the affected-component ids (touched corpus
+    *        docs + their cluster mates) are known before the read,
+    *        so their ≤B distinct doc-buckets prune it; the affected
+    *        docs' band rows are then RE-DERIVED from the minhash
+    *        signature stored in their set rows (32 longs/doc) rather
+    *        than read by doc from the band state, which would need a
+    *        second, differently-bucketed copy.
     * The four writes are independent and run as concurrent jobs —
     * round 9's ~4 serial driver commits per wave were q61d's entire
     * 6.25 s wall (task time 0.27 s).
     * Retention: [[expireClusterState]] keeps the last
     * spark.graft.clusterstate.retain versions (default 10); wave
     * deltas are cumulative state shared by every version and are
-    * never expired. At warehouse scale these are bucketed tables
-    * under a real table format. */
+    * never expired. */
+  /** Hash-bucket count for the band/set wave deltas, PINNED per state
+    * dir at bootstrap (`<dir>/_buckets`): pruning computes the same
+    * `pmod(hash(...), B)` the writes used, so B changing mid-stream
+    * would silently read the wrong partitions. Session default
+    * spark.graft.clusterstate.buckets (16 — at fixture scale the
+    * bucket count is per-wave write tasks + files, ~0.1 s/task
+    * constant each, while the win-regime prune reads ~0 buckets at
+    * any B); at warehouse scale set it so a bucket's accumulated
+    * slice stays a few hundred MB. */
+  private def stateBuckets(s: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_buckets")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    } else {
+      val b = s.conf.getOption("spark.graft.clusterstate.buckets")
+        .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(16)
+      val out = fs.create(p, true)
+      try out.write(b.toString.getBytes("UTF-8")) finally out.close()
+      b
+    }
+  }
+
   private def latestVersion(s: SparkSession, dir: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1637,8 +1704,10 @@ object Dedup {
       .select(col("doc_id"), col("band"), col("bh"))
     val batchCounts = batchBands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("cb"))
+    // mh rides along in the set rows (32 longs/doc) so an affected
+    // doc's band keys are re-derivable without a by-doc band read
     def setsFor(df: DataFrame) =
-      df.select(col("doc_id"), col("shx"), col("n"))
+      df.select(col("doc_id"), col("mh"), col("shx"), col("n"))
     def verify(cand: DataFrame, sets: DataFrame): DataFrame =
       cand
         .join(sets.select(col("doc_id").as("doc1"), col("shx").as("sh1"),
@@ -1665,30 +1734,54 @@ object Dedup {
             batchCounts.withColumnRenamed("cb", "c0"), setsFor(batchSets))
         case Some(v) =>
           val st = s"$stateDir/v$v"
-          def waves(name: String): DataFrame = s.read
-            .option("basePath", s"$stateDir/$name")
-            .parquet(s"$stateDir/$name")
-            .where(col("w") <= v).drop("w") // stray post-crash deltas excluded
+          val nBuckets = stateBuckets(s, stateDir)
+          // pruned accumulated-state read: waves w <= v (stray
+          // post-crash deltas excluded) AND only the listed hash
+          // buckets — both are partition columns, so Catalyst prunes
+          // the untouched directories at planning time
+          def wavesPruned(name: String, bucketCol: String,
+                          buckets: Seq[Int]): DataFrame = {
+            val df = s.read
+              .option("basePath", s"$stateDir/$name")
+              .parquet(s"$stateDir/$name")
+              .where(col("w") <= v)
+            (if (buckets.isEmpty) df.where(lit(false))
+             else df.where(col(bucketCol).isin(buckets: _*)))
+              .drop("w", bucketCol)
+          }
           val labels = s.read.parquet(s"$st/labels")
-          val bands = waves("bands")
           val counts = s.read.parquet(s"$st/counts")
-          val sets = waves("sets")
           val touched = batchBands.select(col("band"), col("bh")).distinct()
-          val touchedCorpus = bands
+          // the counts table records every (band,bh) ever ingested, so
+          // counts ⋈ batch keys = the COLLIDING keys; the collect is
+          // bounded by nBuckets ints. In the temporally-local regime
+          // (arriving content near-dups recent content) this is empty
+          // or tiny, and the band-state read below prunes to nothing.
+          val collidingBbs = counts
+            .join(touched, Seq("band", "bh"), "left_semi")
+            .select(pmod(hash(col("band"), col("bh")), lit(nBuckets))
+              .as("bb")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val touchedCorpus = wavesPruned("bands", "bb", collidingBbs)
             .join(touched, Seq("band", "bh"), "left_semi")
             .select(col("doc_id")).distinct()
-          // affLabels is NOT checkpointed: it is evaluated exactly
-          // once, inside subIds' checkpoint — and `updated` below
-          // anti-joins on subIds instead (equivalent: affected-cluster
-          // docs ⊆ subIds by construction, batch docs are new ids not
-          // in labels), saving a job barrier per wave
           val affLabels = labels.join(touchedCorpus, Seq("doc_id"))
             .select(col("cluster_id")).distinct()
-          val subIds = touchedCorpus
+          // the affected component: touched corpus docs + their
+          // cluster mates. Checkpointed — it prunes the sets read
+          // (the ≤nBuckets sb collect below), bounds the re-derived
+          // band rows, and anti-joins `updated` (batch ids are new by
+          // contract, so they can't appear in labels and don't need
+          // to be in the anti side).
+          val corpusSubIds = touchedCorpus
             .union(labels.join(affLabels, Seq("cluster_id"), "left_semi")
               .select(col("doc_id")))
-            .union(batchSets.select(col("doc_id")))
             .distinct().localCheckpoint()
+          val subSbs = corpusSubIds
+            .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("sb"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val corpusSubSets = wavesPruned("sets", "sb", subSbs)
+            .join(corpusSubIds, Seq("doc_id"), "left_semi")
           val okBuckets = counts
             .join(batchCounts, Seq("band", "bh"), "full_outer")
             .select(col("band"), col("bh"),
@@ -1696,12 +1789,20 @@ object Dedup {
                 coalesce(col("cb"), lit(0L))).as("c"))
             .where(col("c").between(2, BucketCap))
             .select(col("band"), col("bh"))
-          val allBands = bands.unionByName(batchBands)
-          val subBands = allBands.join(subIds, Seq("doc_id"), "left_semi")
+          // affected docs' band rows re-derived from their stored
+          // minhash sig — identical keys to what the band state holds
+          // for them (same mh, same lshBandKeys), without a by-doc
+          // band-state access pattern
+          val corpusSubBands = corpusSubSets.select(
+            col("doc_id"),
+            posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
+              .as(Seq("band", "bh")))
+            .select(col("doc_id"), col("band"), col("bh"))
+          val subBands = corpusSubBands.unionByName(batchBands)
             .join(okBuckets, Seq("band", "bh"), "left_semi")
-          val allSets = sets.unionByName(setsFor(batchSets))
+          val allSets = corpusSubSets.unionByName(setsFor(batchSets))
           val cc = shardCC(s, verify(bucketPairs(subBands), allSets))
-          val updated = labels.join(subIds, Seq("doc_id"), "left_anti")
+          val updated = labels.join(corpusSubIds, Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("cluster_id"))
             .unionByName(cc.select(col("node").as("doc_id"),
               col("label").as("cluster_id")))
@@ -1724,10 +1825,25 @@ object Dedup {
       import scala.concurrent.{Await, ExecutionContext, Future}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // bootstrap pins the bucket count before the first delta write;
+      // later waves read the pinned value back
+      val nBuckets = stateBuckets(s, stateDir)
       try Await.result(Future.sequence(Seq(
-        Future { newBands.write.mode("overwrite")
+        // REPARTITION_BY_NUM (AQE-coalesce-exempt): with the plain
+        // column form AQE coalesced the tiny-bytes exchange to ONE
+        // task that wrote all nBuckets bucket files serially —
+        // measured as q61d's only two sub-par stages (0.8-1.0 s
+        // single-task) at sf0.1
+        Future { newBands
+          .withColumn("bb",
+            pmod(hash(col("band"), col("bh")), lit(nBuckets)))
+          .repartition(nBuckets, col("bb"))
+          .write.mode("overwrite").partitionBy("bb")
           .parquet(s"$stateDir/bands/w=$next") },
-        Future { newSets.write.mode("overwrite")
+        Future { newSets
+          .withColumn("sb", pmod(hash(col("doc_id")), lit(nBuckets)))
+          .repartition(nBuckets, col("sb"))
+          .write.mode("overwrite").partitionBy("sb")
           .parquet(s"$stateDir/sets/w=$next") },
         Future { newCounts.write.mode("overwrite").parquet(s"$tmp/counts") },
         Future { newLabels.write.mode("overwrite").parquet(s"$tmp/labels") }
@@ -2026,6 +2142,22 @@ object Dedup {
          |  SELECT c.doc1, c.doc2,
          |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
          |    CAST(greatest(length(a.text), length(b.text)) AS BIGINT)
+         |      AS max_len
+         |  FROM cand c
+         |  JOIN documents a ON a.doc_id = c.doc1
+         |  JOIN documents b ON b.doc_id = c.doc2)
+         |SELECT doc1, doc2, edit_dist, max_len FROM ed
+         |WHERE edit_dist * 5 <= max_len * 2""".stripMargin,
+
+    "q106b_edit_distance_capped" ->
+      s"""WITH ${candCtes(DefaultBands)},
+         |ed AS (
+         |  SELECT c.doc1, c.doc2,
+         |    CAST(levenshtein(left(a.text, $EditPrefixCap),
+         |                     left(b.text, $EditPrefixCap)) AS BIGINT)
+         |      AS edit_dist,
+         |    CAST(greatest(length(left(a.text, $EditPrefixCap)),
+         |                  length(left(b.text, $EditPrefixCap))) AS BIGINT)
          |      AS max_len
          |  FROM cand c
          |  JOIN documents a ON a.doc_id = c.doc1
