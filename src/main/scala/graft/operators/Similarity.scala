@@ -1478,7 +1478,7 @@ object Similarity {
     * decimal). q107 runs the relevance-leaning default; q107b the
     * balanced point (more diversity pressure) on the same generated
     * oracle. */
-  private val MmrDefault = (0.7, 0.3)
+  private[graft] val MmrDefault = (0.7, 0.3)
   private val MmrBalanced = (0.5, 0.5)
   private val MmrCandK = 20
 
@@ -1504,7 +1504,6 @@ object Similarity {
     * end-to-end. */
   def mmrDiversify(s: SparkSession, dir: String,
                    weights: (Double, Double)): DataFrame = {
-    val (mmrLambda, mmrPenalty) = weights
     val n = normed(emb(s, dir))
     val q = broadcast(n.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("ve").as("qve"),
@@ -1513,15 +1512,57 @@ object Similarity {
       .withColumn("rel", dotExpr / (col("qnrm") * col("nrm")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               col("rel"), col("ve"), col("nrm"))
-    // per-query top-K candidates (distributed heaps, no window sort),
-    // packed into one row per query; the whole greedy then runs as a
-    // single per-row kernel ([[MmrSelectExpr]]) — one groupBy shuffle
-    // of bounded rows (MmrCandK structs each), then map + explode.
-    // The earlier k-rounds-of-joins formulation was semantically
-    // identical but paid ~30 tiny AQE-replanned stages of driver
-    // coordination per call (5.5 s of wall, flat in corpus but serial
-    // under concurrency); the kernel form parallelizes in the number
-    // of QUERIES, which is the axis a production batch grows on.
+    mmrKernelTail(scored, weights)
+  }
+
+  /** q107c: the same MMR greedy over IVF-CELLED candidates — the
+    * scale path q107's scaladoc promised ("swap in the IVF path at
+    * warehouse scale"), with the q104b cell plumbing: corpus assigned
+    * to its argmin cell once, queries probe their `ivfProbe` nearest
+    * cells, so candidate generation scans ~probe/k of the corpus
+    * instead of all of it. The kernel tail is IDENTICAL to q107 —
+    * only the candidate pool changes, which is the whole point: MMR
+    * quality degrades exactly as far as the ANN recall does, and the
+    * `ScaleLab mmrivf` probe measures that overlap against the brute
+    * selection (the q92 recall-monitor pattern). */
+  def mmrDiversifyIvf(s: SparkSession, dir: String,
+                      weights: (Double, Double), p: AnnParams): DataFrame = {
+    val cents = sampledCodebook(s, dir, p.ivfK)
+    val n = normed(emb(s, dir))
+    val assigned = n.withColumn("cbd",
+      graft.functions.expressions.ArrayOps.ivfCells(col("ve"), cents,
+        p.ivfProbe))
+    val corpus = assigned
+      .withColumn("cell", element_at(col("cbd"), 1).getField("cell"))
+      .drop("cbd")
+    val probeCells = transform(slice(col("cbd"), 1, p.ivfProbe),
+      c => c.getField("cell"))
+    val q = broadcast(assigned.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("ve").as("qve"),
+              col("nrm").as("qnrm"), explode(probeCells).as("cell")))
+    // corpus rows carry ONE cell, queries probe several: the cell
+    // equi-join yields each (query, vector) at most once — no distinct
+    val scored = corpus.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("rel", dotExpr / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("rel"), col("ve"), col("nrm"))
+    mmrKernelTail(scored, weights)
+  }
+
+  /** Shared MMR tail: per-query top-[[MmrCandK]] candidates
+    * (distributed heaps, no window sort), packed into one row per
+    * query; the whole greedy then runs as a single per-row kernel
+    * ([[MmrSelectExpr]]) — one groupBy shuffle of bounded rows
+    * (MmrCandK structs each), then map + explode. The earlier
+    * k-rounds-of-joins formulation was semantically identical but
+    * paid ~30 tiny AQE-replanned stages of driver coordination per
+    * call (5.5 s of wall, flat in corpus but serial under
+    * concurrency); the kernel form parallelizes in the number of
+    * QUERIES, which is the axis a production batch grows on. */
+  private def mmrKernelTail(scored: DataFrame,
+                            weights: (Double, Double)): DataFrame = {
+    val (mmrLambda, mmrPenalty) = weights
     val cand = graft.plans.TopKPerKey(scored, keys = Seq("query_id"),
         orderBy = Seq("rel" -> true, "neighbor_id" -> false), k = MmrCandK)
     cand.groupBy(col("query_id"))
@@ -1536,8 +1577,47 @@ object Similarity {
   }
 
   /** q107/q107b oracle: the same five greedy steps unrolled as CTEs,
-    * at the given weight pair. */
-  private def mmrOracleSql(weights: (Double, Double)): String = {
+    * at the given weight pair, over the brute candidate pool. */
+  private def mmrOracleSql(weights: (Double, Double)): String =
+    mmrUnrolledSql(weights,
+      s"""scored AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |    list_dot_product(q.ve, d.ve) / (q.nrm * d.nrm) AS rel,
+         |    d.ve AS ve, d.nrm AS nrm
+         |  FROM n q, n d
+         |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id)""".stripMargin)
+
+  /** q107c oracle: q104b's codebook + cell-assignment CTEs feed the
+    * identical unrolled greedy — only the candidate pool differs. */
+  private def mmrIvfOracleSql(weights: (Double, Double),
+                              p: AnnParams): String =
+    mmrUnrolledSql(weights,
+      s"""cents AS (
+         |  SELECT list(struct_pack(cid := r, cve := ve) ORDER BY r) AS cl
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS r, ve
+         |        FROM n WHERE vec_id BETWEEN 100 AND ${100 + p.ivfK - 1})),
+         |assigned AS (
+         |  SELECT vec_id, ve, nrm,
+         |    list_sort(list_transform(cl, c -> struct_pack(
+         |      d := list_sum(list_transform(generate_series(1, $Dim),
+         |             i -> (c.cve[i] - ve[i]) * (c.cve[i] - ve[i]))),
+         |      cell := c.cid))) AS cbd
+         |  FROM n, cents),
+         |corpus AS (
+         |  SELECT vec_id, ve, nrm, cbd[1].cell AS cell FROM assigned),
+         |probes AS (
+         |  SELECT vec_id AS query_id, ve AS qve, nrm AS qnrm,
+         |    unnest(list_transform(cbd[1:${p.ivfProbe}], s2 -> s2.cell)) AS cell
+         |  FROM assigned WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(p.qve, c.ve) / (p.qnrm * c.nrm) AS rel,
+         |    c.ve AS ve, c.nrm AS nrm
+         |  FROM probes p JOIN corpus c ON c.cell = p.cell
+         |  WHERE c.vec_id <> p.query_id)""".stripMargin)
+
+  private def mmrUnrolledSql(weights: (Double, Double),
+                             scoredCte: String): String = {
     val (mmrLambda, mmrPenalty) = weights
     val steps = (2 to TopK).map { t =>
       s"""m$t AS (
@@ -1560,12 +1640,7 @@ object Similarity {
          |p$t AS (SELECT * FROM p${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
     }.mkString(",\n")
     s"""WITH $duckNormedCte,
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-       |    list_dot_product(q.ve, d.ve) / (q.nrm * d.nrm) AS rel,
-       |    d.ve AS ve, d.nrm AS nrm
-       |  FROM n q, n d
-       |  WHERE q.vec_id < $NumQueries AND d.vec_id <> q.vec_id),
+       |$scoredCte,
        |cand AS (
        |  SELECT query_id, neighbor_id, rel, ve, nrm
        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1592,6 +1667,10 @@ object Similarity {
     // balanced operating point: heavier diversity penalty, same
     // generated oracle — the q33b/q37b parameterization convention
     "q107b_mmr_balanced" -> ((s, dir) => mmrDiversify(s, dir, MmrBalanced)),
+    // the celled scale path at the default (k=16, probe=2) operating
+    // point — candidate generation scans probed cells only
+    "q107c_mmr_ivf" -> ((s, dir) =>
+      mmrDiversifyIvf(s, dir, MmrDefault, AnnParams.Default)),
 
     "q104_hard_negatives" -> ((s, dir) => hardNegativesBrute(s, dir)),
     // the celled scale path at the default (k=16, probe=2) operating
@@ -1815,6 +1894,7 @@ object Similarity {
     "q36_knn_brute" -> bruteOracleSql,
     "q107_mmr_diversify" -> mmrOracleSql(MmrDefault),
     "q107b_mmr_balanced" -> mmrOracleSql(MmrBalanced),
+    "q107c_mmr_ivf" -> mmrIvfOracleSql(MmrDefault, AnnParams.Default),
     "q104_hard_negatives" -> hardNegOracleSql,
     "q104b_hard_negatives_ivf" -> hardNegIvfOracleSql(AnnParams.Default),
     "q92_ann_recall" -> annRecallOracleSql(AnnParams.Default),

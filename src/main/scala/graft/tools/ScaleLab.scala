@@ -161,6 +161,12 @@ object ScaleLab {
           rest.headOption.map(_.toInt).getOrElse(10),
           rest.drop(1).headOption.map(_.toInt).getOrElse(8),
           rest.drop(2).headOption.map(_.toInt).getOrElse(1))
+      case "hardneg" :: dir :: rest =>
+        probeHardNegSweep(spark, dir,
+          if (rest.nonEmpty) rest.map(_.toInt) else Seq(1, 2, 4, 8, 16))
+      case "mmrivf" :: dir :: rest =>
+        probeMmrIvf(spark, dir,
+          if (rest.nonEmpty) rest.map(_.toInt) else Seq(1, 2, 4, 8, 16))
       case "maintain" :: dir :: rest =>
         // q61d end-to-end replay (3 waves over a fresh state dir),
         // memo cleared per sample — the bench-sequential number
@@ -614,7 +620,7 @@ object ScaleLab {
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[fullsuite] $name failed: ${e.getMessage}")
       }
       finally spark.sparkContext.clearJobGroup()
@@ -656,14 +662,15 @@ object ScaleLab {
           val rt0 = System.nanoTime()
           val ok =
             try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
+            catch { case scala.util.control.NonFatal(e) =>
               System.err.println(s"[fullsuite] retry $name failed: ${e.getMessage}"); false }
             finally spark.sparkContext.clearJobGroup()
           val retryWall = (System.nanoTime() - rt0) / 1e9
           listener.awaitQuiescent(maxWaitMs = 15000)
           val parOpt = listener.snapshotFullAndReset()
             .heavyStagePar(listener.HeavyStageSec).get(name)
-          if (!ok) ()
+          if (!ok)
+            System.err.println(s"[fullsuite] retry $name failed; keeping original par for $q")
           else parOpt match {
             case Some(par) => if (par > p) p = par
             case None => if (retryWall < 4.0 * listener.HeavyStageSec) cleared = true
@@ -814,6 +821,69 @@ object ScaleLab {
     * cluster-by produces), CREATE a zonemap index, then time a point
     * SELECT with the pruning rule ON vs OFF and report the file
     * counts each plan read. */
+  /** q104b nprobe sweep (round-14 verdict item 5): recall@k of the
+    * IVF hard-negative miner against the brute miner, per nprobe,
+    * with median-of-3 walls — the recall/cost curve that says which
+    * operating point a deployment should run. Recall counts exact
+    * (query_id, neighbor_id) hits; both sides share the label
+    * predicate so the denominator is the brute top-k itself. */
+  private def probeHardNegSweep(spark: SparkSession, dir: String,
+                                nprobes: Seq[Int]): Unit = {
+    import graft.operators.Similarity
+    val truth = Similarity.queries("q104_hard_negatives")(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nTrue = truth.count()
+    val (bruteMedian, bruteTimes) =
+      timeMedian3(Similarity.queries("q104_hard_negatives")(spark, dir))
+    println(f"HARDNEG_BRUTE dir=$dir n_true=$nTrue " +
+      f"median=$bruteMedian%.3f all=${fmtAll(bruteTimes)}")
+    nprobes.foreach { np =>
+      val p = Similarity.AnnParams(ivfProbe = np)
+      val approx = Similarity.hardNegativesIvf(spark, dir, p)
+        .select(col("query_id"), col("neighbor_id"))
+      val nHit = truth.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi").count()
+      val (median, times) =
+        timeMedian3(Similarity.hardNegativesIvf(spark, dir, p))
+      println(f"HARDNEG_SWEEP dir=$dir k=${p.ivfK} np=$np " +
+        f"recall=${nHit.toDouble / nTrue}%.4f median=$median%.3f " +
+        f"speedup=${bruteMedian / median}%.2fx all=${fmtAll(times)}")
+    }
+    truth.unpersist()
+  }
+
+  /** q107c selection-quality sweep: overlap of the IVF-celled MMR
+    * selection with the brute MMR selection (rank-insensitive
+    * (query_id, neighbor_id) match — MMR is a set selector), per
+    * nprobe, with median-of-3 walls. The q92 recall-monitor pattern
+    * applied to the diversified-retrieval operator. */
+  private def probeMmrIvf(spark: SparkSession, dir: String,
+                          nprobes: Seq[Int]): Unit = {
+    import graft.operators.Similarity
+    val truth = Similarity
+      .mmrDiversify(spark, dir, Similarity.MmrDefault)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val nTrue = truth.count()
+    val (bruteMedian, bruteTimes) = timeMedian3(
+      Similarity.mmrDiversify(spark, dir, Similarity.MmrDefault))
+    println(f"MMR_BRUTE dir=$dir n_true=$nTrue " +
+      f"median=$bruteMedian%.3f all=${fmtAll(bruteTimes)}")
+    nprobes.foreach { np =>
+      val p = Similarity.AnnParams(ivfProbe = np)
+      val approx = Similarity
+        .mmrDiversifyIvf(spark, dir, Similarity.MmrDefault, p)
+        .select(col("query_id"), col("neighbor_id"))
+      val nHit = truth.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi").count()
+      val (median, times) = timeMedian3(Similarity
+        .mmrDiversifyIvf(spark, dir, Similarity.MmrDefault, p))
+      println(f"MMRIVF_SWEEP dir=$dir k=${p.ivfK} np=$np " +
+        f"overlap=${nHit.toDouble / nTrue}%.4f median=$median%.3f " +
+        f"speedup=${bruteMedian / median}%.2fx all=${fmtAll(times)}")
+    }
+    truth.unpersist()
+  }
+
   private def probeZonemap(spark: SparkSession, dir: String): Unit = {
     val engine = new graft.engine.QueryEngine(spark)
     engine.execute("CREATE DATABASE IF NOT EXISTS sl")
