@@ -172,7 +172,12 @@ object AlterTable {
           k -> v.split(",").map(c =>
             if (c.equalsIgnoreCase(from)) to else c).mkString(",")
         else k -> v
-      })
+      } +
+        // breadcrumb for the Iceberg mirror: the spec says RENAME keeps
+        // the field id, but the mirror only sees the post-rename
+        // CatalogTable — this records which previous field the new name
+        // continues, consumed on the next emit's name-match miss
+        (s"graft.renamed.${to.toLowerCase}" -> from.toLowerCase))
     s"Column $from renamed to $to"
   }
 
@@ -262,6 +267,25 @@ object AlterTable {
       val bare = ident.table
       val tmp = ident.database.map(d => s"$d.`${bare}__graft_alter`")
         .getOrElse(s"`${bare}__graft_alter`")
+      // round 15: the commit log and the Iceberg mirror are the
+      // table's HISTORY — carry them across the drop/recreate (moved
+      // aside here, restored after the rename) or every ALTER resets
+      // commit versions and the mirror's schema history. The publish
+      // that follows this statement then appends version prevV+1 with
+      // the rebuilt files and the mirror records the new schema-id;
+      // pre-ALTER snapshots keep their old schema-id (their data
+      // files live on in the snapshots archive when snapshots are on).
+      val oldLoc = new org.apache.hadoop.fs.Path(meta.location)
+      val historyKeep = new org.apache.hadoop.fs.Path(
+        warehouse, s".graft-alter-history-${java.util.UUID.randomUUID()}")
+      val historyDirs = Seq(
+        CommitLog.logDir(oldLoc), IcebergMetadata.metadataDir(oldLoc))
+        .filter(fs.exists)
+      if (historyDirs.nonEmpty) fs.mkdirs(historyKeep)
+      val saved = historyDirs.map { d =>
+        val dst = new org.apache.hadoop.fs.Path(historyKeep, d.getName)
+        fs.rename(d, dst); dst
+      }
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
       spark.sql(s"CREATE TABLE $tmp ($colsSql) USING parquet$partSql$propsSql")
       val staged = spark.read.schema(newSchema).parquet(staging.toString)
@@ -270,6 +294,14 @@ object AlterTable {
         .write.mode("overwrite").insertInto(tmp)
       spark.sql(s"DROP TABLE $t")
       spark.sql(s"ALTER TABLE $tmp RENAME TO `$bare`")
+      // restore the preserved history into the rebuilt table's dir
+      if (saved.nonEmpty) {
+        val newLoc = new org.apache.hadoop.fs.Path(
+          catalog.getTableMetadata(ident).location)
+        saved.foreach(d =>
+          fs.rename(d, new org.apache.hadoop.fs.Path(newLoc, d.getName)))
+        try fs.delete(historyKeep, true) catch { case _: Exception => () }
+      }
       committed = true
     } finally {
       // staging is the only durable copy once the original table is
@@ -280,7 +312,9 @@ object AlterTable {
       } else {
         System.err.println(
           s"[graft] ALTER of $t did not commit; staged data kept at $staging" +
-            s" (a fully-loaded replacement may exist as ${t}__graft_alter)")
+            s" (a fully-loaded replacement may exist as ${t}__graft_alter;" +
+            s" preserved commit-log/mirror dirs, if any, sit under the" +
+            s" warehouse's .graft-alter-history-* staging)")
       }
     }
   }

@@ -1,6 +1,6 @@
 package graft.engine
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
@@ -149,8 +149,10 @@ object IcebergMetadata {
   // that resolve by id, not name, can map the manifests. The one
   // residual deviation stays documented: `partition` is a string map
   // (the reference's shape, avro_schemas.go) rather than the spec's
-  // r102 partition struct — its key-id/value-id use 141/142, the first
-  // unassigned data_file ids after sort_order_id (140).
+  // r102 partition struct — its key-id/value-id use 1000/1001, a range
+  // no spec version assigns (141-145 are spec-taken by Iceberg v3:
+  // 142 first_row_id, 143 referenced_data_file, 144 content_offset,
+  // 145 content_size), so strict id-resolving readers cannot collide.
   private val ManifestEntrySchema =
     """{"type":"record","name":"manifest_entry","namespace":"org.apache.iceberg","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -161,7 +163,7 @@ object IcebergMetadata {
       |{"name":"content","type":"int","field-id":134},
       |{"name":"file_path","type":"string","field-id":100},
       |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","field-id":102,"type":{"type":"map","values":"string","key-id":141,"value-id":142}},
+      |{"name":"partition","field-id":102,"type":{"type":"map","values":"string","key-id":1000,"value-id":1001}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""".stripMargin
       .replace("\n", "")
@@ -280,22 +282,102 @@ object IcebergMetadata {
     root.put("last-sequence-number", m.version)
     root.put("last-updated-ms", now)
 
-    val ids = new java.util.concurrent.atomic.AtomicInteger(0)
-    val nextId = () => ids.incrementAndGet()
     // NOT NULL lives in graft.notnull (v1 catalog schemas come back
     // all-nullable), so required-ness is read from there
     val notNull = ct.properties.get("graft.notnull")
       .map(_.split(",").map(_.trim.toLowerCase).toSet).getOrElse(Set.empty)
     val schemaForIceberg = StructType(ct.schema.fields.map(f =>
       f.copy(nullable = f.nullable && !notNull.contains(f.name.toLowerCase))))
-    val fields = structFields(schemaForIceberg,
-      n => ct.properties.get(s"graft.type.$n"), nextId, om)
-    root.put("last-column-id", ids.get())
-    val schema0 = om.createObjectNode()
-    schema0.put("schema-id", 0); schema0.put("type", "struct")
-    setNode(schema0, "fields", fields)
-    setNode(root, "schemas", om.createArrayNode().add(schema0))
-    root.put("current-schema-id", 0)
+
+    // ---- schemas WITH HISTORY (round 15): field ids are STABLE
+    // across ALTERs — a column keeps its id by name match (and through
+    // RENAME via the graft.renamed.<to>=<from> breadcrumb AlterTable
+    // leaves); new/retyped columns allocate past last-column-id;
+    // dropped ids are never reused. An emit whose schema differs from
+    // the previous CURRENT schema appends a new schema-id; an
+    // unchanged emit reuses the previous schemas array verbatim. Old
+    // snapshots keep their recorded schema-id, so ICEBERG_SCAN time
+    // travel resolves a pre-ALTER snapshot with its pre-ALTER shape.
+    def jnodes(a: JsonNode): Seq[JsonNode] =
+      if (a == null) Seq.empty else (0 until a.size).map(a.get)
+    val prevSchemas: Seq[JsonNode] =
+      prev.flatMap(p => Option(p.get("schemas"))).map(jnodes).getOrElse(Seq.empty)
+    val prevCurrentId = prev.flatMap(p =>
+      Option(p.get("current-schema-id")).map(_.asInt))
+    val prevCurrent: Option[JsonNode] = prevCurrentId.flatMap(cid =>
+      prevSchemas.find(s => Option(s.get("schema-id")).exists(_.asInt == cid)))
+    val prevByName: Map[String, JsonNode] = prevCurrent
+      .map(s => jnodes(s.get("fields"))
+        .map(f => f.get("name").asText.toLowerCase -> f).toMap)
+      .getOrElse(Map.empty)
+    val prevLastColId = prev.flatMap(p =>
+      Option(p.get("last-column-id")).map(_.asInt)).getOrElse(0)
+    // deep comparison key ignoring every id-carrying prop and the
+    // (rename-tolerant) top-level name
+    def shapeKey(f: JsonNode): String = {
+      val c = f.deepCopy[JsonNode]()
+      def strip(n: JsonNode): Unit = n match {
+        case o: ObjectNode =>
+          o.remove(java.util.Arrays.asList(
+            "id", "element-id", "key-id", "value-id"))
+          o.forEach(strip(_))
+        case a if a.isArray => a.forEach(strip(_))
+        case _ => ()
+      }
+      strip(c)
+      c.asInstanceOf[ObjectNode].remove("name")
+      c.toString
+    }
+    val ids = new java.util.concurrent.atomic.AtomicInteger(prevLastColId)
+    val nextId = () => ids.incrementAndGet()
+    val fields = om.createArrayNode()
+    schemaForIceberg.fields.foreach { f =>
+      val lname = f.name.toLowerCase
+      // throwaway render for shape comparison only
+      val cand = {
+        val tmp = new java.util.concurrent.atomic.AtomicInteger(1 << 20)
+        structFields(StructType(Seq(f)),
+          n => ct.properties.get(s"graft.type.$n"),
+          () => tmp.incrementAndGet(), om).get(0)
+      }
+      val prevMatch = prevByName.get(lname).orElse(
+        ct.properties.get(s"graft.renamed.$lname")
+          .flatMap(from => prevByName.get(from)))
+      prevMatch match {
+        case Some(p) if shapeKey(p) == shapeKey(cand) =>
+          // same shape → reuse the previous node (top-level AND nested
+          // ids survive); rename keeps the id per spec, name updated
+          val kept = p.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+          kept.put("name", f.name)
+          fields.add(kept): Unit
+        case _ =>
+          // new column, or a retype (fresh ids past last-column-id)
+          fields.add(structFields(StructType(Seq(f)),
+            n => ct.properties.get(s"graft.type.$n"), nextId, om)
+            .get(0)): Unit
+      }
+    }
+    root.put("last-column-id", math.max(prevLastColId, ids.get()))
+    val currentSchemaId = prevCurrent match {
+      case Some(pc) if {
+        val pf = Option(pc.get("fields")).map(_.toString).getOrElse("")
+        pf == fields.toString
+      } => prevCurrentId.get // unchanged — reuse history as-is
+      case _ =>
+        prevSchemas.flatMap(s => Option(s.get("schema-id")).map(_.asInt))
+          .maxOption.map(_ + 1).getOrElse(0)
+    }
+    val schemasArr = om.createArrayNode()
+    prevSchemas.foreach(s => schemasArr.add(s): Unit)
+    if (!prevSchemas.exists(s =>
+        Option(s.get("schema-id")).exists(_.asInt == currentSchemaId))) {
+      val sc = om.createObjectNode()
+      sc.put("schema-id", currentSchemaId); sc.put("type", "struct")
+      setNode(sc, "fields", fields)
+      schemasArr.add(sc): Unit
+    }
+    setNode(root, "schemas", schemasArr)
+    root.put("current-schema-id", currentSchemaId)
 
     // identity partition spec over the declared partition columns
     val fieldId = ct.schema.fieldNames.zipWithIndex.map {
@@ -350,7 +432,17 @@ object IcebergMetadata {
       summary.put("engine-name", "graft")
       setNode(snap, "summary", summary)
       snap.put("manifest-list", listPath.toString)
-      snap.put("schema-id", 0)
+      // a RE-emit of an existing version (metadata-only ALTER) must
+      // not relabel the snapshot: its data was written under the
+      // schema recorded the first time, and time travel relies on it
+      val snapSchemaId = readMetadata(fs,
+        new Path(dir, s"v${m.version}.metadata.json"), om)
+        .flatMap(p => jnodes(p.get("snapshots"))
+          .find(s => Option(s.get("snapshot-id"))
+            .exists(_.asLong == snapshotId))
+          .flatMap(s => Option(s.get("schema-id")).map(_.asInt)))
+        .getOrElse(currentSchemaId)
+      snap.put("schema-id", snapSchemaId)
       snaps.add(snap): Unit
     }
     // bounded retention: drop the oldest beyond `keep`, GC their files
@@ -406,6 +498,14 @@ object IcebergMetadata {
     props.put("write.format.default", "parquet")
     ct.properties.get("graft.settings.compression")
       .foreach(c => props.put("write.parquet.compression-codec", c): Unit)
+    // where whole-table rewrites (ALTER) park superseded data files —
+    // a static reader resolves a pre-rewrite snapshot's missing paths
+    // through here (graft extension property, ignored by others)
+    try props.put("graft.archive-location",
+      Snapshots.archiveLocationFor(spark,
+        ct.identifier.database.getOrElse("default"),
+        ct.identifier.table).toString): Unit
+    catch { case _: Exception => () }
     setNode(root, "properties", props)
 
     // metadata file + version hint, each atomically (tmp + rename; the

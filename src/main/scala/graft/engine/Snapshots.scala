@@ -64,6 +64,14 @@ object Snapshots {
 
   private def archiveRoot(root: Path): Path = new Path(root, "archive")
 
+  /** The table's archive directory — published into the Iceberg
+    * mirror's properties (`graft.archive-location`) so a STATIC
+    * reader can resolve a pre-rewrite snapshot's data files after a
+    * whole-table rebuild moved them here ([[preserveAll]]). */
+  def archiveLocationFor(spark: SparkSession, db: String,
+                         table: String): Path =
+    archiveRoot(base(spark, db, table))
+
   private def resolve(spark: SparkSession, t: String): (String, String, Path) = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
     val db = ident.database.getOrElse(spark.catalog.currentDatabase)

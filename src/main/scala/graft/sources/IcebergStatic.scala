@@ -52,7 +52,12 @@ object IcebergStatic {
     }
     val om = new ObjectMapper()
     val metadata = currentMetadata(fs, mdDir, om)
-    val schema = metadata.flatMap(schemaOf)
+    // time travel resolves the SNAPSHOT's schema-id (round 15): a
+    // pre-ALTER snapshot reads with its pre-ALTER shape, not the
+    // current one — the schemas array carries the history
+    val schema = snapshotId
+      .flatMap(id => metadata.flatMap(m => schemaForSnapshot(m, id)))
+      .orElse(metadata.flatMap(schemaOf))
     val files = liveFiles(spark, fs, dir, mdDir, metadata, om, snapshotId)
     require(files.nonEmpty,
       snapshotId match {
@@ -60,11 +65,27 @@ object IcebergStatic {
           s"$id within the retained window"
         case None => s"iceberg table at $tableDir resolves no data files"
       })
+    // a whole-table rewrite (ALTER) parks superseded files in the
+    // snapshots archive; the mirror publishes where
+    // (graft.archive-location) so old snapshots stay readable
+    val archiveLoc = metadata.flatMap(m => Option(m.get("properties")))
+      .flatMap(p => Option(p.get("graft.archive-location"))).map(_.asText)
+    val tableLoc = metadata.flatMap(m => Option(m.get("location")))
+      .map(_.asText).getOrElse(dir.toString)
+    val resolved = files.map { f =>
+      if (fs.exists(new Path(f))) f
+      else archiveLoc.map { a =>
+        val rel =
+          if (f.startsWith(tableLoc)) f.stripPrefix(tableLoc).stripPrefix("/")
+          else new Path(f).getName
+        new Path(a, rel).toString
+      }.filter(p => fs.exists(new Path(p))).getOrElse(f)
+    }
     val reader = schema match {
       case Some(st) => spark.read.schema(st)
       case None => spark.read
     }
-    reader.parquet(files: _*)
+    reader.parquet(resolved: _*)
   }
 
   // -------------------------------------------------------- metadata
@@ -146,9 +167,21 @@ object IcebergStatic {
 
   private def schemaOf(md: JsonNode): Option[StructType] = {
     val currentId = Option(md.get("current-schema-id")).map(_.asInt).getOrElse(0)
+    schemaById(md, currentId)
+  }
+
+  /** The schema a specific retained snapshot was written under — the
+    * time-travel resolution rule (snapshot.schema-id → schemas[]). */
+  private def schemaForSnapshot(md: JsonNode, snapId: Long): Option[StructType] =
+    nodes(md.get("snapshots"))
+      .find(s => Option(s.get("snapshot-id")).exists(_.asLong == snapId))
+      .flatMap(s => Option(s.get("schema-id")).map(_.asInt))
+      .flatMap(id => schemaById(md, id))
+
+  private def schemaById(md: JsonNode, id: Int): Option[StructType] = {
     val schemas = nodes(md.get("schemas"))
     val chosen = schemas.find(s =>
-      Option(s.get("schema-id")).exists(_.asInt == currentId))
+      Option(s.get("schema-id")).exists(_.asInt == id))
       .orElse(schemas.headOption)
       .orElse(Option(md.get("schema"))) // v1 metadata single-schema form
     chosen.map { s =>

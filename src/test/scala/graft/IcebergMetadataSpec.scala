@@ -149,7 +149,8 @@ class IcebergMetadataSpec extends AnyFunSuite {
     // fields by id, not name — assert the EMBEDDED container-file
     // schemas carry the published spec assignments (manifest_entry
     // 0/1/3/4/2, data_file 134/100-104, manifest_file 500-514; the
-    // partition map's key-id/value-id use 141/142, first free ids)
+    // partition map's key-id/value-id use 1000/1001, an unreserved
+    // range clear of Iceberg v3's 142-145 assignments)
     def fid(s: org.apache.avro.Schema, name: String): Int =
       s.getField(name).getObjectProp("field-id").asInstanceOf[Number].intValue
     val es = entries.head.getSchema
@@ -161,8 +162,8 @@ class IcebergMetadataSpec extends AnyFunSuite {
       fid(dfs, "partition") == 102 && fid(dfs, "record_count") == 103 &&
       fid(dfs, "file_size_in_bytes") == 104 && fid(dfs, "content") == 134)
     val pm = dfs.getField("partition").schema()
-    assert(pm.getObjectProp("key-id").asInstanceOf[Number].intValue == 141)
-    assert(pm.getObjectProp("value-id").asInstanceOf[Number].intValue == 142)
+    assert(pm.getObjectProp("key-id").asInstanceOf[Number].intValue == 1000)
+    assert(pm.getObjectProp("value-id").asInstanceOf[Number].intValue == 1001)
     val ls = mf.getSchema
     assert(fid(ls, "manifest_path") == 500 && fid(ls, "manifest_length") == 501 &&
       fid(ls, "partition_spec_id") == 502 && fid(ls, "added_snapshot_id") == 503 &&
@@ -245,7 +246,12 @@ class IcebergMetadataSpec extends AnyFunSuite {
     engine.execute(s"ALTER TABLE $Db.t6 ADD COLUMN score float64")
     assert(hint(loc) == v, "metadata-only ALTER must not mint a version")
     val md = readJson(new Path(mdDir(loc), s"v$v.metadata.json"))
-    val fields = md.get("schemas").get(0).get("fields")
+    // with schema history (round 15) the evolved shape is APPENDED —
+    // resolve the current schema by id, not position
+    val curSchemaId = md.get("current-schema-id").asInt
+    val ss = md.get("schemas")
+    val fields = (0 until ss.size).map(ss.get)
+      .find(_.get("schema-id").asInt == curSchemaId).get.get("fields")
     val names = (0 until fields.size).map(i =>
       fields.get(i).get("name").asText)
     assert(names.contains("score"),
@@ -253,6 +259,79 @@ class IcebergMetadataSpec extends AnyFunSuite {
     assert((0 until fields.size).map(fields.get)
       .find(_.get("name").asText == "score").get
       .get("type").asText == "double")
+  }
+
+  test("schema evolution: ALTER chain appends schema-ids with stable field " +
+       "ids; time travel resolves the pre-ALTER shape and data") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.evo")
+    engine.execute(
+      s"""CREATE TABLE $Db.evo (id int64 NOT NULL, v string)
+         |STORAGE filesystem SETTINGS commitlog=true""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.evo VALUES (1, 'a')") // snapshot 1
+    engine.execute(s"INSERT INTO $Db.evo VALUES (2, 'b')") // snapshot 2
+    val loc0 = locOf(s"$Db.evo")
+    val pre = readJson(new Path(mdDir(loc0), s"v${hint(loc0)}.metadata.json"))
+    val uuid = pre.get("table-uuid").asText
+    val preSchemaId = pre.get("current-schema-id").asInt
+    def fieldsByName(md: com.fasterxml.jackson.databind.JsonNode,
+                     schemaId: Int) = {
+      val ss = md.get("schemas")
+      val s = (0 until ss.size).map(ss.get)
+        .find(_.get("schema-id").asInt == schemaId).get
+      val fs = s.get("fields")
+      (0 until fs.size).map(fs.get).map(f => f.get("name").asText -> f).toMap
+    }
+    val vIdPre = fieldsByName(pre, preSchemaId)("v").get("id").asInt
+    val preLastColId = pre.get("last-column-id").asInt
+
+    // metadata-only evolution (ADD) then a rebuild evolution (RENAME —
+    // the path that drops/recreates the table dir and must carry the
+    // commit log + mirror history across)
+    engine.execute(s"ALTER TABLE $Db.evo ADD COLUMN score float64")
+    engine.execute(s"INSERT INTO $Db.evo VALUES (3, 'c', 1.5)")
+    engine.execute(s"ALTER TABLE $Db.evo RENAME COLUMN v TO label")
+    engine.execute(s"INSERT INTO $Db.evo VALUES (4, 'd', 2.5)")
+
+    val loc = locOf(s"$Db.evo")
+    val v = hint(loc)
+    val cur = readJson(new Path(mdDir(loc), s"v$v.metadata.json"))
+    assert(cur.get("table-uuid").asText == uuid,
+      "identity must survive the rebuild ALTER")
+    // history: three shapes — (id,v), (id,v,score), (id,label,score)
+    assert(cur.get("schemas").size >= 3,
+      s"expected the full schema history, got ${cur.get("schemas")}")
+    val curId = cur.get("current-schema-id").asInt
+    assert(curId != preSchemaId)
+    val curFields = fieldsByName(cur, curId)
+    assert(curFields.keySet == Set("id", "label", "score"))
+    // stable ids: RENAME keeps v's id (spec rule, via the AlterTable
+    // breadcrumb); ADD allocates past the previous last-column-id
+    assert(curFields("label").get("id").asInt == vIdPre,
+      "rename must keep the field id")
+    assert(curFields("score").get("id").asInt > preLastColId,
+      "added column must allocate a fresh id past last-column-id")
+    // snapshots record the schema they were written under
+    val snaps = cur.get("snapshots")
+    val byId = (0 until snaps.size).map(snaps.get)
+      .map(s => s.get("snapshot-id").asLong -> s).toMap
+    assert(byId(2L).get("schema-id").asInt == preSchemaId,
+      "pre-ALTER snapshot must keep its pre-ALTER schema-id")
+    assert(byId(v).get("schema-id").asInt == curId)
+
+    // time travel: the pre-ALTER snapshot reads with the pre-ALTER
+    // shape AND its pre-rewrite data files (archive fallback)
+    val esc = loc.toString.replace("'", "''")
+    val old = engine.execute(
+      s"SELECT * FROM ICEBERG_SCAN('$esc', 2) ORDER BY id")
+    assert(old.columns == Seq("id", "v"),
+      s"pre-ALTER snapshot must resolve the pre-ALTER schema: ${old.columns}")
+    assert(old.data == Seq(Seq(1L, "a"), Seq(2L, "b")), old.data.toString)
+    // the current scan serves the evolved shape
+    val now = engine.execute(
+      s"SELECT id, label, score FROM ICEBERG_SCAN('$esc') ORDER BY id")
+    assert(now.data.map(_.head) == Seq(1L, 2L, 3L, 4L), now.data.toString)
+    assert(now.data.last == Seq(4L, "d", 2.5), now.data.toString)
   }
 
   test("kill switch: no mirror when spark.graft.iceberg.enabled=false") {
