@@ -152,27 +152,40 @@ object Changefeed {
     // already committed; durability semantics are preserved because
     // the LAST attempt still throws.
     val tmp = new Path(d, s".evt-$id.json.tmp")
-    var attempt = 0
-    var done = false
-    // never retry a cancellation: a cancelled statement's interrupt can
-    // surface either as the thread's interrupt flag OR as a typed
-    // exception with the flag already CLEARED (Hadoop code commonly
-    // catches InterruptedException and rethrows InterruptedIOException
-    // without re-interrupting) — exclude both forms. SocketTimeoutException
-    // extends InterruptedIOException but is a genuine transient (matters
-    // only if a remote FS is ever wired in), so it stays retryable.
+    createWithRetry(fs, tmp, json.getBytes("UTF-8"))
+    fs.rename(tmp, new Path(d, f"evt-$id%016d.json"))
+  }
+
+  /** Bounded-retry atomic-ish file write (the changefeed emit's
+    * create+write, factored out so the retry contract is directly
+    * fault-injectable — ChangefeedRetrySpec drives it with a failing
+    * FileSystem). Retries transient IOExceptions up to 3 attempts;
+    * the LAST attempt still throws (durability semantics preserved).
+    *
+    * Never retries a cancellation: a cancelled statement's interrupt
+    * can surface either as the thread's interrupt flag OR as a typed
+    * exception with the flag already CLEARED (Hadoop code commonly
+    * catches InterruptedException and rethrows InterruptedIOException
+    * without re-interrupting) — both forms are excluded.
+    * SocketTimeoutException extends InterruptedIOException but is a
+    * genuine transient (matters only if a remote FS is ever wired
+    * in), so it stays retryable. */
+  private[graft] def createWithRetry(fs: FileSystem, tmp: Path,
+                                     bytes: Array[Byte]): Unit = {
     def isCancellation(e: java.io.IOException): Boolean = e match {
       case _: java.net.SocketTimeoutException => false
       case _: java.io.InterruptedIOException => true
       case _: java.nio.channels.ClosedByInterruptException => true
       case _ => Thread.currentThread().isInterrupted
     }
+    var attempt = 0
+    var done = false
     while (!done) {
       attempt += 1
       try {
         val out = fs.create(tmp, true)
         try {
-          out.write(json.getBytes("UTF-8"))
+          out.write(bytes)
           out.close() // close failure after a clean write is still a failed attempt
           done = true
         } finally {
@@ -189,7 +202,6 @@ object Changefeed {
           Thread.sleep(50L * attempt)
       }
     }
-    fs.rename(tmp, new Path(d, f"evt-$id%016d.json"))
   }
 
   // --------------------------------------------------------------- read

@@ -1115,12 +1115,17 @@ object Dedup {
     * contract; the iterative distributed CC costs several
     * checkpoint+count rounds of driver coordination that dwarf a
     * 50-edge graph). Above `spark.graft.cc.localMaxEdges` (default
-    * 100k) it falls back to [[connectedComponents]], which is the
-    * right tool for corpus-scale graphs (q61). Both return
+    * 2M — ~32 MB of longs on the driver, while the distributed CC's
+    * ~20 driver-coordinated stages cost more wall than collecting
+    * that; r15 raised it from 100k when a dissolved mega-component's
+    * STORED edge list crossed 100k and paid ~200 stages per wave for
+    * a graph local union-find eats in well under a second) it falls
+    * back to [[connectedComponents]], which is the right tool for
+    * corpus-scale graphs (q61). Both return
     * (node, label = component minimum). */
   private[graft] def shardCC(s: SparkSession, pairs: DataFrame): DataFrame = {
     val cap = s.conf.getOption("spark.graft.cc.localMaxEdges")
-      .getOrElse("100000").toInt
+      .getOrElse("2000000").toInt
     // validate the rounds knob up front, whichever path runs: a
     // garbage value must be an addressed error even when the local
     // path would never read it (the conf-validation contract)
@@ -1406,6 +1411,23 @@ object Dedup {
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
 
+  /** [[bucketPairs]] keeping the per-pair BUCKET COUNT (`nb`) instead
+    * of deduplicating — the support bookkeeping of the persisted pair
+    * state ([[maintainClusterState]]): a pair's support is the number
+    * of pair-capable buckets containing both endpoints, so a bucket
+    * crossing the cap decrements exactly its own contribution. */
+  private def bucketPairCounts(bandsDf: DataFrame): DataFrame =
+    bandsDf.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, BucketCap))
+      .select(explode(expr(
+        """flatten(transform(ids, a ->
+          |  transform(filter(ids, b -> b > a),
+          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("nb"))
+
   /** Exact-Jaccard verification of candidate pairs at the q61/q33
     * threshold — identical expressions to [[minhashPairs]], so every
     * incremental edge decision matches the full recompute bit-exactly. */
@@ -1585,9 +1607,13 @@ object Dedup {
   // ---- q61d: multi-batch cluster-state maintenance ------------------
 
   /** Persisted cluster state, two tiers by write pattern:
-    *  - `<dir>/v<N>/{labels,counts}` — VERSIONED tables rewritten per
-    *    wave (labels are the product; counts are bucket-space-bounded
-    *    aggregates), latest = max N. A version is staged under
+    *  - `<dir>/v<N>/{labels,counts,pairs}` — VERSIONED tables
+    *    rewritten per wave (labels are the product; counts are the
+    *    per-(band,bh) collision directory; pairs — round 15 — every
+    *    verified near-dup pair with `support` = the number of
+    *    pair-capable buckets containing both endpoints, partitioned
+    *    by doc1's hash bucket so a dissolved component's edge list is
+    *    a pruned read), latest = max N. A version is staged under
     *    `_tmp_v<N>` and RENAMED into place only complete, so a reader
     *    never sees a half-written version.
     *  - `<dir>/{bands,sets}/w=<N>/{bb,sb}=<k>` — APPEND-ONLY per-wave
@@ -1719,19 +1745,25 @@ object Dedup {
         .where(round(jaccard(col("inter"), col("n1"), col("n2")), 4) >= 0.1)
         .select(col("doc1"), col("doc2"))
 
-    val (newLabels, newBands, newCounts, newSets) =
+    val (newLabels, newBands, newCounts, newSets, newPairs) =
       latestVersion(s, stateDir) match {
         case None =>
-          // bootstrap: the first batch clusters against itself
+          // bootstrap: the first batch clusters against itself; the
+          // verified pairs seed the PAIR STATE with their bucket
+          // support counts
           val okB = batchCounts.where(col("cb").between(2, BucketCap))
             .select(col("band"), col("bh"))
-          val pairs = verify(bucketPairs(
-            batchBands.join(okB, Seq("band", "bh"), "left_semi")),
+          val candCounts = bucketPairCounts(
+            batchBands.join(okB, Seq("band", "bh"), "left_semi"))
+          val pairs = verify(candCounts.select(col("doc1"), col("doc2")),
             setsFor(batchSets))
+          val pairState = pairs.join(candCounts, Seq("doc1", "doc2"))
+            .select(col("doc1"), col("doc2"), col("nb").as("support"))
           val labels = shardCC(s, pairs)
             .select(col("node").as("doc_id"), col("label").as("cluster_id"))
           (labels, batchBands,
-            batchCounts.withColumnRenamed("cb", "c0"), setsFor(batchSets))
+            batchCounts.withColumnRenamed("cb", "c0"), setsFor(batchSets),
+            pairState)
         case Some(v) =>
           val st = s"$stateDir/v$v"
           val nBuckets = stateBuckets(s, stateDir)
@@ -1751,45 +1783,98 @@ object Dedup {
           }
           val labels = s.read.parquet(s"$st/labels")
           val counts = s.read.parquet(s"$st/counts")
-          val touched = batchBands.select(col("band"), col("bh")).distinct()
-          // the counts table records every (band,bh) ever ingested, so
-          // counts ⋈ batch keys = the COLLIDING keys; the collect is
-          // bounded by nBuckets ints. In the temporally-local regime
-          // (arriving content near-dups recent content) this is empty
-          // or tiny, and the band-state read below prunes to nothing.
-          val collidingBbs = counts
-            .join(touched, Seq("band", "bh"), "left_semi")
+          // one merged (band,bh) count view serves the affected-scope
+          // gate, the pair-bucket filter, and the counts rewrite:
+          // c0 = accumulated, cb = this batch, c = after
+          val merged = counts
+            .join(batchCounts, Seq("band", "bh"), "full_outer")
+            .select(col("band"), col("bh"),
+              coalesce(col("c0"), lit(0L)).as("c0"),
+              coalesce(col("cb"), lit(0L)).as("cb"))
+            .withColumn("c", col("c0") + col("cb"))
+          // PAIR-RELEVANT collisions only (round 15): a touched bucket
+          // can change an edge only if pairs could exist in it before
+          // (2 <= c0 <= cap) or can after (2 <= c <= cap). A bucket
+          // over the cap in BOTH states contributes no pair in either,
+          // so its corpus docs are untouched by this batch — without
+          // this, the fixture's degenerate boilerplate buckets (cap is
+          // exactly the guard against them) dragged nearly the whole
+          // corpus into every wave's affected scope (measured: 31k of
+          // 50k docs by wave 9; wave-local after the filter). The
+          // collect is bounded by nBuckets ints; in the temporally-
+          // local regime it is empty or tiny and the band-state read
+          // below prunes to nothing.
+          // ---- COMPONENT CONTRACTION over a PERSISTED PAIR STATE
+          // (round 15). Invariant: v<N>/pairs holds every verified
+          // pair with `support` = the number of pair-capable buckets
+          // (2 <= count <= cap) containing both endpoints. Counts only
+          // grow, so a pair's support changes in exactly two ways:
+          //   - a bucket the batch wrote into crosses the cap
+          //     (2 <= c0 <= cap < c): it stops supporting the stored
+          //     pairs among its corpus docs — a bounded decrement
+          //     (crossed buckets hold <= cap docs each), NO
+          //     re-verification (a stored pair in the bucket was
+          //     supported by it by definition);
+          //   - a batch doc lands in a pair-capable bucket: its pairs
+          //     there are verified (the ONLY per-wave set-intersect
+          //     work) and inserted with their bucket counts. A
+          //     corpus-corpus pair cannot newly appear (its bucket
+          //     would have been pair-capable before too).
+          // Clustering then never re-derives a standing component:
+          //   - clusters losing an edge ENTIRELY (support hit 0) are
+          //     dissolved; their surviving edges come from the pair
+          //     state, not from sets;
+          //   - every other cluster is CONTRACTED to one super-node
+          //     (cluster_id = min member id, so min-labels stay exact;
+          //     components are edge-closed, so no edge leaves a
+          //     non-dissolved cluster);
+          //   - a decrement that leaves support >= 1 changes nothing.
+          // Without this, the fixture's giant cross-wave component was
+          // dissolved-and-reverified every wave (~the whole clustered
+          // corpus, measured 31k of 50k docs by wave 9); with it the
+          // per-wave set work is the batch's own collisions.
+          val pairsPrev = s.read.parquet(s"$st/pairs")
+          val crossedKeys = merged
+            .where(col("c0").between(2, BucketCap) &&
+              col("c") > BucketCap).select(col("band"), col("bh"))
+          // touched pair-capable keys: an existing corpus doc can gain
+          // an edge only in a bucket the batch wrote into (cb >= 1)
+          // that is pair-capable after (2 <= c <= cap)
+          val touchedKeys = merged
+            .where(col("cb") >= 1 && col("c0") >= 1 &&
+              col("c").between(2, BucketCap))
+            .select(col("band"), col("bh"))
+          val collidingBbs = crossedKeys.unionByName(touchedKeys)
             .select(pmod(hash(col("band"), col("bh")), lit(nBuckets))
               .as("bb")).distinct()
             .collect().map(_.getInt(0)).toSeq
-          val touchedCorpus = wavesPruned("bands", "bb", collidingBbs)
-            .join(touched, Seq("band", "bh"), "left_semi")
+          val prunedBands = wavesPruned("bands", "bb", collidingBbs)
+          // support decrements: stored pairs among a crossed bucket's
+          // corpus docs, with the number of crossed buckets containing
+          // both (a pair can lose several supports in one wave)
+          val removedCounts = bucketPairCounts(prunedBands
+            .join(crossedKeys, Seq("band", "bh"), "left_semi"))
+            .withColumnRenamed("nb", "rm")
+          val touchedCorpus = prunedBands
+            .join(touchedKeys, Seq("band", "bh"), "left_semi")
             .select(col("doc_id")).distinct()
-          val affLabels = labels.join(touchedCorpus, Seq("doc_id"))
-            .select(col("cluster_id")).distinct()
-          // the affected component: touched corpus docs + their
-          // cluster mates. Checkpointed — it prunes the sets read
-          // (the ≤nBuckets sb collect below), bounds the re-derived
-          // band rows, and anti-joins `updated` (batch ids are new by
-          // contract, so they can't appear in labels and don't need
-          // to be in the anti side).
+          // sets are read ONLY for the touched docs — the batch's
+          // verification counterparties; dissolution reads no sets.
+          // No checkpoint: the collect below is the only extra
+          // evaluation and touchedCorpus' lineage is one pruned read
+          // (a job barrier per wave costs more than re-running it)
           val corpusSubIds = touchedCorpus
-            .union(labels.join(affLabels, Seq("cluster_id"), "left_semi")
-              .select(col("doc_id")))
-            .distinct().localCheckpoint()
           val subSbs = corpusSubIds
             .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("sb"))
             .distinct().collect().map(_.getInt(0)).toSeq
           val corpusSubSets = wavesPruned("sets", "sb", subSbs)
             .join(corpusSubIds, Seq("doc_id"), "left_semi")
-          val okBuckets = counts
-            .join(batchCounts, Seq("band", "bh"), "full_outer")
-            .select(col("band"), col("bh"),
-              (coalesce(col("c0"), lit(0L)) +
-                coalesce(col("cb"), lit(0L))).as("c"))
-            .where(col("c").between(2, BucketCap))
+          // pair-capable buckets the batch wrote into — the only
+          // places a new pair can form
+          val pairBuckets = merged
+            .where(col("cb") >= 1 && col("c").between(2, BucketCap))
             .select(col("band"), col("bh"))
-          // affected docs' band rows re-derived from their stored
+          // touched docs' band rows re-derived from their stored
           // minhash sig — identical keys to what the band state holds
           // for them (same mh, same lshBandKeys), without a by-doc
           // band-state access pattern
@@ -1798,32 +1883,108 @@ object Dedup {
             posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
               .as(Seq("band", "bh")))
             .select(col("doc_id"), col("band"), col("bh"))
-          val subBands = corpusSubBands.unionByName(batchBands)
-            .join(okBuckets, Seq("band", "bh"), "left_semi")
-          val allSets = corpusSubSets.unionByName(setsFor(batchSets))
-          val cc = shardCC(s, verify(bucketPairs(subBands), allSets))
-          val updated = labels.join(corpusSubIds, Seq("doc_id"), "left_anti")
-            .select(col("doc_id"), col("cluster_id"))
-            .unionByName(cc.select(col("node").as("doc_id"),
-              col("label").as("cluster_id")))
-          val mergedCounts = counts
-            .join(batchCounts, Seq("band", "bh"), "full_outer")
-            .select(col("band"), col("bh"),
-              (coalesce(col("c0"), lit(0L)) +
-                coalesce(col("cb"), lit(0L))).as("c0"))
+          val candCounts = bucketPairCounts(
+            corpusSubBands.unionByName(batchBands)
+              .join(pairBuckets, Seq("band", "bh"), "left_semi"))
+          // batch-involving candidates only: a corpus-corpus pair in a
+          // touched bucket is already stored (the bucket was
+          // pair-capable before) and its support there is unchanged
+          val batchIds = batchSets.select(col("doc_id"))
+          val newCand = candCounts
+            .join(batchIds.select(col("doc_id").as("doc1"),
+              lit(1).as("b1")), Seq("doc1"), "left")
+            .join(batchIds.select(col("doc_id").as("doc2"),
+              lit(1).as("b2")), Seq("doc2"), "left")
+            .where(col("b1").isNotNull || col("b2").isNotNull)
+            .select(col("doc1"), col("doc2"), col("nb"))
+          val verifiedNew = verify(newCand.select(col("doc1"), col("doc2")),
+            corpusSubSets.unionByName(setsFor(batchSets)))
+            .join(newCand, Seq("doc1", "doc2"))
+            .select(col("doc1"), col("doc2"), col("nb").as("support"))
+            .localCheckpoint() // reused: state write, edges, dissolution
+          // pair-state update. Batch ids are new, so batch-involving
+          // pairs are disjoint from stored ones — plain union, no
+          // merge shuffle.
+          val decremented = pairsPrev
+            .join(removedCounts, Seq("doc1", "doc2"), "left")
+            .select(col("doc1"), col("doc2"),
+              (col("support") - coalesce(col("rm"), lit(0L)))
+                .as("support"))
+          val pairState = decremented.where(col("support") >= 1)
+            .unionByName(verifiedNew)
+          // dissolution scope: clusters containing an endpoint of a
+          // pair whose support hit zero. Checkpointed: tiny, and its
+          // lineage is reused by the contraction map and the update.
+          val droppedEnds = decremented.where(col("support") <= 0)
+            .select(explode(array(col("doc1"), col("doc2")))
+              .as("doc_id")).distinct()
+          val affLabels = labels.join(droppedEnds, Seq("doc_id"))
+            .select(col("cluster_id")).distinct().localCheckpoint()
+          val contractMap = labels
+            .join(affLabels, Seq("cluster_id"), "left_anti")
+          // dissolved components' surviving edges come from the pair
+          // state (components are edge-closed: doc1-side membership
+          // suffices); everything else contracts to its cluster_id.
+          // A surviving corpus-corpus edge between two contracted
+          // docs maps to a self-loop and drops.
+          val closureEdges = pairState
+            .join(labels.join(affLabels, Seq("cluster_id"), "left_semi")
+              .select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
+            .select(col("doc1"), col("doc2"))
+          if (s.conf.getOption("spark.graft.clusterstate.debug")
+                .contains("true"))
+            System.err.println(s"[clusterstate] v=$v colliding_bbs=" +
+              s"${collidingBbs.length} sub_sbs=${subSbs.length} " +
+              s"touched=${corpusSubIds.count()} " +
+              s"dissolved_clusters=${affLabels.count()} " +
+              s"new_pairs=${verifiedNew.count()}")
+          val superEdges = verifiedNew.select(col("doc1"), col("doc2"))
+            .unionByName(closureEdges)
+            .join(contractMap.select(col("doc_id").as("doc1"),
+              col("cluster_id").as("s1")), Seq("doc1"), "left")
+            .join(contractMap.select(col("doc_id").as("doc2"),
+              col("cluster_id").as("s2")), Seq("doc2"), "left")
+            .select(coalesce(col("s1"), col("doc1")).as("n1"),
+              coalesce(col("s2"), col("doc2")).as("n2"))
+            .where(col("n1") =!= col("n2"))
+            .select(col("n1"), col("n2"))
+          val cc = shardCC(s, superEdges)
+          // relabel merged super-nodes; emit direct rows for every cc
+          // node that is not a contracted member (batch docs,
+          // dissolved members that kept pairs, touched singletons);
+          // dissolved members with no remaining pairs drop out of
+          // labels, exactly as a recompute would drop them
+          val relabel = cc.where(col("label") =!= col("node"))
+            .select(col("node").as("cluster_id"),
+              col("label").as("new_cluster_id"))
+          val updated = contractMap
+            .join(relabel, Seq("cluster_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("new_cluster_id"), col("cluster_id"))
+                .as("cluster_id"))
+            .unionByName(cc
+              .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+              .join(contractMap.select(col("doc_id")), Seq("doc_id"),
+                "left_anti"))
+          val mergedCounts = merged
+            .select(col("band"), col("bh"), col("c").as("c0"))
           // bands/sets are returned as the BATCH DELTA — the
-          // accumulated view is reassembled from the wave dirs
-          (updated, batchBands, mergedCounts, setsFor(batchSets))
+          // accumulated view is reassembled from the wave dirs; the
+          // pair state and labels are versioned full rewrites (both
+          // delta-able — latest-wins resp. support-delta views — the
+          // documented path if their write amplification ever leads)
+          (updated, batchBands, mergedCounts, setsFor(batchSets),
+            pairState)
       }
     val next = latestVersion(s, stateDir).map(_ + 1).getOrElse(0)
     val tmp = s"$stateDir/_tmp_v$next"
     val out = s"$stateDir/v$next"
-    // one commit = four independent concurrent jobs: two O(batch)
+    // one commit = five independent concurrent jobs: two O(batch)
     // deltas + the versioned labels/counts, then an atomic-ish rename
     // makes the version visible only complete
     locally {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // bootstrap pins the bucket count before the first delta write;
       // later waves read the pinned value back
@@ -1846,6 +2007,14 @@ object Dedup {
           .write.mode("overwrite").partitionBy("sb")
           .parquet(s"$stateDir/sets/w=$next") },
         Future { newCounts.write.mode("overwrite").parquet(s"$tmp/counts") },
+        // versioned pair state, partitioned by doc1's hash bucket so
+        // a dissolved component's edges are a pruned read (components
+        // are edge-closed: doc1-side membership suffices)
+        Future { newPairs
+          .withColumn("pb", pmod(hash(col("doc1")), lit(nBuckets)))
+          .repartition(nBuckets, col("pb"))
+          .write.mode("overwrite").partitionBy("pb")
+          .parquet(s"$tmp/pairs") },
         Future { newLabels.write.mode("overwrite").parquet(s"$tmp/labels") }
       )), scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()

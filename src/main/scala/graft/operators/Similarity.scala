@@ -1671,12 +1671,22 @@ object Similarity {
     // point — candidate generation scans probed cells only
     "q107c_mmr_ivf" -> ((s, dir) =>
       mmrDiversifyIvf(s, dir, MmrDefault, AnnParams.Default)),
+    // quality-sensitive point (sweep: selection overlap 0.84 at np=8)
+    "q107d_mmr_ivf_np8" -> ((s, dir) =>
+      mmrDiversifyIvf(s, dir, MmrDefault, AnnParams(ivfProbe = 8))),
 
     "q104_hard_negatives" -> ((s, dir) => hardNegativesBrute(s, dir)),
     // the celled scale path at the default (k=16, probe=2) operating
     // point — its oracle replays the same codebook + cell assignment
     "q104b_hard_negatives_ivf" -> ((s, dir) =>
       hardNegativesIvf(s, dir, AnnParams.Default)),
+    // the quality-sensitive operating point the round-15 nprobe sweep
+    // motivates: recall 0.86 vs brute at half the scan (the synthetic
+    // near-uniform embeddings give IVF recall ~ scanned fraction — no
+    // cluster structure to exploit; q92 is the monitor that tells a
+    // deployment where its corpus sits on that curve)
+    "q104c_hard_negatives_np8" -> ((s, dir) =>
+      hardNegativesIvf(s, dir, AnnParams(ivfProbe = 8))),
 
     "q92_ann_recall" -> ((s, dir) => annRecall(s, dir, AnnParams.Default)),
     // the cost/recall knob made visible: probe=1 scans a quarter of
@@ -1895,8 +1905,12 @@ object Similarity {
     "q107_mmr_diversify" -> mmrOracleSql(MmrDefault),
     "q107b_mmr_balanced" -> mmrOracleSql(MmrBalanced),
     "q107c_mmr_ivf" -> mmrIvfOracleSql(MmrDefault, AnnParams.Default),
+    "q107d_mmr_ivf_np8" ->
+      mmrIvfOracleSql(MmrDefault, AnnParams(ivfProbe = 8)),
     "q104_hard_negatives" -> hardNegOracleSql,
     "q104b_hard_negatives_ivf" -> hardNegIvfOracleSql(AnnParams.Default),
+    "q104c_hard_negatives_np8" ->
+      hardNegIvfOracleSql(AnnParams(ivfProbe = 8)),
     "q92_ann_recall" -> annRecallOracleSql(AnnParams.Default),
     "q92b_ann_recall_p1" -> annRecallOracleSql(AnnParams(ivfProbe = 1)),
 

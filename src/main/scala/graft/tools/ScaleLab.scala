@@ -161,12 +161,20 @@ object ScaleLab {
           rest.headOption.map(_.toInt).getOrElse(10),
           rest.drop(1).headOption.map(_.toInt).getOrElse(8),
           rest.drop(2).headOption.map(_.toInt).getOrElse(1))
+      case "maintainstages" :: dir :: rest =>
+        probeMaintainStages(spark, dir,
+          rest.headOption.map(_.toInt).getOrElse(10),
+          rest.drop(1).headOption.map(_.toInt).getOrElse(8))
       case "hardneg" :: dir :: rest =>
         probeHardNegSweep(spark, dir,
-          if (rest.nonEmpty) rest.map(_.toInt) else Seq(1, 2, 4, 8, 16))
+          rest.headOption.map(_.toInt).getOrElse(16),
+          if (rest.drop(1).nonEmpty) rest.drop(1).map(_.toInt)
+          else Seq(1, 2, 4, 8, 16))
       case "mmrivf" :: dir :: rest =>
         probeMmrIvf(spark, dir,
-          if (rest.nonEmpty) rest.map(_.toInt) else Seq(1, 2, 4, 8, 16))
+          rest.headOption.map(_.toInt).getOrElse(16),
+          if (rest.drop(1).nonEmpty) rest.drop(1).map(_.toInt)
+          else Seq(1, 2, 4, 8, 16))
       case "maintain" :: dir :: rest =>
         // q61d end-to-end replay (3 waves over a fresh state dir),
         // memo cleared per sample — the bench-sequential number
@@ -821,6 +829,38 @@ object ScaleLab {
     * cluster-by produces), CREATE a zonemap index, then time a point
     * SELECT with the pruning rule ON vs OFF and report the file
     * counts each plan read. */
+  /** Per-stage attribution of the incremental maintainer's waves —
+    * which stages' task time grows with the accumulated corpus. */
+  private def probeMaintainStages(spark: SparkSession, dir: String,
+                                  waves: Int, bands: Int): Unit = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val width = (maxId + waves) / waves
+    val incState = java.nio.file.Files
+      .createTempDirectory("graft_mstages").toString
+    spark.conf.set("spark.graft.clusterstate.debug", "true")
+    val listener = new graft.bench.QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    (0 until waves).foreach { w =>
+      listener.snapshotFullAndReset()
+      spark.sparkContext.setJobGroup("wave", "wave", interruptOnCancel = false)
+      try graft.operators.Dedup.maintainClusterState(spark, incState,
+        docs.where(floor(col("doc_id") / lit(width)) === w), bands)
+        .write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.clearJobGroup()
+      listener.awaitQuiescent(maxWaitMs = 10000)
+      val snap = listener.snapshotFullAndReset()
+      val recs = snap.stages.getOrElse("wave", Nil)
+      val total = recs.map(_.taskTime).sum
+      println(f"MSTAGE_WAVE w=$w total_task=$total%.2f stages=${recs.size}")
+      recs.sortBy(-_.taskTime).take(8).foreach { r =>
+        println(f"  w=$w task=${r.taskTime}%7.2f n=${r.nTasks}%4d " +
+          f"wall=${r.wall}%6.2f  ${r.name.take(72)}")
+      }
+    }
+  }
+
   /** q104b nprobe sweep (round-14 verdict item 5): recall@k of the
     * IVF hard-negative miner against the brute miner, per nprobe,
     * with median-of-3 walls — the recall/cost curve that says which
@@ -828,7 +868,7 @@ object ScaleLab {
     * (query_id, neighbor_id) hits; both sides share the label
     * predicate so the denominator is the brute top-k itself. */
   private def probeHardNegSweep(spark: SparkSession, dir: String,
-                                nprobes: Seq[Int]): Unit = {
+                                k: Int, nprobes: Seq[Int]): Unit = {
     import graft.operators.Similarity
     val truth = Similarity.queries("q104_hard_negatives")(spark, dir)
       .select(col("query_id"), col("neighbor_id")).cache()
@@ -838,7 +878,7 @@ object ScaleLab {
     println(f"HARDNEG_BRUTE dir=$dir n_true=$nTrue " +
       f"median=$bruteMedian%.3f all=${fmtAll(bruteTimes)}")
     nprobes.foreach { np =>
-      val p = Similarity.AnnParams(ivfProbe = np)
+      val p = Similarity.AnnParams(ivfK = k, ivfProbe = np)
       val approx = Similarity.hardNegativesIvf(spark, dir, p)
         .select(col("query_id"), col("neighbor_id"))
       val nHit = truth.join(approx, Seq("query_id", "neighbor_id"),
@@ -858,7 +898,7 @@ object ScaleLab {
     * nprobe, with median-of-3 walls. The q92 recall-monitor pattern
     * applied to the diversified-retrieval operator. */
   private def probeMmrIvf(spark: SparkSession, dir: String,
-                          nprobes: Seq[Int]): Unit = {
+                          k: Int, nprobes: Seq[Int]): Unit = {
     import graft.operators.Similarity
     val truth = Similarity
       .mmrDiversify(spark, dir, Similarity.MmrDefault)
@@ -869,7 +909,7 @@ object ScaleLab {
     println(f"MMR_BRUTE dir=$dir n_true=$nTrue " +
       f"median=$bruteMedian%.3f all=${fmtAll(bruteTimes)}")
     nprobes.foreach { np =>
-      val p = Similarity.AnnParams(ivfProbe = np)
+      val p = Similarity.AnnParams(ivfK = k, ivfProbe = np)
       val approx = Similarity
         .mmrDiversifyIvf(spark, dir, Similarity.MmrDefault, p)
         .select(col("query_id"), col("neighbor_id"))
