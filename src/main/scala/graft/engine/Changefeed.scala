@@ -46,8 +46,21 @@ object Changefeed {
   def dir(spark: SparkSession): Path =
     new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")), ".graft-cdc")
 
+  /** The cdc dir's filesystem, UNWRAPPED from ChecksumFileSystem on
+    * local warehouses: events are tiny rename-published JSON files,
+    * and the checksum layer's two-file rename (data + .crc) is the
+    * one non-atomic step in the pipeline — under a cross-process id
+    * collision it interleaves into a visible event whose data and
+    * checksum come from different writers (ChecksumException in every
+    * reader). Raw local rename is a single atomic POSIX rename. Old
+    * .crc sidecars written before this change are simply never read
+    * again (readers tolerate their absence). Non-checksum filesystems
+    * (HDFS, object stores) pass through unchanged. */
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
+    p.getFileSystem(spark.sessionState.newHadoopConf()) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
 
   // one id sequence per warehouse; initialized from max(log max id,
   // durable _seq high-water mark) so a restarted server continues the
@@ -135,7 +148,24 @@ object Changefeed {
     val d = dir(spark)
     val fs = fsOf(spark, d)
     if (!fs.exists(d)) fs.mkdirs(d)
-    val id = nextId(spark, fs, d)
+    // CROSS-PROCESS id claim (round 15): each process seeds its
+    // in-memory sequence from the log's max id, so two engine
+    // processes sharing a warehouse (the 2-JVM soak/coherence shape)
+    // can draw the SAME id — observed as a corrupt visible event when
+    // both renamed onto one target through ChecksumFileSystem (data
+    // and .crc rename separately; the interleave smears one writer's
+    // data with the other's checksum). Two defenses: [[fsOf]] runs
+    // all cdc I/O through the RAW filesystem (one rename = one atomic
+    // file op, a collision loses one event instead of corrupting
+    // one), and the claim loop below skips ids whose event file
+    // already exists (another process published it), shrinking the
+    // loss window to exists→rename microseconds.
+    var id = nextId(spark, fs, d)
+    var dst = new Path(d, f"evt-$id%016d.json")
+    while (fs.exists(dst)) {
+      id = nextId(spark, fs, d)
+      dst = new Path(d, f"evt-$id%016d.json")
+    }
     val json = {
       val fields = data.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -143,7 +173,8 @@ object Changefeed {
       s"""{"id":$id,"table":"${esc(table)}","operation":"${esc(operation)}","data":$fields,"timestamp_ms":${System.currentTimeMillis()}}"""
     }
     // temp + rename: the streaming file source and the poller must
-    // never observe a half-written event.
+    // never observe a half-written event. The tmp name carries a
+    // uuid so colliding claimants never share a tmp either.
     // Bounded retry around the create+write: Hadoop's RawLocalFileSystem
     // SHELLS OUT to chmod inside create() (Shell.run via setPermission),
     // and under fork pressure (several writer JVMs + host load) that
@@ -151,9 +182,12 @@ object Changefeed {
     // mid-run. A transient fs hiccup must not fail the DML that
     // already committed; durability semantics are preserved because
     // the LAST attempt still throws.
-    val tmp = new Path(d, s".evt-$id.json.tmp")
+    val tmp = new Path(d,
+      s".evt-$id.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     createWithRetry(fs, tmp, json.getBytes("UTF-8"))
-    fs.rename(tmp, new Path(d, f"evt-$id%016d.json"))
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"changefeed emit could not publish $dst (rename returned false)")
   }
 
   /** Bounded-retry atomic-ish file write (the changefeed emit's
