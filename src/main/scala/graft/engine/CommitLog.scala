@@ -169,15 +169,22 @@ object CommitLog {
 
   /** Table-relative paths of the data files currently ON DISK
     * (recursive; commit markers, hidden files, and the log itself are
-    * not data). */
+    * not data).
+    *
+    * Manual listStatus walk, NOT `fs.listFiles(recursive)`: the
+    * located-status iterator stat()s every entry (RawLocalFileSystem
+    * shells out `ls` for permissions), and under concurrent
+    * publishers it races their `.vN.manifest.<uuid>.tmp` renames — a
+    * vanished tmp turns into ExitCodeException mid-listing (flaked
+    * the 8-publisher spec). listStatus materializes plain statuses
+    * without the permission stat, and skipping hidden ( `.`/`_` ) and
+    * mirror (`metadata`) directories keeps the racing files out of
+    * the walk entirely — data never lives there. */
   private def listDataRels(fs: FileSystem, loc: Path): Set[String] = {
-    if (!fs.exists(loc)) return Set.empty
     val out = Set.newBuilder[String]
-    val it = fs.listFiles(loc, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && Snapshots.isDataFileName(f.getPath.getName))
-        relativize(loc, f.getPath).foreach(out += _)
+    Snapshots.walkFiles(fs, loc) { st =>
+      if (Snapshots.isDataFileName(st.getPath.getName))
+        relativize(loc, st.getPath).foreach(out += _)
     }
     out.result()
   }

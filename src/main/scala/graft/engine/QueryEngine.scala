@@ -767,10 +767,9 @@ final class QueryEngine(val spark: SparkSession,
       val loc = new org.apache.hadoop.fs.Path(meta.location)
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
       def dataFiles = {
-        val it = fs.listFiles(loc, true)
+        // Snapshots.walkFiles: publisher-safe (no per-entry stat race)
         var n = 0; var bytes = 0L
-        while (it.hasNext) {
-          val f = it.next()
+        Snapshots.walkFiles(fs, loc) { f =>
           if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
         }
         (n, bytes)

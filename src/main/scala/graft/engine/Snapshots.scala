@@ -96,14 +96,31 @@ object Snapshots {
   private[engine] def isDataFileName(name: String): Boolean =
     name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")
 
+  /** Recursive table-dir walk that is SAFE against concurrent
+    * publishers: plain listStatus (no per-entry permission stat — the
+    * located-status iterator shells `ls` per file on RawLocalFS and
+    * dies on a vanished `.tmp`), skipping hidden (`.`/`_`) and mirror
+    * (`metadata`) directories, where the racing tmp files live and
+    * data never does. */
+  private[engine] def walkFiles(fs: FileSystem, loc: Path)
+                               (visit: org.apache.hadoop.fs.FileStatus => Unit): Unit = {
+    if (!fs.exists(loc)) return
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (!n.startsWith(".") && !n.startsWith("_") && n != "metadata")
+            walk(st.getPath)
+        } else visit(st)
+      }
+    walk(loc)
+  }
+
   /** Relative paths of the table's data files (recursive). */
   private def listDataFiles(fs: FileSystem, loc: Path): Seq[String] = {
-    if (!fs.exists(loc)) return Seq.empty
     val out = Seq.newBuilder[String]
-    val it = fs.listFiles(loc, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && isDataFileName(f.getPath.getName))
+    walkFiles(fs, loc) { f =>
+      if (isDataFileName(f.getPath.getName))
         out += relativize(loc, f.getPath)
     }
     out.result()
