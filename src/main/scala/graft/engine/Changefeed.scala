@@ -84,7 +84,30 @@ object Changefeed {
   private[graft] def resetSequences(): Unit = sequences.clear()
 
   private val EventFileRe = """evt-(\d+)\.json""".r
+  private val ClaimFileRe = """\.claim-(\d+)""".r
   private val SeqFileName = "_seq"
+
+  private def claimPath(d: Path, id: Long): Path =
+    new Path(d, f".claim-$id%016d")
+
+  /** Atomically claim exclusive ownership of `p` (create-if-absent,
+    * returns false when another claimant got there first).
+    *
+    * RawLocalFileSystem's create(overwrite=false) is CHECK-THEN-ACT
+    * (exists() + FileOutputStream, no O_EXCL) — two processes can both
+    * pass the exists check and both "win" — so local paths go through
+    * java.io.File.createNewFile, which the JDK implements with O_EXCL
+    * at the syscall: exactly one caller across all processes gets
+    * true. Non-local filesystems use create(overwrite=false), which
+    * HDFS/object stores enforce atomically at the namenode/store. A
+    * real I/O error (as opposed to losing the race) propagates. */
+  private def claimId(fs: FileSystem, p: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      new java.io.File(p.toUri.getPath).createNewFile()
+    case _ =>
+      try { fs.create(p, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+  }
 
   private def logMaxId(fs: FileSystem, d: Path): Long =
     if (!fs.exists(d)) 0L
@@ -143,28 +166,41 @@ object Changefeed {
     * reference's schema cache learns of changes the same way —
     * storage/schema/astha_subscriber.go consumes these events). */
   def emit(spark: SparkSession, table: String, operation: String,
-           data: Map[String, String]): Unit = {
-    if (!enabled(spark)) return
+           data: Map[String, String]): Long = {
+    if (!enabled(spark)) return -1L
     val d = dir(spark)
     val fs = fsOf(spark, d)
     if (!fs.exists(d)) fs.mkdirs(d)
-    // CROSS-PROCESS id claim (round 15): each process seeds its
+    // CROSS-PROCESS id claim (rounds 15-16): each process seeds its
     // in-memory sequence from the log's max id, so two engine
     // processes sharing a warehouse (the 2-JVM soak/coherence shape)
-    // can draw the SAME id — observed as a corrupt visible event when
-    // both renamed onto one target through ChecksumFileSystem (data
-    // and .crc rename separately; the interleave smears one writer's
-    // data with the other's checksum). Two defenses: [[fsOf]] runs
-    // all cdc I/O through the RAW filesystem (one rename = one atomic
-    // file op, a collision loses one event instead of corrupting
-    // one), and the claim loop below skips ids whose event file
-    // already exists (another process published it), shrinking the
-    // loss window to exists→rename microseconds.
+    // can draw the SAME id. Round 15 made a collision non-CORRUPTING
+    // ([[fsOf]] runs cdc I/O through the raw filesystem — one rename =
+    // one atomic POSIX file op) but a colliding rename onto one target
+    // still silently REPLACED the first writer's already-visible event
+    // (the loser "wins" and the winner's acked event vanishes) —
+    // at-least-once delivery broken for whoever consumed the original.
+    // Round 16 closes it: an id is OWNED before anything is published
+    // under it, via an atomic exclusive create of a hidden
+    // `.claim-<id>` marker ([[claimId]]; O_EXCL locally). The dst
+    // re-check after a won claim covers the one legal interleaving
+    // left: the prior owner published evt-<id> and dropped its marker
+    // between our exists() probe and our claim. Once claimed, no other
+    // process can rename onto this dst — publish is collision-free and
+    // NO acked event is ever lost or replaced (ChangefeedLossSpec
+    // hammers this from two JVMs and diffs acks against the log).
     var id = nextId(spark, fs, d)
     var dst = new Path(d, f"evt-$id%016d.json")
-    while (fs.exists(dst)) {
-      id = nextId(spark, fs, d)
-      dst = new Path(d, f"evt-$id%016d.json")
+    var owned = false
+    while (!owned) {
+      if (!fs.exists(dst) && claimId(fs, claimPath(d, id))) {
+        if (fs.exists(dst)) fs.delete(claimPath(d, id), false) // stale win
+        else owned = true
+      }
+      if (!owned) {
+        id = nextId(spark, fs, d)
+        dst = new Path(d, f"evt-$id%016d.json")
+      }
     }
     val json = {
       val fields = data.toSeq.sortBy(_._1)
@@ -184,10 +220,20 @@ object Changefeed {
     // the LAST attempt still throws.
     val tmp = new Path(d,
       s".evt-$id.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    createWithRetry(fs, tmp, json.getBytes("UTF-8"))
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"changefeed emit could not publish $dst (rename returned false)")
+    try {
+      createWithRetry(fs, tmp, json.getBytes("UTF-8"))
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(
+          s"changefeed emit could not publish $dst (rename returned false)")
+    } finally {
+      // drop the claim marker whether publish succeeded (the event file
+      // itself now excludes the id) or failed (the id becomes claimable
+      // again instead of orphaned); a crash inside the try leaves a
+      // stale marker that [[cleanup]] sweeps by age.
+      try fs.delete(claimPath(d, id), false)
+      catch { case _: java.io.IOException => () }
+    }
+    id
   }
 
   /** Bounded-retry atomic-ish file write (the changefeed emit's
@@ -330,11 +376,26 @@ object Changefeed {
     val d = dir(spark)
     val fs = fsOf(spark, d)
     if (!fs.exists(d)) return 0
-    val doomed = fs.listStatus(d).iterator.flatMap(st =>
+    val listing = fs.listStatus(d)
+    val doomed = listing.iterator.flatMap(st =>
       st.getPath.getName match {
         case EventFileRe(id) if id.toLong <= upToId => Some((id.toLong, st.getPath))
         case _ => None
       }).toSeq
+    // sweep claim markers orphaned by a crash between claim and
+    // publish — by AGE, never by id: an in-flight claim's id can be
+    // below a faster writer's already-cleaned ids, and deleting a live
+    // marker would re-open the very collision the claim closes. 60 s
+    // dwarfs the claim→publish window (microseconds) by 7+ orders.
+    val staleBefore = System.currentTimeMillis() - 60000L
+    listing.iterator.foreach { st =>
+      st.getPath.getName match {
+        case ClaimFileRe(_) if st.getModificationTime < staleBefore =>
+          try fs.delete(st.getPath, false)
+          catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    }
     if (doomed.isEmpty) return 0
     advanceSeq(fs, d, doomed.map(_._1).max)
     doomed.foreach { case (_, p) => fs.delete(p, false) }
