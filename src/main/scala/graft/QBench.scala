@@ -47,7 +47,8 @@ object QBench {
         // probed run, so training stages are visible
         Bench.MemoBypass.get(name).foreach(clear => clear())
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = false)
-        try once() finally spark.sparkContext.clearJobGroup()
+        val probeWall = try once() finally spark.sparkContext.clearJobGroup()
+        println(f"QBENCH $name probe_wall=$probeWall%.3f (memo-cleared)")
         listener.awaitQuiescent()
         val snap = listener.snapshotFullAndReset()
         snap.stages.getOrElse(name, Nil).foreach { r =>

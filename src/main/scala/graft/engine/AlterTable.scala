@@ -221,7 +221,7 @@ object AlterTable {
     * metadata-only operations (DROP old, RENAME tmp) — a crash at any
     * other point leaves either the original or a fully-loaded
     * replacement queryable (the round-2 non-atomic-rebuild finding). */
-  private def rebuild(spark: SparkSession, t: String,
+  private[graft] def rebuild(spark: SparkSession, t: String,
                       transform: DataFrame => DataFrame,
                       evolveProps: Map[String, String] => Map[String, String]): Unit = {
     if (Snapshots.enabled(spark)) Snapshots.create(spark, t, "ALTER")
@@ -240,12 +240,14 @@ object AlterTable {
       warehouse, s".graft-alter-${java.util.UUID.randomUUID()}")
     val fs = staging.getFileSystem(conf)
     var committed = false
+    val historyKeep = new org.apache.hadoop.fs.Path(
+      warehouse, s".graft-alter-history-${java.util.UUID.randomUUID()}")
+    // (origin, stashed) pairs for the table's history dirs — populated
+    // only in the short stash→commit window; the finally block rolls
+    // them back if the swap failed
+    var saved: Seq[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)] = Seq.empty
     try {
       transformed.write.mode("overwrite").parquet(staging.toString)
-      // replacement data is durable — files a snapshot references move
-      // (rename, zero-copy) to the archive before the old table's
-      // directory is deleted by DROP below
-      Snapshots.preserveAll(spark, t)
 
       // declared order (with dropped/added columns reflected) for the
       // recreated table; partition columns keep their role
@@ -267,39 +269,58 @@ object AlterTable {
       val bare = ident.table
       val tmp = ident.database.map(d => s"$d.`${bare}__graft_alter`")
         .getOrElse(s"`${bare}__graft_alter`")
-      // round 15: the commit log and the Iceberg mirror are the
-      // table's HISTORY — carry them across the drop/recreate (moved
-      // aside here, restored after the rename) or every ALTER resets
-      // commit versions and the mirror's schema history. The publish
-      // that follows this statement then appends version prevV+1 with
-      // the rebuilt files and the mirror records the new schema-id;
-      // pre-ALTER snapshots keep their old schema-id (their data
-      // files live on in the snapshots archive when snapshots are on).
       val oldLoc = new org.apache.hadoop.fs.Path(meta.location)
-      val historyKeep = new org.apache.hadoop.fs.Path(
-        warehouse, s".graft-alter-history-${java.util.UUID.randomUUID()}")
-      val historyDirs = Seq(
-        CommitLog.logDir(oldLoc), IcebergMetadata.metadataDir(oldLoc))
-        .filter(fs.exists)
-      if (historyDirs.nonEmpty) fs.mkdirs(historyKeep)
-      val saved = historyDirs.map { d =>
-        val dst = new org.apache.hadoop.fs.Path(historyKeep, d.getName)
-        fs.rename(d, dst); dst
-      }
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
       spark.sql(s"CREATE TABLE $tmp ($colsSql) USING parquet$partSql$propsSql")
       val staged = spark.read.schema(newSchema).parquet(staging.toString)
       val aligned = newSchema.fieldNames.filterNot(parts.contains).toSeq ++ parts
       staged.select(aligned.map(col): _*)
         .write.mode("overwrite").insertInto(tmp)
+      // files a snapshot references move (rename, zero-copy) to the
+      // archive before the old table's directory is deleted by DROP
+      // below. Round 16: moved here from right after the staging write —
+      // preserveAll EMPTIES the live table dir (the files live on in
+      // the archive), so running it before the risky CREATE/insertInto
+      // meant a failure there left the catalog-live original with zero
+      // rows (AlterTableSpec's failed-ALTER leg caught this).
+      Snapshots.preserveAll(spark, t)
+      // rounds 15-16: the commit log and the Iceberg mirror are the
+      // table's HISTORY — carry them across the drop/recreate (moved
+      // aside here, restored after the rename) or every ALTER resets
+      // commit versions and the mirror's schema history. The publish
+      // that follows this statement then appends version prevV+1 with
+      // the rebuilt files and the mirror records the new schema-id;
+      // pre-ALTER snapshots keep their old schema-id. The stash happens
+      // ONLY NOW, after the replacement is fully loaded: every risky
+      // step (staging write, CREATE, insertInto) ran with the original
+      // table — including its history dirs — fully intact, so a failure
+      // up to here leaves the table exactly as it was. From the stash
+      // to the restore the only operations are metadata-only (DROP old,
+      // RENAME tmp); a failure in that window rolls the stash back in
+      // the finally block. Every rename's boolean is CHECKED — a silent
+      // false here is a silently-restarted version sequence later.
+      val historyDirs = Seq(
+        CommitLog.logDir(oldLoc), IcebergMetadata.metadataDir(oldLoc))
+        .filter(fs.exists)
+      if (historyDirs.nonEmpty) fs.mkdirs(historyKeep)
+      saved = historyDirs.map { d =>
+        val dst = new org.apache.hadoop.fs.Path(historyKeep, d.getName)
+        if (!fs.rename(d, dst)) throw new java.io.IOException(
+          s"ALTER of $t could not stash history dir $d (rename returned false)")
+        (d, dst)
+      }
       spark.sql(s"DROP TABLE $t")
       spark.sql(s"ALTER TABLE $tmp RENAME TO `$bare`")
       // restore the preserved history into the rebuilt table's dir
       if (saved.nonEmpty) {
         val newLoc = new org.apache.hadoop.fs.Path(
           catalog.getTableMetadata(ident).location)
-        saved.foreach(d =>
-          fs.rename(d, new org.apache.hadoop.fs.Path(newLoc, d.getName)))
+        saved.foreach { case (_, d) =>
+          val dst = new org.apache.hadoop.fs.Path(newLoc, d.getName)
+          if (!fs.rename(d, dst)) throw new java.io.IOException(
+            s"ALTER of $t could not restore history dir $d into $newLoc" +
+              " (rename returned false)")
+        }
         try fs.delete(historyKeep, true) catch { case _: Exception => () }
       }
       committed = true
@@ -310,11 +331,24 @@ object AlterTable {
         try fs.delete(staging, true)
         catch { case _: Exception => () }
       } else {
+        // a failure between stash and commit: put the history back where
+        // the (usually still-live) original expects it. If DROP already
+        // removed the old table dir the rename-back returns false (gone
+        // parent) and the stash stays put — reported below either way.
+        val restored = saved.map { case (origin, stash) =>
+          try fs.exists(origin) || (fs.exists(stash) && fs.rename(stash, origin))
+          catch { case _: Exception => false }
+        }
+        val stashNote =
+          if (saved.isEmpty) ""
+          else if (restored.forall(identity))
+            "; preserved commit-log/mirror dirs were restored to the live table"
+          else s"; preserved commit-log/mirror dirs remain at $historyKeep" +
+            " — move them into the table dir before the next write or its" +
+            " version sequence restarts at v0"
         System.err.println(
           s"[graft] ALTER of $t did not commit; staged data kept at $staging" +
-            s" (a fully-loaded replacement may exist as ${t}__graft_alter;" +
-            s" preserved commit-log/mirror dirs, if any, sit under the" +
-            s" warehouse's .graft-alter-history-* staging)")
+            s" (a fully-loaded replacement may exist as ${t}__graft_alter$stashNote)")
       }
     }
   }

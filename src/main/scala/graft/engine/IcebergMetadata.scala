@@ -146,15 +146,57 @@ object IcebergMetadata {
   // Round 14: every field carries the Iceberg spec's `field-id` prop
   // (manifest_entry 0/1/3/4/2, data_file 134/100-104, manifest_file
   // 500-514 — the published spec assignments) so strict Avro readers
-  // that resolve by id, not name, can map the manifests. The one
-  // residual deviation stays documented: `partition` is a string map
-  // (the reference's shape, avro_schemas.go) rather than the spec's
-  // r102 partition struct — its key-id/value-id use 1000/1001, a range
-  // no spec version assigns (141-145 are spec-taken by Iceberg v3:
-  // 142 first_row_id, 143 referenced_data_file, 144 content_offset,
-  // 145 content_size), so strict id-resolving readers cannot collide.
-  private val ManifestEntrySchema =
-    """{"type":"record","name":"manifest_entry","namespace":"org.apache.iceberg","fields":[
+  // that resolve by id, not name, can map the manifests.
+  // Round 16: `partition` is the SPEC's r102 partition struct — one
+  // typed field per partition-spec field carrying the same partition
+  // field-id (1000+i) that metadata.json's partition-specs declare, so
+  // an id-resolving reader maps manifest partition values to the spec
+  // exactly. The reference's string-map shape (avro_schemas.go) stays
+  // available behind spark.graft.iceberg.partitionMapCompat for
+  // reference-shape parity; its synthetic key/value ids sit at
+  // 2147482000/2147482001 — clear of data-column ids (small ints,
+  // last-column-id-bounded), partition-field ids (1000+n), AND
+  // Iceberg's own reserved synthetic block just under Int.MaxValue
+  // (2147483646 _file, 2147483645 _pos, 2147483546 _deleted, the
+  // metadata-table ids above them) — the round-15 choice of 1000/1001
+  // collided with any partitioned table's own first partition fields.
+  private val PartitionMapCompatType =
+    """{"type":"map","values":"string","key-id":2147482000,"value-id":2147482001}"""
+
+  /** Avro type for a partition column (identity transform ⇒ the source
+    * column's type). Types without a clean Avro primitive fall back to
+    * their string path representation. */
+  private def partAvroType(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case LongType => "\"long\""
+    case BooleanType => "\"boolean\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case TimestampType | TimestampNTZType =>
+      """{"type":"long","logicalType":"timestamp-micros"}"""
+    case _ => "\"string\""
+  }
+
+  /** Avro record field names must be identifiers; partition VALUES map
+    * by position, so sanitizing the name never loses data. */
+  private def avroName(c: String): String = {
+    val s = c.map(ch => if (ch.isLetterOrDigit || ch == '_') ch else '_')
+    if (s.isEmpty || s.head.isDigit) "_" + s else s
+  }
+
+  private[engine] def manifestEntrySchema(partFields: Seq[(String, DataType)],
+                                          mapCompat: Boolean): String = {
+    val partitionType =
+      if (mapCompat) PartitionMapCompatType
+      else {
+        val fs = partFields.zipWithIndex.map { case ((n, dt), i) =>
+          s"""{"name":"${avroName(n)}","type":["null",${partAvroType(dt)}],""" +
+            s""""default":null,"field-id":${1000 + i}}"""
+        }.mkString(",")
+        s"""{"type":"record","name":"r102","fields":[$fs]}"""
+      }
+    ("""{"type":"record","name":"manifest_entry","namespace":"org.apache.iceberg","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":"long","field-id":1},
       |{"name":"data_sequence_number","type":"long","field-id":3},
@@ -163,10 +205,35 @@ object IcebergMetadata {
       |{"name":"content","type":"int","field-id":134},
       |{"name":"file_path","type":"string","field-id":100},
       |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","field-id":102,"type":{"type":"map","values":"string","key-id":1000,"value-id":1001}},
+      |{"name":"partition","field-id":102,"type":""".stripMargin + partitionType +
+      """},
       |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""".stripMargin
+      |{"name":"file_size_in_bytes","type":"long","field-id":104}]}}]}""".stripMargin)
       .replace("\n", "")
+  }
+
+  /** Typed r102 value from the hive-path string; unparseable or
+    * default-partition values land as null (the union's null branch). */
+  private def typedPartValue(raw: Option[String], dt: DataType): AnyRef =
+    raw match {
+      case None => null
+      case Some(s) if s == "__HIVE_DEFAULT_PARTITION__" => null
+      case Some(s) =>
+        try dt match {
+          case IntegerType | ShortType | ByteType => Integer.valueOf(s.trim.toInt)
+          case LongType => java.lang.Long.valueOf(s.trim.toLong)
+          case BooleanType => java.lang.Boolean.valueOf(s.trim.toBoolean)
+          case FloatType => java.lang.Float.valueOf(s.trim.toFloat)
+          case DoubleType => java.lang.Double.valueOf(s.trim.toDouble)
+          case DateType =>
+            Integer.valueOf(java.time.LocalDate.parse(s.trim).toEpochDay.toInt)
+          case TimestampType | TimestampNTZType =>
+            java.lang.Long.valueOf(java.time.LocalDateTime
+              .parse(s.trim.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+          case _ => s
+        } catch { case _: Exception => null }
+    }
 
   private val ManifestListSchema =
     """{"type":"record","name":"manifest_file","namespace":"org.apache.iceberg","fields":[
@@ -219,8 +286,16 @@ object IcebergMetadata {
     val keep = keepSnapshots(spark)
 
     // previous metadata carries forward identity + logs (absent on the
-    // first commit, or after a whole-table rewrite truncated the dir)
-    val prev = readMetadata(fs, new Path(dir, s"v${m.version - 1}.metadata.json"), om)
+    // first commit, or after a whole-table rewrite truncated the dir).
+    // For a RE-emit of an existing version (metadata-only ALTER) the
+    // previous state is the existing vN ITSELF — its schema history
+    // already records what earlier emits of this version resolved
+    // (e.g. a rename's field-id reuse, whose breadcrumb is consumed on
+    // first use); re-deriving from v(N-1) would miss it and allocate a
+    // fresh id. The duplicate-snapshot/log guards below keep the
+    // re-emit idempotent.
+    val prev = readMetadata(fs, new Path(dir, s"v${m.version}.metadata.json"), om)
+      .orElse(readMetadata(fs, new Path(dir, s"v${m.version - 1}.metadata.json"), om))
 
     // ---- row counts: footer-read only files the sidecar doesn't know
     val counts = if (m.version > 0) rowCounts(spark, fs, loc, dir, m.files)
@@ -230,9 +305,17 @@ object IcebergMetadata {
     // avro_schemas.go) — skipped for the v0 creation shell
     val suffix = m.stamp.take(8)
     val partCols = ct.partitionColumnNames
+    val mapCompat = spark.conf
+      .getOption("spark.graft.iceberg.partitionMapCompat")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val partFieldTypes: Seq[(String, DataType)] = partCols.map { c =>
+      c -> ct.schema.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType).getOrElse(StringType)
+    }
     val listPathOpt: Option[Path] = if (m.version == 0) None else Some {
       val manifestPath = new Path(dir, s"manifest-$snapshotId-$suffix.avro")
-      writeAvro(fs, manifestPath, ManifestEntrySchema, m.files.sorted.map { rel =>
+      writeAvro(fs, manifestPath,
+        manifestEntrySchema(partFieldTypes, mapCompat), m.files.sorted.map { rel =>
         val full = new Path(loc, rel).toString
         (entrySchema: org.apache.avro.Schema) => {
           val rec = new org.apache.avro.generic.GenericData.Record(entrySchema)
@@ -245,9 +328,21 @@ object IcebergMetadata {
           df.put("content", 0)
           df.put("file_path", full)
           df.put("file_format", "PARQUET")
-          val partMap = new java.util.HashMap[String, String]()
-          partitionValues(rel, partCols).foreach { case (k, v) => partMap.put(k, v) }
-          df.put("partition", partMap)
+          if (mapCompat) {
+            val partMap = new java.util.HashMap[String, String]()
+            partitionValues(rel, partCols).foreach { case (k, v) => partMap.put(k, v) }
+            df.put("partition", partMap)
+          } else {
+            // spec r102: typed struct, one field per partition-spec field
+            val ps = dfSchema.getField("partition").schema()
+            val vals = partitionValues(rel, partCols)
+              .map { case (k, v) => k.toLowerCase -> v }.toMap
+            val pr = new org.apache.avro.generic.GenericData.Record(ps)
+            partFieldTypes.foreach { case (c, dt) =>
+              pr.put(avroName(c), typedPartValue(vals.get(c.toLowerCase), dt))
+            }
+            df.put("partition", pr)
+          }
           df.put("record_count", counts.getOrElse(rel, -1L))
           df.put("file_size_in_bytes",
             try fs.getFileStatus(new Path(loc, rel)).getLen
@@ -330,27 +425,52 @@ object IcebergMetadata {
     }
     val ids = new java.util.concurrent.atomic.AtomicInteger(prevLastColId)
     val nextId = () => ids.incrementAndGet()
+    // throwaway renders for shape comparison only
+    val candOf: Map[String, JsonNode] = schemaForIceberg.fields.map { f =>
+      val tmp = new java.util.concurrent.atomic.AtomicInteger(1 << 20)
+      f.name.toLowerCase -> structFields(StructType(Seq(f)),
+        n => ct.properties.get(s"graft.type.$n"),
+        () => tmp.incrementAndGet(), om).get(0)
+    }.toMap
+    val currentNames = schemaForIceberg.fieldNames.map(_.toLowerCase).toSet
+    // pass 1 (round 16): columns matching a previous node by NAME claim
+    // it first, and every reuse marks the node CLAIMED — a rename
+    // breadcrumb can never hand a node a live column already owns to a
+    // second column, which previously let `RENAME a->b; re-add a; drop
+    // + re-add b` emit two live columns sharing one field id (breaking
+    // id-resolving readers).
+    val claimed = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[JsonNode, java.lang.Boolean]())
+    val direct: Map[String, JsonNode] = schemaForIceberg.fields.flatMap { f =>
+      val lname = f.name.toLowerCase
+      prevByName.get(lname)
+        .filter(p => shapeKey(p) == shapeKey(candOf(lname)))
+        .map { p => claimed.add(p); lname -> p }
+    }.toMap
     val fields = om.createArrayNode()
     schemaForIceberg.fields.foreach { f =>
       val lname = f.name.toLowerCase
-      // throwaway render for shape comparison only
-      val cand = {
-        val tmp = new java.util.concurrent.atomic.AtomicInteger(1 << 20)
-        structFields(StructType(Seq(f)),
-          n => ct.properties.get(s"graft.type.$n"),
-          () => tmp.incrementAndGet(), om).get(0)
-      }
-      val prevMatch = prevByName.get(lname).orElse(
+      val prevMatch = direct.get(lname).orElse(
+        // pass 2: the graft.renamed.<to>=<from> breadcrumb AlterTable
+        // leaves, honoured only while it still describes THIS emit's
+        // rename: <from> must be GONE from the current schema (a live
+        // <from> owns its node), the node must be unclaimed, and the
+        // shape must match. Claimed too, so two breadcrumbs pointing at
+        // one source cannot both inherit its id.
         ct.properties.get(s"graft.renamed.$lname")
-          .flatMap(from => prevByName.get(from)))
+          .filterNot(currentNames.contains)
+          .flatMap(prevByName.get)
+          .filterNot(claimed.contains)
+          .filter(p => shapeKey(p) == shapeKey(candOf(lname)))
+          .map { p => claimed.add(p); p })
       prevMatch match {
-        case Some(p) if shapeKey(p) == shapeKey(cand) =>
+        case Some(p) =>
           // same shape → reuse the previous node (top-level AND nested
           // ids survive); rename keeps the id per spec, name updated
           val kept = p.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
           kept.put("name", f.name)
           fields.add(kept): Unit
-        case _ =>
+        case None =>
           // new column, or a retype (fresh ids past last-column-id)
           fields.add(structFields(StructType(Seq(f)),
             n => ct.properties.get(s"graft.type.$n"), nextId, om)
@@ -417,7 +537,12 @@ object IcebergMetadata {
     val snaps = om.createArrayNode()
     val prevSnaps = prev.flatMap(p => Option(p.get("snapshots")))
       .collect { case a: ArrayNode => a }
-    prevSnaps.foreach(_.forEach(s => snaps.add(s): Unit))
+    // re-emit idempotence: when prev IS the existing vN, its own
+    // snapshot entry is re-added below — skip the stale copy here
+    prevSnaps.foreach(_.forEach(s =>
+      if (!(listPathOpt.isDefined &&
+            Option(s.get("snapshot-id")).exists(_.asLong == snapshotId)))
+        snaps.add(s): Unit))
     listPathOpt.foreach { listPath =>
       val snap = om.createObjectNode()
       snap.put("snapshot-id", snapshotId)
@@ -467,7 +592,10 @@ object IcebergMetadata {
     prev.flatMap(p => Option(p.get("snapshot-log")))
       .collect { case a: ArrayNode => a }
       .foreach(a => a.forEach(e => snapLog.add(e): Unit))
-    if (m.version > 0) {
+    val snapLogHasTail = snapLog.size() > 0 &&
+      Option(snapLog.get(snapLog.size() - 1).get("snapshot-id"))
+        .exists(_.asLong == snapshotId)
+    if (m.version > 0 && !snapLogHasTail) {
       val sl = om.createObjectNode()
       sl.put("snapshot-id", snapshotId); sl.put("timestamp-ms", now)
       snapLog.add(sl): Unit
@@ -479,12 +607,15 @@ object IcebergMetadata {
     prev.flatMap(p => Option(p.get("metadata-log")))
       .collect { case a: ArrayNode => a }
       .foreach(a => a.forEach(e => mdLog.add(e): Unit))
-    if (prev.isDefined) {
+    val mdPrevFile = new Path(dir, s"v${m.version - 1}.metadata.json").toString
+    val mdLogHasTail = mdLog.size() > 0 &&
+      Option(mdLog.get(mdLog.size() - 1).get("metadata-file"))
+        .exists(_.asText == mdPrevFile)
+    if (prev.isDefined && m.version > 0 && !mdLogHasTail) {
       val ml = om.createObjectNode()
-      ml.put("metadata-file",
-        new Path(dir, s"v${m.version - 1}.metadata.json").toString)
+      ml.put("metadata-file", mdPrevFile)
       ml.put("timestamp-ms", now)
-      mdLog.add(ml)
+      mdLog.add(ml): Unit
     }
     while (mdLog.size() > keep) {
       val dropped = mdLog.remove(0)
@@ -515,6 +646,23 @@ object IcebergMetadata {
       om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     writeAtomic(fs, new Path(dir, "version-hint.text"),
       m.version.toString.getBytes("UTF-8"))
+
+    // rename breadcrumbs are SINGLE-USE: this emit just recorded the
+    // rename in the current schema, so every later emit resolves the
+    // column by name — a surviving breadcrumb could only ever misfire
+    // (a re-added <from> plus a re-added <to> would alias one field id
+    // across two live columns, which the pass-1/2 guards above block).
+    // Consume them now that the metadata landed; best-effort, the
+    // guards remain the defense if this write fails.
+    if (ct.properties.keysIterator.exists(_.startsWith("graft.renamed."))) {
+      try {
+        val cat = spark.sessionState.catalog
+        val live = cat.getTableMetadata(ct.identifier)
+        val pruned = live.properties.filterNot(_._1.startsWith("graft.renamed."))
+        if (pruned.size != live.properties.size)
+          cat.alterTable(live.copy(properties = pruned))
+      } catch { case _: Exception => () }
+    }
   }
 
   // ------------------------------------------------------------ helpers

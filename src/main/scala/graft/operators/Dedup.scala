@@ -1670,6 +1670,23 @@ object Dedup {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
       finally in.close()
     } else {
+      // format guard (round 16): v* dirs WITHOUT a _buckets pin mean a
+      // pre-round-15 state layout (unbucketed deltas, set-based pairs).
+      // Resuming over it would fail later with an obscure missing-
+      // column AnalysisException or a path-not-found on v<N>/pairs —
+      // fail up front with the real diagnosis instead.
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val legacyVersions =
+        if (!fs.exists(root)) Seq.empty
+        else fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.drop(1).toIntOption.isDefined)
+      if (legacyVersions.nonEmpty) throw new IllegalStateException(
+        s"cluster state at $dir uses a pre-bucketed legacy layout " +
+          s"(versions ${legacyVersions.sorted.mkString(",")} exist but no " +
+          "_buckets pin) — the state format was upgraded in round 15; " +
+          "rebuild the state from the corpus (delete the dir and re-run " +
+          "bootstrap) or migrate it by rewriting bands/sets with the " +
+          "bucketed partitioning before resuming")
       val b = s.conf.getOption("spark.graft.clusterstate.buckets")
         .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(16)
       val out = fs.create(p, true)
@@ -1685,6 +1702,136 @@ object Dedup {
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("v")).flatMap(_.drop(1).toIntOption)
       .sorted.lastOption
+  }
+
+  // ---- delta-chain state resolution (round 16). A version is either
+  // a BASE (full labels/counts/pairs — the bootstrap wave and every
+  // compactEvery-th wave) or a DELTA chained back to its base via the
+  // v<N>/_base marker. Per-wave writes are O(batch); the full rewrites
+  // whose bytes-proportional cost made the 10x per-wave tail creep
+  // linearly in the corpus (r15 verdict: ~79->98 s over waves 4-9)
+  // happen only at compaction, amortized O(corpus / compactEvery).
+
+  /** Tombstone label: a dissolved member whose pairs are all gone
+    * leaves the label table, exactly as a recompute would drop it.
+    * Real labels are min doc ids (>= 0), so -1 can never collide. */
+  private val LabelTombstone = -1L
+
+  /** Current label table of a maintained cluster state — the public
+    * read face of [[maintainClusterState]]'s persisted state. The
+    * on-disk layout is internal (since round 16 a version may be a
+    * delta chained to an earlier base); consumers must come through
+    * here, not read v<N>/labels directly. */
+  def clusterStateLabels(s: SparkSession, stateDir: String): DataFrame =
+    latestVersion(s, stateDir) match {
+      case Some(v) => labelsView(s, stateDir, v)
+      case None =>
+        throw new IllegalStateException(s"no cluster state at $stateDir")
+    }
+
+  // explicit schemas for every chain read: a wave can legitimately
+  // write an EMPTY delta (no touched labels, no new/decremented
+  // pairs), and schema inference fails on a parquet dir holding only
+  // _SUCCESS — with the schema pinned it reads as empty. (pb is a
+  // partition column; listing it lets the empty-dir read still
+  // resolve `pb`, and on populated dirs the directory value wins.)
+  private val LabelsChainSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.LongType)))
+  private def countsChainSchema(valueCol: String) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bh",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(valueCol,
+        org.apache.spark.sql.types.LongType)))
+  private def pairsChainSchema(valueCol: String) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc2",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(valueCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pb",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** The base (full) version of `v`'s delta chain. A version dir
+    * without a marker is its own base (pre-round-16 layouts were
+    * always full — resuming over them needs no migration). */
+  private def baseOf(s: SparkSession, stateDir: String, v: Int): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_base")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) v
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Accumulated labels at version `v`: the base's full table plus the
+    * chain's per-wave LATEST-WINS deltas (each wave writes at most one
+    * row per touched doc; [[LabelTombstone]] rows delete). */
+  private def labelsView(s: SparkSession, stateDir: String, v: Int): DataFrame = {
+    val b = baseOf(s, stateDir, v)
+    val parts = s.read.schema(LabelsChainSchema)
+      .parquet(s"$stateDir/v$b/labels")
+      .select(col("doc_id"), col("cluster_id")).withColumn("w", lit(b)) +:
+      ((b + 1) to v).map(i =>
+        s.read.schema(LabelsChainSchema)
+          .parquet(s"$stateDir/v$i/labels_delta").withColumn("w", lit(i)))
+    if (parts.length == 1) parts.head.drop("w")
+    else parts.reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("w"), col("cluster_id"))).as("m"))
+      .select(col("doc_id"), col("m.cluster_id").as("cluster_id"))
+      .where(col("cluster_id") =!= lit(LabelTombstone))
+  }
+
+  /** Accumulated (band, bh) bucket counts at `v` (sum semantics —
+    * counts only grow, so deltas are always positive batch counts). */
+  private def countsView(s: SparkSession, stateDir: String, v: Int): DataFrame = {
+    val b = baseOf(s, stateDir, v)
+    val parts = s.read.schema(countsChainSchema("c0"))
+      .parquet(s"$stateDir/v$b/counts") +:
+      ((b + 1) to v).map(i => s.read.schema(countsChainSchema("dc"))
+        .parquet(s"$stateDir/v$i/counts_delta")
+        .withColumnRenamed("dc", "c0"))
+    if (parts.length == 1) parts.head
+    else parts.reduce(_ unionByName _)
+      .groupBy(col("band"), col("bh")).agg(sum(col("c0")).as("c0"))
+  }
+
+  /** Accumulated pair state at `v` (support = sum of signed deltas;
+    * a pair whose support hit 0 can never resurrect — new pairs always
+    * involve fresh batch ids — so no tombstones are needed). `pbs`
+    * prunes to the given doc1-hash partition buckets: a wave's pair
+    * reads are O(touched buckets), never O(stored pairs). */
+  private def pairsView(s: SparkSession, stateDir: String, v: Int,
+                        pbs: Option[Seq[Int]]): DataFrame = {
+    val b = baseOf(s, stateDir, v)
+    def prune(df: DataFrame): DataFrame = pbs match {
+      case Some(Nil) => df.where(lit(false))
+      case Some(list) => df.where(col("pb").isin(list: _*))
+      case None => df
+    }
+    val parts = prune(s.read.schema(pairsChainSchema("support"))
+        .parquet(s"$stateDir/v$b/pairs"))
+      .select(col("doc1"), col("doc2"), col("support").as("ds")) +:
+      ((b + 1) to v).map(i =>
+        prune(s.read.schema(pairsChainSchema("ds"))
+          .parquet(s"$stateDir/v$i/pairs_delta"))
+          .select(col("doc1"), col("doc2"), col("ds")))
+    val all =
+      if (parts.length == 1) parts.head
+      else parts.reduce(_ unionByName _)
+        .groupBy(col("doc1"), col("doc2")).agg(sum(col("ds")).as("ds"))
+    all.where(col("ds") >= 1)
+      .select(col("doc1"), col("doc2"), col("ds").as("support"))
   }
 
   /** Apply ONE arriving batch of documents (doc_id, text — ids must
@@ -1745,12 +1892,29 @@ object Dedup {
         .where(round(jaccard(col("inter"), col("n1"), col("n2")), 4) >= 0.1)
         .select(col("doc1"), col("doc2"))
 
-    val (newLabels, newBands, newCounts, newSets, newPairs) =
-      latestVersion(s, stateDir) match {
+    // ---- wave application over the delta-chain state (round 16).
+    // Ordinary waves write O(batch) DELTAS for all five state tables;
+    // compaction waves (every compactEvery-th, and the bootstrap)
+    // rewrite labels/counts/pairs in full and start a new chain. The
+    // r15 design rewrote labels/counts/pairs fully EVERY wave — the
+    // bytes-proportional cost the 10x probe measured as the residual
+    // per-wave creep (~79->98 s across waves 4-9).
+    val nBuckets = stateBuckets(s, stateDir)
+    val compactEvery = s.conf.getOption("spark.graft.clusterstate.compactEvery")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(8)
+    val prevVersion = latestVersion(s, stateDir)
+    val next = prevVersion.map(_ + 1).getOrElse(0)
+    val newBands = batchBands
+    val newSets = setsFor(batchSets)
+    var unpersistables: Seq[DataFrame] = Seq.empty
+
+    // (full-write?, labels out, counts out, pairs out, base marker)
+    val (writeFull, labelsOut, countsOut, pairsOut, baseMarker) =
+      prevVersion match {
         case None =>
           // bootstrap: the first batch clusters against itself; the
           // verified pairs seed the PAIR STATE with their bucket
-          // support counts
+          // support counts. Always a BASE version.
           val okB = batchCounts.where(col("cb").between(2, BucketCap))
             .select(col("band"), col("bh"))
           val candCounts = bucketPairCounts(
@@ -1761,12 +1925,11 @@ object Dedup {
             .select(col("doc1"), col("doc2"), col("nb").as("support"))
           val labels = shardCC(s, pairs)
             .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-          (labels, batchBands,
-            batchCounts.withColumnRenamed("cb", "c0"), setsFor(batchSets),
-            pairState)
+          (true, labels, batchCounts.withColumnRenamed("cb", "c0"),
+            pairState, next)
+
         case Some(v) =>
-          val st = s"$stateDir/v$v"
-          val nBuckets = stateBuckets(s, stateDir)
+          val base = baseOf(s, stateDir, v)
           // pruned accumulated-state read: waves w <= v (stray
           // post-crash deltas excluded) AND only the listed hash
           // buckets — both are partition columns, so Catalyst prunes
@@ -1781,59 +1944,46 @@ object Dedup {
              else df.where(col(bucketCol).isin(buckets: _*)))
               .drop("w", bucketCol)
           }
-          val labels = s.read.parquet(s"$st/labels")
-          val counts = s.read.parquet(s"$st/counts")
           // one merged (band,bh) count view serves the affected-scope
-          // gate, the pair-bucket filter, and the counts rewrite:
-          // c0 = accumulated, cb = this batch, c = after
-          val merged = counts
+          // gate, the pair-bucket filter, the counts delta, and the
+          // compaction rewrite: c0 = accumulated, cb = this batch,
+          // c = after. PERSISTED (round-16 barrier diet): previously
+          // every downstream key-set re-evaluated the counts read +
+          // full_outer join inside its own job's lineage.
+          val merged = countsView(s, stateDir, v)
             .join(batchCounts, Seq("band", "bh"), "full_outer")
             .select(col("band"), col("bh"),
               coalesce(col("c0"), lit(0L)).as("c0"),
               coalesce(col("cb"), lit(0L)).as("cb"))
             .withColumn("c", col("c0") + col("cb"))
+            .persist()
+          unpersistables :+= merged
           // PAIR-RELEVANT collisions only (round 15): a touched bucket
           // can change an edge only if pairs could exist in it before
           // (2 <= c0 <= cap) or can after (2 <= c <= cap). A bucket
-          // over the cap in BOTH states contributes no pair in either,
-          // so its corpus docs are untouched by this batch — without
-          // this, the fixture's degenerate boilerplate buckets (cap is
-          // exactly the guard against them) dragged nearly the whole
-          // corpus into every wave's affected scope (measured: 31k of
-          // 50k docs by wave 9; wave-local after the filter). The
-          // collect is bounded by nBuckets ints; in the temporally-
-          // local regime it is empty or tiny and the band-state read
-          // below prunes to nothing.
+          // over the cap in BOTH states contributes no pair in either.
+          // The collect is bounded by nBuckets ints.
           // ---- COMPONENT CONTRACTION over a PERSISTED PAIR STATE
-          // (round 15). Invariant: v<N>/pairs holds every verified
-          // pair with `support` = the number of pair-capable buckets
-          // (2 <= count <= cap) containing both endpoints. Counts only
-          // grow, so a pair's support changes in exactly two ways:
+          // (round 15). Invariant: the pair view at v holds every
+          // verified pair with `support` = the number of pair-capable
+          // buckets (2 <= count <= cap) containing both endpoints.
+          // Counts only grow, so a pair's support changes in exactly
+          // two ways:
           //   - a bucket the batch wrote into crosses the cap
           //     (2 <= c0 <= cap < c): it stops supporting the stored
           //     pairs among its corpus docs — a bounded decrement
           //     (crossed buckets hold <= cap docs each), NO
-          //     re-verification (a stored pair in the bucket was
-          //     supported by it by definition);
+          //     re-verification;
           //   - a batch doc lands in a pair-capable bucket: its pairs
           //     there are verified (the ONLY per-wave set-intersect
           //     work) and inserted with their bucket counts. A
-          //     corpus-corpus pair cannot newly appear (its bucket
-          //     would have been pair-capable before too).
+          //     corpus-corpus pair cannot newly appear.
           // Clustering then never re-derives a standing component:
-          //   - clusters losing an edge ENTIRELY (support hit 0) are
-          //     dissolved; their surviving edges come from the pair
-          //     state, not from sets;
-          //   - every other cluster is CONTRACTED to one super-node
-          //     (cluster_id = min member id, so min-labels stay exact;
-          //     components are edge-closed, so no edge leaves a
-          //     non-dissolved cluster);
-          //   - a decrement that leaves support >= 1 changes nothing.
-          // Without this, the fixture's giant cross-wave component was
-          // dissolved-and-reverified every wave (~the whole clustered
-          // corpus, measured 31k of 50k docs by wave 9); with it the
-          // per-wave set work is the batch's own collisions.
-          val pairsPrev = s.read.parquet(s"$st/pairs")
+          // clusters losing an edge ENTIRELY (support hit 0) are
+          // dissolved (their surviving edges come from the pair
+          // state); every other cluster is CONTRACTED to one
+          // super-node (cluster_id = min member id keeps min-labels
+          // exact; components are edge-closed).
           val crossedKeys = merged
             .where(col("c0").between(2, BucketCap) &&
               col("c") > BucketCap).select(col("band"), col("bh"))
@@ -1858,17 +2008,24 @@ object Dedup {
           val touchedCorpus = prunedBands
             .join(touchedKeys, Seq("band", "bh"), "left_semi")
             .select(col("doc_id")).distinct()
+          // ONE bounded collect for BOTH pruning lists (r15 ran two):
+          // touched docs' set-buckets and the decremented pairs'
+          // doc1-buckets — each <= nBuckets ints
+          val bucketLists = touchedCorpus
+            .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("b"),
+              lit("s").as("t"))
+            .unionByName(removedCounts
+              .select(pmod(hash(col("doc1")), lit(nBuckets)).as("b"),
+                lit("r").as("t")))
+            .distinct().collect()
+          val subSbs = bucketLists.filter(_.getString(1) == "s")
+            .map(_.getInt(0)).toSeq
+          val rmPbs = bucketLists.filter(_.getString(1) == "r")
+            .map(_.getInt(0)).toSeq
           // sets are read ONLY for the touched docs — the batch's
-          // verification counterparties; dissolution reads no sets.
-          // No checkpoint: the collect below is the only extra
-          // evaluation and touchedCorpus' lineage is one pruned read
-          // (a job barrier per wave costs more than re-running it)
-          val corpusSubIds = touchedCorpus
-          val subSbs = corpusSubIds
-            .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("sb"))
-            .distinct().collect().map(_.getInt(0)).toSeq
+          // verification counterparties; dissolution reads no sets
           val corpusSubSets = wavesPruned("sets", "sb", subSbs)
-            .join(corpusSubIds, Seq("doc_id"), "left_semi")
+            .join(touchedCorpus, Seq("doc_id"), "left_semi")
           // pair-capable buckets the batch wrote into — the only
           // places a new pair can form
           val pairBuckets = merged
@@ -1876,8 +2033,7 @@ object Dedup {
             .select(col("band"), col("bh"))
           // touched docs' band rows re-derived from their stored
           // minhash sig — identical keys to what the band state holds
-          // for them (same mh, same lshBandKeys), without a by-doc
-          // band-state access pattern
+          // for them, without a by-doc band-state access pattern
           val corpusSubBands = corpusSubSets.select(
             col("doc_id"),
             posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
@@ -1897,47 +2053,75 @@ object Dedup {
               lit(1).as("b2")), Seq("doc2"), "left")
             .where(col("b1").isNotNull || col("b2").isNotNull)
             .select(col("doc1"), col("doc2"), col("nb"))
-          val verifiedNew = verify(newCand.select(col("doc1"), col("doc2")),
+          val verifiedNewRaw = verify(newCand.select(col("doc1"), col("doc2")),
             corpusSubSets.unionByName(setsFor(batchSets)))
             .join(newCand, Seq("doc1", "doc2"))
             .select(col("doc1"), col("doc2"), col("nb").as("support"))
-            .localCheckpoint() // reused: state write, edges, dissolution
-          // pair-state update. Batch ids are new, so batch-involving
-          // pairs are disjoint from stored ones — plain union, no
-          // merge shuffle.
-          val decremented = pairsPrev
-            .join(removedCounts, Seq("doc1", "doc2"), "left")
-            .select(col("doc1"), col("doc2"),
-              (col("support") - coalesce(col("rm"), lit(0L)))
-                .as("support"))
-          val pairState = decremented.where(col("support") >= 1)
-            .unionByName(verifiedNew)
-          // dissolution scope: clusters containing an endpoint of a
-          // pair whose support hit zero. Checkpointed: tiny, and its
-          // lineage is reused by the contraction map and the update.
-          val droppedEnds = decremented.where(col("support") <= 0)
+          // stored-pair decrements, PRUNED to the crossed buckets'
+          // doc1-hash partitions (r15 scanned the full pair table and
+          // rewrote it whole; now only touched partitions are read and
+          // only signed delta rows are written)
+          val decTouched = pairsView(s, stateDir, v, Some(rmPbs))
+            .join(removedCounts, Seq("doc1", "doc2"))
+            .select(col("doc1"), col("doc2"), (-col("rm")).as("ds"),
+              (col("support") - col("rm")).as("after"))
+          // accumulated labels, persisted for the wave's three uses
+          // (dissolution scope, contraction map, delta emission)
+          val labelsV = labelsView(s, stateDir, v).persist()
+          unpersistables :+= labelsV
+          val droppedEndsExpr = decTouched.where(col("after") <= 0)
             .select(explode(array(col("doc1"), col("doc2")))
               .as("doc_id")).distinct()
-          val affLabels = labels.join(droppedEnds, Seq("doc_id"))
-            .select(col("cluster_id")).distinct().localCheckpoint()
-          val contractMap = labels
+          // ONE checkpoint job for the wave's three small reused
+          // frames (r15 ran two): new pairs 'p', support decrements
+          // 'd', dissolved cluster ids 'a'
+          val fused = verifiedNewRaw
+            .select(lit("p").as("t"), col("doc1").as("a"),
+              col("doc2").as("b"), col("support").as("c"))
+            .unionByName(decTouched
+              .select(lit("d").as("t"), col("doc1").as("a"),
+                col("doc2").as("b"), col("ds").as("c")))
+            .unionByName(labelsV.join(droppedEndsExpr, Seq("doc_id"))
+              .select(col("cluster_id")).distinct()
+              .select(lit("a").as("t"), col("cluster_id").as("a"),
+                lit(0L).as("b"), lit(0L).as("c")))
+            .localCheckpoint()
+          val verifiedNew = fused.where(col("t") === "p")
+            .select(col("a").as("doc1"), col("b").as("doc2"),
+              col("c").as("support"))
+          val pairDeltaNeg = fused.where(col("t") === "d")
+            .select(col("a").as("doc1"), col("b").as("doc2"),
+              col("c").as("ds"))
+          val affLabels = fused.where(col("t") === "a")
+            .select(col("a").as("cluster_id"))
+          val contractMap = labelsV
             .join(affLabels, Seq("cluster_id"), "left_anti")
           // dissolved components' surviving edges come from the pair
-          // state (components are edge-closed: doc1-side membership
-          // suffices); everything else contracts to its cluster_id.
-          // A surviving corpus-corpus edge between two contracted
-          // docs maps to a self-loop and drops.
-          val closureEdges = pairState
-            .join(labels.join(affLabels, Seq("cluster_id"), "left_semi")
-              .select(col("doc_id").as("doc1")), Seq("doc1"), "left_semi")
+          // state, pruned by the members' doc1-buckets (bounded
+          // collect; empty on the steady-state no-dissolution path).
+          // Components are edge-closed: doc1-side membership suffices.
+          val dissolved = labelsV
+            .join(affLabels, Seq("cluster_id"), "left_semi")
+          val memberPbs = dissolved
+            .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val closureEdges = pairsView(s, stateDir, v, Some(memberPbs))
+            .join(dissolved.select(col("doc_id").as("doc1")),
+              Seq("doc1"), "left_semi")
+            .join(pairDeltaNeg, Seq("doc1", "doc2"), "left")
+            .where(col("support") + coalesce(col("ds"), lit(0L)) >= 1)
             .select(col("doc1"), col("doc2"))
           if (s.conf.getOption("spark.graft.clusterstate.debug")
                 .contains("true"))
-            System.err.println(s"[clusterstate] v=$v colliding_bbs=" +
-              s"${collidingBbs.length} sub_sbs=${subSbs.length} " +
-              s"touched=${corpusSubIds.count()} " +
+            System.err.println(s"[clusterstate] v=$v base=$base " +
+              s"colliding_bbs=${collidingBbs.length} " +
+              s"sub_sbs=${subSbs.length} rm_pbs=${rmPbs.length} " +
+              s"member_pbs=${memberPbs.length} " +
+              s"touched=${touchedCorpus.count()} " +
               s"dissolved_clusters=${affLabels.count()} " +
               s"new_pairs=${verifiedNew.count()}")
+          // a surviving corpus-corpus edge between two contracted docs
+          // maps to a self-loop and drops
           val superEdges = verifiedNew.select(col("doc1"), col("doc2"))
             .unionByName(closureEdges)
             .join(contractMap.select(col("doc_id").as("doc1"),
@@ -1951,44 +2135,63 @@ object Dedup {
           val cc = shardCC(s, superEdges)
           // relabel merged super-nodes; emit direct rows for every cc
           // node that is not a contracted member (batch docs,
-          // dissolved members that kept pairs, touched singletons);
-          // dissolved members with no remaining pairs drop out of
-          // labels, exactly as a recompute would drop them
+          // dissolved members that kept pairs, touched singletons)
           val relabel = cc.where(col("label") =!= col("node"))
             .select(col("node").as("cluster_id"),
               col("label").as("new_cluster_id"))
-          val updated = contractMap
-            .join(relabel, Seq("cluster_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("new_cluster_id"), col("cluster_id"))
-                .as("cluster_id"))
-            .unionByName(cc
-              .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-              .join(contractMap.select(col("doc_id")), Seq("doc_id"),
-                "left_anti"))
-          val mergedCounts = merged
-            .select(col("band"), col("bh"), col("c").as("c0"))
-          // bands/sets are returned as the BATCH DELTA — the
-          // accumulated view is reassembled from the wave dirs; the
-          // pair state and labels are versioned full rewrites (both
-          // delta-able — latest-wins resp. support-delta views — the
-          // documented path if their write amplification ever leads)
-          (updated, batchBands, mergedCounts, setsFor(batchSets),
-            pairState)
+          val direct = cc
+            .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+            .join(contractMap.select(col("doc_id")), Seq("doc_id"),
+              "left_anti")
+          val compact = (next - base) >= compactEvery
+          if (compact) {
+            // compaction: full rewrites, new chain base — the
+            // amortized O(corpus / compactEvery) bill
+            val updatedFull = contractMap
+              .join(relabel, Seq("cluster_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("new_cluster_id"), col("cluster_id"))
+                  .as("cluster_id"))
+              .unionByName(direct)
+            val pairsFull = pairsView(s, stateDir, v, None)
+              .join(pairDeltaNeg, Seq("doc1", "doc2"), "left")
+              .select(col("doc1"), col("doc2"),
+                (col("support") + coalesce(col("ds"), lit(0L)))
+                  .as("support"))
+              .where(col("support") >= 1)
+              .unionByName(verifiedNew)
+            (true, updatedFull,
+              merged.select(col("band"), col("bh"), col("c").as("c0")),
+              pairsFull, next)
+          } else {
+            // delta wave: one latest-wins row per touched doc —
+            // members of merged clusters get their new id, cc nodes
+            // outside the contraction get direct rows, dissolved
+            // members with no surviving pairs get tombstones (the
+            // three sets are disjoint by construction)
+            val changed = contractMap.join(relabel, Seq("cluster_id"))
+              .select(col("doc_id"), col("new_cluster_id").as("cluster_id"))
+            val tombstones = dissolved.select(col("doc_id"))
+              .join(direct.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), lit(LabelTombstone).as("cluster_id"))
+            val labelsDelta = changed.unionByName(direct)
+              .unionByName(tombstones)
+            val pairsDelta = verifiedNew
+              .select(col("doc1"), col("doc2"), col("support").as("ds"))
+              .unionByName(pairDeltaNeg)
+            (false, labelsDelta, batchCounts.withColumnRenamed("cb", "dc"),
+              pairsDelta, base)
+          }
       }
-    val next = latestVersion(s, stateDir).map(_ + 1).getOrElse(0)
     val tmp = s"$stateDir/_tmp_v$next"
     val out = s"$stateDir/v$next"
-    // one commit = five independent concurrent jobs: two O(batch)
-    // deltas + the versioned labels/counts, then an atomic-ish rename
-    // makes the version visible only complete
+    // one commit = five independent concurrent jobs (two O(batch)
+    // bands/sets wave deltas + the three versioned outputs), then an
+    // atomic-ish rename makes the version visible only complete
     locally {
       import scala.concurrent.{Await, ExecutionContext, Future}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      // bootstrap pins the bucket count before the first delta write;
-      // later waves read the pinned value back
-      val nBuckets = stateBuckets(s, stateDir)
       try Await.result(Future.sequence(Seq(
         // REPARTITION_BY_NUM (AQE-coalesce-exempt): with the plain
         // column form AQE coalesced the tiny-bytes exchange to ONE
@@ -2006,26 +2209,36 @@ object Dedup {
           .repartition(nBuckets, col("sb"))
           .write.mode("overwrite").partitionBy("sb")
           .parquet(s"$stateDir/sets/w=$next") },
-        Future { newCounts.write.mode("overwrite").parquet(s"$tmp/counts") },
-        // versioned pair state, partitioned by doc1's hash bucket so
-        // a dissolved component's edges are a pruned read (components
-        // are edge-closed: doc1-side membership suffices)
-        Future { newPairs
+        Future { countsOut.write.mode("overwrite")
+          .parquet(s"$tmp/${if (writeFull) "counts" else "counts_delta"}") },
+        // pair rows partitioned by doc1's hash bucket so decrements
+        // and dissolved-component edge reads stay partition-pruned
+        Future { pairsOut
           .withColumn("pb", pmod(hash(col("doc1")), lit(nBuckets)))
           .repartition(nBuckets, col("pb"))
           .write.mode("overwrite").partitionBy("pb")
-          .parquet(s"$tmp/pairs") },
-        Future { newLabels.write.mode("overwrite").parquet(s"$tmp/labels") }
+          .parquet(s"$tmp/${if (writeFull) "pairs" else "pairs_delta"}") },
+        Future { labelsOut.write.mode("overwrite")
+          .parquet(s"$tmp/${if (writeFull) "labels" else "labels_delta"}") }
       )), scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
+    }
+    // the _base marker rides inside the tmp dir: a version becomes
+    // visible complete (marker included) or not at all
+    locally {
+      val mp = new org.apache.hadoop.fs.Path(s"$tmp/_base")
+      val mfs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val o = mfs.create(mp, true)
+      try o.write(baseMarker.toString.getBytes("UTF-8")) finally o.close()
     }
     val p = new org.apache.hadoop.fs.Path(out)
     val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fsys.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    unpersistables.foreach(df => df.unpersist(false))
     val retain = s.conf.getOption("spark.graft.clusterstate.retain")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(10)
     expireClusterState(s, stateDir, retain)
-    s.read.parquet(s"$out/labels")
+    labelsView(s, stateDir, next)
   }
 
   /** Keep only the newest `keepLast` state VERSIONS under `stateDir`
@@ -2043,7 +2256,14 @@ object Dedup {
     if (!fsys.exists(p)) return 0
     val versions = fsys.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("v")).flatMap(_.drop(1).toIntOption).sorted
-    val drop = versions.dropRight(keepLast)
+    // a retained delta version resolves through EVERY version from its
+    // chain's base up — drop only versions below the oldest base any
+    // kept version needs, so dir count is bounded by
+    // keepLast + compactEvery, not keepLast alone
+    val kept = versions.takeRight(keepLast)
+    val floor = kept.map(v => baseOf(s, stateDir, v)).minOption.getOrElse(0)
+    val drop = versions.filter(_ < math.min(floor,
+      kept.headOption.getOrElse(Int.MaxValue)))
     drop.foreach(n => fsys.delete(new org.apache.hadoop.fs.Path(p, s"v$n"), true))
     drop.size
   }

@@ -117,4 +117,46 @@ class AlterTableSpec extends AnyFunSuite {
     assertThrows[Exception](engine.execute("ALTER TABLE alt.p DROP COLUMN region"))
     engine.execute("DROP TABLE alt.p")
   }
+
+  test("a failed ALTER leaves the commit log and mirror history intact") {
+    // round-16 advice: the history dirs used to be stashed BEFORE the
+    // risky CREATE/insertInto — a failure there left the live table
+    // without its _graft_log and metadata dirs, silently restarting
+    // version numbering at the next publish. Now the stash happens only
+    // after the replacement is fully loaded, so a mid-rebuild failure
+    // must leave versions continuous.
+    import org.apache.hadoop.fs.Path
+    import graft.engine.{AlterTable, CommitLog, IcebergMetadata}
+    engine.execute("CREATE DATABASE IF NOT EXISTS alt")
+    engine.execute("DROP TABLE IF EXISTS alt.h")
+    engine.execute(
+      "CREATE TABLE alt.h (id int64, v string) STORAGE filesystem SETTINGS commitlog=true")
+    engine.execute("INSERT INTO alt.h VALUES (1,'a')")
+    engine.execute("INSERT INTO alt.h VALUES (2,'b')")
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("alt.h")).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val v0 = CommitLog.currentVersion(fs, loc)
+    assert(v0 >= 2L)
+    assert(fs.exists(IcebergMetadata.metadataDir(loc)))
+
+    // a column name with a backtick breaks the recreate DDL — the
+    // rebuild fails AFTER staging, the window the old ordering lost
+    // history in
+    assertThrows[Exception](AlterTable.rebuild(spark, "alt.h",
+      df => df.withColumn("bad`name", org.apache.spark.sql.functions.lit(1)),
+      identity))
+
+    // original table fully intact: rows, commit-log version, mirror
+    assert(engine.execute("SELECT count(*) AS n FROM alt.h").data.head.head == 2L)
+    assert(CommitLog.currentVersion(fs, loc) == v0,
+      "commit log lost or reset by the failed ALTER")
+    assert(fs.exists(IcebergMetadata.metadataDir(loc)),
+      "Iceberg mirror dir lost by the failed ALTER")
+    // and the NEXT publish continues the sequence, not v0
+    engine.execute("INSERT INTO alt.h VALUES (3,'c')")
+    assert(CommitLog.currentVersion(fs, loc) == v0 + 1,
+      "version sequence restarted after the failed ALTER")
+    engine.execute("DROP TABLE alt.h")
+  }
 }

@@ -148,9 +148,9 @@ class IcebergMetadataSpec extends AnyFunSuite {
     // spec `field-id` props (round 14): strict Iceberg readers resolve
     // fields by id, not name — assert the EMBEDDED container-file
     // schemas carry the published spec assignments (manifest_entry
-    // 0/1/3/4/2, data_file 134/100-104, manifest_file 500-514; the
-    // partition map's key-id/value-id use 1000/1001, an unreserved
-    // range clear of Iceberg v3's 142-145 assignments)
+    // 0/1/3/4/2, data_file 134/100-104, manifest_file 500-514).
+    // Round 16: `partition` is the spec's r102 STRUCT (empty for an
+    // unpartitioned table), not the reference's string map.
     def fid(s: org.apache.avro.Schema, name: String): Int =
       s.getField(name).getObjectProp("field-id").asInstanceOf[Number].intValue
     val es = entries.head.getSchema
@@ -162,8 +162,8 @@ class IcebergMetadataSpec extends AnyFunSuite {
       fid(dfs, "partition") == 102 && fid(dfs, "record_count") == 103 &&
       fid(dfs, "file_size_in_bytes") == 104 && fid(dfs, "content") == 134)
     val pm = dfs.getField("partition").schema()
-    assert(pm.getObjectProp("key-id").asInstanceOf[Number].intValue == 1000)
-    assert(pm.getObjectProp("value-id").asInstanceOf[Number].intValue == 1001)
+    assert(pm.getType == org.apache.avro.Schema.Type.RECORD && pm.getName == "r102")
+    assert(pm.getFields.isEmpty, "unpartitioned table's r102 struct must be empty")
     val ls = mf.getSchema
     assert(fid(ls, "manifest_path") == 500 && fid(ls, "manifest_length") == 501 &&
       fid(ls, "partition_spec_id") == 502 && fid(ls, "added_snapshot_id") == 503 &&
@@ -197,14 +197,74 @@ class IcebergMetadataSpec extends AnyFunSuite {
       new Path(snap.get("manifest-list").asText)).head
     val entries = IcebergMetadata.readAvro(fs,
       new Path(mf.get("manifest_path").toString))
+    // round 16: the manifest's partition is the spec's r102 struct —
+    // its field carries the SAME field-id (1000) the metadata.json
+    // partition spec declares, so an id-resolving reader lines the
+    // manifest values up with the spec (the round-15 string map could
+    // not express this; its synthetic 1000/1001 key/value ids even
+    // collided with the partition-field range)
+    val prSchema = entries.head.get("data_file").asInstanceOf[
+      org.apache.avro.generic.GenericRecord].get("partition")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord].getSchema
+    assert(prSchema.getName == "r102")
+    val prField = prSchema.getField("r")
+    assert(prField.getObjectProp("field-id").asInstanceOf[Number].intValue == 1000)
+    assert(prField.schema().getType == org.apache.avro.Schema.Type.UNION,
+      "r102 fields are nullable unions")
     val partVals = entries.map { e =>
-      val m = e.get("data_file").asInstanceOf[
-        org.apache.avro.generic.GenericRecord]
-        .get("partition").asInstanceOf[java.util.Map[Any, Any]]
-      m.entrySet().iterator().next().getValue.toString
+      e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("r").toString
     }.toSet
     assert(partVals == Set("emea", "o'brien"),
       s"partition values must round-trip the escaped dir names: $partVals")
+  }
+
+  test("typed r102 values, and the string-map shape behind the compat flag") {
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.ptn")
+    engine.execute(
+      s"""CREATE TABLE $Db.ptn (id int64 NOT NULL, v string, bucket int32)
+         |STORAGE filesystem PARTITION BY (bucket)
+         |SETTINGS commitlog=true""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.ptn VALUES (1, 'x', 7), (2, 'y', 12)")
+    val loc = locOf(s"$Db.ptn")
+    def manifestEntries() = {
+      val cur = CommitLog.current(fs, loc).get
+      val md = readJson(new Path(mdDir(loc), s"v${cur.version}.metadata.json"))
+      val snap = md.get("snapshots").get(md.get("snapshots").size - 1)
+      val mf = IcebergMetadata.readAvro(fs,
+        new Path(snap.get("manifest-list").asText)).head
+      IcebergMetadata.readAvro(fs, new Path(mf.get("manifest_path").toString))
+    }
+    // an int32 partition column lands as a TYPED int in r102
+    val typed = manifestEntries().map { e =>
+      e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("bucket")
+    }.toSet
+    assert(typed == Set[Any](7, 12), s"expected typed ints, got $typed")
+
+    // compat flag: the reference's string-map shape, with synthetic
+    // key/value ids clear of data-column AND partition-field ranges
+    spark.conf.set("spark.graft.iceberg.partitionMapCompat", "true")
+    try {
+      engine.execute(s"INSERT INTO $Db.ptn VALUES (3, 'z', 7)")
+      val es = manifestEntries()
+      val pm = es.head.get("data_file").asInstanceOf[
+        org.apache.avro.generic.GenericRecord].getSchema
+        .getField("partition").schema()
+      assert(pm.getType == org.apache.avro.Schema.Type.MAP)
+      assert(pm.getObjectProp("key-id").asInstanceOf[Number].intValue == 2147482000)
+      assert(pm.getObjectProp("value-id").asInstanceOf[Number].intValue == 2147482001)
+      val vals = es.map { e =>
+        e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("partition").asInstanceOf[java.util.Map[Any, Any]]
+          .entrySet().iterator().next().getValue.toString
+      }.toSet
+      assert(vals == Set("7", "12"))
+    } finally spark.conf.unset("spark.graft.iceberg.partitionMapCompat")
+    engine.execute(s"DROP TABLE $Db.ptn")
   }
 
   test("snapshot retention is bounded and dropped snapshots' files are GC'd") {
@@ -332,6 +392,40 @@ class IcebergMetadataSpec extends AnyFunSuite {
       s"SELECT id, label, score FROM ICEBERG_SCAN('$esc') ORDER BY id")
     assert(now.data.map(_.head) == Seq(1L, 2L, 3L, 4L), now.data.toString)
     assert(now.data.last == Seq(4L, "d", 2.5), now.data.toString)
+  }
+
+  test("stale rename breadcrumbs can never alias one field id across two live columns") {
+    // the round-16 advice scenario: RENAME a->b, re-add a, drop b,
+    // re-add b. The pre-fix emit followed the surviving graft.renamed.b=a
+    // breadcrumb and deep-copied a's node for the re-added b — two live
+    // columns sharing one field id. Now (1) the breadcrumb is consumed
+    // by the first emit that records the rename, and (2) even an
+    // unconsumed breadcrumb cannot claim a node a live column owns.
+    engine.execute(s"CREATE DATABASE IF NOT EXISTS $Db")
+    engine.execute(s"DROP TABLE IF EXISTS $Db.bc")
+    engine.execute(
+      s"""CREATE TABLE $Db.bc (id int64 NOT NULL, a string)
+         |STORAGE filesystem SETTINGS commitlog=true""".stripMargin)
+    engine.execute(s"INSERT INTO $Db.bc VALUES (1, 'x')")
+    engine.execute(s"ALTER TABLE $Db.bc RENAME COLUMN a TO b")
+    // the publish that recorded the rename consumed the breadcrumb
+    val props = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"$Db.bc")).properties
+    assert(!props.keys.exists(_.startsWith("graft.renamed.")),
+      s"breadcrumb must be consumed by the first post-rename emit: $props")
+    engine.execute(s"ALTER TABLE $Db.bc ADD COLUMN a string")     // re-add a
+    engine.execute(s"ALTER TABLE $Db.bc DROP COLUMN b")
+    engine.execute(s"ALTER TABLE $Db.bc ADD COLUMN b string")     // re-add b
+    val loc = locOf(s"$Db.bc")
+    val md = readJson(new Path(mdDir(loc), s"v${hint(loc)}.metadata.json"))
+    val ss = md.get("schemas")
+    val curSchema = (0 until ss.size).map(ss.get)
+      .find(_.get("schema-id").asInt == md.get("current-schema-id").asInt).get
+    val fs2 = curSchema.get("fields")
+    val ids = (0 until fs2.size).map(i => fs2.get(i).get("id").asInt)
+    assert(ids.distinct.length == ids.length,
+      s"two live columns share a field id: ${(0 until fs2.size).map(fs2.get)}")
+    engine.execute(s"DROP TABLE $Db.bc")
   }
 
   test("kill switch: no mirror when spark.graft.iceberg.enabled=false") {

@@ -73,11 +73,30 @@ class MaintainStateSpec extends AnyFunSuite {
     }
   }
 
+  test("a legacy (pre-bucketed) state dir fails fast with a format-upgrade error") {
+    // round-16 advice: resuming over a round-14 layout (v* dirs, no
+    // _buckets pin) used to surface as an obscure missing-column
+    // AnalysisException deep in the prune; now it is an explicit
+    // format-incompatibility error naming the remedy.
+    import spark.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("maintain_state_legacy").toString
+    val p = new org.apache.hadoop.fs.Path(state, "v0")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    val wave = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(5)
+    val e = intercept[IllegalStateException](
+      Dedup.maintainClusterState(spark, state, wave, Bands))
+    assert(e.getMessage.contains("legacy layout") &&
+      e.getMessage.contains("_buckets"), e.getMessage)
+  }
+
   test("retention: version count stays bounded across 10 waves; latest reads unaffected") {
     import spark.implicits._
     val state = java.nio.file.Files
       .createTempDirectory("maintain_retain").toString
     spark.conf.set("spark.graft.clusterstate.retain", "3")
+    spark.conf.set("spark.graft.clusterstate.compactEvery", "2")
     try {
       val t = "the quick brown fox jumps over the lazy dog"
       var all = Seq.empty[(Long, String)]
@@ -88,7 +107,10 @@ class MaintainStateSpec extends AnyFunSuite {
           wave.toDF("doc_id", "text"), Bands)
         val versions = new java.io.File(state).listFiles()
           .map(_.getName).filter(_.startsWith("v"))
-        assert(versions.length <= 3,
+        // round 16: a retained delta version pins its whole chain back
+        // to its base, so the dir count is bounded by
+        // retain + compactEvery - 1, not retain alone
+        assert(versions.length <= 4,
           s"wave $w left ${versions.length} versions: ${versions.toSeq}")
         // the maintained state still equals the full recompute —
         // expiry must never touch the cumulative wave deltas
@@ -99,7 +121,43 @@ class MaintainStateSpec extends AnyFunSuite {
       // wave deltas for every wave survive (cumulative state)
       assert(new java.io.File(s"$state/bands").listFiles()
         .count(_.getName.startsWith("w=")) == 10)
-    } finally spark.conf.unset("spark.graft.clusterstate.retain")
+    } finally {
+      spark.conf.unset("spark.graft.clusterstate.retain")
+      spark.conf.unset("spark.graft.clusterstate.compactEvery")
+    }
+  }
+
+  test("delta chain: waves write deltas, compaction rebases, labels stay exact") {
+    // round 16: ordinary waves write O(batch) labels_delta/
+    // counts_delta/pairs_delta files; every compactEvery-th wave
+    // rewrites full tables and starts a new chain. Exactness must
+    // hold through the compaction boundary in both directions.
+    import spark.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("maintain_deltachain").toString
+    spark.conf.set("spark.graft.clusterstate.compactEvery", "3")
+    try {
+      val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      var ingested: DataFrame = null
+      for (w <- 0 until 6) {
+        val wave = docs.where(pmod(col("doc_id"), lit(6)) === w)
+        ingested = if (ingested == null) wave else ingested.unionByName(wave)
+        val got = Dedup.maintainClusterState(spark, state, wave, Bands)
+        assert(sortedRows(got) == sortedRows(fullLabels(ingested)),
+          s"delta chain diverged from full recompute after wave $w")
+        val vDir = new java.io.File(s"$state/v$w")
+        val names = vDir.listFiles().map(_.getName).toSet
+        if (w == 0 || w == 3) // bootstrap + compaction = full bases
+          assert(names.contains("labels") && names.contains("pairs") &&
+            names.contains("counts"), s"wave $w should be a base: $names")
+        else
+          assert(names.contains("labels_delta") &&
+            names.contains("pairs_delta") && names.contains("counts_delta") &&
+            !names.contains("labels"), s"wave $w should be a delta: $names")
+        assert(names.contains("_base"), s"wave $w missing _base marker")
+      }
+    } finally spark.conf.unset("spark.graft.clusterstate.compactEvery")
   }
 
   test("q61d replay equals q61's full clustering (the shared oracle's claim)") {
@@ -133,10 +191,10 @@ class MaintainStateSpec extends AnyFunSuite {
       val all = Seq((1L, t), (2L, t),
         (10L, "totally unrelated content here now"), (3L, t),
         (11L, "totally unrelated content here also")).toDF("doc_id", "text")
-      // latest state version == full recompute over everything streamed
-      val vs = new java.io.File(state).listFiles()
-        .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
-      val got = spark.read.parquet(s"$state/v$vs/labels")
+      // latest state version == full recompute over everything
+      // streamed (read through the public face — since round 16 a
+      // version may be a delta on an earlier base)
+      val got = Dedup.clusterStateLabels(spark, state)
       assert(sortedRows(got) == sortedRows(fullLabels(all)))
       // and the planted group actually merged across micro-batches
       val byDoc = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
