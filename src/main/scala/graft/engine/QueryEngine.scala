@@ -967,7 +967,7 @@ final class QueryEngine(val spark: SparkSession,
     * the registered flat names. */
   private def rewriteSystemNames(sql: String): String =
     mapOutsideQuotes(sql)(_.replaceAll(
-      "(?i)\\bsystem\\.(tables|columns|databases|queries|snapshots|cdc_log|locks|scans|commit_stats)\\b",
+      "(?i)\\bsystem\\.(tables|columns|databases|queries|snapshots|cdc_log|cdc_subscribers|locks|scans|commit_stats)\\b",
       "system_$1"))
 
   private def runSelect(sql0: String, id: String): QueryResult = {

@@ -74,9 +74,37 @@ object SystemTables {
     columnsView(spark, tables).createOrReplaceTempView("system_columns")
     snapshotsView(spark).createOrReplaceTempView("system_snapshots")
     Changefeed.view(spark).createOrReplaceTempView("system_cdc_log")
+    cdcSubscribersView(spark).createOrReplaceTempView("system_cdc_subscribers")
     locksView(spark).createOrReplaceTempView("system_locks")
     ScanStats.view(spark).createOrReplaceTempView("system_scans")
     commitStatsView(spark).createOrReplaceTempView("system_commit_stats")
+  }
+
+  /** Per-subscriber CDC delivery state (`system.cdc_subscribers`) —
+    * the reference's event_store.go stats surface as a queryable view:
+    * each registered Astha component's cursor, lag behind the log
+    * head, processed/cleaned counters, and quarantine state, so a
+    * deployment SEES a stuck subscriber (lag growing, quarantined
+    * true) instead of inferring it from a growing event directory. */
+  private def cdcSubscribersView(spark: SparkSession): DataFrame = {
+    val rows = graft.streaming.AsthaScheduler.subscriberRowsFor(spark).map(r =>
+      Row(r.component, r.version, r.subscriptions, r.status, r.cursor,
+        r.lag, r.processed, r.consecutiveFailures, r.quarantined,
+        new java.sql.Timestamp(r.lastSeenMs), r.schedulerCleaned))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("component", StringType),
+        StructField("version", StringType),
+        StructField("subscriptions", StringType),
+        StructField("status", StringType),
+        StructField("cursor", LongType),
+        StructField("lag", LongType),
+        StructField("processed", LongType),
+        StructField("consecutive_failures", LongType),
+        StructField("quarantined", BooleanType),
+        StructField("last_seen", TimestampType),
+        StructField("cleaned", LongType))))
   }
 
   /** Live per-table lock state (`system.locks`): the first question

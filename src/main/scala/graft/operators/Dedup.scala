@@ -1740,6 +1740,9 @@ object Dedup {
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("cluster_id",
       org.apache.spark.sql.types.LongType)))
+  private val LabelsChainSchemaW = LabelsChainSchema.add(
+    org.apache.spark.sql.types.StructField("w",
+      org.apache.spark.sql.types.IntegerType))
   private def countsChainSchema(valueCol: String) =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("band",
@@ -1778,14 +1781,18 @@ object Dedup {
     * row per touched doc; [[LabelTombstone]] rows delete). */
   private def labelsView(s: SparkSession, stateDir: String, v: Int): DataFrame = {
     val b = baseOf(s, stateDir, v)
-    val parts = s.read.schema(LabelsChainSchema)
+    val base = s.read.schema(LabelsChainSchema)
       .parquet(s"$stateDir/v$b/labels")
-      .select(col("doc_id"), col("cluster_id")).withColumn("w", lit(b)) +:
-      ((b + 1) to v).map(i =>
-        s.read.schema(LabelsChainSchema)
-          .parquet(s"$stateDir/v$i/labels_delta").withColumn("w", lit(i)))
-    if (parts.length == 1) parts.head.drop("w")
-    else parts.reduce(_ unionByName _)
+      .select(col("doc_id"), col("cluster_id"))
+    val deltaDirs = ((b + 1) to v).map(i => s"$stateDir/v$i/labels_delta")
+    if (deltaDirs.isEmpty) base
+    else base.withColumn("w", lit(b))
+      // ONE scan relation over every delta dir (w is written into the
+      // rows): per-version union branches cost a scan task per file
+      // per version — measured as the whole within-chain creep at 10x
+      // (stage task counts 32 -> 151 across waves 2-8)
+      .unionByName(s.read.schema(LabelsChainSchemaW)
+        .parquet(deltaDirs: _*))
       .groupBy(col("doc_id"))
       .agg(max(struct(col("w"), col("cluster_id"))).as("m"))
       .select(col("doc_id"), col("m.cluster_id").as("cluster_id"))
@@ -1796,13 +1803,13 @@ object Dedup {
     * counts only grow, so deltas are always positive batch counts). */
   private def countsView(s: SparkSession, stateDir: String, v: Int): DataFrame = {
     val b = baseOf(s, stateDir, v)
-    val parts = s.read.schema(countsChainSchema("c0"))
-      .parquet(s"$stateDir/v$b/counts") +:
-      ((b + 1) to v).map(i => s.read.schema(countsChainSchema("dc"))
-        .parquet(s"$stateDir/v$i/counts_delta")
-        .withColumnRenamed("dc", "c0"))
-    if (parts.length == 1) parts.head
-    else parts.reduce(_ unionByName _)
+    val base = s.read.schema(countsChainSchema("c0"))
+      .parquet(s"$stateDir/v$b/counts")
+    val deltaDirs = ((b + 1) to v).map(i => s"$stateDir/v$i/counts_delta")
+    if (deltaDirs.isEmpty) base
+    else base
+      .unionByName(s.read.schema(countsChainSchema("dc"))
+        .parquet(deltaDirs: _*).withColumnRenamed("dc", "c0"))
       .groupBy(col("band"), col("bh")).agg(sum(col("c0")).as("c0"))
   }
 
@@ -1819,16 +1826,21 @@ object Dedup {
       case Some(list) => df.where(col("pb").isin(list: _*))
       case None => df
     }
-    val parts = prune(s.read.schema(pairsChainSchema("support"))
+    // base: pb is a PARTITION column (dir pruning — the base is the
+    // big table). Deltas: pb is a DATA column, each file ~one pb value
+    // (written repartitioned by pb), so the isin predicate skips whole
+    // files via footer stats — and every delta dir rides ONE scan
+    // relation instead of a union branch per version.
+    val base = prune(s.read.schema(pairsChainSchema("support"))
         .parquet(s"$stateDir/v$b/pairs"))
-      .select(col("doc1"), col("doc2"), col("support").as("ds")) +:
-      ((b + 1) to v).map(i =>
-        prune(s.read.schema(pairsChainSchema("ds"))
-          .parquet(s"$stateDir/v$i/pairs_delta"))
-          .select(col("doc1"), col("doc2"), col("ds")))
+      .select(col("doc1"), col("doc2"), col("support").as("ds"))
+    val deltaDirs = ((b + 1) to v).map(i => s"$stateDir/v$i/pairs_delta")
     val all =
-      if (parts.length == 1) parts.head
-      else parts.reduce(_ unionByName _)
+      if (deltaDirs.isEmpty) base
+      else base
+        .unionByName(prune(s.read.schema(pairsChainSchema("ds"))
+          .parquet(deltaDirs: _*))
+          .select(col("doc1"), col("doc2"), col("ds")))
         .groupBy(col("doc1"), col("doc2")).agg(sum(col("ds")).as("ds"))
     all.where(col("ds") >= 1)
       .select(col("doc1"), col("doc2"), col("ds").as("support"))
@@ -2061,7 +2073,12 @@ object Dedup {
           // doc1-hash partitions (r15 scanned the full pair table and
           // rewrote it whole; now only touched partitions are read and
           // only signed delta rows are written)
-          val decTouched = pairsView(s, stateDir, v, Some(rmPbs))
+          // persisted: the pruned view is consumed twice inside the
+          // fused checkpoint job (decrement rows + dissolution scope)
+          // and its reconstruction is a groupBy over the chain
+          val pairsTouchedV = pairsView(s, stateDir, v, Some(rmPbs)).persist()
+          unpersistables :+= pairsTouchedV
+          val decTouched = pairsTouchedV
             .join(removedCounts, Seq("doc1", "doc2"))
             .select(col("doc1"), col("doc2"), (-col("rm")).as("ds"),
               (col("support") - col("rm")).as("after"))
@@ -2211,15 +2228,27 @@ object Dedup {
           .parquet(s"$stateDir/sets/w=$next") },
         Future { countsOut.write.mode("overwrite")
           .parquet(s"$tmp/${if (writeFull) "counts" else "counts_delta"}") },
-        // pair rows partitioned by doc1's hash bucket so decrements
-        // and dissolved-component edge reads stay partition-pruned
-        Future { pairsOut
-          .withColumn("pb", pmod(hash(col("doc1")), lit(nBuckets)))
-          .repartition(nBuckets, col("pb"))
-          .write.mode("overwrite").partitionBy("pb")
-          .parquet(s"$tmp/${if (writeFull) "pairs" else "pairs_delta"}") },
-        Future { labelsOut.write.mode("overwrite")
-          .parquet(s"$tmp/${if (writeFull) "labels" else "labels_delta"}") }
+        // pair rows bucketed by doc1's hash so decrements and
+        // dissolved-component edge reads stay pruned: the FULL base
+        // uses pb partition dirs; DELTAS keep pb as a data column
+        // (each file ~one pb value via the repartition, so the isin
+        // predicate skips files by footer stats) — dir-partitioned
+        // deltas cannot share one scan relation across versions
+        Future {
+          val pc = pairsOut
+            .withColumn("pb", pmod(hash(col("doc1")), lit(nBuckets)))
+            .repartition(nBuckets, col("pb"))
+          if (writeFull)
+            pc.write.mode("overwrite").partitionBy("pb")
+              .parquet(s"$tmp/pairs")
+          else pc.write.mode("overwrite").parquet(s"$tmp/pairs_delta")
+        },
+        Future {
+          if (writeFull) labelsOut.write.mode("overwrite")
+            .parquet(s"$tmp/labels")
+          else labelsOut.withColumn("w", lit(next))
+            .write.mode("overwrite").parquet(s"$tmp/labels_delta")
+        }
       )), scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
     }

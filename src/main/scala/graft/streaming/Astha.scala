@@ -43,6 +43,18 @@ object Astha {
   final case class ComponentInfo(name: String, version: String,
                                  subscriptions: Seq[String],
                                  status: String, lastSeenMs: Long)
+
+  /** One `system.cdc_subscribers` row — the per-component face of the
+    * reference's event_store.go stats surface: where each subscriber's
+    * cursor sits, how far behind the log head it is, and whether it is
+    * quarantined, so a deployment SEES a stuck subscriber instead of
+    * inferring it from a growing event dir. */
+  final case class SubscriberRow(component: String, version: String,
+                                 subscriptions: String, status: String,
+                                 cursor: Long, lag: Long, processed: Long,
+                                 consecutiveFailures: Long,
+                                 quarantined: Boolean, lastSeenMs: Long,
+                                 schedulerCleaned: Long)
 }
 
 final class AsthaScheduler(spark: SparkSession,
@@ -60,7 +72,26 @@ final class AsthaScheduler(spark: SparkSession,
     @volatile var wasError: Boolean = false
     @volatile var consecutiveFailures: Int = 0
     @volatile var quarantinedAtRound: Long = -1L
+    val processed = new java.util.concurrent.atomic.AtomicLong
   }
+
+  // JVM-wide registry for the observability face: system.cdc_subscribers
+  // lists every live scheduler's components for the asking session
+  AsthaScheduler.instances.add(this)
+
+  private[streaming] def session: SparkSession = spark
+
+  /** Per-component stats rows ([[Astha.SubscriberRow]]); `logHead` is
+    * the changefeed's current max id (passed in so one listing serves
+    * every scheduler on the warehouse). */
+  def subscriberRows(logHead: Long): Seq[SubscriberRow] =
+    components.values().asScala.toSeq.sortBy(_.info.name).map { st =>
+      SubscriberRow(st.info.name, st.info.version,
+        st.info.subscriptions.mkString(","), st.status, st.cursor,
+        math.max(0L, logHead - st.cursor), st.processed.get,
+        st.consecutiveFailures.toLong, st.quarantinedAtRound >= 0,
+        st.lastSeenMs, cleanedCount.get)
+    }
 
   private val components = new ConcurrentHashMap[String, State]()
   @volatile private var exec: Option[ScheduledExecutorService] = None
@@ -124,6 +155,7 @@ final class AsthaScheduler(spark: SparkSession,
   def stop(): Unit = synchronized {
     exec.foreach { e => e.shutdown(); e.awaitTermination(5, TimeUnit.SECONDS) }
     exec = None
+    AsthaScheduler.instances.remove(this)
   }
 
   private var round = 0L
@@ -194,6 +226,7 @@ final class AsthaScheduler(spark: SparkSession,
           st.consecutiveFailures = 0
           st.lastSeenMs = System.currentTimeMillis()
           processedCount.incrementAndGet()
+          st.processed.incrementAndGet()
         } catch {
           case ex: Exception =>
             st.status = "error"
@@ -236,4 +269,27 @@ final class AsthaScheduler(spark: SparkSession,
       case _: Exception =>
         if (st.status != "quarantined") st.status = "unhealthy"
     }
+}
+
+object AsthaScheduler {
+  /** Live schedulers in this JVM ([[stop]] deregisters). The
+    * observability face ([[graft.engine.SystemTables]]'s
+    * `system.cdc_subscribers`) walks this to list every component's
+    * cursor/lag/quarantine state for the asking session. */
+  private[streaming] val instances =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[AsthaScheduler]()
+
+  /** Subscriber rows of every live scheduler bound to `spark`'s
+    * warehouse session. */
+  def subscriberRowsFor(spark: SparkSession): Seq[Astha.SubscriberRow] = {
+    import scala.jdk.CollectionConverters._
+    val head = Changefeed.maxId(spark)
+    // subscribers of THIS warehouse's changefeed (connection sessions
+    // are newSession() clones — identity comparison would hide them)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    instances.asScala.toSeq
+      .filter(_.session.conf.get("spark.sql.warehouse.dir") == wh)
+      .flatMap(_.subscriberRows(head))
+      .sortBy(_.component)
+  }
 }

@@ -156,6 +156,11 @@ object ScaleLab {
         probeZorderPrune(spark, dir)
       case "fullsuite" :: dir :: rest =>
         probeFullSuite(spark, dir, rest.headOption)
+      case "clusteredgen" :: out :: rest =>
+        genClusteredEmbeddings(spark, out,
+          rest.headOption.map(_.toInt).getOrElse(20000),
+          rest.drop(1).headOption.map(_.toInt).getOrElse(32),
+          rest.drop(2).headOption.map(_.toDouble).getOrElse(0.35))
       case "maintainwin" :: dir :: rest =>
         probeMaintainWin(spark, dir,
           rest.headOption.map(_.toInt).getOrElse(10),
@@ -859,6 +864,70 @@ object ScaleLab {
           f"wall=${r.wall}%6.2f  ${r.name.take(72)}")
       }
     }
+  }
+
+  /** Mixture-of-Gaussians embedding fixture (round-16 verdict item 3):
+    * the driver's synthetic embeddings are near-uniform on the sphere,
+    * where IVF recall ≈ scanned-cell fraction — operating points
+    * measured there prove arithmetic, not retrieval quality. Real
+    * corpora cluster; this generator plants `nClusters` unit-norm
+    * Gaussian centers and draws each vector as
+    * normalize(center + spread * N(0, I)), with `label` = the true
+    * cluster id (hard negatives become near-boundary vectors of OTHER
+    * clusters — the semantically honest regime). Fully deterministic:
+    * one fixed-seed driver-side PRNG stream; same args → identical
+    * parquet. Schema matches the driver fixture (vec_id int64,
+    * embedding array<float> dim 64, label int32), so every ANN probe
+    * (`hardneg`, `mmrivf`) and q92's recall monitor run against the
+    * out dir unchanged. */
+  private def genClusteredEmbeddings(spark: SparkSession, out: String,
+                                     nVecs: Int, nClusters: Int,
+                                     spread: Double): Unit = {
+    val Dim = 64
+    val rnd = new scala.util.Random(20260816L)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(
+      normalize(Array.fill(Dim)(rnd.nextGaussian())))
+    val rows = (0 until nVecs).map { i =>
+      val c = rnd.nextInt(nClusters)
+      val v = normalize(centers(c).map(x => x + spread * rnd.nextGaussian()))
+      org.apache.spark.sql.Row(i.toLong, v.map(_.toFloat).toSeq, c)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 32), schema)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // mean within-cluster vs cross-cluster cosine — the two numbers
+    // that say how clustered the fixture actually is
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val centerRows = centers.zipWithIndex.map { case (v, c) =>
+      org.apache.spark.sql.Row(c, v.toSeq) }
+    val cSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("center",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val cdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(centerRows.toSeq, 1), cSchema)
+    val stats = emb.join(cdf, "label")
+      .select(graft.functions.expressions.ArrayOps.dotProduct(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+        col("center")).as("cos"))
+      .agg(avg("cos"), min("cos")).collect()(0)
+    println(f"CLUSTEREDGEN out=$out n=$nVecs clusters=$nClusters " +
+      f"spread=$spread%.2f mean_center_cos=${stats.getDouble(0)}%.4f " +
+      f"min_center_cos=${stats.getDouble(1)}%.4f")
   }
 
   /** q104b nprobe sweep (round-14 verdict item 5): recall@k of the

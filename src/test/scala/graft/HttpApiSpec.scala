@@ -87,6 +87,24 @@ class HttpApiSpec extends AnyFunSuite {
     assert(c2 == 200 && b2.contains("zonemap"), b2)
   }
 
+  test("system.cdc_subscribers round-trips over HTTP") {
+    val sched = new graft.streaming.AsthaScheduler(TestSpark.spark)
+    sched.register(
+      graft.streaming.Astha.ComponentInfo("http-sub", "1.0", Seq("*"),
+        "active", 0L),
+      new graft.streaming.Astha.Subscriber {
+        override def onEvent(e: graft.engine.Changefeed.CdcEvent): Unit = ()
+      })
+    try {
+      sched.tick()
+      val (code, body) = post("/query",
+        """{"query": "SELECT component, status, lag FROM system.cdc_subscribers WHERE component = 'http-sub'"}""")
+      assert(code == 200, body)
+      assert(body.contains(""""columns":["component","status","lag"]"""), body)
+      assert(body.contains("http-sub"), body)
+    } finally sched.stop()
+  }
+
   test("errors surface as JSON with HTTP 400") {
     val (code, body) = post("/query", """{"query": "PRAGMA version"}""")
     assert(code == 400 && body.contains("not allowed"))

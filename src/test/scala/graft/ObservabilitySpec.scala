@@ -114,6 +114,53 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(row("query_id").toString.nonEmpty && row("query_id") != "-")
   }
 
+  test("system.cdc_subscribers exposes cursor, lag, and quarantine per component") {
+    import graft.streaming.{Astha, AsthaScheduler}
+    val sched = new AsthaScheduler(spark, quarantineAfter = 2)
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    sched.register(
+      Astha.ComponentInfo("obs-healthy", "1.0", Seq("*"), "active", 0L),
+      new Astha.Subscriber {
+        override def onEvent(e: graft.engine.Changefeed.CdcEvent): Unit =
+          seen.incrementAndGet(): Unit
+      })
+    sched.register(
+      Astha.ComponentInfo("obs-stuck", "1.0", Seq("*"), "active", 0L),
+      new Astha.Subscriber {
+        override def onEvent(e: graft.engine.Changefeed.CdcEvent): Unit =
+          throw new RuntimeException("wedged")
+        // stays down: a healthy probe on a later round would otherwise
+        // recover the quarantine via onRefresh (the reference's model)
+        override def onHealth(): Boolean = false
+      })
+    try {
+      // two registry mutations → two events; drive rounds until the
+      // stuck component quarantines
+      freshTable("cdcsub")
+      (0 until 4).foreach(_ => sched.tick())
+      val r = engine.execute(
+        "SELECT component, status, lag, processed, quarantined " +
+          "FROM system.cdc_subscribers ORDER BY component")
+      assert(r.columns ==
+        Seq("component", "status", "lag", "processed", "quarantined"))
+      val byName = r.data.map(row => row.head.toString -> row).toMap
+      assert(byName.keySet == Set("obs-healthy", "obs-stuck"), r.data.toString)
+      // healthy: consumed everything — zero lag, processed advanced
+      val healthy = byName("obs-healthy")
+      assert(healthy(2) == 0L, s"healthy lag: $healthy")
+      assert(healthy(3).asInstanceOf[Long] >= 1L, s"healthy processed: $healthy")
+      // stuck: quarantined after repeated failures, lag visible > 0
+      // (its cursor froze while events kept arriving)
+      val stuck = byName("obs-stuck")
+      assert(stuck(1) == "quarantined" && stuck(4) == true, s"stuck: $stuck")
+      assert(stuck(2).asInstanceOf[Long] >= 1L, s"stuck lag: $stuck")
+    } finally sched.stop()
+    // stop() deregisters: the view no longer lists the components
+    val after = engine.execute("SELECT count(*) AS n FROM system.cdc_subscribers " +
+      "WHERE component LIKE 'obs-%'")
+    assert(after.data.head.head == 0L)
+  }
+
   test("EXPLAIN SKIPPING reports files total/read/evidence, executes nothing") {
     val t = freshTable("t_skip")
     engine.execute(s"CREATE INDEX zi ON $t (id)")
