@@ -1607,15 +1607,22 @@ object Dedup {
   // ---- q61d: multi-batch cluster-state maintenance ------------------
 
   /** Persisted cluster state, two tiers by write pattern:
-    *  - `<dir>/v<N>/{labels,counts,pairs}` — VERSIONED tables
-    *    rewritten per wave (labels are the product; counts are the
-    *    per-(band,bh) collision directory; pairs — round 15 — every
-    *    verified near-dup pair with `support` = the number of
-    *    pair-capable buckets containing both endpoints, partitioned
-    *    by doc1's hash bucket so a dissolved component's edge list is
-    *    a pruned read), latest = max N. A version is staged under
-    *    `_tmp_v<N>` and RENAMED into place only complete, so a reader
-    *    never sees a half-written version.
+    *  - `<dir>/v<N>/` — VERSIONED labels/counts/pairs. Round 16: a
+    *    version is either a BASE (full tables — the bootstrap wave
+    *    and every compactEvery-th wave) or an O(batch) DELTA chained
+    *    to one via the `_base` marker (labels as latest-wins rows
+    *    with tombstones; counts and pairs as signed sum deltas; the
+    *    r15 design rewrote all three fully per wave — the
+    *    bytes-proportional linear term at 10×). labels are the
+    *    product; counts the per-(band,bh) collision directory; pairs
+    *    (round 15) every verified near-dup pair with `support` = the
+    *    number of pair-capable buckets containing both endpoints,
+    *    bucketed by doc1's hash (partition dirs on bases, a data
+    *    column with one-value-per-file footer stats on deltas) so
+    *    decrements and a dissolved component's edge list are pruned
+    *    reads. Latest = max N. A version is staged under `_tmp_v<N>`
+    *    and RENAMED into place only complete, so a reader never sees
+    *    a half-written version.
     *  - `<dir>/{bands,sets}/w=<N>/{bb,sb}=<k>` — APPEND-ONLY per-wave
     *    deltas (a doc's band rows and shingle set never change after
     *    ingest); version N's view is the union of waves w ≤ N via
@@ -2271,9 +2278,11 @@ object Dedup {
   }
 
   /** Keep only the newest `keepLast` state VERSIONS under `stateDir`
-    * (mirrors Snapshots' expire semantics); wave deltas are shared
-    * cumulative state and are never touched. Returns the number of
-    * versions removed. Runs automatically after every
+    * (mirrors Snapshots' expire semantics) — plus, since round 16,
+    * every version a retained delta chain resolves through, so the
+    * real dir bound is keepLast + compactEvery - 1. Wave deltas are
+    * shared cumulative state and are never touched. Returns the
+    * number of versions removed. Runs automatically after every
     * [[maintainClusterState]] commit (spark.graft.clusterstate.retain,
     * default 10) so an always-on ingest cannot grow the state dir
     * unboundedly in versions. */

@@ -880,7 +880,7 @@ object ScaleLab {
     * embedding array<float> dim 64, label int32), so every ANN probe
     * (`hardneg`, `mmrivf`) and q92's recall monitor run against the
     * out dir unchanged. */
-  private def genClusteredEmbeddings(spark: SparkSession, out: String,
+  private[graft] def genClusteredEmbeddings(spark: SparkSession, out: String,
                                      nVecs: Int, nClusters: Int,
                                      spread: Double): Unit = {
     val Dim = 64

@@ -44,4 +44,23 @@ class AnnAtScaleSpec extends AnyFunSuite {
     assert(probedFiles > 0 && probedFiles < allFiles,
       s"probed $probedFiles of $allFiles files")
   }
+
+  test("clustered corpora bend IVF recall above the scan fraction") {
+    // round-16 verdict item 3 as a PINNED quality gate, not just a
+    // probe: on a mixture-of-Gaussians corpus (the realistic regime —
+    // real embedding corpora cluster, which is why IVF exists), the
+    // recall at a half-scan operating point must clearly exceed the
+    // scanned fraction. On near-uniform vectors recall ≈ scan
+    // fraction, so this asserts the property the ScaleLab sweeps
+    // measure (np=2/16 cells → recall 0.58-0.70 vs 0.34 uniform).
+    val tmp = java.nio.file.Files.createTempDirectory("annclustered").toString
+    graft.tools.ScaleLab.genClusteredEmbeddings(spark, tmp,
+      nVecs = 2000, nClusters = 16, spread = 0.06)
+    val p = graft.operators.Similarity.AnnParams(ivfK = 8, ivfProbe = 4)
+    val rec = graft.operators.Similarity.annRecall(spark, tmp, p)
+      .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    assert(rec >= 0.75,
+      f"mean IVF recall on the clustered corpus at half scan: $rec%.3f " +
+        "— expected well above the 0.5 scan fraction")
+  }
 }

@@ -160,6 +160,29 @@ class MaintainStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.clusterstate.compactEvery")
   }
 
+  test("resume over a pre-round-16 full-version layout chains seamlessly") {
+    // r15 state dirs hold full v<N>/{labels,counts,pairs} with no
+    // _base marker; baseOf treats a marker-less version as its own
+    // base, so a new delta wave chains onto it without migration.
+    import spark.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("maintain_r15compat").toString
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val w0 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    Dedup.maintainClusterState(spark, state, w0, Bands)
+    // simulate the r15 layout: v0 is full (bootstrap always is) —
+    // drop its marker
+    assert(new java.io.File(s"$state/v0/_base").delete())
+    val w1 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val got = Dedup.maintainClusterState(spark, state, w1, Bands)
+    assert(sortedRows(got) == sortedRows(fullLabels(docs)),
+      "resume over a marker-less full version diverged")
+    // and the new wave is a delta chained to the legacy base
+    val v1 = new java.io.File(s"$state/v1")
+    assert(v1.listFiles().map(_.getName).toSet.contains("labels_delta"))
+  }
+
   test("q61d replay equals q61's full clustering (the shared oracle's claim)") {
     Dedup.clearMaintainMemo()
     Dedup.clearClusterMemo()

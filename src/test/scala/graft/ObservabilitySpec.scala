@@ -138,22 +138,30 @@ class ObservabilitySpec extends AnyFunSuite {
       // stuck component quarantines
       freshTable("cdcsub")
       (0 until 4).foreach(_ => sched.tick())
+      // scoped to this test's components: other suites' live
+      // schedulers legitimately appear in the JVM-wide view
       val r = engine.execute(
         "SELECT component, status, lag, processed, quarantined " +
-          "FROM system.cdc_subscribers ORDER BY component")
+          "FROM system.cdc_subscribers WHERE component LIKE 'obs-%' " +
+          "ORDER BY component")
       assert(r.columns ==
         Seq("component", "status", "lag", "processed", "quarantined"))
       val byName = r.data.map(row => row.head.toString -> row).toMap
       assert(byName.keySet == Set("obs-healthy", "obs-stuck"), r.data.toString)
-      // healthy: consumed everything — zero lag, processed advanced
+      // healthy: kept up — processed advanced, and its lag is strictly
+      // below the stuck component's (absolute zero would race with
+      // other suites emitting between the last tick and the SELECT;
+      // both lags come from one listing, so the comparison is stable)
       val healthy = byName("obs-healthy")
-      assert(healthy(2) == 0L, s"healthy lag: $healthy")
+      val stuck = byName("obs-stuck")
       assert(healthy(3).asInstanceOf[Long] >= 1L, s"healthy processed: $healthy")
+      assert(healthy(1) == "active" && healthy(4) == false, s"healthy: $healthy")
       // stuck: quarantined after repeated failures, lag visible > 0
       // (its cursor froze while events kept arriving)
-      val stuck = byName("obs-stuck")
       assert(stuck(1) == "quarantined" && stuck(4) == true, s"stuck: $stuck")
       assert(stuck(2).asInstanceOf[Long] >= 1L, s"stuck lag: $stuck")
+      assert(healthy(2).asInstanceOf[Long] < stuck(2).asInstanceOf[Long],
+        s"healthy must lag less than stuck: $healthy vs $stuck")
     } finally sched.stop()
     // stop() deregisters: the view no longer lists the components
     val after = engine.execute("SELECT count(*) AS n FROM system.cdc_subscribers " +
