@@ -45,11 +45,51 @@ object GraftServer {
     * config without `main`'s terminal join). */
   final case class Running(http: Option[HttpApi], pg: Option[PgWireServer],
                            native: Option[NativeServer],
-                           retention: java.util.concurrent.ScheduledExecutorService) {
+                           retention: java.util.concurrent.ScheduledExecutorService,
+                           astha: Option[graft.streaming.AsthaScheduler]) {
     def stop(): Unit = {
+      astha.foreach(_.stop())
       retention.shutdown()
       native.foreach(_.stop()); pg.foreach(_.stop()); http.foreach(_.stop())
     }
+  }
+
+  /** In-server Astha scheduler — the reference runs its CDC consumer
+    * inside the server, with the schema cache subscribed to registry
+    * events (storage/schema/astha_subscriber.go). The in-process
+    * mutation path already invalidates the LOCAL metadata cache, so
+    * this subscriber's value is CROSS-PROCESS coherence: a peer
+    * engine sharing the warehouse publishes its mutations to the
+    * shared changefeed, and this server's cache learns of them by
+    * consumption — without it a cached CatalogTable could serve stale
+    * settings until restart. The scheduler's cursor-driven cleanup is
+    * the reference's "immediate cleanup for processed events"; the
+    * retention timer stays as the stalled-scheduler backstop. Its
+    * components are visible in `system.cdc_subscribers`. Disable via
+    * spark.graft.astha.enabled=false. */
+  def startAstha(spark: SparkSession): graft.streaming.AsthaScheduler = {
+    import graft.streaming.{Astha, AsthaScheduler}
+    // cleanupProcessed=false: a server never assumes it is the
+    // warehouse's only consumer — cursor-driven cleanup would drop
+    // events a PEER server's subscribers have not consumed; the
+    // retention timer bounds growth for everyone instead
+    val sched = new AsthaScheduler(spark, cleanupProcessed = false)
+    sched.register(
+      Astha.ComponentInfo("schema-cache", "1.0",
+        Seq(graft.engine.Changefeed.TableTables,
+          graft.engine.Changefeed.TableDatabases), "active", 0L),
+      new Astha.Subscriber {
+        override def onEvent(e: graft.engine.Changefeed.CdcEvent): Unit =
+          e.data.get("table") match {
+            case Some(q) => graft.engine.SystemTables.invalidate(spark, q)
+            case None => graft.engine.SystemTables.invalidateAll(spark)
+          }
+        // recovery / registration resync: drop everything, refill lazily
+        override def onRefresh(): Unit =
+          graft.engine.SystemTables.invalidateAll(spark)
+      })
+    sched.start()
+    sched
   }
 
   def main(args: Array[String]): Unit = {
@@ -139,10 +179,11 @@ object GraftServer {
       val s = new NativeServer(engine, nativePort, auth = auth, host = host)
       s.start(); Some(s)
     } else None
-    // CDC retention: with no AsthaScheduler consuming (subscriber
-    // cleanup is cursor-driven), a long-running server would grow
-    // .graft-cdc/ without bound and system.cdc_log would slow down
-    // forever — sweep on a timer independent of subscriber progress
+    // CDC retention backstop: the in-server Astha scheduler below
+    // consumes and cursor-cleans processed events, but a stalled or
+    // disabled scheduler must not grow .graft-cdc/ without bound
+    // (system.cdc_log would slow down forever) — sweep on a timer
+    // independent of subscriber progress
     val retention = {
       def confL(k: String, dflt: Long) =
         spark.conf.getOption(k).map(_.toLong).getOrElse(dflt)
@@ -160,6 +201,9 @@ object GraftServer {
       }, intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       e
     }
-    Running(http, pg, native, retention)
+    val astha = if (spark.conf.getOption("spark.graft.astha.enabled")
+        .forall(v => v.trim.toBooleanOption.getOrElse(true)))
+      Some(startAstha(spark)) else None
+    Running(http, pg, native, retention, astha)
   }
 }

@@ -57,10 +57,19 @@ object Astha {
                                  schedulerCleaned: Long)
 }
 
+/** @param cleanupProcessed delete events every live subscriber has
+  *   passed (the reference's "immediate cleanup" — its registry is
+  *   single-process SQLite). Set FALSE when other processes may share
+  *   the warehouse's changefeed: this scheduler only knows ITS OWN
+  *   cursors, and cleaning to them would silently drop events a peer
+  *   process's subscribers have not consumed yet — the retention
+  *   sweep ([[graft.engine.Changefeed.retain]]) bounds growth
+  *   instead. */
 final class AsthaScheduler(spark: SparkSession,
                            pollIntervalMs: Long = 100L,
                            batchSize: Int = 256,
-                           quarantineAfter: Int = 5) {
+                           quarantineAfter: Int = 5,
+                           cleanupProcessed: Boolean = true) {
   import Astha._
 
   private final class State(val info: ComponentInfo, val instance: Subscriber) {
@@ -193,11 +202,14 @@ final class AsthaScheduler(spark: SparkSession,
     }
     comps.foreach(healthCheck)
     // cleanup: every event all live subscribers have passed is done;
-    // quarantined components do not hold the floor
-    val holders = components.values().asScala.filter(_.quarantinedAtRound < 0)
-    if (holders.nonEmpty) {
-      val floor = holders.map(_.cursor).min
-      if (floor > 0) cleanedCount.addAndGet(Changefeed.cleanup(spark, floor).toLong)
+    // quarantined components do not hold the floor. Skipped when this
+    // scheduler is not the warehouse's only consumer (see class doc).
+    if (cleanupProcessed) {
+      val holders = components.values().asScala.filter(_.quarantinedAtRound < 0)
+      if (holders.nonEmpty) {
+        val floor = holders.map(_.cursor).min
+        if (floor > 0) cleanedCount.addAndGet(Changefeed.cleanup(spark, floor).toLong)
+      }
     }
   }
 

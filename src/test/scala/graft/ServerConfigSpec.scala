@@ -145,6 +145,27 @@ class ServerConfigSpec extends AnyFunSuite {
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(r.statusCode() == 200)
       assert(running.pg.get.boundPort > 0)
+      // the in-server Astha consumer is live and visible on the
+      // delivery-audit face (round-16: cross-process schema-cache
+      // coherence rides the shared changefeed)
+      assert(running.astha.isDefined)
+      val sched = running.astha.get // THIS server's scheduler, not the
+      // JVM-wide view (parallel suites register same-named components)
+      assert(sched.subscriberRows(0L).exists(_.component == "schema-cache"))
+      // a PEER's mutation (an event this process did not emit through
+      // its own engine hook) is consumed by the polling subscriber
+      val evId = graft.engine.Changefeed.emit(spark,
+        graft.engine.Changefeed.TableTables, "UPDATE",
+        Map("table" -> "peer.t"))
+      assert(evId > 0)
+      val deadline = System.currentTimeMillis() + 5000
+      var consumed = false
+      while (!consumed && System.currentTimeMillis() < deadline) {
+        consumed = sched.subscriberRows(0L)
+          .find(_.component == "schema-cache").exists(_.cursor >= evId)
+        if (!consumed) Thread.sleep(50)
+      }
+      assert(consumed, "schema-cache subscriber never consumed the peer event")
     } finally {
       running.stop()
       applied.keys.foreach(spark.conf.unset)
