@@ -247,22 +247,27 @@ object ScaleLab {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    // element rotation has period 64 (= Dim): replicas past that
-    // would repeat earlier ones verbatim — refuse rather than skew
-    // a measurement silently
-    require(factor <= 64,
-      s"embedding replicas repeat beyond 64x (rotation period); got $factor")
+    // element rotation has period 64 (= Dim); replicas 64..127 negate
+    // the rotated vector — the norm stays exact and a negated vector
+    // is maximally far (cosine -1) from its un-negated twin, so the
+    // second period lands in distinct cells rather than repeating the
+    // first verbatim. Beyond 128 the scheme repeats — refuse rather
+    // than skew a measurement silently.
+    require(factor <= 128,
+      s"embedding replicas repeat beyond 128x (rotation x sign period); got $factor")
     val vecOffset = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
     val embReps = (0 until factor).map { r =>
       // rotate embedding elements by r: preserves the norm exactly,
       // changes the direction, so replicas land in different cells
       val rot = r % 64
+      val rotated = flatten(array(
+        expr(s"slice(embedding, ${rot + 1}, size(embedding))"),
+        expr(s"slice(embedding, 1, $rot)")))
       emb
         .withColumn("vec_id", col("vec_id") + lit(r * vecOffset))
         .withColumn("embedding",
-          flatten(array(
-            expr(s"slice(embedding, ${rot + 1}, size(embedding))"),
-            expr(s"slice(embedding, 1, $rot)"))))
+          if (r < 64) rotated
+          else transform(rotated, x => -x))
     }
     embReps.reduce(_ unionAll _)
       .repartition(32)
