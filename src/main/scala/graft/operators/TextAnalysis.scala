@@ -15,6 +15,93 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Exact per-language ntile(nBuckets) over (ratio, doc_id), computed
+    * DISTRIBUTED — the scale replacement for
+    * `ntile(n).over(Window.partitionBy(lang).orderBy(ratio, doc_id))`,
+    * whose parallelism is capped at n_languages (each language's whole
+    * corpus sorts through ONE partition task).
+    *
+    * Shape: per-language percentile cut points (<=63) define
+    * order-preserving range buckets (`cuts-strictly-below-ratio`
+    * count, so equal ratios — and their doc_id tiebreaks — can never
+    * straddle a bucket boundary); per-(lang,bucket) counts are
+    * prefix-summed into offsets driver-side (langs x 64 rows,
+    * metadata-sized by the same contract as Curation.globalOrderBy);
+    * the exact global rank is offset + row_number within the bucket;
+    * the bucket index maps through SQL ntile's piecewise formula —
+    * sizes differ by at most one, first total%n buckets one larger —
+    * so the result is byte-identical to the window ntile (and the
+    * DuckDB oracle) at langs x buckets parallelism.
+    *
+    * Input must carry lang, doc_id, ratio; all columns pass through
+    * plus `decile`. Cut-point placement only balances work: ANY cuts
+    * yield the same ranks, so approx percentiles are fine. */
+  private[graft] def perKeyNtile(base0: DataFrame, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cacheOnce: base feeds three jobs (cut points, bucket counts,
+    // the ranked read) — one shared plan-keyed cache entry of the
+    // four narrow columns, tolerant of bench re-entry
+    val base = graft.operators.cacheOnce(base0)
+    // Local-mode gate (the BPE/CC precedent): below the threshold a
+    // per-language sort partition is a comfortable single task and
+    // the plain window ntile is both exact and the fastest plan
+    // (3 stages vs the spread path's ~8 + two bounded collects);
+    // above it the one-partition-per-language sort is the scale
+    // defect the spread path exists for. The spec forces the spread
+    // path with threshold=0 and pins byte-equality of the two.
+    val spreadThreshold = base0.sparkSession.conf
+      .getOption("spark.graft.ntile.spreadThreshold")
+      .map(_.toLong).getOrElse(250000L)
+    if (base.count() < spreadThreshold) {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("ratio"), col("doc_id"))
+      return base.withColumn("decile", ntile(nBuckets).over(w))
+    }
+    val nCuts = 63
+    val fractions = array((1 to nCuts).map(i => lit(i.toDouble / (nCuts + 1))): _*)
+    val cuts = base.groupBy(col("lang"))
+      .agg(percentile_approx(col("ratio"), fractions, lit(2500)).as("cuts"))
+    val bucketed = base.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bkt",
+        aggregate(col("cuts"), lit(0),
+          (acc, c) => acc + when(c < col("ratio"), 1).otherwise(0)))
+      .drop("cuts")
+    val cRows = bucketed.groupBy(col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect() // langs x <=64 rows by construction
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val totals = cRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var curLang: String = null
+    var acc = 0L
+    val offsetRows = cRows.map { case (lang, bkt, cnt) =>
+      if (lang != curLang) { curLang = lang; acc = 0L }
+      val off = acc; acc += cnt
+      (lang, bkt, off, totals(lang))
+    }.toSeq
+    import base0.sparkSession.implicits._
+    val offsets = offsetRows.toDF("lang", "bkt", "off", "total")
+    val wb = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("ratio"), col("doc_id"))
+    val n = lit(nBuckets.toLong)
+    val ranked = bucketed.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("rk", col("off") + row_number().over(wb))
+    // SQL ntile: sz = total/n rows per bucket, the first total%n
+    // buckets get one extra. (floor((rank-1)*n/total)+1 is NOT it
+    // when total < n — that skips bucket ids; this piecewise form is
+    // exact for every total.)
+    val sz = (col("total") / n).cast("long")
+    val rem = col("total") % n
+    ranked
+      .withColumn("decile",
+        when(col("rk") <= rem * (sz + 1L),
+          floor((col("rk") - 1L) / (sz + 1L)) + 1L)
+          .otherwise(rem +
+            floor((col("rk") - 1L - rem * (sz + 1L)) / greatest(sz, lit(1L))) + 1L)
+          .cast("int"))
+      .drop("bkt", "off", "total", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_token_stats" -> ((s, dir) =>
       docs(s, dir)
@@ -54,20 +141,33 @@ object TextAnalysis {
       // quality-decile bucketing: rank docs by stopword ratio WITHIN
       // each language and split into ntile(10) buckets — how a corpus
       // build picks "top-q% by quality per language" cut points.
-      // Per-language windows keep the sort partition-parallel (a
-      // GLOBAL ntile would serialize the corpus through one
-      // partition); ties break on doc_id so both engines agree.
-      // min/max of the ratio per bucket (no summation — bit-identical
-      // doubles cross-engine) give the decile's boundaries.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("ratio"), col("doc_id"))
-      docs(s, dir)
+      // Ties break on doc_id so both engines agree; min/max of the
+      // ratio per bucket (no summation — bit-identical doubles
+      // cross-engine) give the decile's boundaries.
+      //
+      // SCALE SHAPE (round 16): a per-language ntile window puts each
+      // language's WHOLE corpus through one partition — parallelism
+      // collapses to n_languages (the 100x fullsuite flagged exactly
+      // that: par ~2 on a 4-language fixture). The rank here is the
+      // same rank computed distributed: order-preserving range
+      // buckets from per-language approx-percentile cut points, per
+      // (lang, bucket) counts prefix-summed into offsets on the
+      // driver (langs x <=64 cuts — metadata-sized by contract, the
+      // globalOrderBy pattern), exact rank = offset + row_number
+      // within the bucket, decile = SQL ntile's floor formula
+      // (floor((rank-1)*n/total)+1 — first total%n buckets one
+      // larger, byte-identical to the window ntile and the DuckDB
+      // oracle). Parallelism becomes langs x buckets instead of
+      // langs x 1; equal-ratio rows share a bucket by construction
+      // (cuts compare with <), so no tie straddles a boundary.
+      import s.implicits._
+      val base = docs(s, dir)
         .withColumn("toks", Text.tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("ratio",
           Text.stopwordCount(col("toks")).cast("double") / col("n_tokens"))
-        .withColumn("decile", ntile(10).over(w))
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("ratio"))
+      perKeyNtile(base, nBuckets = 10)
         .groupBy(col("lang"), col("decile"))
         .agg(count(lit(1)).as("n_docs"),
              min(col("ratio")).as("min_ratio"),

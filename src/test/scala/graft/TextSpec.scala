@@ -181,6 +181,42 @@ class MultimodalTypedSpec extends AnyFunSuite {
     }
   }
 
+  test("spread ntile == window ntile, including languages smaller than the bucket count") {
+    // The round-16 scale path for q71 (range-bucket + offset rank +
+    // the piecewise ntile formula) must be byte-identical to the
+    // window ntile it replaces — including the total<n regime where
+    // floor((rank-1)*n/total)+1 is NOT ntile (it skips bucket ids;
+    // SQL gives 3 rows deciles 1,2,3). Planted: a 3-doc language, a
+    // 25-doc language (10*2+5: first five deciles one larger), a
+    // 1000-doc language with heavy ratio ties, and null-ratio-free
+    // corpus like the fixture. threshold=0 forces the spread path.
+    val s = TestSpark.spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val rows =
+      (1 to 3).map(i => ("tiny", i.toLong, 10 + i, rnd.nextDouble())) ++
+      (1 to 25).map(i => ("small", 100L + i, 20 + i, rnd.nextDouble())) ++
+      (1 to 1000).map(i => ("big", 10000L + i, 5 + i % 7,
+        (i % 13).toDouble / 13.0)) // 13 distinct values → massive ties
+    val base = rows.toDF("lang", "doc_id", "n_tokens", "ratio")
+    val w = Window.partitionBy(col("lang")).orderBy(col("ratio"), col("doc_id"))
+    val expected = base.withColumn("decile", ntile(10).over(w))
+      .select("lang", "doc_id", "decile").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    s.conf.set("spark.graft.ntile.spreadThreshold", "0")
+    try {
+      val got = graft.operators.TextAnalysis.perKeyNtile(base, 10)
+        .select("lang", "doc_id", "decile").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got.size == expected.size)
+      val diffs = expected.collect {
+        case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k))
+      }
+      assert(diffs.isEmpty, s"spread ntile diverges: ${diffs.take(5)}")
+    } finally s.conf.unset("spark.graft.ntile.spreadThreshold")
+  }
+
   test("q73 gopher rules: flags consistent, recomputed in scalar Scala") {
     val rows = graft.operators.TextAnalysis
       .queries("q73_gopher_rules")(TestSpark.spark, TestSpark.sfDir).collect()
