@@ -29,6 +29,68 @@ object Curation {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Per-source cumulative token sum in content-hash order — the
+    * shared spine of q63/q105 (budget cuts), q66/q66b (sequence
+    * packing) — computed DISTRIBUTED above a size gate.
+    *
+    * The plain form is a running-sum window over (source): exact, but
+    * each source's WHOLE stream sorts through one partition task —
+    * parallelism collapses to n_sources, the same shape the 100x
+    * fullsuite caught in q71's per-language ntile. Above the gate
+    * (spark.graft.spread.threshold rows, default 250k) the same
+    * cumulative sum is computed at sources x 256 parallelism: the
+    * order key is ALREADY a uniform md5 hex string, so its first two
+    * chars are 256 order-preserving range buckets for free (a hash
+    * prefix is an order prefix; equal hashes share a bucket, doc_id
+    * ties stay inside it) — per-(source,bucket) token sums prefix-sum
+    * into offsets driver-side (sources x 256 rows, the globalOrderBy
+    * metadata contract), and cum = bucket offset + the within-bucket
+    * running sum. Byte-identical to the window by construction;
+    * CumSumSpreadSpec pins window==spread through all four queries.
+    *
+    * Returns (source, doc_id, tk, h, cum); one plan-keyed cache entry
+    * (cacheOnce) is shared by the sums pass, the gate count, and the
+    * final read — and across the four queries, which build the same
+    * base plan. */
+  private[graft] def perSourceCumSum(s: SparkSession, docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.operators.cacheOnce(
+      docsDf
+        .withColumn("tk", size(Text.tokens(col("text"))))
+        .withColumn("h", md5(col("text").cast("binary")))
+        .select(col("source"), col("doc_id"), col("tk"), col("h")))
+    val spreadThreshold = s.conf
+      .getOption("spark.graft.spread.threshold")
+      .map(_.toLong).getOrElse(250000L)
+    if (base.count() < spreadThreshold) {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return base.withColumn("cum", sum(col("tk")).over(w))
+    }
+    val bucketed = base.withColumn("bkt", substring(col("h"), 1, 2))
+    val sums = bucketed.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("tk")).as("btk"))
+      .collect() // sources x <=256 rows by construction
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var curSrc: String = null
+    var acc = 0L
+    val offsetRows = sums.map { case (src, bkt, btk) =>
+      if (src != curSrc) { curSrc = src; acc = 0L }
+      val off = acc; acc += btk
+      (src, bkt, off)
+    }.toSeq
+    import s.implicits._
+    val offsets = offsetRows.toDF("source", "bkt", "off")
+    val wb = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("cum", col("off") + sum(col("tk")).over(wb))
+      .drop("bkt", "off")
+  }
+
   /** Content-addressed split bucket in [0,100): md5 hex chars 1-8 of
     * the text, mod 100 (cross-engine md5 family — see ArrayOpsImpl). */
   private[operators] def splitBucket: Column =
@@ -682,17 +744,11 @@ object Curation {
       // token-budget mixture: each source (domain) contributes docs in
       // deterministic content-hash order until its token budget is
       // spent — how a training mix hits per-domain token targets
-      // reproducibly. The running sum is a window over (source),
-      // partition-parallel across domains; at 100 TB each domain's
-      // scan is independent and the budget cut prunes everything past
-      // the cumulative threshold.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source"))
-        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .withColumn("tk", size(Text.tokens(col("text"))))
-        .withColumn("cum", sum(col("tk")).over(w))
+      // reproducibly. The running sum is perSourceCumSum — distributed
+      // range-bucket prefix sums above the size gate (sources x 256
+      // parallelism), the plain per-source window below it; the budget
+      // cut prunes everything past the cumulative threshold.
+      perSourceCumSum(s, docs(s, dir))
         .where(col("cum") <= TokenBudgetPerSource)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("tk")).as("tokens_kept"))
@@ -709,15 +765,13 @@ object Curation {
       // replays it bit-for-bit: no double SUM whose order could
       // differ between engines.
       //
-      // Scale: per-source token counts are one partial-agg pass
-      // (sources = a handful of groups); budgets are a broadcast-tiny
-      // table; the budget cut is q63's per-source window — each
-      // source's stream is an independent partition, and at 100 TB
-      // the cumulative cut prunes everything past the budget.
-      import org.apache.spark.sql.expressions.Window
-      val tk = docs(s, dir)
-        .withColumn("tk", size(Text.tokens(col("text"))))
-      val weights = tk.groupBy(col("source"))
+      // Scale: per-source token counts are one partial-agg pass over
+      // perSourceCumSum's cached base (sources = a handful of
+      // groups); budgets are a broadcast-tiny table; the budget cut
+      // is q63's cumulative cut — distributed range-bucket prefix
+      // sums above the size gate, pruning everything past the budget.
+      val cum = perSourceCumSum(s, docs(s, dir))
+      val weights = cum.groupBy(col("source"))
         .agg(sum(col("tk")).as("n_s"))
         .withColumn("w",
           floor(sqrt(col("n_s").cast("double")) * MixWeightScale)
@@ -727,11 +781,7 @@ object Curation {
         .select(col("source"),
           expr(s"CAST(($MixTargetTokens * w) DIV tw AS BIGINT)")
             .as("budget_tokens"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tk.withColumn("cum", sum(col("tk")).over(w))
-        .join(broadcast(budgets), Seq("source"))
+      cum.join(broadcast(budgets), Seq("source"))
         .where(col("cum") <= col("budget_tokens"))
         .groupBy(col("source"))
         .agg(first(col("budget_tokens")).as("budget_tokens"),
@@ -748,15 +798,10 @@ object Curation {
       // the full sequences produced, the wasted tail, and how many
       // docs straddle a sequence boundary (the stat that decides
       // whether you need attention masking across doc joins).
-      // Window is per-source — partition-parallel across domains, the
-      // same scale shape as q63; no global ordering anywhere.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source"))
-        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .withColumn("tk", size(Text.tokens(col("text"))))
-        .withColumn("cum", sum(col("tk")).over(w))
+      // Cumulative position is perSourceCumSum — distributed
+      // range-bucket prefix sums above the size gate, the same scale
+      // shape as q63; no global ordering anywhere.
+      perSourceCumSum(s, docs(s, dir))
         .withColumn("st", col("cum") - col("tk"))
         .groupBy(col("source"))
         .agg(
@@ -775,15 +820,9 @@ object Curation {
       // the packing MANIFEST q66 summarizes: every doc is assigned to
       // the training sequence containing its first token (source,
       // seq_idx = start div 512) — the grouping a sequence writer
-      // consumes to emit chunks. Same single per-source window as
-      // q66; the manifest is one row per (source, sequence).
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source"))
-        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .withColumn("tk", size(Text.tokens(col("text"))))
-        .withColumn("cum", sum(col("tk")).over(w))
+      // consumes to emit chunks. Same perSourceCumSum spine as q66;
+      // the manifest is one row per (source, sequence).
+      perSourceCumSum(s, docs(s, dir))
         .withColumn("seq_idx", expr(s"(cum - tk) div $SeqLen"))
         .groupBy(col("source"), col("seq_idx"))
         .agg(count(lit(1)).as("n_docs"),

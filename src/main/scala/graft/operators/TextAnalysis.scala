@@ -50,7 +50,7 @@ object TextAnalysis {
     // defect the spread path exists for. The spec forces the spread
     // path with threshold=0 and pins byte-equality of the two.
     val spreadThreshold = base0.sparkSession.conf
-      .getOption("spark.graft.ntile.spreadThreshold")
+      .getOption("spark.graft.spread.threshold")
       .map(_.toLong).getOrElse(250000L)
     if (base.count() < spreadThreshold) {
       val w = Window.partitionBy(col("lang"))

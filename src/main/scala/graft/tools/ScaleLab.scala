@@ -167,6 +167,13 @@ object ScaleLab {
           rest.drop(1).headOption.map(_.toInt).getOrElse(8),
           rest.drop(2).headOption.map(_.toInt).getOrElse(1))
       case "maintainstages" :: dir :: rest =>
+        // optional 3rd arg: pair-state bucket count B (pinned at
+        // bootstrap) — the 100x 50-wave ladder showed the default 16
+        // saturating (all buckets collide at 2%-of-corpus batches, so
+        // bucket pruning degenerates to full pair reads); B should
+        // scale like corpus/batch for the pruning to bite
+        rest.drop(2).headOption.foreach(b =>
+          spark.conf.set("spark.graft.clusterstate.buckets", b))
         probeMaintainStages(spark, dir,
           rest.headOption.map(_.toInt).getOrElse(10),
           rest.drop(1).headOption.map(_.toInt).getOrElse(8))

@@ -368,6 +368,30 @@ class CurationSpec extends AnyFunSuite {
     assert(enc == refEnc, "trained-tokenizer encode diverges from reference")
   }
 
+  test("spread cumulative sum == window cumulative sum through q63/q105/q66/q66b") {
+    // perSourceCumSum's distributed path (hash-prefix range buckets +
+    // driver-side offsets) must be byte-identical to the per-source
+    // running-sum window it replaces at scale. Strongest check: run
+    // the four REAL queries both ways on the fixture and diff the
+    // collected results.
+    val names = Seq("q63_token_budget_mix", "q105_temperature_mix",
+      "q66_sequence_packing", "q66b_packing_manifest")
+    def runAll(): Map[String, Set[String]] = names.map { n =>
+      n -> Curation.queries(n)(spark, dir).collect().map(_.toString).toSet
+    }.toMap
+    val window = runAll() // fixture is below the default gate
+    spark.conf.set("spark.graft.spread.threshold", "0")
+    try {
+      val spread = runAll()
+      names.foreach { n =>
+        assert(window(n) == spread(n),
+          s"$n diverges between window and spread paths: " +
+            s"only-window=${(window(n) -- spread(n)).take(3)} " +
+            s"only-spread=${(spread(n) -- window(n)).take(3)}")
+      }
+    } finally spark.conf.unset("spark.graft.spread.threshold")
+  }
+
   test("q105 temperature mix: alpha=0.5 upweights small sources, budgets bounded") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Curation

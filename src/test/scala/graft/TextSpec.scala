@@ -204,7 +204,7 @@ class MultimodalTypedSpec extends AnyFunSuite {
     val expected = base.withColumn("decile", ntile(10).over(w))
       .select("lang", "doc_id", "decile").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
-    s.conf.set("spark.graft.ntile.spreadThreshold", "0")
+    s.conf.set("spark.graft.spread.threshold", "0")
     try {
       val got = graft.operators.TextAnalysis.perKeyNtile(base, 10)
         .select("lang", "doc_id", "decile").collect()
@@ -214,7 +214,7 @@ class MultimodalTypedSpec extends AnyFunSuite {
         case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k))
       }
       assert(diffs.isEmpty, s"spread ntile diverges: ${diffs.take(5)}")
-    } finally s.conf.unset("spark.graft.ntile.spreadThreshold")
+    } finally s.conf.unset("spark.graft.spread.threshold")
   }
 
   test("q73 gopher rules: flags consistent, recomputed in scalar Scala") {
