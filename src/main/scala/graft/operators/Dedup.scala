@@ -1667,8 +1667,16 @@ object Dedup {
     * spark.graft.clusterstate.buckets (16 — at fixture scale the
     * bucket count is per-wave write tasks + files, ~0.1 s/task
     * constant each, while the win-regime prune reads ~0 buckets at
-    * any B); at warehouse scale set it so a bucket's accumulated
-    * slice stays a few hundred MB. */
+    * any B). Measured sizing rule (SCALING.md round-16 100x ladder +
+    * B=256 A/B): a bucket escapes a wave's pruned read only when NO
+    * batch doc hashes into it (P ≈ e^(-batch/B)), so the pruned read
+    * is ~state x batch/B and pruning requires B >> batch-size, while
+    * per-bucket fixed costs grow with B — at fixture batch/corpus
+    * ratios (percent-scale waves) the small default with full pair
+    * reads is optimal (B=256 cost 3x more and pruned nothing); at
+    * production ratios (tiny ingest waves into a huge state) size B
+    * so batch/B << 1 AND a bucket's accumulated slice stays a few
+    * hundred MB. */
   private def stateBuckets(s: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(dir, "_buckets")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

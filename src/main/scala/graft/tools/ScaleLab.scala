@@ -168,10 +168,15 @@ object ScaleLab {
           rest.drop(2).headOption.map(_.toInt).getOrElse(1))
       case "maintainstages" :: dir :: rest =>
         // optional 3rd arg: pair-state bucket count B (pinned at
-        // bootstrap) — the 100x 50-wave ladder showed the default 16
-        // saturating (all buckets collide at 2%-of-corpus batches, so
-        // bucket pruning degenerates to full pair reads); B should
-        // scale like corpus/batch for the pruning to bite
+        // bootstrap). Measured tuning rule (SCALING.md round-16
+        // ladder): a bucket escapes a wave's read only when NO batch
+        // doc hashes into it (P ≈ e^(-batch/B)), so pruning needs
+        // B >> batch — pruned read ≈ state x batch/B — while
+        // per-bucket fixed costs scale with B (the B=256 A/B at a
+        // 10k-doc batch cost 3x MORE and still pruned nothing).
+        // Fixture-ratio batches: keep the small default. Production
+        // ratios (tiny waves into a huge state): size B so
+        // batch/B << 1.
         rest.drop(2).headOption.foreach(b =>
           spark.conf.set("spark.graft.clusterstate.buckets", b))
         probeMaintainStages(spark, dir,
