@@ -565,10 +565,8 @@ object IndexManager {
     val buckets = bands.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("key")).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
-    buckets.select(explode(expr(
-        """flatten(transform(ids, a ->
-          |  transform(filter(ids, b -> b > a),
-          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+    buckets.select(explode(graft.functions.expressions.ArrayOps
+        .orderedPairs(col("ids"))).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
   }

@@ -320,6 +320,69 @@ case class MmrSelectExpr(child: Expression, k: Int, lam: Double, pen: Double)
     copy(child = newChild)
 }
 
+/** Bucket-local ordered candidate pairs (the LSH pair kernel shared by
+  * q33/q33b/q81/q106/q87b, the q61 pair-state maintenance and the
+  * index probe): all (a, b) with b > a over a bucket's id list, in the
+  * HOF emission order. Replaces
+  * `flatten(transform(ids, a -> transform(filter(ids, b -> b > a),
+  * b -> struct(a, b))))` — three nested interpreted-lambda passes plus
+  * two intermediate arrays per bucket — with one n² long loop
+  * (n <= BucketCap). Same pair multiset, same order. */
+case class OrderedPairsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ordered_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.orderedPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ArrayOpsImpl.orderedPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairsExpr =
+    copy(child = newChild)
+}
+
+/** Cross-document span-removal rebuild (q83/q83b tail): given a doc's
+  * token array and its merged covered RUNS (array<struct<s int,
+  * e int>>, disjoint, sorted by s — token positions s..e inclusive are
+  * removed), emit struct(kept_tokens, kept_text) in one per-row pass.
+  * Replaces the posexplode → anti-join on (doc_id, p) → collect_list/
+  * array_sort/concat_ws reassembly, which shuffled EVERY token of the
+  * corpus twice (once exploded, once inside the collected struct) to
+  * delete a per-doc-decided position set: the decision rows (runs) are
+  * orders of magnitude smaller than the token stream, so they are what
+  * should move (optimization guide §2.3/§8 — shuffle decisions, not
+  * payloads). Output is defined identical to the relational tail: the
+  * DuckDB oracle replays the position-level formulation unchanged. */
+case class RemoveRunsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("kept_tokens", LongType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("kept_text",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  override def prettyName: String = "remove_runs"
+
+  override def nullSafeEval(toks: Any, runs: Any): Any =
+    ArrayOpsImpl.removeRuns(
+      toks.asInstanceOf[ArrayData], runs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, r) => s"graft.functions.expressions.ArrayOpsImpl.removeRuns($t, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveRunsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Companion class => Java static forwarders for generated code. */
 class ArrayOpsImpl private ()
 
@@ -515,6 +578,58 @@ object ArrayOpsImpl {
         // null-guard to match spanKeys' defensiveness above (a null
         // token hashes as 0 there; here it rebuilds as empty) — the
         // concat_ws path this kernel replaced tolerated nulls too
+        val t = tokens.getUTF8String(i)
+        if (t != null) sb.append(t.toString)
+        kept += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](kept,
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  /** See [[OrderedPairsExpr]]. */
+  def orderedPairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val v = new Array[Long](n)
+    var i = 0
+    while (i < n) { v(i) = ids.getLong(i); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * (n - 1) / 2)
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (v(j) > v(i)) out += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](v(i), v(j)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** See [[RemoveRunsExpr]]. Runs are disjoint and sorted by start
+    * (the caller array_sorts the collected struct list; struct order
+    * (s, e) sorts by s first). A doc with no covered runs passes an
+    * EMPTY array (the call site coalesces the left join's null). */
+  def removeRuns(tokens: ArrayData, runs: ArrayData)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = tokens.numElements()
+    val m = runs.numElements()
+    var kept = 0L
+    val sb = new java.lang.StringBuilder
+    var r = 0
+    var i = 0
+    while (i < n) {
+      // advance past runs ending before i; then i is covered iff the
+      // current run has started
+      while (r < m && runs.getStruct(r, 2).getInt(1) < i) r += 1
+      val coveredHere = r < m && runs.getStruct(r, 2).getInt(0) <= i
+      if (!coveredHere) {
+        if (kept > 0) sb.append(' ')
+        // null-guard: the concat_ws path this kernel replaced rebuilt
+        // a null token as empty (same as intraDocDedup)
         val t = tokens.getUTF8String(i)
         if (t != null) sb.append(t.toString)
         kept += 1
@@ -747,6 +862,13 @@ object ArrayOps {
 
   def intraDocDedup(tokens: Column, w: Int): Column =
     GraftBridge.column(IntraDocDedupExpr(GraftBridge.expression(tokens), w))
+
+  def removeRuns(tokens: Column, runs: Column): Column =
+    GraftBridge.column(RemoveRunsExpr(
+      GraftBridge.expression(tokens), GraftBridge.expression(runs)))
+
+  def orderedPairs(ids: Column): Column =
+    GraftBridge.column(OrderedPairsExpr(GraftBridge.expression(ids)))
 
   def byteSymbols(s: Column): Column =
     GraftBridge.column(ByteSymbolsExpr(GraftBridge.expression(s)))

@@ -104,12 +104,25 @@ object Dedup {
     */
   def spanCoverage(docsDf: DataFrame, w: Int = SpanW,
                    saltBuckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val (base, dupRows) = dupSpanRows(docsDf, w, saltBuckets)
+    // |union of [i, i+w-1]| by interval arithmetic on the SORTED span
+    // positions: each occurrence contributes the part of its window
+    // not overlapped by the NEXT one — min(next_i - i, w); the last
+    // contributes w. (doc_id, i) rows are unique by construction
+    // (posexplode emits each position once; the window filter and the
+    // semi join both preserve that). This replaces the w-way position
+    // explode + corpus-wide distinct + re-aggregate — three stages and
+    // a w× row multiplication — with one doc-keyed window whose
+    // partitioning the final aggregate reuses (guide §2.3/§2.4:
+    // shuffle fewer bytes, then share the exchange).
+    val docWin = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val covered = dupRows
-      .select(col("doc_id"),
-              explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+      .select(col("doc_id"), col("i"))
+      .withColumn("nxt", lead(col("i"), 1).over(docWin))
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(least(col("nxt") - col("i"), lit(w)), lit(w)))
+        .as("covered_tokens"))
     base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -221,7 +234,8 @@ object Dedup {
   def spanDedupApply(docsDf: DataFrame, w: Int = SpanW,
                      saltBuckets: Int = 0): DataFrame = {
     val (base, dupRows) = dupSpanRows(docsDf, w, saltBuckets)
-    applyRemoval(base, coveredPositions(dupRows, w))
+    // every covered position is removed = runs with no length floor
+    applyRemoval(base, coveredRuns(dupRows, w))
   }
 
   /** Minimum merged-run length (tokens) for q83b's variable-length
@@ -251,50 +265,54 @@ object Dedup {
   def spanDedupApplyRuns(docsDf: DataFrame, w: Int = SpanW,
                          minRun: Int = MinRun,
                          saltBuckets: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (base, dupRows) = dupSpanRows(docsDf, w, saltBuckets)
+    applyRemoval(base,
+      coveredRuns(dupRows, w).where(col("e") - col("s") + 1 >= minRun))
+  }
+
+  /** (doc_id, i) span-occurrence rows → maximal covered RUNS
+    * (doc_id, s, e): gaps-and-islands over the sorted positions (two
+    * occurrences merge iff their coverage is contiguous, i.e. start
+    * difference <= w), each island covering tokens s..e inclusive.
+    * Shared by q83 (every run removed) and q83b (length >= minRun
+    * only). Rows are unique per (doc_id, i) by construction — see
+    * [[spanCoverage]] — so no distinct shuffle is needed, and both
+    * windows plus the island aggregate share ONE doc_id exchange. */
+  private def coveredRuns(rows: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docWin = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val isl = dupRows.select(col("doc_id"), col("i")).distinct()
+    rows.select(col("doc_id"), col("i"))
       .withColumn("brk",
         when(col("i") - lag(col("i"), 1).over(docWin) <= w, lit(0))
           .otherwise(lit(1)))
       .withColumn("g", sum(col("brk")).over(docWin))
-    val runs = isl.groupBy(col("doc_id"), col("g"))
+      .groupBy(col("doc_id"), col("g"))
       .agg(min(col("i")).as("s"), (max(col("i")) + lit(w - 1)).as("e"))
-      .where(col("e") - col("s") + 1 >= minRun)
-    val covered = runs
-      .select(col("doc_id"), explode(expr("sequence(s, e)")).as("p"))
-      .distinct()
-    applyRemoval(base, covered)
   }
 
-  /** (doc_id, i) span-occurrence rows → distinct (doc_id, p) covered
-    * token positions. */
-  private def coveredPositions(rows: DataFrame, w: Int): DataFrame =
-    rows.select(col("doc_id"),
-        explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
-      .distinct()
-
-  /** Rebuild per-doc text with the `covered` (doc_id, p) positions
-    * removed — shared tail of q83/q84. LEFT ANTI on (doc_id, p) is
-    * hash-distributed on doc-scoped keys (no skew), and the per-doc
-    * reassembly is a bounded collect_list (a document's own tokens,
-    * never corpus-scale state). */
-  private def applyRemoval(base: DataFrame, covered: DataFrame): DataFrame = {
-    val toks = base
-      .select(col("doc_id"), posexplode(col("toks")))
-      .toDF("doc_id", "p", "tok")
-    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("kept_tokens"),
-           concat_ws(" ", transform(
-             array_sort(collect_list(struct(col("p"), col("tok")))),
-             s => s.getField("tok"))).as("kept_text"))
-    base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
+  /** Rebuild per-doc text with the covered `runs` (doc_id, s, e)
+    * removed — shared tail of q83/q83b. The runs are collected per doc
+    * (run count is bounded by the doc's own span positions, never
+    * corpus-scale) and the rebuild is ONE native pass over the token
+    * array ([[graft.functions.expressions.RemoveRunsExpr]]). The
+    * previous shape posexploded every token of the corpus, anti-joined
+    * on (doc_id, p) and re-assembled via collect_list + array_sort —
+    * shuffling the full token payload twice to apply a decision set
+    * orders of magnitude smaller (guide §8's rule: move decisions,
+    * not payloads); measured 12.6/13.1 task-sec on q83/q83b at sf0.1,
+    * almost all of it in the explode/anti-join/reassemble tail. */
+  private def applyRemoval(base: DataFrame, runs: DataFrame): DataFrame = {
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("runs"))
+    base.select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+                col("toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("r", graft.functions.expressions.ArrayOps.removeRuns(
+        col("toks"),
+        coalesce(col("runs"), array().cast("array<struct<s:int,e:int>>"))))
       .select(col("doc_id"), col("n_tokens"),
-              coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-              coalesce(col("kept_text"), lit("")).as("kept_text"))
+              col("r.kept_tokens").as("kept_tokens"),
+              col("r.kept_text").as("kept_text"))
   }
 
   /** WITHIN-document span dedup (q84): remove every repeated span
@@ -711,10 +729,8 @@ object Dedup {
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
     buckets
-      .select(explode(expr(
-        """flatten(transform(ids, a ->
-          |  transform(filter(ids, b -> b > a),
-          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+      .select(explode(graft.functions.expressions.ArrayOps
+        .orderedPairs(col("ids"))).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
   }
@@ -945,10 +961,8 @@ object Dedup {
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
     val cand = buckets
-      .select(explode(expr(
-        """flatten(transform(ids, a ->
-          |  transform(filter(ids, b -> b > a),
-          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+      .select(explode(graft.functions.expressions.ArrayOps
+        .orderedPairs(col("ids"))).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
       // same verify-stage parallelism pin as the corpus probe above
@@ -1404,10 +1418,8 @@ object Dedup {
     bandsDf.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
-      .select(explode(expr(
-        """flatten(transform(ids, a ->
-          |  transform(filter(ids, b -> b > a),
-          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+      .select(explode(graft.functions.expressions.ArrayOps
+        .orderedPairs(col("ids"))).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
 
@@ -1420,10 +1432,8 @@ object Dedup {
     bandsDf.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
-      .select(explode(expr(
-        """flatten(transform(ids, a ->
-          |  transform(filter(ids, b -> b > a),
-          |            b -> named_struct('doc1', a, 'doc2', b))))""".stripMargin)).as("p"))
+      .select(explode(graft.functions.expressions.ArrayOps
+        .orderedPairs(col("ids"))).as("p"))
       .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("nb"))

@@ -1730,6 +1730,9 @@ object ScaleLab {
       val fn = graft.SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query: $n"))
       fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      // the measured run must be attributable work, not a memo hit —
+      // same contract as Bench's sequential pass
+      graft.Bench.MemoBypass.get(n).foreach(clear => clear())
       listener.snapshotFullAndReset()
       spark.sparkContext.setJobGroup(n, n, interruptOnCancel = false)
       val t0 = System.nanoTime()

@@ -61,6 +61,59 @@ class ArrayOpsExprSpec extends AnyFunSuite {
     assert(r.getSeq[Long](2).isEmpty)
   }
 
+  test("orderedPairs equals the HOF bucket-pair formulation") {
+    // r16 pair-kernel pin: the native emitter must equal the
+    // flatten(transform(filter)) HOF it replaced — same pairs, same
+    // order — on random bucket id lists (incl. empty and singleton)
+    val rnd = new scala.util.Random(7)
+    val cases = (Seq(Seq.empty[Long], Seq(5L)) ++ (1 to 40).map { _ =>
+      val n = rnd.nextInt(20)
+      (0 until n).map(_ => rnd.nextInt(12).toLong)
+    }).toDF("ids")
+    val both = cases.select(
+      ArrayOps.orderedPairs(col("ids")).as("native"),
+      expr("""flatten(transform(ids, a ->
+             |  transform(filter(ids, b -> b > a),
+             |            b -> named_struct('doc1', a, 'doc2', b))))"""
+        .stripMargin).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    }
+  }
+
+  test("removeRuns equals position-set removal on random docs/runs") {
+    // property pin for the r16 q83/q83b tail rewrite: the native
+    // run-removal kernel must equal the old explode/anti-join
+    // formulation — remove every token position inside any [s, e]
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 60).map { _ =>
+      val n = rnd.nextInt(30)
+      val toks = (0 until n).map(i => s"t${rnd.nextInt(8)}_$i")
+      // random disjoint sorted runs over 0..n-1 (may be empty)
+      var pos = 0
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      while (pos < n) {
+        val gap = rnd.nextInt(4)
+        val s0 = pos + gap
+        val e0 = s0 + rnd.nextInt(5)
+        if (s0 < n && rnd.nextBoolean()) { runs += ((s0, math.min(e0, n - 1))) }
+        pos = e0 + 1
+      }
+      (toks, runs.toSeq)
+    }
+    val df = cases.toDF("toks", "runs")
+      .select(col("toks"), col("runs")
+        .cast("array<struct<s:int,e:int>>").as("runs"))
+      .select(col("toks"), col("runs"),
+        ArrayOps.removeRuns(col("toks"), col("runs")).as("r"))
+    df.collect().zip(cases).foreach { case (row, (toks, runs)) =>
+      val coveredSet = runs.flatMap { case (s0, e0) => s0 to e0 }.toSet
+      val kept = toks.zipWithIndex.filterNot(t => coveredSet(t._2))
+      assert(row.getStruct(2).getLong(0) == kept.length.toLong)
+      assert(row.getStruct(2).getString(1) == kept.map(_._1).mkString(" "))
+    }
+  }
+
   test("intraDocDedup tolerates null tokens (rebuilds them as empty)") {
     val df = Seq(1).toDF("x").select(
       ArrayOps.intraDocDedup(
