@@ -207,10 +207,21 @@ object Classifier {
       // the operator's cost IS the per-epoch stage floor, and this
       // halves it. At 100 TB the cached form is the same materialized
       // shard-bucketed table the scale note above calls for.
+      // r16: the epoch loop runs on the RAW RDD of the sorted shard
+      // layout, not the Dataset — `ds.mapPartitions(f).collect()`
+      // re-runs Catalyst analysis/optimization/codegen on every epoch
+      // (a fixed ~tens-of-ms planning job per epoch, 16-20 epochs per
+      // training, three trainings across the q96 family), while the
+      // fold itself is plain JVM code over the same rows in the same
+      // per-partition order. The RDD cache preserves partitioning and
+      // stored row order exactly as the Dataset cache did, so every
+      // epoch is now a scheduler-only job: same data, same fold, same
+      // weights.
       val ex = exDf.repartition(S, col("sh"))
         .sortWithinPartitions(col("sh"), col("doc_id"))
         .select(col("sh"), col("y"), col("x"))
         .as[(Long, Long, Seq[Long])]
+        .rdd
         .persist()
       try {
         var w = init
