@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true  // forward stdin to forked mains (Repl)
+// Forked mains write to the REAL stdout/stderr, not through sbt's
+// logger: the round driver json-parses Bench's one-line result, and
+// the logger's "[info] " prefix made every line unparseable (every
+// BENCH_r{N}.json shipped "parsed": null; PERF_r16.json compared 0
+// queries). Bare stdout keeps `grep metric` working AND makes the
+// line valid JSON from column 0.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

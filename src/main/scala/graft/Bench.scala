@@ -304,11 +304,19 @@ object Bench {
     val names = suite.map(_._1)
     def aligned(m: Map[String, Double]): Seq[(String, Double)] =
       names.map(n => n -> m.getOrElse(n, 0.0))
+    // the driver's contract keys LEAD, in the contract's order:
+    // {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+    //  "sf": ...} — and "queries" carries the COMPLETE sequential map
+    // (ALL queries, a strict superset of the former slowest-10 view,
+    // whose membership varied with host timing and would have read as
+    // queries appearing/dropping between rounds).
+    val contract =
+      s"""{"metric":"total","value":${r3(wall)},"unit":"sec",""" +
+      s""""queries":${jmap(sequential)},"sf":"$sfDir","""
     val headline =
       s""""memoized_in_concurrent":[${
         MemoBypass.keys.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""listener_drained":$drained,""" +
-      s""""metric":"total","value":${r3(wall)},"unit":"sec",""" +
       s""""sequential_total":${r3(seqTotal)},"concurrent_wall":${r3(wall)},""" +
       s""""concurrent_wall_best":${r3(walls.min)},""" +
       s""""concurrent_wall_train_inclusive":${r3(trainInclusiveWall)},""" +
@@ -316,10 +324,10 @@ object Bench {
       s""""concurrent_walls":[${walls.map(r3).mkString(",")}],""" +
       s""""host_load_at_start":${r3(hostLoad)},""" +
       s""""extra_passes":$extraPasses,""" +
-      s""""sched_floor_sec":${r3(floor)},"n_queries":${suite.length},"sf":"$sfDir""""
+      s""""sched_floor_sec":${r3(floor)},"n_queries":${suite.length}"""
 
     // full record → file (complete per-query maps, all four units)
-    val full = s"""{"queries":${jmap(sequential)},""" +
+    val full = contract +
       s""""queries_concurrent":${jmap(concurrent)},""" +
       s""""queries_stage_wall":${jmap(aligned(stageWall))},""" +
       s""""queries_task_time":${jmap(aligned(taskTime))},""" +
@@ -331,15 +339,12 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    // printed line → driver tail: slowest-10 of each measured pass
-    // (the regression set), under the SAME key names the driver
-    // already parses ("queries" = sequential latencies,
-    // "queries_concurrent" = latencies under load), then the
-    // headline keys LAST
-    def slowest10(kv: Seq[(String, Double)]): Seq[(String, Double)] =
-      kv.sortBy(-_._2).take(10)
-    println(s"""{"queries":${jmap(slowest10(sequential))},""" +
-      s""""queries_concurrent":${jmap(slowest10(concurrent))},""" +
+    // printed line → driver stdout (bare, unprefixed — see build.sbt's
+    // outputStrategy note): contract keys first, full concurrent map
+    // ("queries_concurrent" = latencies under load, same key name the
+    // driver tail always carried), then the headline keys
+    println(contract +
+      s""""queries_concurrent":${jmap(concurrent)},""" +
       s""""serial_suspects":${jmap(suspects)},""" +
       s""""bench_full":"$outPath",""" +
       headline + "}")

@@ -1,9 +1,9 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, GraftBridge}
 
 /** Native MinHash signature: replaces the nested-HOF formulation
@@ -328,7 +328,13 @@ case class MmrSelectExpr(child: Expression, k: Int, lam: Double, pen: Double)
   * b -> struct(a, b))))` — three nested interpreted-lambda passes plus
   * two intermediate arrays per bucket — with one n² long loop
   * (n <= BucketCap). Same pair multiset, same order. */
-case class OrderedPairsExpr(child: Expression) extends UnaryExpression {
+case class OrderedPairsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // the kernel reads elements via getLong: anything but array<bigint>
+  // must fail at ANALYSIS time, not yield garbage pairs (r16 advice).
+  // (return type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(ArrayType(LongType))
 
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
@@ -361,7 +367,15 @@ case class OrderedPairsExpr(child: Expression) extends UnaryExpression {
   * payloads). Output is defined identical to the relational tail: the
   * DuckDB oracle replays the position-level formulation unchanged. */
 case class RemoveRunsExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // getUTF8String tokens + getStruct(int, int) runs: enforce the
+  // shapes at analysis time (r16 advice).
+  // (return type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(
+    ArrayType(StringType),
+    ArrayType(StructType(Seq(
+      StructField("s", IntegerType), StructField("e", IntegerType)))))
 
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("kept_tokens", LongType,
@@ -618,6 +632,7 @@ object ArrayOpsImpl {
     val n = tokens.numElements()
     val m = runs.numElements()
     var kept = 0L
+    var emitted = false
     val sb = new java.lang.StringBuilder
     var r = 0
     var i = 0
@@ -627,11 +642,18 @@ object ArrayOpsImpl {
       while (r < m && runs.getStruct(r, 2).getInt(1) < i) r += 1
       val coveredHere = r < m && runs.getStruct(r, 2).getInt(0) <= i
       if (!coveredHere) {
-        if (kept > 0) sb.append(' ')
-        // null-guard: the concat_ws path this kernel replaced rebuilt
-        // a null token as empty (same as intraDocDedup)
+        // null-guard matching the concat_ws path this kernel replaced:
+        // concat_ws SKIPS null elements entirely (no separator), so a
+        // null kept token contributes to kept_tokens (the old
+        // anti-join counted kept POSITIONS) but neither text nor space;
+        // empty-string tokens DO take a separator, hence the `emitted`
+        // flag rather than an sb.length check
         val t = tokens.getUTF8String(i)
-        if (t != null) sb.append(t.toString)
+        if (t != null) {
+          if (emitted) sb.append(' ')
+          sb.append(t.toString)
+          emitted = true
+        }
         kept += 1
       }
       i += 1

@@ -222,7 +222,11 @@ object Classifier {
         .select(col("sh"), col("y"), col("x"))
         .as[(Long, Long, Seq[Long])]
         .rdd
-        .persist()
+        // MEMORY_AND_DISK explicitly: the bare RDD default is
+        // MEMORY_ONLY, under which an evicted partition re-runs the
+        // repartition+sort shuffle every epoch — spill-instead-of-
+        // recompute is what the cache-once design relies on
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         var w = init
         for (_ <- 0 until epochs) {

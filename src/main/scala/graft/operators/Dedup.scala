@@ -310,9 +310,12 @@ object Dedup {
       .withColumn("r", graft.functions.expressions.ArrayOps.removeRuns(
         col("toks"),
         coalesce(col("runs"), array().cast("array<struct<s:int,e:int>>"))))
+      // null toks null-propagate through the kernel; the old
+      // posexplode/anti-join tail returned (0, '') for a null-text doc
+      // (no positions to keep), so coalesce preserves that contract
       .select(col("doc_id"), col("n_tokens"),
-              col("r.kept_tokens").as("kept_tokens"),
-              col("r.kept_text").as("kept_text"))
+              coalesce(col("r.kept_tokens"), lit(0L)).as("kept_tokens"),
+              coalesce(col("r.kept_text"), lit("")).as("kept_text"))
   }
 
   /** WITHIN-document span dedup (q84): remove every repeated span

@@ -114,6 +114,28 @@ class ArrayOpsExprSpec extends AnyFunSuite {
     }
   }
 
+  test("removeRuns null tokens follow concat_ws: skipped, no separator") {
+    // r16 advice: the kernel replaced a concat_ws reassembly, and
+    // concat_ws skips null elements ENTIRELY — [a, null, b] is 'a b',
+    // not 'a  b'. kept_tokens still counts the position (the old
+    // anti-join counted kept positions, token value included or not).
+    val df = Seq(1).toDF("x").select(
+      ArrayOps.removeRuns(
+        expr("array('a', CAST(NULL AS STRING), 'b')"),
+        expr("CAST(array() AS array<struct<s:int,e:int>>)")).as("r"))
+    val r = df.select(col("r.kept_tokens"), col("r.kept_text")).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getString(1) == "a b")
+    // leading null: no leading separator either
+    val df2 = Seq(1).toDF("x").select(
+      ArrayOps.removeRuns(
+        expr("array(CAST(NULL AS STRING), 'a', '', 'b')"),
+        expr("CAST(array() AS array<struct<s:int,e:int>>)")).as("r"))
+    val r2 = df2.select(col("r.kept_tokens"), col("r.kept_text")).collect().head
+    assert(r2.getLong(0) == 4L)
+    assert(r2.getString(1) == "a  b") // empty string keeps its separator
+  }
+
   test("intraDocDedup tolerates null tokens (rebuilds them as empty)") {
     val df = Seq(1).toDF("x").select(
       ArrayOps.intraDocDedup(

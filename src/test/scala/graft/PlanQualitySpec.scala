@@ -16,6 +16,24 @@ class PlanQualitySpec extends AnyFunSuite {
   private def plan(q: String): String =
     Relational.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Every WindowExec in an executed plan, descending through the
+    * AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec) that hide
+    * their subtrees from a plain `collect`. */
+  private def windowNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      case _ => Nil
+    }
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => windowNodes(a.executedPlan)
+      case q: QueryStageExec        => windowNodes(q.plan)
+      case _ => p.children.flatMap(windowNodes)
+    }
+    here ++ below
+  }
+
   test("q1: shipdate predicate is pushed to the parquet scan") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
@@ -351,10 +369,17 @@ class PlanQualitySpec extends AnyFunSuite {
         // the hazard is a window PARTITIONED BY the hot span key (one
         // reducer owns the whole boilerplate key); doc_id-partitioned
         // windows (the r16 interval-union coverage tail) are doc-scoped
-        // and skew-free by construction, so only span windows are banned
-        assert(!p.contains("windowspecdefinition(span#") &&
-               !p.contains("windowspecdefinition(seg#"),
-          s"$name salted shape must not window on the hot span key:\n$p")
+        // and skew-free by construction. Walk the executed plan's
+        // WindowExec nodes and check the partition expressions' REFERENCE
+        // columns (not attribute-name substrings, which an alias evades):
+        // every window must partition on doc-scoped columns only.
+        val docScoped = Set("doc_id")
+        for (w <- windowNodes(df.queryExecution.executedPlan);
+             e <- w.partitionSpec;
+             ref <- e.references.toSeq)
+          assert(docScoped.contains(ref.name),
+            s"$name windows on non-doc-scoped column '${ref.name}' " +
+              s"(skew hazard on the hot span key):\n$p")
         assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
           s"$name lost its shuffle join on the span key:\n$p")
       }
