@@ -59,8 +59,20 @@ object Text {
     * band, joined as a string (underscore-separated) so the exact key
     * is reproducible in DuckDB's array_to_string. Two docs collide in
     * a band iff that slice is identical — P(collide) = 1-(1-j^r)^b,
-    * the standard S-curve. */
+    * the standard S-curve.
+    *
+    * r17: native single-pass kernel ([[graft.functions.expressions
+    * .BandKeysExpr]]); the previous nested-HOF form (kept below as
+    * the executable spec it is tested against) ran three interpreted
+    * lambda passes and allocated a slice + a cast array per band per
+    * row — measured as the larger share of the band-explode stage
+    * every LSH-family query pays. Byte-identical output. */
   def lshBandKeys(mh: Column, numBands: Int, rowsPerBand: Int): Column =
+    graft.functions.expressions.ArrayOps.bandKeys(mh, numBands, rowsPerBand)
+
+  /** The HOF formulation of [[lshBandKeys]] — the executable spec the
+    * native kernel is pinned against (ArrayOpsExprSpec). */
+  def lshBandKeysSpec(mh: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)),
       b => concat_ws("_",
         transform(slice(mh, b * rowsPerBand + 1, lit(rowsPerBand)),

@@ -354,6 +354,36 @@ case class OrderedPairsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Native LSH band keys (round 17): the minhash signature split into
+  * `numBands` keys of `rowsPerBand` values each, rendered as the
+  * IDENTICAL strings the HOF formulation produced —
+  * `transform(sequence(0, B-1), b -> concat_ws('_',
+  * transform(slice(mh, b*r+1, r), cast as string)))` — which the
+  * DuckDB oracles and the q61d persisted band state replay verbatim.
+  * The HOF runs three nested interpreted lambdas and allocates a
+  * slice array + a cast array per band per row; this is one pass
+  * with a single string builder. Emission order and content are
+  * byte-identical (pinned in ArrayOpsExprSpec). */
+case class BandKeysExpr(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // getLong elements — anything but array<bigint> fails analysis
+  override def inputTypes = Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOpsImpl.bandKeys(input.asInstanceOf[ArrayData], numBands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ArrayOpsImpl.bandKeys($c, $numBands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
+    copy(child = newChild)
+}
+
 /** Cross-document span-removal rebuild (q83/q83b tail): given a doc's
   * token array and its merged covered RUNS (array<struct<s int,
   * e int>>, disjoint, sorted by s — token positions s..e inclusive are
@@ -601,6 +631,31 @@ object ArrayOpsImpl {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](kept,
         org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  /** See [[BandKeysExpr]]. Matches the HOF's semantics exactly:
+    * slice is 1-based and clamps at the array end; cast(long) is
+    * Long.toString; concat_ws skips null elements (minhash signatures
+    * never contain them, but the spec pin covers short arrays). */
+  def bandKeys(mh: ArrayData, numBands: Int, rowsPerBand: Int): ArrayData = {
+    val n = mh.numElements()
+    val out = new Array[AnyRef](numBands)
+    val sb = new java.lang.StringBuilder(24 * rowsPerBand)
+    var b = 0
+    while (b < numBands) {
+      sb.setLength(0)
+      val from = b * rowsPerBand
+      val to = math.min(from + rowsPerBand, n)
+      var i = from
+      while (i < to) {
+        if (i > from) sb.append('_')
+        sb.append(mh.getLong(i))
+        i += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** See [[OrderedPairsExpr]]. */
@@ -891,6 +946,10 @@ object ArrayOps {
 
   def orderedPairs(ids: Column): Column =
     GraftBridge.column(OrderedPairsExpr(GraftBridge.expression(ids)))
+
+  def bandKeys(mh: Column, numBands: Int, rowsPerBand: Int): Column =
+    GraftBridge.column(BandKeysExpr(
+      GraftBridge.expression(mh), numBands, rowsPerBand))
 
   def byteSymbols(s: Column): Column =
     GraftBridge.column(ByteSymbolsExpr(GraftBridge.expression(s)))

@@ -102,7 +102,7 @@ object GraftServer {
     val dirArg = args.filterNot(_.startsWith("--"))
       .filterNot(a => cfgPath.contains(a)).headOption
     val cfg = cfgPath.map(ServerConfig.load).getOrElse(ServerConfig())
-    val builder = SparkSession.builder()
+    val builder = graft.SparkTuning.tuned(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-server")
       .config("spark.sql.shuffle.partitions",

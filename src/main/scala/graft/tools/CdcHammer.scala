@@ -16,7 +16,7 @@ import graft.engine.Changefeed
 object CdcHammer {
   def main(args: Array[String]): Unit = {
     val Array(warehouse, count, tag) = args.take(3)
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning.tuned(SparkSession.builder())
       .master("local[2]")
       .appName("graft-cdc-hammer")
       .config("spark.sql.shuffle.partitions", "2")

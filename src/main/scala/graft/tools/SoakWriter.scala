@@ -25,7 +25,7 @@ object SoakWriter {
     // loses file-level CoW and truncates the table mid-statement
     val table = if (args.length > 4) args(4) else "soak2.t"
     val Array(db, bare) = table.split("\\.", 2)
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning.tuned(SparkSession.builder())
       .master("local[2]")
       .appName("graft-soak-writer")
       .config("spark.sql.shuffle.partitions", "2")

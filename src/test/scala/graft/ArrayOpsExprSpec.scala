@@ -114,6 +114,25 @@ class ArrayOpsExprSpec extends AnyFunSuite {
     }
   }
 
+  test("bandKeys equals the HOF transform/slice/concat_ws formulation") {
+    // r17 kernel pin: identical strings, identical order, incl. the
+    // clamped short-array edge (slice past the end yields fewer rows)
+    val rnd = new scala.util.Random(19)
+    val cases = (Seq(Seq.empty[Long], Seq(7L), Seq(1L, 2L, 3L)) ++
+      (1 to 30).map { _ =>
+        (0 until 32).map(_ => rnd.nextLong(1L << 56)).toSeq
+      }).toDF("mh")
+    for ((nb, rpb) <- Seq((32, 1), (16, 2), (8, 4))) {
+      val both = cases.select(
+        ArrayOps.bandKeys(col("mh"), nb, rpb).as("native"),
+        graft.functions.Text.lshBandKeysSpec(col("mh"), nb, rpb).as("hof"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"nb=$nb rpb=$rpb")
+      }
+    }
+  }
+
   test("removeRuns null tokens follow concat_ws: skipped, no separator") {
     // r16 advice: the kernel replaced a concat_ws reassembly, and
     // concat_ws skips null elements ENTIRELY — [a, null, b] is 'a b',

@@ -7,7 +7,7 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val warehouse =
       java.nio.file.Files.createTempDirectory("graft_warehouse").toString
-    val s = SparkSession.builder()
+    val s = graft.SparkTuning.tuned(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
