@@ -23,9 +23,22 @@ import org.apache.spark.sql.SparkSession
   * A/B and rollback: SPARK_GRAFT_SHUFFLE_BYPASS_THR (unset -> 1;
   * "default" -> leave Spark's 200). */
 object SparkTuning {
-  def tuned(b: SparkSession.Builder): SparkSession.Builder =
-    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THR", "1") match {
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = {
+    val b1 = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THR", "1") match {
       case "default" => b
       case v => b.config("spark.shuffle.sort.bypassMergeThreshold", v)
     }
+    // Optional scratch-dir override (r17): shuffle-map commits run
+    // under ONE synchronized IndexShuffleBlockResolver per JVM (thread
+    // dumps: 14/32 executor threads blocked there mid-q61d), so the
+    // held time of each commit's create+write+rename bounds map-task
+    // throughput at high stage counts. SPARK_GRAFT_LOCAL_DIR points
+    // spark.local.dir at faster ephemeral storage (e.g. /dev/shm) —
+    // the standard "fastest local scratch" deployment choice. Unset =
+    // Spark's default (java.io.tmpdir).
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty) match {
+      case Some(d) => b1.config("spark.local.dir", d)
+      case None => b1
+    }
+  }
 }

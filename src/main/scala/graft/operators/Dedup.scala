@@ -2255,44 +2255,63 @@ object Dedup {
       import scala.concurrent.{Await, ExecutionContext, Future}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // Write-task budget (r17). Thread dumps of the wave showed the
+      // dominant non-CPU term: EVERY write task deserializes the job's
+      // SerializableConfiguration, whose readObject gunzips ~2k
+      // compressed strings — one java.util.zip.Inflater create+end per
+      // string, and Inflater.end() takes the JVM-GLOBAL PhantomCleanable
+      // list lock, so concurrent write tasks serialize on it (19 of 35
+      // executor threads BLOCKED there mid-wave). These five outputs are
+      // O(batch) delta rows; spreading them across nBuckets..32 tasks
+      // each bought no bandwidth and paid ~112 conf-gunzip storms per
+      // wave. A small explicit task count (REPARTITION_BY_NUM — still
+      // AQE-coalesce-exempt, so the old one-task-writes-all-buckets
+      // collapse cannot return) keeps the partitionBy dir layout (dir
+      // pruning is task-count-independent) and cuts the storm ~4x.
+      // Production: delta bytes scale with the batch, so size this with
+      // the batch (spark.graft.clusterstate.writeTasks), not nBuckets.
+      val writeTasks = s.conf
+        .getOption("spark.graft.clusterstate.writeTasks")
+        .flatMap(_.toIntOption).filter(_ >= 1)
+        .getOrElse(math.min(4, nBuckets))
       try Await.result(Future.sequence(Seq(
-        // REPARTITION_BY_NUM (AQE-coalesce-exempt): with the plain
-        // column form AQE coalesced the tiny-bytes exchange to ONE
-        // task that wrote all nBuckets bucket files serially —
-        // measured as q61d's only two sub-par stages (0.8-1.0 s
-        // single-task) at sf0.1
         Future { newBands
           .withColumn("bb",
             pmod(hash(col("band"), col("bh")), lit(nBuckets)))
-          .repartition(nBuckets, col("bb"))
+          .repartition(writeTasks, col("bb"))
           .write.mode("overwrite").partitionBy("bb")
           .parquet(s"$stateDir/bands/w=$next") },
         Future { newSets
           .withColumn("sb", pmod(hash(col("doc_id")), lit(nBuckets)))
-          .repartition(nBuckets, col("sb"))
+          .repartition(writeTasks, col("sb"))
           .write.mode("overwrite").partitionBy("sb")
           .parquet(s"$stateDir/sets/w=$next") },
-        Future { countsOut.write.mode("overwrite")
+        Future { countsOut.coalesce(writeTasks).write.mode("overwrite")
           .parquet(s"$tmp/${if (writeFull) "counts" else "counts_delta"}") },
         // pair rows bucketed by doc1's hash so decrements and
         // dissolved-component edge reads stay pruned: the FULL base
-        // uses pb partition dirs; DELTAS keep pb as a data column
-        // (each file ~one pb value via the repartition, so the isin
-        // predicate skips files by footer stats) — dir-partitioned
-        // deltas cannot share one scan relation across versions
+        // uses pb partition dirs (task-count-independent); DELTAS keep
+        // pb as a data column, SORTED within each write task so row
+        // groups are pb-contiguous — the chain read's isin predicate
+        // then skips at row-group granularity via parquet stats even
+        // though a file now spans several pb values (range
+        // partitioning would keep whole-file skipping but costs a
+        // sampling job per wave)
         Future {
           val pc = pairsOut
             .withColumn("pb", pmod(hash(col("doc1")), lit(nBuckets)))
-            .repartition(nBuckets, col("pb"))
           if (writeFull)
-            pc.write.mode("overwrite").partitionBy("pb")
+            pc.repartition(writeTasks, col("pb"))
+              .write.mode("overwrite").partitionBy("pb")
               .parquet(s"$tmp/pairs")
-          else pc.write.mode("overwrite").parquet(s"$tmp/pairs_delta")
+          else pc.repartition(writeTasks, col("pb"))
+            .sortWithinPartitions(col("pb"))
+            .write.mode("overwrite").parquet(s"$tmp/pairs_delta")
         },
         Future {
-          if (writeFull) labelsOut.write.mode("overwrite")
-            .parquet(s"$tmp/labels")
-          else labelsOut.withColumn("w", lit(next))
+          if (writeFull) labelsOut.coalesce(writeTasks)
+            .write.mode("overwrite").parquet(s"$tmp/labels")
+          else labelsOut.withColumn("w", lit(next)).coalesce(writeTasks)
             .write.mode("overwrite").parquet(s"$tmp/labels_delta")
         }
       )), scala.concurrent.duration.Duration.Inf)
