@@ -563,7 +563,8 @@ object IndexManager {
     * convention to `Dedup.lshCandidatePairs`. */
   private[engine] def bandRowsToCandidates(bands: DataFrame): DataFrame = {
     val buckets = bands.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("key")).as("ids"))
+      .agg(graft.functions.expressions.CappedLongsAgg
+        .cappedLongs(col("key"), BucketCap + 1).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
     buckets.select(explode(graft.functions.expressions.ArrayOps
         .orderedPairs(col("ids"))).as("p"))

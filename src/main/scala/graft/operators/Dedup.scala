@@ -732,7 +732,8 @@ object Dedup {
   private[graft] def bucketsForProbe(s: SparkSession, dir: String,
       numBands: Int): DataFrame =
     bandsForProbe(s, dir, numBands).groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(graft.functions.expressions.CappedLongsAgg
+        .cappedLongs(col("doc_id"), BucketCap + 1).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
 
   /** LSH candidate pairs from the scan path: band keys computed from
@@ -747,7 +748,8 @@ object Dedup {
     // bucket-local pair generation, capped: degenerate buckets are
     // dropped instead of exploding quadratically
     val buckets = bands.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(graft.functions.expressions.CappedLongsAgg
+        .cappedLongs(col("doc_id"), BucketCap + 1).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
     buckets
       .select(explode(graft.functions.expressions.ArrayOps
@@ -979,7 +981,8 @@ object Dedup {
       posexplode(Text.lshBandKeys(col("mh"), numBands, rowsPerBand))
         .as(Seq("band", "bh")))
     val buckets = bands.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(graft.functions.expressions.CappedLongsAgg
+        .cappedLongs(col("doc_id"), BucketCap + 1).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
     val cand = buckets
       .select(explode(graft.functions.expressions.ArrayOps
@@ -1437,7 +1440,8 @@ object Dedup {
     * lshCandidates pair kernel, factored for subset band tables. */
   private def bucketPairs(bandsDf: DataFrame): DataFrame =
     bandsDf.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(graft.functions.expressions.CappedLongsAgg
+        .cappedLongs(col("doc_id"), BucketCap + 1).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
       .select(explode(graft.functions.expressions.ArrayOps
         .orderedPairs(col("ids"))).as("p"))
@@ -1451,7 +1455,8 @@ object Dedup {
     * crossing the cap decrements exactly its own contribution. */
   private def bucketPairCounts(bandsDf: DataFrame): DataFrame =
     bandsDf.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(graft.functions.expressions.CappedLongsAgg
+        .cappedLongs(col("doc_id"), BucketCap + 1).as("ids"))
       .where(size(col("ids")).between(2, BucketCap))
       .select(explode(graft.functions.expressions.ArrayOps
         .orderedPairs(col("ids"))).as("p"))

@@ -114,6 +114,37 @@ class ArrayOpsExprSpec extends AnyFunSuite {
     }
   }
 
+  test("cappedLongs equals collect_list under the bucket-cap filter") {
+    // r17 kernel pin: for groups of size <= cap the capped aggregate
+    // IS collect_list; larger groups still report size >= cap + 1 so
+    // a `size <= cap` filter drops them in both formulations.
+    import graft.functions.expressions.CappedLongsAgg
+    val cap = 5
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong) // 40 groups, sizes ~10
+    }
+    val df = rows.toDF("g", "id")
+    val a = df.groupBy(col("g"))
+      .agg(CappedLongsAgg.cappedLongs(col("id"), cap + 1).as("ids"))
+      .where(size(col("ids")).between(2, cap))
+      .select(col("g"), array_sort(col("ids")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = df.groupBy(col("g"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, cap))
+      .select(col("g"), array_sort(col("ids")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+    assert(b.nonEmpty, "fixture must produce some under-cap groups")
+    // over-cap groups report exactly cap + 1 (the drop sentinel)
+    val over = df.groupBy(col("g"))
+      .agg(CappedLongsAgg.cappedLongs(col("id"), cap + 1).as("ids"))
+      .where(size(col("ids")) > cap)
+      .select(size(col("ids"))).collect().map(_.getInt(0))
+    assert(over.nonEmpty && over.forall(_ == cap + 1))
+  }
+
   test("bandKeys equals the HOF transform/slice/concat_ws formulation") {
     // r17 kernel pin: identical strings, identical order, incl. the
     // clamped short-array edge (slice past the end yields fewer rows)
